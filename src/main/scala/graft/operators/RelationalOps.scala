@@ -1,0 +1,441 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{Op, Tables}
+import graft.Op.xsum
+import graft.functions.Portable._
+
+/** Relational analytics core (SURVEY.md §2 part B).
+  *
+  * Declarative DataFrame plans: Catalyst pushes filters/projections into
+  * the parquet scans, broadcasts the dimension sides of star joins, and
+  * keeps every aggregate map-side-combining. All money aggregates use the
+  * portable exact-sum idiom so results are identical under any partitioning
+  * (and identical to the DuckDB oracle).
+  */
+object RelationalOps {
+
+  /** TPC-H Q1 shape: scan → filter → groupBy → multi-aggregate.
+    * One shuffle on the (low-cardinality) grouping key; partial aggregation
+    * happens map-side, so at 100 TB the shuffle carries only
+    * |groups| × |partitions| rows.
+    */
+  val q1Agg: Op = Op(
+    "q1_agg",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1999-12-31"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          exactSum(col("l_quantity")).as("sum_qty"),
+          exactSum(col("l_extendedprice")).as("sum_base_price"),
+          exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${xsum("l_quantity")} AS sum_qty,
+        ${xsum("l_extendedprice")} AS sum_base_price,
+        ${xsum("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+        ${xsum("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Projection + predicate pushdown: the scan must read only 3 columns and
+    * receive both pushed filters (verified in RelationalSpec via explain).
+    */
+  val q2Pushdown: Op = Op(
+    "q2_pushdown",
+    (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0)
+        .select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             o_totalprice
+      FROM orders
+      WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+      ORDER BY o_orderkey"""))
+
+  /** TPC-H Q3 shape: 3-way join + agg + top-k. customer is the small side
+    * (broadcast); orders⋈lineitem shuffles on the order key. Top-k via
+    * orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k,
+    * no global sort).
+    */
+  val q3JoinAgg: Op = Op(
+    "q3_join_agg",
+    (s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""
+      SELECT l_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             ${xsum("l_extendedprice*(1-l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""))
+
+  /** EXISTS → left-semi join (no row multiplication, build side streams). */
+  val q4Semijoin: Op = Op(
+    "q4_semijoin",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d).filter(col("l_quantity") > 45.0)
+        .select(col("l_orderkey"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** NOT EXISTS → left-anti join (the reference's retirement-delete shape). */
+  val q5Antijoin: Op = Op(
+    "q5_antijoin",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      ORDER BY c_custkey"""))
+
+  /** 4-way star join: region/nation broadcast, the fact side never
+    * shuffles for the dimension joins — only the final small groupBy does.
+    */
+  val q6StarJoin: Op = Op(
+    "q6_star_join",
+    (s, d) => {
+      val r = Tables.region(s, d)
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some(s"""
+      SELECT r_name, n_name, count(*) AS n_orders,
+             ${xsum("o_totalprice")} AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""))
+
+  /** Rank-per-group window: partitions by the group key, so at scale the
+    * sort is per-key-partition, never global.
+    */
+  val q7WindowTopk: Op = Op(
+    "q7_window_topk",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    },
+    Some("""
+      SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 3
+      ORDER BY o_orderpriority, rn"""))
+
+  /** Exact distinct counts (expand-based in Spark; two-level shuffle). */
+  val q8Distinct: Op = Op(
+    "q8_distinct",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  /** ROLLUP multi-level aggregation (grouping-sets expansion). */
+  val q9Rollup: Op = Op(
+    "q9_rollup",
+    (s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("revenue"))
+        .orderBy(col("status"), col("priority")),
+    Some(s"""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n_orders,
+             ${xsum("o_totalprice")} AS revenue
+      FROM orders
+      GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""))
+
+  /** Global top-k: TakeOrderedAndProject — per-partition heap + merge,
+    * no full sort at any scale.
+    */
+  val q10Topk: Op = Op(
+    "q10_topk",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber").cast(LongType)
+          .as("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(20),
+    Some("""
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             l_extendedprice
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      LIMIT 20"""))
+
+  /** Conditional aggregation (pivot shape) — one pass, no joins. */
+  val q11CaseAgg: Op = Op(
+    "q11_case_agg",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority")),
+    Some("""
+      SELECT o_orderpriority,
+             CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+             CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** Date bucketing aggregation. */
+  val q12DateAgg: Op = Op(
+    "q12_date_agg",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("month")),
+    Some(s"""
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             count(*) AS n_orders,
+             ${xsum("o_totalprice")} AS revenue
+      FROM orders
+      GROUP BY strftime(o_orderdate, '%Y-%m')
+      ORDER BY month"""))
+
+  /** String functions + LIKE predicate. */
+  val q13StringFuncs: Op = Op(
+    "q13_string_funcs",
+    (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").like("%gear%"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_uc"),
+          substring(col("p_type"), 1, 5).as("type_pfx"),
+          length(col("p_name")).cast(LongType).as("name_len"))
+        .orderBy(col("p_partkey")),
+    Some("""
+      SELECT p_partkey, upper(p_brand) AS brand_uc,
+             substr(p_type, 1, 5) AS type_pfx,
+             CAST(length(p_name) AS BIGINT) AS name_len
+      FROM part
+      WHERE p_name LIKE '%gear%'
+      ORDER BY p_partkey"""))
+
+  /** UNION + distinct. */
+  val q14Union: Op = Op(
+    "q14_union",
+    (s, d) => {
+      val a = Tables.customer(s, d).filter(col("c_acctbal") < 0.0)
+        .select(col("c_custkey").as("id"))
+      val b = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("id"))
+      a.union(b).distinct().orderBy(col("id"))
+    },
+    Some("""
+      SELECT c_custkey AS id FROM customer WHERE c_acctbal < 0
+      UNION
+      SELECT o_custkey AS id FROM orders WHERE o_orderstatus = 'P'
+      ORDER BY id"""))
+
+  /** Scalar subquery: stays in-plan as a broadcast cross join (one row),
+    * never a driver-side collect.
+    */
+  val q15ScalarSubquery: Op = Op(
+    "q15_scalar_subquery",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val avgBal = c.agg(
+        (exactSum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+    Some(s"""
+      SELECT c_custkey, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT ${xsum("c_acctbal")}/count(*) FROM customer)
+      ORDER BY c_custkey"""))
+
+  /** Sessionization: 30-minute inactivity gap. Partitioned by user — the
+    * window sort is per-user, so the op scales with keys, not data volume.
+    * Gap math in exact integer microseconds (portable).
+    */
+  val q16Sessionize: Op = Op(
+    "q16_sessionize",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id,
+             CAST(sum(is_new) AS BIGINT) AS n_sessions,
+             count(*) AS n_events
+      FROM (
+        SELECT user_id,
+               CASE WHEN prev IS NULL OR us - prev > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM (
+          SELECT user_id, epoch_us(ts) AS us,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS prev
+          FROM events) t1) t2
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  /** JSON field extraction (regexp-based so the oracle needs no JSON
+    * extension) + aggregation.
+    */
+  val q17JsonExtract: Op = Op(
+    "q17_json_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+          .cast(LongType).as("k"))
+        .withColumn("bucket", col("k") % 10)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("bucket")),
+    Some("""
+      SELECT bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+      FROM (
+        SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
+               CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 10 AS bucket
+        FROM events) t
+      GROUP BY bucket
+      ORDER BY bucket"""))
+
+  /** Running/cumulative window aggregate (exact integer micros inside the
+    * frame so the running values are portable).
+    */
+  val q18RunningSum: Op = Op(
+    "q18_running_sum",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running",
+          sum(round(col("o_totalprice") * lit(1000000.0)).cast(LongType))
+            .over(w) / lit(1000000.0))
+        .select(col("o_custkey"), col("o_orderkey"), col("running"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(sum(CAST(round(o_totalprice*1000000) AS BIGINT))
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT)/1000000.0 AS running
+      FROM orders
+      ORDER BY o_custkey, o_orderkey"""))
+
+  val all: Seq[Op] = Seq(
+    q1Agg, q2Pushdown, q3JoinAgg, q4Semijoin, q5Antijoin, q6StarJoin,
+    q7WindowTopk, q8Distinct, q9Rollup, q10Topk, q11CaseAgg, q12DateAgg,
+    q13StringFuncs, q14Union, q15ScalarSubquery, q16Sessionize,
+    q17JsonExtract, q18RunningSum)
+}
