@@ -72,8 +72,9 @@ object RelationalOps {
       WHERE o_orderstatus = 'F' AND o_totalprice > 100000
       ORDER BY o_orderkey"""))
 
-  /** TPC-H Q3 shape: 3-way join + agg + top-k. customer is the small side
-    * (broadcast); orders⋈lineitem shuffles on the order key. Top-k via
+  /** TPC-H Q3 shape: 3-way join + agg + top-k. customer scales with SF so
+    * it is NOT broadcast-hinted — AQE picks the join strategy at runtime
+    * (broadcast at small SF, shuffle-hash at 100 TB). Top-k via
     * orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k,
     * no global sort).
     */
@@ -84,7 +85,7 @@ object RelationalOps {
       val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01"))
       val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
         .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -144,8 +145,9 @@ object RelationalOps {
                         WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
       ORDER BY c_custkey"""))
 
-  /** 4-way star join: region/nation broadcast, the fact side never
-    * shuffles for the dimension joins — only the final small groupBy does.
+  /** 4-way star join: region/nation are bounded dims → broadcast; customer
+    * scales with SF → un-hinted (AQE decides), so orders⋈customer shuffles
+    * on custkey at scale instead of OOMing a forced broadcast.
     */
   val q6StarJoin: Op = Op(
     "q6_star_join",
@@ -154,7 +156,7 @@ object RelationalOps {
       val n = Tables.nation(s, d)
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d)
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
@@ -215,6 +217,25 @@ object RelationalOps {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
+
+  /** Approximate distinct counts (HyperLogLog++): one shuffle carrying a
+    * fixed-size sketch per group instead of the expand + two-level shuffle
+    * of exact countDistinct — the variant users run first at 100 TB.
+    * No SQL oracle: Spark's HLL++ and DuckDB's HLL produce different
+    * estimates by construction, so the driver does a rows-only check; the
+    * ScalaTest suite asserts the estimates land within 5% of exact.
+    */
+  val q8bApproxDistinct: Op = Op(
+    "q8b_approx_distinct",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("n_parts_approx"),
+          approx_count_distinct(col("l_suppkey")).as("n_supps_approx"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag")),
+    None)
 
   /** ROLLUP multi-level aggregation (grouping-sets expansion). */
   val q9Rollup: Op = Op(
@@ -401,8 +422,8 @@ object RelationalOps {
     Some("""
       SELECT bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
       FROM (
-        SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
-               CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 10 AS bucket
+        SELECT TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
+               TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 10 AS bucket
         FROM events) t
       GROUP BY bucket
       ORDER BY bucket"""))
@@ -435,7 +456,7 @@ object RelationalOps {
 
   val all: Seq[Op] = Seq(
     q1Agg, q2Pushdown, q3JoinAgg, q4Semijoin, q5Antijoin, q6StarJoin,
-    q7WindowTopk, q8Distinct, q9Rollup, q10Topk, q11CaseAgg, q12DateAgg,
-    q13StringFuncs, q14Union, q15ScalarSubquery, q16Sessionize,
-    q17JsonExtract, q18RunningSum)
+    q7WindowTopk, q8Distinct, q8bApproxDistinct, q9Rollup, q10Topk,
+    q11CaseAgg, q12DateAgg, q13StringFuncs, q14Union, q15ScalarSubquery,
+    q16Sessionize, q17JsonExtract, q18RunningSum)
 }
