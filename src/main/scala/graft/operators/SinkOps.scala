@@ -1,0 +1,379 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{Op, Tables}
+import graft.Op.xsum
+import graft.functions.Portable._
+
+/** Sink / ETL semantics (SURVEY.md §2 part A) — the reference's heart,
+  * re-expressed as declarative Spark plans over the test tables.
+  *
+  * Table mapping (SURVEY §3): `orders` plays the modeled source rows
+  * (pk = o_orderkey, modified-at = o_orderdate), `events` plays the sink's
+  * append-only dump log / event stream, `customer` plays users (PII),
+  * `nation`/`region` play the bounded dimension types.
+  *
+  * Scale notes are per-op; the common rules: state joins partition on the
+  * sink key (one shuffle, reusable), bounded dims broadcast, retirement
+  * sets broadcast (retirement batches are small by nature), and nothing
+  * ever collects to the driver.
+  */
+object SinkOps {
+
+  /** A1 — latest-row-per-key view of an append-only sink log: the Spark
+    * twin of ClickHouse ReplacingMergeTree FINAL /
+    * `get_last_dumped_timestamp` (reference sinks/base_sink.py:314-335,
+    * `SELECT max(ts) ... WHERE unique_key = ?`), generalized to all keys
+    * at once. `row_number()=1` per key ordered ts desc keeps the whole
+    * latest row (not just the timestamp), which is what every sink read
+    * path wants. One shuffle on the key; scales with keys.
+    */
+  val sinkLatestState: Op = Op(
+    "sink_latest_state",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("us").as("last_ts_us"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, us AS last_ts_us, event_id AS last_event_id,
+             event_type AS last_event_type, value AS last_value
+      FROM (
+        SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1
+      ORDER BY user_id"""))
+
+  /** A2 — incremental dump gate: the reference's `should_dump_item`
+    * (sinks/course_published.py:154-198): dump iff the sink has never seen
+    * the item (`last_dump_time IS NULL`) or the source was modified after
+    * the last dump (`last_dump_time < last_published`). Source state =
+    * orders (modified-at = o_orderdate); sink state = per-order max
+    * shipdate from the lineitem dump log. Left join on the pk — both
+    * sides partition on o_orderkey, the dump-log max is a map-side-combined
+    * pre-aggregate, so at 100 TB this is one co-partitioned shuffle each.
+    */
+  val sinkShouldDump: Op = Op(
+    "sink_should_dump",
+    (s, d) => {
+      val src = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val sinkState = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("dumped_at"))
+      src.join(sinkState, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(
+          col("o_orderkey"),
+          (col("dumped_at").isNull || col("dumped_at") < col("o_orderdate"))
+            .as("should_dump"),
+          when(col("dumped_at").isNull, "Item is not present in sink")
+            .when(col("dumped_at") < col("o_orderdate"),
+              "Item has been modified since last dump")
+            .otherwise("Item has NOT been modified since last dump")
+            .as("reason"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             (dumped_at IS NULL OR dumped_at < o_orderdate) AS should_dump,
+             CASE WHEN dumped_at IS NULL
+                    THEN 'Item is not present in sink'
+                  WHEN dumped_at < o_orderdate
+                    THEN 'Item has been modified since last dump'
+                  ELSE 'Item has NOT been modified since last dump'
+             END AS reason
+      FROM orders
+      LEFT JOIN (SELECT l_orderkey, max(l_shipdate) AS dumped_at
+                 FROM lineitem GROUP BY l_orderkey) sink
+        ON o_orderkey = l_orderkey
+      ORDER BY o_orderkey"""))
+
+  /** A3 — PII retirement: the reference's `UserRetirementSink.send_item`
+    * (sinks/user_retire.py:23-49) issues `DELETE WHERE user_id IN (set)`
+    * against every configured PII table. The Spark rewrite is an anti-join
+    * of each PII table against the retired-user set; here we report the
+    * per-table before/after/deleted audit in one pass per table via a
+    * left join + flag (no second scan). The retired set is a retirement
+    * batch — small by nature — so it broadcasts; the PII tables never
+    * shuffle at all.
+    */
+  val sinkRetireUsers: Op = Op(
+    "sink_retire_users",
+    (s, d) => {
+      val retired = Tables.customer(s, d)
+        .filter(col("c_acctbal") < 0.0)
+        .select(col("c_custkey").as("uid"))
+        .withColumn("is_retired", lit(1L))
+      def audit(df: org.apache.spark.sql.DataFrame, key: String, name: String) =
+        df.join(broadcast(retired), col(key) === col("uid"), "left")
+          .agg(count(lit(1)).as("n_before"),
+            coalesce(sum(col("is_retired")), lit(0L)).as("n_deleted"))
+          .select(lit(name).as("table_name"), col("n_before"),
+            (col("n_before") - col("n_deleted")).as("n_after"),
+            col("n_deleted"))
+      audit(Tables.events(s, d), "user_id", "events")
+        .unionAll(audit(Tables.orders(s, d), "o_custkey", "orders"))
+        .orderBy(col("table_name"))
+    },
+    Some("""
+      WITH retired AS (SELECT c_custkey AS uid FROM customer
+                       WHERE c_acctbal < 0)
+      SELECT 'events' AS table_name, count(*) AS n_before,
+             count(*) - CAST(sum(CASE WHEN user_id IN (SELECT uid FROM retired)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+             CAST(sum(CASE WHEN user_id IN (SELECT uid FROM retired)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+      FROM events
+      UNION ALL
+      SELECT 'orders' AS table_name, count(*) AS n_before,
+             count(*) - CAST(sum(CASE WHEN o_custkey IN (SELECT uid FROM retired)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+             CAST(sum(CASE WHEN o_custkey IN (SELECT uid FROM retired)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+      FROM orders
+      ORDER BY table_name"""))
+
+  /** A4 — keyset-paginated backfill batch: the reference's
+    * `fetch_target_items` (sinks/base_sink.py:284-306) pages
+    * `pk > start_pk ORDER BY pk` with optional include/skip id sets
+    * (management command --ids/--skip_ids). One batch: start_pk=500,
+    * batch_size=200, skip ids ≡ 3 (mod 10). orderBy+limit compiles to
+    * TakeOrderedAndProject — per-partition top-k + merge, no global sort
+    * at any scale; the pk predicate is pushed into the parquet scan.
+    */
+  val sinkPagination: Op = Op(
+    "sink_pagination",
+    (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") > 500 && col("o_orderkey") % 10 =!= 3)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .limit(200),
+    Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE o_orderkey > 500 AND o_orderkey % 10 != 3
+      ORDER BY o_orderkey
+      LIMIT 200"""))
+
+  /** A5 — serializer projection + JSON payload: the reference's
+    * `CourseOverviewSerializer` (serializers.py:103-153): rename/cast
+    * (`start`→`course_start`), stringified dates, a nested JSON field
+    * (`course_data_json` via json.dumps), and synthetic `dump_id` /
+    * `time_last_dumped`. dump_id is a deterministic md5 of the key (the
+    * reference uses uuid4; determinism is required for idempotent re-dumps
+    * and for the oracle). Pure narrow projection — no shuffle at all.
+    */
+  val sinkSerializeOverview: Op = Op(
+    "sink_serialize_overview",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          concat(lit("course-v1:Org+O"), col("o_orderkey")).as("course_key"),
+          concat(lit("Order "), col("o_orderkey")).as("display_name"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+            .as("course_start"),
+          to_json(struct(
+            col("o_orderpriority").as("priority"),
+            col("o_orderstatus").as("status"),
+            round(col("o_totalprice") * 100).cast(LongType).as("total_cents")))
+            .as("course_data_json"),
+          md5(concat(lit("dump|"), col("o_orderkey"))).as("dump_id"),
+          lit("2026-01-01 00:00:00").as("time_last_dumped"))
+        .orderBy(col("course_key")),
+    Some("""
+      SELECT concat('course-v1:Org+O', o_orderkey) AS course_key,
+             concat('Order ', o_orderkey) AS display_name,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS course_start,
+             CAST(to_json(struct_pack(
+               priority := o_orderpriority,
+               status := o_orderstatus,
+               total_cents := CAST(round(o_totalprice*100) AS BIGINT)))
+               AS VARCHAR) AS course_data_json,
+             md5(concat('dump|', o_orderkey)) AS dump_id,
+             '2026-01-01 00:00:00' AS time_last_dumped
+      FROM orders
+      ORDER BY course_key"""))
+
+  /** A6 — XBlock hierarchy counters: the reference's `serialize_item`
+    * (sinks/course_published.py:47-94) walks a course's blocks in order,
+    * keeping an ordinal `order` plus section/subsection/unit counters that
+    * increment on chapter/sequential/vertical and reset below the level
+    * that changed. Event mapping: signup→chapter, purchase→sequential,
+    * click→vertical, per user_id ordered by (ts, event_id).
+    *
+    * The imperative loop becomes three stacked running-sum windows: the
+    * reset-on-parent-change is exactly "count within the parent's group",
+    * so subsection partitions by (user, section) and unit by (user,
+    * section, subsection). Each window partitions on a user-prefixed key —
+    * per-key sorts, never a global sort, scales with keys.
+    */
+  val sinkXblockHierarchy: Op = Op(
+    "sink_xblock_hierarchy",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bySection = Window
+        .partitionBy(col("user_id"), col("section"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bySubsection = Window
+        .partitionBy(col("user_id"), col("section"), col("subsection"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("ord", row_number().over(byUser).cast(LongType))
+        .withColumn("section",
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L)).over(run))
+        .withColumn("subsection",
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .over(bySection))
+        .withColumn("unit",
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .over(bySubsection))
+        .select(col("user_id"), col("event_id"), col("ord"),
+          col("section"), col("subsection"), col("unit"))
+        .orderBy(col("user_id"), col("ord"))
+    },
+    Some("""
+      SELECT user_id, event_id, ord, section, subsection, unit
+      FROM (
+        SELECT *, CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id, section, subsection
+                       ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS unit
+        FROM (
+          SELECT *, CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id, section
+                         ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS subsection
+          FROM (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id) AS BIGINT) AS ord,
+                   CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS section
+            FROM events) t1) t2) t3
+      ORDER BY user_id, ord"""))
+
+  /** A7 — select_related serializer: the reference's
+    * `UserExternalIDSerializer` (serializers.py:69-86) projects the
+    * external-id row plus two 1:1 joined attributes (`user.username`,
+    * `external_id_type.name`). nation (the type table) is a bounded dim →
+    * broadcast; customer scales with users → un-hinted equi-join on the
+    * pk (AQE broadcasts it while small, shuffles it at 100 TB).
+    */
+  val sinkExternalId: Op = Op(
+    "sink_external_id",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(
+          col("o_orderkey").as("external_user_id"),
+          col("n_name").as("external_id_type"),
+          col("c_name").as("username"),
+          col("o_custkey").as("user_id"),
+          md5(concat(lit("xid|"), col("o_orderkey"))).as("dump_id"))
+        .orderBy(col("external_user_id"))
+    },
+    Some("""
+      SELECT o_orderkey AS external_user_id,
+             n_name AS external_id_type,
+             c_name AS username,
+             o_custkey AS user_id,
+             md5(concat('xid|', o_orderkey)) AS dump_id
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      ORDER BY external_user_id"""))
+
+  /** A8 — CSV row rendering, QUOTE_NONNUMERIC: the reference's `send_item`
+    * (sinks/base_sink.py:251-282) serializes each row as CSV with
+    * csv.QUOTE_NONNUMERIC (strings quoted, internal quotes doubled,
+    * numbers bare) for ClickHouse `FORMAT CSV` bulk inserts. Money is
+    * rendered via exact integer cents (never %.2f on a double — Java
+    * HALF_UP vs C half-even diverge on representable halves). Narrow
+    * projection, no shuffle; the expression is whole-stage-codegen'd.
+    */
+  val sinkCsvFormat: Op = Op(
+    "sink_csv_format",
+    (s, d) => {
+      def q(c: org.apache.spark.sql.Column) =
+        concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\""))
+      val cents = round(col("o_totalprice") * 100).cast(LongType)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          concat_ws(",",
+            col("o_orderkey").cast("string"),
+            q(col("o_orderstatus")),
+            q(col("o_orderpriority")),
+            concat(expr("cast(cast(round(o_totalprice*100) as bigint) div 100 as string)"),
+              lit("."), lpad((cents % 100).cast("string"), 2, "0")),
+            q(date_format(col("o_orderdate"), "yyyy-MM-dd"))).as("csv_row"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             concat_ws(',',
+               CAST(o_orderkey AS VARCHAR),
+               concat('"', replace(o_orderstatus, '"', '""'), '"'),
+               concat('"', replace(o_orderpriority, '"', '""'), '"'),
+               concat(CAST(CAST(round(o_totalprice*100) AS BIGINT) // 100
+                        AS VARCHAR),
+                 '.', lpad(CAST(CAST(round(o_totalprice*100) AS BIGINT) % 100
+                        AS VARCHAR), 2, '0')),
+               concat('"', strftime(o_orderdate, '%Y-%m-%d'), '"')) AS csv_row
+      FROM orders
+      ORDER BY o_orderkey"""))
+
+  /** A9 — tumbling time-window aggregation: the batch twin of the
+    * streaming ingest job (reference signals.py + tasks.py; Spark twin in
+    * [[graft.streaming.EventIngest]]). Uses the Structured-Streaming
+    * `window()` function so the exact same plan fragment runs under
+    * readStream with a watermark. One shuffle on (window, event_type),
+    * partial-aggregated map-side.
+    */
+  val eventsWindowedAgg: Op = Op(
+    "events_windowed_agg",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), exactSum(col("value")).as("sum_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type")),
+    Some(s"""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             event_type, count(*) AS n_events,
+             ${xsum("value")} AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_start, event_type"""))
+
+  val all: Seq[Op] = Seq(
+    sinkLatestState, sinkShouldDump, sinkRetireUsers, sinkPagination,
+    sinkSerializeOverview, sinkXblockHierarchy, sinkExternalId,
+    sinkCsvFormat, eventsWindowedAgg)
+}
