@@ -8,7 +8,8 @@ import graft.operators._
 object SparkEntry {
 
   /** Full operator inventory (SURVEY.md §2). */
-  def allOps: Seq[Op] = RelationalOps.all ++ SinkOps.all
+  def allOps: Seq[Op] =
+    RelationalOps.all ++ SinkOps.all ++ TextOps.all ++ DedupOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

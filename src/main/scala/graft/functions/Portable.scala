@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Engine-portable deterministic primitives.
   *
@@ -60,4 +60,54 @@ object Portable {
     */
   def normText(e: Column): Column =
     lower(trim(regexp_replace(e, "\\s+", " ")))
+
+  /** Distinct word-trigram shingles of lowercased text — the unit set for
+    * n-gram Jaccard / MinHash dedup. concat_ws skips the NULL tails on
+    * docs shorter than 3 tokens, matching DuckDB's out-of-range NULLs.
+    *
+    * DuckDB twin:
+    *   list_distinct([concat_ws(' ', tok[i], tok[i+1], tok[i+2])
+    *     for i in generate_series(1, greatest(len(tok)-2, 1))])
+    *   with tok = regexp_split_to_array(trim(lower(text)), '\s+')
+    */
+  def shingles(text: Column): Column = {
+    val tok = split(trim(lower(text)), "\\s+")
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(tok) - 2, lit(1))),
+        i => concat_ws(" ",
+          element_at(tok, i), element_at(tok, i + 1), element_at(tok, i + 2))))
+  }
+
+  /** Quantize a float/double to exact integer micros. floor(x*1e6 + 0.5)
+    * (not round()) because engines disagree on halfway rounding modes —
+    * floor is identical everywhere. DuckDB twin:
+    *   CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)
+    */
+  def qMicros(x: Column): Column =
+    floor(x.cast(DoubleType) * lit(1000000.0) + lit(0.5))
+
+  /** Exact integer dot product of two float vectors in micro units:
+    * Σ q(a_i)·q(b_i) as a long — order-insensitive, bit-identical in any
+    * engine (|x|≤1, 64 dims → ≤ ~6.4e13, far inside Long). This makes
+    * cosine similarity run-to-run reproducible regardless of partitioning.
+    *
+    * DuckDB twin (via generate_series(1, dims) indexing):
+    *   CAST(list_sum(list_transform(generate_series(1,64), ix ->
+    *     CAST(floor(CAST(a[ix] AS DOUBLE)*1000000+0.5) AS BIGINT) *
+    *     CAST(floor(CAST(b[ix] AS DOUBLE)*1000000+0.5) AS BIGINT)))
+    *     AS BIGINT)
+    */
+  def dotMicros(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => qMicros(x).cast(LongType) * qMicros(y).cast(LongType)),
+      lit(0L),
+      (acc, v) => acc + v)
+
+  /** Cosine similarity from exact micro dot products: one double division
+    * over identical integers → identical doubles everywhere. `na`/`nb` are
+    * the precomputed self-dots (dotMicros(v, v)).
+    */
+  def cosineFromMicros(dot: Column, na: Column, nb: Column): Column =
+    dot.cast(DoubleType) / (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
 }

@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{Op, Tables}
+import graft.Op.{xhash32, xhash60}
+import graft.functions.Portable._
+
+/** Deduplication over the documents/embeddings corpus (SURVEY.md §2
+  * part D) — the core LLM-training-data pipeline pass. Scale design
+  * (SURVEY §5): exact dedup is one shuffle on a uniform 60-bit hash;
+  * near-dup detection NEVER does an all-pairs join — candidates come from
+  * shared shingles (D2), LSH band buckets (D3), simhash prefix bands (D4)
+  * or a blocking key (D5), so the join cost tracks the number of genuinely
+  * colliding documents, not n².
+  */
+object DedupOps {
+
+  /** DuckDB twin of [[graft.functions.Portable.shingles]], as CTE text:
+    * tok → shl (doc_id, shs list) for the documents table.
+    */
+  private val sqlShingleCte: String = """
+      tok AS (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+              FROM documents),
+      shl AS (SELECT doc_id,
+                     list_distinct([concat_ws(' ', tok[i], tok[i+1], tok[i+2])
+                       for i in generate_series(1, greatest(len(tok)-2, 1))])
+                       AS shs
+              FROM tok),
+      sh AS (SELECT doc_id, unnest(shs) AS s FROM shl)"""
+
+  /** D1 — exact dedup on the normalized-text fingerprint: group by a
+    * uniform 60-bit hash, keep the smallest doc_id per group. One shuffle
+    * on the hash (uniform by construction → no skew at any scale),
+    * map-side partial aggregation. The survivor set is `keep_id`;
+    * n_copies>1 rows are the duplicate groups a pipeline would drop.
+    */
+  val dedupExact: Op = Op(
+    "dedup_exact",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), hash60(normText(col("text"))).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("fp")),
+    Some(s"""
+      SELECT ${xhash60("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")} AS fp,
+             min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents
+      GROUP BY fp
+      ORDER BY fp"""))
+
+  /** Exploded distinct shingles: (doc_id, s). */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+
+  /** D2 — exact n-gram Jaccard pairs ≥ τ via shingle self-join: pairs are
+    * generated only for documents sharing at least one trigram (the join
+    * key is the shingle), then scored exactly. At 100 TB the shingle join
+    * shuffles on the shingle hash; frequency skew on stop-phrase shingles
+    * is handled by AQE skew splitting (real pipelines additionally cap
+    * document frequency per shingle — semantics preserved here for the
+    * oracle). τ=0.2 (the corpus' planted near-dups sit at ≥0.9; random
+    * pairs at ≤0.1).
+    */
+  val dedupNgramJaccard: Op = Op(
+    "dedup_ngram_jaccard",
+    (s, d) => {
+      val sh = shingleRows(s, d)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val common = sh.as("a")
+        .join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.select(col("doc_id"), col("n").as("n_i")),
+          col("i") === col("doc_id")).drop("doc_id")
+        .join(sizes.select(col("doc_id"), col("n").as("n_j")),
+          col("j") === col("doc_id")).drop("doc_id")
+        .select(col("i"), col("j"),
+          (col("c") * lit(1.0) / (col("n_i") + col("n_j") - col("c")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.2)
+        .orderBy(col("i"), col("j"))
+    },
+    Some(s"""
+      WITH $sqlShingleCte,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      common AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+                 FROM sh a JOIN sh b
+                   ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+      SELECT i, j, c * 1.0 / (x.n + y.n - c) AS jaccard
+      FROM common
+      JOIN sizes x ON i = x.doc_id
+      JOIN sizes y ON j = y.doc_id
+      WHERE c * 1.0 / (x.n + y.n - c) >= 0.2
+      ORDER BY i, j"""))
+
+  private val K = 16 // minhash functions
+  private val R = 2  // rows per band → 8 bands
+
+  /** D3 — MinHash + LSH banding: 16 minhashes per document (computed as 16
+    * min-aggregates over one shingle explode — no ×16 row blowup,
+    * map-side combined), banded 8×2; documents sharing any band bucket
+    * become candidates (bucket-join, never all-pairs), then candidates are
+    * verified with the exact Jaccard on their shingle sets (array_intersect
+    * on the two docs' arrays — per-pair local work, no second shingle
+    * shuffle). Band-collision probability at r=2: j² per band,
+    * 1-(1-j²)⁸ overall — ≥0.999 at j=0.9 (the planted dups), ~0.01 at
+    * j=0.1 (random pairs). Final filter τ=0.5.
+    */
+  val dedupMinhashLsh: Op = Op(
+    "dedup_minhash_lsh",
+    (s, d) => {
+      val sh = shingleRows(s, d)
+      val mins = sh.groupBy(col("doc_id"))
+        .agg(
+          min(hash32(concat(lit("0|"), col("s")))).as("m0"),
+          (1 until K).map(i =>
+            min(hash32(concat(lit(s"$i|"), col("s")))).as(s"m$i")): _*)
+      val bands = mins.select(col("doc_id"),
+        explode(array((0 until K / R).map(b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws("|", col(s"m${R * b}"), col(s"m${R * b + 1}")))
+              .as("bkey"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .distinct()
+      val shSets = Tables.documents(s, d)
+        .select(col("doc_id"), shingles(col("text")).as("shs"))
+      cand
+        .join(shSets.select(col("doc_id"), col("shs").as("shs_i")),
+          col("i") === col("doc_id")).drop("doc_id")
+        .join(shSets.select(col("doc_id"), col("shs").as("shs_j")),
+          col("j") === col("doc_id")).drop("doc_id")
+        .select(col("i"), col("j"),
+          (size(array_intersect(col("shs_i"), col("shs_j"))) * lit(1.0) /
+            (size(col("shs_i")) + size(col("shs_j"))
+              - size(array_intersect(col("shs_i"), col("shs_j")))))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("i"), col("j"))
+    },
+    Some {
+      val minCols = (0 until K).map(i =>
+        s"min(${xhash32(s"concat('$i|', s)")}) AS m$i").mkString(",\n               ")
+      val bandSelects = (0 until K / R).map(b =>
+        s"SELECT doc_id, $b AS band, md5(concat_ws('|', m${R * b}, m${R * b + 1})) AS bkey FROM mh")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH $sqlShingleCte,
+      mh AS (SELECT doc_id,
+               $minCols
+             FROM sh GROUP BY doc_id),
+      bands AS (
+        $bandSelects
+      ),
+      cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.bkey = b.bkey
+                   AND a.doc_id < b.doc_id)
+      SELECT c.i, c.j,
+             len(list_intersect(x.shs, y.shs)) * 1.0 /
+               (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)))
+               AS jaccard
+      FROM cand c
+      JOIN shl x ON c.i = x.doc_id
+      JOIN shl y ON c.j = y.doc_id
+      WHERE len(list_intersect(x.shs, y.shs)) * 1.0 /
+              (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)))
+              >= 0.5
+      ORDER BY i, j"""
+    })
+
+  private val BITS = 60 // hash60 width
+
+  /** D4 — SimHash near-dup buckets: per-document 60-bit simhash (per-bit
+    * majority vote over shingle hashes, computed as 60 conditional-sum
+    * aggregates in ONE groupBy pass — map-side combined, no bit explode),
+    * bucketed by the top-12-bit prefix band. Identical documents get
+    * identical simhashes; near-identical ones differ in few bits and
+    * mostly share the prefix band. One shuffle on doc_id (uniform).
+    */
+  val dedupSimhash: Op = Op(
+    "dedup_simhash",
+    (s, d) => {
+      val sh = shingleRows(s, d)
+        .withColumn("h", hash60(col("s")))
+      val bitSums = (0 until BITS).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"b$j"))
+      val simhash = (0 until BITS).map(j =>
+        shiftleft(when(col(s"b$j") > 0, 1L).otherwise(0L), j))
+        .reduce(_ + _)
+      sh.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), simhash.as("simhash"))
+        .withColumn("band", shiftright(col("simhash"), BITS - 12))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val bitSums = (0 until BITS).map(j =>
+        s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(",\n               ")
+      val simhash = (0 until BITS).map(j =>
+        s"(CAST(CASE WHEN b$j > 0 THEN 1 ELSE 0 END AS BIGINT) << $j)")
+        .mkString(" + ")
+      s"""
+      WITH $sqlShingleCte,
+      hv AS (SELECT doc_id, ${xhash60("s")} AS h FROM sh),
+      bits AS (SELECT doc_id,
+               $bitSums
+             FROM hv GROUP BY doc_id),
+      sim AS (SELECT doc_id, $simhash AS simhash FROM bits)
+      SELECT doc_id, simhash, simhash >> ${BITS - 12} AS band
+      FROM sim
+      ORDER BY doc_id"""
+    })
+
+  /** D5 — embedding-cosine near-dup pairs within a blocking key (label):
+    * exact cosine in integer micros (bit-identical across engines, see
+    * [[graft.functions.Portable.dotMicros]]), τ=0.3. The label block keeps
+    * the pair join off the full n²; at 100 TB the blocking key would be an
+    * LSH bucket (see ann_lsh) — same plan shape, finer blocks. Per-vector
+    * norms are computed once before the join, not per pair.
+    */
+  val dedupEmbedding: Op = Op(
+    "dedup_embedding",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          dotMicros(col("embedding"), col("embedding")).as("nm"))
+      e.as("a")
+        .join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          cosineFromMicros(
+            dotMicros(col("a.embedding"), col("b.embedding")),
+            col("a.nm"), col("b.nm")).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .orderBy(col("i"), col("j"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label, embedding,
+               CAST(list_sum(list_transform(generate_series(1,64), ix ->
+                 CAST(floor(CAST(embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT) *
+                 CAST(floor(CAST(embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT)))
+                 AS BIGINT) AS nm
+        FROM embeddings)
+      SELECT i, j, cos FROM (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               CAST(CAST(list_sum(list_transform(generate_series(1,64), ix ->
+                 CAST(floor(CAST(a.embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT) *
+                 CAST(floor(CAST(b.embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT)))
+                 AS BIGINT) AS DOUBLE)
+                 / (sqrt(CAST(a.nm AS DOUBLE)) * sqrt(CAST(b.nm AS DOUBLE))) AS cos
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
+      WHERE cos >= 0.3
+      ORDER BY i, j"""))
+
+  val all: Seq[Op] = Seq(
+    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
+    dedupEmbedding)
+}

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{Op, Tables}
+import graft.Op.{xhash32, xhash60}
+import graft.functions.Portable._
+
+/** Text analysis over the documents corpus (SURVEY.md §2 part C) — the
+  * per-document scoring passes a training-data pipeline runs before
+  * dedup/filtering. Every op is a narrow projection (no shuffle except the
+  * deterministic output ordering): at 100 TB these run at scan speed,
+  * whole-stage-codegen'd, with column pruning down to (doc_id, text).
+  *
+  * All ratios are plain IEEE double expressions evaluated in the same
+  * operation order as their DuckDB oracle twins, so results are
+  * bit-identical without any rounding.
+  */
+object TextOps {
+
+  /** Whitespace tokens of lowercased text (shared by C1–C3). */
+  private def toks(c: Column): Column = tokens(lower(c))
+
+  private def nStop(c: Column, words: Seq[String]): Column =
+    size(filter(toks(c), t => t.isin(words.map(w => w: Any): _*)))
+
+  private def sqlNStop(words: Seq[String]): String =
+    s"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
+      s"t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  /** C1 — token counting: whitespace tokenization + counts. */
+  val textTokenCount: Op = Op(
+    "text_token_count",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks(col("text"))).cast(LongType).as("n_tokens"),
+          length(col("text")).cast(LongType).as("n_chars_measured"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+               AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars_measured
+      FROM documents
+      ORDER BY doc_id"""))
+
+  private val enStop = Seq("the", "a", "of", "to", "and", "is", "in", "it")
+
+  /** C2 — quality scoring: length/punctuation/stopword signals combined
+    * into one score, the standard cheap pre-filter before expensive
+    * pipeline stages (dedup, model scoring).
+    */
+  val textQuality: Op = Op(
+    "text_quality",
+    (s, d) => {
+      val len = length(col("text"))
+      val nTok = size(toks(col("text")))
+      val punct =
+        (len - length(regexp_replace(col("text"), "\\p{Punct}", ""))) /
+          len.cast("double")
+      val stop = nStop(col("text"), enStop) / nTok.cast("double")
+      val lenScore = least(nTok.cast("double") / lit(100.0), lit(1.0))
+      val score = stop * lit(0.5) + (lit(1.0) - punct) * lit(0.3) +
+        lenScore * lit(0.2)
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          len.cast(LongType).as("n_chars_m"),
+          nTok.cast(LongType).as("n_tokens"),
+          punct.as("punct_ratio"),
+          stop.as("stopword_ratio"),
+          score.as("quality_score"),
+          (score > lit(0.5)).as("is_quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      SELECT doc_id, n_chars_m, n_tokens, punct_ratio, stopword_ratio,
+             quality_score, quality_score > 0.5 AS is_quality
+      FROM (
+        SELECT doc_id, n_chars_m, n_tokens, punct_ratio, stopword_ratio,
+               stopword_ratio*0.5 + (1.0 - punct_ratio)*0.3
+                 + least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.2
+                 AS quality_score
+        FROM (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars_m,
+                 CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS BIGINT) AS n_tokens,
+                 (length(text) - length(regexp_replace(text, '[[:punct:]]',
+                    '', 'g'))) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+                 ${sqlNStop(enStop)} /
+                   CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                     AS DOUBLE) AS stopword_ratio
+          FROM documents) t1) t2
+      ORDER BY doc_id"""))
+
+  private val langStop: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "y", "de", "que"),
+    "zh" -> Seq("的", "是", "了", "我", "不"))
+
+  /** C3 — language ID: stopword-hit heuristic over per-language lists,
+    * argmax with a deterministic tie-break cascade (list order wins ties —
+    * the classic cheap n-gram/stopword lang-id at corpus scale).
+    */
+  val textLangid: Op = Op(
+    "text_langid",
+    (s, d) => {
+      val scored = langStop.foldLeft(Tables.documents(s, d)) {
+        case (df, (lang, words)) =>
+          df.withColumn(s"s_$lang",
+            nStop(col("text"), words).cast(LongType))
+      }
+      // argmax cascade: a language wins if its score >= all later ones.
+      val langs = langStop.map(_._1)
+      val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+        case ((lang, i), alt) =>
+          val rest = langs.drop(i + 1).map(l => col(s"s_$l"))
+          val best = if (rest.sizeIs == 1) rest.head else greatest(rest: _*)
+          when(col(s"s_$lang") >= best, lang).otherwise(alt)
+      }
+      scored
+        .select(col("doc_id") +: col("lang").as("labeled_lang") +:
+          langs.map(l => col(s"s_$l")) :+ pred.as("pred_lang"): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      SELECT doc_id, lang AS labeled_lang,
+             ${langStop.map { case (l, ws) =>
+               s"CAST(${sqlNStop(ws)} AS BIGINT) AS s_$l" }.mkString(",\n             ")},
+             CASE
+               WHEN s_en >= greatest(s_fr, s_de, s_es, s_zh) THEN 'en'
+               WHEN s_fr >= greatest(s_de, s_es, s_zh) THEN 'fr'
+               WHEN s_de >= greatest(s_es, s_zh) THEN 'de'
+               WHEN s_es >= s_zh THEN 'es'
+               ELSE 'zh'
+             END AS pred_lang
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** C4 — document fingerprinting: 32- and 60-bit hashes of
+    * whitespace-normalized lowercased text — the join/dedup keys every
+    * downstream exact-dedup pass uses. Uniform by construction (md5), so
+    * hash-partitioning on a fingerprint never skews.
+    */
+  val textFingerprint: Op = Op(
+    "text_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          hash32(normText(col("text"))).as("fp32"),
+          hash60(normText(col("text"))).as("fp60"),
+          length(normText(col("text"))).cast(LongType).as("norm_len"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id,
+             ${xhash32("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")} AS fp32,
+             ${xhash60("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")} AS fp60,
+             CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS BIGINT) AS norm_len
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val all: Seq[Op] = Seq(textTokenCount, textQuality, textLangid, textFingerprint)
+}
