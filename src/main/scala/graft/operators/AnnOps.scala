@@ -1,0 +1,199 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{Op, Tables}
+import graft.functions.Portable._
+
+/** Approximate-nearest-neighbor search over the embeddings table
+  * (SURVEY.md §2 part E). Cosine similarity uses the exact integer-micros
+  * idiom ([[graft.functions.Portable.dotMicros]]) so scores are
+  * bit-identical across engines and partitionings.
+  *
+  * Scale design (SURVEY §5): the query set is small and broadcasts; the
+  * corpus side never shuffles for the similarity join. E1 scans the whole
+  * corpus per query (the exact baseline); E2 buckets the corpus once with
+  * random-hyperplane LSH and joins per-bucket — the 100 TB path, where
+  * each query touches only its bucket's fraction of the corpus.
+  */
+object AnnOps {
+
+  private val QUERY_MAX = 8 // vec_id < 8 plays the query set
+  private val TOP_K = 5
+
+  /** Per-vector exact-micros self-dot, reused by both ops. */
+  private def withNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        dotMicros(col("embedding"), col("embedding")).as("nm"))
+
+  private val sqlNormCte = """
+      e AS (
+        SELECT vec_id, embedding,
+               CAST(list_sum(list_transform(generate_series(1,64), ix ->
+                 CAST(floor(CAST(embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT) *
+                 CAST(floor(CAST(embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT)))
+                 AS BIGINT) AS nm
+        FROM embeddings)"""
+
+  private val sqlPairCos = """
+               CAST(CAST(list_sum(list_transform(generate_series(1,64), ix ->
+                 CAST(floor(CAST(q.embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT) *
+                 CAST(floor(CAST(c.embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT)))
+                 AS BIGINT) AS DOUBLE)
+                 / (sqrt(CAST(q.nm AS DOUBLE)) * sqrt(CAST(c.nm AS DOUBLE)))"""
+
+  /** E1 — brute-force cosine top-k: the exact baseline every ANN variant
+    * is measured against. The query set broadcasts against the corpus
+    * (no shuffle of the big side); per-query top-k is a window over the
+    * query partition. Embarrassingly parallel: at 100 TB each corpus
+    * partition scores all queries locally and only k rows per
+    * (query, partition) survive to the final rank.
+    */
+  val annBruteforce: Op = Op(
+    "ann_bruteforce",
+    (s, d) => {
+      val e = withNorm(s, d)
+      val q = e.filter(col("vec_id") < QUERY_MAX)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nm").as("q_nm"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineFromMicros(dotMicros(col("q_emb"), col("embedding")),
+            col("q_nm"), col("nm")).as("cos"))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= TOP_K)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $sqlNormCte
+      SELECT q_id, rank, vec_id, cos FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+               $sqlPairCos AS cos,
+               CAST(row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY $sqlPairCos DESC, c.vec_id) AS BIGINT) AS rank
+        FROM e q JOIN e c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < $QUERY_MAX) t
+      WHERE rank <= $TOP_K
+      ORDER BY q_id, rank"""))
+
+  private val PLANES_PER_TABLE = 6
+  private val TABLES = 8
+
+  /** Deterministic integer hyperplane weights: md5-derived, identical to
+    * the SQL the oracle would generate (the literals below are inlined
+    * into BOTH the Spark plan and the oracle SQL from this one source).
+    * Integer weights keep the projection sign exact — no float dot
+    * product ambiguity at the bucket boundary.
+    */
+  private[operators] def planeWeights(j: Int): IndexedSeq[Long] =
+    (0 until 64).map { i =>
+      val md = MessageDigest.getInstance("MD5")
+        .digest(s"p$j|$i".getBytes(StandardCharsets.UTF_8))
+      val hex = md.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 1000 - 500
+    }
+
+  /** Bucket id for hash table `t`: 6 sign bits of exact integer
+    * projections against planes 6t..6t+5.
+    */
+  private def bucketCol(emb: Column, t: Int): Column =
+    (0 until PLANES_PER_TABLE).map { k =>
+      val proj = aggregate(
+        zip_with(emb, typedlit(planeWeights(t * PLANES_PER_TABLE + k)),
+          (x, w) => qMicros(x).cast(LongType) * w),
+        lit(0L), (acc, v) => acc + v)
+      shiftleft(when(proj > 0, 1L).otherwise(0L), k)
+    }.reduce(_ + _)
+
+  /** (table, bucket) membership rows — the OR-amplified index. */
+  private def bucketed(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"), col("nm"),
+      explode(array((0 until TABLES).map(t =>
+        struct(lit(t).as("tbl"), bucketCol(col("embedding"), t).as("bucket"))): _*))
+        .as("tb"))
+      .select(col("vec_id"), col("embedding"), col("nm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+
+  private def sqlBucket(tbl: String, t: Int): String =
+    (0 until PLANES_PER_TABLE).map { k =>
+      val ws = planeWeights(t * PLANES_PER_TABLE + k).mkString("[", ",", "]")
+      s"""(CAST(CASE WHEN CAST(list_sum(list_transform(generate_series(1,64), ix ->
+         CAST(floor(CAST($tbl.embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT) *
+         ($ws)[ix])) AS BIGINT) > 0 THEN 1 ELSE 0 END AS BIGINT) << $k)"""
+    }.mkString(" + ")
+
+  /** E2 — multi-table random-hyperplane LSH ANN (the 100 TB scale path):
+    * 8 independent hash tables of 6 sign-bit planes each; a corpus vector
+    * is a candidate for a query if they share a bucket in ANY table
+    * (OR-amplification — same structure as the MinHash banding in D3).
+    * The corpus is bucketed ONCE (a reusable artifact — at scale, write
+    * the (table, bucket) index next to the embeddings); queries hash with
+    * the same planes and join per (table, bucket), never all-pairs.
+    * Candidates dedup, score with the exact-micros cosine, top-k per
+    * query. Tuning: recall per true neighbor ≈ 1-(1-a^6)^8 where
+    * a = 1-θ/π — ~0.3-0.5 for this corpus' weakly-clustered neighbors
+    * (measured against E1 in AnnSpec) while scanning ~10% of the corpus.
+    */
+  val annLsh: Op = Op(
+    "ann_lsh",
+    (s, d) => {
+      val b = bucketed(withNorm(s, d))
+      val q = b.filter(col("vec_id") < QUERY_MAX)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nm").as("q_nm"), col("tbl").as("q_tbl"),
+          col("bucket").as("q_bucket"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      b.join(broadcast(q),
+          col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
+            col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("embedding"), col("q_emb"),
+          col("q_nm"), col("nm"))
+        .distinct()
+        .select(col("q_id"), col("vec_id"),
+          cosineFromMicros(dotMicros(col("q_emb"), col("embedding")),
+            col("q_nm"), col("nm")).as("cos"))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= TOP_K)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      val bandSelects = (0 until TABLES).map(t =>
+        s"SELECT vec_id, embedding, nm, $t AS tbl, ${sqlBucket("e", t)} AS bucket FROM e")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH $sqlNormCte,
+      b AS (
+        $bandSelects
+      ),
+      cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+               FROM b q JOIN b c
+                 ON c.tbl = q.tbl AND c.bucket = q.bucket
+                   AND c.vec_id != q.vec_id
+               WHERE q.vec_id < $QUERY_MAX)
+      SELECT q_id, rank, vec_id, cos FROM (
+        SELECT cand.q_id, cand.vec_id,
+               $sqlPairCos AS cos,
+               CAST(row_number() OVER (PARTITION BY cand.q_id
+                 ORDER BY $sqlPairCos DESC, cand.vec_id) AS BIGINT) AS rank
+        FROM cand
+        JOIN e q ON cand.q_id = q.vec_id
+        JOIN e c ON cand.vec_id = c.vec_id) t
+      WHERE rank <= $TOP_K
+      ORDER BY q_id, rank"""
+    })
+
+  val all: Seq[Op] = Seq(annBruteforce, annLsh)
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{Op, Tables}
+
+/** Multimodal-column plumbing (SURVEY.md §2 part F): media payloads
+  * travel as opaque `binary` columns with typed metadata beside them; all
+  * relational machinery (partitioning, pruning, joins) applies unchanged.
+  * The test corpus has no real media, so the documents' text bytes play
+  * the blob — the binary-column plumbing (casts, byte-level functions,
+  * batched decode) is real; only the codec is faked.
+  */
+object MultimodalOps {
+
+  /** F1 — binary column + typed metadata extraction: magic-bytes sniffing
+    * (first 4 bytes, hex), payload size, a derived content kind, and a
+    * JSON metadata document — the standard "describe the blob without
+    * decoding it" pass. Narrow projection, codegen'd, no shuffle.
+    */
+  val mmBinaryMeta: Op = Op(
+    "mm_binary_meta",
+    (s, d) => {
+      val bin = col("text").cast("binary")
+      val size = octet_length(col("text")).cast(LongType)
+      val kind = when(size % 3 === 0, "image")
+        .when(size % 3 === 1, "audio").otherwise("video")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          lower(hex(substring(bin, 1, 4))).as("magic4"),
+          size.as("size_bytes"),
+          kind.as("kind"),
+          to_json(struct(
+            lower(hex(substring(bin, 1, 4))).as("magic"),
+            size.as("bytes"),
+            kind.as("kind"))).as("meta_json"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             lower(hex(substr(text, 1, 4))) AS magic4,
+             CAST(strlen(text) AS BIGINT) AS size_bytes,
+             CASE WHEN strlen(text) % 3 = 0 THEN 'image'
+                  WHEN strlen(text) % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             CAST(to_json(struct_pack(
+               magic := lower(hex(substr(text, 1, 4))),
+               bytes := CAST(strlen(text) AS BIGINT),
+               kind := CASE WHEN strlen(text) % 3 = 0 THEN 'image'
+                            WHEN strlen(text) % 3 = 1 THEN 'audio'
+                            ELSE 'video' END)) AS VARCHAR) AS meta_json
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** Input/output rows of the batched decode pipeline. */
+  final case class BlobRow(doc_id: Long, data: Array[Byte])
+  final case class FeatRow(
+      doc_id: Long, n_bytes: Long, batch_size: Long, feat: Array[Float])
+
+  private val DECODE_BATCH = 64
+
+  /** STUB DECODER — a real pipeline calls an image/audio codec here
+    * (those libraries are not in this container). The fake is
+    * deterministic: 4 "features" derived from the first bytes. The
+    * surrounding Spark plumbing — binary column, per-partition batching,
+    * typed schema in/out — is the real, tested part.
+    */
+  private def stubDecode(batch: Seq[BlobRow]): Seq[FeatRow] =
+    batch.map { b =>
+      val f = (0 until 4).map { i =>
+        if (b.data.length > i) (b.data(i) & 0xff) / 255.0f else 0.0f
+      }.toArray
+      FeatRow(b.doc_id, b.data.length.toLong, batch.length.toLong, f)
+    }
+
+  /** F2 — batched decode/feature-extract over a binary column: the Spark
+    * shape of a Pandas-UDF/`mapInPandas` media pipeline. Rows stream
+    * through `mapPartitions` in fixed-size batches (the unit a codec or
+    * accelerator would want), emitting a typed feature row per blob.
+    * No oracle (not SQL-expressible) — the driver does a rows-only check
+    * and MultimodalSpec asserts the batching invariants.
+    *
+    * At 100 TB: mapPartitions preserves the scan partitioning (no
+    * shuffle); batch size bounds peak decoder memory per task; the
+    * output is columnar-writable parquet for the downstream trainer.
+    */
+  val mmDecodeBatch: Op = Op(
+    "mm_decode_batch",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("data"))
+        .as[BlobRow]
+        .mapPartitions(it =>
+          it.grouped(DECODE_BATCH).flatMap(b => stubDecode(b)))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("batch_size"),
+          element_at(col("feat"), 1).as("f0"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  val all: Seq[Op] = Seq(mmBinaryMeta, mmDecodeBatch)
+}
