@@ -357,12 +357,7 @@ object SinkOps {
   val eventsWindowedAgg: Op = Op(
     "events_windowed_agg",
     (s, d) =>
-      Tables.events(s, d)
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), exactSum(col("value")).as("sum_value"))
-        .select(
-          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-          col("event_type"), col("n_events"), col("sum_value"))
+      graft.streaming.EventIngest.windowedAgg(Tables.events(s, d))
         .orderBy(col("hour_start"), col("event_type")),
     Some(s"""
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

@@ -1,0 +1,29 @@
+package graft
+
+/** Multimodal plumbing: the binary column round-trips and the batched
+  * decode preserves rows with bounded batch sizes.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  test("mm_binary_meta: magic bytes are the blob's first 4 bytes") {
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    run("mm_binary_meta").collect().foreach { r =>
+      val expect = docs(r.getAs[Long]("doc_id"))
+        .getBytes("UTF-8").take(4).map(b => f"$b%02x").mkString
+      assert(r.getAs[String]("magic4") == expect)
+      assert(r.getAs[Long]("size_bytes") > 0)
+    }
+  }
+
+  test("mm_decode_batch: one feature row per blob, batches bounded at 64") {
+    val out = run("mm_decode_batch").collect()
+    assert(out.length == Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      val bs = r.getAs[Long]("batch_size")
+      assert(bs >= 1 && bs <= 64)
+      val f0 = r.getAs[Float]("f0")
+      assert(f0 >= 0.0f && f0 <= 1.0f)
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape + semantic checks for the relational core (SURVEY §6). */
+class RelationalSpec extends SparkSpec {
+
+  test("q1_agg: 6 (returnflag, linestatus) groups with positive sums") {
+    val rows = run("q1_agg").collect()
+    assert(rows.length == 6)
+    assert(rows.forall(r => r.getAs[Double]("sum_qty") > 0))
+    assert(rows.forall(r => r.getAs[Long]("count_order") > 0))
+  }
+
+  test("q2_pushdown: both predicates and the 3-column projection reach the scan") {
+    val df = run("q2_pushdown")
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("PushedFilters:"), "no pushed filters in scan")
+    assert(p.contains("o_orderstatus"), "status predicate not pushed")
+    // (plan toString truncates long metadata — match the prefix)
+    assert(p.contains("GreaterThan(o_total"), "price predicate not pushed")
+    val read = "ReadSchema:.*".r.findFirstIn(p).getOrElse("")
+    assert(!read.contains("o_orderpriority"), s"unpruned column: $read")
+  }
+
+  test("q6_star_join: nation/region broadcast-hinted, customer NOT hinted") {
+    val df = run("q6_star_join")
+    val logical = df.queryExecution.logical.toString()
+    val hints = "(?i)hint".r.findAllIn(logical).length
+    assert(hints == 2, s"expected 2 broadcast hints (nation, region), got $hints")
+    df.collect()
+    assert(plan(df).contains("BroadcastHashJoin"), "dims not broadcast at runtime")
+  }
+
+  test("q3_join_agg: no forced broadcast hint (AQE decides the customer join)") {
+    val logical = run("q3_join_agg").queryExecution.logical.toString()
+    assert(!"(?i)hint".r.findFirstIn(logical).isDefined,
+      "q3 must leave join strategy to AQE")
+  }
+
+  test("q10_topk compiles to TakeOrderedAndProject (no global sort)") {
+    val df = run("q10_topk")
+    df.collect()
+    assert(plan(df).contains("TakeOrderedAndProject"))
+  }
+
+  test("q8b approx distinct within 5% of exact") {
+    val exact = run("q8_distinct").collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("n_supps"))).toMap
+    run("q8b_approx_distinct").collect().foreach { r =>
+      val (p, s) = exact(r.getAs[String]("l_returnflag"))
+      assert(math.abs(r.getAs[Long]("n_parts_approx") - p) <= 0.05 * p)
+      assert(math.abs(r.getAs[Long]("n_supps_approx") - s) <= 0.05 * s)
+    }
+  }
+
+  test("q16_sessionize: session count bounded by event count, >=1 per active user") {
+    run("q16_sessionize").collect().foreach { r =>
+      val s = r.getAs[Long]("n_sessions")
+      assert(s >= 1 && s <= r.getAs[Long]("n_events"))
+    }
+  }
+}

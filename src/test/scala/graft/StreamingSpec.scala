@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventIngest
+
+/** A10 — Structured Streaming ingest twin: events stream in, 1-hour
+  * windows aggregate under a watermark, micro-batches append to the sink,
+  * and the latest-epoch view reflects cross-batch updates idempotently.
+  */
+case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+
+  private def t(hhmm: String) = Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+
+  test("stream ingest: windows aggregate across batches, latest epoch wins") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val sink = s"$dir/sink"
+    val ckpt = s"$dir/ckpt"
+    val src = MemoryStream[Ev]
+    val query = EventIngest.start(src.toDS().toDF(), sink, ckpt)
+
+    // batch 1: two clicks in the 10:00 window, one view in 11:00
+    src.addData(Ev(t("10:05"), "click", 1.0), Ev(t("10:40"), "click", 2.0),
+      Ev(t("11:10"), "view", 5.0))
+    query.processAllAvailable()
+    // batch 2: a late-but-inside-watermark click updates the 10:00 window
+    src.addData(Ev(t("10:55"), "click", 4.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val state = EventIngest.latestState(spark, sink).collect()
+      .map(r => (r.getAs[String]("hour_start"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+
+    // the 10:00/click window must reflect BOTH batches (3 events, 7.0)
+    assert(state(("2026-01-01 10:00:00", "click")) == ((3L, 7.0)),
+      s"latest state wrong: $state")
+    assert(state(("2026-01-01 11:00:00", "view")) == ((1L, 5.0)))
+
+    // the append log keeps the superseded epoch row (ReplacingMergeTree
+    // style): raw rows > latest-state rows
+    assert(spark.read.parquet(sink).count() > state.size)
+  }
+}
