@@ -13,6 +13,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session before timing: JIT, codegen infrastructure, and the
+    // per-file parquet footers/file-index all initialize on first action —
+    // without this the alphabetically-first query absorbs ~3-5s of one-time
+    // cost and per-query numbers aren't comparable across rounds.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.names.foreach { t =>
+      try Tables.load(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    }
     var anyFailed = false
     // Deterministic run order (sorted keys) so per-round numbers compare.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

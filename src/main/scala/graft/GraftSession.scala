@@ -18,6 +18,8 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // native codegen'd vector kernels (dot_micros, proj_micros)
+      .withExtensions(graft.functions.VectorExpressions.registerAll)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -70,14 +70,21 @@ object Portable {
     *     for i in generate_series(1, greatest(len(tok)-2, 1))])
     *   with tok = regexp_split_to_array(trim(lower(text)), '\s+')
     */
-  def shingles(text: Column): Column = {
-    val tok = split(trim(lower(text)), "\\s+")
+  def shingles(text: Column): Column =
+    shinglesFromTokens(split(trim(lower(text)), "\\s+"))
+
+  /** Shingles from an ALREADY MATERIALIZED token-array column. Callers on
+    * a hot path must project the token array in a separate select first:
+    * referencing `split(...)` directly here inlines the regex split into
+    * every `element_at` of the lambda, re-tokenizing the document ~3×
+    * per shingle (measured: 11s → <2s on the sf0.1 shingle explode).
+    */
+  def shinglesFromTokens(tok: Column): Column =
     array_distinct(
       transform(
         sequence(lit(1), greatest(size(tok) - 2, lit(1))),
         i => concat_ws(" ",
           element_at(tok, i), element_at(tok, i + 1), element_at(tok, i + 2))))
-  }
 
   /** Quantize a float/double to exact integer micros. floor(x*1e6 + 0.5)
     * (not round()) because engines disagree on halfway rounding modes —
@@ -92,6 +99,11 @@ object Portable {
     * engine (|x|≤1, 64 dims → ≤ ~6.4e13, far inside Long). This makes
     * cosine similarity run-to-run reproducible regardless of partitioning.
     *
+    * Dispatches to the codegen'd native kernel
+    * ([[VectorExpressions.DotMicrosExpr]], registered by GraftSession) —
+    * a zip_with/aggregate HOF formulation computes the same value but
+    * runs interpreted, ~5-10× slower on similarity joins.
+    *
     * DuckDB twin (via generate_series(1, dims) indexing):
     *   CAST(list_sum(list_transform(generate_series(1,64), ix ->
     *     CAST(floor(CAST(a[ix] AS DOUBLE)*1000000+0.5) AS BIGINT) *
@@ -99,10 +111,13 @@ object Portable {
     *     AS BIGINT)
     */
   def dotMicros(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => qMicros(x).cast(LongType) * qMicros(y).cast(LongType)),
-      lit(0L),
-      (acc, v) => acc + v)
+    call_function("dot_micros", a, b)
+
+  /** Exact integer projection onto integer weights (LSH kernel):
+    * Σ q(v_i)·w_i. Codegen'd ([[VectorExpressions.ProjMicrosExpr]]).
+    */
+  def projMicros(v: Column, w: Column): Column =
+    call_function("proj_micros", v, w)
 
   /** Cosine similarity from exact micro dot products: one double division
     * over identical integers → identical doubles everywhere. `na`/`nb` are

@@ -27,9 +27,15 @@ object AnnOps {
   private val QUERY_MAX = 8 // vec_id < 8 plays the query set
   private val TOP_K = 5
 
-  /** Per-vector exact-micros self-dot, reused by both ops. */
+  /** Per-vector exact-micros self-dot, reused by both ops. The
+    * repartition spreads the CPU-bound vector math across all cores — a
+    * small corpus file is a single input split that would otherwise pin
+    * every cosine on one task (and at scale it guards against skewed
+    * file sizes).
+    */
   private def withNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
+      .repartition(col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         dotMicros(col("embedding"), col("embedding")).as("nm"))
 
@@ -109,10 +115,7 @@ object AnnOps {
     */
   private def bucketCol(emb: Column, t: Int): Column =
     (0 until PLANES_PER_TABLE).map { k =>
-      val proj = aggregate(
-        zip_with(emb, typedlit(planeWeights(t * PLANES_PER_TABLE + k)),
-          (x, w) => qMicros(x).cast(LongType) * w),
-        lit(0L), (acc, v) => acc + v)
+      val proj = projMicros(emb, typedlit(planeWeights(t * PLANES_PER_TABLE + k)))
       shiftleft(when(proj > 0, 1L).otherwise(0L), k)
     }.reduce(_ + _)
 

@@ -53,10 +53,20 @@ object DedupOps {
       GROUP BY fp
       ORDER BY fp"""))
 
-  /** Exploded distinct shingles: (doc_id, s). */
+  /** Exploded distinct shingles: (doc_id, s). The repartition spreads the
+    * CPU-bound shingle expression across all cores: a small corpus file
+    * arrives as ONE input split, which would otherwise serialize the whole
+    * shingling pass on a single task (measured 14s → <1s at sf0.1); at
+    * scale the same hash-spread protects against skewed file sizes. One
+    * narrow shuffle of the raw (doc_id, text) rows — negligible next to
+    * the per-row compute it parallelizes.
+    */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("tok"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("tok"))).as("s"))
 
   /** D2 — exact n-gram Jaccard pairs ≥ τ via shingle self-join: pairs are
     * generated only for documents sharing at least one trigram (the join
@@ -72,8 +82,15 @@ object DedupOps {
     (s, d) => {
       val sh = shingleRows(s, d)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val common = sh.as("a")
-        .join(sh.as("b"),
+      // df=1 shingles can never contribute to a pair — dropping them before
+      // the self-join removes the bulk of the join input (most shingles are
+      // unique) without changing any common count. Sizes are computed on
+      // the UNfiltered sets, so Jaccard denominators are exact.
+      val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("s"))
+      val shHot = sh.join(hot, "s")
+      val common = shHot.as("a")
+        .join(shHot.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
         .agg(count(lit(1)).as("c"))
@@ -105,6 +122,19 @@ object DedupOps {
   private val K = 16 // minhash functions
   private val R = 2  // rows per band → 8 bands
 
+  /** The i-th of 16 minhash functions: 4 md5 digests per shingle, 4
+    * 32-bit chunks per digest (16 independent uniform hashes for a
+    * quarter of the md5 cost — md5 dominates the signature pass).
+    * DuckDB twin: CAST(('0x' || substr(md5(concat('g<i/4>|', s)),
+    * <8*(i%4)+1>, 8)) AS BIGINT).
+    */
+  private def minhashFn(i: Int, s: Column): Column =
+    conv(substring(md5(concat(lit(s"g${i / 4}|"), s)), 8 * (i % 4) + 1, 8),
+      16, 10).cast(LongType)
+
+  private def sqlMinhashFn(i: Int): String =
+    s"CAST(('0x' || substr(md5(concat('g${i / 4}|', s)), ${8 * (i % 4) + 1}, 8)) AS BIGINT)"
+
   /** D3 — MinHash + LSH banding: 16 minhashes per document (computed as 16
     * min-aggregates over one shingle explode — no ×16 row blowup,
     * map-side combined), banded 8×2; documents sharing any band bucket
@@ -121,9 +151,9 @@ object DedupOps {
       val sh = shingleRows(s, d)
       val mins = sh.groupBy(col("doc_id"))
         .agg(
-          min(hash32(concat(lit("0|"), col("s")))).as("m0"),
+          min(minhashFn(0, col("s"))).as("m0"),
           (1 until K).map(i =>
-            min(hash32(concat(lit(s"$i|"), col("s")))).as(s"m$i")): _*)
+            min(minhashFn(i, col("s"))).as(s"m$i")): _*)
       val bands = mins.select(col("doc_id"),
         explode(array((0 until K / R).map(b =>
           struct(lit(b).as("band"),
@@ -137,7 +167,10 @@ object DedupOps {
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
         .distinct()
       val shSets = Tables.documents(s, d)
-        .select(col("doc_id"), shingles(col("text")).as("shs"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), "\\s+").as("tok"))
+        .select(col("doc_id"), shinglesFromTokens(col("tok")).as("shs"))
       cand
         .join(shSets.select(col("doc_id"), col("shs").as("shs_i")),
           col("i") === col("doc_id")).drop("doc_id")
@@ -153,7 +186,7 @@ object DedupOps {
     },
     Some {
       val minCols = (0 until K).map(i =>
-        s"min(${xhash32(s"concat('$i|', s)")}) AS m$i").mkString(",\n               ")
+        s"min(${sqlMinhashFn(i)}) AS m$i").mkString(",\n               ")
       val bandSelects = (0 until K / R).map(b =>
         s"SELECT doc_id, $b AS band, md5(concat_ws('|', m${R * b}, m${R * b + 1})) AS bkey FROM mh")
         .mkString("\n        UNION ALL ")
@@ -237,7 +270,10 @@ object DedupOps {
   val dedupEmbedding: Op = Op(
     "dedup_embedding",
     (s, d) => {
+      // repartition: the corpus file is one input split locally — spread
+      // the per-row dot products across cores (see shingleRows note).
       val e = Tables.embeddings(s, d)
+        .repartition(col("vec_id"))
         .select(col("vec_id"), col("label"), col("embedding"),
           dotMicros(col("embedding"), col("embedding")).as("nm"))
       e.as("a")
