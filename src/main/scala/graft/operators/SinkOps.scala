@@ -170,6 +170,50 @@ object SinkOps {
       ORDER BY o_orderkey
       LIMIT 200"""))
 
+  /** A4b — full backfill plan: the reference's `dump_data_to_clickhouse`
+    * management command (management/commands/dump_data_to_clickhouse.py)
+    * pages through EVERY batch, asking the A2 gate per item. The Spark
+    * twin summarizes the whole backfill in one pass: items are
+    * range-batched by pk (`pk div batch_size` — deterministic and
+    * scan-parallel, unlike a global row_number which would serialize on
+    * one partition), and each batch reports its bounds, size, and how
+    * many items the gate would dump. A scheduler consumes this to submit
+    * per-batch jobs with failure tolerance.
+    */
+  val sinkBackfillPlan: Op = Op(
+    "sink_backfill_plan",
+    (s, d) => {
+      val src = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val sinkState = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("dumped_at"))
+      src.join(sinkState, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"),
+          expr("o_orderkey div 200").as("batch_id"),
+          (col("dumped_at").isNull || col("dumped_at") < col("o_orderdate"))
+            .cast("long").as("dump"))
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_items"),
+          min(col("o_orderkey")).as("min_pk"),
+          max(col("o_orderkey")).as("max_pk"),
+          sum(col("dump")).as("n_to_dump"))
+        .orderBy(col("batch_id"))
+    },
+    Some("""
+      SELECT CAST(o_orderkey // 200 AS BIGINT) AS batch_id,
+             count(*) AS n_items,
+             min(o_orderkey) AS min_pk,
+             max(o_orderkey) AS max_pk,
+             CAST(sum(CASE WHEN dumped_at IS NULL OR dumped_at < o_orderdate
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_to_dump
+      FROM orders
+      LEFT JOIN (SELECT l_orderkey, max(l_shipdate) AS dumped_at
+                 FROM lineitem GROUP BY l_orderkey) sink
+        ON o_orderkey = l_orderkey
+      GROUP BY 1
+      ORDER BY batch_id"""))
+
   /** A5 — serializer projection + JSON payload: the reference's
     * `CourseOverviewSerializer` (serializers.py:103-153): rename/cast
     * (`start`→`course_start`), stringified dates, a nested JSON field
@@ -369,6 +413,6 @@ object SinkOps {
 
   val all: Seq[Op] = Seq(
     sinkLatestState, sinkShouldDump, sinkRetireUsers, sinkPagination,
-    sinkSerializeOverview, sinkXblockHierarchy, sinkExternalId,
-    sinkCsvFormat, eventsWindowedAgg)
+    sinkBackfillPlan, sinkSerializeOverview, sinkXblockHierarchy,
+    sinkExternalId, sinkCsvFormat, eventsWindowedAgg)
 }
