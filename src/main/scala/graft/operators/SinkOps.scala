@@ -253,6 +253,45 @@ object SinkOps {
       FROM orders
       ORDER BY course_key"""))
 
+  /** A5b — user-profile serializer: the reference's
+    * `UserProfileSerializer` (serializers.py:34-66) — the PII-table
+    * projection with one 1:1 select_related join (`user.email`). customer
+    * plays user_profile, nation plays the joined auth_user attribute.
+    * This is the table the A3 retirement op later deletes from. Bounded
+    * dim broadcast; no other shuffle.
+    */
+  val sinkSerializeProfile: Op = Op(
+    "sink_serialize_profile",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(
+          col("c_custkey").as("user_id"),
+          col("c_name").as("name"),
+          concat(lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", ".")),
+            lit("@"), lower(col("n_name")), lit(".example")).as("email"),
+          col("c_mktsegment").as("level_of_education"),
+          col("n_name").as("country"),
+          col("c_acctbal").as("account_balance"),
+          md5(concat(lit("profile|"), col("c_custkey"))).as("dump_id"),
+          lit("2026-01-01 00:00:00").as("time_last_dumped"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT c_custkey AS user_id,
+             c_name AS name,
+             concat(lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g')),
+               '@', lower(n_name), '.example') AS email,
+             c_mktsegment AS level_of_education,
+             n_name AS country,
+             c_acctbal AS account_balance,
+             md5(concat('profile|', c_custkey)) AS dump_id,
+             '2026-01-01 00:00:00' AS time_last_dumped
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      ORDER BY user_id"""))
+
   /** A6 — XBlock hierarchy counters: the reference's `serialize_item`
     * (sinks/course_published.py:47-94) walks a course's blocks in order,
     * keeping an ordinal `order` plus section/subsection/unit counters that
@@ -413,6 +452,6 @@ object SinkOps {
 
   val all: Seq[Op] = Seq(
     sinkLatestState, sinkShouldDump, sinkRetireUsers, sinkPagination,
-    sinkBackfillPlan, sinkSerializeOverview, sinkXblockHierarchy,
-    sinkExternalId, sinkCsvFormat, eventsWindowedAgg)
+    sinkBackfillPlan, sinkSerializeOverview, sinkSerializeProfile,
+    sinkXblockHierarchy, sinkExternalId, sinkCsvFormat, eventsWindowedAgg)
 }
