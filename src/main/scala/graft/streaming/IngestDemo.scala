@@ -37,6 +37,23 @@ object IngestDemo {
     println("=== LATEST STATE (A1 view) ===")
     EventIngest.latestState(spark, s"$dir/sink")
       .orderBy("hour_start", "event_type").show(false)
+
+    // stateful sessionization (flatMapGroupsWithState): 30-min gap
+    val sess = MemoryStream[(Long, Timestamp)]
+    val sq = SessionizeStream.sessions(
+        sess.toDS().toDF("user_id", "ts").withWatermark("ts", "10 minutes"),
+        gapMinutes = 30)
+      .writeStream.format("memory").queryName("demo_sessions")
+      .outputMode("append").start()
+    sess.addData((1L, t("10:00")), (1L, t("10:10")), (1L, t("11:30")))
+    sq.processAllAvailable()
+    sess.addData((2L, t("13:00"))) // advance watermark → close the tail
+    sq.processAllAvailable()
+    sess.addData((2L, t("13:01")))
+    sq.processAllAvailable()
+    sq.stop()
+    println("=== CLOSED SESSIONS (flatMapGroupsWithState) ===")
+    spark.table("demo_sessions").orderBy("user_id", "start_us").show(false)
     spark.stop()
   }
 }

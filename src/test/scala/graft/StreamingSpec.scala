@@ -13,6 +13,7 @@ import graft.streaming.EventIngest
   * and the latest-epoch view reflects cross-batch updates idempotently.
   */
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class UserEv(user_id: Long, ts: Timestamp)
 
 class StreamingSpec extends SparkSpec {
 
@@ -49,5 +50,38 @@ class StreamingSpec extends SparkSpec {
     // the append log keeps the superseded epoch row (ReplacingMergeTree
     // style): raw rows > latest-state rows
     assert(spark.read.parquet(sink).count() > state.size)
+  }
+
+  test("stateful sessionization: gaps close sessions, watermark closes the tail") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.SessionizeStream
+
+    val src = MemoryStream[UserEv]
+    val out = SessionizeStream.sessions(
+      src.toDS().toDF().withWatermark("ts", "10 minutes"), gapMinutes = 30)
+    val query = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    // user 1: two events 10 min apart (one session), then an 80-min gap
+    src.addData(UserEv(1, t("10:00")), UserEv(1, t("10:10")), UserEv(1, t("11:30")))
+    query.processAllAvailable()
+    // watermark only advances on the NEXT batch after new data arrives;
+    // push it past 12:00 so the open session (last ts 11:30) times out
+    src.addData(UserEv(2, t("13:00")))
+    query.processAllAvailable()
+    src.addData(UserEv(2, t("13:01")))
+    query.processAllAvailable()
+
+    val got = spark.table("sessions").as[SessionizeStream.Session].collect()
+      .filter(_.user_id == 1).sortBy(_.start_us)
+    query.stop()
+
+    assert(got.length == 2, s"expected 2 closed sessions, got ${got.toSeq}")
+    assert(got(0).n_events == 2 &&
+      got(0).start_us == t("10:00").getTime * 1000 &&
+      got(0).end_us == t("10:10").getTime * 1000)
+    assert(got(1).n_events == 1 &&
+      got(1).start_us == t("11:30").getTime * 1000)
   }
 }
