@@ -86,6 +86,20 @@ object Portable {
         i => concat_ws(" ",
           element_at(tok, i), element_at(tok, i + 1), element_at(tok, i + 2))))
 
+  /** All ordered pairs (ds[i], ds[j]), i<j, from a SORTED id array — the
+    * bucket-local pair enumeration used by the dedup candidate
+    * generators. Enumerating pairs inside each (small, bounded) bucket
+    * replaces a self-join that would recompute the whole upstream
+    * pipeline once per side; bucket sizes are bounded (shingle df / LSH
+    * bucket occupancy), so the quadratic is local and tiny.
+    */
+  def pairCombinations(ds: Column): Column =
+    flatten(transform(
+      sequence(lit(1), size(ds) - 1),
+      i => transform(
+        sequence(i + 1, size(ds)),
+        j => struct(element_at(ds, i).as("i"), element_at(ds, j).as("j")))))
+
   /** Quantize a float/double to exact integer micros. floor(x*1e6 + 0.5)
     * (not round()) because engines disagree on halfway rounding modes —
     * floor is identical everywhere. DuckDB twin:

@@ -82,17 +82,19 @@ object DedupOps {
     (s, d) => {
       val sh = shingleRows(s, d)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      // df=1 shingles can never contribute to a pair — dropping them before
-      // the self-join removes the bulk of the join input (most shingles are
-      // unique) without changing any common count. Sizes are computed on
-      // the UNfiltered sets, so Jaccard denominators are exact.
-      val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2).select(col("s"))
-      val shHot = sh.join(hot, "s")
-      val common = shHot.as("a")
-        .join(shHot.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      // Candidate pairs are enumerated bucket-locally: group by shingle,
+      // collect the (sorted) doc ids sharing it, emit the in-bucket pair
+      // combinations. One pass over the shingle pipeline — a self-join
+      // would recompute scan→tokenize→shingle per side — and df=1
+      // shingles (the vast majority) drop out before any pair exists.
+      // Bucket sizes are bounded by shingle document frequency, so the
+      // per-bucket quadratic is local and tiny; a df cap guards the
+      // stop-phrase tail at larger corpora.
+      val common = sh.groupBy(col("s"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(pairCombinations(col("ds"))).as("p"))
+        .groupBy(col("p.i").as("i"), col("p.j").as("j"))
         .agg(count(lit(1)).as("c"))
       common
         .join(sizes.select(col("doc_id"), col("n").as("n_i")),
@@ -160,11 +162,14 @@ object DedupOps {
             md5(concat_ws("|", col(s"m${R * b}"), col(s"m${R * b + 1}")))
               .as("bkey"))): _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      // bucket-local pair enumeration (see dedup_ngram_jaccard): one pass
+      // over the signature pipeline instead of a self-join recomputing it
+      // per side; LSH bucket occupancy bounds the per-bucket quadratic.
+      val cand = bands.groupBy(col("band"), col("bkey"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(pairCombinations(col("ds"))).as("p"))
+        .select(col("p.i").as("i"), col("p.j").as("j"))
         .distinct()
       val shSets = Tables.documents(s, d)
         .repartition(col("doc_id"))
