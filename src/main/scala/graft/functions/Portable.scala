@@ -83,8 +83,12 @@ object Portable {
     array_distinct(
       transform(
         sequence(lit(1), greatest(size(tok) - 2, lit(1))),
+        // try_element_at: docs shorter than 3 tokens index past the end —
+        // NULL there (which concat_ws skips) matches DuckDB's tok[i]
+        // out-of-range semantics; ANSI element_at would throw instead.
         i => concat_ws(" ",
-          element_at(tok, i), element_at(tok, i + 1), element_at(tok, i + 2))))
+          try_element_at(tok, i), try_element_at(tok, i + 1),
+          try_element_at(tok, i + 2))))
 
   /** All ordered pairs (ds[i], ds[j]), i<j, from a SORTED id array — the
     * bucket-local pair enumeration used by the dedup candidate

@@ -413,8 +413,10 @@ object RelationalOps {
     "q17_json_extract",
     (s, d) =>
       Tables.events(s, d)
+        // try_cast: a props row without "k" extracts '' — ANSI cast would
+        // throw; NULL matches the oracle's TRY_CAST
         .select(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
-          .cast(LongType).as("k"))
+          .try_cast(LongType).as("k"))
         .withColumn("bucket", col("k") % 10)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))

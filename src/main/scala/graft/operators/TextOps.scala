@@ -59,9 +59,11 @@ object TextOps {
     (s, d) => {
       val len = length(col("text"))
       val nTok = size(toks(col("text")))
+      // greatest(len, 1): empty docs get ratio 0 instead of an ANSI
+      // divide-by-zero (oracle twin uses the same guard)
       val punct =
         (len - length(regexp_replace(col("text"), "\\p{Punct}", ""))) /
-          len.cast("double")
+          greatest(len, lit(1)).cast("double")
       val stop = nStop(col("text"), enStop) / nTok.cast("double")
       val lenScore = least(nTok.cast("double") / lit(100.0), lit(1.0))
       val score = stop * lit(0.5) + (lit(1.0) - punct) * lit(0.3) +
@@ -91,7 +93,8 @@ object TextOps {
                  CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
                    AS BIGINT) AS n_tokens,
                  (length(text) - length(regexp_replace(text, '[[:punct:]]',
-                    '', 'g'))) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+                    '', 'g'))) / CAST(greatest(length(text), 1) AS DOUBLE)
+                    AS punct_ratio,
                  ${sqlNStop(enStop)} /
                    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
                      AS DOUBLE) AS stopword_ratio

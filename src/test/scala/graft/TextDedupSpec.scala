@@ -21,7 +21,9 @@ class TextDedupSpec extends SparkSpec {
       (3L, "completely different words about spark query engines and storage",
         "en", "src3", 63L),
       (4L, "le chat et le chien et les oiseaux des les la maison", "fr", "src4", 52L),
-      (5L, base.toUpperCase, "en", "src5", base.length.toLong))  // case-normalized dup
+      (5L, base.toUpperCase, "en", "src5", base.length.toLong),  // case-normalized dup
+      (6L, "", "en", "src6", 0L),                                // empty text
+      (7L, "two tokens", "en", "src7", 10L))                     // below shingle width
     spark.createDataFrame(docs)
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -59,6 +61,23 @@ class TextDedupSpec extends SparkSpec {
       .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
     assert(groups(0L) == 3, "docs 0,1,5 must share a fingerprint")
     assert(groups(2L) == 1 && groups(3L) == 1 && groups(4L) == 1)
+    assert(groups(6L) == 1 && groups(7L) == 1, "edge docs must survive")
+  }
+
+  test("edge docs (empty / below shingle width) flow through every text/dedup op") {
+    // none of these may crash, and the edge docs must not produce
+    // spurious dup pairs
+    Seq("text_token_count", "text_quality", "text_langid", "text_fingerprint",
+      "dedup_simhash").foreach { k =>
+      val ids = run(k, miniDir).collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(ids.contains(6L) && ids.contains(7L), s"$k dropped edge docs")
+    }
+    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh").foreach { k =>
+      val pairs = run(k, miniDir).collect()
+        .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")))
+      assert(!pairs.exists { case (i, j) => i >= 6L || j >= 6L },
+        s"$k paired an edge doc: ${pairs.toSeq}")
+    }
   }
 
   test("dedup_ngram_jaccard finds near + exact dup pairs with sane scores") {
