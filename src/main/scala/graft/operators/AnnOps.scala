@@ -48,12 +48,17 @@ object AnnOps {
                  AS BIGINT) AS nm
         FROM embeddings)"""
 
-  private val sqlPairCos = """
+  /** Exact-micros cosine between `<a>.embedding/nm` and `<b>.embedding/nm`
+    * for arbitrary SQL aliases (DuckDB oracle text).
+    */
+  private def sqlCos(a: String, b: String): String = s"""
                CAST(CAST(list_sum(list_transform(generate_series(1,64), ix ->
-                 CAST(floor(CAST(q.embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT) *
-                 CAST(floor(CAST(c.embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT)))
+                 CAST(floor(CAST($a.embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT) *
+                 CAST(floor(CAST($b.embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT)))
                  AS BIGINT) AS DOUBLE)
-                 / (sqrt(CAST(q.nm AS DOUBLE)) * sqrt(CAST(c.nm AS DOUBLE)))"""
+                 / (sqrt(CAST($a.nm AS DOUBLE)) * sqrt(CAST($b.nm AS DOUBLE)))"""
+
+  private val sqlPairCos = sqlCos("q", "c")
 
   /** E1 — brute-force cosine top-k: the exact baseline every ANN variant
     * is measured against. The query set broadcasts against the corpus
@@ -198,5 +203,85 @@ object AnnOps {
       ORDER BY q_id, rank"""
     })
 
-  val all: Seq[Op] = Seq(annBruteforce, annLsh)
+  private val CENTROIDS = 16
+  private val NPROBE = 4
+
+  /** E3 — IVF (inverted-file) ANN, the coarse-quantizer scale path
+    * alongside LSH: a bounded centroid set (here a deterministic seed
+    * slice of the corpus; a production pipeline would k-means it)
+    * broadcasts everywhere; every corpus vector is assigned once to its
+    * nearest centroid's cell (16 codegen'd dot products per row, one
+    * scan — the cell column is a reusable artifact to persist beside the
+    * embeddings); each query probes its NPROBE nearest cells and scores
+    * only those cells' vectors, i.e. ~NPROBE/CENTROIDS of the corpus.
+    * Exact-micros cosine end to end, so assignment and ranking are
+    * deterministic and oracle-replayable.
+    */
+  val annIvf: Op = Op(
+    "ann_ivf",
+    (s, d) => {
+      val e = withNorm(s, d)
+      val cent = e.filter(col("vec_id") >= QUERY_MAX &&
+          col("vec_id") < QUERY_MAX + CENTROIDS)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nm").as("c_nm"))
+      def cellRank = row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("c_id")))
+      val scoredCent = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("nm"), col("c_id"),
+          cosineFromMicros(dotMicros(col("embedding"), col("c_emb")),
+            col("nm"), col("c_nm")).as("ccos"))
+      val assign = scoredCent.withColumn("rn", cellRank)
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nm"),
+          col("c_id").as("cell"))
+      val probe = scoredCent.filter(col("vec_id") < QUERY_MAX)
+        .withColumn("rn", cellRank)
+        .filter(col("rn") <= NPROBE)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nm").as("q_nm"), col("c_id").as("cell"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      assign.join(broadcast(probe),
+          assign("cell") === probe("cell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("embedding"), col("q_emb"),
+          col("q_nm"), col("nm"))
+        .distinct()
+        .select(col("q_id"), col("vec_id"),
+          cosineFromMicros(dotMicros(col("q_emb"), col("embedding")),
+            col("q_nm"), col("nm")).as("cos"))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= TOP_K)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $sqlNormCte,
+      cent AS (SELECT vec_id AS c_id, embedding, nm FROM e
+               WHERE vec_id >= $QUERY_MAX
+                 AND vec_id < ${QUERY_MAX + CENTROIDS}),
+      scored AS (SELECT v.vec_id, cent.c_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY ${sqlCos("v", "cent")} DESC, cent.c_id) AS rn
+                 FROM e v, cent),
+      assign AS (SELECT vec_id, c_id AS cell FROM scored WHERE rn = 1),
+      probe AS (SELECT vec_id AS q_id, c_id AS cell FROM scored
+                WHERE rn <= $NPROBE AND vec_id < $QUERY_MAX),
+      cand AS (SELECT DISTINCT p.q_id, a.vec_id
+               FROM probe p JOIN assign a ON p.cell = a.cell
+               WHERE a.vec_id != p.q_id)
+      SELECT q_id, rank, vec_id, cos FROM (
+        SELECT cand.q_id, cand.vec_id,
+               ${sqlCos("q", "c")} AS cos,
+               CAST(row_number() OVER (PARTITION BY cand.q_id
+                 ORDER BY ${sqlCos("q", "c")} DESC, cand.vec_id) AS BIGINT)
+                 AS rank
+        FROM cand
+        JOIN e q ON cand.q_id = q.vec_id
+        JOIN e c ON cand.vec_id = c.vec_id) t
+      WHERE rank <= $TOP_K
+      ORDER BY q_id, rank"""))
+
+  val all: Seq[Op] = Seq(annBruteforce, annLsh, annIvf)
 }

@@ -18,15 +18,25 @@ class AnnSpec extends SparkSpec {
     }
   }
 
-  test("ann_lsh: recall@5 vs exact baseline >= 0.15") {
-    def sets(key: String) = run(key).collect()
-      .groupBy(_.getAs[Long]("q_id"))
-      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+  private def sets(key: String) = run(key).collect()
+    .groupBy(_.getAs[Long]("q_id"))
+    .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+
+  private def recallVsExact(key: String): Double = {
     val exact = sets("ann_bruteforce")
-    val lsh = sets("ann_lsh")
-    val recall = exact.keys.map { q =>
-      lsh.get(q).map(s => (s & exact(q)).size / 5.0).getOrElse(0.0)
+    val approx = sets(key)
+    exact.keys.map { q =>
+      approx.get(q).map(s => (s & exact(q)).size / 5.0).getOrElse(0.0)
     }.sum / exact.size
-    assert(recall >= 0.15, f"LSH recall@5 $recall%.2f below floor")
+  }
+
+  test("ann_lsh: recall@5 vs exact baseline >= 0.15") {
+    val r = recallVsExact("ann_lsh")
+    assert(r >= 0.15, f"LSH recall@5 $r%.2f below floor")
+  }
+
+  test("ann_ivf: recall@5 vs exact baseline >= 0.15") {
+    val r = recallVsExact("ann_ivf")
+    assert(r >= 0.15, f"IVF recall@5 $r%.2f below floor")
   }
 }
