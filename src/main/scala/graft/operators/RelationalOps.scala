@@ -456,9 +456,90 @@ object RelationalOps {
       FROM orders
       ORDER BY o_custkey, o_orderkey"""))
 
+  /** B19 — left outer join + null-aware aggregation: orders with no
+    * matching lineitem survive with NULL line stats (the classic
+    * "entities without children" report). The child side pre-aggregates
+    * before the join (map-side combined), so the outer join carries one
+    * row per order key, not one per line.
+    */
+  val q19OuterJoin: Op = Op(
+    "q19_outer_join",
+    (s, d) => {
+      val lines = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"), exactSum(col("l_quantity")).as("qty"))
+      Tables.orders(s, d)
+        .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("n_lines").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+          sum(coalesce(col("n_lines"), lit(0L))).as("n_lines_total"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders,
+             CAST(sum(CASE WHEN n_lines IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_no_lines,
+             CAST(sum(coalesce(n_lines, 0)) AS BIGINT) AS n_lines_total
+      FROM orders
+      LEFT JOIN (SELECT l_orderkey, count(*) AS n_lines
+                 FROM lineitem GROUP BY l_orderkey) l
+        ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** B20 — CUBE: all 2^k grouping-set combinations in one pass
+    * (grouping-sets expansion; each set partial-aggregates map-side).
+    */
+  val q20Cube: Op = Op(
+    "q20_cube",
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("revenue"))
+        .orderBy(col("status"), col("priority")),
+    Some(s"""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n_orders,
+             ${xsum("o_totalprice")} AS revenue
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""))
+
+  /** B21 — pivot: per-priority revenue pivoted by order status. The value
+    * set is declared (F/O/P), so the plan is a single conditional
+    * aggregation pass — no second pivot shuffle and no driver-side
+    * distinct-values collection.
+    */
+  val q21Pivot: Op = Op(
+    "q21_pivot",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(exactSum(col("o_totalprice")))
+        .withColumnsRenamed(Map("F" -> "rev_f", "O" -> "rev_o", "P" -> "rev_p"))
+        .orderBy(col("o_orderpriority")),
+    Some(s"""
+      SELECT o_orderpriority,
+             ${xsum("CASE WHEN o_orderstatus='F' THEN o_totalprice END")} AS rev_f,
+             ${xsum("CASE WHEN o_orderstatus='O' THEN o_totalprice END")} AS rev_o,
+             ${xsum("CASE WHEN o_orderstatus='P' THEN o_totalprice END")} AS rev_p
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
   val all: Seq[Op] = Seq(
     q1Agg, q2Pushdown, q3JoinAgg, q4Semijoin, q5Antijoin, q6StarJoin,
     q7WindowTopk, q8Distinct, q8bApproxDistinct, q9Rollup, q10Topk,
     q11CaseAgg, q12DateAgg, q13StringFuncs, q14Union, q15ScalarSubquery,
-    q16Sessionize, q17JsonExtract, q18RunningSum)
+    q16Sessionize, q17JsonExtract, q18RunningSum, q19OuterJoin, q20Cube,
+    q21Pivot)
 }

@@ -171,5 +171,39 @@ object TextOps {
       FROM documents
       ORDER BY doc_id"""))
 
-  val all: Seq[Op] = Seq(textTokenCount, textQuality, textLangid, textFingerprint)
+  /** C5 — corpus n-gram frequency: top-20 word bigrams across the corpus
+    * (vocabulary/contamination analysis). Token array materialized before
+    * the bigram lambda (see Portable.shinglesFromTokens note); the
+    * repartition spreads the CPU-bound pass; one map-side-combined
+    * groupBy; top-k via TakeOrderedAndProject.
+    */
+  val textNgramFreq: Op = Op(
+    "text_ngram_freq",
+    (s, d) =>
+      Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(split(trim(lower(col("text"))), "\\s+").as("tok"))
+        .select(explode(transform(
+          sequence(lit(1), greatest(size(col("tok")) - 1, lit(1))),
+          i => concat_ws(" ",
+            try_element_at(col("tok"), i), try_element_at(col("tok"), i + 1))))
+          .as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20),
+    Some("""
+      SELECT bigram, count(*) AS n
+      FROM (
+        SELECT unnest([concat_ws(' ', tok[i], tok[i+1])
+                 for i in generate_series(1, greatest(len(tok)-1, 1))])
+               AS bigram
+        FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+              FROM documents) t1) t2
+      GROUP BY bigram
+      ORDER BY n DESC, bigram
+      LIMIT 20"""))
+
+  val all: Seq[Op] = Seq(
+    textTokenCount, textQuality, textLangid, textFingerprint, textNgramFreq)
 }
