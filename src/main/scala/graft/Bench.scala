@@ -23,8 +23,13 @@ object Bench {
       catch { case _: Throwable => () }
     }
     var anyFailed = false
+    // SPARK_GRAFT_ONLY=k1,k2 restricts the run (local iteration on one op).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     // Deterministic run order (sorted keys) so per-round numbers compare.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

@@ -137,6 +137,14 @@ object Portable {
   def projMicros(v: Column, w: Column): Column =
     call_function("proj_micros", v, w)
 
+  /** 16-function MinHash signature of a shingle-set column as
+    * array<long> — the native kernel
+    * ([[VectorExpressions.Minhash16Expr]]); hash i of shingle s ≡ DuckDB
+    * CAST(('0x' || substr(md5(concat('g<i/4>|', s)), 8*(i%4)+1, 8)) AS
+    * BIGINT), minimum over the set.
+    */
+  def minhash16(shs: Column): Column = call_function("minhash16", shs)
+
   /** Cosine similarity from exact micro dot products: one double division
     * over identical integers → identical doubles everywhere. `na`/`nb` are
     * the precomputed self-dots (dotMicros(v, v)).

@@ -1,10 +1,13 @@
 package graft.functions
 
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native codegen'd vector kernels.
@@ -114,6 +117,71 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** `minhash16(shs: array<string>): array<long>` — the 16-function MinHash
+    * signature of a shingle set in one tight JVM loop.
+    *
+    * Semantics are EXACTLY the portable md5 family used by the
+    * dedup_minhash_lsh oracle: hash i of shingle s is the i%4-th 32-bit
+    * big-endian chunk of md5("g<i/4>|" ++ s), i.e. DuckDB
+    * `CAST(('0x' || substr(md5(concat('g<i/4>|', s)), 8*(i%4)+1, 8)) AS
+    * BIGINT)`; the signature is the element-wise minimum over the set
+    * (Long.MaxValue for an empty set — unreachable: shingle arrays are
+    * never empty by construction).
+    *
+    * Why native: the same fold expressed with `aggregate(transform(...))`
+    * HOFs runs interpreted — one Catalyst struct allocation and ~20
+    * sub-expression dispatches per (shingle, group) step, measured ~5 s
+    * at sf0.1 where this loop takes ~0.2 s. Per-row fallback dispatch is
+    * one call per DOCUMENT (not per shingle), so CodegenFallback costs
+    * nothing here.
+    */
+  case class Minhash16Expr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash16"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val md = Minhash16Expr.digests.get()
+      val mins = Array.fill(16)(Long.MaxValue)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val sBytes = arr.getUTF8String(i).getBytes
+        var g = 0
+        while (g < 4) {
+          md.reset()
+          md.update(Minhash16Expr.prefixes(g))
+          md.update(sBytes)
+          val dig = md.digest()
+          var k = 0
+          while (k < 4) {
+            val v = ((dig(4 * k) & 0xffL) << 24) |
+              ((dig(4 * k + 1) & 0xffL) << 16) |
+              ((dig(4 * k + 2) & 0xffL) << 8) |
+              (dig(4 * k + 3) & 0xffL)
+            val idx = 4 * g + k
+            if (v < mins(idx)) mins(idx) = v
+            k += 1
+          }
+          g += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object Minhash16Expr {
+    private val prefixes: Array[Array[Byte]] =
+      (0 until 4).map(g => s"g$g|".getBytes(StandardCharsets.UTF_8)).toArray
+    private val digests: ThreadLocal[MessageDigest] =
+      ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+  }
+
   /** Injects both kernels into a session's function registry. */
   def registerAll(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -124,5 +192,9 @@ object VectorExpressions {
       new FunctionIdentifier("proj_micros"),
       new ExpressionInfo(classOf[ProjMicrosExpr].getName, "proj_micros"),
       (args: Seq[Expression]) => ProjMicrosExpr(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash16"),
+      new ExpressionInfo(classOf[Minhash16Expr].getName, "minhash16"),
+      (args: Seq[Expression]) => Minhash16Expr(args(0))))
   }
 }

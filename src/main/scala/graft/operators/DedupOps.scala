@@ -53,13 +53,28 @@ object DedupOps {
       GROUP BY fp
       ORDER BY fp"""))
 
-  /** Exploded distinct shingles: (doc_id, s). The repartition spreads the
-    * CPU-bound shingle expression across all cores: a small corpus file
-    * arrives as ONE input split, which would otherwise serialize the whole
-    * shingling pass on a single task (measured 14s → <1s at sf0.1); at
-    * scale the same hash-spread protects against skewed file sizes. One
-    * narrow shuffle of the raw (doc_id, text) rows — negligible next to
-    * the per-row compute it parallelizes.
+  /** Materialized distinct-shingle sets: (doc_id, shs). The repartition
+    * spreads the CPU-bound shingle expression across all cores: a small
+    * corpus file arrives as ONE input split, which would otherwise
+    * serialize the whole shingling pass on a single task (measured
+    * 14s → <1s at sf0.1); at scale the same hash-spread protects against
+    * skewed file sizes. One narrow shuffle of the raw (doc_id, text)
+    * rows — negligible next to the per-row compute it parallelizes.
+    */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("tok"))
+      .select(col("doc_id"), shinglesFromTokens(col("tok")).as("shs"))
+
+  /** Exploded distinct shingles: (doc_id, s). NOTE: the explode argument
+    * must stay the RAW shingle expression, not a projected `shs`
+    * attribute — exploding an attribute makes InferFiltersFromGenerate
+    * push an inferred `size(shs) > 0` filter below the projections,
+    * re-inlining the whole tokenize+shingle pipeline (with split()
+    * re-evaluated per element) into a pre-shuffle Filter: measured
+    * 0.7 s → 7.3 s at sf0.1.
     */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -80,8 +95,6 @@ object DedupOps {
   val dedupNgramJaccard: Op = Op(
     "dedup_ngram_jaccard",
     (s, d) => {
-      val sh = shingleRows(s, d)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       // Candidate pairs are enumerated bucket-locally: group by shingle,
       // collect the (sorted) doc ids sharing it, emit the in-bucket pair
       // combinations. One pass over the shingle pipeline — a self-join
@@ -89,18 +102,32 @@ object DedupOps {
       // shingles (the vast majority) drop out before any pair exists.
       // Bucket sizes are bounded by shingle document frequency, so the
       // per-bucket quadratic is local and tiny; a df cap guards the
-      // stop-phrase tail at larger corpora.
-      val common = sh.groupBy(col("s"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      // stop-phrase tail at larger corpora. The shingle-set SIZE rides
+      // along inside the collected structs, so the Jaccard denominator
+      // needs NO join back to a per-doc sizes table — the whole op is
+      // two shuffles (shingle, pair) and zero joins. The shingle
+      // expression appears twice (size + explode input, both evaluated
+      // once per DOC, not per element). Plan-shape traps, both measured
+      // ~10× at sf0.1: the explode argument must stay a RAW expression
+      // (see [[shingleRows]]), and `n` must be materialized in its OWN
+      // select BEFORE the generate — written next to explode(), the
+      // analyzer places the n-projection AFTER Generate, recomputing the
+      // full shingle array once per exploded ROW.
+      val sh = Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), "\\s+").as("tok"))
+        .select(col("doc_id"),
+          size(shinglesFromTokens(col("tok"))).as("n"), col("tok"))
+        .select(col("doc_id"), col("n"),
+          explode(shinglesFromTokens(col("tok"))).as("s"))
+      sh.groupBy(col("s"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
         .filter(size(col("ds")) >= 2)
         .select(explode(pairCombinations(col("ds"))).as("p"))
-        .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+        .groupBy(col("p.i.doc_id").as("i"), col("p.j.doc_id").as("j"),
+          col("p.i.n").as("n_i"), col("p.j.n").as("n_j"))
         .agg(count(lit(1)).as("c"))
-      common
-        .join(sizes.select(col("doc_id"), col("n").as("n_i")),
-          col("i") === col("doc_id")).drop("doc_id")
-        .join(sizes.select(col("doc_id"), col("n").as("n_j")),
-          col("j") === col("doc_id")).drop("doc_id")
         .select(col("i"), col("j"),
           (col("c") * lit(1.0) / (col("n_i") + col("n_j") - col("c")))
             .as("jaccard"))
@@ -124,43 +151,34 @@ object DedupOps {
   private val K = 16 // minhash functions
   private val R = 2  // rows per band → 8 bands
 
-  /** The i-th of 16 minhash functions: 4 md5 digests per shingle, 4
-    * 32-bit chunks per digest (16 independent uniform hashes for a
-    * quarter of the md5 cost — md5 dominates the signature pass).
-    * DuckDB twin: CAST(('0x' || substr(md5(concat('g<i/4>|', s)),
-    * <8*(i%4)+1>, 8)) AS BIGINT).
-    */
-  private def minhashFn(i: Int, s: Column): Column =
-    conv(substring(md5(concat(lit(s"g${i / 4}|"), s)), 8 * (i % 4) + 1, 8),
-      16, 10).cast(LongType)
-
   private def sqlMinhashFn(i: Int): String =
     s"CAST(('0x' || substr(md5(concat('g${i / 4}|', s)), ${8 * (i % 4) + 1}, 8)) AS BIGINT)"
 
-  /** D3 — MinHash + LSH banding: 16 minhashes per document (computed as 16
-    * min-aggregates over one shingle explode — no ×16 row blowup,
-    * map-side combined), banded 8×2; documents sharing any band bucket
-    * become candidates (bucket-join, never all-pairs), then candidates are
-    * verified with the exact Jaccard on their shingle sets (array_intersect
-    * on the two docs' arrays — per-pair local work, no second shingle
-    * shuffle). Band-collision probability at r=2: j² per band,
-    * 1-(1-j²)⁸ overall — ≥0.999 at j=0.9 (the planted dups), ~0.01 at
-    * j=0.1 (random pairs). Final filter τ=0.5.
+  /** D3 — MinHash + LSH banding: 16 minhashes per document (the
+    * [[graft.functions.VectorExpressions.Minhash16Expr]] native kernel —
+    * one tight loop over the materialized shingle array, 4 md5 digests
+    * per shingle, NO per-shingle explode and no signature shuffle),
+    * banded 8×2; documents sharing any band bucket become candidates
+    * (bucket-join, never all-pairs), then candidates are verified with
+    * the exact Jaccard on their shingle sets (array_intersect on the two
+    * docs' arrays — per-pair local work, no second shingle shuffle).
+    * Band-collision probability at r=2: j² per band, 1-(1-j²)⁸ overall —
+    * ≥0.999 at j=0.9 (the planted dups), ~0.01 at j=0.1 (random pairs).
+    * Final filter τ=0.5. Signature values are bit-identical to the
+    * oracle's min-over-exploded-shingles GROUP BY.
     */
   val dedupMinhashLsh: Op = Op(
     "dedup_minhash_lsh",
     (s, d) => {
-      val sh = shingleRows(s, d)
-      val mins = sh.groupBy(col("doc_id"))
-        .agg(
-          min(minhashFn(0, col("s"))).as("m0"),
-          (1 until K).map(i =>
-            min(minhashFn(i, col("s"))).as(s"m$i")): _*)
+      val mins = shingleSets(s, d)
+        .select(col("doc_id"), minhash16(col("shs")).as("mh"))
       val bands = mins.select(col("doc_id"),
-        explode(array((0 until K / R).map(b =>
+        explode(array((0 until K / R).map { b =>
           struct(lit(b).as("band"),
-            md5(concat_ws("|", col(s"m${R * b}"), col(s"m${R * b + 1}")))
-              .as("bkey"))): _*)).as("bk"))
+            md5(concat_ws("|",
+              element_at(col("mh"), R * b + 1),
+              element_at(col("mh"), R * b + 2))).as("bkey"))
+        }: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
       // bucket-local pair enumeration (see dedup_ngram_jaccard): one pass
       // over the signature pipeline instead of a self-join recomputing it
@@ -171,11 +189,7 @@ object DedupOps {
         .select(explode(pairCombinations(col("ds"))).as("p"))
         .select(col("p.i").as("i"), col("p.j").as("j"))
         .distinct()
-      val shSets = Tables.documents(s, d)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"),
-          split(trim(lower(col("text"))), "\\s+").as("tok"))
-        .select(col("doc_id"), shinglesFromTokens(col("tok")).as("shs"))
+      val shSets = shingleSets(s, d)
       cand
         .join(shSets.select(col("doc_id"), col("shs").as("shs_i")),
           col("i") === col("doc_id")).drop("doc_id")
