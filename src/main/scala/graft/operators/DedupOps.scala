@@ -167,9 +167,11 @@ object DedupOps {
     * Final filter τ=0.5. Signature values are bit-identical to the
     * oracle's min-over-exploded-shingles GROUP BY.
     */
-  val dedupMinhashLsh: Op = Op(
-    "dedup_minhash_lsh",
-    (s, d) => {
+  /** The MinHash-LSH near-dup pair pipeline (shared by D3 and D6):
+    * (i, j, jaccard) for all LSH-candidate pairs with exact Jaccard ≥ 0.5,
+    * unordered.
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
       val mins = shingleSets(s, d)
         .select(col("doc_id"), minhash16(col("shs")).as("mh"))
       val bands = mins.select(col("doc_id"),
@@ -201,16 +203,18 @@ object DedupOps {
               - size(array_intersect(col("shs_i"), col("shs_j")))))
             .as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-        .orderBy(col("i"), col("j"))
-    },
-    Some {
-      val minCols = (0 until K).map(i =>
-        s"min(${sqlMinhashFn(i)}) AS m$i").mkString(",\n               ")
-      val bandSelects = (0 until K / R).map(b =>
-        s"SELECT doc_id, $b AS band, md5(concat_ws('|', m${R * b}, m${R * b + 1})) AS bkey FROM mh")
-        .mkString("\n        UNION ALL ")
-      s"""
-      WITH $sqlShingleCte,
+  }
+
+  /** DuckDB CTE chain ending in `mh_pairs(i, j, jaccard)` — the oracle
+    * twin of [[minhashPairs]] (shared by the D3 and D6 oracles).
+    */
+  private val sqlMinhashPairsCtes: String = {
+    val minCols = (0 until K).map(i =>
+      s"min(${sqlMinhashFn(i)}) AS m$i").mkString(",\n               ")
+    val bandSelects = (0 until K / R).map(b =>
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', m${R * b}, m${R * b + 1})) AS bkey FROM mh")
+      .mkString("\n        UNION ALL ")
+    s"""$sqlShingleCte,
       mh AS (SELECT doc_id,
                $minCols
              FROM sh GROUP BY doc_id),
@@ -220,19 +224,81 @@ object DedupOps {
       cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
                FROM bands a JOIN bands b
                  ON a.band = b.band AND a.bkey = b.bkey
-                   AND a.doc_id < b.doc_id)
-      SELECT c.i, c.j,
-             len(list_intersect(x.shs, y.shs)) * 1.0 /
-               (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)))
-               AS jaccard
-      FROM cand c
-      JOIN shl x ON c.i = x.doc_id
-      JOIN shl y ON c.j = y.doc_id
-      WHERE len(list_intersect(x.shs, y.shs)) * 1.0 /
-              (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)))
-              >= 0.5
-      ORDER BY i, j"""
-    })
+                   AND a.doc_id < b.doc_id),
+      mh_pairs AS (
+        SELECT i, j, jaccard FROM (
+          SELECT c.i, c.j,
+                 len(list_intersect(x.shs, y.shs)) * 1.0 /
+                   (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)))
+                   AS jaccard
+          FROM cand c
+          JOIN shl x ON c.i = x.doc_id
+          JOIN shl y ON c.j = y.doc_id) t
+        WHERE jaccard >= 0.5)"""
+  }
+
+  val dedupMinhashLsh: Op = Op(
+    "dedup_minhash_lsh",
+    (s, d) => minhashPairs(s, d).orderBy(col("i"), col("j")),
+    Some(s"""
+      WITH $sqlMinhashPairsCtes
+      SELECT i, j, jaccard FROM mh_pairs
+      ORDER BY i, j"""))
+
+  /** D6 — duplicate clustering: connected components over the MinHash-LSH
+    * near-dup pairs. cluster_id = the smallest doc_id reachable through
+    * the dup graph; a pipeline keeps `doc_id = cluster_id` (the canonical
+    * representative) and drops the rest — the transitive step exact
+    * pairwise dedup misses (A~B, B~C ⇒ {A,B,C} one cluster even when
+    * A~C scores below τ).
+    *
+    * Spark-first CC: iterative min-label propagation — each round every
+    * vertex takes the min label over itself and its neighbors (one
+    * edges⋈labels shuffle join + one groupBy per round), converging in
+    * ≤ component-diameter rounds (dup clusters are near-cliques, so 1-3
+    * in practice; the large-star/small-star rewiring trick bounds rounds
+    * at O(log n) for pathological chains — same plan shape, noted here
+    * for the 100 TB tail). The edge list is localCheckpoint'd once so
+    * rounds don't recompute the LSH pipeline, and each round's labels
+    * are checkpointed to truncate the growing lineage (a cluster
+    * deployment would use reliable checkpoint()/a staging table).
+    * Convergence is detected with an aggregated count — no driver-side
+    * data collection.
+    */
+  val dedupClusters: Op = Op(
+    "dedup_clusters",
+    (s, d) => {
+      val pairs = minhashPairs(s, d).select(col("i"), col("j"))
+        .localCheckpoint()
+      val und = pairs.union(pairs.select(col("j"), col("i"))).toDF("src", "dst")
+      var labels = und.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("label"))
+      var changed = 1L
+      while (changed > 0) {
+        val prop = und.join(labels, col("src") === col("v"))
+          .select(col("dst").as("v"), col("label"))
+          .union(labels)
+          .groupBy(col("v")).agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        changed = prop
+          .join(labels.withColumnRenamed("label", "old"), "v")
+          .filter(col("label") =!= col("old")).count()
+        labels = prop
+      }
+      labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $sqlMinhashPairsCtes,
+      und AS (SELECT i AS src, j AS dst FROM mh_pairs
+              UNION ALL SELECT j, i FROM mh_pairs),
+      reach(v, r) AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT w.v, u.dst FROM reach w JOIN und u ON w.r = u.src)
+      SELECT v AS doc_id, least(v, min(r)) AS cluster_id
+      FROM reach GROUP BY v
+      ORDER BY doc_id"""))
 
   private val BITS = 60 // hash60 width
 
@@ -326,5 +392,5 @@ object DedupOps {
 
   val all: Seq[Op] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-    dedupEmbedding)
+    dedupEmbedding, dedupClusters)
 }

@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{Op, Tables}
+import graft.Op.{xhash32, xsum}
+import graft.functions.Portable._
+
+/** Cross-cutting pipeline operators (SURVEY.md §2 part G): the temporal
+  * joins, sampling and filtering passes a large-scale training-data /
+  * analytics pipeline runs around the core relational + dedup surface.
+  *
+  * Scale notes per op in their scaladocs; the common theme: every join
+  * here is either an equi-join on a natural key or a union+window
+  * re-expression of an inequality join, so nothing degenerates to a
+  * cartesian/broadcast-range plan at 100 TB.
+  */
+object PipelineOps {
+
+  /** G1 — as-of join: each `purchase` event is attributed to the latest
+    * `click` event of the same user at or before it (classic
+    * last-touch attribution; the same shape joins trades to quotes or
+    * metrics to deploy events).
+    *
+    * Spark lacks a native as-of join. The scalable re-expression: tag
+    * both sides, UNION them into one stream, and take
+    * `last_value(click_id) IGNORE NULLS` over a window partitioned by
+    * user and ordered by (ts, side) — clicks sort before an
+    * equal-timestamp purchase, giving inclusive `click.ts <= purchase.ts`
+    * semantics. ONE shuffle on user_id, linear in rows, no inequality
+    * join (a naive range join is O(clicks × purchases) per user and a
+    * skew bomb at scale).
+    *
+    * Clicks are first deduped to one per (user, ts) — max event_id
+    * wins — so as-of ties are deterministic in both engines (DuckDB's
+    * ASOF JOIN picks an arbitrary row among equal timestamps otherwise).
+    */
+  val joinAsof: Op = Op(
+    "join_asof",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val tagged = clicks
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          col("click_id"), lit(null).cast(LongType).as("event_id"),
+          lit(null).cast("double").as("value"))
+        .unionByName(purchases
+          .select(col("user_id"), col("ts"), lit(1).as("side"),
+            lit(null).cast(LongType).as("click_id"), col("event_id"),
+            col("value")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_click_id",
+          last(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("last_click_id"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts)
+      SELECT p.event_id, p.user_id, p.value, c.click_id AS last_click_id
+      FROM (SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id"""))
+
+  /** G2 — range (interval) join: per `signup` event, activity of the
+    * same user inside the 24 h window after signup. Declared as an
+    * equi-join on user_id with the time window as a join-side range
+    * predicate — Catalyst plans a hash join on the key and evaluates the
+    * range as a post-join filter, so cost is
+    * Σ_user (signups × events), never a global cartesian. At 100 TB with
+    * heavy-hitter users, the standard refinement is compound bucketing —
+    * equi-join on (user_id, time_bucket) with events exploded to the
+    * ≤2 buckets each window overlaps — same semantics, bounded fanout;
+    * plain per-user fanout is the right default here.
+    * LEFT join keeps zero-activity signups (n_follow = 0).
+    */
+  val joinRange: Op = Op(
+    "join_range",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("ts").as("t0"))
+      val follow = e.select(col("user_id").as("f_user"), col("ts"),
+        col("event_id").as("f_id"), col("value"))
+      signups.join(follow,
+          col("user_id") === col("f_user") &&
+            col("ts") > col("t0") &&
+            col("ts") <= col("t0") + expr("INTERVAL 24 HOURS"),
+          "left")
+        .groupBy(col("signup_id"), col("user_id"))
+        .agg(count(col("f_id")).as("n_follow"),
+          coalesce(exactSum(col("value")), lit(0.0)).as("follow_value"))
+        .orderBy(col("signup_id"))
+    },
+    Some(s"""
+      SELECT s.event_id AS signup_id, s.user_id,
+             count(f.event_id) AS n_follow,
+             coalesce(${xsum("f.value")}, 0.0) AS follow_value
+      FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      LEFT JOIN events f
+        ON f.user_id = s.user_id
+          AND f.ts > s.ts AND f.ts <= s.ts + INTERVAL 24 HOURS
+      GROUP BY s.event_id, s.user_id
+      ORDER BY signup_id"""))
+
+  private val SAMPLE_K = 3
+
+  /** G3 — deterministic stratified sampling: k documents per
+    * (lang, source) stratum, ranked by a uniform md5 hash of the doc id —
+    * the reproducible corpus-subsampling pass every training-data
+    * pipeline needs (same inputs ⇒ same sample, on any engine, any
+    * partitioning; no RNG state). One shuffle on the stratum key; at
+    * 100 TB a skewed stratum is still one window partition, so the
+    * heavy-stratum refinement is a per-partition top-k
+    * (groupBy + slice(sort_array(collect_list))) or an approximate
+    * hash-threshold cut (keep hash < k/N quantile) — same determinism,
+    * no full per-stratum sort.
+    */
+  val sampleStratified: Op = Op(
+    "sample_stratified",
+    (s, d) => {
+      val rk = row_number().over(
+        Window.partitionBy(col("lang"), col("source"))
+          .orderBy(hash32(concat_ws("|", col("lang"), col("doc_id"))),
+            col("doc_id"))).cast(LongType)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("rk", rk)
+        .filter(col("rk") <= SAMPLE_K)
+        .orderBy(col("lang"), col("source"), col("rk"))
+    },
+    Some(s"""
+      SELECT doc_id, lang, source, rk FROM (
+        SELECT doc_id, lang, source,
+               CAST(row_number() OVER (PARTITION BY lang, source
+                 ORDER BY ${xhash32("concat_ws('|', lang, doc_id)")}, doc_id)
+                 AS BIGINT) AS rk
+        FROM documents) t
+      WHERE rk <= $SAMPLE_K
+      ORDER BY lang, source, rk"""))
+
+  /** G4 — composed quality filter: the fineweb-style keep/drop gate over
+    * the C2 text metrics, reporting the FIRST failing rule (cheap rules
+    * first, so short-circuit evaluation skips the expensive ones for
+    * most dropped docs). Narrow projection — runs at scan speed; the
+    * `kept` subset is what flows into dedup/tokenization downstream.
+    */
+  val qualityFilter: Op = Op(
+    "quality_filter",
+    (s, d) => {
+      val len = length(col("text"))
+      val nTok = size(tokens(lower(col("text"))))
+      val punct =
+        (len - length(regexp_replace(col("text"), "\\p{Punct}", ""))) /
+          greatest(len, lit(1)).cast("double")
+      val stop = size(filter(tokens(lower(col("text"))),
+        t => t.isin("the", "a", "of", "to", "and", "is", "in", "it"))) /
+        nTok.cast("double")
+      val verdict = when(nTok < 20, "too_short")
+        .when(punct > lit(0.10), "too_much_punct")
+        .when(stop < lit(0.01), "low_stopword")
+        .otherwise("keep")
+      Tables.documents(s, d)
+        .select(col("doc_id"), verdict.as("verdict"),
+          (verdict === "keep").as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, verdict, verdict = 'keep' AS kept FROM (
+        SELECT doc_id,
+               CASE
+                 WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) < 20
+                   THEN 'too_short'
+                 WHEN (length(text) - length(regexp_replace(text,
+                     '[[:punct:]]', '', 'g'))) /
+                     CAST(greatest(length(text), 1) AS DOUBLE) > 0.10
+                   THEN 'too_much_punct'
+                 WHEN len(list_filter(regexp_split_to_array(trim(lower(text)),
+                     '\s+'), t -> t IN ('the','a','of','to','and','is','in','it')))
+                     / CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     AS DOUBLE) < 0.01
+                   THEN 'low_stopword'
+                 ELSE 'keep'
+               END AS verdict
+        FROM documents) t
+      ORDER BY doc_id"""))
+
+  /** G5 — cohort retention: users cohorted by first-activity day; the
+    * retention matrix counts distinct users active at each day offset.
+    * Two shuffles (per-user min, then per-cell distinct count) — the
+    * user⋈cohort join shuffles on user_id, and the distinct count
+    * partial-aggregates map-side. The classic product-analytics read
+    * over the sunk events table.
+    */
+  val eventsRetention: Op = Op(
+    "events_retention",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohorts = e.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      e.join(cohorts, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast(LongType)
+            .as("day_offset"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      cohorts AS (SELECT user_id, min(day) AS cohort_day
+                  FROM e GROUP BY user_id)
+      SELECT c.cohort_day,
+             CAST(date_diff('day', c.cohort_day, e.day) AS BIGINT)
+               AS day_offset,
+             count(DISTINCT e.user_id) AS n_users
+      FROM e JOIN cohorts c ON e.user_id = c.user_id
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
+  val all: Seq[Op] = Seq(
+    joinAsof, joinRange, sampleStratified, qualityFilter, eventsRetention)
+}

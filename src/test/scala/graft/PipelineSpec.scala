@@ -1,0 +1,148 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** Semantic + plan-shape checks for the G-series pipeline ops and the
+  * D6 duplicate-clustering pass.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("join_asof: every purchase attributed to the latest prior click") {
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("ts"), r.getAs[String]("event_type")))
+    val clicks = e.filter(_._4 == "click")
+    val out = run("join_asof").collect()
+    val purchases = e.filter(_._4 == "purchase")
+    assert(out.length == purchases.length, "one output row per purchase")
+    out.foreach { r =>
+      val (eid, uid) = (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"))
+      val pts = purchases.find(_._1 == eid).get._3
+      val prior = clicks.filter(c => c._2 == uid && !c._3.after(pts))
+      val got = Option(r.getAs[java.lang.Long]("last_click_id"))
+      if (prior.isEmpty) assert(got.isEmpty, s"purchase $eid: expected NULL")
+      else {
+        val bestTs = prior.map(_._3.getTime).max
+        val best = prior.filter(_._3.getTime == bestTs).map(_._1).max
+        assert(got.contains(best), s"purchase $eid: $got != $best")
+      }
+    }
+  }
+
+  test("join_asof plan: one window pass, no inequality join") {
+    val p = plan(run("join_asof"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "as-of must not plan a range join")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "expected the union+window shape")
+  }
+
+  test("join_range: follow counts match brute force on sf0.001") {
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("ts").getTime, r.getAs[String]("event_type")))
+    val out = run("join_range").collect()
+    val signups = e.filter(_._4 == "signup")
+    assert(out.length == signups.length)
+    val byId = out.map(r => r.getAs[Long]("signup_id") ->
+      r.getAs[Long]("n_follow")).toMap
+    signups.foreach { case (sid, uid, t0, _) =>
+      val expected = e.count(f =>
+        f._2 == uid && f._3 > t0 && f._3 <= t0 + 24L * 3600 * 1000)
+      assert(byId(sid) == expected, s"signup $sid: ${byId(sid)} != $expected")
+    }
+  }
+
+  test("sample_stratified: deterministic, k per stratum, subset of stratum") {
+    val docs = Tables.documents(spark, sf)
+      .groupBy(col("lang"), col("source")).count().collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        r.getAs[Long]("count")).toMap
+    val s1 = run("sample_stratified").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("rk")))
+    val s2 = run("sample_stratified").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("rk")))
+    assert(s1.toSeq == s2.toSeq, "sampling must be run-to-run deterministic")
+    s1.groupBy(t => (t._1, t._2)).foreach { case (stratum, rows) =>
+      assert(rows.length == math.min(3L, docs(stratum)),
+        s"stratum $stratum: ${rows.length} rows for ${docs(stratum)} docs")
+    }
+  }
+
+  test("quality_filter: verdict is the first failing rule") {
+    val out = run("quality_filter").collect()
+    assert(out.length == 500, "one verdict row per document")
+    val verdicts = out.map(_.getAs[String]("verdict")).toSet
+    assert(verdicts.contains("keep"), "sf0.001 corpus must keep some docs")
+    out.foreach(r =>
+      assert(r.getAs[Boolean]("kept") == (r.getAs[String]("verdict") == "keep")))
+  }
+
+  test("events_retention: offset-0 cell covers every cohort user") {
+    val out = run("events_retention").collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_day").toString,
+        r.getAs[Long]("day_offset"), r.getAs[Long]("n_users")))
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 >= 0), "offsets are non-negative by construction")
+    // every user is active on their own cohort day, so summing the
+    // offset-0 cells recovers the distinct-user count
+    val users = Tables.events(spark, sf).select(col("user_id"))
+      .distinct().count()
+    assert(out.filter(_._2 == 0L).map(_._3).sum == users)
+  }
+
+  test("dedup_clusters: transitive closure over minhash pairs, min-id labels") {
+    val dir = miniClusterDir
+    val pairs = run("dedup_minhash_lsh", dir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")))
+    assert(pairs.nonEmpty, "mini corpus must produce dup pairs")
+    // brute-force union-find over the pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(v => v -> find(v)).toMap
+    val got = run("dedup_clusters", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == expected, s"$got != $expected")
+  }
+
+  /** Corpus with a dup CHAIN (0~1, 1~2 strongly; 0~2 weaker) so clustering
+    * exercises a real transitive step, plus an unrelated pair.
+    */
+  lazy val miniClusterDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc").toString
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val b = a + " phi chi"
+    val c = b + " psi omega"
+    val u = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    val docs = Seq(
+      (0L, a, "en", "src0", a.length.toLong),
+      (1L, b, "en", "src1", b.length.toLong),
+      (2L, c, "en", "src2", c.length.toLong),
+      (3L, u, "en", "src3", u.length.toLong),
+      (4L, u + " seventeen", "en", "src4", u.length + 10L),
+      (5L, "totally unrelated text about distributed query planning",
+        "en", "src5", 55L))
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+}
