@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{CsvBulkSink, ParquetSink, Sinks}
+
+/** The sources/ sink package: dump-id idempotency, latest-state reads,
+  * CSV bulk payload rendering.
+  */
+class SourcesSpec extends SparkSpec {
+
+  private def batch(rows: Seq[(Long, String, Double)], dumpId: String,
+      tUs: Long) =
+    Sinks.stamped(
+      spark.createDataFrame(rows).toDF("pk", "status", "price"),
+      dumpId, tUs)
+
+  test("ParquetSink.appendIdempotent: replayed dump_ids never duplicate rows") {
+    val path = Files.createTempDirectory("graft_sink").toString + "/log"
+    val sink = ParquetSink(path)
+    val b1 = batch(Seq((1L, "new", 10.0), (2L, "new", 20.0)), "d1", 1000L)
+    assert(sink.appendIdempotent(spark, b1) == 2)
+    // replay of the SAME dump attempt: nothing appended
+    assert(sink.appendIdempotent(spark, b1) == 0)
+    assert(sink.log(spark).count() == 2)
+    // a new attempt re-dumping pk=2 appends (append-only log)
+    val b2 = batch(Seq((2L, "upd", 21.0)), "d2", 2000L)
+    assert(sink.appendIdempotent(spark, b2) == 1)
+    assert(sink.log(spark).count() == 3)
+  }
+
+  test("ParquetSink.latestState: newest dump wins per key") {
+    val path = Files.createTempDirectory("graft_sink").toString + "/log"
+    val sink = ParquetSink(path)
+    sink.appendIdempotent(spark,
+      batch(Seq((1L, "v1", 10.0), (2L, "v1", 20.0)), "d1", 1000L))
+    sink.appendIdempotent(spark,
+      batch(Seq((2L, "v2", 21.0)), "d2", 2000L))
+    val st = sink.latestState(spark, Seq("pk")).collect()
+      .map(r => r.getAs[Long]("pk") -> r.getAs[String]("status")).toMap
+    assert(st == Map(1L -> "v1", 2L -> "v2"))
+  }
+
+  test("CsvBulkSink: QUOTE_NONNUMERIC, doubled quotes, null as empty cell") {
+    val df = spark.createDataFrame(Seq(
+        (1L, """he said "hi"""", Some(1.5)),
+        (2L, "plain", None: Option[Double])))
+      .toDF("id", "note", "score")
+    val rows = df.select(CsvBulkSink.csvRow(df).as("r"))
+      .orderBy(col("r")).collect().map(_.getString(0))
+    assert(rows.contains("1,\"he said \"\"hi\"\"\",1.5"))
+    assert(rows.contains("2,\"plain\","), s"null cell must be empty: ${rows.toSeq}")
+  }
+
+  test("CsvBulkSink matches the sink_csv_format operator on orders") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+    // bare numeric + quoted strings, same rules as the A8 operator
+    val viaSink = orders
+      .select(col("o_orderkey"), CsvBulkSink.csvRow(orders).as("csv"))
+      .collect().map(r => r.getAs[Long]("o_orderkey") -> r.getAs[String]("csv"))
+      .toMap
+    Tables.orders(spark, sf).select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority")).collect().foreach { r =>
+      val k = r.getAs[Long]("o_orderkey")
+      val expected =
+        s"$k,\"${r.getAs[String]("o_orderstatus")}\",\"${r.getAs[String]("o_orderpriority")}\""
+      assert(viaSink(k) == expected)
+    }
+  }
+}
