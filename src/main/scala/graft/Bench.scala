@@ -22,6 +22,20 @@ object Bench {
       try Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // Warm the heavy expression machinery the same way: the interpreted
+    // HOF evaluators, md5/minhash16 and dot/proj kernels all JIT on first
+    // use (~4-5s, measured), which would otherwise be billed to whichever
+    // query alphabetically touches shingles/vectors first. Run the two
+    // deepest pipelines once at the smallest scale factor (fall back to
+    // the bench SF if no sibling sf0.001 exists).
+    val warmDir = {
+      val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sib.isDirectory) sib.toString else sfDir
+    }
+    Seq("dedup_minhash_lsh", "ann_lsh").foreach { q =>
+      try SparkEntry.queries(q)(spark, warmDir).count()
+      catch { case _: Throwable => () }
+    }
     var anyFailed = false
     // SPARK_GRAFT_ONLY=k1,k2 restricts the run (local iteration on one op).
     val only = sys.env.get("SPARK_GRAFT_ONLY")

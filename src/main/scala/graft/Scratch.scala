@@ -18,13 +18,41 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    val jac = graft.operators.DedupOps.dedupNgramJaccard.fn(spark, d)
-    t("jaccard warm0")(jac.count())
-    t("jaccard")(jac.count())
-    jac.explain("formatted")
-    val mh = graft.operators.DedupOps.dedupMinhashLsh.fn(spark, d)
-    t("minhash warm0")(mh.count())
-    t("minhash")(mh.count())
-    mh.explain("formatted")
+    var pairs: org.apache.spark.sql.DataFrame = null
+    t("pairs checkpoint") {
+      pairs = graft.operators.DedupOps.dedupMinhashLsh.fn(spark, d)
+        .select(col("i"), col("j")).localCheckpoint()
+      pairs.count()
+    }
+    val und = pairs.union(pairs.select(col("j"), col("i"))).toDF("src", "dst")
+    var labels: org.apache.spark.sql.DataFrame = null
+    t("seed") {
+      labels = und.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("v"), least(col("mn"), col("src")).as("label"))
+        .localCheckpoint()
+      labels.count()
+    }
+    var changed = 1L
+    var round = 0
+    while (changed > 0) {
+      round += 1
+      var prop: org.apache.spark.sql.DataFrame = null
+      t(s"round $round propagate") {
+        prop = und.join(labels, col("src") === col("v"))
+          .select(col("dst").as("v"), col("label"))
+          .union(labels)
+          .groupBy(col("v")).agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        prop.count()
+      }
+      t(s"round $round changed") {
+        changed = prop
+          .join(labels.withColumnRenamed("label", "old"), "v")
+          .filter(col("label") =!= col("old")).count()
+        changed
+      }
+      labels = prop
+    }
   }
 }

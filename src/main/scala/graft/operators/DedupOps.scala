@@ -271,8 +271,14 @@ object DedupOps {
       val pairs = minhashPairs(s, d).select(col("i"), col("j"))
         .localCheckpoint()
       val und = pairs.union(pairs.select(col("j"), col("i"))).toDF("src", "dst")
-      var labels = und.select(col("src").as("v")).distinct()
-        .select(col("v"), col("v").as("label"))
+      // Seed with one neighborhood-min pass (label(v) = min(v, neighbors))
+      // — equivalent to the first propagation round at the cost of a
+      // single groupBy, no join. Near-clique dup clusters converge here,
+      // so the loop usually runs once just to confirm no change.
+      var labels = und.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("v"), least(col("mn"), col("src")).as("label"))
+        .localCheckpoint()
       var changed = 1L
       while (changed > 0) {
         val prop = und.join(labels, col("src") === col("v"))
