@@ -145,6 +145,16 @@ object Portable {
     */
   def minhash16(shs: Column): Column = call_function("minhash16", shs)
 
+  /** Bounded-heap top-k aggregate ([[TopKAggregate TopKMinAgg]]): the k
+    * lexicographically-smallest `ordStruct` values as a sorted array,
+    * with map-side partial aggregation (shuffle carries ≤ k rows per
+    * group per partition — the scale path for rank-per-group top-k).
+    * Encode DESC by negating a numeric field; include a unique
+    * tie-break field to keep the ordering total.
+    */
+  def topkMin(ordStruct: Column, k: Int): Column =
+    call_function("topk_min", ordStruct, lit(k))
+
   /** Cosine similarity from exact micro dot products: one double division
     * over identical integers → identical doubles everywhere. `na`/`nb` are
     * the precomputed self-dots (dotMicros(v, v)).

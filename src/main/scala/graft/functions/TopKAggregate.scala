@@ -1,0 +1,166 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types._
+
+/** `topk_min(ord_struct, k)` — bounded-heap top-k aggregate.
+  *
+  * Keeps the k SMALLEST values of `ord_struct` under lexicographic
+  * struct ordering (encode "descending" by negating a numeric field and
+  * carrying the original alongside; later fields are the tie-break).
+  * Returns the retained structs as a sorted array.
+  *
+  * WHY: the idiomatic rank-per-group top-k
+  * (`row_number().over(Window.partitionBy(g).orderBy(o)) <= k`) must
+  * shuffle EVERY row to its group's partition and fully sort there —
+  * at 100 TB that is a full-data shuffle + sort to keep k rows per
+  * group. This aggregate is a TypedImperativeAggregate, so Spark runs
+  * it with map-side partial aggregation: each input partition reduces
+  * to ≤ k rows per group in a fixed-size heap, the shuffle moves only
+  * those, and merge folds heaps. Same answer, shuffle volume
+  * k·groups·partitions instead of all rows. See
+  * RelationalOps.q7bTopkAgg for the operator twin proving result parity
+  * with the window formulation.
+  *
+  * Determinism: the caller makes the struct ordering total (include a
+  * unique tie-break field), which the q7 shapes already do — so
+  * partial/merge order can never change the result. Nulls inside
+  * ordering fields sort FIRST (SQL NULLS FIRST ascending); top-level
+  * null structs are ignored like every SQL aggregate input.
+  */
+case class TopKMinAgg(
+    child: Expression,
+    kExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[InternalRow]] {
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def prettyName: String = "topk_min"
+
+  private lazy val k: Int = {
+    require(kExpr.foldable, "topk_min: k must be a literal")
+    kExpr.eval().asInstanceOf[Number].intValue()
+  }
+
+  private lazy val structType = child.dataType.asInstanceOf[StructType]
+
+  /** Recursive comparator over public row accessors — no dependence on
+    * Catalyst's internal ordering factories. Supports the atomic types
+    * the engine's sort keys use, plus nested structs.
+    */
+  private def cmpFor(dt: DataType): (Any, Any) => Int = dt match {
+    case LongType | TimestampType =>
+      (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case IntegerType | DateType =>
+      (a, b) => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case DoubleType =>
+      (a, b) => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case FloatType =>
+      (a, b) => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case StringType =>
+      (a, b) => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case BooleanType =>
+      (a, b) => java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+    case st: StructType =>
+      val fields = st.fields.map(f => (f.dataType, cmpFor(f.dataType)))
+      (a, b) => {
+        val (x, y) = (a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+        var i = 0
+        var r = 0
+        while (r == 0 && i < fields.length) {
+          val (fdt, fc) = fields(i)
+          val (xn, yn) = (x.isNullAt(i), y.isNullAt(i))
+          r = if (xn && yn) 0
+          else if (xn) -1 // NULLS FIRST ascending
+          else if (yn) 1
+          else fc(x.get(i, fdt), y.get(i, fdt))
+          i += 1
+        }
+        r
+      }
+    case other =>
+      throw new IllegalArgumentException(s"topk_min: unsupported sort type $other")
+  }
+
+  private lazy val rowCmp: (Any, Any) => Int = cmpFor(structType)
+  /** Max-heap of the retained k (largest on top, evicted first). */
+  private lazy val heapOrd: Ordering[InternalRow] =
+    (a: InternalRow, b: InternalRow) => rowCmp(a, b)
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[InternalRow] =
+    mutable.PriorityQueue.empty[InternalRow](heapOrd)
+
+  override def update(
+      buf: mutable.PriorityQueue[InternalRow],
+      input: InternalRow): mutable.PriorityQueue[InternalRow] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val row = v.asInstanceOf[InternalRow]
+      if (buf.size < k) buf.enqueue(row.copy()) // eval may reuse the row
+      else if (rowCmp(row, buf.head) < 0) { buf.dequeue(); buf.enqueue(row.copy()) }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.PriorityQueue[InternalRow],
+      other: mutable.PriorityQueue[InternalRow]): mutable.PriorityQueue[InternalRow] = {
+    other.foreach { row =>
+      if (buf.size < k) buf.enqueue(row)
+      else if (rowCmp(row, buf.head) < 0) { buf.dequeue(); buf.enqueue(row) }
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[InternalRow]): Any =
+    new GenericArrayData(buf.toArray.sorted(heapOrd).toArray[Any])
+
+  private lazy val proj = UnsafeProjection.create(structType)
+
+  override def serialize(buf: mutable.PriorityQueue[InternalRow]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeInt(buf.size)
+    buf.foreach { row =>
+      val u = proj(row)
+      dos.writeInt(u.getSizeInBytes)
+      dos.write(u.getBytes)
+    }
+    dos.flush()
+    out.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[InternalRow] = {
+    val dis = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = dis.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val len = dis.readInt()
+      val arr = new Array[Byte](len)
+      dis.readFully(arr)
+      val row = new UnsafeRow(structType.length)
+      row.pointTo(arr, len)
+      buf.enqueue(row)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+}

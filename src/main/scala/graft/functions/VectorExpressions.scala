@@ -196,5 +196,10 @@ object VectorExpressions {
       new FunctionIdentifier("minhash16"),
       new ExpressionInfo(classOf[Minhash16Expr].getName, "minhash16"),
       (args: Seq[Expression]) => Minhash16Expr(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_min"),
+      new ExpressionInfo(classOf[TopKMinAgg].getName, "topk_min"),
+      (args: Seq[Expression]) =>
+        TopKMinAgg(args(0), args(1)).toAggregateExpression()))
   }
 }

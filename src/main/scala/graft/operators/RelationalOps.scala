@@ -198,6 +198,43 @@ object RelationalOps {
       WHERE rn <= 3
       ORDER BY o_orderpriority, rn"""))
 
+  /** B7b — the same per-group top-3 as q7_window_topk, computed with the
+    * engine's bounded-heap aggregate
+    * ([[graft.functions.TopKMinAgg topk_min]]) instead of a window: the
+    * window plan shuffles EVERY order row to its group and sorts it;
+    * this plan partial-aggregates map-side, so the shuffle carries at
+    * most 3 rows per (group, input partition) — the difference between
+    * "sort 100 TB" and "merge a few heaps" at scale. Ordering struct:
+    * (-price, orderkey) = price DESC with a unique ASC tie-break, price
+    * carried alongside for the output. Identical rows to q7 (same
+    * oracle), proving result parity between the two plans.
+    */
+  val q7bTopkAgg: Op = Op(
+    "q7b_topk_agg",
+    (s, d) => {
+      val ord = struct(
+        (-col("o_totalprice")).as("np"),
+        col("o_orderkey"),
+        col("o_totalprice"))
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(topkMin(ord, 3).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"),
+          (col("pos") + 1).cast(LongType).as("rn"),
+          col("col.o_orderkey").as("o_orderkey"),
+          col("col.o_totalprice").as("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    },
+    Some("""
+      SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 3
+      ORDER BY o_orderpriority, rn"""))
+
   /** Exact distinct counts (expand-based in Spark; two-level shuffle). */
   val q8Distinct: Op = Op(
     "q8_distinct",
@@ -538,7 +575,7 @@ object RelationalOps {
 
   val all: Seq[Op] = Seq(
     q1Agg, q2Pushdown, q3JoinAgg, q4Semijoin, q5Antijoin, q6StarJoin,
-    q7WindowTopk, q8Distinct, q8bApproxDistinct, q9Rollup, q10Topk,
+    q7WindowTopk, q7bTopkAgg, q8Distinct, q8bApproxDistinct, q9Rollup, q10Topk,
     q11CaseAgg, q12DateAgg, q13StringFuncs, q14Union, q15ScalarSubquery,
     q16Sessionize, q17JsonExtract, q18RunningSum, q19OuterJoin, q20Cube,
     q21Pivot)

@@ -45,6 +45,19 @@ class RelationalSpec extends SparkSpec {
     assert(plan(df).contains("TakeOrderedAndProject"))
   }
 
+  test("q7b_topk_agg: identical rows to q7_window_topk, aggregate plan shape") {
+    val viaWindow = run("q7_window_topk").collect().map(_.toSeq).toSeq
+    val viaAgg = run("q7b_topk_agg").collect().map(_.toSeq).toSeq
+    assert(viaAgg == viaWindow, "bounded-heap top-k must equal window top-k")
+    val df = run("q7b_topk_agg")
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("topk_min"), "custom aggregate missing from plan")
+    assert(p.contains("partial_topk_min") || p.contains("Partial"),
+      "map-side partial aggregation missing — the whole point at scale")
+    assert(!p.contains("Window"), "q7b must not plan a window")
+  }
+
   test("q8b approx distinct within 5% of exact") {
     val exact = run("q8_distinct").collect()
       .map(r => r.getAs[String]("l_returnflag") ->
