@@ -14,6 +14,7 @@ import graft.streaming.EventIngest
   */
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class UserEv(user_id: Long, ts: Timestamp)
+case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
 class StreamingSpec extends SparkSpec {
 
@@ -83,5 +84,38 @@ class StreamingSpec extends SparkSpec {
       got(0).end_us == t("10:10").getTime * 1000)
     assert(got(1).n_events == 1 &&
       got(1).start_us == t("11:30").getTime * 1000)
+  }
+
+  test("doc ingest stream: quality gate + cross-batch exact dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.DocIngest
+
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs far away to a quiet place in the woods today again"
+    val src = MemoryStream[Doc]
+    val query = DocIngest.pipeline(src.toDS().toDF())
+      .writeStream.format("memory").queryName("docs_ingest")
+      .outputMode("append").start()
+
+    // batch 1: a good doc, a whitespace-variant dup of it (same
+    // fingerprint), and a too-short doc the quality gate drops
+    src.addData(
+      Doc(1, t("10:00"), good),
+      Doc(2, t("10:01"), "  " + good.replace(" ", "  ") + "  "),
+      Doc(3, t("10:02"), "way too short"))
+    query.processAllAvailable()
+    // batch 2: the same content AGAIN (inside the watermark horizon)
+    // plus one genuinely new good doc
+    src.addData(
+      Doc(4, t("10:10"), good),
+      Doc(5, t("10:11"), good + " but this one is different enough"))
+    query.processAllAvailable()
+    query.stop()
+
+    val ids = spark.table("docs_ingest").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(ids == Seq(1L, 5L),
+      s"expected first-seen survivors 1 and 5, got $ids")
   }
 }
