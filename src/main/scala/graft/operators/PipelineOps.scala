@@ -236,6 +236,58 @@ object PipelineOps {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
+  /** G6 — ordered conversion funnel: signup → first subsequent click →
+    * first subsequent purchase, per user, strictly time-ordered (a
+    * purchase before the click doesn't count — the stage must happen
+    * AFTER the previous stage's first completion). Three per-user
+    * stage times computed in two user-co-partitioned join+agg phases
+    * (each one shuffle on user_id; the user⋈stage-time joins reuse the
+    * same partitioning), then one global count. Timestamps compare as
+    * unix micros in both engines.
+    */
+  val eventsFunnel: Op = Op(
+    "events_funnel",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val ts = e.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", col("us"))).as("t_s"))
+        .filter(col("t_s").isNotNull)
+      val tc = e.join(ts, "user_id")
+        .groupBy(col("user_id"), col("t_s"))
+        .agg(min(when(col("event_type") === "click" && col("us") > col("t_s"),
+          col("us"))).as("t_c"))
+        .filter(col("t_c").isNotNull)
+      val tp = e.join(tc, "user_id")
+        .groupBy(col("user_id"), col("t_c"))
+        .agg(min(when(col("event_type") === "purchase" && col("us") > col("t_c"),
+          col("us"))).as("t_p"))
+        .filter(col("t_p").isNotNull)
+      ts.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(tc.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_purchase_after")))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      ts AS (SELECT user_id,
+                    min(CASE WHEN event_type = 'signup' THEN us END) AS t_s
+             FROM e GROUP BY user_id HAVING t_s IS NOT NULL),
+      tc AS (SELECT e.user_id, t_s,
+                    min(CASE WHEN event_type = 'click' AND us > t_s
+                        THEN us END) AS t_c
+             FROM e JOIN ts ON e.user_id = ts.user_id
+             GROUP BY e.user_id, t_s HAVING t_c IS NOT NULL),
+      tp AS (SELECT e.user_id, t_c,
+                    min(CASE WHEN event_type = 'purchase' AND us > t_c
+                        THEN us END) AS t_p
+             FROM e JOIN tc ON e.user_id = tc.user_id
+             GROUP BY e.user_id, t_c HAVING t_p IS NOT NULL)
+      SELECT (SELECT count(*) FROM ts) AS n_signup,
+             (SELECT count(*) FROM tc) AS n_click_after,
+             (SELECT count(*) FROM tp) AS n_purchase_after"""))
+
   val all: Seq[Op] = Seq(
-    joinAsof, joinRange, sampleStratified, qualityFilter, eventsRetention)
+    joinAsof, joinRange, sampleStratified, qualityFilter, eventsRetention,
+    eventsFunnel)
 }

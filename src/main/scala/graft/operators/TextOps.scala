@@ -204,6 +204,46 @@ object TextOps {
       ORDER BY n DESC, bigram
       LIMIT 20"""))
 
+  /** C6 — document frequency / IDF inputs: for the 20 corpus-wide most
+    * document-frequent tokens, the doc count and df/N ratio (the IDF
+    * denominator — the log is left to the consumer: ln() differs by ULPs
+    * across engines, df and N are exact). Each doc contributes its
+    * DISTINCT tokens once (array_distinct before the explode), the
+    * df count is map-side combined, N broadcasts as a one-row cross
+    * join (the q15 scalar-subquery shape) — no driver collect. Top-k via
+    * TakeOrderedAndProject.
+    */
+  val textDocFreq: Op = Op(
+    "text_doc_freq",
+    (s, d) => {
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), toks(col("text")).as("tok"))
+        .select(explode(array_distinct(col("tok"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .select(col("token"), col("df"), col("n_docs"),
+          (col("df").cast("double") / col("n_docs")).as("df_ratio"))
+        .orderBy(col("df").desc, col("token"))
+        .limit(20)
+    },
+    Some("""
+      SELECT token, df, n_docs, CAST(df AS DOUBLE) / n_docs AS df_ratio
+      FROM (
+        SELECT token, count(*) AS df
+        FROM (
+          SELECT doc_id,
+                 unnest(list_distinct(regexp_split_to_array(trim(lower(text)),
+                   '\s+'))) AS token
+          FROM documents) t
+        GROUP BY token) f
+      CROSS JOIN (SELECT count(*) AS n_docs FROM documents) n
+      ORDER BY df DESC, token
+      LIMIT 20"""))
+
   val all: Seq[Op] = Seq(
-    textTokenCount, textQuality, textLangid, textFingerprint, textNgramFreq)
+    textTokenCount, textQuality, textLangid, textFingerprint, textNgramFreq,
+    textDocFreq)
 }

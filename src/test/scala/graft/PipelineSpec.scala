@@ -99,6 +99,35 @@ class PipelineSpec extends SparkSpec {
     assert(out.filter(_._2 == 0L).map(_._3).sum == users)
   }
 
+  test("events_funnel: monotone stage counts, stages strictly ordered") {
+    val r = run("events_funnel").collect().head
+    val (s, c, p) = (r.getAs[Long]("n_signup"), r.getAs[Long]("n_click_after"),
+      r.getAs[Long]("n_purchase_after"))
+    assert(s >= c && c >= p, s"funnel must narrow: $s >= $c >= $p")
+    assert(s > 0, "sf0.001 has signups")
+  }
+
+  test("emb_centroids: 64 dims per label, centroid = mean of quantized values") {
+    val out = run("emb_centroids").collect()
+    val dims = out.groupBy(_.getAs[Long]("label")).view.mapValues(_.length)
+    assert(dims.values.forall(_ == 64), s"expected 64 dims/label: $dims")
+    out.foreach { r =>
+      val mean = r.getAs[Long]("sum_micros").toDouble /
+        r.getAs[Long]("n_vecs") / 1e6
+      assert(math.abs(r.getAs[Double]("centroid") - mean) < 1e-12)
+      assert(math.abs(r.getAs[Double]("centroid")) <= 1.0)
+    }
+  }
+
+  test("text_doc_freq: df bounded by corpus size, common words on top") {
+    val out = run("text_doc_freq").collect()
+    assert(out.length == 20)
+    val n = out.head.getAs[Long]("n_docs")
+    assert(out.forall(r => r.getAs[Long]("df") <= n))
+    val dfs = out.map(_.getAs[Long]("df")).toSeq
+    assert(dfs == dfs.sorted.reverse, "must be sorted by df desc")
+  }
+
   test("dedup_clusters: transitive closure over minhash pairs, min-id labels") {
     val dir = miniClusterDir
     val pairs = run("dedup_minhash_lsh", dir).collect()
