@@ -573,10 +573,57 @@ object RelationalOps {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  /** B22 — discrete percentiles (p50/p90 of order value per priority),
+    * formulated as rank-at-position so the result is an ACTUAL data
+    * value, bit-identical in any engine: interpolating percentile
+    * implementations differ in FP evaluation order across engines, but
+    * "the value at row_number floor((n-1)·q)+1 in sort order" is exact.
+    * Ties in the sort value cannot change the selected value (equal
+    * values at a rank are equal), so no tie-break column is needed.
+    * One window shuffle + one co-partitioned count join; at 100 TB the
+    * refinement for heavy groups is an approx-quantile sketch first
+    * pass — this op is the exact-answer path.
+    */
+  val q22Percentile: Op = Op(
+    "q22_percentile",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"))
+      val ranked = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+      val sizes = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      ranked.join(sizes, "o_orderpriority")
+        .groupBy(col("o_orderpriority"), col("n"))
+        .agg(
+          // `div` (integer division), matching the oracle's `//` — the
+          // Column `/` operator is true division and returns doubles
+          min(when(col("rn") === expr("((n - 1) * 5) div 10 + 1"),
+            col("o_totalprice"))).as("p50"),
+          min(when(col("rn") === expr("((n - 1) * 9) div 10 + 1"),
+            col("o_totalprice"))).as("p90"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT r.o_orderpriority, n,
+             min(CASE WHEN rn = (n-1)*5//10 + 1 THEN o_totalprice END) AS p50,
+             min(CASE WHEN rn = (n-1)*9//10 + 1 THEN o_totalprice END) AS p90
+      FROM (
+        SELECT o_orderpriority, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice) AS BIGINT) AS rn
+        FROM orders) r
+      JOIN (SELECT o_orderpriority, count(*) AS n
+            FROM orders GROUP BY o_orderpriority) s
+        ON r.o_orderpriority = s.o_orderpriority
+      GROUP BY r.o_orderpriority, n
+      ORDER BY r.o_orderpriority"""))
+
   val all: Seq[Op] = Seq(
     q1Agg, q2Pushdown, q3JoinAgg, q4Semijoin, q5Antijoin, q6StarJoin,
     q7WindowTopk, q7bTopkAgg, q8Distinct, q8bApproxDistinct, q9Rollup, q10Topk,
     q11CaseAgg, q12DateAgg, q13StringFuncs, q14Union, q15ScalarSubquery,
     q16Sessionize, q17JsonExtract, q18RunningSum, q19OuterJoin, q20Cube,
-    q21Pivot)
+    q21Pivot, q22Percentile)
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SURVEY §5's bucketing claim, proven: writing both fact tables
+  * bucketed on the join key lets the orders⋈lineitem join run with ZERO
+  * exchanges — the one-time bucketing shuffle is amortized across every
+  * subsequent co-located join, the big-fact-join play at 100 TB.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed fact-fact join plans with no Exchange") {
+    // force the shuffle-join path (tiny sf0.001 tables would broadcast,
+    // and a BroadcastExchange would muddy the no-Exchange assertion)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try bucketedJoinBody()
+    finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  private def bucketedJoinBody(): Unit = {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables.orders(spark, sf)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.lineitem(spark, sf)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val rows = joined.collect()
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables.lineitem(spark, sf).count(), "join must cover all lineitems")
+
+    val p = plan(joined)
+    // the JOIN itself must be exchange-free: the only allowed exchange
+    // is the one for the final small groupBy
+    val joinPart = p.split("HashAggregate").last
+    assert(!joinPart.contains("Exchange"),
+      s"bucketed join still shuffles:\n$joinPart")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+  }
+}
