@@ -1,6 +1,9 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
 
 /** Throwaway profiling main for local iteration (not part of the driver
   * contract; deleted or ignored by Verify/Bench).
@@ -17,42 +20,34 @@ object Scratch {
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // warm shingle machinery
+    graft.operators.DedupOps.dedupMinhashLsh.fn(spark, "/root/testdata/sf0.001").count()
 
-    var pairs: org.apache.spark.sql.DataFrame = null
-    t("pairs checkpoint") {
-      pairs = graft.operators.DedupOps.dedupMinhashLsh.fn(spark, d)
-        .select(col("i"), col("j")).localCheckpoint()
-      pairs.count()
+    def current = graft.operators.DedupOps.dedupNgramJaccard.fn(spark, d)
+    t("current warm0")(current.count())
+    t("current")(current.count())
+
+    def viaWindow = {
+      val sh0 = Tables.documents(spark, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("tok"))
+        .select(col("doc_id"), explode(shinglesFromTokens(col("tok"))).as("s"))
+      val sh = sh0.withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      sh.groupBy(col("s"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(pairCombinations(col("ds"))).as("p"))
+        .groupBy(col("p.i.doc_id").as("i"), col("p.j.doc_id").as("j"),
+          col("p.i.n").as("n_i"), col("p.j.n").as("n_j"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("i"), col("j"),
+          (col("c") * lit(1.0) / (col("n_i") + col("n_j") - col("c")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.2)
+        .orderBy(col("i"), col("j"))
     }
-    val und = pairs.union(pairs.select(col("j"), col("i"))).toDF("src", "dst")
-    var labels: org.apache.spark.sql.DataFrame = null
-    t("seed") {
-      labels = und.groupBy(col("src"))
-        .agg(min(col("dst")).as("mn"))
-        .select(col("src").as("v"), least(col("mn"), col("src")).as("label"))
-        .localCheckpoint()
-      labels.count()
-    }
-    var changed = 1L
-    var round = 0
-    while (changed > 0) {
-      round += 1
-      var prop: org.apache.spark.sql.DataFrame = null
-      t(s"round $round propagate") {
-        prop = und.join(labels, col("src") === col("v"))
-          .select(col("dst").as("v"), col("label"))
-          .union(labels)
-          .groupBy(col("v")).agg(min(col("label")).as("label"))
-          .localCheckpoint()
-        prop.count()
-      }
-      t(s"round $round changed") {
-        changed = prop
-          .join(labels.withColumnRenamed("label", "old"), "v")
-          .filter(col("label") =!= col("old")).count()
-        changed
-      }
-      labels = prop
-    }
+    t("window-n warm0")(viaWindow.count())
+    t("window-n")(viaWindow.count())
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -105,22 +106,16 @@ object DedupOps {
       // stop-phrase tail at larger corpora. The shingle-set SIZE rides
       // along inside the collected structs, so the Jaccard denominator
       // needs NO join back to a per-doc sizes table — the whole op is
-      // two shuffles (shingle, pair) and zero joins. The shingle
-      // expression appears twice (size + explode input, both evaluated
-      // once per DOC, not per element). Plan-shape traps, both measured
-      // ~10× at sf0.1: the explode argument must stay a RAW expression
-      // (see [[shingleRows]]), and `n` must be materialized in its OWN
-      // select BEFORE the generate — written next to explode(), the
-      // analyzer places the n-projection AFTER Generate, recomputing the
-      // full shingle array once per exploded ROW.
-      val sh = Tables.documents(s, d)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"),
-          split(trim(lower(col("text"))), "\\s+").as("tok"))
-        .select(col("doc_id"),
-          size(shinglesFromTokens(col("tok"))).as("n"), col("tok"))
-        .select(col("doc_id"), col("n"),
-          explode(shinglesFromTokens(col("tok"))).as("s"))
+      // two shuffles (shingle, pair) and zero joins. `n` (the distinct
+      // shingle count per doc) comes from a count window over the
+      // exploded stream: the input is already hash-partitioned on
+      // doc_id, so the window adds only an in-partition sort — cheaper
+      // than recomputing the shingle array for a size() column, and it
+      // sidesteps two measured ~10× plan-shape traps (see
+      // [[shingleRows]]; also: a non-generator column written next to
+      // explode() is planned AFTER Generate and recomputed per row).
+      val sh = shingleRows(s, d).withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       sh.groupBy(col("s"))
         .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
         .filter(size(col("ds")) >= 2)
