@@ -281,10 +281,22 @@ object DedupOps {
           .union(labels)
           .groupBy(col("v")).agg(min(col("label")).as("label"))
           .localCheckpoint()
-        changed = prop
+        // Pointer jumping: follow the label's own label (L' = L∘L), so
+        // label depth halves every round and convergence is
+        // O(log diameter) instead of O(diameter) — the difference
+        // between 2-3 rounds and millions on a pathological 100 TB
+        // duplicate CHAIN. Labels are always vertex ids (minima over
+        // seen ids), so the self-join key always resolves; joining the
+        // CHECKPOINTED frame keeps the self-join attribute-clean.
+        val jumped = prop
+          .join(prop.select(col("v").as("lv"), col("label").as("ll")),
+            col("label") === col("lv"))
+          .select(col("v"), col("ll").as("label"))
+          .localCheckpoint()
+        changed = jumped
           .join(labels.withColumnRenamed("label", "old"), "v")
           .filter(col("label") =!= col("old")).count()
-        labels = prop
+        labels = jumped
       }
       labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id"))

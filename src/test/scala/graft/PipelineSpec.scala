@@ -150,6 +150,30 @@ class PipelineSpec extends SparkSpec {
     assert(got == expected, s"$got != $expected")
   }
 
+  test("dedup_clusters: long chain collapses to one cluster (pointer jumping)") {
+    // sliding 20-word windows with stride 5: consecutive docs share
+    // ~0.57 jaccard (> tau), two-apart ~0.29 (< tau) -> the dup graph is
+    // a CHAIN of diameter 7, so the transitive label must cross hops
+    val dir = java.nio.file.Files.createTempDirectory("graft_chain").toString
+    val vocab = (0 until 60).map(i => s"w${i}word")
+    val docs = (0L until 8L).map { k =>
+      val text = vocab.slice(5 * k.toInt, 5 * k.toInt + 20).mkString(" ")
+      (k, text, "en", s"src$k", text.length.toLong)
+    }
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = run("dedup_minhash_lsh", dir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    assert((0L until 7L).forall(k => pairs.contains((k, k + 1))),
+      s"chain links missing: $pairs")
+    assert(!pairs.contains((0L, 7L)), "distant docs must not pair directly")
+    val got = run("dedup_clusters", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == (0L until 8L).map(_ -> 0L).toMap,
+      s"chain must collapse to cluster 0: $got")
+  }
+
   /** Corpus with a dup CHAIN (0~1, 1~2 strongly; 0~2 weaker) so clustering
     * exercises a real transitive step, plus an unrelated pair.
     */
