@@ -102,5 +102,47 @@ object MultimodalOps {
     },
     None)
 
-  val all: Seq[Op] = Seq(mmBinaryMeta, mmDecodeBatch)
+  /** F3 — fixed-size chunking of a binary payload: the shard-for-
+    * transport / frame-sample plumbing pass (256-byte windows, last
+    * chunk ragged; empty payloads produce one empty chunk). Byte ranges
+    * are sliced on the lowercase hex encoding — 2 hex chars per byte,
+    * multibyte-safe, and expressible identically in any engine (DuckDB
+    * lacks BLOB substring) — with an md5 per chunk for integrity
+    * checking. One narrow explode: chunk count rides a prior projection
+    * so the Generate never recomputes it per row; no shuffle except the
+    * output ordering.
+    */
+  val mmChunk: Op = Op(
+    "mm_chunk",
+    (s, d) => {
+      val CHUNK_HEX = 512 // 256 bytes
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          lower(hex(col("text").cast("binary"))).as("hx"))
+        .select(col("doc_id"), col("hx"),
+          greatest(ceil(length(col("hx")) / lit(CHUNK_HEX.toDouble))
+            .cast(LongType), lit(1L)).as("nc"))
+        .select(col("doc_id"), col("hx"), col("nc"),
+          explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (length(expr(s"substr(hx, chunk_idx * $CHUNK_HEX + 1, $CHUNK_HEX)")) / 2)
+            .cast(LongType).as("chunk_bytes"),
+          md5(expr(s"substr(hx, chunk_idx * $CHUNK_HEX + 1, $CHUNK_HEX)"))
+            .as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""
+      SELECT doc_id, chunk_idx,
+             CAST(length(substr(hx, CAST(chunk_idx * 512 + 1 AS BIGINT), 512)) // 2
+               AS BIGINT) AS chunk_bytes,
+             md5(substr(hx, CAST(chunk_idx * 512 + 1 AS BIGINT), 512)) AS chunk_md5
+      FROM (
+        SELECT doc_id, hx,
+               unnest(generate_series(0, greatest(
+                 CAST(ceil(length(hx) / 512.0) AS BIGINT), 1) - 1)) AS chunk_idx
+        FROM (SELECT doc_id, lower(hex(encode(text))) AS hx
+              FROM documents) t1) t2
+      ORDER BY doc_id, chunk_idx"""))
+
+  val all: Seq[Op] = Seq(mmBinaryMeta, mmDecodeBatch, mmChunk)
 }

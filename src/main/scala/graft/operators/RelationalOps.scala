@@ -620,10 +620,46 @@ object RelationalOps {
       GROUP BY r.o_orderpriority, n
       ORDER BY r.o_orderpriority"""))
 
+  /** B23 — 7-day moving average of daily revenue: the sliding-frame
+    * window shape. The window runs over the DAILY pre-aggregate (one row
+    * per day — thousands of rows at any corpus scale), never the raw
+    * orders, so the global ordering is a non-issue; the frame sum is in
+    * exact integer micros (daily revenue is a multiple of 1e-6 by
+    * construction, so round() recovers the integer exactly) — identical
+    * across engines regardless of frame evaluation order.
+    */
+  val q23MovingAvg: Op = Op(
+    "q23_moving_avg",
+    (s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(exactSum(col("o_totalprice")).as("rev"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily
+        .withColumn("rev_ma7",
+          sum(round(col("rev") * 1000000).cast(LongType)).over(w) / 1000000.0)
+        .withColumn("n_days_in_frame", count(lit(1)).over(w))
+        .orderBy(col("day"))
+    },
+    Some(s"""
+      SELECT day, rev, n_orders,
+             CAST(sum(CAST(round(rev*1000000) AS BIGINT))
+               OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS BIGINT) / 1000000.0 AS rev_ma7,
+             count(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND
+               CURRENT ROW) AS n_days_in_frame
+      FROM (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               ${xsum("o_totalprice")} AS rev,
+               count(*) AS n_orders
+        FROM orders GROUP BY day) t
+      ORDER BY day"""))
+
   val all: Seq[Op] = Seq(
     q1Agg, q2Pushdown, q3JoinAgg, q4Semijoin, q5Antijoin, q6StarJoin,
     q7WindowTopk, q7bTopkAgg, q8Distinct, q8bApproxDistinct, q9Rollup, q10Topk,
     q11CaseAgg, q12DateAgg, q13StringFuncs, q14Union, q15ScalarSubquery,
     q16Sessionize, q17JsonExtract, q18RunningSum, q19OuterJoin, q20Cube,
-    q21Pivot, q22Percentile)
+    q21Pivot, q22Percentile, q23MovingAvg)
 }
