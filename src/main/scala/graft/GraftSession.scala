@@ -18,7 +18,8 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
-      // native codegen'd vector kernels (dot_micros, proj_micros)
+      // native kernels: dot_micros/proj_micros (codegen'd), minhash16,
+      // and the topk_min bounded-heap aggregate
       .withExtensions(graft.functions.VectorExpressions.registerAll)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")

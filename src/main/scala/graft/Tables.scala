@@ -39,4 +39,15 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every table as a temp view so the full surface is also
+    * reachable through `spark.sql(...)` ANSI SQL — `events` goes through
+    * the nanos-normalizing loader above, everything else is the plain
+    * pruned/pushed-down parquet scan.
+    */
+  def registerViews(s: SparkSession, d: String): Unit = {
+    names.filterNot(_ == "events")
+      .foreach(n => load(s, d, n).createOrReplaceTempView(n))
+    events(s, d).createOrReplaceTempView("events")
+  }
 }

@@ -83,6 +83,25 @@ final case class ParquetSink(path: String) {
       .filter(col("rn") === 1)
       .drop("rn")
   }
+
+  /** Compaction — the scheduled twin of ClickHouse's background merge:
+    * rewrite the append log down to its latest-state rows so reads stop
+    * paying for superseded versions. Readers through [[latestState]]
+    * see identical results before and after (the view is idempotent
+    * over compaction); dump-id idempotency keeps working because the
+    * surviving rows retain their dump_id. Write-temp-then-swap keeps a
+    * crash from destroying the log (a lake-format deployment would get
+    * this atomically from the table format's commit protocol).
+    */
+  def compact(spark: SparkSession, keyCols: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    latestState(spark, keyCols).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
 }
 
 /** ClickHouse-FORMAT-CSV-shaped payload rendering: every row of any

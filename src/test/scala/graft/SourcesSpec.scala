@@ -43,6 +43,39 @@ class SourcesSpec extends SparkSpec {
     assert(st == Map(1L -> "v1", 2L -> "v2"))
   }
 
+  test("ParquetSink.compact: log shrinks to latest state, reads unchanged") {
+    val path = Files.createTempDirectory("graft_sink").toString + "/log"
+    val sink = ParquetSink(path)
+    sink.appendIdempotent(spark,
+      batch(Seq((1L, "v1", 10.0), (2L, "v1", 20.0)), "d1", 1000L))
+    sink.appendIdempotent(spark,
+      batch(Seq((2L, "v2", 21.0), (3L, "v1", 30.0)), "d2", 2000L))
+    val before = sink.latestState(spark, Seq("pk")).collect()
+      .map(r => (r.getAs[Long]("pk"), r.getAs[String]("status"))).sorted.toSeq
+    assert(spark.read.parquet(path).count() == 4)
+    sink.compact(spark, Seq("pk"))
+    assert(spark.read.parquet(path).count() == 3, "superseded row must go")
+    val after = sink.latestState(spark, Seq("pk")).collect()
+      .map(r => (r.getAs[Long]("pk"), r.getAs[String]("status"))).sorted.toSeq
+    assert(after == before, "compaction must not change the view")
+    // idempotency survives: d2 replay still appends nothing
+    assert(sink.appendIdempotent(spark,
+      batch(Seq((3L, "v1", 30.0)), "d2", 2000L)) == 0)
+  }
+
+  test("SQL surface: registered views answer ANSI SQL with pushdown intact") {
+    Tables.registerViews(spark, sf)
+    val df = spark.sql("""
+      SELECT o_orderpriority, count(*) AS n
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    assert(df.collect().map(_.getAs[Long]("n")).sum > 0)
+    df.collect()
+    assert(plan(df).contains("PushedFilters"), "view scan lost pushdown")
+    val ev = spark.sql("SELECT count(*) AS n FROM events WHERE event_type = 'click'")
+    assert(ev.collect().head.getAs[Long]("n") > 0, "events view must read nanos parquet")
+  }
+
   test("CsvBulkSink: QUOTE_NONNUMERIC, doubled quotes, null as empty cell") {
     val df = spark.createDataFrame(Seq(
         (1L, """he said "hi"""", Some(1.5)),
