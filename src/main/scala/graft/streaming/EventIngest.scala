@@ -2,25 +2,28 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.functions.Portable._
+import graft.sources.{ParquetSink, Sinks}
 
 /** Structured-Streaming ingest twin of the reference's event-driven path
   * (signals.py:1-82 — change event fires; tasks.py:1-59 — async dump into
   * the sink): events arrive on a stream, are aggregated into 1-hour
-  * tumbling windows with a watermark, and each micro-batch is appended to
-  * a parquet sink tagged with its epoch id. Idempotency mirrors the
-  * reference's dump_id design: appends are never updated in place — the
-  * authoritative "current state" is the latest-epoch-per-key VIEW over the
-  * append log (exactly ClickHouse ReplacingMergeTree + FINAL, and exactly
-  * our A1 `sink_latest_state` operator).
+  * tumbling windows with a watermark, and each micro-batch is appended
+  * THROUGH the engine's idempotent sink abstraction
+  * ([[graft.sources.ParquetSink]]), stamped with the epoch id as its
+  * dump_id. `foreachBatch` may re-deliver an epoch after a failure; the
+  * dump-id dedup turns that at-least-once delivery into exactly-once
+  * sink contents — the same idempotency design the reference gets from
+  * dump_id + ReplacingMergeTree, and the standard Spark recipe for
+  * exactly-once foreachBatch sinks. The authoritative current state is
+  * the sink's latest-state view (newest epoch wins per window key).
   *
   * At scale: the window agg shuffles once on (window, event_type) with
   * map-side partial aggregation; the watermark bounds state; the sink
-  * append is partition-parallel; compaction of the append log is the A1
-  * window, run lazily at read or scheduled.
+  * append is partition-parallel; compaction (ParquetSink.compact) runs
+  * scheduled, like ClickHouse background merges.
   */
 object EventIngest {
 
@@ -38,7 +41,8 @@ object EventIngest {
 
   /** Start the ingest on a streaming events frame (must have columns
     * ts: timestamp, event_type: string, value: double). Each micro-batch
-    * appends its (possibly updated) window rows tagged with the epoch id.
+    * appends its (possibly updated) window rows through the idempotent
+    * sink, dump_id = the epoch id.
     */
   def start(
       events: DataFrame,
@@ -49,21 +53,17 @@ object EventIngest {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        batch.withColumn("epoch", lit(epochId))
-          .write.mode("append").parquet(sinkDir)
+        ParquetSink(sinkDir).appendIdempotent(batch.sparkSession,
+          Sinks.stamped(batch, s"epoch-$epochId", epochId))
+        ()
       }
       .start()
 
   /** The authoritative current state of the sink: latest epoch wins per
-    * (hour_start, event_type) — the A1 latest-row-per-key shape over the
-    * append log.
+    * (hour_start, event_type) — the ReplacingMergeTree-FINAL view.
     */
-  def latestState(spark: SparkSession, sinkDir: String): DataFrame = {
-    val w = Window.partitionBy(col("hour_start"), col("event_type"))
-      .orderBy(col("epoch").desc)
-    spark.read.parquet(sinkDir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "epoch")
-  }
+  def latestState(spark: SparkSession, sinkDir: String): DataFrame =
+    ParquetSink(sinkDir)
+      .latestState(spark, Seq("hour_start", "event_type"))
+      .drop("dump_id", "time_last_dumped_us")
 }

@@ -33,7 +33,7 @@ object IngestDemo {
 
     println("=== RAW APPEND LOG (ReplacingMergeTree-style) ===")
     spark.read.parquet(s"$dir/sink")
-      .orderBy("hour_start", "event_type", "epoch").show(false)
+      .orderBy("hour_start", "event_type", "dump_id").show(false)
     println("=== LATEST STATE (A1 view) ===")
     EventIngest.latestState(spark, s"$dir/sink")
       .orderBy("hour_start", "event_type").show(false)
