@@ -1,12 +1,11 @@
 package graft
 
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
-
-import graft.functions.Portable._
-
-/** Throwaway profiling main for local iteration (not part of the driver
-  * contract; deleted or ignored by Verify/Bench).
+/** Throwaway profiling harness for local iteration (not part of the
+  * driver contract; Verify/Bench ignore it). Typical use: paste a plan
+  * under test, time sub-stages with [[t]], print `.explain("formatted")`
+  * — see BASELINE.md's optimization log for what it has caught
+  * (InferFiltersFromGenerate re-inlining, post-Generate projections,
+  * count() pruning hiding the real cost of a projection).
   */
 object Scratch {
   def t(name: String)(f: => Long): Unit = {
@@ -20,34 +19,11 @@ object Scratch {
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
-    // warm shingle machinery
-    graft.operators.DedupOps.dedupMinhashLsh.fn(spark, "/root/testdata/sf0.001").count()
-
-    def current = graft.operators.DedupOps.dedupNgramJaccard.fn(spark, d)
-    t("current warm0")(current.count())
-    t("current")(current.count())
-
-    def viaWindow = {
-      val sh0 = Tables.documents(spark, d)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("tok"))
-        .select(col("doc_id"), explode(shinglesFromTokens(col("tok"))).as("s"))
-      val sh = sh0.withColumn("n",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      sh.groupBy(col("s"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
-        .filter(size(col("ds")) >= 2)
-        .select(explode(pairCombinations(col("ds"))).as("p"))
-        .groupBy(col("p.i.doc_id").as("i"), col("p.j.doc_id").as("j"),
-          col("p.i.n").as("n_i"), col("p.j.n").as("n_j"))
-        .agg(count(lit(1)).as("c"))
-        .select(col("i"), col("j"),
-          (col("c") * lit(1.0) / (col("n_i") + col("n_j") - col("c")))
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.2)
-        .orderBy(col("i"), col("j"))
+    args.foreach { key =>
+      val df = SparkEntry.queries(key)(spark, d)
+      t(s"$key warm0")(df.count())
+      t(key)(df.count())
+      df.explain("formatted")
     }
-    t("window-n warm0")(viaWindow.count())
-    t("window-n")(viaWindow.count())
   }
 }
