@@ -102,6 +102,57 @@ object SinkOps {
         ON o_orderkey = l_orderkey
       ORDER BY o_orderkey"""))
 
+  /** A11 — related-item dump cascade: the reference's `dump_related`
+    * (sinks/base_sink.py:169-203 → course_published.py:39-46): when a
+    * parent passes the dump gate, every related child row is dumped in
+    * the same sweep, STAMPED WITH THE PARENT'S dump_id and
+    * time_last_dumped (child versions track parent dumps — that is what
+    * makes the course→xblocks cascade replace-consistent in the sink).
+    * Spark twin: A2's gate filters the parents, one co-partitioned
+    * join on the parent key fans out to children, and the parent's
+    * dump metadata (a deterministic md5-derived dump id standing in for
+    * the reference's uuid, plus the modified-at timestamp) rides onto
+    * every child row. Both sides shuffle once on the parent key; the
+    * gate's pre-aggregate is map-side combined.
+    */
+  val sinkDumpRelated: Op = Op(
+    "sink_dump_related",
+    (s, d) => {
+      val sinkState = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("dumped_at"))
+      val parents = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .join(sinkState, col("o_orderkey") === col("l_orderkey"), "left")
+        .filter(col("dumped_at").isNull || col("dumped_at") < col("o_orderdate"))
+        .select(col("o_orderkey"),
+          concat(lit("dump-"),
+            hash32(concat(lit("d|"), col("o_orderkey"))).cast("string"))
+            .as("dump_id"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+            .as("time_last_dumped"))
+      parents.join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber").cast(LongType)
+            .as("l_linenumber"),
+          col("l_quantity"), col("dump_id"), col("time_last_dumped"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some(s"""
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             l_quantity,
+             concat('dump-', CAST(${Op.xhash32("concat('d|', o_orderkey)")}
+               AS VARCHAR)) AS dump_id,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS time_last_dumped
+      FROM (
+        SELECT o_orderkey, o_orderdate
+        FROM orders
+        LEFT JOIN (SELECT l_orderkey AS sk, max(l_shipdate) AS dumped_at
+                   FROM lineitem GROUP BY 1) sink
+          ON o_orderkey = sk
+        WHERE dumped_at IS NULL OR dumped_at < o_orderdate) p
+      JOIN lineitem ON l_orderkey = o_orderkey
+      ORDER BY l_orderkey, l_linenumber"""))
+
   /** A3 — PII retirement: the reference's `UserRetirementSink.send_item`
     * (sinks/user_retire.py:23-49) issues `DELETE WHERE user_id IN (set)`
     * against every configured PII table. The Spark rewrite is an anti-join
@@ -453,5 +504,6 @@ object SinkOps {
   val all: Seq[Op] = Seq(
     sinkLatestState, sinkShouldDump, sinkRetireUsers, sinkPagination,
     sinkBackfillPlan, sinkSerializeOverview, sinkSerializeProfile,
-    sinkXblockHierarchy, sinkExternalId, sinkCsvFormat, eventsWindowedAgg)
+    sinkXblockHierarchy, sinkExternalId, sinkCsvFormat, eventsWindowedAgg,
+    sinkDumpRelated)
 }

@@ -86,6 +86,29 @@ class StreamingSpec extends SparkSpec {
       got(1).start_us == t("11:30").getTime * 1000)
   }
 
+  test("stream ingest: data later than the watermark is dropped, not re-aggregated") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val dir = Files.createTempDirectory("graft_stream_late").toString
+    val src = MemoryStream[Ev]
+    val query = EventIngest.start(src.toDS().toDF(), s"$dir/sink", s"$dir/ckpt")
+    src.addData(Ev(t("10:05"), "click", 1.0))
+    query.processAllAvailable()
+    // advance the event-time watermark far past the 10:00 window
+    // (watermark = max ts - 2h), then send a straggler into 10:00
+    src.addData(Ev(t("20:00"), "view", 1.0))
+    query.processAllAvailable()
+    src.addData(Ev(t("10:30"), "click", 100.0))
+    query.processAllAvailable()
+    query.stop()
+    val state = EventIngest.latestState(spark, s"$dir/sink").collect()
+      .map(r => (r.getAs[String]("hour_start"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+    assert(state(("2026-01-01 10:00:00", "click")) == ((1L, 1.0)),
+      s"late event must not reopen the closed window: $state")
+  }
+
   test("doc ingest stream: quality gate + cross-batch exact dedup") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
