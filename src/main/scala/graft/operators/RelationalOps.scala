@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.{Op, Tables}
-import graft.Op.xsum
+import graft.Op.{xhash32, xsum}
 import graft.functions.Portable._
 
 /** Relational analytics core (SURVEY.md §2 part B).
@@ -273,6 +273,64 @@ object RelationalOps {
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag")),
     None)
+
+  private val KMV_K = 256
+
+  /** B8c — KMV (k-minimum-values) distinct-count sketch: the
+    * approximate-distinct path that, unlike HLL (whose registers differ
+    * across implementations), is BIT-IDENTICAL in any engine — so it
+    * gets a real oracle where q8b is rows-only. Estimator: with h_k the
+    * k-th smallest 32-bit hash of the distinct values,
+    * n̂ = (k-1)·2³²/h_k; error ~1/√k (≈6% at k=256). The k smallest
+    * hashes per group ride the engine's own bounded-heap aggregate
+    * ([[graft.functions.TopKMinAgg topk_min]]) — map-side partial, the
+    * shuffle carries ≤k hashes per group per partition; the sketch is
+    * also mergeable across partitions/time by construction (union the
+    * heaps), which is what makes it the 100 TB pre-aggregation path.
+    * Values are deduped per group first (KMV is defined on the distinct
+    * hash set; duplicate inputs would repeat a hash inside the k-set).
+    */
+  val q8cKmvDistinct: Op = Op(
+    "q8c_kmv_distinct",
+    (s, d) => {
+      // distinct on (group, HASH) — KMV is defined on the distinct hash
+      // set, and dedup-by-hash (not by value) keeps a 32-bit collision
+      // from diverging between engines
+      val distinctHashes = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          hash32(concat(lit("kmv|"), col("l_partkey"))).as("h"))
+        .distinct()
+      distinctHashes
+        .groupBy(col("l_returnflag"))
+        .agg(topkMin(struct(col("h")), KMV_K).as("ks"),
+          count(lit(1)).as("n_exact"))
+        .select(col("l_returnflag"), col("n_exact"),
+          element_at(col("ks"), least(size(col("ks")), lit(KMV_K)))
+            .getField("h").as("h_k"),
+          when(size(col("ks")) < KMV_K, col("n_exact").cast("double"))
+            .otherwise(lit((KMV_K - 1).toDouble) * lit(4294967296.0) /
+              element_at(col("ks"), KMV_K).getField("h"))
+            .as("n_kmv"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      SELECT l_returnflag, n_exact, h_k,
+             CASE WHEN n_exact < $KMV_K THEN CAST(n_exact AS DOUBLE)
+                  ELSE ${KMV_K - 1} * 4294967296.0 / h_k END AS n_kmv
+      FROM (
+        SELECT l_returnflag, count(*) AS n_exact,
+               max(CASE WHEN rn = least($KMV_K, cnt) THEN h END) AS h_k
+        FROM (
+          SELECT l_returnflag, h,
+                 row_number() OVER (PARTITION BY l_returnflag ORDER BY h)
+                   AS rn,
+                 count(*) OVER (PARTITION BY l_returnflag) AS cnt
+          FROM (
+            SELECT DISTINCT l_returnflag,
+                   ${xhash32("concat('kmv|', l_partkey)")} AS h
+            FROM lineitem) t0) t1
+        GROUP BY l_returnflag) t2
+      ORDER BY l_returnflag"""))
 
   /** ROLLUP multi-level aggregation (grouping-sets expansion). */
   val q9Rollup: Op = Op(
@@ -658,7 +716,8 @@ object RelationalOps {
 
   val all: Seq[Op] = Seq(
     q1Agg, q2Pushdown, q3JoinAgg, q4Semijoin, q5Antijoin, q6StarJoin,
-    q7WindowTopk, q7bTopkAgg, q8Distinct, q8bApproxDistinct, q9Rollup, q10Topk,
+    q7WindowTopk, q7bTopkAgg, q8Distinct, q8bApproxDistinct, q8cKmvDistinct,
+    q9Rollup, q10Topk,
     q11CaseAgg, q12DateAgg, q13StringFuncs, q14Union, q15ScalarSubquery,
     q16Sessionize, q17JsonExtract, q18RunningSum, q19OuterJoin, q20Cube,
     q21Pivot, q22Percentile, q23MovingAvg)

@@ -69,6 +69,38 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q8c KMV sketch estimate within 20% of exact (3sigma at k=256)") {
+    run("q8c_kmv_distinct").collect().foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("n_kmv")
+      assert(math.abs(est - exact) <= 0.20 * exact + 1,
+        s"${r.getAs[String]("l_returnflag")}: kmv $est vs exact $exact")
+    }
+  }
+
+  test("topk_min edge cases: k exceeds rows, ties, null inputs skipped") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0), (2L, 3.0), (3L, 3.0)).toDF("id", "v")
+    df.createOrReplaceTempView("tk_edge")
+    // k > rows: returns all rows, sorted
+    val all = spark.sql(
+      "SELECT topk_min(struct(v, id), 10) AS t FROM tk_edge")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(all.map(r => (r.getDouble(0), r.getLong(1))) ==
+      Seq((3.0, 2L), (3.0, 3L), (5.0, 1L)), s"got $all")
+    // k smaller: ties broken by the struct's later field
+    val two = spark.sql(
+      "SELECT topk_min(struct(v, id), 2) AS t FROM tk_edge")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(two.map(_.getLong(1)) == Seq(2L, 3L))
+    // null structs are ignored like any SQL aggregate input
+    val withNull = spark.sql("""
+      SELECT topk_min(CASE WHEN id = 1 THEN NULL ELSE struct(v, id) END, 5)
+        AS t FROM tk_edge""")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(withNull.map(_.getLong(1)) == Seq(2L, 3L))
+  }
+
   test("q16_sessionize: session count bounded by event count, >=1 per active user") {
     run("q16_sessionize").collect().foreach { r =>
       val s = r.getAs[Long]("n_sessions")
