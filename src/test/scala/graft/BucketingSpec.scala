@@ -21,6 +21,25 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("partitioned layout prunes whole directories at the source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/events"
+    Tables.events(spark, sf)
+      .write.partitionBy("event_type").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(col("event_type") === "click")
+      .agg(count(lit(1)).as("n"))
+    val n = df.collect().head.getAs[Long]("n")
+    assert(n > 0)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters") && p.contains("event_type"),
+      "partition predicate must prune at the file index, not post-scan")
+    // the pruned scan must read only the one partition directory
+    val files = "file:[^\\]\\,\\s]*".r.findAllIn(p).toSeq
+    assert(p.contains("event_type=click") || files.forall(_.contains("click")) ||
+      !p.contains("event_type=view"),
+      s"scan location should cover only the click partition")
+  }
+
   private def bucketedJoinBody(): Unit = {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
