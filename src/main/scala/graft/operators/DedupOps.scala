@@ -186,12 +186,21 @@ object DedupOps {
         .select(explode(pairCombinations(col("ds"))).as("p"))
         .select(col("p.i").as("i"), col("p.j").as("j"))
         .distinct()
+      // Verification fetches both documents' shingle sets with ONE join
+      // against ONE pass of the doc pipeline: each candidate pair
+      // explodes to its two member ids, joins, and regroups — two
+      // min-over-one-row aggregates per pair pick the sides apart.
+      // Joining twice (shs_i, shs_j) would recompute the whole
+      // scan→tokenize→shingle lineage once per side.
       val shSets = shingleSets(s, d)
       cand
-        .join(shSets.select(col("doc_id"), col("shs").as("shs_i")),
-          col("i") === col("doc_id")).drop("doc_id")
-        .join(shSets.select(col("doc_id"), col("shs").as("shs_j")),
-          col("j") === col("doc_id")).drop("doc_id")
+        .select(col("i"), col("j"),
+          explode(array(col("i"), col("j"))).as("doc_id"))
+        .join(shSets, "doc_id")
+        .groupBy(col("i"), col("j"))
+        .agg(
+          min(when(col("doc_id") === col("i"), col("shs"))).as("shs_i"),
+          min(when(col("doc_id") === col("j"), col("shs"))).as("shs_j"))
         .select(col("i"), col("j"),
           (size(array_intersect(col("shs_i"), col("shs_j"))) * lit(1.0) /
             (size(col("shs_i")) + size(col("shs_j"))
