@@ -412,7 +412,57 @@ object DedupOps {
       WHERE cos >= 0.3
       ORDER BY i, j"""))
 
+  /** D7 — the end-of-run dedup report: one row summarizing what the
+    * pipeline did to the corpus — raw docs, exact-fingerprint survivors,
+    * near-dup pairs found, docs swept into near-dup clusters, cluster
+    * count (= canonical docs kept from those), and the final corpus
+    * size after dropping exact dups and non-canonical near-dups. Pure
+    * composition of D1/D3/D6 plans plus single-row broadcast cross
+    * joins — the numbers a curation run logs at every scale.
+    */
+  val dedupReport: Op = Op(
+    "dedup_report",
+    (s, d) => {
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val nFp = Tables.documents(s, d)
+        .select(hash60(normText(col("text"))).as("fp"))
+        .agg(countDistinct(col("fp")).as("n_distinct_fp"))
+      val nPairs = minhashPairs(s, d).agg(count(lit(1)).as("n_near_pairs"))
+      val cl = dedupClusters.fn(s, d)
+      val clStats = cl.agg(count(lit(1)).as("n_docs_in_clusters"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      nDocs.crossJoin(nFp).crossJoin(nPairs).crossJoin(clStats)
+        .select(col("n_docs"), col("n_distinct_fp"), col("n_near_pairs"),
+          col("n_docs_in_clusters"), col("n_clusters"),
+          (col("n_distinct_fp") -
+            (col("n_docs_in_clusters") - col("n_clusters")))
+            .as("n_final_upper_bound"))
+    },
+    Some(s"""
+      WITH RECURSIVE $sqlMinhashPairsCtes,
+      und AS (SELECT i AS src, j AS dst FROM mh_pairs
+              UNION ALL SELECT j, i FROM mh_pairs),
+      reach(v, r) AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT w.v, u.dst FROM reach w JOIN und u ON w.r = u.src),
+      cl AS (SELECT v, least(v, min(r)) AS cluster_id
+             FROM reach GROUP BY v)
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT count(DISTINCT
+                ${xhash60("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")})
+                FROM documents) AS n_distinct_fp,
+             (SELECT count(*) FROM mh_pairs) AS n_near_pairs,
+             (SELECT count(*) FROM cl) AS n_docs_in_clusters,
+             (SELECT count(DISTINCT cluster_id) FROM cl) AS n_clusters,
+             (SELECT count(DISTINCT
+                ${xhash60("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")})
+                FROM documents)
+               - ((SELECT count(*) FROM cl)
+                  - (SELECT count(DISTINCT cluster_id) FROM cl))
+               AS n_final_upper_bound"""))
+
   val all: Seq[Op] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-    dedupEmbedding, dedupClusters)
+    dedupEmbedding, dedupClusters, dedupReport)
 }
