@@ -109,6 +109,45 @@ class StreamingSpec extends SparkSpec {
       s"late event must not reopen the closed window: $state")
   }
 
+  test("batch/stream parity: streaming sessions equal q16_sessionize on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.SessionizeStream
+
+    val real = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => SessionizeStream.SessEvent(
+        r.getAs[Long]("user_id"), r.getAs[Timestamp]("ts")))
+    val sentinel = // advances the watermark far past every open session
+      SessionizeStream.SessEvent(-1L, Timestamp.valueOf("2030-01-01 00:00:00"))
+
+    val src = MemoryStream[SessionizeStream.SessEvent]
+    val query = SessionizeStream.sessions(
+        src.toDS().toDF().withWatermark("ts", "10 minutes"), gapMinutes = 30)
+      .writeStream.format("memory").queryName("parity_sessions")
+      .outputMode("append").start()
+    src.addData(real.toIndexedSeq: _*)
+    query.processAllAvailable()
+    src.addData(sentinel)
+    query.processAllAvailable()
+    src.addData(sentinel.copy(ts = Timestamp.valueOf("2030-01-01 00:01:00")))
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("parity_sessions")
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+    val batch = run("q16_sessionize").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+    assert(streamed == batch,
+      s"stream/batch mismatch: ${streamed.toSeq.sorted.take(5)} vs ${batch.toSeq.sorted.take(5)}")
+  }
+
   test("doc ingest stream: quality gate + cross-batch exact dedup") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
