@@ -243,7 +243,43 @@ object TextOps {
       ORDER BY df DESC, token
       LIMIT 20"""))
 
+  /** C7 — corpus character-trigram frequency: the feature-extraction
+    * pass behind real char-n-gram language ID (and fuzzy matching) —
+    * top-20 char trigrams of whitespace-normalized text. CHARACTER
+    * semantics (not bytes) in both engines, so multibyte scripts count
+    * identically. The normalized text is materialized before the
+    * trigram lambda (the shinglesFromTokens HOF-inlining rule); short
+    * tail grams (< 3 chars) are filtered in both engines. Map-side
+    * combined count; top-k via TakeOrderedAndProject.
+    */
+  val textCharNgrams: Op = Op(
+    "text_char_ngrams",
+    (s, d) =>
+      Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(normText(col("text")).as("nt"))
+        .select(explode(transform(
+          sequence(lit(1), greatest(length(col("nt")) - 2, lit(1))),
+          i => col("nt").substr(i, lit(3)))).as("gram"))
+        .filter(length(col("gram")) === 3)
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram"))
+        .limit(20),
+    Some("""
+      SELECT gram, count(*) AS n
+      FROM (
+        SELECT unnest([substr(nt, i, 3)
+                 for i in generate_series(1, greatest(length(nt)-2, 1))])
+               AS gram
+        FROM (SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+              FROM documents) t1) t2
+      WHERE length(gram) = 3
+      GROUP BY gram
+      ORDER BY n DESC, gram
+      LIMIT 20"""))
+
   val all: Seq[Op] = Seq(
     textTokenCount, textQuality, textLangid, textFingerprint, textNgramFreq,
-    textDocFreq)
+    textDocFreq, textCharNgrams)
 }
