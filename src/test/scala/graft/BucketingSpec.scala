@@ -40,6 +40,25 @@ class BucketingSpec extends SparkSpec {
       s"scan location should cover only the click partition")
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString + "/orders"
+    Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("c_nationkey").as("nkey"))
+      .write.partitionBy("nkey").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = Tables.nation(spark, sf).filter(col("n_name") === "JAPAN")
+    val joined = fact.join(dim, col("nkey") === col("n_nationkey"))
+      .agg(count(lit(1)).as("n"))
+    joined.collect()
+    val p = plan(joined)
+    assert(p.toLowerCase.contains("dynamicpruning") ||
+      p.contains("dynamicpruningexpression"),
+      s"expected runtime partition pruning in:\n${p.take(1500)}")
+  }
+
   private def bucketedJoinBody(): Unit = {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
