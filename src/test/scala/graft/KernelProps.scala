@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.propBoolean
+
+/** Property-based checks for the engine's custom kernels: the native
+  * expressions must agree with their spec (or their portable-SQL
+  * formulation) on arbitrary inputs, not just the corpus. Case counts
+  * are kept small — every case runs a Spark job on the shared session.
+  */
+object KernelProps extends Properties("kernels") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSpec.session
+  import org.apache.spark.sql.Row
+
+  private val token: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString).map(_.take(12))
+
+  property("topk_min == sort-then-take(k) for any input and k") =
+    Prop.forAll(
+      Gen.listOfN(40, Gen.zip(Gen.chooseNum(-50L, 50L), Gen.chooseNum(0L, 5L))),
+      Gen.chooseNum(1, 12)) { (rows, k) =>
+      rows.nonEmpty ==> {
+        import spark.implicits._
+        val df = rows.toDF("a", "b")
+        df.createOrReplaceTempView("kp_topk")
+        val got = spark.sql(s"SELECT topk_min(struct(a, b), $k) AS t FROM kp_topk")
+          .collect().head.getSeq[Row](0)
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val want = rows.sorted.take(k)
+        got == want
+      }
+    }
+
+  property("minhash16 kernel == the portable md5 SQL formulation") =
+    Prop.forAll(Gen.nonEmptyListOf(token).map(_.distinct.take(30))) { shs =>
+      import spark.implicits._
+      val df = Seq(Tuple1(shs)).toDF("shs")
+      df.createOrReplaceTempView("kp_mh")
+      val kernel = spark.sql("SELECT minhash16(shs) AS m FROM kp_mh")
+        .collect().head.getSeq[Long](0)
+      val sqlCols = (0 until 16).map(i =>
+        s"(SELECT min(CAST(conv(substring(md5(concat('g${i / 4}|', s)), ${8 * (i % 4) + 1}, 8), 16, 10) AS BIGINT)) FROM (SELECT explode(shs) AS s FROM kp_mh)) AS m$i")
+      val viaSql = spark.sql(s"SELECT ${sqlCols.mkString(", ")}")
+        .collect().head.toSeq.map(_.asInstanceOf[Long])
+      kernel.toSeq == viaSql
+    }
+
+  property("pairCombinations enumerates exactly the i<j pairs") =
+    Prop.forAll(Gen.listOfN(12, Gen.chooseNum(0L, 100L)).map(_.distinct.sorted)) { ds =>
+      ds.sizeIs >= 2 ==> {
+        import spark.implicits._
+        val df = Seq(Tuple1(ds)).toDF("ds")
+        val got = df.select(explode(
+            graft.functions.Portable.pairCombinations(col("ds"))).as("p"))
+          .select(col("p.i"), col("p.j")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = (for { i <- ds; j <- ds if i < j } yield (i, j)).toSet
+        got == want
+      }
+    }
+
+  property("exactSum is invariant under repartitioning") =
+    Prop.forAll(Gen.listOfN(60, Gen.chooseNum(-1000.0, 1000.0))) { vs =>
+      vs.nonEmpty ==> {
+        import spark.implicits._
+        def total(parts: Int) = vs.toDF("v").repartition(parts)
+          .agg(graft.functions.Portable.exactSum(col("v")).as("s"))
+          .collect().head.getDouble(0)
+        total(1) == total(7)
+      }
+    }
+}
