@@ -39,8 +39,8 @@ object EmbeddingOps {
     Some("""
       SELECT CAST(label AS BIGINT) AS label, CAST(ix AS BIGINT) AS dim,
              count(*) AS n_vecs,
-             sum(CAST(floor(CAST(emb_v AS DOUBLE)*1000000 + 0.5) AS BIGINT))
-               AS sum_micros,
+             CAST(sum(CAST(floor(CAST(emb_v AS DOUBLE)*1000000 + 0.5) AS BIGINT))
+               AS BIGINT) AS sum_micros,
              CAST(sum(CAST(floor(CAST(emb_v AS DOUBLE)*1000000 + 0.5) AS BIGINT))
                AS DOUBLE) / count(*) / 1000000.0 AS centroid
       FROM (
