@@ -33,13 +33,13 @@ object AnnOps {
     * every cosine on one task (and at scale it guards against skewed
     * file sizes).
     */
-  private def withNorm(s: SparkSession, d: String): DataFrame =
+  private[operators] def withNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .repartition(col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         dotMicros(col("embedding"), col("embedding")).as("nm"))
 
-  private val sqlNormCte = """
+  private[operators] val sqlNormCte = """
       e AS (
         SELECT vec_id, embedding,
                CAST(list_sum(list_transform(generate_series(1,64), ix ->
@@ -51,7 +51,7 @@ object AnnOps {
   /** Exact-micros cosine between `<a>.embedding/nm` and `<b>.embedding/nm`
     * for arbitrary SQL aliases (DuckDB oracle text).
     */
-  private def sqlCos(a: String, b: String): String = s"""
+  private[operators] def sqlCos(a: String, b: String): String = s"""
                CAST(CAST(list_sum(list_transform(generate_series(1,64), ix ->
                  CAST(floor(CAST($a.embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT) *
                  CAST(floor(CAST($b.embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT)))
@@ -99,7 +99,7 @@ object AnnOps {
       ORDER BY q_id, rank"""))
 
   private val PLANES_PER_TABLE = 6
-  private val TABLES = 8
+  private[operators] val TABLES = 8
 
   /** Deterministic integer hyperplane weights: md5-derived, identical to
     * the SQL the oracle would generate (the literals below are inlined
@@ -124,16 +124,20 @@ object AnnOps {
       shiftleft(when(proj > 0, 1L).otherwise(0L), k)
     }.reduce(_ + _)
 
-  /** (table, bucket) membership rows — the OR-amplified index. */
-  private def bucketed(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), col("embedding"), col("nm"),
+  /** (vec_id, table, bucket) membership rows — the OR-amplified LSH
+    * index, ids only. At scale this IS the artifact you persist beside
+    * the embeddings: 8 id-width rows per vector, reused by both ANN
+    * search (E2) and embedding dedup (D5). Embeddings re-attach by
+    * vec_id later, so no index row ever carries a 0.5 KB vector.
+    */
+  private[operators] def bucketIndex(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
       explode(array((0 until TABLES).map(t =>
         struct(lit(t).as("tbl"), bucketCol(col("embedding"), t).as("bucket"))): _*))
         .as("tb"))
-      .select(col("vec_id"), col("embedding"), col("nm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
 
-  private def sqlBucket(tbl: String, t: Int): String =
+  private[operators] def sqlBucket(tbl: String, t: Int): String =
     (0 until PLANES_PER_TABLE).map { k =>
       val ws = planeWeights(t * PLANES_PER_TABLE + k).mkString("[", ",", "]")
       s"""(CAST(CASE WHEN CAST(list_sum(list_transform(generate_series(1,64), ix ->
@@ -148,27 +152,37 @@ object AnnOps {
     * The corpus is bucketed ONCE (a reusable artifact — at scale, write
     * the (table, bucket) index next to the embeddings); queries hash with
     * the same planes and join per (table, bucket), never all-pairs.
-    * Candidates dedup, score with the exact-micros cosine, top-k per
-    * query. Tuning: recall per true neighbor ≈ 1-(1-a^6)^8 where
-    * a = 1-θ/π — ~0.3-0.5 for this corpus' weakly-clustered neighbors
-    * (measured against E1 in AnnSpec) while scanning ~10% of the corpus.
+    * Candidates dedup AS ID PAIRS — the multi-table OR makes the same
+    * (query, vector) collide in several tables, and deduping rows that
+    * still carry both 64-float embeddings would shuffle ~0.5 KB per
+    * candidate where 16 B of ids suffice (~30× exchange volume at
+    * scale). So: distinct on (q_id, vec_id), then re-attach the corpus
+    * vector by vec_id (the corpus side is already hash-partitioned on
+    * vec_id, so the re-attach reuses that exchange) and the query vector
+    * from the broadcast query set. Score with the exact-micros cosine,
+    * top-k per query. Tuning: recall per true neighbor ≈ 1-(1-a^6)^8
+    * where a = 1-θ/π — ~0.3-0.5 for this corpus' weakly-clustered
+    * neighbors (measured against E1 in AnnSpec) while scanning ~10% of
+    * the corpus.
     */
   val annLsh: Op = Op(
     "ann_lsh",
     (s, d) => {
-      val b = bucketed(withNorm(s, d))
-      val q = b.filter(col("vec_id") < QUERY_MAX)
+      val e = withNorm(s, d)
+      val b = bucketIndex(e)
+      val qb = b.filter(col("vec_id") < QUERY_MAX)
+        .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+      val cand = b.join(broadcast(qb), Seq("tbl", "bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+        .distinct()
+      val q = e.filter(col("vec_id") < QUERY_MAX)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nm").as("q_nm"), col("tbl").as("q_tbl"),
-          col("bucket").as("q_bucket"))
+          col("nm").as("q_nm"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id"))
-      b.join(broadcast(q),
-          col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
-            col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), col("embedding"), col("q_emb"),
-          col("q_nm"), col("nm"))
-        .distinct()
+      cand.join(e, "vec_id")
+        .join(broadcast(q), "q_id")
         .select(col("q_id"), col("vec_id"),
           cosineFromMicros(dotMicros(col("q_emb"), col("embedding")),
             col("q_nm"), col("nm")).as("cos"))
@@ -232,22 +246,29 @@ object AnnOps {
         .select(col("vec_id"), col("embedding"), col("nm"), col("c_id"),
           cosineFromMicros(dotMicros(col("embedding"), col("c_emb")),
             col("nm"), col("c_nm")).as("ccos"))
+      // cell assignment and probe lists are id-width: the candidate
+      // distinct shuffles (q_id, vec_id) pairs only (see ann_lsh —
+      // deduping embedding-carrying rows is ~30× the exchange volume),
+      // then vectors re-attach from the vec_id-partitioned corpus and
+      // the broadcast query set.
       val assign = scoredCent.withColumn("rn", cellRank)
         .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("nm"),
-          col("c_id").as("cell"))
+        .select(col("vec_id"), col("c_id").as("cell"))
       val probe = scoredCent.filter(col("vec_id") < QUERY_MAX)
         .withColumn("rn", cellRank)
         .filter(col("rn") <= NPROBE)
+        .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+      val cand = assign.join(broadcast(probe), "cell")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+        .distinct()
+      val q = e.filter(col("vec_id") < QUERY_MAX)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nm").as("q_nm"), col("c_id").as("cell"))
+          col("nm").as("q_nm"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id"))
-      assign.join(broadcast(probe),
-          assign("cell") === probe("cell") && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), col("embedding"), col("q_emb"),
-          col("q_nm"), col("nm"))
-        .distinct()
+      cand.join(e, "vec_id")
+        .join(broadcast(q), "q_id")
         .select(col("q_id"), col("vec_id"),
           cosineFromMicros(dotMicros(col("q_emb"), col("embedding")),
             col("q_nm"), col("nm")).as("cos"))

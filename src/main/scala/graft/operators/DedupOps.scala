@@ -13,9 +13,11 @@ import graft.functions.Portable._
   * part D) — the core LLM-training-data pipeline pass. Scale design
   * (SURVEY §5): exact dedup is one shuffle on a uniform 60-bit hash;
   * near-dup detection NEVER does an all-pairs join — candidates come from
-  * shared shingles (D2), LSH band buckets (D3), simhash prefix bands (D4)
-  * or a blocking key (D5), so the join cost tracks the number of genuinely
-  * colliding documents, not n².
+  * shared shingles (D2, df-capped), LSH band buckets (D3,
+  * occupancy-capped), simhash prefix bands (D4) or random-hyperplane LSH
+  * buckets (D5), so the join cost tracks the number of genuinely
+  * colliding documents, not n², and every candidate generator carries a
+  * hard bound on its worst bucket.
   */
 object DedupOps {
 
@@ -84,57 +86,83 @@ object DedupOps {
         split(trim(lower(col("text"))), "\\s+").as("tok"))
       .select(col("doc_id"), explode(shinglesFromTokens(col("tok"))).as("s"))
 
-  /** D2 — exact n-gram Jaccard pairs ≥ τ via shingle self-join: pairs are
-    * generated only for documents sharing at least one trigram (the join
-    * key is the shingle), then scored exactly. At 100 TB the shingle join
-    * shuffles on the shingle hash; frequency skew on stop-phrase shingles
-    * is handled by AQE skew splitting (real pipelines additionally cap
-    * document frequency per shingle — semantics preserved here for the
-    * oracle). τ=0.2 (the corpus' planted near-dups sit at ≥0.9; random
-    * pairs at ≤0.1).
+  /** Default shingle document-frequency cap (D2): a shingle shared by
+    * more than this many documents generates NO candidate pairs. Bounds
+    * the per-bucket pair quadratic at maxDf²/2 regardless of corpus
+    * size — the stop-phrase guard ("in this paper", boilerplate
+    * headers) every production near-dup pipeline carries. High-df
+    * shingles carry almost no dedup signal anyway (they're common
+    * English, not duplication), so true near-dup pairs still surface
+    * through their many LOW-df shared shingles. Mirrored into the
+    * DuckDB oracle, so the cap is part of the checked semantics.
+    */
+  private val MAX_DF = 100
+
+  /** Default LSH band-bucket occupancy cap (D3): a band bucket holding
+    * more than this many documents is dropped from candidate
+    * enumeration. A bucket that large at r=2 rows/band means a
+    * boilerplate-heavy cluster that exact dedup (D1) or the remaining 7
+    * bands will still catch; without the cap one viral bucket costs
+    * O(bucket²) pairs.
+    */
+  private val MAX_BUCKET = 200
+
+  /** The exact n-gram Jaccard pair pipeline (D2), parameterized by the
+    * shingle df cap so TextDedupSpec can prove the cap with a planted
+    * stop-phrase at maxDf=2.
+    */
+  private[graft] def jaccardPairs(s: SparkSession, d: String,
+      maxDf: Int): DataFrame = {
+    // Candidate pairs are enumerated bucket-locally: group by shingle,
+    // collect the (sorted) doc ids sharing it, emit the in-bucket pair
+    // combinations. One pass over the shingle pipeline — a self-join
+    // would recompute scan→tokenize→shingle per side — and df=1
+    // shingles (the vast majority) drop out before any pair exists.
+    // Bucket sizes are bounded by the df cap, so the per-bucket
+    // quadratic is local and bounded at any corpus size. The
+    // shingle-set SIZE rides along inside the collected structs, so the
+    // Jaccard denominator needs NO join back to a per-doc sizes table —
+    // the whole op is two shuffles (shingle, pair) and zero joins. `n`
+    // (the distinct shingle count per doc) comes from a count window
+    // over the exploded stream: the input is already hash-partitioned
+    // on doc_id, so the window adds only an in-partition sort — cheaper
+    // than recomputing the shingle array for a size() column, and it
+    // sidesteps two measured ~10× plan-shape traps (see
+    // [[shingleRows]]; also: a non-generator column written next to
+    // explode() is planned AFTER Generate and recomputed per row).
+    val sh = shingleRows(s, d).withColumn("n",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    sh.groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+      .select(explode(pairCombinations(col("ds"))).as("p"))
+      .groupBy(col("p.i.doc_id").as("i"), col("p.j.doc_id").as("j"),
+        col("p.i.n").as("n_i"), col("p.j.n").as("n_j"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("i"), col("j"),
+        (col("c") * lit(1.0) / (col("n_i") + col("n_j") - col("c")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+  }
+
+  /** D2 — exact n-gram Jaccard pairs ≥ τ via shared shingles: pairs are
+    * generated only for documents sharing at least one trigram with
+    * document frequency ≤ [[MAX_DF]] (capped shingles are excluded from
+    * the intersection count; denominators stay full-set, and the oracle
+    * computes the identical capped semantics). τ=0.2 (the corpus'
+    * planted near-dups sit at ≥0.9; random pairs at ≤0.1).
     */
   val dedupNgramJaccard: Op = Op(
     "dedup_ngram_jaccard",
-    (s, d) => {
-      // Candidate pairs are enumerated bucket-locally: group by shingle,
-      // collect the (sorted) doc ids sharing it, emit the in-bucket pair
-      // combinations. One pass over the shingle pipeline — a self-join
-      // would recompute scan→tokenize→shingle per side — and df=1
-      // shingles (the vast majority) drop out before any pair exists.
-      // Bucket sizes are bounded by shingle document frequency, so the
-      // per-bucket quadratic is local and tiny; a df cap guards the
-      // stop-phrase tail at larger corpora. The shingle-set SIZE rides
-      // along inside the collected structs, so the Jaccard denominator
-      // needs NO join back to a per-doc sizes table — the whole op is
-      // two shuffles (shingle, pair) and zero joins. `n` (the distinct
-      // shingle count per doc) comes from a count window over the
-      // exploded stream: the input is already hash-partitioned on
-      // doc_id, so the window adds only an in-partition sort — cheaper
-      // than recomputing the shingle array for a size() column, and it
-      // sidesteps two measured ~10× plan-shape traps (see
-      // [[shingleRows]]; also: a non-generator column written next to
-      // explode() is planned AFTER Generate and recomputed per row).
-      val sh = shingleRows(s, d).withColumn("n",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      sh.groupBy(col("s"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
-        .filter(size(col("ds")) >= 2)
-        .select(explode(pairCombinations(col("ds"))).as("p"))
-        .groupBy(col("p.i.doc_id").as("i"), col("p.j.doc_id").as("j"),
-          col("p.i.n").as("n_i"), col("p.j.n").as("n_j"))
-        .agg(count(lit(1)).as("c"))
-        .select(col("i"), col("j"),
-          (col("c") * lit(1.0) / (col("n_i") + col("n_j") - col("c")))
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.2)
-        .orderBy(col("i"), col("j"))
-    },
+    (s, d) => jaccardPairs(s, d, MAX_DF).orderBy(col("i"), col("j")),
     Some(s"""
       WITH $sqlShingleCte,
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      dfc AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MAX_DF),
       common AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
                  FROM sh a JOIN sh b
                    ON a.s = b.s AND a.doc_id < b.doc_id
+                 JOIN dfc ON a.s = dfc.s
                  GROUP BY 1, 2)
       SELECT i, j, c * 1.0 / (x.n + y.n - c) AS jaccard
       FROM common
@@ -164,9 +192,11 @@ object DedupOps {
     */
   /** The MinHash-LSH near-dup pair pipeline (shared by D3 and D6):
     * (i, j, jaccard) for all LSH-candidate pairs with exact Jaccard ≥ 0.5,
-    * unordered.
+    * unordered. Band buckets above `maxBucket` occupancy are dropped
+    * (see [[MAX_BUCKET]]); the cap is mirrored in the oracle.
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashPairs(s: SparkSession, d: String,
+      maxBucket: Int = MAX_BUCKET): DataFrame = {
       val mins = shingleSets(s, d)
         .select(col("doc_id"), minhash16(col("shs")).as("mh"))
       val bands = mins.select(col("doc_id"),
@@ -179,10 +209,10 @@ object DedupOps {
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
       // bucket-local pair enumeration (see dedup_ngram_jaccard): one pass
       // over the signature pipeline instead of a self-join recomputing it
-      // per side; LSH bucket occupancy bounds the per-bucket quadratic.
+      // per side; the occupancy cap bounds the per-bucket quadratic.
       val cand = bands.groupBy(col("band"), col("bkey"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")) >= 2)
+        .filter(size(col("ds")).between(2, maxBucket))
         .select(explode(pairCombinations(col("ds"))).as("p"))
         .select(col("p.i").as("i"), col("p.j").as("j"))
         .distinct()
@@ -225,10 +255,13 @@ object DedupOps {
       bands AS (
         $bandSelects
       ),
+      bok AS (SELECT band, bkey FROM bands GROUP BY band, bkey
+              HAVING count(*) <= $MAX_BUCKET),
       cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
                FROM bands a JOIN bands b
                  ON a.band = b.band AND a.bkey = b.bkey
-                   AND a.doc_id < b.doc_id),
+                   AND a.doc_id < b.doc_id
+               JOIN bok ON a.band = bok.band AND a.bkey = bok.bkey),
       mh_pairs AS (
         SELECT i, j, jaccard FROM (
           SELECT c.i, c.j,
@@ -367,50 +400,78 @@ object DedupOps {
       ORDER BY doc_id"""
     })
 
-  /** D5 — embedding-cosine near-dup pairs within a blocking key (label):
-    * exact cosine in integer micros (bit-identical across engines, see
-    * [[graft.functions.Portable.dotMicros]]), τ=0.3. The label block keeps
-    * the pair join off the full n²; at 100 TB the blocking key would be an
-    * LSH bucket (see ann_lsh) — same plan shape, finer blocks. Per-vector
-    * norms are computed once before the join, not per pair.
+  /** D5 — embedding-cosine near-dup pairs, LSH-blocked: candidates are
+    * vector pairs sharing a random-hyperplane bucket in ANY of the 8
+    * hash tables — the exact [[AnnOps.bucketIndex]] ann_lsh uses, so at
+    * scale ONE persisted (vec_id, table, bucket) artifact serves both
+    * ANN search and dedup. Candidates verify with the exact
+    * integer-micros cosine (bit-identical across engines, see
+    * [[graft.functions.Portable.dotMicros]]), τ=0.3.
+    *
+    * Why LSH blocks and not a metadata key: a bounded-cardinality key
+    * (label, language, source) gives blocks that grow LINEARLY with the
+    * corpus, so the in-block all-pairs join grows quadratically — a
+    * scale-killer at 100 TB. LSH bucket occupancy instead tracks local
+    * density: more data means more buckets, not bigger ones (and the
+    * band structure keeps recall: cos≥0.9 pairs collide in ≥1 of 8
+    * tables w.p. ~0.98, pinned in TextDedupSpec against brute force).
+    *
+    * Plan shape: pair enumeration is bucket-local (groupBy +
+    * pairCombinations — no self-join, which would recompute the
+    * bucketing per side), the candidate distinct carries 16-byte id
+    * pairs, and BOTH member vectors re-attach in ONE pass over the
+    * vec_id-partitioned corpus (explode to members → join → regroup —
+    * joining the corpus twice would double the scan and shuffle).
     */
   val dedupEmbedding: Op = Op(
     "dedup_embedding",
     (s, d) => {
-      // repartition: the corpus file is one input split locally — spread
-      // the per-row dot products across cores (see shingleRows note).
-      val e = Tables.embeddings(s, d)
-        .repartition(col("vec_id"))
-        .select(col("vec_id"), col("label"), col("embedding"),
-          dotMicros(col("embedding"), col("embedding")).as("nm"))
-      e.as("a")
-        .join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-          cosineFromMicros(
-            dotMicros(col("a.embedding"), col("b.embedding")),
-            col("a.nm"), col("b.nm")).as("cos"))
+      val e = AnnOps.withNorm(s, d)
+      val cand = AnnOps.bucketIndex(e)
+        .groupBy(col("tbl"), col("bucket"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(pairCombinations(col("ds"))).as("p"))
+        .select(col("p.i").as("i"), col("p.j").as("j"))
+        .distinct()
+      cand
+        .select(col("i"), col("j"),
+          explode(array(col("i"), col("j"))).as("vec_id"))
+        .join(e, "vec_id")
+        .groupBy(col("i"), col("j"))
+        .agg(
+          min(when(col("vec_id") === col("i"), col("embedding"))).as("emb_i"),
+          min(when(col("vec_id") === col("i"), col("nm"))).as("nm_i"),
+          min(when(col("vec_id") === col("j"), col("embedding"))).as("emb_j"),
+          min(when(col("vec_id") === col("j"), col("nm"))).as("nm_j"))
+        .select(col("i"), col("j"),
+          cosineFromMicros(dotMicros(col("emb_i"), col("emb_j")),
+            col("nm_i"), col("nm_j")).as("cos"))
         .filter(col("cos") >= 0.3)
         .orderBy(col("i"), col("j"))
     },
-    Some("""
-      WITH e AS (
-        SELECT vec_id, label, embedding,
-               CAST(list_sum(list_transform(generate_series(1,64), ix ->
-                 CAST(floor(CAST(embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT) *
-                 CAST(floor(CAST(embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT)))
-                 AS BIGINT) AS nm
-        FROM embeddings)
+    Some {
+      val bandSelects = (0 until AnnOps.TABLES).map(t =>
+        s"SELECT vec_id, $t AS tbl, ${AnnOps.sqlBucket("e", t)} AS bucket FROM e")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH ${AnnOps.sqlNormCte},
+      b AS (
+        $bandSelects
+      ),
+      cand AS (SELECT DISTINCT a.vec_id AS i, c.vec_id AS j
+               FROM b a JOIN b c
+                 ON a.tbl = c.tbl AND a.bucket = c.bucket
+                   AND a.vec_id < c.vec_id)
       SELECT i, j, cos FROM (
-        SELECT a.vec_id AS i, b.vec_id AS j,
-               CAST(CAST(list_sum(list_transform(generate_series(1,64), ix ->
-                 CAST(floor(CAST(a.embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT) *
-                 CAST(floor(CAST(b.embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT)))
-                 AS BIGINT) AS DOUBLE)
-                 / (sqrt(CAST(a.nm AS DOUBLE)) * sqrt(CAST(b.nm AS DOUBLE))) AS cos
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
+        SELECT cand.i, cand.j,
+               ${AnnOps.sqlCos("x", "y")} AS cos
+        FROM cand
+        JOIN e x ON cand.i = x.vec_id
+        JOIN e y ON cand.j = y.vec_id) t
       WHERE cos >= 0.3
-      ORDER BY i, j"""))
+      ORDER BY i, j"""
+    })
 
   /** D7 — the end-of-run dedup report: one row summarizing what the
     * pipeline did to the corpus — raw docs, exact-fingerprint survivors,

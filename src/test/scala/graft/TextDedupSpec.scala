@@ -115,11 +115,72 @@ class TextDedupSpec extends SparkSpec {
       }
   }
 
-  test("dedup_embedding: pairs stay within label blocks, cos >= 0.3") {
-    val labels = Tables.embeddings(spark, sf).collect()
-      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+  test("dedup_ngram_jaccard df-cap: a planted stop-phrase generates no pairs") {
+    // 6 documents that share ONLY a 10-token boilerplate tail (a viral
+    // stop-phrase: df=6 on every tail trigram) behind 3 distinct lead
+    // tokens. Uncapped, every pair scores jaccard 8/14 ≈ 0.57; with the
+    // df cap at 2 the stop-phrase buckets are dropped and no candidate
+    // pair survives — the bound that keeps one boilerplate trigram from
+    // going quadratic at 100 TB.
+    val dir = Files.createTempDirectory("graft_stopphrase").toString
+    val tail = "please like share and subscribe to our channel today friends"
+    val docs = (0L until 6L).map(i =>
+      (i, s"alpha$i beta$i gamma$i " + tail, "en", s"s$i", 0L))
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val uncapped = operators.DedupOps.jaccardPairs(spark, dir, maxDf = 100)
+    assert(uncapped.count() == 15, "uncapped: all 15 boilerplate pairs")
+    val capped = operators.DedupOps.jaccardPairs(spark, dir, maxDf = 2)
+    assert(capped.count() == 0, "df cap must drop the stop-phrase bucket")
+  }
+
+  test("dedup_minhash_lsh bucket cap: an oversized band bucket is dropped") {
+    val dir = Files.createTempDirectory("graft_bigbucket").toString
+    // 5 exact copies: every band bucket has occupancy 5.
+    val docs = (0L until 5L).map(i =>
+      (i, "identical boilerplate text repeated verbatim in every document",
+        "en", s"s$i", 0L))
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(operators.DedupOps.minhashPairs(spark, dir).count() == 10)
+    assert(operators.DedupOps.minhashPairs(spark, dir, maxBucket = 4).count() == 0,
+      "occupancy cap must drop the oversized bucket")
+  }
+
+  /** Planted embedding corpus: 30 near-identical pairs (cos ≈ 0.999,
+    * ids 2k/2k+1) + 40 independent random vectors; labels deliberately
+    * DISAGREE within each planted pair, so any label-blocked plan would
+    * score recall 0.
+    */
+  lazy val miniEmbDir: String = {
+    val dir = Files.createTempDirectory("graft_emb").toString
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Float] = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val rows = (0 until 30).flatMap { k =>
+      val base = vec()
+      val near = base.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+      Seq((2L * k, base, k % 4), (2L * k + 1, near, (k + 1) % 4))
+    } ++ (60 until 100).map(i => (i.toLong, vec(), i % 4))
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("dedup_embedding: LSH blocking finds every planted near-dup pair") {
+    val pairs = run("dedup_embedding", miniEmbDir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    val planted = (0 until 30).map(k => (2L * k, 2L * k + 1)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missed planted pairs: ${(planted -- pairs).toSeq.sorted}")
+  }
+
+  test("dedup_embedding: blocks on LSH buckets, not any metadata key") {
+    val p = plan(run("dedup_embedding"))
+    assert(!p.contains("label"), "plan must not touch the label column")
+    // soundness at sf0.001: every reported pair really has cos >= 0.3
     run("dedup_embedding").collect().foreach { r =>
-      assert(labels(r.getAs[Long]("i")) == labels(r.getAs[Long]("j")))
       assert(r.getAs[Double]("cos") >= 0.3)
     }
   }
