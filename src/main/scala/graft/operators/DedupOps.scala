@@ -302,11 +302,14 @@ object DedupOps {
     * Convergence is detected with an aggregated count — no driver-side
     * data collection.
     */
-  val dedupClusters: Op = Op(
-    "dedup_clusters",
-    (s, d) => {
-      val pairs = minhashPairs(s, d).select(col("i"), col("j"))
-        .localCheckpoint()
+  /** Min-label-propagation connected components over an already
+    * materialized (i, j) pair frame. Callers MUST pass a checkpointed
+    * frame — the loop re-reads it every round, and [[dedupReport]]
+    * shares ONE checkpoint between this and its pair count (the r4
+    * double-pipeline fix: building pairs twice doubled the most
+    * expensive query on the board).
+    */
+  private[graft] def clusterPairs(pairs: DataFrame): DataFrame = {
       val und = pairs.union(pairs.select(col("j"), col("i"))).toDF("src", "dst")
       // Seed with one neighborhood-min pass (label(v) = min(v, neighbors))
       // — equivalent to the first propagation round at the cost of a
@@ -341,8 +344,13 @@ object DedupOps {
         labels = jumped
       }
       labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
-        .orderBy(col("doc_id"))
-    },
+  }
+
+  val dedupClusters: Op = Op(
+    "dedup_clusters",
+    (s, d) => clusterPairs(
+        minhashPairs(s, d).select(col("i"), col("j")).localCheckpoint())
+      .orderBy(col("doc_id")),
     Some(s"""
       WITH RECURSIVE $sqlMinhashPairsCtes,
       und AS (SELECT i AS src, j AS dst FROM mh_pairs
@@ -488,8 +496,13 @@ object DedupOps {
       val nFp = Tables.documents(s, d)
         .select(hash60(normText(col("text"))).as("fp"))
         .agg(countDistinct(col("fp")).as("n_distinct_fp"))
-      val nPairs = minhashPairs(s, d).agg(count(lit(1)).as("n_near_pairs"))
-      val cl = dedupClusters.fn(s, d)
+      // ONE checkpointed pairs frame feeds both the pair count and the
+      // clustering — the LSH pipeline (shingle → minhash → band →
+      // verify) runs exactly once.
+      val pairs = minhashPairs(s, d).select(col("i"), col("j"))
+        .localCheckpoint()
+      val nPairs = pairs.agg(count(lit(1)).as("n_near_pairs"))
+      val cl = clusterPairs(pairs)
       val clStats = cl.agg(count(lit(1)).as("n_docs_in_clusters"),
         countDistinct(col("cluster_id")).as("n_clusters"))
       nDocs.crossJoin(nFp).crossJoin(nPairs).crossJoin(clStats)

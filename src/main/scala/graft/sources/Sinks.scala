@@ -31,27 +31,40 @@ object Sinks {
       .withColumn("time_last_dumped_us", lit(dumpTimeUs))
 }
 
-/** Append-only parquet sink log with dump-id idempotency and a
-  * latest-state read view.
+/** The sink contract every backend shares: an append-only log with
+  * dump-id idempotent appends and a latest-state read view. Backends
+  * differ only in where the log lives ([[ParquetSink]] — the lake;
+  * [[ExternalSink]] — an external database over JDBC, the reference's
+  * actual broker role).
   *
   * Scale notes: the idempotency check reads ONLY the `dump_id` column of
-  * the existing log (column-pruned parquet scan) and left-anti joins the
-  * incoming batch against its distinct ids — a broadcast join in
-  * practice (distinct dump ids are few). A 100 TB deployment
-  * additionally partitions the log directory by dump date so the
-  * existence scan prunes to recent partitions; the latest-state view is
-  * one shuffle on the unique key and is the same plan as the
+  * the existing log (a column-pruned scan — parquet prunes natively, the
+  * JDBC read pushes the projection to the database) and left-anti joins
+  * the incoming batch against its distinct ids — a broadcast join in
+  * practice (distinct dump ids are few). The latest-state view is one
+  * shuffle on the unique key and is the same plan as the
   * `sink_latest_state` operator (A1).
   */
-final case class ParquetSink(path: String) {
+trait SinkLog {
 
-  private def exists(spark: SparkSession): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  /** Does the log exist yet (first append creates it)? */
+  protected def exists(spark: SparkSession): Boolean
+
+  /** Backend append of an already-deduplicated batch. */
+  protected def append(df: DataFrame): Unit
 
   /** Read the raw append-only log. */
-  def log(spark: SparkSession): DataFrame = spark.read.parquet(path)
+  def log(spark: SparkSession): DataFrame
+
+  /** Distinct dump_ids already in the sink — subclasses may override
+    * with a cheaper pushed-down query than the full-log scan.
+    */
+  protected def seenDumpIds(spark: SparkSession): DataFrame =
+    log(spark).select(col("dump_id")).distinct()
+
+  /** Test hook: the idempotency pre-read, for plan/width assertions. */
+  private[graft] def seenForTest(spark: SparkSession): DataFrame =
+    seenDumpIds(spark)
 
   /** Append `batch` (already stamped with `dump_id`), dropping every row
     * whose dump_id already reached the sink. Returns the number of rows
@@ -60,14 +73,11 @@ final case class ParquetSink(path: String) {
   def appendIdempotent(spark: SparkSession, batch: DataFrame): Long = {
     val fresh =
       if (!exists(spark)) batch
-      else {
-        val seen = log(spark).select(col("dump_id")).distinct()
-        batch.join(broadcast(seen), Seq("dump_id"), "left_anti")
-      }
+      else batch.join(broadcast(seenDumpIds(spark)), Seq("dump_id"), "left_anti")
     // one pass: count and append without recomputing the anti-join
     val materialized = fresh.localCheckpoint()
     val n = materialized.count()
-    if (n > 0) materialized.write.mode("append").parquet(path)
+    if (n > 0) append(materialized)
     n
   }
 
@@ -83,6 +93,23 @@ final case class ParquetSink(path: String) {
       .filter(col("rn") === 1)
       .drop("rn")
   }
+}
+
+/** Append-only parquet sink log — the lake-native [[SinkLog]]. A 100 TB
+  * deployment additionally partitions the log directory by dump date so
+  * the idempotency scan prunes to recent partitions.
+  */
+final case class ParquetSink(path: String) extends SinkLog {
+
+  protected def exists(spark: SparkSession): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  protected def append(df: DataFrame): Unit =
+    df.write.mode("append").parquet(path)
+
+  def log(spark: SparkSession): DataFrame = spark.read.parquet(path)
 
   /** Compaction — the scheduled twin of ClickHouse's background merge:
     * rewrite the append log down to its latest-state rows so reads stop
@@ -101,6 +128,82 @@ final case class ParquetSink(path: String) {
     latestState(spark, keyCols).write.mode("overwrite").parquet(tmp.toString)
     fs.delete(p, true)
     fs.rename(tmp, p)
+  }
+}
+
+/** External-database sink over JDBC — the [[SinkLog]] twin of the
+  * reference's actual broker role: pushing serialized rows into an
+  * external store over the wire (`_send_clickhouse_request`,
+  * base_sink.py:55-72, and `send_item`'s bulk POST,
+  * base_sink.py:251-282). The reference tolerates Celery re-delivery of
+  * the same dump via dump_id + ReplacingMergeTree; here the SAME
+  * dump-id anti-join dedups re-delivered batches BEFORE the wire, so
+  * the external table never sees a duplicate attempt.
+  *
+  * Scale notes: the write is `df.write.jdbc` — every Spark partition
+  * opens its own connection and streams its rows in `batchsize`d
+  * inserts, so the append is partition-parallel like the parquet path
+  * (the reference posts one CSV payload per batch from one process; a
+  * 1000-executor cluster writes 1000 ways). The idempotency pre-read
+  * selects ONLY the distinct dump_id (pushed to the database as a
+  * one-column query via a subquery alias, not a full-table fetch).
+  */
+final case class ExternalSink(
+    url: String,
+    table: String,
+    connProps: Map[String, String] = Map.empty,
+    createColumnTypes: Option[String] = None) extends SinkLog {
+
+  private def props: java.util.Properties = {
+    val p = new java.util.Properties()
+    connProps.foreach { case (k, v) => p.setProperty(k, v) }
+    p
+  }
+
+  protected def exists(spark: SparkSession): Boolean = {
+    // Spark's JDBC source loads the driver class itself from the
+    // "driver" property; the raw DriverManager probe here must do the
+    // same (service autoloading misses drivers registered only in
+    // add-on jars, e.g. Derby 10.15+'s EmbeddedDriver in derbytools).
+    connProps.get("driver").foreach(Class.forName)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      // DatabaseMetaData is the portable existence probe (works on any
+      // JDBC store; table names are case-normalized by the database).
+      val md = conn.getMetaData
+      Seq(table, table.toUpperCase, table.toLowerCase).exists { t =>
+        val rs = md.getTables(null, null, t, null)
+        try rs.next() finally rs.close()
+      }
+    } finally conn.close()
+  }
+
+  protected def append(df: DataFrame): Unit = {
+    // Some dialects map StringType to a LOB type (Derby: CLOB) that the
+    // database cannot use in DISTINCT — which the idempotency pre-read
+    // needs on dump_id. Pin the key column to a comparable VARCHAR at
+    // table creation; callers override for their own columns.
+    val colTypes = createColumnTypes.getOrElse(
+      if (df.columns.contains("dump_id")) "dump_id VARCHAR(128)" else "")
+    val w = df.write.mode("append")
+    (if (colTypes.nonEmpty) w.option("createTableColumnTypes", colTypes)
+     else w).jdbc(url, table, props)
+  }
+
+  def log(spark: SparkSession): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  override protected def seenDumpIds(spark: SparkSession): DataFrame = {
+    // A subquery pushes the projection+distinct to the database: the
+    // idempotency pre-read moves one column of few values over the
+    // wire, not the log. Spark's JDBC writer creates columns with
+    // dialect-quoted (case-preserved) names, so the read-back must
+    // quote the same way or the database would case-normalize it.
+    val q = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+      .quoteIdentifier("dump_id")
+    spark.read.jdbc(
+        url, s"(SELECT DISTINCT $q FROM $table) AS seen", props)
+      .toDF("dump_id")
   }
 }
 

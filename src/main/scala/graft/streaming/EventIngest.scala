@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.functions.Portable._
-import graft.sources.{ParquetSink, Sinks}
+import graft.sources.{ParquetSink, SinkLog, Sinks}
 
 /** Structured-Streaming ingest twin of the reference's event-driven path
   * (signals.py:1-82 — change event fires; tasks.py:1-59 — async dump into
@@ -48,12 +48,23 @@ object EventIngest {
       events: DataFrame,
       sinkDir: String,
       checkpointDir: String): StreamingQuery =
+    start(events, ParquetSink(sinkDir), checkpointDir)
+
+  /** Same ingest against ANY [[SinkLog]] backend — a parquet log or an
+    * external database over JDBC ([[graft.sources.ExternalSink]], the
+    * reference's broker role): the epoch-id dump dedup makes
+    * at-least-once foreachBatch delivery exactly-once in either store.
+    */
+  def start(
+      events: DataFrame,
+      sink: SinkLog,
+      checkpointDir: String): StreamingQuery =
     windowedAgg(events.withWatermark("ts", "2 hours"))
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        ParquetSink(sinkDir).appendIdempotent(batch.sparkSession,
+        sink.appendIdempotent(batch.sparkSession,
           Sinks.stamped(batch, s"epoch-$epochId", epochId))
         ()
       }

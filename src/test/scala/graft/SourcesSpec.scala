@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.{CsvBulkSink, ParquetSink, Sinks}
+import graft.sources.{CsvBulkSink, ExternalSink, ParquetSink, Sinks}
 
 /** The sources/ sink package: dump-id idempotency, latest-state reads,
   * CSV bulk payload rendering.
@@ -61,6 +61,43 @@ class SourcesSpec extends SparkSpec {
     // idempotency survives: d2 replay still appends nothing
     assert(sink.appendIdempotent(spark,
       batch(Seq((3L, "v1", 30.0)), "d2", 2000L)) == 0)
+  }
+
+  private def derbySink(table: String): ExternalSink = {
+    val db = Files.createTempDirectory("graft_jdbc").toString + "/db"
+    ExternalSink(s"jdbc:derby:$db;create=true", table,
+      Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+  }
+
+  test("ExternalSink.appendIdempotent: re-delivered dump over JDBC never duplicates") {
+    val sink = derbySink("sink_log")
+    val b1 = batch(Seq((1L, "new", 10.0), (2L, "new", 20.0)), "d1", 1000L)
+    // first delivery creates the external table and lands both rows
+    assert(sink.appendIdempotent(spark, b1) == 2)
+    // the broker re-delivers the SAME dump (Celery at-least-once):
+    // the dump-id anti-join drops it before the wire
+    assert(sink.appendIdempotent(spark, b1) == 0)
+    assert(sink.log(spark).count() == 2)
+    // a genuinely new dump attempt for pk=2 appends (append-only log)
+    val b2 = batch(Seq((2L, "upd", 21.0)), "d2", 2000L)
+    assert(sink.appendIdempotent(spark, b2) == 1)
+    assert(sink.log(spark).count() == 3)
+    // the latest-state read view works over JDBC like over parquet
+    val st = sink.latestState(spark, Seq("pk")).collect()
+      .map(r => r.getAs[Long]("pk") -> r.getAs[String]("status")).toMap
+    assert(st == Map(1L -> "new", 2L -> "upd"))
+  }
+
+  test("ExternalSink idempotency pre-read ships one column, not the log") {
+    val sink = derbySink("slim_log")
+    sink.appendIdempotent(spark,
+      batch(Seq((1L, "new", 10.0), (2L, "new", 20.0)), "d1", 1000L))
+    // the second append's anti-join probe: its JDBC scan must carry
+    // only dump_id (projection+distinct pushed into the subquery)
+    val seen = sink.seenForTest(spark)
+    assert(seen.schema.fieldNames.toSeq == Seq("dump_id"),
+      s"pre-read must be one column, got ${seen.schema.fieldNames.toSeq}")
+    assert(seen.collect().map(_.getString(0)).toSeq == Seq("d1"))
   }
 
   test("SQL surface: registered views answer ANSI SQL with pushdown intact") {
