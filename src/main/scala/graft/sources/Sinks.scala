@@ -56,6 +56,12 @@ trait SinkLog {
   /** Read the raw append-only log. */
   def log(spark: SparkSession): DataFrame
 
+  /** Has anything ever been appended (the first append creates the
+    * log)? Public so schedulers ([[Backfill]]) can gate their sink-state
+    * read without touching the backend directly.
+    */
+  def initialized(spark: SparkSession): Boolean = exists(spark)
+
   /** Distinct dump_ids already in the sink — subclasses may override
     * with a cheaper pushed-down query than the full-log scan.
     */

@@ -92,4 +92,103 @@ class SinkSpec extends SparkSpec {
       assert(parts(3).matches("""-?\d+\.\d\d"""), s"money not d.dd: ${parts(3)}")
     }
   }
+
+  test("backfill executor: poisoned batch tolerated, re-run idempotent, force re-dumps") {
+    import java.nio.file.Files
+    import graft.sources.{Backfill, SinkLog}
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+
+    // a sink whose raw append can be poisoned per dump_id (a failing
+    // bulk POST in the reference; any transient batch error here)
+    class PoisonSink(path: String) extends SinkLog {
+      @volatile var poison: Set[String] = Set.empty
+      protected def exists(spark: SparkSession): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
+      protected def append(df: DataFrame): Unit = {
+        val dumpIds = df.select("dump_id").distinct().collect()
+          .map(_.getString(0)).toSet
+        if ((dumpIds & poison).nonEmpty)
+          throw new RuntimeException(s"poisoned: ${dumpIds & poison}")
+        df.write.mode("append").parquet(path)
+      }
+      def log(spark: SparkSession): DataFrame = spark.read.parquet(path)
+    }
+
+    val sink = new PoisonSink(
+      Files.createTempDirectory("graft_backfill").toString + "/log")
+    // 1000 items, pk 0..999, all modified at t=1000us → 5 batches of 200
+    val items = spark.range(0, 1000)
+      .select(col("id").as("pk"), lit(1000L).as("modified_us"),
+        concat(lit("payload-"), col("id")).as("body"))
+
+    def backfill(runId: String, force: Boolean = false) =
+      Backfill.run(spark, items, "pk", "modified_us", sink,
+        runId = runId, dumpTimeUs = 2000L, batchSize = 200L, force = force)
+
+    // run 1: batch 2 (pks 400-599) is poisoned; the OTHER four land
+    sink.poison = Set("run1-b2")
+    val r1 = backfill("run1")
+    assert(r1.batchesFailed == Seq(2L), s"got $r1")
+    assert(r1.batchesLanded.sorted == Seq(0L, 1L, 3L, 4L))
+    assert(r1.rowsAppended == 800L && sink.log(spark).count() == 800L)
+
+    // run 2, same runId, poison cleared: ONLY the failed batch lands —
+    // the gate skips everything the sink already has
+    sink.poison = Set.empty
+    val r2 = backfill("run1")
+    assert(r2.ok && r2.rowsAppended == 200L, s"got $r2")
+    assert(r2.itemsSkipped == 800L)
+    assert(sink.log(spark).count() == 1000L)
+
+    // run 3: complete re-run appends NOTHING (gate skips all 1000)
+    val r3 = backfill("run1")
+    assert(r3.ok && r3.rowsAppended == 0L && r3.itemsSkipped == 1000L,
+      s"got $r3")
+    assert(sink.log(spark).count() == 1000L)
+
+    // run 4: --force with a fresh runId bypasses the gate — every item
+    // re-dumps even though nothing was modified
+    val r4 = backfill("run2", force = true)
+    assert(r4.ok && r4.rowsAppended == 1000L && r4.itemsSkipped == 0L,
+      s"got $r4")
+    assert(sink.log(spark).count() == 2000L)
+    // the latest-state view is unchanged in cardinality: newest dump wins
+    assert(sink.latestState(spark, Seq("pk")).count() == 1000L)
+  }
+
+  test("backfill executor: ids/skip_ids/limit page like the reference command") {
+    import java.nio.file.Files
+    import graft.sources.{Backfill, ParquetSink}
+
+    val items = spark.range(0, 1000)
+      .select(col("id").as("pk"), lit(1000L).as("modified_us"))
+
+    // --ids: only the include set is considered
+    val s1 = ParquetSink(
+      Files.createTempDirectory("graft_bf_ids").toString + "/log")
+    val rIds = Backfill.run(spark, items, "pk", "modified_us", s1,
+      runId = "r", dumpTimeUs = 2000L, batchSize = 200L,
+      ids = Some(Seq(1L, 5L, 900L)))
+    assert(rIds.rowsAppended == 3L && s1.log(spark).count() == 3L)
+
+    // --skip_ids: excluded pks never dump
+    val s2 = ParquetSink(
+      Files.createTempDirectory("graft_bf_skip").toString + "/log")
+    val rSkip = Backfill.run(spark, items, "pk", "modified_us", s2,
+      runId = "r", dumpTimeUs = 2000L, batchSize = 200L,
+      skipIds = Some((0L until 500L)))
+    assert(rSkip.rowsAppended == 500L)
+    assert(s2.log(spark).agg(min(col("pk"))).collect().head.getLong(0) == 500L)
+
+    // --limit: stops at batch granularity once the cap is reached
+    val s3 = ParquetSink(
+      Files.createTempDirectory("graft_bf_limit").toString + "/log")
+    val rLim = Backfill.run(spark, items, "pk", "modified_us", s3,
+      runId = "r", dumpTimeUs = 2000L, batchSize = 200L,
+      limit = Some(400L))
+    assert(rLim.batchesPlanned == Seq(0L, 1L), s"got $rLim")
+    assert(rLim.rowsAppended == 400L && s3.log(spark).count() == 400L)
+  }
 }
