@@ -636,31 +636,108 @@ object RelationalOps {
     * value, bit-identical in any engine: interpolating percentile
     * implementations differ in FP evaluation order across engines, but
     * "the value at row_number floor((n-1)·q)+1 in sort order" is exact.
-    * Ties in the sort value cannot change the selected value (equal
-    * values at a rank are equal), so no tie-break column is needed.
-    * One window shuffle + one co-partitioned count join; at 100 TB the
-    * refinement for heavy groups is an approx-quantile sketch first
-    * pass — this op is the exact-answer path.
+    * (The DuckDB oracle keeps that window formulation verbatim.)
+    *
+    * Plan: exact selection WITHOUT a per-priority sort. A window
+    * partitioned by the 5-value priority key would sort 20% of the
+    * table on one task — the textbook constant-cardinality skew killer
+    * at 100 TB. Instead, distributed bucketed (histogram) selection:
+    *   1. one agg per priority: n, min, max — the pivots are 1000
+    *      UNIFORM value buckets over [min, max] (`width_bucket`, pure
+    *      codegen). Pivots are only pivots: bucket placement affects
+    *      balance, never the answer. (Quantile-sketch pivots were
+    *      measured 6× slower here — 199 interpreted `filter()` HOF
+    *      comparisons per histogram row — and a naive sketch [lo,hi]
+    *      value bracket is not even rank-safe: the sketch's internal
+    *      rank rounding exceeds any fixed quantile margin at small n,
+    *      measured one-rank-off at p90 with n=273.)
+    *   2. one (priority, value) HISTOGRAM shuffle — high-cardinality
+    *      compound key, fully parallel, map-side combined; ties
+    *      collapse into single entries;
+    *   3. exact per-bucket counts (≤ 5×1000 rows), then per priority a
+    *      cumulative HOF walk over the sorted bucket array finds the
+    *      bucket holding rank k and the exact count below it;
+    *   4. only that bucket's histogram entries (~n/1000 ranks on
+    *      near-uniform values, fewer under ties) are collected and
+    *      walked to the rank-k value.
+    * Every stage is an aggregate; no window, no global sort, per-group
+    * driver-independent state bounded by buckets + one bucket's
+    * entries. A pathologically value-skewed column (most mass inside
+    * one bucket width, yet distinct) would need one recursive re-split
+    * of the hit bucket — not implemented; ties, the common skew, only
+    * SHRINK the histogram.
     */
   val q22Percentile: Op = Op(
     "q22_percentile",
     (s, d) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice"))
-      val ranked = Tables.orders(s, d)
+      val nBuckets = 1000
+      val src = Tables.orders(s, d)
         .select(col("o_orderpriority"), col("o_totalprice"))
-        .withColumn("rn", row_number().over(w).cast(LongType))
-      val sizes = Tables.orders(s, d)
-        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
-      ranked.join(sizes, "o_orderpriority")
-        .groupBy(col("o_orderpriority"), col("n"))
-        .agg(
-          // `div` (integer division), matching the oracle's `//` — the
-          // Column `/` operator is true division and returns doubles
-          min(when(col("rn") === expr("((n - 1) * 5) div 10 + 1"),
-            col("o_totalprice"))).as("p50"),
-          min(when(col("rn") === expr("((n - 1) * 9) div 10 + 1"),
-            col("o_totalprice"))).as("p90"))
+      val stats = src.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+        .select(col("o_orderpriority"), col("n"), col("mn"), col("mx"),
+          // `div` (integer division), matching the oracle's `//`
+          expr("((n - 1) * 5) div 10 + 1").as("k50"),
+          expr("((n - 1) * 9) div 10 + 1").as("k90"))
+      // (priority, value, cnt) histogram, each entry tagged with its
+      // uniform value bucket (mx maps to nBuckets+1; harmless, it is
+      // still the last sorted bucket)
+      val hist = src
+        .groupBy(col("o_orderpriority"), col("o_totalprice"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(broadcast(stats), "o_orderpriority")
+        .select(col("o_orderpriority"), col("o_totalprice"), col("cnt"),
+          col("n"), col("k50"), col("k90"),
+          expr(s"width_bucket(o_totalprice, mn, mx, $nBuckets)")
+            .as("bucket"))
+        .localCheckpoint() // two consumers: bucket counts + final walk
+      // exact cumulative bucket counts → the bucket holding rank k and
+      // the exact number of rows below that bucket
+      def locate(k: String) = expr(s"""
+        aggregate(sort_array(collect_list(named_struct('b', bucket,
+            'bc', bc))),
+          named_struct('cum', 0L, 'hit', -1, 'below', 0L),
+          (acc, e) -> IF(acc.hit >= 0, acc,
+            IF(acc.cum + e.bc >= $k,
+               named_struct('cum', acc.cum + e.bc, 'hit', e.b,
+                 'below', acc.cum),
+               named_struct('cum', acc.cum + e.bc, 'hit', -1,
+                 'below', 0L))))""")
+      // n/k50/k90 are functionally dependent on the priority — carrying
+      // them as grouping keys keeps every reference a plain attribute
+      // (no aggregate calls inside the HOF lambdas)
+      val located = hist
+        .groupBy(col("o_orderpriority"), col("n"), col("k50"),
+          col("k90"), col("bucket"))
+        .agg(sum(col("cnt")).as("bc"))
+        .groupBy(col("o_orderpriority"), col("n"), col("k50"), col("k90"))
+        .agg(locate("k50").as("loc50"), locate("k90").as("loc90"))
+        .select(col("o_orderpriority"), col("n"), col("k50"), col("k90"),
+          col("loc50.hit").as("b50"), col("loc50.below").as("below50"),
+          col("loc90.hit").as("b90"), col("loc90.below").as("below90"))
+      // walk ONLY the located bucket's entries to the exact local rank
+      def cand(b: String) = sort_array(collect_list(
+        when(col("bucket") === col(b),
+          struct(col("o_totalprice").as("v"), col("cnt").as("c")))))
+      def pick(cand: String, k: String, below: String) = expr(s"""
+        aggregate($cand,
+          named_struct('rem', $k - $below, 'found', CAST(NULL AS DOUBLE)),
+          (acc, e) -> IF(acc.found IS NOT NULL, acc,
+            IF(acc.rem <= e.c, named_struct('rem', acc.rem, 'found', e.v),
+               named_struct('rem', acc.rem - e.c,
+                 'found', CAST(NULL AS DOUBLE)))),
+          acc -> acc.found)""")
+      hist.drop("n", "k50", "k90")
+        .join(broadcast(located), "o_orderpriority")
+        .groupBy(col("o_orderpriority"), col("n"), col("k50"),
+          col("k90"), col("below50"), col("below90"),
+          col("b50"), col("b90"))
+        .agg(cand("b50").as("cand50"), cand("b90").as("cand90"))
+        .select(col("o_orderpriority"), col("n"),
+          pick("cand50", "k50", "below50").as("p50"),
+          pick("cand90", "k90", "below90").as("p90"))
         .orderBy(col("o_orderpriority"))
     },
     Some("""

@@ -107,4 +107,43 @@ class RelationalSpec extends SparkSpec {
       assert(s >= 1 && s <= r.getAs[Long]("n_events"))
     }
   }
+
+  test("q22_percentile: sketch-bounded selection equals the exact window, no Window in plan") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+
+    def exactWindow(dir: String) = {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"))
+      val ranked = Tables.orders(spark, dir)
+        .select(col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+      val sizes = Tables.orders(spark, dir)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      ranked.join(sizes, "o_orderpriority")
+        .groupBy(col("o_orderpriority"), col("n"))
+        .agg(
+          min(when(col("rn") === expr("((n - 1) * 5) div 10 + 1"),
+            col("o_totalprice"))).as("p50"),
+          min(when(col("rn") === expr("((n - 1) * 9) div 10 + 1"),
+            col("o_totalprice"))).as("p90"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Long]("n"),
+        r.getAs[Double]("p50"), r.getAs[Double]("p90"))).sorted.toSeq
+
+    // exact-value parity at two scale factors (different n per group,
+    // so the rank arithmetic and bracket margins both get exercised)
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      assert(rows(run("q22_percentile", dir)) == rows(exactWindow(dir)),
+        s"selection != exact window at $dir")
+    }
+
+    // the scale contract: no window (hence no per-priority global sort)
+    // anywhere in the executed plan
+    val df = run("q22_percentile")
+    df.collect()
+    assert(!plan(df).contains("Window"),
+      "q22 must not window on the 5-value priority key")
+  }
 }
