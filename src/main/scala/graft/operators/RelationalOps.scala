@@ -690,7 +690,9 @@ object RelationalOps {
         .join(broadcast(stats), "o_orderpriority")
         .select(col("o_orderpriority"), col("o_totalprice"), col("cnt"),
           col("n"), col("k50"), col("k90"),
-          expr(s"width_bucket(o_totalprice, mn, mx, $nBuckets)")
+          // mn == mx (constant-price group) makes width_bucket NULL;
+          // bucket placement is irrelevant there, so pin to bucket 1
+          expr(s"coalesce(width_bucket(o_totalprice, mn, mx, $nBuckets), 1L)")
             .as("bucket"))
         .localCheckpoint() // two consumers: bucket counts + final walk
       // exact cumulative bucket counts → the bucket holding rank k and
@@ -698,12 +700,12 @@ object RelationalOps {
       def locate(k: String) = expr(s"""
         aggregate(sort_array(collect_list(named_struct('b', bucket,
             'bc', bc))),
-          named_struct('cum', 0L, 'hit', -1, 'below', 0L),
+          named_struct('cum', 0L, 'hit', -1L, 'below', 0L),
           (acc, e) -> IF(acc.hit >= 0, acc,
             IF(acc.cum + e.bc >= $k,
                named_struct('cum', acc.cum + e.bc, 'hit', e.b,
                  'below', acc.cum),
-               named_struct('cum', acc.cum + e.bc, 'hit', -1,
+               named_struct('cum', acc.cum + e.bc, 'hit', -1L,
                  'below', 0L))))""")
       // n/k50/k90 are functionally dependent on the priority — carrying
       // them as grouping keys keeps every reference a plain attribute

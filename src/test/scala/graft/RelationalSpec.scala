@@ -146,4 +146,25 @@ class RelationalSpec extends SparkSpec {
     assert(!plan(df).contains("Window"),
       "q22 must not window on the 5-value priority key")
   }
+
+  test("q22_percentile: degenerate groups (min == max, single row) yield exact values") {
+    import spark.implicits._
+    // width_bucket(v, mn, mx, n) is NULL when mn == mx — constant-price
+    // and single-row groups must still select the exact value
+    val tmp = java.nio.file.Files.createTempDirectory("q22const").toString
+    val data =
+      Seq.fill(7)(("CONST", 42.5)) ++
+      (0 to 10).map(i => ("VARIED", 10.0 + i)) ++
+      Seq(("SINGLE", 7.25))
+    data.toDF("o_orderpriority", "o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val got = run("q22_percentile", tmp).collect()
+      .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Long]("n"),
+        r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toSeq.sortBy(_._1)
+    // VARIED: n=11 over 10.0..20.0 → k50=6 → 15.0, k90=10 → 19.0
+    assert(got == Seq(
+      ("CONST", 7L, 42.5, 42.5),
+      ("SINGLE", 1L, 7.25, 7.25),
+      ("VARIED", 11L, 15.0, 19.0)))
+  }
 }
