@@ -78,29 +78,51 @@ object PipelineOps {
         ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY p.event_id"""))
 
+  /** Bucket width for [[joinRange]]'s compound bucketing, in seconds.
+    * Equal to the 24 h window length so every window overlaps at most
+    * TWO buckets (the one holding its start and, if it crosses a bucket
+    * boundary, the next). Like DedupOps.MAX_DF / MAX_BUCKET this is the
+    * named scale knob: shrinking the window shrinks the bucket with it —
+    * the ≤2-bucket invariant only needs width ≥ window length.
+    */
+  private[graft] val RANGE_BUCKET_SECONDS: Long = 24L * 3600L
+
   /** G2 — range (interval) join: per `signup` event, activity of the
-    * same user inside the 24 h window after signup. Declared as an
-    * equi-join on user_id with the time window as a join-side range
-    * predicate — Catalyst plans a hash join on the key and evaluates the
-    * range as a post-join filter, so cost is
-    * Σ_user (signups × events), never a global cartesian. At 100 TB with
-    * heavy-hitter users, the standard refinement is compound bucketing —
-    * equi-join on (user_id, time_bucket) with events exploded to the
-    * ≤2 buckets each window overlaps — same semantics, bounded fanout;
-    * plain per-user fanout is the right default here.
-    * LEFT join keeps zero-activity signups (n_follow = 0).
+    * same user inside the 24 h window after signup. A plain equi-join on
+    * user_id with the window as a residual predicate costs
+    * Σ_user (signups × events) — a skew bomb once one user (a bot, a
+    * service account) holds millions of events. The engine path is
+    * compound bucketing: time is cut into [[RANGE_BUCKET_SECONDS]]
+    * buckets (width = window length), each signup is exploded to the
+    * ≤2 buckets its window overlaps, each event maps to exactly ONE
+    * bucket, and the join is a hash equi-join on (user_id, bucket) with
+    * the exact range predicate evaluated as a residual. Per-key fanout
+    * is bounded by one bucket's occupancy, not a user's lifetime; an
+    * event can match at most one exploded row of a given signup (its own
+    * bucket), so no dedup pass is needed. Bucket ids derive from
+    * second-truncated epochs on BOTH sides, so the residual range check
+    * on the full-precision timestamps never sees a pair the buckets
+    * missed. LEFT join keeps zero-activity signups (n_follow = 0).
     */
   val joinRange: Op = Op(
     "join_range",
     (s, d) => {
+      val W = RANGE_BUCKET_SECONDS
       val e = Tables.events(s, d)
       val signups = e.filter(col("event_type") === "signup")
         .select(col("event_id").as("signup_id"), col("user_id"),
           col("ts").as("t0"))
+        // window (t0, t0+W] ⇒ buckets t0s div W and (t0s+W) div W;
+        // array_distinct keeps the explode at 1 row when they coincide
+        .withColumn("bkt", explode(array_distinct(array(
+          expr(s"cast(t0 as long) div $W"),
+          expr(s"(cast(t0 as long) + $W) div $W")))))
       val follow = e.select(col("user_id").as("f_user"), col("ts"),
         col("event_id").as("f_id"), col("value"))
+        .withColumn("f_bkt", expr(s"cast(ts as long) div $W"))
       signups.join(follow,
           col("user_id") === col("f_user") &&
+            col("bkt") === col("f_bkt") &&
             col("ts") > col("t0") &&
             col("ts") <= col("t0") + expr("INTERVAL 24 HOURS"),
           "left")

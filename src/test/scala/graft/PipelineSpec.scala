@@ -59,6 +59,71 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("join_range: compound bucketing bounds heavy-user fanout; join keys on (user, bucket)") {
+    import spark.implicits._
+    val W = operators.PipelineOps.RANGE_BUCKET_SECONDS
+    // planted corpus: bot user 7 = 60 daily signups + 3000 events spread
+    // over the same 60 days (the per-user skew bomb); user 8 normal;
+    // user 9 = one zero-activity signup
+    val base = 1700000000L
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val days = 60
+    val plant: Seq[(Long, Long, Timestamp, String, Double)] =
+      (0 until days).map(d =>
+        (1000L + d, 7L, t(base + d * 86400L + 1000), "signup", 0.0)) ++
+      (0 until days * 50).map(i =>
+        (10000L + i, 7L, t(base + i * 1728L), "click", 1.0)) ++
+      Seq((50L, 8L, t(base + 500), "signup", 0.0),
+        (51L, 8L, t(base + 600), "click", 2.5),
+        (52L, 8L, t(base + 90 * 86400L), "click", 4.0),
+        (60L, 9L, t(base + 120 * 86400L), "signup", 0.0))
+    val tmp = java.nio.file.Files.createTempDirectory("jrheavy").toString
+    plant.toDF("event_id", "user_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+
+    // exact parity against in-memory brute force (incl. the bucket-
+    // boundary case: a signup exactly 24h after the previous one is
+    // inside its inclusive window end)
+    val out = run("join_range", tmp).collect()
+      .map(r => (r.getAs[Long]("signup_id"), r.getAs[Long]("n_follow"),
+        r.getAs[Double]("follow_value"))).toSeq.sortBy(_._1)
+    val expected = plant.filter(_._4 == "signup").map { case (sid, uid, t0, _, _) =>
+      val in = plant.filter(f => f._2 == uid &&
+        f._3.getTime > t0.getTime && f._3.getTime <= t0.getTime + 86400000L)
+      (sid, in.size.toLong, in.map(_._5).sum)
+    }.sortBy(_._1)
+    assert(out == expected, "bucketed range join != brute force on planted corpus")
+
+    // the scale contract: candidate pairs are bounded by per-bucket
+    // occupancy, not per-user volume — ≥10x below the single-key join
+    val ev = Tables.events(spark, tmp)
+    val su = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("t0"))
+      .withColumn("bkt", explode(array_distinct(array(
+        expr(s"cast(t0 as long) div $W"),
+        expr(s"(cast(t0 as long) + $W) div $W")))))
+      .groupBy("user_id", "bkt").agg(count(lit(1)).as("s_cnt"))
+    val fo = ev.groupBy(col("user_id").as("u"),
+        expr(s"cast(ts as long) div $W").as("bkt"))
+      .agg(count(lit(1)).as("e_cnt"))
+    val bucketedPairs = su.join(fo,
+        su("user_id") === fo("u") && su("bkt") === fo("bkt"))
+      .agg(sum(col("s_cnt") * col("e_cnt"))).collect().head.getLong(0)
+    val perUser = plant.groupBy(_._2).map { case (_, rows) =>
+      rows.count(_._4 == "signup").toLong * rows.size }
+    val naivePairs = perUser.sum
+    assert(bucketedPairs * 10 <= naivePairs,
+      s"bucketing must cut candidates >=10x: $bucketedPairs vs $naivePairs")
+
+    // plan shape: the hash join keys on the compound (user, bucket) key
+    val df = run("join_range", tmp)
+    df.collect()
+    val joinLine = plan(df).linesIterator
+      .find(l => l.contains("Join") && l.contains("user_id")).getOrElse("")
+    assert(joinLine.contains("bkt"),
+      s"range join must key on the time bucket, got: $joinLine")
+  }
+
   test("sample_stratified: deterministic, k per stratum, subset of stratum") {
     val docs = Tables.documents(spark, sf)
       .groupBy(col("lang"), col("source")).count().collect()
