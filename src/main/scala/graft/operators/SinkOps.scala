@@ -348,13 +348,21 @@ object SinkOps {
     * keeping an ordinal `order` plus section/subsection/unit counters that
     * increment on chapter/sequential/vertical and reset below the level
     * that changed. Event mapping: signup→chapter, purchase→sequential,
-    * click→vertical, per user_id ordered by (ts, event_id).
+    * click→vertical, view→static_tab, error→course_info, per user_id
+    * ordered by (ts, event_id).
     *
     * The imperative loop becomes three stacked running-sum windows: the
     * reset-on-parent-change is exactly "count within the parent's group",
     * so subsection partitions by (user, section) and unit by (user,
     * section, subsection). Each window partitions on a user-prefixed key —
     * per-key sorts, never a global sort, scales with keys.
+    *
+    * `serialize_xblock` also stamps each block with `detached: 1/0` by
+    * membership in `get_detached_xblock_types()` (course_published.py:53,
+    * :109; utils.py:50-59 — {static_tab, about, course_info} per the
+    * reference's test fixture). The set is a handful of constants, so the
+    * membership test is an `isin` literal — constant-folded into codegen,
+    * the degenerate (and optimal) form of a broadcast set.
     */
   val sinkXblockHierarchy: Op = Op(
     "sink_xblock_hierarchy",
@@ -370,6 +378,7 @@ object SinkOps {
         .partitionBy(col("user_id"), col("section"), col("subsection"))
         .orderBy(col("us"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val detachedTypes = Seq("static_tab", "about", "course_info")
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
@@ -382,12 +391,33 @@ object SinkOps {
         .withColumn("unit",
           sum(when(col("event_type") === "click", 1L).otherwise(0L))
             .over(bySubsection))
+        .withColumn("block_type",
+          when(col("event_type") === "signup", "chapter")
+            .when(col("event_type") === "purchase", "sequential")
+            .when(col("event_type") === "click", "vertical")
+            .when(col("event_type") === "view", "static_tab")
+            .otherwise("course_info"))
+        .withColumn("detached",
+          when(col("block_type").isin(detachedTypes: _*), 1L).otherwise(0L))
         .select(col("user_id"), col("event_id"), col("ord"),
-          col("section"), col("subsection"), col("unit"))
+          col("section"), col("subsection"), col("unit"),
+          col("block_type"), col("detached"))
         .orderBy(col("user_id"), col("ord"))
     },
     Some("""
-      SELECT user_id, event_id, ord, section, subsection, unit
+      SELECT user_id, event_id, ord, section, subsection, unit,
+             CASE event_type WHEN 'signup' THEN 'chapter'
+                  WHEN 'purchase' THEN 'sequential'
+                  WHEN 'click' THEN 'vertical'
+                  WHEN 'view' THEN 'static_tab'
+                  ELSE 'course_info' END AS block_type,
+             CAST(CASE WHEN (CASE event_type WHEN 'signup' THEN 'chapter'
+                  WHEN 'purchase' THEN 'sequential'
+                  WHEN 'click' THEN 'vertical'
+                  WHEN 'view' THEN 'static_tab'
+                  ELSE 'course_info' END)
+                IN ('static_tab', 'about', 'course_info')
+                THEN 1 ELSE 0 END AS BIGINT) AS detached
       FROM (
         SELECT *, CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
                  OVER (PARTITION BY user_id, section, subsection

@@ -78,6 +78,15 @@ class SinkSpec extends SparkSpec {
       }
     }.toSet
     assert(rows.toSet == expected, "hierarchy counters diverge from reference loop")
+
+    // detached flag: membership in the reference's detached-type set
+    // (course_published.py:109; static_tab/about/course_info) — view and
+    // error map to detached block types, the hierarchy types do not
+    run("sink_xblock_hierarchy").collect().foreach { r =>
+      val bt = r.getAs[String]("block_type")
+      val want = if (Set("static_tab", "about", "course_info")(bt)) 1L else 0L
+      assert(r.getAs[Long]("detached") == want, s"detached($bt)")
+    }
   }
 
   test("sink_csv_format: QUOTE_NONNUMERIC shape") {
