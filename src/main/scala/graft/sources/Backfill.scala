@@ -106,8 +106,13 @@ object Backfill {
 
     // One pass decides every item; the loop below only re-reads this
     // checkpointed frame per batch (pk-range filter, no recompute).
+    // floor division (not `div`, which truncates toward zero and would
+    // fold pks in (-batchSize, batchSize) into one oversized batch 0 and
+    // shift every negative range); pmod keeps it exact integer math even
+    // for pks beyond double precision
     val planned = gated
-      .withColumn("__batch", expr(s"$pkCol div $batchSize"))
+      .withColumn("__batch",
+        expr(s"($pkCol - pmod($pkCol, $batchSize)) div $batchSize"))
       .localCheckpoint()
 
     val skippedCount = planned.filter(!col("__dump")).count()

@@ -174,13 +174,19 @@ final case class ExternalSink(
     connProps.get("driver").foreach(Class.forName)
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      // DatabaseMetaData is the portable existence probe (works on any
-      // JDBC store; table names are case-normalized by the database).
-      val md = conn.getMetaData
-      Seq(table, table.toUpperCase, table.toLowerCase).exists { t =>
-        val rs = md.getTables(null, null, t, null)
-        try rs.next() finally rs.close()
-      }
+      // Probe with the EXACT identifier every other path uses (Spark's
+      // JDBC reader/writer pass `table` through verbatim) rather than
+      // case-guessing against DatabaseMetaData — a metadata probe can
+      // false-positive on a differently-cased sibling table on
+      // case-sensitive stores, sending appendIdempotent's anti-join to
+      // the wrong log. Table-not-found surfaces as a SQLException.
+      val st = conn.createStatement()
+      try {
+        st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close()
+        true
+      } catch {
+        case _: java.sql.SQLException => false
+      } finally st.close()
     } finally conn.close()
   }
 

@@ -167,6 +167,23 @@ class SinkSpec extends SparkSpec {
     assert(sink.latestState(spark, Seq("pk")).count() == 1000L)
   }
 
+  test("backfill executor: signed pks batch by floor division, no oversized batch 0") {
+    import java.nio.file.Files
+    import graft.sources.{Backfill, ParquetSink}
+
+    // pks -15..14 with batchSize 10 must cut [-15,-11] [-10,-1] [0,9]
+    // [10,14] — truncating division would fold (-10,10) into one
+    // 19-item batch 0
+    val items = spark.range(-15, 15)
+      .select(col("id").as("pk"), lit(1000L).as("modified_us"))
+    val s = ParquetSink(
+      Files.createTempDirectory("graft_bf_neg").toString + "/log")
+    val r = Backfill.run(spark, items, "pk", "modified_us", s,
+      runId = "r", dumpTimeUs = 2000L, batchSize = 10L)
+    assert(r.ok && r.rowsAppended == 30L)
+    assert(r.batchesLanded.sorted == Seq(-2L, -1L, 0L, 1L), s"got $r")
+  }
+
   test("backfill executor: ids/skip_ids/limit page like the reference command") {
     import java.nio.file.Files
     import graft.sources.{Backfill, ParquetSink}
