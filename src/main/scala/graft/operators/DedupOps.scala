@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.{Op, Tables}
+import graft.{Checkpoints, Op, Tables}
 import graft.Op.{xhash32, xhash60}
 import graft.functions.Portable._
 
@@ -295,10 +295,11 @@ object DedupOps {
     * ≤ component-diameter rounds (dup clusters are near-cliques, so 1-3
     * in practice; the large-star/small-star rewiring trick bounds rounds
     * at O(log n) for pathological chains — same plan shape, noted here
-    * for the 100 TB tail). The edge list is localCheckpoint'd once so
-    * rounds don't recompute the LSH pipeline, and each round's labels
-    * are checkpointed to truncate the growing lineage (a cluster
-    * deployment would use reliable checkpoint()/a staging table).
+    * for the 100 TB tail). The edge list is checkpointed once so rounds
+    * don't recompute the LSH pipeline, and each round's labels are
+    * checkpointed to truncate the growing lineage ([[graft.Checkpoints]]:
+    * executor-local by default, reliable on clusters via
+    * graft.checkpoint.reliable=true).
     * Convergence is detected with an aggregated count — no driver-side
     * data collection.
     */
@@ -315,17 +316,16 @@ object DedupOps {
       // — equivalent to the first propagation round at the cost of a
       // single groupBy, no join. Near-clique dup clusters converge here,
       // so the loop usually runs once just to confirm no change.
-      var labels = und.groupBy(col("src"))
+      var labels = Checkpoints.checkpoint(und.groupBy(col("src"))
         .agg(min(col("dst")).as("mn"))
-        .select(col("src").as("v"), least(col("mn"), col("src")).as("label"))
-        .localCheckpoint()
+        .select(col("src").as("v"), least(col("mn"), col("src")).as("label")))
       var changed = 1L
       while (changed > 0) {
-        val prop = und.join(labels, col("src") === col("v"))
-          .select(col("dst").as("v"), col("label"))
-          .union(labels)
-          .groupBy(col("v")).agg(min(col("label")).as("label"))
-          .localCheckpoint()
+        val prop = Checkpoints.checkpoint(
+          und.join(labels, col("src") === col("v"))
+            .select(col("dst").as("v"), col("label"))
+            .union(labels)
+            .groupBy(col("v")).agg(min(col("label")).as("label")))
         // Pointer jumping: follow the label's own label (L' = L∘L), so
         // label depth halves every round and convergence is
         // O(log diameter) instead of O(diameter) — the difference
@@ -333,11 +333,10 @@ object DedupOps {
         // duplicate CHAIN. Labels are always vertex ids (minima over
         // seen ids), so the self-join key always resolves; joining the
         // CHECKPOINTED frame keeps the self-join attribute-clean.
-        val jumped = prop
+        val jumped = Checkpoints.checkpoint(prop
           .join(prop.select(col("v").as("lv"), col("label").as("ll")),
             col("label") === col("lv"))
-          .select(col("v"), col("ll").as("label"))
-          .localCheckpoint()
+          .select(col("v"), col("ll").as("label")))
         changed = jumped
           .join(labels.withColumnRenamed("label", "old"), "v")
           .filter(col("label") =!= col("old")).count()
@@ -348,8 +347,8 @@ object DedupOps {
 
   val dedupClusters: Op = Op(
     "dedup_clusters",
-    (s, d) => clusterPairs(
-        minhashPairs(s, d).select(col("i"), col("j")).localCheckpoint())
+    (s, d) => clusterPairs(Checkpoints.checkpoint(
+        minhashPairs(s, d).select(col("i"), col("j"))))
       .orderBy(col("doc_id")),
     Some(s"""
       WITH RECURSIVE $sqlMinhashPairsCtes,
@@ -499,8 +498,8 @@ object DedupOps {
       // ONE checkpointed pairs frame feeds both the pair count and the
       // clustering — the LSH pipeline (shingle → minhash → band →
       // verify) runs exactly once.
-      val pairs = minhashPairs(s, d).select(col("i"), col("j"))
-        .localCheckpoint()
+      val pairs = Checkpoints.checkpoint(
+        minhashPairs(s, d).select(col("i"), col("j")))
       val nPairs = pairs.agg(count(lit(1)).as("n_near_pairs"))
       val cl = clusterPairs(pairs)
       val clStats = cl.agg(count(lit(1)).as("n_docs_in_clusters"),

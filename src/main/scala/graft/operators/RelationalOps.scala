@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.{Op, Tables}
+import graft.{Checkpoints, Op, Tables}
 import graft.Op.{xhash32, xsum}
 import graft.functions.Portable._
 
@@ -661,11 +661,14 @@ object RelationalOps {
     *      near-uniform values, fewer under ties) are collected and
     *      walked to the rank-k value.
     * Every stage is an aggregate; no window, no global sort, per-group
-    * driver-independent state bounded by buckets + one bucket's
+    * driver-independent state bounded by buckets + one sub-bucket's
     * entries. A pathologically value-skewed column (most mass inside
-    * one bucket width, yet distinct) would need one recursive re-split
-    * of the hit bucket — not implemented; ties, the common skew, only
-    * SHRINK the histogram.
+    * one bucket width, yet distinct) is handled by ONE recursive
+    * re-split: the located bucket's entries are re-bucketed over their
+    * exact [min, max] value range and located again before the final
+    * walk, so the collected candidate array shrinks 1000× per round
+    * (ties, the common skew, only SHRINK the histogram — a hit bucket
+    * holding a single distinct value degenerates to one entry).
     */
   val q22Percentile: Op = Op(
     "q22_percentile",
@@ -673,28 +676,30 @@ object RelationalOps {
       val nBuckets = 1000
       val src = Tables.orders(s, d)
         .select(col("o_orderpriority"), col("o_totalprice"))
-      val stats = src.groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"),
-          min(col("o_totalprice")).as("mn"),
-          max(col("o_totalprice")).as("mx"))
-        .select(col("o_orderpriority"), col("n"), col("mn"), col("mx"),
-          // `div` (integer division), matching the oracle's `//`
-          expr("((n - 1) * 5) div 10 + 1").as("k50"),
-          expr("((n - 1) * 9) div 10 + 1").as("k90"))
+      // 5 rows; checkpointed so its four consumers (histogram build,
+      // both rank frames, final n) cost one orders scan, not four
+      val stats = Checkpoints.checkpoint(
+        src.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("mn"),
+            max(col("o_totalprice")).as("mx"))
+          .select(col("o_orderpriority"), col("n"), col("mn"), col("mx"),
+            // `div` (integer division), matching the oracle's `//`
+            expr("((n - 1) * 5) div 10 + 1").as("k50"),
+            expr("((n - 1) * 9) div 10 + 1").as("k90")))
       // (priority, value, cnt) histogram, each entry tagged with its
       // uniform value bucket (mx maps to nBuckets+1; harmless, it is
-      // still the last sorted bucket)
-      val hist = src
+      // still the last sorted bucket). mn == mx (constant-price group)
+      // makes width_bucket NULL; bucket placement is irrelevant there,
+      // so pin to bucket 1.
+      val hist = Checkpoints.checkpoint(src
         .groupBy(col("o_orderpriority"), col("o_totalprice"))
         .agg(count(lit(1)).as("cnt"))
         .join(broadcast(stats), "o_orderpriority")
+        .withColumn("bucket",
+          expr(s"coalesce(width_bucket(o_totalprice, mn, mx, $nBuckets), 1L)"))
         .select(col("o_orderpriority"), col("o_totalprice"), col("cnt"),
-          col("n"), col("k50"), col("k90"),
-          // mn == mx (constant-price group) makes width_bucket NULL;
-          // bucket placement is irrelevant there, so pin to bucket 1
-          expr(s"coalesce(width_bucket(o_totalprice, mn, mx, $nBuckets), 1L)")
-            .as("bucket"))
-        .localCheckpoint() // two consumers: bucket counts + final walk
+          col("bucket")))
       // exact cumulative bucket counts → the bucket holding rank k and
       // the exact number of rows below that bucket
       def locate(k: String) = expr(s"""
@@ -707,39 +712,65 @@ object RelationalOps {
                  'below', acc.cum),
                named_struct('cum', acc.cum + e.bc, 'hit', -1L,
                  'below', 0L))))""")
-      // n/k50/k90 are functionally dependent on the priority — carrying
-      // them as grouping keys keeps every reference a plain attribute
-      // (no aggregate calls inside the HOF lambdas)
-      val located = hist
-        .groupBy(col("o_orderpriority"), col("n"), col("k50"),
-          col("k90"), col("bucket"))
+      // ONE coarse pass locates BOTH ranks' buckets (shared histogram
+      // shuffle), then each percentile branches into ONE recursive
+      // re-split of its hit bucket (the bucket's entries re-bucketed
+      // over their exact value range — 1000× finer), a second locate,
+      // and a walk of only the final sub-bucket's entries. All
+      // per-priority frames are ≤ #priorities rows → broadcast.
+      val loc1 = Checkpoints.checkpoint(hist
+        .groupBy(col("o_orderpriority"), col("bucket"))
         .agg(sum(col("cnt")).as("bc"))
-        .groupBy(col("o_orderpriority"), col("n"), col("k50"), col("k90"))
+        .join(broadcast(stats.select(col("o_orderpriority"), col("k50"),
+          col("k90"))), "o_orderpriority")
+        .groupBy(col("o_orderpriority"), col("k50"), col("k90"))
         .agg(locate("k50").as("loc50"), locate("k90").as("loc90"))
-        .select(col("o_orderpriority"), col("n"), col("k50"), col("k90"),
-          col("loc50.hit").as("b50"), col("loc50.below").as("below50"),
-          col("loc90.hit").as("b90"), col("loc90.below").as("below90"))
-      // walk ONLY the located bucket's entries to the exact local rank
-      def cand(b: String) = sort_array(collect_list(
-        when(col("bucket") === col(b),
-          struct(col("o_totalprice").as("v"), col("cnt").as("c")))))
-      def pick(cand: String, k: String, below: String) = expr(s"""
-        aggregate($cand,
-          named_struct('rem', $k - $below, 'found', CAST(NULL AS DOUBLE)),
-          (acc, e) -> IF(acc.found IS NOT NULL, acc,
-            IF(acc.rem <= e.c, named_struct('rem', acc.rem, 'found', e.v),
-               named_struct('rem', acc.rem - e.c,
-                 'found', CAST(NULL AS DOUBLE)))),
-          acc -> acc.found)""")
-      hist.drop("n", "k50", "k90")
-        .join(broadcast(located), "o_orderpriority")
-        .groupBy(col("o_orderpriority"), col("n"), col("k50"),
-          col("k90"), col("below50"), col("below90"),
-          col("b50"), col("b90"))
-        .agg(cand("b50").as("cand50"), cand("b90").as("cand90"))
-        .select(col("o_orderpriority"), col("n"),
-          pick("cand50", "k50", "below50").as("p50"),
-          pick("cand90", "k90", "below90").as("p90"))
+        .select(col("o_orderpriority"),
+          col("k50"), col("loc50.hit").as("b50"),
+          col("loc50.below").as("below50"),
+          col("k90"), col("loc90.hit").as("b90"),
+          col("loc90.below").as("below90")))
+      def rankSelect(kCol: String, bCol: String, belowCol: String,
+          out: String): DataFrame = {
+        val located = loc1.select(col("o_orderpriority"),
+          col(kCol).as("k"), col(bCol).as("b1"), col(belowCol).as("below1"))
+        val narrowed = hist.join(broadcast(located), "o_orderpriority")
+          .filter(col("bucket") === col("b1"))
+        val stats2 = narrowed.groupBy(col("o_orderpriority"))
+          .agg(min(col("o_totalprice")).as("mn2"),
+            max(col("o_totalprice")).as("mx2"))
+        val sub = narrowed.join(broadcast(stats2), "o_orderpriority")
+          .select(col("o_orderpriority"), col("o_totalprice"), col("cnt"),
+            (col("k") - col("below1")).as("k2"),
+            expr(s"coalesce(width_bucket(o_totalprice, mn2, mx2, $nBuckets), 1L)")
+              .as("bucket"))
+        val loc2 = sub
+          .groupBy(col("o_orderpriority"), col("k2"), col("bucket"))
+          .agg(sum(col("cnt")).as("bc"))
+          .groupBy(col("o_orderpriority"), col("k2"))
+          .agg(locate("k2").as("loc"))
+          .select(col("o_orderpriority"),
+            col("loc.hit").as("b2"), col("loc.below").as("below2"))
+        sub.join(broadcast(loc2), "o_orderpriority")
+          .filter(col("bucket") === col("b2"))
+          .groupBy(col("o_orderpriority"), col("k2"), col("below2"))
+          .agg(sort_array(collect_list(struct(
+            col("o_totalprice").as("v"), col("cnt").as("c")))).as("cand"))
+          .select(col("o_orderpriority"), expr(s"""
+            aggregate(cand,
+              named_struct('rem', k2 - below2, 'found', CAST(NULL AS DOUBLE)),
+              (acc, e) -> IF(acc.found IS NOT NULL, acc,
+                IF(acc.rem <= e.c,
+                   named_struct('rem', acc.rem, 'found', e.v),
+                   named_struct('rem', acc.rem - e.c,
+                     'found', CAST(NULL AS DOUBLE)))),
+              acc -> acc.found)""").as(out))
+      }
+      val p50 = rankSelect("k50", "b50", "below50", "p50")
+      val p90 = rankSelect("k90", "b90", "below90", "p90")
+      stats.select(col("o_orderpriority"), col("n"))
+        .join(p50, "o_orderpriority")
+        .join(p90, "o_orderpriority")
         .orderBy(col("o_orderpriority"))
     },
     Some("""

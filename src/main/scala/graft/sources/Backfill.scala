@@ -5,6 +5,8 @@ import scala.util.{Failure, Success, Try}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints
+
 /** What one backfill run did — the Spark twin of the reference command's
   * submitted/skipped report (`dump_data_to_clickhouse` logs the skipped
   * pks and the dumped count, dump_data_to_clickhouse.py:29-100). Counts,
@@ -110,10 +112,9 @@ object Backfill {
     // fold pks in (-batchSize, batchSize) into one oversized batch 0 and
     // shift every negative range); pmod keeps it exact integer math even
     // for pks beyond double precision
-    val planned = gated
+    val planned = Checkpoints.checkpoint(gated
       .withColumn("__batch",
-        expr(s"($pkCol - pmod($pkCol, $batchSize)) div $batchSize"))
-      .localCheckpoint()
+        expr(s"($pkCol - pmod($pkCol, $batchSize)) div $batchSize")))
 
     val skippedCount = planned.filter(!col("__dump")).count()
     val eligible = planned.filter(col("__dump"))

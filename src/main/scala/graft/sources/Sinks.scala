@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.Checkpoints
+
 /** Sink abstractions (SURVEY.md §4): the write-side twin of the
   * reference's `ModelBaseSink.send_item` / dump-id idempotency contract
   * (reference sinks/base_sink.py:251-282 and the dump_id/time_last_dumped
@@ -81,7 +83,7 @@ trait SinkLog {
       if (!exists(spark)) batch
       else batch.join(broadcast(seenDumpIds(spark)), Seq("dump_id"), "left_anti")
     // one pass: count and append without recomputing the anti-join
-    val materialized = fresh.localCheckpoint()
+    val materialized = Checkpoints.checkpoint(fresh)
     val n = materialized.count()
     if (n > 0) append(materialized)
     n

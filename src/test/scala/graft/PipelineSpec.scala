@@ -124,6 +124,24 @@ class PipelineSpec extends SparkSpec {
       s"range join must key on the time bucket, got: $joinLine")
   }
 
+  test("reliable-checkpoint mode: iterative + multi-consumer ops unchanged") {
+    // graft.checkpoint.reliable=true routes every Checkpoints.checkpoint
+    // call through reliable checkpoint() (cluster deployments, where an
+    // executor loss invalidates localCheckpoint blocks) — results must
+    // be identical in both modes
+    val clustersLocal = run("dedup_clusters").collect().map(_.toSeq).toSeq
+    val q22Local = run("q22_percentile").collect().map(_.toSeq).toSeq
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+    spark.conf.set(Checkpoints.ReliableKey, "true")
+    try {
+      assert(run("dedup_clusters").collect().map(_.toSeq).toSeq == clustersLocal,
+        "dedup_clusters diverges under reliable checkpointing")
+      assert(run("q22_percentile").collect().map(_.toSeq).toSeq == q22Local,
+        "q22_percentile diverges under reliable checkpointing")
+    } finally spark.conf.unset(Checkpoints.ReliableKey)
+  }
+
   test("sample_stratified: deterministic, k per stratum, subset of stratum") {
     val docs = Tables.documents(spark, sf)
       .groupBy(col("lang"), col("source")).count().collect()

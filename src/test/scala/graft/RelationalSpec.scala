@@ -167,4 +167,24 @@ class RelationalSpec extends SparkSpec {
       ("SINGLE", 1L, 7.25, 7.25),
       ("VARIED", 11L, 15.0, 19.0)))
   }
+
+  test("q22_percentile: distinct-value skew resolved by the hit-bucket re-split") {
+    import spark.implicits._
+    // 10k DISTINCT values packed into <0.001% of the value range (all
+    // land in coarse bucket 1) plus one far outlier stretching [mn, mx]
+    // — the pathological case where the coarse histogram alone would
+    // walk every packed entry; the re-split re-buckets them 1000× finer
+    val vals = (0 until 10000).map(i => 1000.0 + i * 0.001) :+ 9.0e9
+    val tmp = java.nio.file.Files.createTempDirectory("q22skew").toString
+    vals.map(v => ("SKEW", v)).toDF("o_orderpriority", "o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val n = vals.length
+    val sorted = vals.sorted
+    def rank(mult: Int) = sorted(((n - 1) * mult / 10 + 1) - 1)
+    val r = run("q22_percentile", tmp).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n") == n)
+    assert(r.head.getAs[Double]("p50") == rank(5), "p50 under value skew")
+    assert(r.head.getAs[Double]("p90") == rank(9), "p90 under value skew")
+  }
 }
