@@ -100,6 +100,45 @@ class SourcesSpec extends SparkSpec {
     assert(seen.collect().map(_.getString(0)).toSeq == Seq("d1"))
   }
 
+  test("CsvBulkSink payloads flow through an ExternalSink staging table idempotently") {
+    // the reference's broker loop end-to-end (base_sink.py:251-282):
+    // serialize rows → render one CSV payload line each → push the
+    // payload batch into the external store, tolerating re-delivery of
+    // the same dump. Here the rendered payload column rides through the
+    // JDBC staging table under the same dump-id anti-join as any batch.
+    val src = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey")).limit(25)
+    val payload = src.select(col("o_orderkey").as("pk"),
+      CsvBulkSink.csvRow(src).as("csv_payload"))
+    val sink = derbySink("csv_staging")
+    val d1 = Sinks.stamped(payload, "csv-d1", 1000L)
+    assert(sink.appendIdempotent(spark, d1) == 25)
+    // broker re-delivers the same dump: nothing lands twice
+    assert(sink.appendIdempotent(spark, d1) == 0)
+    assert(sink.log(spark).count() == 25)
+    // staged payloads read back intact and still parse as the
+    // QUOTE_NONNUMERIC shape the reference POSTs
+    val staged = sink.log(spark).collect()
+      .map(r => r.getAs[Long]("pk") -> r.getAs[String]("csv_payload")).toMap
+    src.collect().foreach { r =>
+      val k = r.getAs[Long]("o_orderkey")
+      val expected = s"""$k,"${r.getAs[String]("o_orderstatus")}",""" +
+        r.getAs[Double]("o_totalprice").toString
+      assert(staged(k) == expected, s"payload $k: ${staged(k)} != $expected")
+    }
+    // a second dump attempt for one pk appends; latest-state view keeps
+    // one row per pk with the newest payload winning
+    val upd = src.limit(1)
+    val d2 = Sinks.stamped(upd.select(col("o_orderkey").as("pk"),
+      concat(CsvBulkSink.csvRow(upd), lit(",UPDATED")).as("csv_payload")),
+      "csv-d2", 2000L)
+    assert(sink.appendIdempotent(spark, d2) == 1)
+    val st = sink.latestState(spark, Seq("pk"))
+    assert(st.count() == 25)
+    assert(st.filter(col("csv_payload").endsWith(",UPDATED")).count() == 1)
+  }
+
   test("SQL surface: registered views answer ANSI SQL with pushdown intact") {
     Tables.registerViews(spark, sf)
     val df = spark.sql("""
