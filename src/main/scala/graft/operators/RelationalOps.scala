@@ -676,22 +676,23 @@ object RelationalOps {
       val nBuckets = 1000
       val src = Tables.orders(s, d)
         .select(col("o_orderpriority"), col("o_totalprice"))
-      // 5 rows; checkpointed so its four consumers (histogram build,
-      // both rank frames, final n) cost one orders scan, not four
-      val stats = Checkpoints.checkpoint(
-        src.groupBy(col("o_orderpriority"))
-          .agg(count(lit(1)).as("n"),
-            min(col("o_totalprice")).as("mn"),
-            max(col("o_totalprice")).as("mx"))
-          .select(col("o_orderpriority"), col("n"), col("mn"), col("mx"),
-            // `div` (integer division), matching the oracle's `//`
-            expr("((n - 1) * 5) div 10 + 1").as("k50"),
-            expr("((n - 1) * 9) div 10 + 1").as("k90")))
+      val stats = src.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+        .select(col("o_orderpriority"), col("n"), col("mn"), col("mx"),
+          // `div` (integer division), matching the oracle's `//`
+          expr("((n - 1) * 5) div 10 + 1").as("k50"),
+          expr("((n - 1) * 9) div 10 + 1").as("k90"))
       // (priority, value, cnt) histogram, each entry tagged with its
       // uniform value bucket (mx maps to nBuckets+1; harmless, it is
       // still the last sorted bucket). mn == mx (constant-price group)
       // makes width_bucket NULL; bucket placement is irrelevant there,
-      // so pin to bucket 1.
+      // so pin to bucket 1. n/k50/k90 ride along (functionally dependent
+      // on the priority) so ONE checkpoint job covers both orders scans —
+      // the histogram groupBy and the broadcast stats subtree run inside
+      // the same job, and no separate stats materialization barrier is
+      // needed.
       val hist = Checkpoints.checkpoint(src
         .groupBy(col("o_orderpriority"), col("o_totalprice"))
         .agg(count(lit(1)).as("cnt"))
@@ -699,19 +700,26 @@ object RelationalOps {
         .withColumn("bucket",
           expr(s"coalesce(width_bucket(o_totalprice, mn, mx, $nBuckets), 1L)"))
         .select(col("o_orderpriority"), col("o_totalprice"), col("cnt"),
-          col("bucket")))
-      // exact cumulative bucket counts → the bucket holding rank k and
-      // the exact number of rows below that bucket
+          col("bucket"), col("n"), col("k50"), col("k90")))
+      val slim = hist.select(col("o_orderpriority"), col("o_totalprice"),
+        col("cnt"), col("bucket"))
+      // exact cumulative bucket counts → the bucket holding rank k, the
+      // exact number of rows below it, and the bucket's exact value
+      // range (bmn/bmx over CONTENTS, tighter than the bucket bounds) —
+      // carried out of the walk so the re-split needs no second
+      // min/max aggregation over the hit bucket
       def locate(k: String) = expr(s"""
         aggregate(sort_array(collect_list(named_struct('b', bucket,
-            'bc', bc))),
-          named_struct('cum', 0L, 'hit', -1L, 'below', 0L),
+            'bc', bc, 'mn', bmn, 'mx', bmx))),
+          named_struct('cum', 0L, 'hit', -1L, 'below', 0L,
+            'mn2', CAST(NULL AS DOUBLE), 'mx2', CAST(NULL AS DOUBLE)),
           (acc, e) -> IF(acc.hit >= 0, acc,
             IF(acc.cum + e.bc >= $k,
                named_struct('cum', acc.cum + e.bc, 'hit', e.b,
-                 'below', acc.cum),
+                 'below', acc.cum, 'mn2', e.mn, 'mx2', e.mx),
                named_struct('cum', acc.cum + e.bc, 'hit', -1L,
-                 'below', 0L))))""")
+                 'below', 0L, 'mn2', CAST(NULL AS DOUBLE),
+                 'mx2', CAST(NULL AS DOUBLE)))))""")
       // ONE coarse pass locates BOTH ranks' buckets (shared histogram
       // shuffle), then each percentile branches into ONE recursive
       // re-split of its hit bucket (the bucket's entries re-bucketed
@@ -719,34 +727,36 @@ object RelationalOps {
       // and a walk of only the final sub-bucket's entries. All
       // per-priority frames are ≤ #priorities rows → broadcast.
       val loc1 = Checkpoints.checkpoint(hist
-        .groupBy(col("o_orderpriority"), col("bucket"))
-        .agg(sum(col("cnt")).as("bc"))
-        .join(broadcast(stats.select(col("o_orderpriority"), col("k50"),
-          col("k90"))), "o_orderpriority")
-        .groupBy(col("o_orderpriority"), col("k50"), col("k90"))
+        .groupBy(col("o_orderpriority"), col("n"), col("k50"), col("k90"),
+          col("bucket"))
+        .agg(sum(col("cnt")).as("bc"),
+          min(col("o_totalprice")).as("bmn"),
+          max(col("o_totalprice")).as("bmx"))
+        .groupBy(col("o_orderpriority"), col("n"), col("k50"), col("k90"))
         .agg(locate("k50").as("loc50"), locate("k90").as("loc90"))
-        .select(col("o_orderpriority"),
+        .select(col("o_orderpriority"), col("n"),
           col("k50"), col("loc50.hit").as("b50"),
           col("loc50.below").as("below50"),
+          col("loc50.mn2").as("mn50"), col("loc50.mx2").as("mx50"),
           col("k90"), col("loc90.hit").as("b90"),
-          col("loc90.below").as("below90")))
+          col("loc90.below").as("below90"),
+          col("loc90.mn2").as("mn90"), col("loc90.mx2").as("mx90")))
       def rankSelect(kCol: String, bCol: String, belowCol: String,
-          out: String): DataFrame = {
+          mnCol: String, mxCol: String, out: String): DataFrame = {
         val located = loc1.select(col("o_orderpriority"),
-          col(kCol).as("k"), col(bCol).as("b1"), col(belowCol).as("below1"))
-        val narrowed = hist.join(broadcast(located), "o_orderpriority")
+          col(kCol).as("k"), col(bCol).as("b1"), col(belowCol).as("below1"),
+          col(mnCol).as("mn2"), col(mxCol).as("mx2"))
+        val sub = slim.join(broadcast(located), "o_orderpriority")
           .filter(col("bucket") === col("b1"))
-        val stats2 = narrowed.groupBy(col("o_orderpriority"))
-          .agg(min(col("o_totalprice")).as("mn2"),
-            max(col("o_totalprice")).as("mx2"))
-        val sub = narrowed.join(broadcast(stats2), "o_orderpriority")
           .select(col("o_orderpriority"), col("o_totalprice"), col("cnt"),
             (col("k") - col("below1")).as("k2"),
             expr(s"coalesce(width_bucket(o_totalprice, mn2, mx2, $nBuckets), 1L)")
               .as("bucket"))
         val loc2 = sub
           .groupBy(col("o_orderpriority"), col("k2"), col("bucket"))
-          .agg(sum(col("cnt")).as("bc"))
+          .agg(sum(col("cnt")).as("bc"),
+            min(col("o_totalprice")).as("bmn"),
+            max(col("o_totalprice")).as("bmx"))
           .groupBy(col("o_orderpriority"), col("k2"))
           .agg(locate("k2").as("loc"))
           .select(col("o_orderpriority"),
@@ -766,9 +776,9 @@ object RelationalOps {
                      'found', CAST(NULL AS DOUBLE)))),
               acc -> acc.found)""").as(out))
       }
-      val p50 = rankSelect("k50", "b50", "below50", "p50")
-      val p90 = rankSelect("k90", "b90", "below90", "p90")
-      stats.select(col("o_orderpriority"), col("n"))
+      val p50 = rankSelect("k50", "b50", "below50", "mn50", "mx50", "p50")
+      val p90 = rankSelect("k90", "b90", "below90", "mn90", "mx90", "p90")
+      loc1.select(col("o_orderpriority"), col("n"))
         .join(p50, "o_orderpriority")
         .join(p90, "o_orderpriority")
         .orderBy(col("o_orderpriority"))
