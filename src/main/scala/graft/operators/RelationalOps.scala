@@ -726,6 +726,9 @@ object RelationalOps {
       // over their exact value range — 1000× finer), a second locate,
       // and a walk of only the final sub-bucket's entries. All
       // per-priority frames are ≤ #priorities rows → broadcast.
+      // checkpointed: three consumers (both rank branches + the final n
+      // projection); measured faster than relying on ReuseExchange,
+      // which does not collapse the differently-projected subtrees
       val loc1 = Checkpoints.checkpoint(hist
         .groupBy(col("o_orderpriority"), col("n"), col("k50"), col("k90"),
           col("bucket"))
