@@ -213,4 +213,67 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 5L),
       s"expected first-seen survivors 1 and 5, got $ids")
   }
+
+  test("near-dup stream: cross-batch LSH pairs, unrelated docs unpaired") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.NearDupStream
+
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = base.replace("token7", "changed") // 1 of 40 tokens
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+
+    val src = MemoryStream[Doc]
+    val query = NearDupStream.pipeline(src.toDS().toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("near_dups")
+      .outputMode("append").start()
+
+    // batch 1: the original alone — nothing to pair with
+    src.addData(Doc(1, t("10:00"), base))
+    query.processAllAvailable()
+    assert(spark.table("near_dups").count() == 0)
+
+    // batch 2: a near-dup of doc 1 (cross-batch state hit) + an
+    // unrelated doc + a REPLAY of doc 1 (at-least-once upstream)
+    src.addData(
+      Doc(2, t("10:01"), nearDup),
+      Doc(3, t("10:02"), unrelated),
+      Doc(1, t("10:03"), base))
+    query.processAllAvailable()
+    query.stop()
+
+    // multiple bands may emit the same pair — consumer-side distinct
+    val pairs = spark.table("near_dups").collect()
+      .map(r => (r.getAs[Long]("first_id"), r.getAs[Long]("dup_id"),
+        r.getAs[Double]("est_jaccard"))).toSeq
+    val distinctPairs = pairs.map(p => (p._1, p._2)).distinct
+    assert(distinctPairs == Seq((1L, 2L)),
+      s"expected exactly the planted pair, got $pairs")
+    assert(pairs.forall(_._3 >= 0.5), s"agreement below tau: $pairs")
+  }
+
+  test("near-dup stream: saturated bucket stops pairing (occupancy cap)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.NearDupStream
+
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val src = MemoryStream[Doc]
+    // cap 1: the first doc fills every bucket it lands in; later
+    // arrivals must pass through unpaired
+    val query = NearDupStream
+      .candidatePairs(src.toDS().toDF().withWatermark("ts", "10 minutes"),
+        maxBucket = 1)
+      .writeStream.format("memory").queryName("near_dups_sat")
+      .outputMode("append").start()
+
+    src.addData(Doc(1, t("10:00"), base))
+    query.processAllAvailable()
+    src.addData(Doc(2, t("10:01"), base))
+    query.processAllAvailable()
+    query.stop()
+
+    assert(spark.table("near_dups_sat").count() == 0,
+      "saturated buckets must emit no pairs")
+  }
 }
