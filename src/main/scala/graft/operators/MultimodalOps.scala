@@ -144,5 +144,51 @@ object MultimodalOps {
               FROM documents) t1) t2
       ORDER BY doc_id, chunk_idx"""))
 
-  val all: Seq[Op] = Seq(mmBinaryMeta, mmDecodeBatch, mmChunk)
+  /** F4 — strided frame sampling from blob metadata: every video-style
+    * pipeline samples every Nth frame before decode. Duration derives
+    * deterministically from the payload (the codec header is faked like
+    * F1/F2's decode — the plumbing is the real part): duration_ms →
+    * frame count at FPS → a strided `sequence` explode yields the
+    * sampled frame indices, each stamped with its timestamp and a
+    * deterministic frame fingerprint (a real pipeline would hand
+    * (doc_id, frame_idx) spans to the decoder batch of F2).
+    *
+    * One narrow Generate per doc (n_frames/stride rows), no shuffle
+    * except output ordering; the frame count rides a prior projection so
+    * the Generate never recomputes it per emitted row.
+    */
+  val mmFrameSample: Op = Op(
+    "mm_frame_sample",
+    (s, d) => {
+      val FPS = 24L
+      val STRIDE = 10L
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (octet_length(col("text")).cast(LongType) % 10000L + 1000L)
+            .as("duration_ms"))
+        .select(col("doc_id"),
+          expr(s"duration_ms * $FPS div 1000").as("n_frames"))
+        .select(col("doc_id"), col("n_frames"),
+          explode(sequence(lit(0L), col("n_frames") - 1, lit(STRIDE)))
+            .as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          expr(s"frame_idx * 1000 div $FPS").as("frame_ts_ms"),
+          md5(concat_ws(":", col("doc_id"), col("frame_idx"))).as("frame_fp"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some("""
+      SELECT doc_id, frame_idx,
+             frame_idx * 1000 // 24 AS frame_ts_ms,
+             md5(concat_ws(':', doc_id, frame_idx)) AS frame_fp
+      FROM (
+        SELECT doc_id,
+               unnest(generate_series(0, n_frames - 1, 10)) AS frame_idx
+        FROM (
+          SELECT doc_id,
+                 (CAST(strlen(text) AS BIGINT) % 10000 + 1000) * 24 // 1000
+                   AS n_frames
+          FROM documents) t1) t2
+      ORDER BY doc_id, frame_idx"""))
+
+  val all: Seq[Op] = Seq(mmBinaryMeta, mmDecodeBatch, mmChunk, mmFrameSample)
 }

@@ -26,4 +26,22 @@ class MultimodalSpec extends SparkSpec {
       assert(f0 >= 0.0f && f0 <= 1.0f)
     }
   }
+
+  test("mm_frame_sample: strided indices cover every doc's derived frame count") {
+    val sizes = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").getBytes("UTF-8").length.toLong).toMap
+    val byDoc = run("mm_frame_sample").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx"),
+        r.getAs[Long]("frame_ts_ms")))
+      .groupBy(_._1)
+    assert(byDoc.keySet == sizes.keySet, "one frame set per doc")
+    byDoc.foreach { case (id, rows) =>
+      val nFrames = (sizes(id) % 10000L + 1000L) * 24L / 1000L
+      val idx = rows.map(_._2).sorted.toSeq
+      assert(idx == (0L until nFrames by 10L).toSeq, s"doc $id stride")
+      // timestamps are frame_idx / fps, monotone within the doc
+      rows.foreach { case (_, i, ts) => assert(ts == i * 1000L / 24L) }
+    }
+  }
 }
