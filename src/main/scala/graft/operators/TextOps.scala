@@ -30,7 +30,21 @@ object TextOps {
     s"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
       s"t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
-  /** C1 — token counting: whitespace tokenization + counts. */
+  /** GPT-2-style pre-tokenizer pattern, the "BPE-ish" token estimate:
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs, residual whitespace. Deliberately WITHOUT the
+    * original's `\s+(?!\S)` lookahead — RE2 engines (the oracle) have no
+    * lookahead, and leftmost-first alternation makes the remaining
+    * pattern behave identically under Java regex and RE2, so the count
+    * is engine-portable. Counts approximate (slightly under) real BPE
+    * vocab pieces; the point is a deterministic per-doc budget signal.
+    */
+  private val bpeIsh =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** C1 — token counting: whitespace tokenization + a BPE-ish
+    * pre-tokenizer match count (both codegen'd regex passes, no shuffle).
+    */
   val textTokenCount: Op = Op(
     "text_token_count",
     (s, d) =>
@@ -38,12 +52,17 @@ object TextOps {
         .select(
           col("doc_id"),
           size(toks(col("text"))).cast(LongType).as("n_tokens"),
+          regexp_count(lower(col("text")), lit(bpeIsh))
+            .cast(LongType).as("n_bpe_tokens"),
           length(col("text")).cast(LongType).as("n_chars_measured"))
         .orderBy(col("doc_id")),
     Some("""
       SELECT doc_id,
              CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
                AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(lower(text),
+               '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+               AS BIGINT) AS n_bpe_tokens,
              CAST(length(text) AS BIGINT) AS n_chars_measured
       FROM documents
       ORDER BY doc_id"""))

@@ -33,6 +33,13 @@ class TextDedupSpec extends SparkSpec {
   test("text_token_count / text_fingerprint agree on the real corpus") {
     val tc = run("text_token_count").collect()
     assert(tc.length == 500 && tc.forall(_.getAs[Long]("n_tokens") > 0))
+    // BPE-ish pre-tokens: at least one per whitespace token (words split
+    // further into digit/punct/contraction runs), and bounded by chars
+    tc.foreach { r =>
+      val (ws, bpe) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_bpe_tokens"))
+      assert(bpe >= ws, s"bpe pieces can't undercut word count: $bpe < $ws")
+      assert(bpe <= r.getAs[Long]("n_chars_measured"))
+    }
     val fp = run("text_fingerprint").collect()
     assert(fp.map(_.getAs[Long]("fp60")).distinct.length == 500,
       "distinct docs must get distinct 60-bit fingerprints")
