@@ -90,6 +90,20 @@ object Portable {
           try_element_at(tok, i), try_element_at(tok, i + 1),
           try_element_at(tok, i + 2))))
 
+  /** Distinct word n-grams from an ALREADY MATERIALIZED token array —
+    * the general form of [[shinglesFromTokens]] (same projection rule,
+    * same partial-tail semantics via try_element_at; callers wanting
+    * only full n-grams filter `size(tok) >= n` first). Decontamination
+    * uses LONG n-grams (n=8 here, 13 in common practice) precisely so
+    * stopword runs never collide.
+    */
+  def ngramsFromTokens(tok: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(tok) - (n - 1), lit(1))),
+        i => concat_ws(" ",
+          (0 until n).map(k => try_element_at(tok, i + k)): _*)))
+
   /** All ordered pairs (ds[i], ds[j]), i<j, from a SORTED id array — the
     * bucket-local pair enumeration used by the dedup candidate
     * generators. Enumerating pairs inside each (small, bounded) bucket

@@ -535,7 +535,66 @@ object DedupOps {
                   - (SELECT count(DISTINCT cluster_id) FROM cl))
                AS n_final_upper_bound"""))
 
+  /** Decontamination parameters: docs with id < [[EVAL_MAX]] play the
+    * held-out benchmark set; [[DECON_N]]-token n-grams (13 in common
+    * practice, 8 here for the small corpus) are long enough that
+    * stopword runs never collide — overlap means real shared text.
+    */
+  private val EVAL_MAX = 25L
+  private val DECON_N = 8
+
+  /** D8 — benchmark decontamination: flag corpus documents sharing any
+    * long n-gram with the held-out eval set, the standard pre-training
+    * hygiene pass (eval answers leaking into training data inflate
+    * benchmarks). Spark shape: ONE tokenize→n-gram pass over the corpus
+    * (the explode argument stays a raw expression — see
+    * [[shingleRows]]); the eval side is a tiny distinct (eval_id, gram)
+    * frame that BROADCASTS, so the corpus never shuffles — at 100 TB
+    * this is a map-side probe of every corpus n-gram against the
+    * broadcast eval index, then one aggregate on the (rare) hits.
+    */
+  val dedupDecontaminate: Op = Op(
+    "dedup_decontaminate",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), "\\s+").as("tok"))
+        .filter(size(col("tok")) >= DECON_N)
+      val grams = base
+        .select(col("doc_id"),
+          explode(ngramsFromTokens(col("tok"), DECON_N)).as("g"))
+      val evalG = grams.filter(col("doc_id") < EVAL_MAX)
+        .select(col("doc_id").as("eval_id"), col("g")).distinct()
+      grams.filter(col("doc_id") >= EVAL_MAX)
+        .join(broadcast(evalG), "g")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_shared_ngrams"),
+          countDistinct(col("eval_id")).as("n_eval_docs"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH tokd AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tok
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, len(tok) - ${DECON_N - 1}), i ->
+                   concat_ws(' ', ${(0 until DECON_N)
+                     .map(k => s"tok[i+$k]").mkString(", ")})))) AS g
+        FROM tokd WHERE len(tok) >= $DECON_N),
+      ev AS (SELECT DISTINCT doc_id AS eval_id, g FROM g
+             WHERE doc_id < $EVAL_MAX)
+      SELECT c.doc_id,
+             CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared_ngrams,
+             CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+      FROM g c JOIN ev ON c.g = ev.g
+      WHERE c.doc_id >= $EVAL_MAX
+      GROUP BY c.doc_id
+      ORDER BY c.doc_id"""))
+
   val all: Seq[Op] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-    dedupEmbedding, dedupClusters, dedupReport)
+    dedupEmbedding, dedupClusters, dedupReport, dedupDecontaminate)
 }

@@ -298,7 +298,55 @@ object TextOps {
       ORDER BY n DESC, gram
       LIMIT 20"""))
 
+  /** C8 — intra-document repetition scoring (the Gopher-style quality
+    * rule): the fraction of a doc's word trigrams that are repeats of an
+    * earlier trigram. Boilerplate, keyword-stuffed and looping generated
+    * text score high and get flagged before expensive pipeline stages.
+    * Pure per-row expression work (tokenize → distinct-shingle count),
+    * no shuffle except output ordering.
+    */
+  val textRepetition: Op = Op(
+    "text_repetition",
+    (s, d) => {
+      val repRatio = when(col("n_trigrams") > 0,
+        lit(1.0) - col("n_distinct_trigrams").cast("double") /
+          col("n_trigrams")).otherwise(0.0)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), "\\s+").as("tok"))
+        .select(col("doc_id"),
+          greatest(size(col("tok")) - 2, lit(0)).cast(LongType)
+            .as("n_trigrams"),
+          when(size(col("tok")) >= 3,
+            size(shinglesFromTokens(col("tok")))).otherwise(0)
+            .cast(LongType).as("n_distinct_trigrams"))
+        .select(col("doc_id"), col("n_trigrams"),
+          col("n_distinct_trigrams"),
+          repRatio.as("rep_ratio"),
+          (repRatio > 0.2).as("is_repetitive"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, n_trigrams, n_distinct_trigrams,
+             CASE WHEN n_trigrams > 0
+               THEN 1.0 - CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams
+               ELSE 0.0 END AS rep_ratio,
+             (CASE WHEN n_trigrams > 0
+               THEN 1.0 - CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams
+               ELSE 0.0 END) > 0.2 AS is_repetitive
+      FROM (
+        SELECT doc_id,
+               CAST(greatest(len(tok) - 2, 0) AS BIGINT) AS n_trigrams,
+               CAST(CASE WHEN len(tok) >= 3 THEN len(list_distinct(
+                 list_transform(generate_series(1, greatest(len(tok)-2, 1)),
+                   i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))))
+                 ELSE 0 END AS BIGINT) AS n_distinct_trigrams
+        FROM (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+              FROM documents) t1) t2
+      ORDER BY doc_id"""))
+
   val all: Seq[Op] = Seq(
     textTokenCount, textQuality, textLangid, textFingerprint, textNgramFreq,
-    textDocFreq, textCharNgrams)
+    textDocFreq, textCharNgrams, textRepetition)
 }

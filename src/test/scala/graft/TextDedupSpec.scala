@@ -45,6 +45,55 @@ class TextDedupSpec extends SparkSpec {
       "distinct docs must get distinct 60-bit fingerprints")
   }
 
+  test("text_repetition: looping text flagged, varied text not") {
+    val dir = Files.createTempDirectory("graft_rep").toString
+    val looped = Seq.fill(10)("buy cheap pills now").mkString(" ")
+    val varied = (1 to 40).map(i => s"w$i").mkString(" ")
+    spark.createDataFrame(Seq(
+        (0L, looped, "en", "s", looped.length.toLong),
+        (1L, varied, "en", "s", varied.length.toLong),
+        (2L, "", "en", "s", 0L),
+        (3L, "two tokens", "en", "s", 10L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = run("text_repetition", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("rep_ratio"), r.getAs[Boolean]("is_repetitive"),
+          r.getAs[Long]("n_trigrams"))).toMap
+    // 40 tokens looping a 4-token phrase: 38 trigram slots, only 4
+    // distinct trigrams → rep_ratio = 34/38
+    assert(rows(0L)._3 == 38L && rows(0L)._2, s"looped doc: ${rows(0L)}")
+    assert(math.abs(rows(0L)._1 - 34.0 / 38.0) < 1e-12)
+    assert(rows(1L)._1 == 0.0 && !rows(1L)._2, "varied doc must score 0")
+    // degenerate docs: no trigrams → ratio 0, not flagged
+    assert(rows(2L) == ((0.0, false, 0L)) && rows(3L) == ((0.0, false, 0L)))
+  }
+
+  test("dedup_decontaminate: planted eval overlap flagged, clean docs pass") {
+    val dir = Files.createTempDirectory("graft_decon").toString
+    val evalText = (1 to 20).map(i => s"eval$i").mkString(" ")
+    // doc 30 embeds 10 consecutive eval tokens (3 shared 8-grams);
+    // doc 31 shares only 7 consecutive tokens (below the n-gram width);
+    // doc 32 is clean
+    val leaked = "intro words then " +
+      (5 to 14).map(i => s"eval$i").mkString(" ") + " and more after"
+    val below = "padding " + (5 to 11).map(i => s"eval$i").mkString(" ") +
+      " other tail words here to pass length"
+    val clean = (1 to 20).map(i => s"clean$i").mkString(" ")
+    spark.createDataFrame(Seq(
+        (0L, evalText, "en", "s", evalText.length.toLong),
+        (30L, leaked, "en", "s", leaked.length.toLong),
+        (31L, below, "en", "s", below.length.toLong),
+        (32L, clean, "en", "s", clean.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = run("dedup_decontaminate", dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared_ngrams"),
+        r.getAs[Long]("n_eval_docs"))).toSeq
+    assert(rows == Seq((30L, 3L, 1L)),
+      s"only the 10-token leak spans a full 8-gram: $rows")
+  }
+
   test("text_quality: ratios in range, score composition") {
     run("text_quality").collect().foreach { r =>
       val p = r.getAs[Double]("punct_ratio")
