@@ -92,6 +92,13 @@ class TextDedupSpec extends SparkSpec {
         r.getAs[Long]("n_eval_docs"))).toSeq
     assert(rows == Seq((30L, 3L, 1L)),
       s"only the 10-token leak spans a full 8-gram: $rows")
+
+    // scale contract: the tiny eval index broadcasts; the corpus n-gram
+    // stream is probed map-side, never shuffled for the join
+    val df = run("dedup_decontaminate", dir)
+    df.collect()
+    assert(plan(df).contains("BroadcastHashJoin"),
+      "eval index must broadcast against the corpus n-gram stream")
   }
 
   test("text_quality: ratios in range, score composition") {
