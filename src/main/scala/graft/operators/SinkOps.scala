@@ -27,24 +27,28 @@ object SinkOps {
     * twin of ClickHouse ReplacingMergeTree FINAL /
     * `get_last_dumped_timestamp` (reference sinks/base_sink.py:314-335,
     * `SELECT max(ts) ... WHERE unique_key = ?`), generalized to all keys
-    * at once. `row_number()=1` per key ordered ts desc keeps the whole
-    * latest row (not just the timestamp), which is what every sink read
-    * path wants. One shuffle on the key; scales with keys.
+    * at once. `max_by` over the (ts, event_id) ordering struct keeps the
+    * whole latest row as a HASH aggregate — one shuffle on the key with
+    * map-side combine (each map task forwards at most one row per key),
+    * no per-key sort; at 100 TB that beats the window formulation on
+    * both shuffle volume and the sort it skips. The (us, event_id) pair
+    * is unique, so the max is deterministic.
     */
   val sinkLatestState: Op = Op(
     "sink_latest_state",
     (s, d) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("us").desc, col("event_id").desc)
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), unix_micros(col("ts")).as("us"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("us").as("last_ts_us"),
-          col("event_id").as("last_event_id"),
-          col("event_type").as("last_event_type"),
-          col("value").as("last_value"))
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("us"), col("event_id"), col("event_type"),
+            col("value")),
+          struct(col("us"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("m.us").as("last_ts_us"),
+          col("m.event_id").as("last_event_id"),
+          col("m.event_type").as("last_event_type"),
+          col("m.value").as("last_value"))
         .orderBy(col("user_id"))
     },
     Some("""

@@ -92,14 +92,20 @@ trait SinkLog {
   /** Latest-state view: one row per unique key, newest
     * `time_last_dumped_us` wins (ties broken by dump_id so replays of
     * distinct attempts stay deterministic) — ReplacingMergeTree FINAL.
+    * A `max_by` hash aggregate, not a window: map-side combine forwards
+    * one row per key per map task and no per-key sort runs (see A1's
+    * scaladoc in SinkOps for the 100 TB argument).
     */
   def latestState(spark: SparkSession, keyCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("time_last_dumped_us").desc, col("dump_id").desc)
-    log(spark)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    val df = log(spark)
+    val others = df.columns.filterNot(keyCols.contains).toSeq
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(
+        struct(others.map(c => col(s"`$c`")): _*),
+        struct(col("time_last_dumped_us"), col("dump_id"))).as("m"))
+      .select(df.columns.toSeq.map(c =>
+        if (keyCols.contains(c)) col(s"`$c`")
+        else col(s"m.`$c`").as(c)): _*)
   }
 }
 

@@ -17,6 +17,14 @@ class SinkSpec extends SparkSpec {
     val joined = out.join(expected, "user_id")
       .filter(col("last_ts_us") =!= col("m")).count()
     assert(joined == 0, "latest-state ts != max ts for some user")
+
+    // scale contract: a map-side-combined hash aggregate, never a
+    // per-key window sort
+    out.collect()
+    val p = plan(out)
+    assert(!p.contains("Window"), "latest-state must not plan a window")
+    assert(p.contains("partial_max_by") || p.contains("Partial"),
+      "map-side partial max_by missing")
   }
 
   test("sink_should_dump: flag and reason are mutually consistent") {
