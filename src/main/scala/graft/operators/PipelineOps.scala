@@ -148,24 +148,28 @@ object PipelineOps {
     * (lang, source) stratum, ranked by a uniform md5 hash of the doc id —
     * the reproducible corpus-subsampling pass every training-data
     * pipeline needs (same inputs ⇒ same sample, on any engine, any
-    * partitioning; no RNG state). One shuffle on the stratum key; at
-    * 100 TB a skewed stratum is still one window partition, so the
-    * heavy-stratum refinement is a per-partition top-k
-    * (groupBy + slice(sort_array(collect_list))) or an approximate
-    * hash-threshold cut (keep hash < k/N quantile) — same determinism,
-    * no full per-stratum sort.
+    * partitioning; no RNG state). Implemented as the bounded-heap
+    * `topk_min` aggregate (r6, was a window): one shuffle on the stratum
+    * key whose map-side partials each carry ≤ k rows per stratum, so a
+    * pathologically heavy stratum costs k heap slots per task instead of
+    * a full per-stratum window sort.
     */
   val sampleStratified: Op = Op(
     "sample_stratified",
     (s, d) => {
-      val rk = row_number().over(
-        Window.partitionBy(col("lang"), col("source"))
-          .orderBy(hash32(concat_ws("|", col("lang"), col("doc_id"))),
-            col("doc_id"))).cast(LongType)
+      // bounded-heap topk_min aggregate, not a window: map-side partials
+      // carry ≤ k rows per stratum and no per-stratum sort runs — the
+      // heavy-stratum refinement the r3 scaladoc promised, same rows
+      val ord = struct(
+        hash32(concat_ws("|", col("lang"), col("doc_id"))).as("h"),
+        col("doc_id"))
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"))
-        .withColumn("rk", rk)
-        .filter(col("rk") <= SAMPLE_K)
+        .groupBy(col("lang"), col("source"))
+        .agg(topkMin(ord, SAMPLE_K).as("top"))
+        .select(col("lang"), col("source"), posexplode(col("top")))
+        .select(col("col.doc_id").as("doc_id"), col("lang"), col("source"),
+          (col("pos") + 1).cast(LongType).as("rk"))
         .orderBy(col("lang"), col("source"), col("rk"))
     },
     Some(s"""
