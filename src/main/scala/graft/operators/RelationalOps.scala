@@ -837,11 +837,50 @@ object RelationalOps {
         FROM orders GROUP BY day) t
       ORDER BY day"""))
 
+  /** B24 — one-pass dataset profile: the data-quality summary a lake
+    * pipeline computes on every ingest (row count, per-column null
+    * counts, exact distincts, value ranges, an exact checksum-style
+    * total). ONE aggregate over one scan — every statistic is a
+    * declarative agg with map-side partials; the exact distincts expand
+    * the aggregate (Spark's expand operator), still a single shuffle.
+    * Timestamps render as strings so the profile row hashes identically
+    * on any engine.
+    */
+  val q24Profile: Op = Op(
+    "q24_profile",
+    (s, d) =>
+      Tables.orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_custkey")).as("custkey_nonnull"),
+        countDistinct(col("o_custkey")).as("custkey_distinct"),
+        countDistinct(col("o_orderstatus")).as("status_distinct"),
+        countDistinct(col("o_orderpriority")).as("priority_distinct"),
+        min(col("o_totalprice")).as("price_min"),
+        max(col("o_totalprice")).as("price_max"),
+        exactSum(col("o_totalprice")).as("price_sum"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")
+          .as("date_min"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")
+          .as("date_max")),
+    Some(s"""
+      SELECT count(*) AS n_rows,
+             count(o_custkey) AS custkey_nonnull,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS custkey_distinct,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS status_distinct,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+               AS priority_distinct,
+             min(o_totalprice) AS price_min,
+             max(o_totalprice) AS price_max,
+             ${xsum("o_totalprice")} AS price_sum,
+             strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS date_min,
+             strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS date_max
+      FROM orders"""))
+
   val all: Seq[Op] = Seq(
     q1Agg, q2Pushdown, q3JoinAgg, q4Semijoin, q5Antijoin, q6StarJoin,
     q7WindowTopk, q7bTopkAgg, q8Distinct, q8bApproxDistinct, q8cKmvDistinct,
     q9Rollup, q10Topk,
     q11CaseAgg, q12DateAgg, q13StringFuncs, q14Union, q15ScalarSubquery,
     q16Sessionize, q17JsonExtract, q18RunningSum, q19OuterJoin, q20Cube,
-    q21Pivot, q22Percentile, q23MovingAvg)
+    q21Pivot, q22Percentile, q23MovingAvg, q24Profile)
 }

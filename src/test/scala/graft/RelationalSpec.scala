@@ -168,6 +168,17 @@ class RelationalSpec extends SparkSpec {
       ("VARIED", 11L, 15.0, 19.0)))
   }
 
+  test("q24_profile: one consistent summary row") {
+    val r = run("q24_profile").collect()
+    assert(r.length == 1)
+    val row = r.head
+    val n = row.getAs[Long]("n_rows")
+    assert(n > 0 && row.getAs[Long]("custkey_nonnull") <= n)
+    assert(row.getAs[Long]("custkey_distinct") <= row.getAs[Long]("custkey_nonnull"))
+    assert(row.getAs[Double]("price_min") <= row.getAs[Double]("price_max"))
+    assert(row.getAs[String]("date_min") <= row.getAs[String]("date_max"))
+  }
+
   test("q22_percentile: distinct-value skew resolved by the hit-bucket re-split") {
     import spark.implicits._
     // 10k DISTINCT values packed into <0.001% of the value range (all
