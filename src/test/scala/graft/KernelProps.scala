@@ -64,6 +64,21 @@ object KernelProps extends Properties("kernels") {
       }
     }
 
+  property("ngramsFromTokens == sliding-window reference for any n") =
+    Prop.forAll(
+      Gen.listOfN(20, token),
+      Gen.chooseNum(2, 9)) { (toks, n) =>
+      toks.sizeIs >= n ==> {
+        import spark.implicits._
+        val got = Seq(Tuple1(toks)).toDF("tok")
+          .select(graft.functions.Portable
+            .ngramsFromTokens(col("tok"), n).as("g"))
+          .collect().head.getSeq[String](0).toSet
+        val want = toks.sliding(n).map(_.mkString(" ")).toSet
+        got == want
+      }
+    }
+
   property("exactSum is invariant under repartitioning") =
     Prop.forAll(Gen.listOfN(60, Gen.chooseNum(-1000.0, 1000.0))) { vs =>
       vs.nonEmpty ==> {
