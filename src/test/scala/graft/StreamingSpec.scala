@@ -252,6 +252,36 @@ class StreamingSpec extends SparkSpec {
     assert(pairs.forall(_._3 >= 0.5), s"agreement below tau: $pairs")
   }
 
+  test("near-dup stream: idle buckets evict on event time (bounded state)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.NearDupStream
+
+    val base = (1 to 40).map(i => s"evict$i").mkString(" ")
+    val filler = (1 to 40).map(i => s"fill$i").mkString(" ")
+    val src = MemoryStream[Doc]
+    // 10-min watermark, 30-min idle eviction: a dup arriving 2h after
+    // the original must find the bucket already gone
+    val query = NearDupStream
+      .candidatePairs(src.toDS().toDF().withWatermark("ts", "10 minutes"),
+        idleEvictMinutes = 30)
+      .writeStream.format("memory").queryName("near_dups_evict")
+      .outputMode("append").start()
+
+    src.addData(Doc(1, t("10:00"), base))
+    query.processAllAvailable()
+    // unrelated traffic drives the watermark past 10:30 (eviction point)
+    src.addData(Doc(2, t("12:00"), filler))
+    query.processAllAvailable()
+    // same content again — original's state is evicted, so no pair
+    src.addData(Doc(3, t("12:01"), base))
+    query.processAllAvailable()
+    query.stop()
+
+    assert(spark.table("near_dups_evict").count() == 0,
+      "evicted bucket must not pair a late duplicate")
+  }
+
   test("near-dup stream: saturated bucket stops pairing (occupancy cap)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
