@@ -346,7 +346,85 @@ object TextOps {
               FROM documents) t1) t2
       ORDER BY doc_id"""))
 
+  private val BM25_TERMS = Seq("fast", "stream", "merge", "query")
+
+  /** C9 — BM25-style lexical relevance against a fixed query: the
+    * retrieval/curation scoring pass (rank corpus docs for a topic, pick
+    * training subsets). tf per query term is a per-row array filter (no
+    * explode, no shuffle); N/avgdl/df are ONE tiny aggregate broadcast
+    * back; the final top-k is TakeOrderedAndProject. So: two map-only
+    * corpus passes + a 1-row broadcast — nothing about the corpus ever
+    * shuffles.
+    *
+    * Portability: the classic ln() idf is replaced by the rational
+    * (N+1)/(df+1) — same monotonicity, but zero transcendentals, so the
+    * fixed-order IEEE expression tree (mirrored parenthesis-for-
+    * parenthesis in the oracle) produces bit-identical doubles on any
+    * engine.
+    */
+  val textBm25: Op = Op(
+    "text_bm25",
+    (s, d) => {
+      val k1 = lit(1.2)
+      val base = Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), toks(col("text")).as("tok"))
+        .select(Seq(col("doc_id"),
+          size(col("tok")).cast(LongType).as("dl")) ++
+          BM25_TERMS.zipWithIndex.map { case (t, i) =>
+            size(filter(col("tok"), x => x === lit(t)))
+              .cast("double").as(s"tf$i")
+          }: _*)
+      val statAggs =
+        Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+          BM25_TERMS.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val stats = base.agg(statAggs.head, statAggs.tail: _*)
+      val avgdl = col("sum_dl").cast("double") / col("n_docs")
+      val score = BM25_TERMS.indices.map { i =>
+        (((col("n_docs") + 1).cast("double") / (col(s"df$i") + 1)) *
+          (col(s"tf$i") * lit(2.2))) /
+          (col(s"tf$i") + (k1 * (lit(0.25) + ((lit(0.75) * col("dl")) / avgdl))))
+      }.reduce(_ + _)
+      base.crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("dl"), score.as("score"))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some {
+      val tfCols = BM25_TERMS.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(tok, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n               ")
+      val dfCols = BM25_TERMS.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+        .mkString(", ")
+      val contribs = BM25_TERMS.indices.map(i =>
+        s"""(((CAST(st.n_docs + 1 AS DOUBLE) / (st.df$i + 1)) *
+            (b.tf$i * 2.2)) /
+            (b.tf$i + (1.2 * (0.25 + ((0.75 * b.dl) /
+              (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))))""")
+      val scoreSql = contribs.reduce((a, c) => s"($a + $c)")
+      s"""
+      WITH tokd AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tok
+        FROM documents),
+      base AS (
+        SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl,
+               $tfCols
+        FROM tokd),
+      st AS (
+        SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfCols
+        FROM base)
+      SELECT doc_id, dl, score FROM (
+        SELECT b.doc_id, b.dl, $scoreSql AS score
+        FROM base b, st) t
+      WHERE score > 0
+      ORDER BY score DESC, doc_id
+      LIMIT 20"""
+    })
+
   val all: Seq[Op] = Seq(
     textTokenCount, textQuality, textLangid, textFingerprint, textNgramFreq,
-    textDocFreq, textCharNgrams, textRepetition)
+    textDocFreq, textCharNgrams, textRepetition, textBm25)
 }

@@ -101,6 +101,27 @@ class TextDedupSpec extends SparkSpec {
       "eval index must broadcast against the corpus n-gram stream")
   }
 
+  test("text_bm25: scores positive and sorted, winners contain query terms") {
+    val out = run("text_bm25").collect()
+    assert(out.length == 20)
+    val scores = out.map(_.getAs[Double]("score")).toSeq
+    assert(scores.forall(_ > 0))
+    assert(scores == scores.sortBy(-_), "must be sorted by score desc")
+    // every returned doc really contains at least one query term
+    val terms = Set("fast", "stream", "merge", "query")
+    val texts = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    out.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).toLowerCase
+        .split("\\s+").toSet
+      assert((toks & terms).nonEmpty, s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    // scale contract: global top-k plans as TakeOrderedAndProject
+    val df = run("text_bm25")
+    df.collect()
+    assert(plan(df).contains("TakeOrderedAndProject"))
+  }
+
   test("text_quality: ratios in range, score composition") {
     run("text_quality").collect().foreach { r =>
       val p = r.getAs[Double]("punct_ratio")
