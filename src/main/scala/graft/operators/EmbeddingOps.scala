@@ -50,5 +50,57 @@ object EmbeddingOps {
       GROUP BY label, ix
       ORDER BY label, dim"""))
 
-  val all: Seq[Op] = Seq(embCentroids)
+  /** E5 — symmetric int8 quantization audit: per-vector scale
+    * (max-abs / 127) and the exact reconstruction error of storing the
+    * embedding as int8 — the storage-scale decision pass for an
+    * embedding lake (4× smaller vectors, bounded recall loss). Pure
+    * per-row map work, no shuffle except output ordering.
+    *
+    * Portability: the per-element |x - dequant(quant(x))| errors are
+    * quantized to exact integer micros BEFORE summing (the engine's
+    * exact-sum idiom), so the per-vector error is order-insensitive and
+    * bit-identical in the oracle; rounding is floor(v + 0.5), never the
+    * engine-dependent round(). The max-abs and the lambda's `scale`
+    * reference are materialized in prior selects — an inlined max-abs
+    * would re-scan the 64 dims per element (the HOF-inlining trap
+    * documented at Portable.shinglesFromTokens).
+    */
+  val embQuantize: Op = Op(
+    "emb_quantize",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding"),
+          greatest(array_max(transform(col("embedding"),
+            x => abs(x.cast("double")))), lit(1e-12)).as("maxabs"))
+        .select(col("vec_id"), col("embedding"),
+          (col("maxabs") / lit(127.0)).as("scale"))
+        .select(col("vec_id"), col("scale"),
+          size(col("embedding")).cast(LongType).as("n_dims"),
+          aggregate(col("embedding"), lit(0L), (acc, x) =>
+            acc + floor(abs(x.cast("double") -
+              (floor((x.cast("double") / col("scale")) + 0.5) * col("scale")))
+              * 1000000.0 + 0.5).cast(LongType)).as("err_sum_us"))
+        .select(col("vec_id"), col("scale"), col("n_dims"),
+          col("err_sum_us"),
+          (col("err_sum_us").cast("double") / col("n_dims") / lit(1000000.0))
+            .as("mean_abs_err"))
+        .orderBy(col("vec_id")),
+    Some("""
+      SELECT vec_id, scale, n_dims, err_sum_us,
+             CAST(err_sum_us AS DOUBLE) / n_dims / 1000000.0 AS mean_abs_err
+      FROM (
+        SELECT vec_id, scale, CAST(len(embedding) AS BIGINT) AS n_dims,
+               CAST(list_sum(list_transform(embedding, x ->
+                 CAST(floor(abs(CAST(x AS DOUBLE) -
+                   (floor((CAST(x AS DOUBLE) / scale) + 0.5) * scale))
+                   * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS err_sum_us
+        FROM (
+          SELECT vec_id, embedding,
+                 (greatest(list_max(list_transform(embedding, x ->
+                   abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0) AS scale
+          FROM embeddings) t1) t2
+      ORDER BY vec_id"""))
+
+  val all: Seq[Op] = Seq(embCentroids, embQuantize)
 }

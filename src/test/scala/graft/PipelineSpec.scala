@@ -202,6 +202,18 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("emb_quantize: int8 reconstruction error bounded by half a quantization step") {
+    run("emb_quantize").collect().foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      assert(scale > 0)
+      // symmetric rounding: per-dim error ≤ scale/2, plus the 1e-6
+      // micros-quantization slack on the reported mean
+      assert(r.getAs[Double]("mean_abs_err") <= scale / 2 + 1e-6,
+        s"vec ${r.getAs[Long]("vec_id")}: err > scale/2")
+      assert(r.getAs[Long]("n_dims") == 64L)
+    }
+  }
+
   test("text_doc_freq: df bounded by corpus size, common words on top") {
     val out = run("text_doc_freq").collect()
     assert(out.length == 20)
