@@ -133,4 +133,30 @@ object NearDupStream {
   /** The composed edge pass: watermark → near-dup pairs. */
   def pipeline(docs: DataFrame, watermark: String = "1 hour"): Dataset[NearDup] =
     candidatePairs(docs.withWatermark("ts", watermark))
+
+  /** Run the detector into a durable [[graft.sources.SinkLog]]: each
+    * micro-batch's pairs (multi-band duplicates collapsed per batch)
+    * append under an epoch dump id, so foreachBatch's at-least-once
+    * re-delivery lands exactly-once in the log — the same contract as
+    * [[EventIngest.start]]. The log IS the dedup worklist a downstream
+    * compaction job consumes.
+    */
+  def start(
+      docs: DataFrame,
+      sink: graft.sources.SinkLog,
+      checkpointDir: String,
+      watermark: String = "1 hour"): org.apache.spark.sql.streaming.StreamingQuery =
+    pipeline(docs, watermark)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[NearDup], epochId: Long) =>
+        val pairs = batch.toDF()
+          .groupBy(col("first_id"), col("dup_id"))
+          .agg(max(col("est_jaccard")).as("est_jaccard"))
+        sink.appendIdempotent(pairs.sparkSession,
+          graft.sources.Sinks.stamped(pairs, s"neardup-epoch-$epochId", epochId))
+        ()
+      }
+      .start()
 }

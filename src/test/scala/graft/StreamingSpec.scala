@@ -252,6 +252,34 @@ class StreamingSpec extends SparkSpec {
     assert(pairs.forall(_._3 >= 0.5), s"agreement below tau: $pairs")
   }
 
+  test("near-dup stream into sink: multi-band pairs collapse, epochs land once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.ParquetSink
+    import graft.streaming.NearDupStream
+
+    val dir = Files.createTempDirectory("graft_nd_sink").toString
+    val sink = ParquetSink(s"$dir/log")
+    val base = (1 to 40).map(i => s"sink$i").mkString(" ")
+
+    val src = MemoryStream[Doc]
+    val query = NearDupStream.start(src.toDS().toDF(), sink,
+      s"$dir/ckpt", watermark = "10 minutes")
+    src.addData(Doc(1, t("10:00"), base))
+    query.processAllAvailable()
+    src.addData(Doc(2, t("10:01"), base.replace("sink9", "edited")))
+    query.processAllAvailable()
+    query.stop()
+
+    // the log holds exactly ONE row for the pair (multi-band emissions
+    // collapse before the append; epoch dump ids dedup re-delivery)
+    val log = sink.log(spark).collect()
+    assert(log.length == 1, s"expected one pair row, got ${log.length}")
+    assert(log.head.getAs[Long]("first_id") == 1L &&
+      log.head.getAs[Long]("dup_id") == 2L)
+    assert(log.head.getAs[String]("dump_id").startsWith("neardup-epoch-"))
+  }
+
   test("near-dup stream: idle buckets evict on event time (bounded state)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
