@@ -252,6 +252,40 @@ class StreamingSpec extends SparkSpec {
     assert(pairs.forall(_._3 >= 0.5), s"agreement below tau: $pairs")
   }
 
+  test("composed edge ingest: gate → exact dedup → near-dup in one query") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{DocIngest, NearDupStream}
+
+    // Spark 4 supports chaining stateful operators in append mode:
+    // dropDuplicatesWithinWatermark (exact dedup) feeding
+    // flatMapGroupsWithState (near-dup) in ONE streaming query
+    val good = (1 to 40).map(i => s"the of chain$i").mkString(" ")
+    val src = MemoryStream[Doc]
+    val query = NearDupStream
+      .candidatePairs(DocIngest.pipeline(src.toDS().toDF()).drop("fp"))
+      .writeStream.format("memory").queryName("chained_ingest")
+      .outputMode("append").start()
+
+    // batch 1: the original + an exact whitespace-variant dup (killed by
+    // the exact stage, so it must NOT surface as a near-dup pair)
+    src.addData(
+      Doc(1, t("10:00"), good),
+      Doc(2, t("10:01"), "  " + good.replace(" ", "  ")))
+    query.processAllAvailable()
+    // batch 2: a genuine near-dup (one token changed) survives the exact
+    // stage and pairs with doc 1 across batches
+    src.addData(Doc(3, t("10:02"), good.replace("chain7", "altered")))
+    query.processAllAvailable()
+    query.stop()
+
+    val pairs = spark.table("chained_ingest").collect()
+      .map(r => (r.getAs[Long]("first_id"), r.getAs[Long]("dup_id")))
+      .distinct.toSeq
+    assert(pairs == Seq((1L, 3L)),
+      s"exact dup must die before near-dup pairing: $pairs")
+  }
+
   test("near-dup stream into sink: multi-band pairs collapse, epochs land once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
