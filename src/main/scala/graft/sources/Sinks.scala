@@ -31,6 +31,22 @@ object Sinks {
   def stamped(df: DataFrame, dumpId: String, dumpTimeUs: Long): DataFrame =
     df.withColumn("dump_id", lit(dumpId))
       .withColumn("time_last_dumped_us", lit(dumpTimeUs))
+
+  /** Stable per-query-instance tag for streaming dump ids. Epoch numbers
+    * restart at 0 whenever a query starts from a fresh checkpoint dir, so
+    * a dump id derived from the epoch alone collides with a previous
+    * run's ids against the same sink log — and the idempotency anti-join
+    * would silently drop the new run's batches. Deriving the tag from the
+    * checkpoint dir gives exactly the right identity: restarts from the
+    * SAME checkpoint keep the tag (their re-delivered epochs SHOULD
+    * dedup), while a fresh checkpoint — or a second query sharing the
+    * log — gets a fresh tag.
+    */
+  def runTag(checkpointDir: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+    d.take(6).map(b => f"${b & 0xff}%02x").mkString
+  }
 }
 
 /** The sink contract every backend shares: an append-only log with
@@ -98,7 +114,15 @@ trait SinkLog {
     */
   def latestState(spark: SparkSession, keyCols: Seq[String]): DataFrame = {
     val df = log(spark)
+    val missing = keyCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"latestState key column(s) ${missing.mkString(", ")} not in log " +
+        s"schema [${df.columns.mkString(", ")}]")
     val others = df.columns.filterNot(keyCols.contains).toSeq
+    require(others.nonEmpty,
+      "latestState needs at least one non-key column (the max_by payload " +
+        "struct cannot be empty); a keys-only log has no versioned state " +
+        s"to resolve — keys [${keyCols.mkString(", ")}] cover every column")
     df.groupBy(keyCols.map(col): _*)
       .agg(max_by(
         struct(others.map(c => col(s"`$c`")): _*),
@@ -187,13 +211,17 @@ final case class ExternalSink(
       // case-guessing against DatabaseMetaData — a metadata probe can
       // false-positive on a differently-cased sibling table on
       // case-sensitive stores, sending appendIdempotent's anti-join to
-      // the wrong log. Table-not-found surfaces as a SQLException.
+      // the wrong log. ONLY a table-not-found SQLState may mean "no log
+      // yet": any other failure (lock timeout, dropped connection,
+      // permission) must propagate, or appendIdempotent would skip the
+      // dump-id anti-join and a replayed dump would land twice.
       val st = conn.createStatement()
       try {
         st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close()
         true
       } catch {
-        case _: java.sql.SQLException => false
+        case e: java.sql.SQLException
+            if ExternalSink.TableNotFoundStates(e.getSQLState) => false
       } finally st.close()
     } finally conn.close()
   }
@@ -225,6 +253,17 @@ final case class ExternalSink(
         url, s"(SELECT DISTINCT $q FROM $table) AS seen", props)
       .toDF("dump_id")
   }
+}
+
+object ExternalSink {
+  /** SQLStates that mean "table/view does not exist" across the dialects
+    * Spark's JDBC source ships: Derby 42X05, MySQL/SQL Server/ODBC 42S02,
+    * Postgres 42P01, H2 42102/42S02, legacy MySQL S0002. Anything else is
+    * NOT evidence of a missing log and is rethrown by [[ExternalSink
+    * .exists]].
+    */
+  val TableNotFoundStates: Set[String] =
+    Set("42X05", "42S02", "42P01", "42102", "S0002")
 }
 
 /** ClickHouse-FORMAT-CSV-shaped payload rendering: every row of any

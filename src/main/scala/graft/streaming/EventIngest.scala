@@ -12,8 +12,8 @@ import graft.sources.{ParquetSink, SinkLog, Sinks}
   * the sink): events arrive on a stream, are aggregated into 1-hour
   * tumbling windows with a watermark, and each micro-batch is appended
   * THROUGH the engine's idempotent sink abstraction
-  * ([[graft.sources.ParquetSink]]), stamped with the epoch id as its
-  * dump_id. `foreachBatch` may re-deliver an epoch after a failure; the
+  * ([[graft.sources.ParquetSink]]), stamped with a (query-instance tag,
+  * epoch id) dump_id. `foreachBatch` may re-deliver an epoch after a failure; the
   * dump-id dedup turns that at-least-once delivery into exactly-once
   * sink contents — the same idempotency design the reference gets from
   * dump_id + ReplacingMergeTree, and the standard Spark recipe for
@@ -42,7 +42,7 @@ object EventIngest {
   /** Start the ingest on a streaming events frame (must have columns
     * ts: timestamp, event_type: string, value: double). Each micro-batch
     * appends its (possibly updated) window rows through the idempotent
-    * sink, dump_id = the epoch id.
+    * sink, dump_id = (query-instance tag, epoch id).
     */
   def start(
       events: DataFrame,
@@ -58,17 +58,29 @@ object EventIngest {
   def start(
       events: DataFrame,
       sink: SinkLog,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    // Dump ids carry a per-query-instance tag (Sinks.runTag): a restart
+    // from the SAME checkpoint re-delivers epochs under their original
+    // ids (deduped, as intended), while a fresh-checkpoint restart or a
+    // second query against the same log cannot collide with prior runs'
+    // ids. The dump time is wall-clock micros, not the epoch number, so
+    // the latest-state view stays newest-wins ACROSS query restarts
+    // (epoch numbers reset to 0 on a fresh checkpoint; wall clock does
+    // not). The zero-padded epoch keeps the dump_id tie-break ordered
+    // like the epochs themselves.
+    val tag = Sinks.runTag(checkpointDir)
     windowedAgg(events.withWatermark("ts", "2 hours"))
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         sink.appendIdempotent(batch.sparkSession,
-          Sinks.stamped(batch, s"epoch-$epochId", epochId))
+          Sinks.stamped(batch, f"ingest-$tag-epoch-$epochId%09d",
+            System.currentTimeMillis() * 1000L))
         ()
       }
       .start()
+  }
 
   /** The authoritative current state of the sink: latest epoch wins per
     * (hour_start, event_type) — the ReplacingMergeTree-FINAL view.

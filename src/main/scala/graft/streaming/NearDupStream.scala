@@ -145,7 +145,13 @@ object NearDupStream {
       docs: DataFrame,
       sink: graft.sources.SinkLog,
       checkpointDir: String,
-      watermark: String = "1 hour"): org.apache.spark.sql.streaming.StreamingQuery =
+      watermark: String = "1 hour"): org.apache.spark.sql.streaming.StreamingQuery = {
+    // Per-query-instance tag (Sinks.runTag): epoch numbers restart at 0
+    // on a fresh checkpoint dir, so an epoch-only dump id would collide
+    // with a previous run's ids against the same pair log and the
+    // anti-join would silently drop the new run's batches. Wall-clock
+    // dump time keeps latest-state newest-wins across restarts.
+    val tag = graft.sources.Sinks.runTag(checkpointDir)
     pipeline(docs, watermark)
       .writeStream
       .outputMode("append")
@@ -155,8 +161,11 @@ object NearDupStream {
           .groupBy(col("first_id"), col("dup_id"))
           .agg(max(col("est_jaccard")).as("est_jaccard"))
         sink.appendIdempotent(pairs.sparkSession,
-          graft.sources.Sinks.stamped(pairs, s"neardup-epoch-$epochId", epochId))
+          graft.sources.Sinks.stamped(pairs,
+            f"neardup-$tag-epoch-$epochId%09d",
+            System.currentTimeMillis() * 1000L))
         ()
       }
       .start()
+  }
 }

@@ -100,6 +100,41 @@ class SourcesSpec extends SparkSpec {
     assert(seen.collect().map(_.getString(0)).toSeq == Seq("d1"))
   }
 
+  test("ExternalSink.exists: only table-not-found means false; other SQL errors propagate") {
+    // table genuinely absent → false (first append will create it)
+    val missing = derbySink("never_created")
+    assert(!missing.initialized(spark))
+    // a NON-table-not-found failure (here: a syntax error standing in
+    // for lock timeouts / dropped connections / permission errors) must
+    // NOT read as "no log yet" — that would skip the dump-id anti-join
+    // and let a replayed dump land twice
+    val broken = derbySink("not a valid identifier!!")
+    val e = intercept[java.sql.SQLException](broken.initialized(spark))
+    assert(!ExternalSink.TableNotFoundStates(e.getSQLState),
+      s"test setup must raise a non-not-found state, got ${e.getSQLState}")
+  }
+
+  test("latestState: unknown key columns and keys-only logs fail loudly") {
+    val path = Files.createTempDirectory("graft_sink").toString + "/log"
+    val sink = ParquetSink(path)
+    sink.appendIdempotent(spark, batch(Seq((1L, "v1", 10.0)), "d1", 1000L))
+    val bad = intercept[IllegalArgumentException](
+      sink.latestState(spark, Seq("pk", "no_such_col")))
+    assert(bad.getMessage.contains("no_such_col"))
+    // keys covering every column leave no payload for max_by
+    val keysOnly = intercept[IllegalArgumentException](
+      sink.latestState(spark,
+        Seq("pk", "status", "price", "dump_id", "time_last_dumped_us")))
+    assert(keysOnly.getMessage.contains("non-key column"))
+  }
+
+  test("Sinks.runTag: stable per checkpoint dir, distinct across dirs") {
+    val a = Sinks.runTag("/tmp/ckpt-a")
+    assert(a == Sinks.runTag("/tmp/ckpt-a"), "tag must be deterministic")
+    assert(a != Sinks.runTag("/tmp/ckpt-b"))
+    assert(a.matches("[0-9a-f]{12}"), s"tag must be fixed-width hex: $a")
+  }
+
   test("CsvBulkSink payloads flow through an ExternalSink staging table idempotently") {
     // the reference's broker loop end-to-end (base_sink.py:251-282):
     // serialize rows → render one CSV payload line each → push the

@@ -311,7 +311,12 @@ class StreamingSpec extends SparkSpec {
     assert(log.length == 1, s"expected one pair row, got ${log.length}")
     assert(log.head.getAs[Long]("first_id") == 1L &&
       log.head.getAs[Long]("dup_id") == 2L)
-    assert(log.head.getAs[String]("dump_id").startsWith("neardup-epoch-"))
+    // dump ids carry the per-query-instance tag so a fresh-checkpoint
+    // restart against the same log cannot collide with this run's epochs
+    val dumpId = log.head.getAs[String]("dump_id")
+    assert(dumpId.matches("neardup-[0-9a-f]{12}-epoch-\\d{9}"),
+      s"dump id must be (tag, epoch)-scoped: $dumpId")
+    assert(dumpId.contains(graft.sources.Sinks.runTag(s"$dir/ckpt")))
   }
 
   test("near-dup stream: idle buckets evict on event time (bounded state)") {
