@@ -721,11 +721,12 @@ object RelationalOps {
                  'below', 0L, 'mn2', CAST(NULL AS DOUBLE),
                  'mx2', CAST(NULL AS DOUBLE)))))""")
       // ONE coarse pass locates BOTH ranks' buckets (shared histogram
-      // shuffle), then each percentile branches into ONE recursive
-      // re-split of its hit bucket (the bucket's entries re-bucketed
-      // over their exact value range — 1000× finer), a second locate,
-      // and a walk of only the final sub-bucket's entries. All
-      // per-priority frames are ≤ #priorities rows → broadcast.
+      // shuffle); both percentiles then ride ONE shared re-split
+      // pipeline (tagged rows, see below): hit-bucket entries
+      // re-bucketed over their exact value range — 1000× finer — a
+      // second locate, and a walk of only the final sub-bucket's
+      // entries. All per-priority frames are ≤ 2×#priorities rows →
+      // broadcast.
       // checkpointed: three consumers (both rank branches + the final n
       // projection); measured faster than relying on ReuseExchange,
       // which does not collapse the differently-projected subtrees
@@ -744,46 +745,55 @@ object RelationalOps {
           col("k90"), col("loc90.hit").as("b90"),
           col("loc90.below").as("below90"),
           col("loc90.mn2").as("mn90"), col("loc90.mx2").as("mx90")))
-      def rankSelect(kCol: String, bCol: String, belowCol: String,
-          mnCol: String, mxCol: String, out: String): DataFrame = {
-        val located = loc1.select(col("o_orderpriority"),
-          col(kCol).as("k"), col(bCol).as("b1"), col(belowCol).as("below1"),
-          col(mnCol).as("mn2"), col(mxCol).as("mx2"))
-        val sub = slim.join(broadcast(located), "o_orderpriority")
-          .filter(col("bucket") === col("b1"))
-          .select(col("o_orderpriority"), col("o_totalprice"), col("cnt"),
-            (col("k") - col("below1")).as("k2"),
-            expr(s"coalesce(width_bucket(o_totalprice, mn2, mx2, $nBuckets), 1L)")
-              .as("bucket"))
-        val loc2 = sub
-          .groupBy(col("o_orderpriority"), col("k2"), col("bucket"))
-          .agg(sum(col("cnt")).as("bc"),
-            min(col("o_totalprice")).as("bmn"),
-            max(col("o_totalprice")).as("bmx"))
-          .groupBy(col("o_orderpriority"), col("k2"))
-          .agg(locate("k2").as("loc"))
-          .select(col("o_orderpriority"),
-            col("loc.hit").as("b2"), col("loc.below").as("below2"))
-        sub.join(broadcast(loc2), "o_orderpriority")
-          .filter(col("bucket") === col("b2"))
-          .groupBy(col("o_orderpriority"), col("k2"), col("below2"))
-          .agg(sort_array(collect_list(struct(
-            col("o_totalprice").as("v"), col("cnt").as("c")))).as("cand"))
-          .select(col("o_orderpriority"), expr(s"""
-            aggregate(cand,
-              named_struct('rem', k2 - below2, 'found', CAST(NULL AS DOUBLE)),
-              (acc, e) -> IF(acc.found IS NOT NULL, acc,
-                IF(acc.rem <= e.c,
-                   named_struct('rem', acc.rem, 'found', e.v),
-                   named_struct('rem', acc.rem - e.c,
-                     'found', CAST(NULL AS DOUBLE)))),
-              acc -> acc.found)""").as(out))
-      }
-      val p50 = rankSelect("k50", "b50", "below50", "mn50", "mx50", "p50")
-      val p90 = rankSelect("k90", "b90", "below90", "mn90", "mx90", "p90")
+      // ONE shared re-split pipeline serves BOTH percentiles: the two
+      // located hit buckets are tagged and exploded into a single frame
+      // keyed by (priority, tag), so the sub-bucket re-bucketing, the
+      // second locate, and the candidate walk each run ONCE instead of
+      // per rank — half the post-checkpoint stages of the two-branch
+      // form, same answers (the branches never shared rows: a rank only
+      // walks entries of ITS hit bucket, which the tag key preserves).
+      val located = loc1.select(col("o_orderpriority"), explode(array(
+          struct(lit("p50").as("tag"), col("k50").as("k"),
+            col("b50").as("b1"), col("below50").as("below1"),
+            col("mn50").as("mn2"), col("mx50").as("mx2")),
+          struct(lit("p90").as("tag"), col("k90").as("k"),
+            col("b90").as("b1"), col("below90").as("below1"),
+            col("mn90").as("mn2"), col("mx90").as("mx2")))).as("t"))
+        .select(col("o_orderpriority"), col("t.*"))
+      val sub = slim.join(broadcast(located), "o_orderpriority")
+        .filter(col("bucket") === col("b1"))
+        .select(col("o_orderpriority"), col("tag"), col("o_totalprice"),
+          col("cnt"), (col("k") - col("below1")).as("k2"),
+          expr(s"coalesce(width_bucket(o_totalprice, mn2, mx2, $nBuckets), 1L)")
+            .as("bucket"))
+      val loc2 = sub
+        .groupBy(col("o_orderpriority"), col("tag"), col("k2"), col("bucket"))
+        .agg(sum(col("cnt")).as("bc"),
+          min(col("o_totalprice")).as("bmn"),
+          max(col("o_totalprice")).as("bmx"))
+        .groupBy(col("o_orderpriority"), col("tag"), col("k2"))
+        .agg(locate("k2").as("loc"))
+        .select(col("o_orderpriority"), col("tag"),
+          col("loc.hit").as("b2"), col("loc.below").as("below2"))
+      val pcts = sub.join(broadcast(loc2), Seq("o_orderpriority", "tag"))
+        .filter(col("bucket") === col("b2"))
+        .groupBy(col("o_orderpriority"), col("tag"), col("k2"), col("below2"))
+        .agg(sort_array(collect_list(struct(
+          col("o_totalprice").as("v"), col("cnt").as("c")))).as("cand"))
+        .select(col("o_orderpriority"), col("tag"), expr(s"""
+          aggregate(cand,
+            named_struct('rem', k2 - below2, 'found', CAST(NULL AS DOUBLE)),
+            (acc, e) -> IF(acc.found IS NOT NULL, acc,
+              IF(acc.rem <= e.c,
+                 named_struct('rem', acc.rem, 'found', e.v),
+                 named_struct('rem', acc.rem - e.c,
+                   'found', CAST(NULL AS DOUBLE)))),
+            acc -> acc.found)""").as("v"))
+        .groupBy(col("o_orderpriority"))
+        .agg(min(when(col("tag") === "p50", col("v"))).as("p50"),
+          min(when(col("tag") === "p90", col("v"))).as("p90"))
       loc1.select(col("o_orderpriority"), col("n"))
-        .join(p50, "o_orderpriority")
-        .join(p90, "o_orderpriority")
+        .join(broadcast(pcts), "o_orderpriority")
         .orderBy(col("o_orderpriority"))
     },
     Some("""
