@@ -313,7 +313,102 @@ object PipelineOps {
              (SELECT count(*) FROM tc) AS n_click_after,
              (SELECT count(*) FROM tp) AS n_purchase_after"""))
 
+  private val WSAMPLE_K = 20
+
+  /** G7 — deterministic weighted sampling: k documents per language,
+    * selection probability increasing with document weight (n_chars) —
+    * the dataset-mixing pass that upsamples long/high-value documents
+    * when composing a training corpus. Priority-sampling formulation:
+    * each doc draws a deterministic uniform (the md5-derived hash32) and
+    * its priority key is `hash / weight`; the k SMALLEST keys per
+    * stratum win, so doubling a doc's weight halves its key (Efraimidis-
+    * Spirakis uses u^(1/w), but its transcendentals differ by ULPs
+    * across engines; one IEEE division of two exact integers is
+    * bit-identical everywhere, and keeps the same
+    * probability-increases-with-weight contract).
+    *
+    * Same scale shape as G3: the bounded-heap `topk_min` aggregate, one
+    * shuffle on the stratum key, map-side partials carry ≤ k rows per
+    * stratum per task — no per-stratum sort, no window, heavy strata
+    * cost k heap slots.
+    */
+  val sampleWeighted: Op = Op(
+    "sample_weighted",
+    (s, d) => {
+      val pri = (hash32(concat_ws("|", lit("w"), col("doc_id"))).cast("double") /
+        col("n_chars").cast("double")).as("pri")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .groupBy(col("lang"))
+        .agg(topkMin(struct(pri, col("doc_id"), col("n_chars")), WSAMPLE_K)
+          .as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), col("col.doc_id").as("doc_id"),
+          col("col.n_chars").as("weight"),
+          (col("pos") + 1).cast(LongType).as("rk"))
+        .orderBy(col("lang"), col("rk"))
+    },
+    Some(s"""
+      SELECT lang, doc_id, weight, rk FROM (
+        SELECT lang, doc_id, n_chars AS weight,
+               CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY CAST(${xhash32("concat_ws('|', 'w', doc_id)")} AS DOUBLE)
+                   / CAST(n_chars AS DOUBLE), doc_id) AS BIGINT) AS rk
+        FROM documents) t
+      WHERE rk <= $WSAMPLE_K
+      ORDER BY lang, rk"""))
+
+  /** G8 — daily-volume anomaly detection per event type: a day is
+    * flagged when its event count deviates from the type's mean daily
+    * count by more than 3 sample standard deviations — the data-quality
+    * monitor a pipeline runs over its ingest volumes (a collapsed source
+    * or a runaway producer shows up here first).
+    *
+    * The flag is computed in INTEGER-exact cross-multiplied form —
+    * `(c·n − S)²·(n−1) > 9·n·(n·Q − S²)` with S = Σc, Q = Σc² — i.e.
+    * (c − μ)² > (3σ)² with every division cleared, so no engine's
+    * stddev implementation (Welford vs sum-of-squares, FP order) can
+    * flip a flag: both sides are exact BIGINTs. Bounds: safe while
+    * n·Q < 2⁶³ (≈ daily counts up to ~10⁸ over ~10³ days); a deployment
+    * beyond that lifts the same expressions to DECIMAL(38,0) unchanged.
+    *
+    * Two shuffles, both tiny after the first: the daily count is
+    * map-side combined on (type, day); the per-type moments (n, S, Q —
+    * one row per type) broadcast back onto the daily frame.
+    */
+  val eventsAnomaly: Op = Op(
+    "events_anomaly",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("s"),
+          sum(col("cnt") * col("cnt")).as("q"))
+      daily.join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("day"), col("cnt"), col("n_days"),
+          (col("n_days") > 1 &&
+            expr("""(cnt*n_days - s)*(cnt*n_days - s)*(n_days-1)
+                    > 9*n_days*(n_days*q - s*s)""")).as("is_anomaly"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      stats AS (
+        SELECT event_type, count(*) AS n_days,
+               CAST(sum(cnt) AS BIGINT) AS s,
+               CAST(sum(cnt*cnt) AS BIGINT) AS q
+        FROM daily GROUP BY 1)
+      SELECT d.event_type, d.day, d.cnt, st.n_days,
+             st.n_days > 1 AND
+               (d.cnt*st.n_days - st.s)*(d.cnt*st.n_days - st.s)*(st.n_days-1)
+               > 9*st.n_days*(st.n_days*st.q - st.s*st.s) AS is_anomaly
+      FROM daily d JOIN stats st ON d.event_type = st.event_type
+      ORDER BY d.event_type, d.day"""))
+
   val all: Seq[Op] = Seq(
     joinAsof, joinRange, sampleStratified, qualityFilter, eventsRetention,
-    eventsFunnel)
+    eventsFunnel, sampleWeighted, eventsAnomaly)
 }

@@ -202,6 +202,50 @@ object SinkOps {
       FROM orders
       ORDER BY table_name"""))
 
+  /** A3b — PII pseudonymization: the data-minimizing sibling of A3's
+    * retirement DELETE (reference sinks/user_retire.py:23-49). A
+    * retirement request does not always mean losing the row — analytics
+    * stores commonly keep it but strip identity: the name is replaced
+    * with a deterministic md5 pseudonym (stable across tables and dumps,
+    * so retired rows still join to each other, but never back to the
+    * identity), the quasi-identifying balance is suppressed to NULL, and
+    * the aggregate-bearing segment column survives. Non-retired rows
+    * pass through byte-identical. Same scale shape as A3: the
+    * retirement batch is small by nature → broadcast; the PII table
+    * never shuffles and the rewrite runs at scan speed.
+    */
+  val sinkPseudonymize: Op = Op(
+    "sink_pseudonymize",
+    (s, d) => {
+      val retired = Tables.customer(s, d)
+        .filter(col("c_acctbal") < 0.0)
+        .select(col("c_custkey").as("uid"))
+        .withColumn("is_retired", lit(1L))
+      Tables.customer(s, d)
+        .join(broadcast(retired), col("c_custkey") === col("uid"), "left")
+        .select(col("c_custkey"),
+          when(col("is_retired").isNotNull,
+            md5(concat_ws("|", lit("pseud"), col("c_custkey"))))
+            .otherwise(col("c_name")).as("c_name"),
+          when(col("is_retired").isNull, col("c_acctbal")).as("c_acctbal"),
+          col("c_mktsegment"),
+          col("is_retired").isNotNull.as("masked"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      WITH retired AS (SELECT c_custkey AS uid FROM customer
+                       WHERE c_acctbal < 0)
+      SELECT c_custkey,
+             CASE WHEN c_custkey IN (SELECT uid FROM retired)
+               THEN md5(concat_ws('|', 'pseud', c_custkey))
+               ELSE c_name END AS c_name,
+             CASE WHEN c_custkey IN (SELECT uid FROM retired)
+               THEN NULL ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment,
+             c_custkey IN (SELECT uid FROM retired) AS masked
+      FROM customer
+      ORDER BY c_custkey"""))
+
   /** A4 — keyset-paginated backfill batch: the reference's
     * `fetch_target_items` (sinks/base_sink.py:284-306) pages
     * `pk > start_pk ORDER BY pk` with optional include/skip id sets
@@ -536,8 +580,8 @@ object SinkOps {
       ORDER BY hour_start, event_type"""))
 
   val all: Seq[Op] = Seq(
-    sinkLatestState, sinkShouldDump, sinkRetireUsers, sinkPagination,
-    sinkBackfillPlan, sinkSerializeOverview, sinkSerializeProfile,
-    sinkXblockHierarchy, sinkExternalId, sinkCsvFormat, eventsWindowedAgg,
-    sinkDumpRelated)
+    sinkLatestState, sinkShouldDump, sinkRetireUsers, sinkPseudonymize,
+    sinkPagination, sinkBackfillPlan, sinkSerializeOverview,
+    sinkSerializeProfile, sinkXblockHierarchy, sinkExternalId,
+    sinkCsvFormat, eventsWindowedAgg, sinkDumpRelated)
 }

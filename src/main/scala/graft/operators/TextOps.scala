@@ -424,7 +424,68 @@ object TextOps {
       LIMIT 20"""
     })
 
+  /** Vocabulary size for [[textVocabCoverage]] — the induced-vocab cut. */
+  private val VOCAB_V = 100
+
+  /** C10 — tokenizer vocabulary induction + coverage: the top-V corpus
+    * words by occurrence count and, per rank, the cumulative fraction of
+    * ALL token occurrences a vocabulary cut at that rank would cover —
+    * the Zipf-curve read a tokenizer/vocab-size decision is made from
+    * (how big must V be to cover 95% of the stream?).
+    *
+    * Plan: one token explode into a map-side-combined word count (the C5
+    * shuffle — uniform by construction, the word IS the key), the total
+    * occurrence count broadcast as a one-row cross join (the q15
+    * scalar-subquery shape), top-V via TakeOrderedAndProject, and the
+    * cumulative sum as a window over ONLY the V retained rows — bounded
+    * by the vocab constant, not the corpus, which is the one place an
+    * unpartitioned window is scale-safe. Counts and cumulative counts
+    * are exact BIGINTs; the coverage ratio is one IEEE division.
+    */
+  val textVocabCoverage: Op = Op(
+    "text_vocab_coverage",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(explode(toks(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+      val n = counts.agg(sum(col("cnt")).as("n_total"))
+      val w = Window.orderBy(col("cnt").desc, col("word"))
+      counts.orderBy(col("cnt").desc, col("word")).limit(VOCAB_V)
+        .crossJoin(broadcast(n))
+        .select(row_number().over(w).cast(LongType).as("rk"),
+          col("word"), col("cnt"),
+          sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("cum_cnt"),
+          col("n_total"))
+        .withColumn("coverage",
+          col("cum_cnt").cast("double") / col("n_total"))
+        .orderBy(col("rk"))
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                AS word FROM documents) t
+        GROUP BY word),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM counts),
+      top AS (SELECT word, cnt FROM counts
+              ORDER BY cnt DESC, word LIMIT $VOCAB_V)
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rk,
+             word, cnt,
+             CAST(sum(cnt) OVER (ORDER BY cnt DESC, word
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_cnt,
+             n_total,
+             CAST(CAST(sum(cnt) OVER (ORDER BY cnt DESC, word
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS DOUBLE) / n_total AS coverage
+      FROM top, tot
+      ORDER BY rk"""))
+
   val all: Seq[Op] = Seq(
     textTokenCount, textQuality, textLangid, textFingerprint, textNgramFreq,
-    textDocFreq, textCharNgrams, textRepetition, textBm25)
+    textDocFreq, textCharNgrams, textRepetition, textBm25, textVocabCoverage)
 }

@@ -245,6 +245,63 @@ class PipelineSpec extends SparkSpec {
     assert(got == expected, s"$got != $expected")
   }
 
+  test("sample_weighted: k per stratum, heap-aggregate plan, long-doc bias") {
+    val df = run("sample_weighted")
+    val rows = df.collect()
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      assert(rs.length <= 20, s"$lang oversampled: ${rs.length}")
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to rs.length),
+        s"$lang ranks not contiguous")
+    }
+    // bounded-heap aggregate, not a per-stratum window sort
+    val p = plan(df)
+    assert(p.contains("topk_min"), "must use the bounded-heap aggregate")
+    assert(!p.contains("Window"), "weighted sampling must not window-sort")
+    // the hash/weight priority key biases selection toward heavy docs:
+    // on the fixed corpus the sampled mean weight exceeds the corpus mean
+    val sampleMean =
+      rows.map(_.getAs[Long]("weight")).sum.toDouble / rows.length
+    val corpusMean = Tables.documents(spark, sf)
+      .agg(avg(col("n_chars"))).collect().head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"no weight bias: sample mean $sampleMean <= corpus mean $corpusMean")
+  }
+
+  test("events_anomaly: a planted volume spike is flagged, normal days are not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    // 29 days of 10 clicks, one day of 500: only the spike is > 3 sigma
+    val rows = (0 until 30).flatMap { day =>
+      val n = if (day == 15) 500 else 10
+      (0 until n).map(i => (day * 1000L + i,
+        Timestamp.valueOf(f"2026-03-${day + 1}%02d 12:00:00"),
+        i.toLong % 7, "click", 1.0, "{}"))
+    }
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = run("events_anomaly", dir).collect()
+    assert(got.length == 30)
+    val flagged = got.filter(_.getAs[Boolean]("is_anomaly"))
+      .map(_.getAs[java.sql.Date]("day").toString).toSeq
+    assert(flagged == Seq("2026-03-16"), s"flags: $flagged")
+  }
+
+  test("events_anomaly: integer flag equals the floating-point 3-sigma rule") {
+    val got = run("events_anomaly").collect()
+    got.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      val cs = rs.map(_.getAs[Long]("cnt").toDouble)
+      val n = cs.length
+      val mu = cs.sum / n
+      val sd = math.sqrt(cs.map(c => (c - mu) * (c - mu)).sum / (n - 1))
+      rs.foreach { r =>
+        val c = r.getAs[Long]("cnt").toDouble
+        val expect = n > 1 && (c - mu) * (c - mu) > 9 * sd * sd
+        assert(r.getAs[Boolean]("is_anomaly") == expect,
+          s"$et day ${r.getAs[java.sql.Date]("day")}: cnt=$c mu=$mu sd=$sd")
+      }
+    }
+  }
+
   test("dedup_clusters: long chain collapses to one cluster (pointer jumping)") {
     // sliding 20-word windows with stride 5: consecutive docs share
     // ~0.57 jaccard (> tau), two-apart ~0.29 (< tau) -> the dup graph is

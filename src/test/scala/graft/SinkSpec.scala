@@ -7,6 +7,33 @@ import org.apache.spark.sql.functions._
   */
 class SinkSpec extends SparkSpec {
 
+  test("sink_pseudonymize: retired rows pseudonymized, others byte-identical") {
+    val src = Tables.customer(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r).toMap
+    val got = run("sink_pseudonymize").collect()
+    assert(got.length == src.size, "pseudonymization must not drop rows")
+    got.foreach { r =>
+      val o = src(r.getAs[Long]("c_custkey"))
+      if (r.getAs[Boolean]("masked")) {
+        assert(o.getAs[Double]("c_acctbal") < 0, "only retired users mask")
+        assert(r.getAs[String]("c_name").matches("[0-9a-f]{32}"),
+          s"pseudonym must be an md5 hex: ${r.getAs[String]("c_name")}")
+        assert(r.isNullAt(r.fieldIndex("c_acctbal")),
+          "balance must be suppressed for retired users")
+      } else {
+        assert(r.getAs[String]("c_name") == o.getAs[String]("c_name"))
+        assert(r.getAs[Double]("c_acctbal") == o.getAs[Double]("c_acctbal"))
+      }
+      assert(r.getAs[String]("c_mktsegment") == o.getAs[String]("c_mktsegment"),
+        "aggregate-bearing column must survive masking")
+    }
+    // pseudonyms stay unique (stable join key) and the masked set is
+    // exactly the retired set
+    val masked = got.filter(_.getAs[Boolean]("masked"))
+    assert(masked.map(_.getAs[String]("c_name")).distinct.length == masked.length)
+    assert(masked.length == src.values.count(_.getAs[Double]("c_acctbal") < 0))
+  }
+
   test("sink_latest_state: exactly one row per user, carrying the max ts") {
     val out = run("sink_latest_state")
     val users = Tables.events(spark, sf).select("user_id").distinct().count()

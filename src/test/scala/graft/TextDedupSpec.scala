@@ -268,4 +268,28 @@ class TextDedupSpec extends SparkSpec {
       assert(r.getAs[Double]("cos") >= 0.3)
     }
   }
+
+  test("text_vocab_coverage: Zipf-curve invariants hold") {
+    val rows = run("text_vocab_coverage").collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.map(_.getAs[Long]("rk")).toSeq == (1L to rows.length),
+      "ranks must be contiguous from 1")
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      "counts must be non-increasing by rank")
+    val cums = rows.map(_.getAs[Long]("cum_cnt"))
+    assert(cums.head == cnts.head)
+    cums.zip(cums.tail).zip(cnts.tail).foreach { case ((prev, cur), c) =>
+      assert(cur == prev + c, "cumulative must add exactly per rank")
+    }
+    val nTotal = rows.head.getAs[Long]("n_total")
+    assert(rows.forall(_.getAs[Long]("n_total") == nTotal))
+    val cov = rows.map(_.getAs[Double]("coverage"))
+    assert(cov.last <= 1.0 && cums.last <= nTotal)
+    assert(cov.zip(cov.tail).forall { case (a, b) => b >= a },
+      "coverage must be monotone")
+    // the sf0.001 corpus is a small closed vocabulary: the top-100 cut
+    // must cover the whole token stream (the curve reaches 1.0)
+    assert(rows.length < 100 || cums.last == nTotal || cov.last > 0.9)
+  }
 }
