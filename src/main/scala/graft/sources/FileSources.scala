@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** File-format sources — the read-side twin of the sink layer. The
+  * reference consumes Django ORM rows (sinks/base_sink.py:284-306); a
+  * lake deployment ingests the same entities from append-only JSONL or
+  * CSV logs dropped by producers. Two rules make that scale:
+  *
+  *  - **Schema is always explicit.** Inference is a full extra pass over
+  *    the data before the real one (at 100 TB: a second 100 TB scan) and
+  *    its result can flip with a single malformed row. Every reader here
+  *    takes the entity schema as code.
+  *  - **Corrupt rows quarantine, not crash.** The parse is a codegen'd
+  *    `from_json`/`from_csv` in PERMISSIVE mode over a plain text scan:
+  *    an unparseable line lands in the `_corrupt_record` column with its
+  *    raw text, fields null. The pipeline keeps running (the reference's
+  *    per-item error tolerance, base_sink.py:251-282) and the quarantine
+  *    frame is one filter away for a dead-letter sink. Parsing
+  *    expression-side (instead of `spark.read.json/csv`) sidesteps the
+  *    file-source corrupt-column caveats (corrupt-only projections are
+  *    disallowed there) and works IDENTICALLY under `readStream` — the
+  *    same parse serves batch backfill and the streaming edge.
+  *
+  * Plan shape: text scan (splittable, pruned to one string column) →
+  * whole-stage-codegen'd parse projection. No shuffle, no driver work,
+  * no format-specific source quirks in the hot path.
+  */
+object FileSources {
+
+  /** The `events` entity schema (TESTDATA.md): what producers log. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Parse-side schema: the entity plus the quarantine column PERMISSIVE
+    * mode fills for unparseable lines.
+    */
+  private val parseSchema: StructType =
+    eventSchema.add("_corrupt_record", StringType)
+
+  /** Producers stamp wall times without a zone; pin the format so batch
+    * and streaming parse identically (the session is already UTC).
+    * PERMISSIVE + corrupt column = quarantine contract.
+    */
+  private val parseOpts = Map(
+    "timestampFormat" -> "yyyy-MM-dd HH:mm:ss",
+    "mode" -> "PERMISSIVE",
+    "columnNameOfCorruptRecord" -> "_corrupt_record")
+
+  /** JSONL events: one JSON object per line. */
+  def eventsJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(from_json(col("value"), parseSchema, parseOpts).as("r"))
+      .select(col("r.*"))
+
+  /** Headerless CSV events in schema column order. */
+  def eventsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(from_csv(col("value"), parseSchema, parseOpts).as("r"))
+      .select(col("r.*"))
+
+  /** Streaming JSONL events from a drop directory — the SAME parse
+    * expression as the batch reader, over `readStream.text`: a producer
+    * appending files feeds [[graft.streaming.EventIngest]] directly.
+    */
+  def streamEventsJsonl(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir)
+      .select(from_json(col("value"), parseSchema, parseOpts).as("r"))
+      .select(col("r.*"))
+
+  /** Parsed rows, quarantine column dropped. */
+  def good(df: DataFrame): DataFrame =
+    df.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+
+  /** Unparseable raw lines, for the dead-letter sink. */
+  def quarantine(df: DataFrame): DataFrame =
+    df.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+}

@@ -174,6 +174,46 @@ class SourcesSpec extends SparkSpec {
     assert(st.filter(col("csv_payload").endsWith(",UPDATED")).count() == 1)
   }
 
+  test("FileSources JSONL: explicit schema parses, corrupt lines quarantine") {
+    import graft.sources.FileSources
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val lines = Seq(
+      """{"event_id":1,"ts":"2026-01-01 10:00:00","user_id":7,"event_type":"click","value":1.5,"props":"{}"}""",
+      """{"event_id":2,"ts":"2026-01-01 11:00:00","user_id":8,"event_type":"view","value":2.0,"props":"{}"}""",
+      """this is not json at all""",
+      """{"event_id":3,"ts":"2026-01-01 12:00:00","user_id":9,"event_type":"purchase","value":9.9,"props":"{}"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/events.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val df = FileSources.eventsJsonl(spark, s"$dir/events.jsonl")
+    val good = FileSources.good(df).collect()
+    assert(good.length == 3, s"good rows: ${good.length}")
+    assert(good.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(good.find(_.getAs[Long]("event_id") == 1L).get
+      .getAs[java.sql.Timestamp]("ts") ==
+      java.sql.Timestamp.valueOf("2026-01-01 10:00:00"))
+    val quarantined = FileSources.quarantine(df).collect()
+    assert(quarantined.map(_.getAs[String]("raw_line")).toSeq ==
+      Seq("this is not json at all"),
+      "the unparseable line must land in quarantine with its raw text")
+  }
+
+  test("FileSources CSV: schema-ordered parse, malformed rows quarantine") {
+    import graft.sources.FileSources
+    val dir = Files.createTempDirectory("graft_csvsrc").toString
+    val lines = Seq(
+      """1,2026-01-01 10:00:00,7,click,1.5,{}""",
+      """not-a-long,2026-01-01 11:00:00,8,view,2.0,{}""",
+      """2,2026-01-01 12:00:00,9,purchase,9.9,{}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/events.csv"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val df = FileSources.eventsCsv(spark, s"$dir/events.csv")
+    val good = FileSources.good(df).collect()
+    assert(good.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L))
+    val q = FileSources.quarantine(df).collect()
+    assert(q.length == 1 && q.head.getAs[String]("raw_line").startsWith("not-a-long"),
+      s"malformed CSV row must quarantine: ${q.toSeq}")
+  }
+
   test("SQL surface: registered views answer ANSI SQL with pushdown intact") {
     Tables.registerViews(spark, sf)
     val df = spark.sql("""

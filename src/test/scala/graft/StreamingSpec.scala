@@ -86,6 +86,38 @@ class StreamingSpec extends SparkSpec {
       "re-delivered epoch rows must not duplicate over JDBC")
   }
 
+  test("file-drop ingest: JSONL files stream through the parse into the sink") {
+    import graft.sources.FileSources
+    val dir = Files.createTempDirectory("graft_filedrop").toString
+    val drop = s"$dir/drop"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(drop))
+    def dropFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$drop/$name"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def ev(id: Long, hhmm: String, et: String, v: Double) =
+      s"""{"event_id":$id,"ts":"2026-01-01 $hhmm:00","user_id":1,""" +
+        s""""event_type":"$et","value":$v,"props":"{}"}"""
+
+    // the production shape: a producer drops files, the SAME parse
+    // expression as the batch reader feeds the windowed ingest
+    dropFile("a.jsonl", Seq(ev(1, "10:05", "click", 1.0),
+      ev(2, "10:40", "click", 2.0), "garbage line that must not kill the stream"))
+    val events = FileSources.good(FileSources.streamEventsJsonl(spark, drop))
+    val query = EventIngest.start(events, s"$dir/sink", s"$dir/ckpt")
+    query.processAllAvailable()
+    dropFile("b.jsonl", Seq(ev(3, "10:55", "click", 4.0)))
+    query.processAllAvailable()
+    query.stop()
+
+    val state = EventIngest.latestState(spark, s"$dir/sink").collect()
+      .map(r => (r.getAs[String]("hour_start"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+    // both files aggregated into the 10:00 window; the corrupt line
+    // was quarantined by the parse, not an exception
+    assert(state(("2026-01-01 10:00:00", "click")) == ((3L, 7.0)),
+      s"file-drop state wrong: $state")
+  }
+
   test("stateful sessionization: gaps close sessions, watermark closes the tail") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
