@@ -190,5 +190,70 @@ object MultimodalOps {
           FROM documents) t1) t2
       ORDER BY doc_id, frame_idx"""))
 
-  val all: Seq[Op] = Seq(mmBinaryMeta, mmDecodeBatch, mmChunk, mmFrameSample)
+  /** Shard capacity for [[mmShardManifest]] (64 KiB at test scale; a
+    * production webdataset shard is ~100 MB–1 GB — same math).
+    */
+  private[graft] val SHARD_BYTES = 65536L
+  /** Docs per prefix-sum block — the intra-block window bound. */
+  private[graft] val SHARD_BLOCK = 100L
+
+  /** F5 — shard manifest: pack each source's blobs, in doc_id order,
+    * into fixed-capacity output shards (the webdataset/tar-shard layout
+    * step before training) — every blob gets (shard_idx, offset) from
+    * the running byte total, start-offset assignment (a blob belongs to
+    * the shard its first byte lands in).
+    *
+    * The running total is a TWO-LEVEL DISTRIBUTED PREFIX SUM, not a
+    * per-source window over the corpus (that would sort a whole source's
+    * blobs on one task — the constant-cardinality skew trap, like q22's
+    * 5-value window): (1) one aggregate of byte sums per
+    * (source, doc_id-block of [[SHARD_BLOCK]]); (2) the per-source
+    * running total over BLOCK SUMS — a window over corpus/SHARD_BLOCK
+    * rows per source, broadcast back; (3) the intra-block running total
+    * — a window bounded by SHARD_BLOCK rows regardless of corpus size.
+    * Every offset is the exact same integer the sequential scan would
+    * produce; no task ever sorts more than a block or a source's block
+    * list.
+    */
+  val mmShardManifest: Op = Op(
+    "mm_shard_manifest",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          octet_length(col("text")).cast(LongType).as("sz"),
+          expr(s"doc_id div $SHARD_BLOCK").as("blk"))
+      val blockSums = docs.groupBy(col("source"), col("blk"))
+        .agg(sum(col("sz")).as("bsum"))
+      val wBlocks = Window.partitionBy(col("source")).orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blockBases = blockSums
+        .select(col("source"), col("blk"),
+          (sum(col("bsum")).over(wBlocks) - col("bsum")).as("block_base"))
+      val wIntra = Window.partitionBy(col("source"), col("blk"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(broadcast(blockBases), Seq("source", "blk"))
+        .withColumn("start",
+          col("block_base") + sum(col("sz")).over(wIntra) - col("sz"))
+        .select(col("source"), col("doc_id"), col("sz").as("size_bytes"),
+          expr(s"start div $SHARD_BYTES").as("shard_idx"),
+          (col("start") % SHARD_BYTES).as("offset_in_shard"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some(s"""
+      SELECT source, doc_id, sz AS size_bytes,
+             (cum - sz) // $SHARD_BYTES AS shard_idx,
+             (cum - sz) % $SHARD_BYTES AS offset_in_shard
+      FROM (
+        SELECT source, doc_id, CAST(strlen(text) AS BIGINT) AS sz,
+               CAST(sum(strlen(text)) OVER (PARTITION BY source
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM documents) t
+      ORDER BY source, doc_id"""))
+
+  val all: Seq[Op] =
+    Seq(mmBinaryMeta, mmDecodeBatch, mmChunk, mmFrameSample, mmShardManifest)
 }

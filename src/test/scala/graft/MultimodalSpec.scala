@@ -27,6 +27,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm_shard_manifest: two-level prefix sum equals the sequential scan") {
+    val seq = Tables.documents(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").getBytes("UTF-8").length.toLong))
+      .sortBy(t => (t._1, t._2))
+    // brute-force sequential packing per source
+    val expected = seq.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).toSeq.map { case (_, id, sz) =>
+        val start = cum; cum += sz
+        (src, id) -> ((sz, start / 65536L, start % 65536L))
+      }
+    }.toMap
+    val got = run("mm_shard_manifest").collect()
+    assert(got.length == seq.length)
+    got.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[Long]("doc_id"))
+      val (sz, shard, off) = expected(k)
+      assert(r.getAs[Long]("size_bytes") == sz, s"$k size")
+      assert(r.getAs[Long]("shard_idx") == shard, s"$k shard")
+      assert(r.getAs[Long]("offset_in_shard") == off, s"$k offset")
+    }
+    // every window in the plan is partitioned (no global-sort window)
+    val p = plan(run("mm_shard_manifest"))
+    assert(!p.contains("windowspecdefinition(doc_id"),
+      "prefix sum must never window over an unpartitioned corpus")
+  }
+
   test("mm_frame_sample: strided indices cover every doc's derived frame count") {
     val sizes = Tables.documents(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
