@@ -147,7 +147,16 @@ final case class ParquetSink(path: String) extends SinkLog {
   protected def append(df: DataFrame): Unit =
     df.write.mode("append").parquet(path)
 
-  def log(spark: SparkSession): DataFrame = spark.read.parquet(path)
+  /** `mergeSchema` because an append-only log lives through producer
+    * schema evolution: a batch that gains a column must not make the log
+    * unreadable (rows from before the column read as NULL, exactly like
+    * ClickHouse ALTER ADD COLUMN defaults). Cost note: merging reads
+    * every file's footer at planning time — a 100 TB deployment
+    * partitions the log by dump date and prunes before the merge, or
+    * pins the schema once evolution settles.
+    */
+  def log(spark: SparkSession): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 
   /** Compaction — the scheduled twin of ClickHouse's background merge:
     * rewrite the append log down to its latest-state rows so reads stop

@@ -174,6 +174,28 @@ class SourcesSpec extends SparkSpec {
     assert(st.filter(col("csv_payload").endsWith(",UPDATED")).count() == 1)
   }
 
+  test("ParquetSink survives producer schema evolution (new column appended)") {
+    val path = Files.createTempDirectory("graft_sink").toString + "/log"
+    val sink = ParquetSink(path)
+    sink.appendIdempotent(spark,
+      batch(Seq((1L, "v1", 10.0), (2L, "v1", 20.0)), "d1", 1000L))
+    // the producer evolves: a later dump carries an extra column
+    val evolved = batch(Seq((2L, "v2", 21.0)), "d2", 2000L)
+      .withColumn("region_tag", lit("eu"))
+    assert(sink.appendIdempotent(spark, evolved) == 1)
+    // the log exposes the merged schema; pre-evolution rows read NULL
+    val log = sink.log(spark)
+    assert(log.columns.contains("region_tag"))
+    assert(log.filter(col("region_tag").isNull).count() == 2)
+    // latest-state still resolves per key across the schema change
+    val st = sink.latestState(spark, Seq("pk")).collect()
+      .map(r => r.getAs[Long]("pk") ->
+        ((r.getAs[String]("status"), r.getAs[String]("region_tag")))).toMap
+    assert(st == Map(1L -> (("v1", null)), 2L -> (("v2", "eu"))))
+    // idempotency survives evolution too
+    assert(sink.appendIdempotent(spark, evolved) == 0)
+  }
+
   test("FileSources JSONL: explicit schema parses, corrupt lines quarantine") {
     import graft.sources.FileSources
     val dir = Files.createTempDirectory("graft_jsonl").toString
