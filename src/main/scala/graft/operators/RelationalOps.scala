@@ -698,12 +698,16 @@ object RelationalOps {
       // bucket). mn == mx (constant-price group) makes width_bucket
       // NULL; bucket placement is irrelevant there, so pin to bucket 1.
       // n/k50/k90 ride along (functionally dependent on the priority).
-      val hist = Checkpoints.checkpoint(hist0
+      // persist(): all downstream stages share one in-memory
+      // materialization that happens inside the single final action —
+      // no separate checkpoint job at all.
+      val hist = hist0
         .join(broadcast(stats), "o_orderpriority")
         .withColumn("bucket",
           expr(s"coalesce(width_bucket(o_totalprice, mn, mx, $nBuckets), 1L)"))
         .select(col("o_orderpriority"), col("o_totalprice"), col("cnt"),
-          col("bucket"), col("n"), col("k50"), col("k90")))
+          col("bucket"), col("n"), col("k50"), col("k90"))
+        .persist()
       val slim = hist.select(col("o_orderpriority"), col("o_totalprice"),
         col("cnt"), col("bucket"))
       // exact cumulative bucket counts → the bucket holding rank k, the
@@ -730,12 +734,14 @@ object RelationalOps {
       // second locate, and a walk of only the final sub-bucket's
       // entries. All per-priority frames are ≤ 2×#priorities rows →
       // broadcast.
-      // checkpointed: three consumers (both rank branches + the final n
-      // projection); measured faster than recomputing the aggregate
-      // chain per consumer (the un-checkpointed form multiplies the
-      // locate subtree into every downstream plan: 5.5 s vs 1.9 s at
-      // sf0.1)
-      val loc1 = Checkpoints.checkpoint(hist
+      // persist()ed, not checkpointed: three consumers (both rank
+      // branches + the final n projection) share one InMemoryRelation
+      // materialized INSIDE the final action — no separate
+      // materialization job, unlike an eager checkpoint, and no
+      // per-consumer recompute, unlike a bare frame (which multiplies
+      // the locate subtree into every downstream plan: 5.5 s vs 1.9 s
+      // at sf0.1). The cached frame is ≤ #priorities rows.
+      val loc1 = (hist
         .groupBy(col("o_orderpriority"), col("n"), col("k50"), col("k90"),
           col("bucket"))
         .agg(sum(col("cnt")).as("bc"),
@@ -749,7 +755,7 @@ object RelationalOps {
           col("loc50.mn2").as("mn50"), col("loc50.mx2").as("mx50"),
           col("k90"), col("loc90.hit").as("b90"),
           col("loc90.below").as("below90"),
-          col("loc90.mn2").as("mn90"), col("loc90.mx2").as("mx90")))
+          col("loc90.mn2").as("mn90"), col("loc90.mx2").as("mx90"))).persist()
       // ONE shared re-split pipeline serves BOTH percentiles: the two
       // located hit buckets are tagged and exploded into a single frame
       // keyed by (priority, tag), so the sub-bucket re-bucketing, the
