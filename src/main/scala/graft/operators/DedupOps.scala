@@ -594,7 +594,79 @@ object DedupOps {
       GROUP BY c.doc_id
       ORDER BY c.doc_id"""))
 
+  /** Span width for the duplicated-substring audit — long enough that a
+    * shared span means copied text, not phrase reuse (Lee et al. use
+    * 50 BPE tokens on web corpora; 8 words fits the ~60-word test docs).
+    */
+  private val SPAN_N = 8
+
+  /** D10 — duplicated-span audit: for each document, the fraction of its
+    * distinct [[SPAN_N]]-token spans that occur in at least one OTHER
+    * document (span corpus-df ≥ 2; per-doc spans are distinct, so df
+    * counts documents). The corpus-level repeated-text measurement of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al. 2022, ExactSubstr) at shingle granularity — distinct from C8
+    * (intra-doc repetition), D8 (overlap vs a held-out set) and D2
+    * (pairwise similarity): it scores every doc by how much of it exists
+    * elsewhere in the corpus, the signal used to trim boilerplate and
+    * templated spam before training.
+    *
+    * Scale shape: spans travel as 60-bit hashes (uniform keys — the
+    * span-df shuffle and the df join-back can never skew on hot words,
+    * unlike a raw-token key), the df aggregate is map-side combined, and
+    * the join back to per-doc spans reuses the gh partitioning from the
+    * df groupBy on one side. No all-pairs anything; cost is two shuffles
+    * of the span stream.
+    */
+  val dedupSubstr: Op = Op(
+    "dedup_substr",
+    (s, d) => {
+      val grams = Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), "\\s+").as("tok"))
+        .filter(size(col("tok")) >= SPAN_N)
+        .select(col("doc_id"),
+          explode(ngramsFromTokens(col("tok"), SPAN_N)).as("g"))
+        .select(col("doc_id"), hash60(col("g")).as("gh"))
+      val spanDf = grams.groupBy(col("gh"))
+        .agg(count(lit(1)).as("span_df"))
+      grams.join(spanDf, "gh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("span_df") >= 2, lit(1L)).otherwise(lit(0L)))
+            .as("n_dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          (col("n_dup_spans").cast("double") / col("n_spans"))
+            .as("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS tok
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, len(tok) - ${SPAN_N - 1}), i ->
+                   concat_ws(' ', ${(0 until SPAN_N)
+                     .map(k => s"tok[i+$k]").mkString(", ")})))) AS g
+        FROM tok WHERE len(tok) >= $SPAN_N),
+      gh AS (SELECT doc_id, ${xhash60("g")} AS gh FROM g),
+      df AS (SELECT gh, count(*) AS span_df FROM gh GROUP BY gh)
+      SELECT c.doc_id,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(CASE WHEN span_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+             CAST(sum(CASE WHEN span_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS dup_frac
+      FROM gh c JOIN df USING (gh)
+      GROUP BY c.doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[Op] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-    dedupEmbedding, dedupClusters, dedupReport, dedupDecontaminate)
+    dedupEmbedding, dedupClusters, dedupReport, dedupDecontaminate,
+    dedupSubstr)
 }

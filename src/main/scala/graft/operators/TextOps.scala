@@ -485,7 +485,73 @@ object TextOps {
       FROM top, tot
       ORDER BY rk"""))
 
+  /** C11 — unigram-rarity scoring: the corpus-LM quality signal (CCNet
+    * buckets documents by LM perplexity; a unigram model is its
+    * shuffle-friendly first approximation). Each token's rarity is the
+    * integer `total_tokens div corpus_count` — the rational stand-in for
+    * -log p(token), same monotonicity, zero transcendentals, so both
+    * engines compute bit-identical BIGINTs (the same trade text_bm25
+    * makes for idf). A document's mean rarity separates common fluent
+    * text (low) from rare-token-stuffed or noisy text (high); hapax_frac
+    * (occurrences of corpus-hapax tokens) flags gibberish directly.
+    *
+    * Scale shape: tokens collapse to per-doc (doc_id, token, c) counts
+    * FIRST (one uniform-key shuffle, map-side combined), so the corpus
+    * frequency join fans out per distinct doc-token, not per occurrence.
+    * The frequency join key is the raw token — Zipf-skewed at 100 TB —
+    * handled by AQE skew-join splitting; the classic refinement
+    * (broadcast the top-100k head vocabulary, shuffle only the tail)
+    * drops in here without changing semantics. The 1-row total
+    * broadcasts.
+    */
+  val textRarity: Op = Op(
+    "text_rarity",
+    (s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("c"))
+      val freq = tc.groupBy(col("t")).agg(sum(col("c")).as("cnt"))
+      val total = freq.agg(sum(col("cnt")).as("tot"))
+      tc.join(freq, "t")
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(col("c") * expr("tot div cnt")).as("sum_rarity"),
+          sum(when(col("cnt") === 1, col("c")).otherwise(lit(0L)))
+            .as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("sum_rarity div n_tokens").as("mean_rarity"),
+          col("n_hapax"),
+          (col("n_hapax").cast("double") / col("n_tokens"))
+            .as("hapax_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tc AS (
+        SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+              FROM documents) x
+        GROUP BY doc_id, t),
+      freq AS (SELECT t, CAST(sum(c) AS BIGINT) AS cnt FROM tc GROUP BY t),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM freq)
+      SELECT doc_id, n_tokens,
+             sum_rarity // n_tokens AS mean_rarity,
+             n_hapax,
+             CAST(n_hapax AS DOUBLE) / n_tokens AS hapax_frac
+      FROM (
+        SELECT tc.doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(c * (tot // cnt)) AS BIGINT) AS sum_rarity,
+               CAST(sum(CASE WHEN cnt = 1 THEN c ELSE 0 END) AS BIGINT)
+                 AS n_hapax
+        FROM tc JOIN freq USING (t) CROSS JOIN tot
+        GROUP BY tc.doc_id) z
+      ORDER BY doc_id"""))
+
   val all: Seq[Op] = Seq(
     textTokenCount, textQuality, textLangid, textFingerprint, textNgramFreq,
-    textDocFreq, textCharNgrams, textRepetition, textBm25, textVocabCoverage)
+    textDocFreq, textCharNgrams, textRepetition, textBm25, textVocabCoverage,
+    textRarity)
 }

@@ -30,6 +30,61 @@ class TextDedupSpec extends SparkSpec {
     dir
   }
 
+  test("dedup_substr: planted copied spans measured, unique docs score 0") {
+    val dir = Files.createTempDirectory("graft_substr").toString
+    val a = (1 to 20).map(i => s"a$i").mkString(" ") // 13 8-token spans
+    val copied = (1 to 12).map(i => s"b$i").mkString(" ") + " " +
+      (1 to 8).map(i => s"a$i").mkString(" ")        // d0's first span, once
+    val docs = Seq(
+      (0L, a, "en", "s0", a.length.toLong),
+      (1L, a, "en", "s1", a.length.toLong),          // exact copy of 0
+      (2L, copied, "en", "s2", copied.length.toLong),
+      (3L, (1 to 10).map(i => s"c$i").mkString(" "), "en", "s3", 10L),
+      (4L, "short doc", "en", "s4", 9L))             // below span width
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = run("dedup_substr", dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_spans"), x.getAs[Long]("n_dup_spans"),
+          x.getAs[Double]("dup_frac"))).toMap
+    assert(r.keySet == Set(0L, 1L, 2L, 3L), "sub-width docs excluded")
+    assert(r(0L) == ((13L, 13L, 1.0)), s"full copy: ${r(0L)}")
+    assert(r(1L) == ((13L, 13L, 1.0)))
+    assert(r(2L) == ((13L, 1L, 1.0 / 13)), s"one copied span: ${r(2L)}")
+    assert(r(3L) == ((3L, 0L, 0.0)), "unique doc shares nothing")
+  }
+
+  test("text_rarity: rare-token docs score above common-token docs") {
+    val dir = Files.createTempDirectory("graft_rarity").toString
+    val common = Seq.fill(30)("the").mkString(" ")
+    val rare = (1 to 10).map(i => s"zq$i").mkString(" ")
+    val docs = Seq(
+      (0L, common, "en", "s0", common.length.toLong),
+      (1L, common, "en", "s1", common.length.toLong),
+      (2L, rare, "en", "s2", rare.length.toLong))
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = run("text_rarity", dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("mean_rarity"),
+          x.getAs[Long]("n_hapax"), x.getAs[Double]("hapax_frac"))).toMap
+    // corpus: 60 "the" + 10 hapax → total 70; rarity(the) = 70 div 60 = 1,
+    // rarity(hapax) = 70
+    assert(r(0L) == ((30L, 1L, 0L, 0.0)), s"common doc: ${r(0L)}")
+    assert(r(2L) == ((10L, 70L, 10L, 1.0)), s"rare doc: ${r(2L)}")
+    assert(r(2L)._2 > r(0L)._2, "rarity must rank rare above common")
+    // real corpus: every doc tokenizes, rarity ≥ 1, fractions in range
+    val real = run("text_rarity").collect()
+    assert(real.length == 500)
+    real.foreach { x =>
+      assert(x.getAs[Long]("mean_rarity") >= 1L)
+      val hf = x.getAs[Double]("hapax_frac")
+      assert(hf >= 0.0 && hf <= 1.0)
+    }
+  }
+
   test("text_token_count / text_fingerprint agree on the real corpus") {
     val tc = run("text_token_count").collect()
     assert(tc.length == 500 && tc.forall(_.getAs[Long]("n_tokens") > 0))
