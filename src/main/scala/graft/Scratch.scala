@@ -22,7 +22,7 @@ object Scratch {
     args.foreach { key =>
       // construct+execute together, like Bench does; run 0 is session-
       // cold, the later runs are the bench-relevant steady-state cost
-      (0 to 2).foreach { i =>
+      (0 to 5).foreach { i =>
         t(s"$key e2e$i")(SparkEntry.queries(key)(spark, d).count())
       }
       SparkEntry.queries(key)(spark, d).explain("formatted")

@@ -316,30 +316,45 @@ object DedupOps {
       // — equivalent to the first propagation round at the cost of a
       // single groupBy, no join. Near-clique dup clusters converge here,
       // so the loop usually runs once just to confirm no change.
-      var labels = Checkpoints.checkpoint(und.groupBy(col("src"))
+      //
+      // Per-round frames are lazily persist()ed, NOT eagerly
+      // checkpointed: the round's convergence count is already an
+      // action, so it materializes the round's labels into the cache as
+      // a side effect — ONE job per round instead of three (two eager
+      // checkpoint jobs + the count), which matters because every
+      // post-pairs frame is label-sized (vertices of actual duplicate
+      // clusters), so the loop's cost is job overhead, not data.
+      // Superseded rounds unpersist as they go; the caller-checkpointed
+      // pairs frame remains the recompute root, so lineage stays
+      // shallow in the round count.
+      var labels = und.groupBy(col("src"))
         .agg(min(col("dst")).as("mn"))
-        .select(col("src").as("v"), least(col("mn"), col("src")).as("label")))
+        .select(col("src").as("v"), least(col("mn"), col("src")).as("label"))
+        .persist()
       var changed = 1L
       while (changed > 0) {
-        val prop = Checkpoints.checkpoint(
-          und.join(labels, col("src") === col("v"))
-            .select(col("dst").as("v"), col("label"))
-            .union(labels)
-            .groupBy(col("v")).agg(min(col("label")).as("label")))
+        val prop = und.join(labels, col("src") === col("v"))
+          .select(col("dst").as("v"), col("label"))
+          .union(labels)
+          .groupBy(col("v")).agg(min(col("label")).as("label"))
         // Pointer jumping: follow the label's own label (L' = L∘L), so
         // label depth halves every round and convergence is
         // O(log diameter) instead of O(diameter) — the difference
         // between 2-3 rounds and millions on a pathological 100 TB
         // duplicate CHAIN. Labels are always vertex ids (minima over
-        // seen ids), so the self-join key always resolves; joining the
-        // CHECKPOINTED frame keeps the self-join attribute-clean.
-        val jumped = Checkpoints.checkpoint(prop
+        // seen ids), so the self-join key always resolves; the rename
+        // on the right side keeps the un-materialized self-join
+        // attribute-clean, and the tiny prop subtree computing twice
+        // inside the one job is cheaper than materializing it.
+        val jumped = prop
           .join(prop.select(col("v").as("lv"), col("label").as("ll")),
             col("label") === col("lv"))
-          .select(col("v"), col("ll").as("label")))
+          .select(col("v"), col("ll").as("label"))
+          .persist()
         changed = jumped
           .join(labels.withColumnRenamed("label", "old"), "v")
           .filter(col("label") =!= col("old")).count()
+        labels.unpersist()
         labels = jumped
       }
       labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
