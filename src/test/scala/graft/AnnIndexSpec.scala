@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.AnnIndex
+
+/** The persistent incremental ANN index: probes find nearest indexed
+  * neighbors without re-hashing or shuffling the indexed corpus.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private def sfDir = "/root/testdata/sf0.001"
+
+  private def corpus: DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+  }
+
+  private def vecs(rows: (Long, Seq[Float])*): DataFrame =
+    spark.createDataFrame(rows.map { case (id, v) => (id, v.toArray) })
+      .toDF("vec_id", "embedding")
+
+  private def unit(i: Int, scale: Float = 1f): Seq[Float] =
+    (0 until 64).map(j => if (j == i) scale else 0f)
+
+  test("probe of the corpus by its own query subset equals ann_lsh") {
+    import org.apache.spark.sql.functions.col
+    val index = AnnIndex.build(corpus)
+    val queries = corpus.filter(col("vec_id") < 8)
+    val got = AnnIndex.probe(index, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = run("ann_lsh", sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq,
+      s"index probe must reproduce E2 row-for-row (got ${got.length}, want ${want.length})")
+  }
+
+  test("planted duplicate is the rank-1 neighbor of its probe") {
+    val index = AnnIndex.build(vecs(
+      10L -> unit(0), 11L -> unit(7), 12L -> unit(13, 2f)))
+    val r = AnnIndex.probe(index, vecs(99L -> unit(0, 0.5f)), k = 3).collect()
+    assert(r.nonEmpty, "identical-direction vector must share buckets")
+    val top = r.head
+    assert(top.getLong(0) == 99L && top.getLong(1) == 1L &&
+      top.getLong(2) == 10L && math.abs(top.getDouble(3) - 1.0) < 1e-9,
+      s"expected (99,1,10,~1.0), got $top")
+  }
+
+  test("save/load roundtrip: tbl-partitioned buckets, identical probes") {
+    val dir = Files.createTempDirectory("graft_annidx").toString + "/index"
+    val index = AnnIndex.build(vecs(10L -> unit(0), 11L -> unit(7)))
+    AnnIndex.save(index, dir)
+    assert(new java.io.File(s"$dir/buckets").listFiles()
+      .exists(_.getName.startsWith("tbl=")),
+      "bucket parquet must partition by tbl")
+    val reloaded = AnnIndex.load(spark, dir)
+    val probeQ = vecs(99L -> unit(0))
+    val a = AnnIndex.probe(index, probeQ).collect().map(_.toSeq).toSeq
+    val b = AnnIndex.probe(reloaded, probeQ).collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("occupancy cap: saturated buckets contribute no candidates") {
+    // identical vectors share every bucket in every table: occupancy 2
+    val index = AnnIndex.build(vecs(10L -> unit(0), 11L -> unit(0)))
+    val q = vecs(99L -> unit(0))
+    assert(AnnIndex.probe(index, q, maxBucket = 1).collect().isEmpty,
+      "buckets over the cap must not pair")
+    val ids = AnnIndex.probe(index, q).collect().map(_.getLong(2)).toSet
+    assert(ids == Set(10L, 11L))
+  }
+
+  test("ingest folds the batch in: later probes see earlier batches") {
+    val index0 = AnnIndex.build(vecs(10L -> unit(0)))
+    val (n1, index1) = AnnIndex.ingest(index0, vecs(20L -> unit(7)))
+    assert(!n1.collect().exists(_.getLong(2) == 20L),
+      "a batch never probes itself")
+    val r = AnnIndex.probe(index1, vecs(99L -> unit(7))).collect()
+    assert(r.nonEmpty && r.head.getLong(2) == 20L,
+      "the folded-in batch must be probeable")
+  }
+
+  test("probe plan broadcasts the batch; the index side never shuffles for the join") {
+    val index = AnnIndex.build(vecs(10L -> unit(0), 11L -> unit(7)))
+    val p = plan(AnnIndex.probe(index, vecs(99L -> unit(0))))
+    assert(p.contains("BroadcastHashJoin"), "probe must broadcast-join")
+    assert(!p.contains("CartesianProduct"))
+  }
+}
