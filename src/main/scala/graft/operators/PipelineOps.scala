@@ -408,7 +408,80 @@ object PipelineOps {
       FROM daily d JOIN stats st ON d.event_type = st.event_type
       ORDER BY d.event_type, d.day"""))
 
+  /** Packed training-sequence length in tokens, and docs per prefix-sum
+    * block (the intra-block window bound).
+    */
+  private[graft] val SEQ_TOKENS = 512L
+  private[graft] val PACK_BLOCK = 1000L
+
+  /** G9 — sequence packing: lay the corpus out, in deterministic doc_id
+    * order with one EOS separator per document, into fixed-length
+    * training sequences of [[SEQ_TOKENS]] tokens (the concat-and-chunk
+    * packing every autoregressive pre-training run performs). Each doc
+    * gets the sequence index and offset where its first token lands,
+    * how many sequences it spans, and a split flag — the manifest a
+    * loader needs to materialize any packed sequence independently.
+    *
+    * The running token total is the same TWO-LEVEL DISTRIBUTED PREFIX
+    * SUM as F5's shard manifest (MultimodalOps.scala:206), but over one
+    * GLOBAL stream: (1) token sums per [[PACK_BLOCK]]-doc block; (2) a
+    * running total over block sums — the one unpartitioned window, on
+    * corpus/PACK_BLOCK rows (at 1e10 docs and B=1000 that is 1e7 block
+    * rows on one task; a third level of the same construction bounds it
+    * by B at any scale — the recursion is mechanical and each level is
+    * one aggregate + one bounded window); (3) the intra-block running
+    * total, bounded by PACK_BLOCK rows regardless of corpus size. Every
+    * offset is the exact integer the sequential concat would produce.
+    */
+  val docPack: Op = Op(
+    "doc_pack",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), "\\s+").as("tok"),
+          expr(s"doc_id div $PACK_BLOCK").as("blk"))
+        .select(col("doc_id"), col("blk"),
+          (size(col("tok")) + 1).cast(LongType).as("nt")) // +1 = EOS
+      val blockSums = docs.groupBy(col("blk")).agg(sum(col("nt")).as("bsum"))
+      val wBlocks = Window.orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blockBases = blockSums
+        .select(col("blk"), (sum(col("bsum")).over(wBlocks) - col("bsum"))
+          .as("block_base"))
+      val wIntra = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(broadcast(blockBases), "blk")
+        .withColumn("start",
+          col("block_base") + sum(col("nt")).over(wIntra) - col("nt"))
+        .select(col("doc_id"), (col("nt") - 1).as("n_tokens"),
+          expr(s"start div $SEQ_TOKENS").as("seq_idx"),
+          (col("start") % SEQ_TOKENS).as("offset_in_seq"),
+          (expr(s"(start + nt - 1) div $SEQ_TOKENS")
+            - expr(s"start div $SEQ_TOKENS") + 1L).as("n_seqs_spanned"),
+          (expr(s"(start + nt - 1) div $SEQ_TOKENS")
+            =!= expr(s"start div $SEQ_TOKENS")).as("is_split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      SELECT doc_id, nt - 1 AS n_tokens,
+             (cum - nt) // $SEQ_TOKENS AS seq_idx,
+             (cum - nt) % $SEQ_TOKENS AS offset_in_seq,
+             (cum - 1) // $SEQ_TOKENS - (cum - nt) // $SEQ_TOKENS + 1
+               AS n_seqs_spanned,
+             (cum - 1) // $SEQ_TOKENS != (cum - nt) // $SEQ_TOKENS
+               AS is_split
+      FROM (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) + 1
+                 AS BIGINT) AS nt,
+               CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 + 1) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM documents) t
+      ORDER BY doc_id"""))
+
   val all: Seq[Op] = Seq(
     joinAsof, joinRange, sampleStratified, qualityFilter, eventsRetention,
-    eventsFunnel, sampleWeighted, eventsAnomaly)
+    eventsFunnel, sampleWeighted, eventsAnomaly, docPack)
 }

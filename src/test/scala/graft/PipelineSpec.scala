@@ -326,6 +326,28 @@ class PipelineSpec extends SparkSpec {
       s"chain must collapse to cluster 0: $got")
   }
 
+  test("doc_pack: distributed prefix sum equals the sequential concat scan") {
+    val r = run("doc_pack").collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(r.length == 500)
+    // replay the packing sequentially from the op's own token counts
+    var cum = 0L
+    r.foreach { x =>
+      val nt = x.getAs[Long]("n_tokens") + 1 // + EOS
+      val (start, end) = (cum, cum + nt - 1)
+      assert(x.getAs[Long]("seq_idx") == start / 512,
+        s"doc ${x.getAs[Long]("doc_id")}: seq_idx")
+      assert(x.getAs[Long]("offset_in_seq") == start % 512)
+      assert(x.getAs[Long]("n_seqs_spanned") == end / 512 - start / 512 + 1)
+      assert(x.getAs[Boolean]("is_split") == (end / 512 != start / 512))
+      cum += nt
+    }
+    // packing is gapless: total sequences cover exactly the token stream
+    val lastEnd = cum - 1
+    val maxSeq = r.map(x =>
+      x.getAs[Long]("seq_idx") + x.getAs[Long]("n_seqs_spanned") - 1).max
+    assert(maxSeq == lastEnd / 512, "last doc must land in the last sequence")
+  }
+
   /** Corpus with a dup CHAIN (0~1, 1~2 strongly; 0~2 weaker) so clustering
     * exercises a real transitive step, plus an unrelated pair.
     */
