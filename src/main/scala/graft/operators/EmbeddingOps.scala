@@ -102,5 +102,104 @@ object EmbeddingOps {
           FROM embeddings) t1) t2
       ORDER BY vec_id"""))
 
-  val all: Seq[Op] = Seq(embCentroids, embQuantize)
+  /** E7 — embedding-space outlier flags: per-label squared distance to
+    * the label centroid, 3-sigma-flagged against the label's own
+    * distance distribution — the embedding-side quality gate (mislabeled
+    * rows, garbage vectors, drifted classes) that complements the
+    * text-side C-series filters.
+    *
+    * Portability/exactness: per-element (x-c)² terms are quantized to
+    * integer micros BEFORE summing (emb_quantize's idiom — the fold
+    * order can never change d²), distances are coarsened to millis for
+    * the moment sums (q = Σd⁴ stays in BIGINT up to ~1e8 vectors per
+    * label; beyond that a deployment coarsens one more decade), and the
+    * 3-sigma test is the cross-multiplied integer form of
+    * events_anomaly evaluated in doubles ONLY at the final comparison —
+    * deterministic scalar math on exactly-aggregated integers, no
+    * engine stddev anywhere.
+    *
+    * Scale shape: one exploded centroid aggregate (map-side combined,
+    * 64·|labels| sums), then the corpus is scored map-only against the
+    * BROADCAST centroid arrays, and flags come from a broadcast of the
+    * |labels|-row moment frame. The corpus never shuffles after the
+    * centroid pass.
+    */
+  val embOutliers: Op = Op(
+    "emb_outliers",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .repartition(col("vec_id"))
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          col("embedding"))
+      val cent = e
+        .select(col("label"),
+          posexplode(transform(col("embedding"), x => qMicros(x).cast(LongType))))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("col")).as("sum_us"))
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"),
+            (col("sum_us").cast("double") / col("n_vecs") / lit(1000000.0))
+              .as("c")))),
+          t => t.getField("c")).as("cent"))
+      val dist = e.join(broadcast(cent), "label")
+        .select(col("label"), col("vec_id"),
+          (aggregate(
+            zip_with(col("embedding"), col("cent"), (x, c) =>
+              floor((x.cast("double") - c) * (x.cast("double") - c)
+                * lit(1000000.0) + lit(0.5)).cast(LongType)),
+            lit(0L), (acc, t) => acc + t) / lit(1000L)).cast(LongType)
+            .as("d2_mi"))
+      val st = dist.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("d2_mi")).as("s"),
+          sum(col("d2_mi") * col("d2_mi")).as("q"))
+      val dn = col("d2_mi") * col("n") - col("s")
+      dist.join(broadcast(st), "label")
+        .select(col("label"), col("vec_id"), col("d2_mi"),
+          ((dn > 0) &&
+            (dn.cast("double") * dn.cast("double") * (col("n") - 1) >
+              lit(9.0) * col("n") * (col("n").cast("double") * col("q") -
+                col("s").cast("double") * col("s").cast("double"))))
+            .as("is_outlier"))
+        .orderBy(col("label"), col("vec_id"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding
+                 FROM embeddings),
+      cd AS (
+        SELECT label, ix, count(*) AS n_vecs,
+               CAST(sum(CAST(floor(CAST(emb_v AS DOUBLE)*1000000 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS sum_us
+        FROM (SELECT label, unnest(embedding) AS emb_v,
+                     unnest(generate_series(1, len(embedding))) AS ix
+              FROM e) t
+        GROUP BY label, ix),
+      cent AS (SELECT label,
+                      list(CAST(sum_us AS DOUBLE)/n_vecs/1000000.0
+                        ORDER BY ix) AS cent
+               FROM cd GROUP BY label),
+      dist AS (
+        SELECT e.label, e.vec_id,
+               CAST(list_sum(list_transform(
+                 generate_series(1, len(e.embedding)), ix ->
+                   CAST(floor((CAST(e.embedding[ix] AS DOUBLE) - cent.cent[ix])
+                     * (CAST(e.embedding[ix] AS DOUBLE) - cent.cent[ix])
+                     * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) // 1000
+                 AS d2_mi
+        FROM e JOIN cent USING (label)),
+      st AS (SELECT label, count(*) AS n,
+                    CAST(sum(d2_mi) AS BIGINT) AS s,
+                    CAST(sum(d2_mi*d2_mi) AS BIGINT) AS q
+             FROM dist GROUP BY label)
+      SELECT d.label, d.vec_id, d.d2_mi,
+             d.d2_mi * st.n - st.s > 0 AND
+               CAST(d.d2_mi * st.n - st.s AS DOUBLE)
+                 * CAST(d.d2_mi * st.n - st.s AS DOUBLE) * (st.n - 1)
+               > 9.0 * st.n * (CAST(st.n AS DOUBLE) * st.q
+                 - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+               AS is_outlier
+      FROM dist d JOIN st USING (label)
+      ORDER BY label, vec_id"""))
+
+  val all: Seq[Op] = Seq(embCentroids, embQuantize, embOutliers)
 }

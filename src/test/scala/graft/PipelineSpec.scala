@@ -326,6 +326,23 @@ class PipelineSpec extends SparkSpec {
       s"chain must collapse to cluster 0: $got")
   }
 
+  test("emb_outliers: a planted far vector is flagged, the tight cluster is not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_outl").toString
+    val rnd = new scala.util.Random(7)
+    // 40 vectors tightly around a direction + one far-off, same label
+    def near(): Array[Float] = Array.tabulate(64)(i =>
+      (if (i == 0) 1.0 else 0.0).toFloat + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+    val far = Array.tabulate(64)(i => if (i == 7) 5.0f else 0.0f)
+    val rows = (0 until 40).map(i => (i.toLong, near(), 0)) :+ (99L, far, 0)
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = run("emb_outliers", dir).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Boolean]("is_outlier")).toMap
+    assert(r(99L), "the far vector must flag")
+    assert((0 until 40).forall(i => !r(i.toLong)),
+      s"tight-cluster vectors must not flag: ${r.filter(_._2)}")
+  }
+
   test("doc_pack: distributed prefix sum equals the sequential concat scan") {
     val r = run("doc_pack").collect().sortBy(_.getAs[Long]("doc_id"))
     assert(r.length == 500)
