@@ -636,6 +636,8 @@ object DedupOps {
   val dedupSubstr: Op = Op(
     "dedup_substr",
     (s, d) => {
+      // persist(): the span stream feeds both the df aggregate and the
+      // join-back; without it each consumer re-shingles the corpus
       val grams = Tables.documents(s, d)
         .repartition(col("doc_id"))
         .select(col("doc_id"),
@@ -644,6 +646,7 @@ object DedupOps {
         .select(col("doc_id"),
           explode(ngramsFromTokens(col("tok"), SPAN_N)).as("g"))
         .select(col("doc_id"), hash60(col("g")).as("gh"))
+        .persist()
       val spanDf = grams.groupBy(col("gh"))
         .agg(count(lit(1)).as("span_df"))
       grams.join(spanDf, "gh")

@@ -150,6 +150,8 @@ object EmbeddingOps {
                 * lit(1000000.0) + lit(0.5)).cast(LongType)),
             lit(0L), (acc, t) => acc + t) / lit(1000L)).cast(LongType)
             .as("d2_mi"))
+        .persist() // feeds the moment aggregate AND the flag join —
+                   // without it the centroid pass runs twice
       val st = dist.groupBy(col("label"))
         .agg(count(lit(1)).as("n"), sum(col("d2_mi")).as("s"),
           sum(col("d2_mi") * col("d2_mi")).as("q"))

@@ -436,12 +436,15 @@ object PipelineOps {
   val docPack: Op = Op(
     "doc_pack",
     (s, d) => {
+      // persist(): the narrow (doc_id, blk, nt) frame feeds both the
+      // block-sum aggregate and the join — one tokenizing scan, not two
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),
           split(trim(lower(col("text"))), "\\s+").as("tok"),
           expr(s"doc_id div $PACK_BLOCK").as("blk"))
         .select(col("doc_id"), col("blk"),
           (size(col("tok")) + 1).cast(LongType).as("nt")) // +1 = EOS
+        .persist()
       val blockSums = docs.groupBy(col("blk")).agg(sum(col("nt")).as("bsum"))
       val wBlocks = Window.orderBy(col("blk"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

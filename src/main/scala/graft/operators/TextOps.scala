@@ -507,10 +507,17 @@ object TextOps {
   val textRarity: Op = Op(
     "text_rarity",
     (s, d) => {
+      // persist(): tc feeds the frequency aggregate, the total, and the
+      // scoring join — without it each consumer re-scans and re-explodes
+      // the corpus (measured: three parquet scans in the physical plan;
+      // ReuseExchange does not collapse the differently-projected
+      // subtrees). At lake scale the same role is played by
+      // materializing the token-count table once per corpus version.
       val tc = Tables.documents(s, d)
         .select(col("doc_id"), explode(toks(col("text"))).as("t"))
         .groupBy(col("doc_id"), col("t"))
         .agg(count(lit(1)).as("c"))
+        .persist()
       val freq = tc.groupBy(col("t")).agg(sum(col("c")).as("cnt"))
       val total = freq.agg(sum(col("cnt")).as("tot"))
       tc.join(freq, "t")
