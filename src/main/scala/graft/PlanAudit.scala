@@ -10,7 +10,7 @@ object PlanAudit {
       df.collect()
       val p = df.queryExecution.executedPlan.toString()
       def n(pat: String) = pat.r.findAllIn(p).length
-      println(f"$k%-26s exch=${n("Exchange")}%2d bhj=${n("BroadcastHashJoin")}%2d smj=${n("SortMergeJoin")}%2d shj=${n("ShuffledHashJoin")}%2d bnlj=${n("BroadcastNestedLoop")}%2d cart=${n("CartesianProduct")}%2d wsc=${n("\\*\\(")}%2d topk=${n("TakeOrderedAndProject")}%2d")
+      println(f"$k%-26s exch=${n("Exchange")}%2d bhj=${n("BroadcastHashJoin")}%2d smj=${n("SortMergeJoin")}%2d shj=${n("ShuffledHashJoin")}%2d bnlj=${n("BroadcastNestedLoop")}%2d cart=${n("CartesianProduct")}%2d wsc=${n("\\*\\(")}%2d topk=${n("TakeOrderedAndProject")}%2d scan=${n("Scan parquet")}%2d imr=${n("InMemoryTableScan")}%2d")
     }
     s.stop()
   }

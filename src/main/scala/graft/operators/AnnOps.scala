@@ -33,11 +33,20 @@ object AnnOps {
     * every cosine on one task (and at scale it guards against skewed
     * file sizes).
     */
+  /** persist(): every consumer (centroid scoring, bucket hashing, the
+    * query subset, candidate re-attach — up to four per op, shared
+    * between E1–E3 and D5) reads one cached materialization instead of
+    * re-scanning and re-norming the corpus per reference. Spark's cache
+    * manager dedupes by plan, so all ops over the same table share ONE
+    * entry — exactly the "(vec_id, nm) artifact persisted beside the
+    * embeddings" the scale notes describe.
+    */
   private[operators] def withNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .repartition(col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         dotMicros(col("embedding"), col("embedding")).as("nm"))
+      .persist()
 
   private[operators] val sqlNormCte = """
       e AS (

@@ -274,17 +274,24 @@ object PipelineOps {
   val eventsFunnel: Op = Op(
     "events_funnel",
     (s, d) => {
+      // persist(): e feeds all three stages and ts/tc are each both
+      // joined and counted — without persistence the final cross-join
+      // recomputes the event scan five times (each deeper stage embeds
+      // the shallower ones)
       val e = Tables.events(s, d)
         .select(col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
+        .persist()
       val ts = e.groupBy(col("user_id"))
         .agg(min(when(col("event_type") === "signup", col("us"))).as("t_s"))
         .filter(col("t_s").isNotNull)
+        .persist()
       val tc = e.join(ts, "user_id")
         .groupBy(col("user_id"), col("t_s"))
         .agg(min(when(col("event_type") === "click" && col("us") > col("t_s"),
           col("us"))).as("t_c"))
         .filter(col("t_c").isNotNull)
+        .persist()
       val tp = e.join(tc, "user_id")
         .groupBy(col("user_id"), col("t_c"))
         .agg(min(when(col("event_type") === "purchase" && col("us") > col("t_c"),
