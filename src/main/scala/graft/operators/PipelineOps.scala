@@ -491,7 +491,68 @@ object PipelineOps {
         FROM documents) t
       ORDER BY doc_id"""))
 
+  /** G10 — dataset-mixture planning: given per-source token counts and
+    * declared mixture weights, the per-source token budget and how many
+    * epochs (passes) of each source the mixture demands — the
+    * composition arithmetic every multi-source training run does before
+    * sampling (the weights here derive deterministically from the
+    * source name, standing in for a config table; the math is the
+    * product). Sources needing >1 epoch are upsampled — the flag that
+    * warns a mixture over-stretches a small source.
+    *
+    * Epochs are exact integer MILLI-epochs via two-step long division
+    * (quotient·1000 + scaled remainder), so nothing overflows below
+    * ~9e15 total tokens and both engines agree bit-for-bit. One
+    * per-source aggregate + a 1-row broadcast total — nothing about the
+    * corpus shuffles twice.
+    */
+  val mixturePlan: Op = Op(
+    "mixture_plan",
+    (s, d) => {
+      val perSrc = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(trim(lower(col("text"))), "\\s+")).cast(LongType)
+            .as("nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .withColumn("weight", hash32(col("source")) % 9 + 1)
+      val tot = perSrc.agg(sum(col("n_tokens")).as("tot_tokens"),
+        sum(col("weight")).as("tot_weight"))
+      perSrc.crossJoin(broadcast(tot))
+        .withColumn("target_tokens",
+          expr("tot_tokens * weight div tot_weight"))
+        .withColumn("epochs_milli",
+          expr("(target_tokens div n_tokens) * 1000 + " +
+            "((target_tokens % n_tokens) * 1000) div n_tokens"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+          col("target_tokens"), col("epochs_milli"),
+          (col("epochs_milli") > 1000L).as("is_upsampled"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH per_src AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(trim(lower(text)),
+                 '\\s+'))) AS BIGINT) AS n_tokens,
+               ${xhash32("source")} % 9 + 1 AS weight
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                     CAST(sum(weight) AS BIGINT) AS tot_weight
+              FROM per_src)
+      SELECT source, n_docs, n_tokens, weight, target_tokens,
+             epochs_milli, epochs_milli > 1000 AS is_upsampled
+      FROM (
+        SELECT source, n_docs, n_tokens, weight, target_tokens,
+               (target_tokens // n_tokens) * 1000 +
+                 ((target_tokens % n_tokens) * 1000) // n_tokens
+                 AS epochs_milli
+        FROM (
+          SELECT source, n_docs, n_tokens, weight,
+                 tot_tokens * weight // tot_weight AS target_tokens
+          FROM per_src CROSS JOIN tot) t1) t2
+      ORDER BY source"""))
+
   val all: Seq[Op] = Seq(
     joinAsof, joinRange, sampleStratified, qualityFilter, eventsRetention,
-    eventsFunnel, sampleWeighted, eventsAnomaly, docPack)
+    eventsFunnel, sampleWeighted, eventsAnomaly, docPack, mixturePlan)
 }

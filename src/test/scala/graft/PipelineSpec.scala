@@ -343,6 +343,27 @@ class PipelineSpec extends SparkSpec {
       s"tight-cluster vectors must not flag: ${r.filter(_._2)}")
   }
 
+  test("mixture_plan: budgets honor the weights, epochs flag small sources") {
+    val r = run("mixture_plan").collect()
+    assert(r.length == 20)
+    val tot = r.map(_.getAs[Long]("n_tokens")).sum
+    val totW = r.map(_.getAs[Long]("weight")).sum
+    r.foreach { x =>
+      val (nt, w) = (x.getAs[Long]("n_tokens"), x.getAs[Long]("weight"))
+      assert(w >= 1 && w <= 9)
+      assert(x.getAs[Long]("target_tokens") == tot * w / totW)
+      val em = x.getAs[Long]("epochs_milli")
+      val target = x.getAs[Long]("target_tokens")
+      assert(em == (target / nt) * 1000 + target % nt * 1000 / nt)
+      assert(x.getAs[Boolean]("is_upsampled") == (em > 1000))
+    }
+    // budgets can never exceed the declared total (integer floor)
+    assert(r.map(_.getAs[Long]("target_tokens")).sum <= tot)
+    // the mixture is non-trivial: at least one source up- and one down-sampled
+    assert(r.exists(_.getAs[Boolean]("is_upsampled")) &&
+      r.exists(!_.getAs[Boolean]("is_upsampled")))
+  }
+
   test("doc_pack: distributed prefix sum equals the sequential concat scan") {
     val r = run("doc_pack").collect().sortBy(_.getAs[Long]("doc_id"))
     assert(r.length == 500)
