@@ -70,6 +70,11 @@ object DedupOps {
       .select(col("doc_id"),
         split(trim(lower(col("text"))), "\\s+").as("tok"))
       .select(col("doc_id"), shinglesFromTokens(col("tok")).as("shs"))
+      // persist(): minhashPairs consumes this twice (signatures +
+      // candidate verification) and the cache manager dedupes the entry
+      // across every D-series op on the same corpus — the CPU-bound
+      // shingling pass runs once per corpus, not once per reference
+      .persist()
 
   /** Exploded distinct shingles: (doc_id, s). NOTE: the explode argument
     * must stay the RAW shingle expression, not a projected `shs`
@@ -506,10 +511,13 @@ object DedupOps {
   val dedupReport: Op = Op(
     "dedup_report",
     (s, d) => {
-      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-      val nFp = Tables.documents(s, d)
+      // one scan serves both corpus counts (row count + distinct
+      // fingerprints) — they were two separate aggregates over the
+      // same table
+      val nDocsFp = Tables.documents(s, d)
         .select(hash60(normText(col("text"))).as("fp"))
-        .agg(countDistinct(col("fp")).as("n_distinct_fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_distinct_fp"))
       // ONE checkpointed pairs frame feeds both the pair count and the
       // clustering — the LSH pipeline (shingle → minhash → band →
       // verify) runs exactly once.
@@ -519,7 +527,7 @@ object DedupOps {
       val cl = clusterPairs(pairs)
       val clStats = cl.agg(count(lit(1)).as("n_docs_in_clusters"),
         countDistinct(col("cluster_id")).as("n_clusters"))
-      nDocs.crossJoin(nFp).crossJoin(nPairs).crossJoin(clStats)
+      nDocsFp.crossJoin(nPairs).crossJoin(clStats)
         .select(col("n_docs"), col("n_distinct_fp"), col("n_near_pairs"),
           col("n_docs_in_clusters"), col("n_clusters"),
           (col("n_distinct_fp") -
