@@ -207,7 +207,7 @@ class TextDedupSpec extends SparkSpec {
     // none of these may crash, and the edge docs must not produce
     // spurious dup pairs
     Seq("text_token_count", "text_quality", "text_langid", "text_fingerprint",
-      "dedup_simhash").foreach { k =>
+      "dedup_simhash", "text_repetition", "text_rarity").foreach { k =>
       val ids = run(k, miniDir).collect().map(_.getAs[Long]("doc_id")).toSet
       assert(ids.contains(6L) && ids.contains(7L), s"$k dropped edge docs")
     }
@@ -217,6 +217,15 @@ class TextDedupSpec extends SparkSpec {
       assert(!pairs.exists { case (i, j) => i >= 6L || j >= 6L },
         s"$k paired an edge doc: ${pairs.toSeq}")
     }
+    // below-span-width edge docs are EXCLUDED from the span audit (not
+    // crashed on), and doc_pack still packs them (EOS-only entries)
+    val substrIds = run("dedup_substr", miniDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(!substrIds.contains(6L) && !substrIds.contains(7L))
+    val packIds = run("doc_pack", miniDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(packIds.contains(6L) && packIds.contains(7L),
+      "doc_pack must place every doc, even empty ones")
   }
 
   test("dedup_ngram_jaccard finds near + exact dup pairs with sane scores") {
