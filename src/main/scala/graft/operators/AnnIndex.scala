@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
+import graft.Checkpoints
 import graft.functions.Portable._
 
 /** Persistent random-hyperplane LSH index for INCREMENTAL
@@ -19,17 +20,22 @@ import graft.functions.Portable._
   *    rows per vector, parquet-partitioned by `tbl` on save so a probe
   *    prunes to the tables it hashes;
   *  - `vectors` — (vec_id, embedding, nm) with the exact-micros
-  *    self-dot precomputed, hash-distributed by vec_id.
-  * Candidates travel as id pairs and re-attach vectors by vec_id, so
-  * no 0.5 KB embedding ever rides a bucket-join row.
+  *    self-dot precomputed via [[AnnOps.withNormDf]], the same norm
+  *    definition as every E-series cosine.
+  * Candidates travel as id pairs; the scoring join broadcasts the
+  * (bounded: ≤ |batch|·tables·maxBucket) candidate ids against the
+  * vector store, so no 0.5 KB embedding ever rides a bucket-join row
+  * and the corpus-sized side never shuffles — loaded or freshly built.
   *
-  * Scale shape of [[probe]]: the query batch broadcasts (its bucket
-  * rows against the index scan, its vectors against the scored
-  * candidates) — the corpus-sized sides NEVER shuffle. The per-(table,
-  * bucket, query) occupancy cap is enforced from the join output
-  * itself, the same monotone saturation rule as [[DedupIndex]]: a
-  * degenerate hot bucket (all-zero vectors, adversarial clustering)
-  * contributes no candidates instead of a quadratic blowup.
+  * The per-(table, bucket, query) occupancy cap is enforced from the
+  * join output itself, counted BEFORE the self-match filter (an
+  * already-indexed probe sees the true occupancy), with the same
+  * monotone saturation rule as [[DedupIndex]]: a degenerate hot bucket
+  * (e.g. all-zero vectors, which share bucket 0 of every table)
+  * contributes no candidates instead of a quadratic blowup. `ann_lsh`
+  * itself carries no cap, so probe-vs-E2 row parity (AnnIndexSpec)
+  * holds on any corpus whose buckets stay under the cap — a saturated
+  * bucket is where the two deliberately diverge.
   */
 object AnnIndex {
 
@@ -42,15 +48,9 @@ object AnnIndex {
   /** The two persisted frames of one logical index. */
   final case class Index(buckets: DataFrame, vectors: DataFrame)
 
-  private def withNormDf(embeddings: DataFrame): DataFrame =
-    embeddings
-      .repartition(col("vec_id"))
-      .select(col("vec_id"), col("embedding"),
-        dotMicros(col("embedding"), col("embedding")).as("nm"))
-
   /** Build the index for an initial corpus of (vec_id, embedding). */
   def build(embeddings: DataFrame): Index = {
-    val e = withNormDf(embeddings)
+    val e = AnnOps.withNormDf(embeddings)
     Index(AnnOps.bucketIndex(e), e)
   }
 
@@ -70,33 +70,41 @@ object AnnIndex {
   /** Top-k indexed neighbors of each query vector:
     * (q_id, rank, vec_id, cos), ranked by exact-micros cosine with the
     * deterministic vec_id tie-break — the same output contract as
-    * `ann_lsh`, so a probe of the corpus by its own query subset equals
-    * the E2 operator row-for-row (proven in AnnIndexSpec).
+    * `ann_lsh`, row-for-row equal to E2 below bucket saturation
+    * (proven in AnnIndexSpec).
     */
   def probe(
       index: Index,
       queries: DataFrame,
       k: Int = 5,
-      maxBucket: Int = MaxBucket): DataFrame = {
-    val q = withNormDf(queries)
+      maxBucket: Int = MaxBucket): DataFrame =
+    probeWithNorm(index, AnnOps.withNormDf(queries), k, maxBucket)
+
+  private def probeWithNorm(
+      index: Index,
+      q: DataFrame,
+      k: Int,
+      maxBucket: Int): DataFrame = {
     val qb = AnnOps.bucketIndex(q)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
     // every query meets every index row of its bucket, so the count per
     // (tbl, bucket, q_id) IS the index-side bucket occupancy — no
-    // second read of the index
+    // second read of the index, and counted before the self-filter
     val occ = Window.partitionBy(col("tbl"), col("bucket"), col("q_id"))
     val ids = index.buckets
       .join(broadcast(qb), Seq("tbl", "bucket"))
-      .filter(col("vec_id") =!= col("q_id"))
       .withColumn("bucket_occ", count(lit(1)).over(occ))
       .filter(col("bucket_occ") <= maxBucket)
+      .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
       .distinct()
     val qv = q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nm").as("q_nm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    ids.join(index.vectors, "vec_id")
+    // candidate ids broadcast against the vector store: the corpus side
+    // joins map-only whether the index is in-session or load()ed
+    index.vectors.join(broadcast(ids), "vec_id")
       .join(broadcast(qv), "q_id")
       .select(col("q_id"), col("vec_id"),
         cosineFromMicros(dotMicros(col("q_emb"), col("embedding")),
@@ -107,19 +115,48 @@ object AnnIndex {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The batch's normed vectors that are NOT already indexed (ids
+    * broadcast into a semi-prune of the corpus scan, then an anti-join
+    * on the batch), so replayed batches fold in as no-ops.
+    */
+  private def freshVecs(index: Index, e: DataFrame): DataFrame = {
+    val present = index.vectors
+      .join(broadcast(e.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_semi")
+      .select(col("vec_id")).distinct()
+    e.join(broadcast(present), Seq("vec_id"), "left_anti")
+  }
+
   /** The incremental step: probe the standing index with the batch,
-    * then fold the batch in. Returns (neighbors, updated index) — the
-    * caller lands the neighbors and overwrite-saves (or appends the
-    * batch's partitions of) the index.
+    * then fold the batch in. The batch norms compute once and feed the
+    * probe, the bucket rows and the vector union (persist()); replayed
+    * vec_ids are dropped before the unions. Persist the step with
+    * [[append]].
     */
   def ingest(
       index: Index,
       newVecs: DataFrame,
       k: Int = 5,
       maxBucket: Int = MaxBucket): (DataFrame, Index) = {
-    val e = withNormDf(newVecs)
-    (probe(index, newVecs, k, maxBucket),
-      Index(index.buckets.unionByName(AnnOps.bucketIndex(e)),
-        index.vectors.unionByName(e)))
+    val e = AnnOps.withNormDf(newVecs).persist()
+    val fresh = freshVecs(index, e).persist()
+    (probeWithNorm(index, e, k, maxBucket),
+      Index(index.buckets.unionByName(AnnOps.bucketIndex(fresh)),
+        index.vectors.unionByName(fresh)))
+  }
+
+  /** Persist an ingest: append ONLY the batch's not-yet-indexed bucket
+    * and vector rows to a saved index path, checkpoint-materialized
+    * first so the append jobs never read the directories they write.
+    * (A plain save() of ingest's returned union over a load()ed index
+    * would fail — Spark refuses to overwrite a path being read.)
+    */
+  def append(path: String, newVecs: DataFrame): Unit = {
+    val spark = newVecs.sparkSession
+    val fresh = Checkpoints.checkpoint(
+      freshVecs(load(spark, path), AnnOps.withNormDf(newVecs)))
+    AnnOps.bucketIndex(fresh).write.mode("append").partitionBy("tbl")
+      .parquet(s"$path/buckets")
+    fresh.write.mode("append").parquet(s"$path/vectors")
   }
 }

@@ -33,6 +33,16 @@ object AnnOps {
     * every cosine on one task (and at scale it guards against skewed
     * file sizes).
     */
+  /** The (vec_id, embedding, nm) norm projection — ONE definition
+    * shared by the E-series ops and [[AnnIndex]], so every cosine in
+    * the engine derives nm the same way.
+    */
+  private[operators] def withNormDf(embeddings: DataFrame): DataFrame =
+    embeddings
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        dotMicros(col("embedding"), col("embedding")).as("nm"))
+
   /** persist(): every consumer (centroid scoring, bucket hashing, the
     * query subset, candidate re-attach — up to four per op, shared
     * between E1–E3 and D5) reads one cached materialization instead of
@@ -42,11 +52,7 @@ object AnnOps {
     * embeddings" the scale notes describe.
     */
   private[operators] def withNorm(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .repartition(col("vec_id"))
-      .select(col("vec_id"), col("embedding"),
-        dotMicros(col("embedding"), col("embedding")).as("nm"))
-      .persist()
+    withNormDf(Tables.embeddings(s, d)).persist()
 
   private[operators] val sqlNormCte = """
       e AS (

@@ -4,17 +4,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Portable._
+import graft.Checkpoints
 
 /** Persistent MinHash-LSH index for INCREMENTAL near-duplicate
   * detection — the operational shape of D3 at 100 TB. A lake-scale
   * pipeline cannot re-shingle the whole corpus every time a batch
   * arrives: signatures are computed ONCE per document, stored banded
   * (doc_id, band, bkey, mh), and each arriving batch probes the stored
-  * index and appends its own signatures. The streaming twin is
+  * index and folds its own signatures in. The streaming twin is
   * [[graft.streaming.NearDupStream]] (same signature scheme, state held
   * in the stream instead of the lake); this is the batch/backfill side
-  * of the same contract.
+  * of the same contract, and all three derive their banding from ONE
+  * definition ([[DedupOps.bandedSignatureRows]]), so index, stream and
+  * batch candidates can never drift apart.
   *
   * Scale shape of [[probe]]:
   *  - the NEW batch's signatures broadcast — the corpus-sized index
@@ -24,46 +26,42 @@ import graft.functions.Portable._
   *  - the band-bucket occupancy cap is enforced from the join output
   *    itself: every probe doc meets ALL index rows of its bucket, so a
   *    count windowed per (band, bkey, new_id) IS the bucket occupancy —
-  *    no second read of the index. Saturated buckets emit no pairs,
-  *    the same monotone rule as batch D3 and the stream.
+  *    no second read of the index. The count runs BEFORE the self-match
+  *    filter, so a doc probing an index that already contains it sees
+  *    the true occupancy. Saturated buckets emit no pairs, the same
+  *    monotone rule as batch D3 and the stream.
   *  - verification is the signature-estimated Jaccard (fraction of
   *    agreeing minhashes, ±1/16 resolution) — the index stores
   *    signatures, not shingle sets; callers wanting exactness join the
   *    pair ids back to the documents, as with the stream.
+  *
+  * Incremental persistence: [[ingest]] returns the probe pairs plus the
+  * logically-updated index for further IN-SESSION probing (replayed
+  * doc_ids are anti-joined away, so at-least-once batch delivery cannot
+  * inflate buckets — the same re-delivery tolerance as the stream's
+  * state). To persist the step, use [[append]], which writes ONLY the
+  * batch's new signature rows to the saved path — overwrite-saving a
+  * loaded index's union would read and overwrite the same files. Pair
+  * DELIVERY idempotence stays the sink's dump-id contract, as
+  * everywhere else.
   */
 object DedupIndex {
 
-  /** Twins of DedupOps.K / R / MAX_BUCKET and the NearDupStream
-    * constants — one signature scheme across batch, stream, and index.
-    */
-  val Hashes = 16
-  val BandRows = 2
-  val Bands: Int = Hashes / BandRows
+  /** The shared scheme's constants (DedupOps.K / R). */
+  val Hashes: Int = DedupOps.K
+  val BandRows: Int = DedupOps.R
+  val Bands: Int = DedupOps.NumBands
   val MaxBucket = 200
 
   /** Banded signatures of a documents frame (doc_id, text):
-    * (doc_id, band, bkey, mh). The explode argument stays a raw
-    * expression (never a projected attribute) for the
-    * InferFiltersFromGenerate reason documented at DedupOps.shingleRows;
-    * the repartition spreads the CPU-bound shingling like every D-series
-    * pipeline.
+    * (doc_id, band, bkey, mh) via the ONE shared banding definition.
+    * The repartition spreads the CPU-bound shingling like every
+    * D-series pipeline.
     */
   def signatures(docs: DataFrame): DataFrame =
-    docs
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        split(trim(lower(col("text"))), "\\s+").as("tok"))
-      .select(col("doc_id"), shinglesFromTokens(col("tok")).as("shs"))
-      .select(col("doc_id"), minhash16(col("shs")).as("mh"))
-      .select(col("doc_id"), col("mh"),
-        explode(array((0 until Bands).map { b =>
-          struct(lit(b).as("band"),
-            md5(concat_ws("|",
-              element_at(col("mh"), BandRows * b + 1),
-              element_at(col("mh"), BandRows * b + 2))).as("bkey"))
-        }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.bkey").as("bkey"), col("mh"))
+    DedupOps.bandedSignatureRows(
+        docs.repartition(col("doc_id")).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("band"), col("bkey"), col("mh"))
 
   /** Build the index for an initial corpus. */
   def build(docs: DataFrame): DataFrame = signatures(docs)
@@ -87,19 +85,27 @@ object DedupIndex {
       index: DataFrame,
       newDocs: DataFrame,
       tau: Double = 0.5,
-      maxBucket: Int = MaxBucket): DataFrame = {
-    val probeSigs = signatures(newDocs)
+      maxBucket: Int = MaxBucket): DataFrame =
+    probeWithSigs(index, signatures(newDocs), tau, maxBucket)
+
+  private def probeWithSigs(
+      index: DataFrame,
+      sigs: DataFrame,
+      tau: Double,
+      maxBucket: Int): DataFrame = {
+    val probeSigs = sigs
       .select(col("doc_id").as("new_id"), col("band"), col("bkey"),
         col("mh").as("new_mh"))
-    val hits = index
-      .join(broadcast(probeSigs), Seq("band", "bkey"))
-      .filter(col("doc_id") =!= col("new_id"))
     // every probe doc meets every index row of its bucket, so the count
-    // per (band, bkey, new_id) IS the index-side bucket occupancy
+    // per (band, bkey, new_id) IS the index-side bucket occupancy —
+    // counted before the self-match filter so an already-indexed doc
+    // doesn't see the bucket one smaller than it is
     val occ = Window.partitionBy(col("band"), col("bkey"), col("new_id"))
-    hits
+    index
+      .join(broadcast(probeSigs), Seq("band", "bkey"))
       .withColumn("bucket_occ", count(lit(1)).over(occ))
       .filter(col("bucket_occ") <= maxBucket)
+      .filter(col("doc_id") =!= col("new_id"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("mh"), col("new_mh"), (a, b) => a === b),
           x => x)) / lit(Hashes.toDouble))
@@ -108,16 +114,46 @@ object DedupIndex {
       .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
+  /** Signature rows of the batch that are NOT already indexed: the
+    * batch ids broadcast twice (a semi-join prunes the index scan to
+    * already-present ids — map-side over the corpus, tiny output — and
+    * the anti-join drops them from the batch), so replayed batches fold
+    * in as no-ops and the corpus side never shuffles.
+    */
+  private def freshSigs(index: DataFrame, sigs: DataFrame): DataFrame = {
+    val present = index
+      .join(broadcast(sigs.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id")).distinct()
+    sigs.join(broadcast(present), Seq("doc_id"), "left_anti")
+  }
+
   /** The incremental step: probe, then fold the batch into the index.
-    * Returns (pairs, updated index) — the caller lands the pairs in its
-    * sink and overwrite-saves (or appends the batch's partitions of)
-    * the index.
+    * Returns (pairs, updated index); the signatures compute once and
+    * feed both (persist()), and re-delivered doc_ids are dropped before
+    * the union. Persist the step with [[append]].
     */
   def ingest(
       index: DataFrame,
       newDocs: DataFrame,
       tau: Double = 0.5,
-      maxBucket: Int = MaxBucket): (DataFrame, DataFrame) =
-    (probe(index, newDocs, tau, maxBucket),
-      index.unionByName(signatures(newDocs)))
+      maxBucket: Int = MaxBucket): (DataFrame, DataFrame) = {
+    val sigs = signatures(newDocs).persist()
+    (probeWithSigs(index, sigs, tau, maxBucket),
+      index.unionByName(freshSigs(index, sigs)))
+  }
+
+  /** Persist an ingest: append ONLY the batch's not-yet-indexed
+    * signature rows to a saved index path. The fresh rows are
+    * checkpoint-materialized first so the append job never reads the
+    * directory it writes. (A plain save() of ingest's returned union
+    * over a load()ed index would fail — Spark refuses to overwrite a
+    * path that is also being read.)
+    */
+  def append(path: String, newDocs: DataFrame): Unit = {
+    val spark = newDocs.sparkSession
+    val fresh = Checkpoints.checkpoint(
+      freshSigs(load(spark, path), signatures(newDocs)))
+    fresh.write.mode("append").partitionBy("band").parquet(path)
+  }
 }

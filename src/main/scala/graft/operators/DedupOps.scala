@@ -176,8 +176,40 @@ object DedupOps {
       WHERE c * 1.0 / (x.n + y.n - c) >= 0.2
       ORDER BY i, j"""))
 
-  private val K = 16 // minhash functions
-  private val R = 2  // rows per band → 8 bands
+  /** ONE MinHash-LSH signature scheme for batch D3, the persistent
+    * index (DedupIndex) and the stream (NearDupStream): these constants
+    * and [[bandedSignatureRows]] are the compatibility contract between
+    * them — an index probe or a stream bucket only ever matches batch
+    * candidates because all three derive from this single definition.
+    */
+  private[graft] val K = 16 // minhash functions
+  private[graft] val R = 2  // rows per band → 8 bands
+  private[graft] val NumBands: Int = K / R
+
+  /** Banded signatures (doc_id, extra..., band, bkey, mh) of a frame
+    * carrying (doc_id, text, extra...). The explode argument stays a
+    * raw expression (never a projected attribute) for the
+    * InferFiltersFromGenerate reason documented at [[shingleRows]].
+    */
+  private[graft] def bandedSignatureRows(
+      docs: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    val carry = extra.map(col)
+    docs
+      .select(col("doc_id") +: carry :+
+        split(trim(lower(col("text"))), "\\s+").as("tok"): _*)
+      .select(col("doc_id") +: carry :+
+        shinglesFromTokens(col("tok")).as("shs"): _*)
+      .select(col("doc_id") +: carry :+ minhash16(col("shs")).as("mh"): _*)
+      .select(col("doc_id") +: carry :+ col("mh") :+
+        explode(array((0 until NumBands).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws("|",
+              element_at(col("mh"), R * b + 1),
+              element_at(col("mh"), R * b + 2))).as("bkey"))
+        }: _*)).as("bk"): _*)
+      .select(col("doc_id") +: carry :+ col("bk.band").as("band") :+
+        col("bk.bkey").as("bkey") :+ col("mh"): _*)
+  }
 
   private def sqlMinhashFn(i: Int): String =
     s"CAST(('0x' || substr(md5(concat('g${i / 4}|', s)), ${8 * (i % 4) + 1}, 8)) AS BIGINT)"

@@ -44,10 +44,12 @@ import graft.functions.Portable._
   * per-batch dedup to the consumer).
   */
 object NearDupStream {
-  /** Twins of the batch constants (DedupOps.K / R / MAX_BUCKET). */
-  val Hashes = 16
-  val BandRows = 2
-  val Bands: Int = Hashes / BandRows
+  /** THE batch constants (graft.operators.DedupOps.K / R) — one
+    * signature scheme across batch, index and stream by construction.
+    */
+  val Hashes: Int = graft.operators.DedupOps.K
+  val BandRows: Int = graft.operators.DedupOps.R
+  val Bands: Int = graft.operators.DedupOps.NumBands
   val MaxBucket = 200
 
   case class BandedDoc(
@@ -66,21 +68,8 @@ object NearDupStream {
   def bandedSignatures(docs: DataFrame): Dataset[BandedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col("doc_id"), col("ts"),
-        split(trim(lower(col("text"))), "\\s+").as("tok"))
-      .select(col("doc_id"), col("ts"),
-        shinglesFromTokens(col("tok")).as("shs"))
-      .select(col("doc_id"), col("ts"), minhash16(col("shs")).as("mh"))
-      .select(col("doc_id"), col("ts"), col("mh"),
-        explode(array((0 until Bands).map { b =>
-          struct(lit(b).as("band"),
-            md5(concat_ws("|",
-              element_at(col("mh"), BandRows * b + 1),
-              element_at(col("mh"), BandRows * b + 2))).as("bkey"))
-        }: _*)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
-        col("doc_id"), col("ts"), col("mh"))
+    graft.operators.DedupOps.bandedSignatureRows(docs, Seq("ts"))
+      .select(col("band"), col("bkey"), col("doc_id"), col("ts"), col("mh"))
       .as[BandedDoc]
   }
 

@@ -86,6 +86,38 @@ class AnnIndexSpec extends SparkSpec {
     val index = AnnIndex.build(vecs(10L -> unit(0), 11L -> unit(7)))
     val p = plan(AnnIndex.probe(index, vecs(99L -> unit(0))))
     assert(p.contains("BroadcastHashJoin"), "probe must broadcast-join")
-    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("a loaded index's corpus-sized sides still join broadcast-only") {
+    val dir = Files.createTempDirectory("graft_annld").toString + "/index"
+    AnnIndex.save(AnnIndex.build(vecs(10L -> unit(0), 11L -> unit(7))), dir)
+    val p = plan(AnnIndex.probe(AnnIndex.load(spark, dir), vecs(99L -> unit(0))))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      "no stats on a loaded index may not demote the joins to shuffles")
+  }
+
+  test("replayed batches fold in as no-ops: bucket and vector rows never duplicate") {
+    val index0 = AnnIndex.build(vecs(10L -> unit(0)))
+    val batch = vecs(20L -> unit(7))
+    val (_, index1) = AnnIndex.ingest(index0, batch)
+    val (bOnce, vOnce) = (index1.buckets.count(), index1.vectors.count())
+    val (_, index2) = AnnIndex.ingest(index1, batch)
+    assert(index2.buckets.count() == bOnce && index2.vectors.count() == vOnce,
+      "re-ingesting a delivered batch must not inflate the index")
+  }
+
+  test("append persists only the batch's rows; the saved-path cycle works") {
+    val dir = Files.createTempDirectory("graft_annapp").toString + "/index"
+    AnnIndex.save(AnnIndex.build(vecs(10L -> unit(0))), dir)
+    val batch = vecs(20L -> unit(7))
+    AnnIndex.append(dir, batch)
+    AnnIndex.append(dir, batch) // replay: must be a no-op
+    val reloaded = AnnIndex.load(spark, dir)
+    assert(reloaded.vectors.count() == 2,
+      "one vector row per vec_id, replay appended nothing")
+    val r = AnnIndex.probe(reloaded, vecs(99L -> unit(7))).collect()
+    assert(r.nonEmpty && r.head.getLong(2) == 20L,
+      "the appended batch must be probeable")
   }
 }

@@ -72,4 +72,49 @@ class DedupIndexSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "probe must broadcast-join")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("replayed batches fold in as no-ops: bucket rows never duplicate") {
+    val index0 = DedupIndex.build(docs(0L -> base))
+    val batch = docs(1L -> base.replace("idx3", "x"))
+    val (_, index1) = DedupIndex.ingest(index0, batch)
+    val once = index1.count()
+    // at-least-once delivery replays the same batch
+    val (_, index2) = DedupIndex.ingest(index1, batch)
+    assert(index2.count() == once,
+      "re-ingesting a delivered batch must not inflate the index")
+    // and probes through the replayed index are unchanged
+    val probeQ = docs(9L -> base)
+    val a = DedupIndex.probe(index1, probeQ).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = DedupIndex.probe(index2, probeQ).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("append persists only the batch's rows; the saved-path cycle works") {
+    val dir = Files.createTempDirectory("graft_lshapp").toString + "/index"
+    DedupIndex.save(DedupIndex.build(docs(0L -> base)), dir)
+    val batch = docs(1L -> other)
+    DedupIndex.append(dir, batch)
+    DedupIndex.append(dir, batch) // replay: must be a no-op
+    val reloaded = DedupIndex.load(spark, dir)
+    assert(reloaded.count() == 2L * DedupIndex.Bands,
+      "one row set per doc per band, replay appended nothing")
+    val r = DedupIndex.probe(reloaded, docs(2L -> other)).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSet == Set((1L, 2L)),
+      "the appended batch must be probeable")
+  }
+
+  test("index signatures are the stream's signatures (one banding scheme)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = docs(0L -> base, 1L -> other)
+    val idx = DedupIndex.build(d).select("doc_id", "band", "bkey")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val stream = graft.streaming.NearDupStream.bandedSignatures(
+        d.withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))))
+      .select(col("doc_id"), col("band"), col("bkey"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(idx == stream,
+      "DedupIndex and NearDupStream must bucket identically — the index's value rests on it")
+  }
 }
