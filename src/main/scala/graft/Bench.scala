@@ -6,6 +6,15 @@ package graft
   * config must behave identically here. Failures are NOT swallowed into
   * timings: a failed query records ok=false with elapsed-to-failure, and
   * the process exits non-zero so the driver sees it.
+  *
+  * Cache policy: operators persist() shared artifacts (the ANN norm
+  * frame, shingle sets — see SURVEY §5 "shared-frame materialization"),
+  * and the bench deliberately does NOT clearCache() between queries:
+  * the first query over an artifact pays its materialization, later
+  * ones reuse it, mirroring a deployment where the artifact lives
+  * beside the table. Entries are MEMORY_AND_DISK and plan-keyed (one
+  * per artifact, not per reference), so a full board run caches tens
+  * of MB per scale factor and evicts under pressure.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
