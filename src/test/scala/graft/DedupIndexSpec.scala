@@ -6,6 +6,8 @@ import org.apache.spark.sql.DataFrame
 
 import graft.operators.DedupIndex
 
+case class IdxDoc(doc_id: Long, text: String)
+
 /** The persistent incremental LSH index: probe finds cross-batch
   * near-dups without re-shingling or shuffling the indexed corpus.
   */
@@ -103,6 +105,35 @@ class DedupIndexSpec extends SparkSpec {
     val r = DedupIndex.probe(reloaded, docs(2L -> other)).collect()
     assert(r.map(x => (x.getLong(0), x.getLong(1))).toSet == Set((1L, 2L)),
       "the appended batch must be probeable")
+  }
+
+  test("a foreachBatch loop drives the saved index: probe then append per micro-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_lshstrm").toString
+    val idxPath = s"$dir/index"
+    val pairsPath = s"$dir/pairs"
+    DedupIndex.save(DedupIndex.build(docs(0L -> base)), idxPath)
+    val src = MemoryStream[IdxDoc]
+    val query = src.toDS().toDF().writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        DedupIndex.probe(DedupIndex.load(batch.sparkSession, idxPath), batch)
+          .write.mode("append").parquet(pairsPath)
+        DedupIndex.append(idxPath, batch)
+      }.start()
+    src.addData(IdxDoc(1L, other)) // unrelated: no pairs, folds in
+    query.processAllAvailable()
+    // dups BATCH 1's doc, which was never in the built index — only the
+    // per-epoch append can surface this pair
+    src.addData(IdxDoc(2L, other.replace("oth5", "x")))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.read.parquet(pairsPath).collect()
+      .map(r => (r.getAs[Long]("first_id"), r.getAs[Long]("new_id"))).toSet
+    assert(got == Set((1L, 2L)),
+      s"cross-batch dup must surface via the appended index: $got")
   }
 
   test("index signatures are the stream's signatures (one banding scheme)") {
