@@ -7,19 +7,34 @@ package graft
   * timings: a failed query records ok=false with elapsed-to-failure, and
   * the process exits non-zero so the driver sees it.
   *
-  * Cache policy: operators persist() shared artifacts (the ANN norm
-  * frame, shingle sets — see SURVEY §5 "shared-frame materialization"),
-  * and the bench deliberately does NOT clearCache() between queries:
-  * the first query over an artifact pays its materialization, later
-  * ones reuse it, mirroring a deployment where the artifact lives
-  * beside the table. Entries are MEMORY_AND_DISK and plan-keyed (one
-  * per artifact, not per reference), so a full board run caches tens
-  * of MB per scale factor and evicts under pressure.
+  * Measurement design (decision-grade, r8):
+  *  - **min-of-3 per query**: each query's action runs [[REPS]] times
+  *    inside one session; `queries` reports the MINIMUM (the
+  *    contention-free estimate on a shared box — min, not median, because
+  *    external load only ever adds time). `first` reports run 1.
+  *  - **scoped cache policy**: operator persist()s route through
+  *    [[Caches]], and the scope closes after each query's reps — so run 1
+  *    is the cold number (it pays the query's own artifact
+  *    materialization), runs 2-3 are warm (the artifact is cached), and
+  *    NOTHING leaks between queries: a per-query regression is
+  *    attributable to that query alone, independent of board order.
+  *    `first - min` per query ≈ its artifact-materialization cost (plus
+  *    any contention noise caught by run 1); the summed cost is reported
+  *    as `materialization_total`. Set SPARK_GRAFT_ARTIFACT_MODE=1 for the
+  *    r7-style deployment model (artifacts survive across queries).
+  *  - **calibration drift**: a fixed q1-shaped probe runs at board
+  *    start/middle/end; `calibration.drift` (max/min of the three) says
+  *    how loaded the host was DURING the run, so a cross-round comparison
+  *    can tell plan regressions from box contention without adjudication.
   */
 object Bench {
+  private val REPS = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    Caches.artifactMode =
+      sys.env.get("SPARK_GRAFT_ARTIFACT_MODE").exists(_ == "1")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session before timing: JIT, codegen infrastructure, and the
@@ -45,34 +60,75 @@ object Bench {
       try SparkEntry.queries(q)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
+    Caches.releaseScope()
+
+    def secs(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+    // q1-shaped calibration probe: scan → filter → groupBy → multi-agg
+    // over lineitem at the bench SF. Its ONLY job is to price the host's
+    // load at three points in the run.
+    def calibrate(): Double = {
+      val t = secs(SparkEntry.queries("q1_agg")(spark, sfDir).count())
+      Caches.releaseScope()
+      t
+    }
+
+    // the probe itself warms once untimed (its first run would otherwise
+    // bill q1's one-time plan compilation to `calibration.start` and
+    // fake a drift reading)
+    calibrate()
+
     var anyFailed = false
     // SPARK_GRAFT_ONLY=k1,k2 restricts the run (local iteration on one op).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     // Deterministic run order (sorted keys) so per-round numbers compare.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val keys = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+
+    val calibStart = calibrate()
+    var calibMid = calibStart
+    val results = keys.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == keys.size / 2) calibMid = calibrate()
+      var ok = true
+      val runs = (1 to REPS).iterator.map { _ =>
+        try Some(secs(fn(spark, sfDir).count()))
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             anyFailed = true
-            false
+            ok = false
+            None
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      }.takeWhile(_.isDefined).flatten.toSeq
+      Caches.releaseScope()
+      val first = runs.headOption.getOrElse(0.0)
+      val best = if (runs.isEmpty) 0.0 else runs.min
+      (name, first, best, ok)
     }
-    val qs = results
-      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val calibEnd = calibrate()
+
+    def jmap(entries: Seq[(String, Double)]): String = entries
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val qs = jmap(results.map { case (k, _, mn, _) => k -> mn })
+    val firsts = jmap(results.map { case (k, f, _, _) => k -> f })
+    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // Total counts only successful queries; failures are listed separately.
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, _, mn, true) => mn }.sum
+    val matTotal = results
+      .collect { case (_, f, mn, true) => math.max(f - mn, 0.0) }.sum
+    val calib = f""""calibration":{"start":$calibStart%.3f,"mid":$calibMid%.3f,"end":$calibEnd%.3f,"drift":${
+      Seq(calibStart, calibMid, calibEnd).max /
+        math.max(Seq(calibStart, calibMid, calibEnd).min, 1e-9)}%.2f}"""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first":$firsts,"reps":$REPS,"cache_policy":"${
+        if (Caches.artifactMode) "artifact" else "scoped-per-query"
+      }","materialization_total":${f"$matTotal%.3f"},$calib,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
     if (anyFailed) sys.exit(1)
   }

@@ -20,6 +20,20 @@ object Checkpoints {
   def checkpoint(df: DataFrame): DataFrame = {
     val reliable = df.sparkSession.conf
       .getOption(ReliableKey).exists(_.toBoolean)
-    if (reliable) df.checkpoint() else df.localCheckpoint()
+    if (reliable) df.checkpoint()
+    else {
+      val out = df.localCheckpoint()
+      // Local-checkpoint blocks are persisted RDDs with their lineage
+      // truncated; register them so Caches.releaseScope() frees them
+      // with the scope's cached frames instead of waiting for the
+      // ContextCleaner's GC pass. (Reliable checkpoints live on the
+      // durable FS and need no block release.)
+      out.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          Caches.trackRdd(lr.rdd)
+        case _ => ()
+      }
+      out
+    }
   }
 }

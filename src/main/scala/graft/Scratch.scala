@@ -26,6 +26,9 @@ object Scratch {
         t(s"$key e2e$i")(SparkEntry.queries(key)(spark, d).count())
       }
       SparkEntry.queries(key)(spark, d).explain("formatted")
+      // mirror the bench harness: the cache scope closes per key, so
+      // the next key's run 0 is attributably cold
+      Caches.releaseScope()
     }
   }
 }

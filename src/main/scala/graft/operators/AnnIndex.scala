@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.Checkpoints
+import graft.{Caches, Checkpoints}
 import graft.functions.Portable._
 
 /** Persistent random-hyperplane LSH index for INCREMENTAL
@@ -138,8 +138,8 @@ object AnnIndex {
       newVecs: DataFrame,
       k: Int = 5,
       maxBucket: Int = MaxBucket): (DataFrame, Index) = {
-    val e = AnnOps.withNormDf(newVecs).persist()
-    val fresh = freshVecs(index, e).persist()
+    val e = Caches.persist(AnnOps.withNormDf(newVecs))
+    val fresh = Caches.persist(freshVecs(index, e))
     (probeWithNorm(index, e, k, maxBucket),
       Index(index.buckets.unionByName(AnnOps.bucketIndex(fresh)),
         index.vectors.unionByName(fresh)))

@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.{Op, Tables}
+import graft.{Caches, Op, Tables}
 import graft.functions.Portable._
 
 /** Approximate-nearest-neighbor search over the embeddings table
@@ -43,16 +43,17 @@ object AnnOps {
       .select(col("vec_id"), col("embedding"),
         dotMicros(col("embedding"), col("embedding")).as("nm"))
 
-  /** persist(): every consumer (centroid scoring, bucket hashing, the
-    * query subset, candidate re-attach — up to four per op, shared
-    * between E1–E3 and D5) reads one cached materialization instead of
-    * re-scanning and re-norming the corpus per reference. Spark's cache
-    * manager dedupes by plan, so all ops over the same table share ONE
-    * entry — exactly the "(vec_id, nm) artifact persisted beside the
-    * embeddings" the scale notes describe.
+  /** persist() (via [[graft.Caches]], scope-released by the harness):
+    * every consumer (centroid scoring, bucket hashing, the query subset,
+    * candidate re-attach — up to four per op, shared between E1–E3 and
+    * D5) reads one cached materialization instead of re-scanning and
+    * re-norming the corpus per reference. Spark's cache manager dedupes
+    * by plan, so all ops over the same table share ONE entry — exactly
+    * the "(vec_id, nm) artifact persisted beside the embeddings" the
+    * scale notes describe (Caches.artifactMode keeps it across queries).
     */
   private[operators] def withNorm(s: SparkSession, d: String): DataFrame =
-    withNormDf(Tables.embeddings(s, d)).persist()
+    Caches.persist(withNormDf(Tables.embeddings(s, d)))
 
   private[operators] val sqlNormCte = """
       e AS (

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Checkpoints
+import graft.{Caches, Checkpoints}
 
 /** Persistent MinHash-LSH index for INCREMENTAL near-duplicate
   * detection — the operational shape of D3 at 100 TB. A lake-scale
@@ -138,7 +138,7 @@ object DedupIndex {
       newDocs: DataFrame,
       tau: Double = 0.5,
       maxBucket: Int = MaxBucket): (DataFrame, DataFrame) = {
-    val sigs = signatures(newDocs).persist()
+    val sigs = Caches.persist(signatures(newDocs))
     (probeWithSigs(index, sigs, tau, maxBucket),
       index.unionByName(freshSigs(index, sigs)))
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.{Checkpoints, Op, Tables}
+import graft.{Caches, Checkpoints, Op, Tables}
 import graft.Op.{xhash32, xhash60}
 import graft.functions.Portable._
 
@@ -65,16 +65,16 @@ object DedupOps {
     * rows — negligible next to the per-row compute it parallelizes.
     */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    // persist() (via Caches, scope-released by the harness): minhashPairs
+    // consumes this twice (signatures + candidate verification) and the
+    // cache manager dedupes the entry across every D-series op on the
+    // same corpus — the CPU-bound shingling pass runs once per scope,
+    // not once per reference
+    Caches.persist(Tables.documents(s, d)
       .repartition(col("doc_id"))
       .select(col("doc_id"),
         split(trim(lower(col("text"))), "\\s+").as("tok"))
-      .select(col("doc_id"), shinglesFromTokens(col("tok")).as("shs"))
-      // persist(): minhashPairs consumes this twice (signatures +
-      // candidate verification) and the cache manager dedupes the entry
-      // across every D-series op on the same corpus — the CPU-bound
-      // shingling pass runs once per corpus, not once per reference
-      .persist()
+      .select(col("doc_id"), shinglesFromTokens(col("tok")).as("shs")))
 
   /** Exploded distinct shingles: (doc_id, s). NOTE: the explode argument
     * must stay the RAW shingle expression, not a projected `shs`
@@ -364,10 +364,9 @@ object DedupOps {
       // Superseded rounds unpersist as they go; the caller-checkpointed
       // pairs frame remains the recompute root, so lineage stays
       // shallow in the round count.
-      var labels = und.groupBy(col("src"))
+      var labels = Caches.persist(und.groupBy(col("src"))
         .agg(min(col("dst")).as("mn"))
-        .select(col("src").as("v"), least(col("mn"), col("src")).as("label"))
-        .persist()
+        .select(col("src").as("v"), least(col("mn"), col("src")).as("label")))
       var changed = 1L
       while (changed > 0) {
         val prop = und.join(labels, col("src") === col("v"))
@@ -383,11 +382,10 @@ object DedupOps {
         // on the right side keeps the un-materialized self-join
         // attribute-clean, and the tiny prop subtree computing twice
         // inside the one job is cheaper than materializing it.
-        val jumped = prop
+        val jumped = Caches.persist(prop
           .join(prop.select(col("v").as("lv"), col("label").as("ll")),
             col("label") === col("lv"))
-          .select(col("v"), col("ll").as("label"))
-          .persist()
+          .select(col("v"), col("ll").as("label")))
         changed = jumped
           .join(labels.withColumnRenamed("label", "old"), "v")
           .filter(col("label") =!= col("old")).count()
@@ -676,17 +674,17 @@ object DedupOps {
   val dedupSubstr: Op = Op(
     "dedup_substr",
     (s, d) => {
-      // persist(): the span stream feeds both the df aggregate and the
-      // join-back; without it each consumer re-shingles the corpus
-      val grams = Tables.documents(s, d)
+      // persist() (via Caches): the span stream feeds both the df
+      // aggregate and the join-back; without it each consumer
+      // re-shingles the corpus
+      val grams = Caches.persist(Tables.documents(s, d)
         .repartition(col("doc_id"))
         .select(col("doc_id"),
           split(trim(lower(col("text"))), "\\s+").as("tok"))
         .filter(size(col("tok")) >= SPAN_N)
         .select(col("doc_id"),
           explode(ngramsFromTokens(col("tok"), SPAN_N)).as("g"))
-        .select(col("doc_id"), hash60(col("g")).as("gh"))
-        .persist()
+        .select(col("doc_id"), hash60(col("g")).as("gh")))
       val spanDf = grams.groupBy(col("gh"))
         .agg(count(lit(1)).as("span_df"))
       grams.join(spanDf, "gh")

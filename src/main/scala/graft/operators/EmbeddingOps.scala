@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.{Op, Tables}
+import graft.{Caches, Op, Tables}
 import graft.functions.Portable._
 
 /** Embedding-corpus statistics (SURVEY.md §2 part E extensions): the
@@ -142,16 +142,16 @@ object EmbeddingOps {
             (col("sum_us").cast("double") / col("n_vecs") / lit(1000000.0))
               .as("c")))),
           t => t.getField("c")).as("cent"))
-      val dist = e.join(broadcast(cent), "label")
+      val dist = Caches.persist(e.join(broadcast(cent), "label")
         .select(col("label"), col("vec_id"),
           (aggregate(
             zip_with(col("embedding"), col("cent"), (x, c) =>
               floor((x.cast("double") - c) * (x.cast("double") - c)
                 * lit(1000000.0) + lit(0.5)).cast(LongType)),
             lit(0L), (acc, t) => acc + t) / lit(1000L)).cast(LongType)
-            .as("d2_mi"))
-        .persist() // feeds the moment aggregate AND the flag join —
-                   // without it the centroid pass runs twice
+            .as("d2_mi")))
+        // ^ Caches.persist: feeds the moment aggregate AND the flag join
+        // — without it the centroid pass runs twice
       val st = dist.groupBy(col("label"))
         .agg(count(lit(1)).as("n"), sum(col("d2_mi")).as("s"),
           sum(col("d2_mi") * col("d2_mi")).as("q"))

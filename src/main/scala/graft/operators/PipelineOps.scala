@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.{Op, Tables}
+import graft.{Caches, Op, Tables}
 import graft.Op.{xhash32, xsum}
 import graft.functions.Portable._
 
@@ -278,20 +278,17 @@ object PipelineOps {
       // joined and counted — without persistence the final cross-join
       // recomputes the event scan five times (each deeper stage embeds
       // the shallower ones)
-      val e = Tables.events(s, d)
+      val e = Caches.persist(Tables.events(s, d)
         .select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
-        .persist()
-      val ts = e.groupBy(col("user_id"))
+          unix_micros(col("ts")).as("us")))
+      val ts = Caches.persist(e.groupBy(col("user_id"))
         .agg(min(when(col("event_type") === "signup", col("us"))).as("t_s"))
-        .filter(col("t_s").isNotNull)
-        .persist()
-      val tc = e.join(ts, "user_id")
+        .filter(col("t_s").isNotNull))
+      val tc = Caches.persist(e.join(ts, "user_id")
         .groupBy(col("user_id"), col("t_s"))
         .agg(min(when(col("event_type") === "click" && col("us") > col("t_s"),
           col("us"))).as("t_c"))
-        .filter(col("t_c").isNotNull)
-        .persist()
+        .filter(col("t_c").isNotNull))
       val tp = e.join(tc, "user_id")
         .groupBy(col("user_id"), col("t_c"))
         .agg(min(when(col("event_type") === "purchase" && col("us") > col("t_c"),
@@ -445,13 +442,12 @@ object PipelineOps {
     (s, d) => {
       // persist(): the narrow (doc_id, blk, nt) frame feeds both the
       // block-sum aggregate and the join — one tokenizing scan, not two
-      val docs = Tables.documents(s, d)
+      val docs = Caches.persist(Tables.documents(s, d)
         .select(col("doc_id"),
           split(trim(lower(col("text"))), "\\s+").as("tok"),
           expr(s"doc_id div $PACK_BLOCK").as("blk"))
         .select(col("doc_id"), col("blk"),
-          (size(col("tok")) + 1).cast(LongType).as("nt")) // +1 = EOS
-        .persist()
+          (size(col("tok")) + 1).cast(LongType).as("nt"))) // +1 = EOS
       val blockSums = docs.groupBy(col("blk")).agg(sum(col("nt")).as("bsum"))
       val wBlocks = Window.orderBy(col("blk"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

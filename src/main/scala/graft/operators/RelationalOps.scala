@@ -641,46 +641,39 @@ object RelationalOps {
     * Plan: exact selection WITHOUT a per-priority sort. A window
     * partitioned by the 5-value priority key would sort 20% of the
     * table on one task — the textbook constant-cardinality skew killer
-    * at 100 TB. Instead, distributed bucketed (histogram) selection:
-    *   1. one agg per priority: n, min, max — the pivots are 1000
-    *      UNIFORM value buckets over [min, max] (`width_bucket`, pure
-    *      codegen). Pivots are only pivots: bucket placement affects
-    *      balance, never the answer. (Quantile-sketch pivots were
-    *      measured 6× slower here — 199 interpreted `filter()` HOF
-    *      comparisons per histogram row — and a naive sketch [lo,hi]
-    *      value bracket is not even rank-safe: the sketch's internal
-    *      rank rounding exceeds any fixed quantile margin at small n,
-    *      measured one-rank-off at p90 with n=273.)
-    *   2. one (priority, value) HISTOGRAM shuffle — high-cardinality
-    *      compound key, fully parallel, map-side combined; ties
-    *      collapse into single entries;
-    *   3. exact per-bucket counts (≤ 5×1000 rows), then per priority a
-    *      cumulative HOF walk over the sorted bucket array finds the
-    *      bucket holding rank k and the exact count below it;
-    *   4. only that bucket's histogram entries (~n/1000 ranks on
-    *      near-uniform values, fewer under ties) are collected and
-    *      walked to the rank-k value.
+    * at 100 TB. Instead, distributed bucketed (histogram) selection on
+    * ONE composite (coarse, fine) bucket key (r8 — the r6/r7 re-split
+    * round computed the same bound with a second width_bucket pass and
+    * a 10x-larger plan):
+    *   1. the ONLY full-data pass: ties collapse into a (priority,
+    *      value, cnt) histogram — one scan + one shuffle — checkpointed
+    *      so the bounded locate stages below re-read histogram-sized
+    *      data through a lineage-truncated leaf instead of re-embedding
+    *      the scan per consumer;
+    *   2. per-priority stats (n, min, max, both rank targets) aggregate
+    *      FROM the histogram and broadcast back onto it; every entry
+    *      gets ONE `width_bucket` over 1000² uniform value cells
+    *      (`fb`), whose `div 1000` is its coarse cell (`cb`) — both
+    *      locate levels priced by a single codegen'd expression;
+    *   3. coarse locate: exact per-cell counts (≤ 1000 rows/priority),
+    *      one cumulative HOF walk finds BOTH ranks' coarse cells and
+    *      the exact count below each (the two ranks then ride one
+    *      tag-exploded frame, all frames ≤ 2 rows/priority →
+    *      broadcast);
+    *   4. fine locate: the hit coarse cell's entries re-aggregate per
+    *      fine cell (≤ 1000 rows/priority/rank) and the same walk finds
+    *      the hit fine cell + remaining rank;
+    *   5. the walk collects ONLY the hit fine cell's histogram entries
+    *      — n/10⁶ of the distinct values under near-uniform data, and
+    *      value skew only helps: ties collapse into single histogram
+    *      entries, so a heavily-tied cell DEGENERATES toward one row.
     * Every stage is an aggregate; no window, no global sort, per-group
-    * driver-independent state bounded by buckets + one sub-bucket's
-    * entries. A pathologically value-skewed column (most mass inside
-    * one bucket width, yet distinct) is handled by ONE recursive
-    * re-split: the located bucket's entries are re-bucketed over their
-    * exact [min, max] value range and located again before the final
-    * walk, so the collected candidate array shrinks 1000× per round
-    * (ties, the common skew, only SHRINK the histogram — a hit bucket
-    * holding a single distinct value degenerates to one entry).
+    * state bounded by the 1000-cell arrays + one fine cell's entries.
     */
   val q22Percentile: Op = Op(
     "q22_percentile",
     (s, d) => {
-      val nBuckets = 1000
-      // the ONLY full-data pass: ties collapse into a (priority, value,
-      // cnt) histogram. The per-priority stats (n, min, max, both rank
-      // targets) are aggregated FROM the grouped histogram — not from a
-      // second orders scan — so both sides of the broadcast join share
-      // the scan→groupBy(p,v) exchange and ReuseExchange materializes
-      // it once: the whole checkpoint job is one scan + one shuffle +
-      // a tiny stats reduction.
+      val coarse = 1000 // coarse cells; fine cells = coarse² composite
       val hist0 = Tables.orders(s, d)
         .select(col("o_orderpriority"), col("o_totalprice"))
         .groupBy(col("o_orderpriority"), col("o_totalprice"))
@@ -693,118 +686,70 @@ object RelationalOps {
           // `div` (integer division), matching the oracle's `//`
           expr("((n - 1) * 5) div 10 + 1").as("k50"),
           expr("((n - 1) * 9) div 10 + 1").as("k90"))
-      // each histogram entry tagged with its uniform value bucket (mx
-      // maps to nBuckets+1; harmless, it is still the last sorted
-      // bucket). mn == mx (constant-price group) makes width_bucket
-      // NULL; bucket placement is irrelevant there, so pin to bucket 1.
-      // n/k50/k90 ride along (functionally dependent on the priority).
-      // persist(): all downstream stages share one in-memory
-      // materialization that happens inside the single final action —
-      // no separate checkpoint job at all.
-      val hist = hist0
-        .join(broadcast(stats), "o_orderpriority")
-        .withColumn("bucket",
-          expr(s"coalesce(width_bucket(o_totalprice, mn, mx, $nBuckets), 1L)"))
-        .select(col("o_orderpriority"), col("o_totalprice"), col("cnt"),
-          col("bucket"), col("n"), col("k50"), col("k90"))
-        .persist()
-      val slim = hist.select(col("o_orderpriority"), col("o_totalprice"),
-        col("cnt"), col("bucket"))
-      // exact cumulative bucket counts → the bucket holding rank k, the
-      // exact number of rows below it, and the bucket's exact value
-      // range (bmn/bmx over CONTENTS, tighter than the bucket bounds) —
-      // carried out of the walk so the re-split needs no second
-      // min/max aggregation over the hit bucket
-      def locate(k: String) = expr(s"""
-        aggregate(sort_array(collect_list(named_struct('b', bucket,
-            'bc', bc, 'mn', bmn, 'mx', bmx))),
-          named_struct('cum', 0L, 'hit', -1L, 'below', 0L,
-            'mn2', CAST(NULL AS DOUBLE), 'mx2', CAST(NULL AS DOUBLE)),
+      // fb ∈ [1, coarse²+1] (mx lands in coarse²+1 — still the last
+      // sorted cell); mn == mx (constant-price group) makes
+      // width_bucket NULL → pin to cell 1, placement is irrelevant.
+      // The checkpoint job is the ONLY full-data pass: both sides of
+      // the broadcast join share the scan→groupBy(p,v) exchange
+      // (ReuseExchange materializes it once); n/k50/k90 ride along
+      // (functionally dependent on the priority) so nothing downstream
+      // ever touches the orders table again.
+      val hist = Checkpoints.checkpoint(
+        hist0.join(broadcast(stats), "o_orderpriority")
+          .withColumn("fb", expr(
+            s"coalesce(width_bucket(o_totalprice, mn, mx, ${coarse.toLong * coarse}), 1L)"))
+          .withColumn("cb", expr(s"(fb - 1) div $coarse"))
+          .select(col("o_orderpriority"), col("o_totalprice"), col("cnt"),
+            col("fb"), col("cb"), col("n"), col("k50"), col("k90")))
+      // cumulative walk over the sorted (cell, count) array → the cell
+      // holding rank k and the exact row count below it
+      def locate(bCol: String, k: String) = expr(s"""
+        aggregate(sort_array(collect_list(named_struct('b', $bCol, 'bc', bc))),
+          named_struct('cum', 0L, 'hit', -1L, 'below', 0L),
           (acc, e) -> IF(acc.hit >= 0, acc,
             IF(acc.cum + e.bc >= $k,
                named_struct('cum', acc.cum + e.bc, 'hit', e.b,
-                 'below', acc.cum, 'mn2', e.mn, 'mx2', e.mx),
+                 'below', acc.cum),
                named_struct('cum', acc.cum + e.bc, 'hit', -1L,
-                 'below', 0L, 'mn2', CAST(NULL AS DOUBLE),
-                 'mx2', CAST(NULL AS DOUBLE)))))""")
-      // ONE coarse pass locates BOTH ranks' buckets (shared histogram
-      // shuffle); both percentiles then ride ONE shared re-split
-      // pipeline (tagged rows, see below): hit-bucket entries
-      // re-bucketed over their exact value range — 1000× finer — a
-      // second locate, and a walk of only the final sub-bucket's
-      // entries. All per-priority frames are ≤ 2×#priorities rows →
-      // broadcast.
-      // persist()ed, not checkpointed: three consumers (both rank
-      // branches + the final n projection) share one InMemoryRelation
-      // materialized INSIDE the final action — no separate
-      // materialization job, unlike an eager checkpoint, and no
-      // per-consumer recompute, unlike a bare frame (which multiplies
-      // the locate subtree into every downstream plan: 5.5 s vs 1.9 s
-      // at sf0.1). The cached frame is ≤ #priorities rows.
-      val loc1 = (hist
-        .groupBy(col("o_orderpriority"), col("n"), col("k50"), col("k90"),
-          col("bucket"))
-        .agg(sum(col("cnt")).as("bc"),
-          min(col("o_totalprice")).as("bmn"),
-          max(col("o_totalprice")).as("bmx"))
-        .groupBy(col("o_orderpriority"), col("n"), col("k50"), col("k90"))
-        .agg(locate("k50").as("loc50"), locate("k90").as("loc90"))
-        .select(col("o_orderpriority"), col("n"),
-          col("k50"), col("loc50.hit").as("b50"),
-          col("loc50.below").as("below50"),
-          col("loc50.mn2").as("mn50"), col("loc50.mx2").as("mx50"),
-          col("k90"), col("loc90.hit").as("b90"),
-          col("loc90.below").as("below90"),
-          col("loc90.mn2").as("mn90"), col("loc90.mx2").as("mx90"))).persist()
-      // ONE shared re-split pipeline serves BOTH percentiles: the two
-      // located hit buckets are tagged and exploded into a single frame
-      // keyed by (priority, tag), so the sub-bucket re-bucketing, the
-      // second locate, and the candidate walk each run ONCE instead of
-      // per rank — half the post-checkpoint stages of the two-branch
-      // form, same answers (the branches never shared rows: a rank only
-      // walks entries of ITS hit bucket, which the tag key preserves).
-      val located = loc1.select(col("o_orderpriority"), explode(array(
+                 'below', 0L))))""")
+      val loc1 = hist
+        .groupBy(col("o_orderpriority"), col("k50"), col("k90"), col("cb"))
+        .agg(sum(col("cnt")).as("bc"))
+        .groupBy(col("o_orderpriority"), col("k50"), col("k90"))
+        .agg(locate("cb", "k50").as("l50"), locate("cb", "k90").as("l90"))
+        .select(col("o_orderpriority"), explode(array(
           struct(lit("p50").as("tag"), col("k50").as("k"),
-            col("b50").as("b1"), col("below50").as("below1"),
-            col("mn50").as("mn2"), col("mx50").as("mx2")),
+            col("l50.hit").as("cb1"), col("l50.below").as("below1")),
           struct(lit("p90").as("tag"), col("k90").as("k"),
-            col("b90").as("b1"), col("below90").as("below1"),
-            col("mn90").as("mn2"), col("mx90").as("mx2")))).as("t"))
+            col("l90.hit").as("cb1"), col("l90.below").as("below1")))).as("t"))
         .select(col("o_orderpriority"), col("t.*"))
-      val sub = slim.join(broadcast(located), "o_orderpriority")
-        .filter(col("bucket") === col("b1"))
-        .select(col("o_orderpriority"), col("tag"), col("o_totalprice"),
-          col("cnt"), (col("k") - col("below1")).as("k2"),
-          expr(s"coalesce(width_bucket(o_totalprice, mn2, mx2, $nBuckets), 1L)")
-            .as("bucket"))
-      val loc2 = sub
-        .groupBy(col("o_orderpriority"), col("tag"), col("k2"), col("bucket"))
-        .agg(sum(col("cnt")).as("bc"),
-          min(col("o_totalprice")).as("bmn"),
-          max(col("o_totalprice")).as("bmx"))
-        .groupBy(col("o_orderpriority"), col("tag"), col("k2"))
-        .agg(locate("k2").as("loc"))
+      val loc2 = hist.join(broadcast(loc1), "o_orderpriority")
+        .filter(col("cb") === col("cb1"))
+        .groupBy(col("o_orderpriority"), col("tag"), col("k"),
+          col("below1"), col("fb"))
+        .agg(sum(col("cnt")).as("bc"))
+        .groupBy(col("o_orderpriority"), col("tag"), col("k"), col("below1"))
+        .agg(locate("fb", "k - below1").as("l"))
         .select(col("o_orderpriority"), col("tag"),
-          col("loc.hit").as("b2"), col("loc.below").as("below2"))
-      val pcts = sub.join(broadcast(loc2), Seq("o_orderpriority", "tag"))
-        .filter(col("bucket") === col("b2"))
-        .groupBy(col("o_orderpriority"), col("tag"), col("k2"), col("below2"))
+          (col("k") - col("below1") - col("l.below")).as("krem"),
+          col("l.hit").as("fb2"))
+      hist.join(broadcast(loc2), "o_orderpriority")
+        .filter(col("fb") === col("fb2"))
+        .groupBy(col("o_orderpriority"), col("n"), col("tag"), col("krem"))
         .agg(sort_array(collect_list(struct(
           col("o_totalprice").as("v"), col("cnt").as("c")))).as("cand"))
-        .select(col("o_orderpriority"), col("tag"), expr(s"""
+        .select(col("o_orderpriority"), col("n"), col("tag"), expr("""
           aggregate(cand,
-            named_struct('rem', k2 - below2, 'found', CAST(NULL AS DOUBLE)),
+            named_struct('rem', krem, 'found', CAST(NULL AS DOUBLE)),
             (acc, e) -> IF(acc.found IS NOT NULL, acc,
               IF(acc.rem <= e.c,
                  named_struct('rem', acc.rem, 'found', e.v),
                  named_struct('rem', acc.rem - e.c,
                    'found', CAST(NULL AS DOUBLE)))),
             acc -> acc.found)""").as("v"))
-        .groupBy(col("o_orderpriority"))
+        .groupBy(col("o_orderpriority"), col("n"))
         .agg(min(when(col("tag") === "p50", col("v"))).as("p50"),
           min(when(col("tag") === "p90", col("v"))).as("p90"))
-      loc1.select(col("o_orderpriority"), col("n"))
-        .join(broadcast(pcts), "o_orderpriority")
         .orderBy(col("o_orderpriority"))
     },
     Some("""

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.{Op, Tables}
+import graft.{Caches, Op, Tables}
 import graft.Op.{xhash32, xhash60}
 import graft.functions.Portable._
 
@@ -513,11 +513,10 @@ object TextOps {
       // ReuseExchange does not collapse the differently-projected
       // subtrees). At lake scale the same role is played by
       // materializing the token-count table once per corpus version.
-      val tc = Tables.documents(s, d)
+      val tc = Caches.persist(Tables.documents(s, d)
         .select(col("doc_id"), explode(toks(col("text"))).as("t"))
         .groupBy(col("doc_id"), col("t"))
-        .agg(count(lit(1)).as("c"))
-        .persist()
+        .agg(count(lit(1)).as("c")))
       val freq = tc.groupBy(col("t")).agg(sum(col("c")).as("cnt"))
       val total = freq.agg(sum(col("cnt")).as("tot"))
       tc.join(freq, "t")

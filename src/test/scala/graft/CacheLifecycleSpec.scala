@@ -1,0 +1,49 @@
+package graft
+
+/** Proves the [[Caches]] scope contract the harnesses rely on: after a
+  * FULL board run with per-query scope release (exactly what Bench and
+  * Verify do), no registered entries and no persisted RDDs remain — the
+  * session cache is bounded by ONE query's working set, never the
+  * board's. Also pins the artifact-mode opt-in (entries survive
+  * releaseScope, end with releaseAll).
+  */
+class CacheLifecycleSpec extends SparkSpec {
+
+  test("full board with per-query release leaves zero cache entries") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      fn(spark, sf).count()
+      Caches.releaseScope()
+      // the bound is per-scope, not just end-of-board: nothing survives
+      // any single query's release
+      assert(Caches.liveCount == 0, s"live entries after $name")
+    }
+    // localCheckpoint blocks register with Caches too (Checkpoints), so
+    // a released board leaves NO persisted RDDs of any kind behind
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"persistent RDDs leaked: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
+  test("a query's shared frames are registered while its scope is open") {
+    SparkEntry.queries("ann_bruteforce")(spark, sf).count()
+    assert(Caches.liveCount > 0) // the norm artifact is live mid-scope
+    Caches.releaseScope()
+    assert(Caches.liveCount == 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("artifact mode keeps entries across scopes until releaseAll") {
+    Caches.artifactMode = true
+    try {
+      SparkEntry.queries("ann_bruteforce")(spark, sf).count()
+      Caches.releaseScope()
+      assert(Caches.liveCount > 0) // survived the scope: deployment model
+      SparkEntry.queries("ann_lsh")(spark, sf).count()
+      Caches.releaseScope()
+    } finally {
+      Caches.artifactMode = false
+      Caches.releaseAll()
+    }
+    assert(Caches.liveCount == 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+}
