@@ -129,9 +129,13 @@ object AnnIndex {
 
   /** The incremental step: probe the standing index with the batch,
     * then fold the batch in. The batch norms compute once and feed the
-    * probe, the bucket rows and the vector union (persist()); replayed
-    * vec_ids are dropped before the unions. Persist the step with
-    * [[append]].
+    * probe, the bucket rows and the vector union (persisted via
+    * [[graft.Caches]] — a long-running ingest loop calls
+    * Caches.releaseScope() per batch once the probe and the folded
+    * index have materialized, so per-batch cache entries never
+    * accumulate; or it uses [[append]]/[[load]] as the spec's
+    * foreachBatch cycle does). Replayed vec_ids are dropped before the
+    * unions.
     */
   def ingest(
       index: Index,

@@ -130,8 +130,12 @@ object DedupIndex {
 
   /** The incremental step: probe, then fold the batch into the index.
     * Returns (pairs, updated index); the signatures compute once and
-    * feed both (persist()), and re-delivered doc_ids are dropped before
-    * the union. Persist the step with [[append]].
+    * feed both (persisted via [[graft.Caches]] — a long-running ingest
+    * loop calls Caches.releaseScope() per batch once the probe and the
+    * folded index have materialized, so per-batch cache entries never
+    * accumulate; or it uses [[append]]/[[load]] as DedupIndexSpec's
+    * foreachBatch cycle does). Re-delivered doc_ids are dropped before
+    * the union.
     */
   def ingest(
       index: DataFrame,

@@ -194,11 +194,26 @@ object DedupOps {
   private[graft] def bandedSignatureRows(
       docs: DataFrame, extra: Seq[String] = Nil): DataFrame = {
     val carry = extra.map(col)
-    docs
-      .select(col("doc_id") +: carry :+
-        split(trim(lower(col("text"))), "\\s+").as("tok"): _*)
-      .select(col("doc_id") +: carry :+
-        shinglesFromTokens(col("tok")).as("shs"): _*)
+    bandedFromShingles(
+      docs
+        .select(col("doc_id") +: carry :+
+          split(trim(lower(col("text"))), "\\s+").as("tok"): _*)
+        .select(col("doc_id") +: carry :+
+          shinglesFromTokens(col("tok")).as("shs"): _*),
+      extra)
+  }
+
+  /** minhash + band explode of an already-shingled (doc_id, extra...,
+    * shs) frame: the banding half of [[bandedSignatureRows]], factored
+    * out so [[minhashPairs]] (which shares its shingle frame with
+    * candidate verification) derives its band keys from the SAME
+    * definition instead of an inline copy — the batch/index/stream
+    * compatibility contract is true by construction.
+    */
+  private[graft] def bandedFromShingles(
+      shingled: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    val carry = extra.map(col)
+    shingled
       .select(col("doc_id") +: carry :+ minhash16(col("shs")).as("mh"): _*)
       .select(col("doc_id") +: carry :+ col("mh") :+
         explode(array((0 until NumBands).map { b =>
@@ -234,16 +249,10 @@ object DedupOps {
     */
   private[graft] def minhashPairs(s: SparkSession, d: String,
       maxBucket: Int = MAX_BUCKET): DataFrame = {
-      val mins = shingleSets(s, d)
-        .select(col("doc_id"), minhash16(col("shs")).as("mh"))
-      val bands = mins.select(col("doc_id"),
-        explode(array((0 until K / R).map { b =>
-          struct(lit(b).as("band"),
-            md5(concat_ws("|",
-              element_at(col("mh"), R * b + 1),
-              element_at(col("mh"), R * b + 2))).as("bkey"))
-        }: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      // band keys derive from the ONE banding definition
+      // ([[bandedFromShingles]]) over the shared persisted shingle frame
+      val bands = bandedFromShingles(shingleSets(s, d))
+        .select(col("doc_id"), col("band"), col("bkey"))
       // bucket-local pair enumeration (see dedup_ngram_jaccard): one pass
       // over the signature pipeline instead of a self-join recomputing it
       // per side; the occupancy cap bounds the per-bucket quadratic.

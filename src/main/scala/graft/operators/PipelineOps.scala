@@ -339,8 +339,13 @@ object PipelineOps {
   val sampleWeighted: Op = Op(
     "sample_weighted",
     (s, d) => {
+      // greatest(w, 1): a zero-length document must not divide by zero —
+      // engines disagree on double x/0 (NULL vs Inf), so the Spark and
+      // oracle row sets could diverge on corpora with empty docs. The
+      // clamp (mirrored in the SQL) gives empty docs the minimum weight
+      // instead of undefined behavior.
       val pri = (hash32(concat_ws("|", lit("w"), col("doc_id"))).cast("double") /
-        col("n_chars").cast("double")).as("pri")
+        greatest(col("n_chars"), lit(1L)).cast("double")).as("pri")
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .groupBy(col("lang"))
@@ -357,7 +362,7 @@ object PipelineOps {
         SELECT lang, doc_id, n_chars AS weight,
                CAST(row_number() OVER (PARTITION BY lang
                  ORDER BY CAST(${xhash32("concat_ws('|', 'w', doc_id)")} AS DOUBLE)
-                   / CAST(n_chars AS DOUBLE), doc_id) AS BIGINT) AS rk
+                   / CAST(greatest(n_chars, 1) AS DOUBLE), doc_id) AS BIGINT) AS rk
         FROM documents) t
       WHERE rk <= $WSAMPLE_K
       ORDER BY lang, rk"""))

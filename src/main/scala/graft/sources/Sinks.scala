@@ -43,8 +43,17 @@ object Sinks {
     * log — gets a fresh tag.
     */
   def runTag(checkpointDir: String): String = {
+    // Canonicalize before hashing: two spellings of the same directory
+    // ('/x/ckpt' vs '/x/ckpt/', relative vs absolute, '..' segments)
+    // MUST yield the same tag, or a restart referencing the same
+    // checkpoint under a different spelling would get a fresh dump-id
+    // namespace and its re-delivered epochs would append twice.
+    val f = new java.io.File(checkpointDir)
+    val canon = try f.getCanonicalPath catch {
+      case _: java.io.IOException => f.getAbsolutePath
+    }
     val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8"))
+      .digest(canon.getBytes("UTF-8"))
     d.take(6).map(b => f"${b & 0xff}%02x").mkString
   }
 }
@@ -230,7 +239,7 @@ final case class ExternalSink(
         true
       } catch {
         case e: java.sql.SQLException
-            if ExternalSink.TableNotFoundStates(e.getSQLState) => false
+            if ExternalSink.isTableNotFound(e) => false
       } finally st.close()
     } finally conn.close()
   }
@@ -267,12 +276,21 @@ final case class ExternalSink(
 object ExternalSink {
   /** SQLStates that mean "table/view does not exist" across the dialects
     * Spark's JDBC source ships: Derby 42X05, MySQL/SQL Server/ODBC 42S02,
-    * Postgres 42P01, H2 42102/42S02, legacy MySQL S0002. Anything else is
-    * NOT evidence of a missing log and is rethrown by [[ExternalSink
-    * .exists]].
+    * Postgres 42P01, H2 42102/42S02, DB2 42704, legacy MySQL S0002.
+    * Anything else is NOT evidence of a missing log and is rethrown by
+    * [[ExternalSink.exists]].
     */
   val TableNotFoundStates: Set[String] =
-    Set("42X05", "42S02", "42P01", "42102", "S0002")
+    Set("42X05", "42S02", "42P01", "42102", "42704", "S0002")
+
+  /** Oracle reports a missing table as ORA-00942 under the AMBIGUOUS
+    * SQLState 42000 (syntax-error class), so it is classified by vendor
+    * error code, never by state — treating all of 42000 as "no table"
+    * would swallow real syntax errors and skip the idempotency anti-join.
+    */
+  def isTableNotFound(e: java.sql.SQLException): Boolean =
+    TableNotFoundStates(e.getSQLState) ||
+      (e.getSQLState == "42000" && e.getErrorCode == 942)
 }
 
 /** ClickHouse-FORMAT-CSV-shaped payload rendering: every row of any

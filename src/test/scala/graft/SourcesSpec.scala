@@ -133,6 +133,24 @@ class SourcesSpec extends SparkSpec {
     assert(a == Sinks.runTag("/tmp/ckpt-a"), "tag must be deterministic")
     assert(a != Sinks.runTag("/tmp/ckpt-b"))
     assert(a.matches("[0-9a-f]{12}"), s"tag must be fixed-width hex: $a")
+    // spelling variants of the SAME directory share the tag — a restart
+    // that references the checkpoint with a trailing slash or a '..'
+    // segment must not open a fresh dump-id namespace
+    assert(a == Sinks.runTag("/tmp/ckpt-a/"), "trailing slash")
+    assert(a == Sinks.runTag("/tmp/ckpt-a//"), "double trailing slash")
+    assert(a == Sinks.runTag("/tmp/x/../ckpt-a"), "dot-dot segment")
+  }
+
+  test("ExternalSink.isTableNotFound: dialect states + Oracle vendor code") {
+    import java.sql.SQLException
+    assert(ExternalSink.isTableNotFound(new SQLException("m", "42P01")))
+    assert(ExternalSink.isTableNotFound(new SQLException("m", "42704")))
+    // Oracle: ORA-00942 arrives under the ambiguous 42000 state and is
+    // recognized by vendor code only...
+    assert(ExternalSink.isTableNotFound(new SQLException("m", "42000", 942)))
+    // ...while a genuine 42000 syntax error must still propagate
+    assert(!ExternalSink.isTableNotFound(new SQLException("m", "42000", 936)))
+    assert(!ExternalSink.isTableNotFound(new SQLException("m", "40001")))
   }
 
   test("CsvBulkSink payloads flow through an ExternalSink staging table idempotently") {

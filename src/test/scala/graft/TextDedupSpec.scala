@@ -211,6 +211,12 @@ class TextDedupSpec extends SparkSpec {
       val ids = run(k, miniDir).collect().map(_.getAs[Long]("doc_id")).toSet
       assert(ids.contains(6L) && ids.contains(7L), s"$k dropped edge docs")
     }
+    // the zero-weight clamp: the empty doc (n_chars=0) must still draw a
+    // defined priority key and be sampled, not hit an engine-dependent
+    // division by zero
+    val sampled = run("sample_weighted", miniDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(sampled.contains(6L), "sample_weighted dropped the empty doc")
     Seq("dedup_ngram_jaccard", "dedup_minhash_lsh").foreach { k =>
       val pairs = run(k, miniDir).collect()
         .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")))
