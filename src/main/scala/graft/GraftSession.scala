@@ -19,8 +19,9 @@ object GraftSession {
       .master(master)
       .appName("graft")
       // native kernels: dot_micros/proj_micros (codegen'd), minhash16,
-      // and the topk_min bounded-heap aggregate
+      // the topk_min bounded-heap aggregate, and the bpe_count tokenizer
       .withExtensions(graft.functions.VectorExpressions.registerAll)
+      .withExtensions(graft.functions.Bpe.registerAll)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,206 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Merge-table BPE tokenization — the real token-budget currency of an
+  * LLM data pipeline (whitespace counts misestimate budgets by 2-5×).
+  *
+  * Semantics (the priority-queue BPE variant): lowercase the text; letter
+  * runs `[a-z]+` are BPE words, every other non-whitespace character is
+  * one token (the byte-fallback analog). A word starts as its character
+  * symbols; repeatedly the LOWEST-RANK adjacent symbol pair present in
+  * [[merges]] is merged at its LEFTMOST occurrence, until no pair
+  * applies. One merge per step (not GPT-2's all-occurrences sweep) —
+  * same family, but each step is a pure deterministic string rewrite, so
+  * the DuckDB oracle can replay it exactly with a recursive CTE
+  * ([[sqlWordLenCte]]) and the result is engine- and partition-
+  * independent by construction.
+  *
+  * The merge table is a small public-English fixture (chained merges up
+  * to whole common words), standing in for a learned vocabulary; the
+  * algorithm is vocabulary-agnostic.
+  *
+  * Scale: [[BpeCountExpr]] is a per-DOCUMENT fallback-dispatch expression
+  * (one virtual call per row, like minhash16) with a per-thread word→len
+  * memo — corpus vocabulary is Zipfian, so the merge loop runs roughly
+  * once per DISTINCT word per task, and the op stays a scan-speed narrow
+  * projection with no shuffle.
+  */
+object Bpe {
+
+  /** Rank-ordered merge table (rank = index). */
+  val merges: Vector[(String, String)] = Vector(
+    ("t", "h"), ("i", "n"), ("a", "n"), ("e", "r"), ("o", "n"), ("r", "e"),
+    ("th", "e"), ("e", "n"), ("a", "t"), ("o", "r"), ("s", "t"), ("a", "r"),
+    ("a", "l"), ("o", "u"), ("in", "g"), ("an", "d"), ("e", "d"), ("i", "s"),
+    ("i", "t"), ("l", "e"), ("s", "e"), ("t", "o"), ("o", "f"), ("c", "h"),
+    ("w", "h"), ("h", "a"), ("s", "c"), ("sc", "an"), ("r", "o"), ("ro", "w"),
+    ("t", "a"), ("ta", "b"), ("tab", "le"), ("al", "u"), ("alu", "e"),
+    ("v", "alue"), ("k", "e"), ("ke", "y"), ("ha", "s"), ("has", "h"),
+    ("m", "er"), ("mer", "g"), ("merg", "e"), ("p", "ar"), ("par", "t"),
+    ("s", "p"), ("sp", "ar"), ("spar", "k"), ("q", "u"), ("qu", "er"),
+    ("quer", "y"), ("w", "in"), ("win", "d"), ("o", "w"), ("wind", "ow"),
+    ("g", "r"), ("gr", "ou"), ("grou", "p"), ("o", "in"), ("j", "oin"),
+    ("or", "d"), ("ord", "er"), ("s", "or"), ("sor", "t"), ("fa", "st"),
+    ("f", "a"), ("s", "l"), ("sl", "ow"), ("b", "at"), ("bat", "ch"),
+    ("a", "g"), ("ag", "g"), ("u", "p"), ("d", "up"), ("l", "in"),
+    ("lin", "e"), ("c", "o"), ("i", "l"), ("t", "or"), ("u", "m"))
+
+  private val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + " " + b, i) }
+    m
+  }
+
+  /** BPE-encode one lowercase word; returns the symbol sequence. */
+  def encode(word: String): Vector[String] = {
+    val syms = scala.collection.mutable.ArrayBuffer[String](
+      word.map(_.toString): _*)
+    var continue = syms.length > 1
+    while (continue) {
+      var bestI = -1
+      var bestR = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.get(syms(i) + " " + syms(i + 1))
+        if (r != null && r < bestR) { bestR = r; bestI = i }
+        i += 1
+      }
+      if (bestI < 0) continue = false
+      else {
+        syms(bestI) = syms(bestI) + syms(bestI + 1)
+        syms.remove(bestI + 1)
+      }
+    }
+    syms.toVector
+  }
+
+  /** Token count of one word (memoized per thread; Zipfian corpora hit
+    * the memo almost always). The cap bounds worst-case memory on
+    * adversarial unique-word corpora.
+    */
+  private val memoCap = 1 << 16
+  private val memo: ThreadLocal[java.util.HashMap[String, Integer]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, Integer]())
+  def encodeLen(word: String): Int = {
+    val m = memo.get()
+    val cached = m.get(word)
+    if (cached != null) cached.intValue()
+    else {
+      val n = encode(word).length
+      if (m.size() >= memoCap) m.clear()
+      m.put(word, n)
+      n
+    }
+  }
+
+  /** Whitespace for tokenization purposes — EXACTLY the `[a-z \t\n\r]`
+    * residual class the oracle SQL uses (see [[sqlOtherCount]]).
+    */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r'
+
+  /** Full-document token count over ALREADY-LOWERCASED text: Σ
+    * encodeLen(letter runs) + one token per other non-whitespace char.
+    */
+  def tokenCount(text: String): Long = {
+    var total = 0L
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c >= 'a' && c <= 'z') {
+        val start = i
+        while (i < n && { val d = text.charAt(i); d >= 'a' && d <= 'z' }) i += 1
+        total += encodeLen(text.substring(start, i))
+      } else {
+        if (!isWs(c)) total += 1
+        i += 1
+      }
+    }
+    total
+  }
+
+  /** `bpe_count(lowered_text): long` — per-document dispatch (like
+    * minhash16, CodegenFallback costs one call per document, nothing per
+    * word/char).
+    */
+  case class BpeCountExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "bpe_count"
+    override def nullSafeEval(input: Any): Any =
+      tokenCount(input.toString)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def registerAll(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_count"),
+      new ExpressionInfo(classOf[BpeCountExpr].getName, "bpe_count"),
+      (args: Seq[Expression]) => BpeCountExpr(args(0))))
+
+  // ---- DuckDB oracle twins (generated from the SAME merge table) ----
+
+  /** `(0,'t','h'),(1,'i','n'),...` VALUES body for the merges CTE. */
+  private def mergesValues: String = merges.zipWithIndex
+    .map { case ((a, b), i) => s"($i,'$a','$b')" }.mkString(",")
+
+  /** Recursive-CTE fragment computing `wlen(w, n)` — BPE token count per
+    * distinct word of `docsRel.textCol` (already lowercased there) — by
+    * replaying one leftmost-lowest-rank merge per recursion step on a
+    * space-separated symbol string. Bind into a `WITH RECURSIVE` chain.
+    */
+  def sqlWordLenCte(docsRel: String, textCol: String): String = s"""
+      bpe_merges(mrank, a, b) AS (VALUES $mergesValues),
+      bpe_w0(w) AS (
+        SELECT DISTINCT unnest(regexp_extract_all($textCol, '[a-z]+'))
+        FROM $docsRel),
+      bpe_enc(w, s) AS (
+        SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) FROM bpe_w0
+        UNION ALL
+        SELECT t.w,
+          trim(substr(' '||t.s||' ', 1,
+                 strpos(' '||t.s||' ', ' '||m.a||' '||m.b||' ') - 1)
+            || ' ' || m.a || m.b || ' ' ||
+            substr(' '||t.s||' ',
+              strpos(' '||t.s||' ', ' '||m.a||' '||m.b||' ')
+                + length(' '||m.a||' '||m.b||' ')))
+        FROM (
+          SELECT w, s,
+            (SELECT min(m2.mrank) FROM bpe_merges m2
+              WHERE strpos(' '||s||' ', ' '||m2.a||' '||m2.b||' ') > 0) AS r
+          FROM bpe_enc) t
+        JOIN bpe_merges m ON m.mrank = t.r),
+      bpe_wlen AS (
+        SELECT w, CAST(min(len(string_split(s, ' '))) AS BIGINT) AS n
+        FROM bpe_enc GROUP BY w)"""
+
+  /** Residual (non-letter, non-whitespace) char count of lowercased text
+    * — the single-token fallback class, same set as [[isWs]] + a-z.
+    */
+  def sqlOtherCount(textCol: String): String =
+    s"length(regexp_replace($textCol, '[a-z \\t\\n\\r]', '', 'g'))"
+
+  /** Per-doc BPE token count as a CTE chain ending in
+    * `bpe_doc(doc_id, n_bpe)`; append after [[sqlWordLenCte]].
+    */
+  def sqlDocCountCtes(docsRel: String, textCol: String): String = s"""
+      bpe_wc AS (
+        SELECT doc_id, w, count(*) AS c FROM (
+          SELECT doc_id, unnest(regexp_extract_all($textCol, '[a-z]+')) AS w
+          FROM $docsRel) GROUP BY doc_id, w),
+      bpe_word_tot AS (
+        SELECT doc_id, sum(c * n) AS n_word
+        FROM bpe_wc JOIN bpe_wlen USING (w) GROUP BY doc_id),
+      bpe_doc AS (
+        SELECT d.doc_id,
+               CAST(coalesce(w.n_word, 0) +
+                 ${sqlOtherCount(textCol)} AS BIGINT) AS n_bpe
+        FROM $docsRel d LEFT JOIN bpe_word_tot w ON d.doc_id = w.doc_id)"""
+}

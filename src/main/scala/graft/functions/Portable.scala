@@ -169,6 +169,14 @@ object Portable {
   def topkMin(ordStruct: Column, k: Int): Column =
     call_function("topk_min", ordStruct, lit(k))
 
+  /** Merge-table BPE token count of a text column ([[Bpe]] — lowercased
+    * here so callers and the oracle agree on the input). DuckDB twin:
+    * the recursive CTE [[Bpe.sqlWordLenCte]]/[[Bpe.sqlDocCountCtes]]
+    * replaying the same merges.
+    */
+  def bpeCount(text: Column): Column =
+    call_function("bpe_count", lower(text))
+
   /** Cosine similarity from exact micro dot products: one double division
     * over identical integers → identical doubles everywhere. `na`/`nb` are
     * the precomputed self-dots (dotMicros(v, v)).

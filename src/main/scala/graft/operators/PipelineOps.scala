@@ -442,37 +442,42 @@ object PipelineOps {
     * total, bounded by PACK_BLOCK rows regardless of corpus size. Every
     * offset is the exact integer the sequential concat would produce.
     */
+  /** The packing plan shared by G9/G9b: `ntCol` is the per-doc token
+    * count INCLUDING the EOS token (whitespace for doc_pack, real BPE
+    * for doc_pack_bpe — same manifest arithmetic either way).
+    */
+  private def packManifest(s: SparkSession, d: String, ntCol: Column): DataFrame = {
+    // persist(): the narrow (doc_id, blk, nt) frame feeds both the
+    // block-sum aggregate and the join — one tokenizing scan, not two
+    val docs = Caches.persist(Tables.documents(s, d)
+      .select(col("doc_id"), ntCol.as("nt"),
+        expr(s"doc_id div $PACK_BLOCK").as("blk")))
+    val blockSums = docs.groupBy(col("blk")).agg(sum(col("nt")).as("bsum"))
+    val wBlocks = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blockBases = blockSums
+      .select(col("blk"), (sum(col("bsum")).over(wBlocks) - col("bsum"))
+        .as("block_base"))
+    val wIntra = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(blockBases), "blk")
+      .withColumn("start",
+        col("block_base") + sum(col("nt")).over(wIntra) - col("nt"))
+      .select(col("doc_id"), (col("nt") - 1).as("n_tokens"),
+        expr(s"start div $SEQ_TOKENS").as("seq_idx"),
+        (col("start") % SEQ_TOKENS).as("offset_in_seq"),
+        (expr(s"(start + nt - 1) div $SEQ_TOKENS")
+          - expr(s"start div $SEQ_TOKENS") + 1L).as("n_seqs_spanned"),
+        (expr(s"(start + nt - 1) div $SEQ_TOKENS")
+          =!= expr(s"start div $SEQ_TOKENS")).as("is_split"))
+      .orderBy(col("doc_id"))
+  }
+
   val docPack: Op = Op(
     "doc_pack",
-    (s, d) => {
-      // persist(): the narrow (doc_id, blk, nt) frame feeds both the
-      // block-sum aggregate and the join — one tokenizing scan, not two
-      val docs = Caches.persist(Tables.documents(s, d)
-        .select(col("doc_id"),
-          split(trim(lower(col("text"))), "\\s+").as("tok"),
-          expr(s"doc_id div $PACK_BLOCK").as("blk"))
-        .select(col("doc_id"), col("blk"),
-          (size(col("tok")) + 1).cast(LongType).as("nt"))) // +1 = EOS
-      val blockSums = docs.groupBy(col("blk")).agg(sum(col("nt")).as("bsum"))
-      val wBlocks = Window.orderBy(col("blk"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val blockBases = blockSums
-        .select(col("blk"), (sum(col("bsum")).over(wBlocks) - col("bsum"))
-          .as("block_base"))
-      val wIntra = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs.join(broadcast(blockBases), "blk")
-        .withColumn("start",
-          col("block_base") + sum(col("nt")).over(wIntra) - col("nt"))
-        .select(col("doc_id"), (col("nt") - 1).as("n_tokens"),
-          expr(s"start div $SEQ_TOKENS").as("seq_idx"),
-          (col("start") % SEQ_TOKENS).as("offset_in_seq"),
-          (expr(s"(start + nt - 1) div $SEQ_TOKENS")
-            - expr(s"start div $SEQ_TOKENS") + 1L).as("n_seqs_spanned"),
-          (expr(s"(start + nt - 1) div $SEQ_TOKENS")
-            =!= expr(s"start div $SEQ_TOKENS")).as("is_split"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => packManifest(s, d,
+      // +1 = EOS
+      (size(split(trim(lower(col("text"))), "\\s+")) + 1).cast(LongType)),
     Some(s"""
       SELECT doc_id, nt - 1 AS n_tokens,
              (cum - nt) // $SEQ_TOKENS AS seq_idx,
@@ -490,6 +495,36 @@ object PipelineOps {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS BIGINT) AS cum
         FROM documents) t
+      ORDER BY doc_id"""))
+
+  /** G9b — packing manifest budgeted in REAL BPE tokens
+    * ([[graft.functions.Portable.bpeCount]]): identical manifest
+    * arithmetic to G9, but sequence boundaries land where a real
+    * tokenizer would put them — whitespace counts under-fill sequences
+    * by whatever the corpus' chars-per-token ratio is. The oracle
+    * replays the merge table with the C12 recursive CTE, then the same
+    * running-sum arithmetic.
+    */
+  val docPackBpe: Op = Op(
+    "doc_pack_bpe",
+    (s, d) => packManifest(s, d, bpeCount(col("text")) + 1L), // +1 = EOS
+    Some(s"""
+      WITH RECURSIVE
+      ${graft.functions.Bpe.sqlWordLenCte("documents", "lower(text)")},
+      ${graft.functions.Bpe.sqlDocCountCtes("documents", "lower(text)")}
+      SELECT doc_id, nt - 1 AS n_tokens,
+             (cum - nt) // $SEQ_TOKENS AS seq_idx,
+             (cum - nt) % $SEQ_TOKENS AS offset_in_seq,
+             (cum - 1) // $SEQ_TOKENS - (cum - nt) // $SEQ_TOKENS + 1
+               AS n_seqs_spanned,
+             (cum - 1) // $SEQ_TOKENS != (cum - nt) // $SEQ_TOKENS
+               AS is_split
+      FROM (
+        SELECT doc_id, n_bpe + 1 AS nt,
+               CAST(sum(n_bpe + 1) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM bpe_doc) t
       ORDER BY doc_id"""))
 
   /** G10 — dataset-mixture planning: given per-source token counts and
@@ -555,5 +590,6 @@ object PipelineOps {
 
   val all: Seq[Op] = Seq(
     joinAsof, joinRange, sampleStratified, qualityFilter, eventsRetention,
-    eventsFunnel, sampleWeighted, eventsAnomaly, docPack, mixturePlan)
+    eventsFunnel, sampleWeighted, eventsAnomaly, docPack, docPackBpe,
+    mixturePlan)
 }

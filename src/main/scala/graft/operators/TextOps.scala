@@ -556,8 +556,44 @@ object TextOps {
         GROUP BY tc.doc_id) z
       ORDER BY doc_id"""))
 
+  /** C12 — real merge-table BPE token counting ([[graft.functions.Bpe]]):
+    * the token-budget currency C1's whitespace/pre-tokenizer counts only
+    * approximate. One narrow scan-speed projection; the kernel dispatches
+    * once per document and memoizes per distinct word (Zipfian corpora
+    * pay the merge loop ~once per word type per task). The oracle replays
+    * the identical merge table with a recursive CTE — one leftmost
+    * lowest-rank merge per step — so the count is engine-exact, not
+    * approximated.
+    */
+  val textBpeCount: Op = Op(
+    "text_bpe_count",
+    (s, d) => {
+      val nBpe = bpeCount(col("text"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          nBpe.as("n_bpe"),
+          size(toks(col("text"))).cast(LongType).as("n_ws_tokens"),
+          length(col("text")).cast(LongType).as("n_chars_m"),
+          (length(col("text")).cast("double") / greatest(nBpe, lit(1L)))
+            .as("chars_per_token"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      ${graft.functions.Bpe.sqlWordLenCte("documents", "lower(text)")},
+      ${graft.functions.Bpe.sqlDocCountCtes("documents", "lower(text)")}
+      SELECT d.doc_id, b.n_bpe,
+             CAST(len(regexp_split_to_array(trim(lower(d.text)), '\\s+'))
+               AS BIGINT) AS n_ws_tokens,
+             CAST(length(d.text) AS BIGINT) AS n_chars_m,
+             CAST(length(d.text) AS DOUBLE) / greatest(b.n_bpe, 1)
+               AS chars_per_token
+      FROM documents d JOIN bpe_doc b ON d.doc_id = b.doc_id
+      ORDER BY d.doc_id"""))
+
   val all: Seq[Op] = Seq(
     textTokenCount, textQuality, textLangid, textFingerprint, textNgramFreq,
     textDocFreq, textCharNgrams, textRepetition, textBm25, textVocabCoverage,
-    textRarity)
+    textRarity, textBpeCount)
 }

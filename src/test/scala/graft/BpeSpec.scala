@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bpe
+
+/** Semantics of the merge-table BPE tokenizer (C12/G9b): the Scala merge
+  * loop, the kernel expression, and the manifest parity between the
+  * whitespace and BPE packers.
+  */
+class BpeSpec extends SparkSpec {
+
+  test("encode: chained merges reach whole common words") {
+    assert(Bpe.encode("the") === Vector("the"))
+    assert(Bpe.encode("table") === Vector("table"))
+    assert(Bpe.encode("value") === Vector("value"))
+    assert(Bpe.encode("window") === Vector("window"))
+    assert(Bpe.encode("scan") === Vector("scan"))
+    // partial tokenizations stay partial (no merge path to the full word)
+    // (p,ar) ranks below (s,p), so par forms before sp can
+    assert(Bpe.encode("spark") === Vector("s", "par", "k"))
+    assert(Bpe.encode("data") === Vector("d", "at", "a"))
+    assert(Bpe.encode("stream") === Vector("st", "re", "a", "m"))
+    // unknown letters stay single chars
+    assert(Bpe.encode("xyzzy").length === 5)
+  }
+
+  test("encode: leftmost-lowest-rank order is what the loop applies") {
+    // "thethethe": (t,h) rank 0 fires at each position before (th,e);
+    // final = three 'the' symbols regardless of interleaving
+    assert(Bpe.encode("thethethe") === Vector("the", "the", "the"))
+    // repeated pair: leftmost-first gives ceil-halving, not chain-greedy
+    assert(Bpe.encode("aaaa").length === 4) // (a,a) not a merge
+    assert(Bpe.encode("ananan") === Vector("an", "an", "an"))
+  }
+
+  test("tokenCount: words + residual chars, whitespace free") {
+    assert(Bpe.tokenCount("the table") === 2L)
+    assert(Bpe.tokenCount("") === 0L)
+    assert(Bpe.tokenCount("  \t\n ") === 0L)
+    // punctuation and digits count one token per char
+    assert(Bpe.tokenCount("the, table!") === 4L)
+    assert(Bpe.tokenCount("a1b2") === 4L) // a,1,b,2
+  }
+
+  test("bpe_count expression matches the Scala loop through a Spark plan") {
+    import spark.implicits._
+    val docs = Seq("the table value", "spark scan data", "", "a, b! c?")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        graft.functions.Portable.bpeCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Seq("the table value", "spark scan data", "", "a, b! c?")
+      .zipWithIndex.map { case (t, i) => i.toLong -> Bpe.tokenCount(t.toLowerCase) }
+      .toMap
+    assert(got === want)
+  }
+
+  test("doc_pack_bpe: manifest arithmetic consistent with its own counts") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = PipelineOps.docPackBpe.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // offsets are the exact running concat: reconstruct and compare
+    var cum = 0L
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      val nt = r.getLong(1) + 1 // +EOS
+      val seqIdx = r.getLong(2)
+      val off = r.getLong(3)
+      assert(seqIdx === cum / 512 && off === cum % 512,
+        s"doc ${r.getLong(0)}: manifest offset mismatch")
+      cum += nt
+    }
+    // BPE budgets differ from whitespace budgets on real text
+    val ws = PipelineOps.docPack.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val diff = rows.count(r => ws(r.getLong(0)) != r.getLong(1))
+    assert(diff > 0, "BPE token counts should differ from whitespace counts")
+  }
+
+  private object PipelineOps {
+    val docPackBpe = graft.operators.PipelineOps.all
+      .find(_.key == "doc_pack_bpe").get
+    val docPack = graft.operators.PipelineOps.all
+      .find(_.key == "doc_pack").get
+  }
+}
