@@ -486,6 +486,130 @@ object SinkOps {
             FROM events) t1) t2) t3
       ORDER BY user_id, ord"""))
 
+  /** A6b — the full XBlock serializer unit: location-keyed LAST-WINS
+    * dedup + branch/version key normalization + hierarchy counters, the
+    * three steps `XBlockSink.serialize_item` chains
+    * (course_published.py:47-94: the `location_to_node` dict overwrite
+    * keeps the last occurrence per location; :130-138
+    * `strip_branch_and_version` normalizes the key first; then the
+    * section/subsection/unit counters run over the deduped sequence).
+    *
+    * Locations are synthesized from events WITH planted duplicates:
+    * `pmod(event_id, 40)` gives each user ~2-3 raw blocks per normalized
+    * location, and each raw location carries a distinct
+    * `:branch@…:version@…` suffix, so the dedup only collapses AFTER the
+    * strip — both reference behaviors are load-bearing in the result.
+    *
+    * Scale shape: one shuffle on (user, location) for the last-wins
+    * max_by (map-side combined — at most one row per key per map task),
+    * then the stacked counter windows partition on user-prefixed keys
+    * exactly as A6 — per-key sorts, never a global sort.
+    */
+  val sinkXblockDedup: Op = Op(
+    "sink_xblock_dedup",
+    (s, d) => {
+      val raw = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          concat(lit("lb:org:c"), col("user_id"), lit(":b"),
+            pmod(col("event_id"), lit(40)), lit(":branch@"),
+            col("event_type"), lit(":version@"), col("event_id"))
+            .as("raw_location"))
+        // strip_branch_and_version: the dedup key drops branch+version
+        .withColumn("location",
+          regexp_replace(col("raw_location"), ":branch@.*$", ""))
+      val deduped = raw
+        .groupBy(col("user_id"), col("location"))
+        .agg(max_by(
+          struct(col("us"), col("event_id"), col("event_type")),
+          struct(col("us"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("location"), col("m.us").as("us"),
+          col("m.event_id").as("event_id"),
+          col("m.event_type").as("event_type"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bySection = Window.partitionBy(col("user_id"), col("section"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bySubsection = Window
+        .partitionBy(col("user_id"), col("section"), col("subsection"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deduped
+        .withColumn("ord", row_number().over(byUser).cast(LongType))
+        .withColumn("section",
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L)).over(run))
+        .withColumn("subsection",
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .over(bySection))
+        .withColumn("unit",
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .over(bySubsection))
+        .withColumn("block_type",
+          when(col("event_type") === "signup", "chapter")
+            .when(col("event_type") === "purchase", "sequential")
+            .when(col("event_type") === "click", "vertical")
+            .when(col("event_type") === "view", "static_tab")
+            .otherwise("course_info"))
+        .withColumn("detached",
+          when(col("block_type").isin("static_tab", "about", "course_info"), 1L)
+            .otherwise(0L))
+        .select(col("user_id"), col("location"), col("event_id"), col("ord"),
+          col("section"), col("subsection"), col("unit"),
+          col("block_type"), col("detached"))
+        .orderBy(col("user_id"), col("ord"))
+    },
+    Some("""
+      SELECT user_id, location, event_id, ord, section, subsection, unit,
+             CASE event_type WHEN 'signup' THEN 'chapter'
+                  WHEN 'purchase' THEN 'sequential'
+                  WHEN 'click' THEN 'vertical'
+                  WHEN 'view' THEN 'static_tab'
+                  ELSE 'course_info' END AS block_type,
+             CAST(CASE WHEN (CASE event_type WHEN 'signup' THEN 'chapter'
+                  WHEN 'purchase' THEN 'sequential'
+                  WHEN 'click' THEN 'vertical'
+                  WHEN 'view' THEN 'static_tab'
+                  ELSE 'course_info' END)
+                IN ('static_tab', 'about', 'course_info')
+                THEN 1 ELSE 0 END AS BIGINT) AS detached
+      FROM (
+        SELECT *, CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id, section, subsection
+                       ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS unit
+        FROM (
+          SELECT *, CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id, section
+                         ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS subsection
+          FROM (
+            SELECT user_id, location, event_id, event_type, us,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                     ORDER BY us, event_id) AS BIGINT) AS ord,
+                   CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS section
+            FROM (
+              SELECT user_id, location, us, event_id, event_type
+              FROM (
+                SELECT user_id,
+                       regexp_replace(concat('lb:org:c', user_id, ':b',
+                         event_id % 40, ':branch@', event_type,
+                         ':version@', event_id), ':branch@.*$', '')
+                         AS location,
+                       epoch_us(ts) AS us, event_id, event_type,
+                       row_number() OVER (
+                         PARTITION BY user_id,
+                           regexp_replace(concat('lb:org:c', user_id, ':b',
+                             event_id % 40, ':branch@', event_type,
+                             ':version@', event_id), ':branch@.*$', '')
+                         ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+                FROM events) dd
+              WHERE rn = 1) t0) t1) t2) t3
+      ORDER BY user_id, ord"""))
+
   /** A7 — select_related serializer: the reference's
     * `UserExternalIDSerializer` (serializers.py:69-86) projects the
     * external-id row plus two 1:1 joined attributes (`user.username`,
@@ -559,6 +683,166 @@ object SinkOps {
       FROM orders
       ORDER BY o_orderkey"""))
 
+  /** A12 — config-gated CCX course expansion: the reference's
+    * `get_ccx_courses` (utils.py:62-68) — iff
+    * `settings.FEATURES["CUSTOM_COURSES_EDX"]` is on, each published
+    * course additionally fans out to its CCX child courses
+    * (`custom_course_edx.objects.filter(course_id=...)`), each of which
+    * is fed through the SAME sink dump as its own course (signals.py
+    * `receive_course_publish` loops `dump_data_to_clickhouse` over
+    * them). Twin: A2's gate filters the parents; when the flag is on, a
+    * sparse child model (lineitems with `l_partkey % 5 = 0` standing in
+    * for the CCX registry) expands 1:N via one co-partitioned join on
+    * the parent key, and every row — parent or CCX — carries its OWN
+    * deterministic dump id (CCX courses are dumped as courses, not as
+    * related children: contrast A11, where children ride the parent's
+    * dump metadata).
+    *
+    * The flag is a BUILD-TIME parameter: `sink_ccx_expand_off` shares
+    * this builder with the expansion compiled out — the off-plan
+    * contains no child-table scan at all, which is what a config gate
+    * means operationally at 100 TB.
+    */
+  private def ccxExpand(enabled: Boolean) =
+    (s: org.apache.spark.sql.SparkSession, d: String) => {
+      val sinkState = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("dumped_at"))
+      val parents = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .join(sinkState, col("o_orderkey") === col("l_orderkey"), "left")
+        .filter(col("dumped_at").isNull || col("dumped_at") < col("o_orderdate"))
+        .select(col("o_orderkey").as("course_id"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+            .as("time_last_dumped"))
+      val parentRows = parents.select(
+        col("course_id"),
+        concat(lit("course-v1:c"), col("course_id")).as("course_key"),
+        lit(0L).as("is_ccx"),
+        concat(lit("dump-"),
+          hash32(concat(lit("crs|"), col("course_id"))).cast("string"))
+          .as("dump_id"),
+        col("time_last_dumped"))
+      val rows =
+        if (!enabled) parentRows
+        else {
+          // distinct: the registry has one row per CCX id (the synthetic
+          // lineitem repeats (orderkey, linenumber) pairs; a real
+          // custom_course_edx table is pk-unique)
+          val ccx = parents.join(Tables.lineitem(s, d)
+                .filter(col("l_partkey") % 5 === 0)
+                .select(col("l_orderkey"), col("l_linenumber"))
+                .distinct(),
+              col("course_id") === col("l_orderkey"))
+            .select(
+              col("course_id"),
+              concat(lit("ccx-v1:c"), col("course_id"), lit(":ccx@"),
+                col("l_linenumber")).as("course_key"),
+              lit(1L).as("is_ccx"),
+              concat(lit("dump-"),
+                hash32(concat(lit("ccx|"), col("course_id"), lit("|"),
+                  col("l_linenumber"))).cast("string")).as("dump_id"),
+              col("time_last_dumped"))
+          parentRows.union(ccx)
+        }
+      rows.orderBy(col("course_id"), col("is_ccx"), col("course_key"))
+    }
+
+  private def ccxSql(enabled: Boolean): String = {
+    val parents = s"""
+        SELECT o_orderkey AS course_id,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS time_last_dumped
+        FROM orders
+        LEFT JOIN (SELECT l_orderkey AS sk, max(l_shipdate) AS dumped_at
+                   FROM lineitem GROUP BY 1) sink
+          ON o_orderkey = sk
+        WHERE dumped_at IS NULL OR dumped_at < o_orderdate"""
+    val parentRows = s"""
+      SELECT course_id, concat('course-v1:c', course_id) AS course_key,
+             CAST(0 AS BIGINT) AS is_ccx,
+             concat('dump-', CAST(${Op.xhash32("concat('crs|', course_id)")}
+               AS VARCHAR)) AS dump_id,
+             time_last_dumped
+      FROM p"""
+    val ccxRows = s"""
+      SELECT course_id,
+             concat('ccx-v1:c', course_id, ':ccx@', l_linenumber)
+               AS course_key,
+             CAST(1 AS BIGINT) AS is_ccx,
+             concat('dump-', CAST(${Op.xhash32(
+               "concat('ccx|', course_id, '|', l_linenumber)")}
+               AS VARCHAR)) AS dump_id,
+             time_last_dumped
+      FROM p JOIN (SELECT DISTINCT l_orderkey, l_linenumber
+                   FROM lineitem WHERE l_partkey % 5 = 0) ccx_reg
+        ON course_id = l_orderkey"""
+    val body = if (enabled) s"$parentRows UNION ALL $ccxRows" else parentRows
+    s"""
+      WITH p AS ($parents)
+      SELECT * FROM ($body) u
+      ORDER BY course_id, is_ccx, course_key"""
+  }
+
+  val sinkCcxExpand: Op =
+    Op("sink_ccx_expand", ccxExpand(enabled = true), Some(ccxSql(true)))
+
+  /** A12-off — the same builder with CUSTOM_COURSES_EDX off: parents
+    * only, no child scan in the plan.
+    */
+  val sinkCcxExpandOff: Op =
+    Op("sink_ccx_expand_off", ccxExpand(enabled = false), Some(ccxSql(false)))
+
+  /** A13 — per-sink enable/disable gating: `ModelBaseSink.is_enabled`
+    * (base_sink.py:338-359) returns `settings flag OR waffle flag` per
+    * sink model, and a disabled sink's `dump` is simply never invoked.
+    * Twin over a literal flag fixture (two boolean sources per model,
+    * like the settings + WaffleFlag pair): the report lists each model
+    * with both flags, the OR, and the rows it would dump — and for a
+    * DISABLED model the Spark plan contains NO scan of that table at
+    * all (the count is a compile-time literal 0), which is the
+    * operational meaning of the gate: a disabled sink costs zero reads
+    * at any scale.
+    */
+  val sinkGating: Op = Op(
+    "sink_gating",
+    (s, d) => {
+      // (model, settings flag, waffle flag) — the gating fixture
+      val flags = Seq(
+        ("customer", false, true),
+        ("events", false, false),
+        ("orders", true, false),
+        ("part", true, true),
+        ("supplier", false, false))
+      val perModel = flags.map { case (name, setting, waffle) =>
+        val enabled = setting || waffle
+        val base = s.range(1).select(
+          lit(name).as("model"),
+          lit(setting).as("setting_enabled"),
+          lit(waffle).as("waffle_enabled"),
+          lit(enabled).as("is_enabled"))
+        if (enabled)
+          base.crossJoin(
+            Tables.load(s, d, name).agg(count(lit(1)).as("n_dumped")))
+        else base.withColumn("n_dumped", lit(0L))
+      }
+      perModel.reduce(_.unionByName(_)).orderBy(col("model"))
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'customer' AS model, false AS setting_enabled,
+               true AS waffle_enabled, true AS is_enabled,
+               (SELECT count(*) FROM customer) AS n_dumped
+        UNION ALL
+        SELECT 'events', false, false, false, 0
+        UNION ALL
+        SELECT 'orders', true, false, true,
+               (SELECT count(*) FROM orders)
+        UNION ALL
+        SELECT 'part', true, true, true,
+               (SELECT count(*) FROM part)
+        UNION ALL
+        SELECT 'supplier', false, false, false, 0) g
+      ORDER BY model"""))
+
   /** A9 — tumbling time-window aggregation: the batch twin of the
     * streaming ingest job (reference signals.py + tasks.py; Spark twin in
     * [[graft.streaming.EventIngest]]). Uses the Structured-Streaming
@@ -582,6 +866,7 @@ object SinkOps {
   val all: Seq[Op] = Seq(
     sinkLatestState, sinkShouldDump, sinkRetireUsers, sinkPseudonymize,
     sinkPagination, sinkBackfillPlan, sinkSerializeOverview,
-    sinkSerializeProfile, sinkXblockHierarchy, sinkExternalId,
-    sinkCsvFormat, eventsWindowedAgg, sinkDumpRelated)
+    sinkSerializeProfile, sinkXblockHierarchy, sinkXblockDedup,
+    sinkExternalId, sinkCsvFormat, eventsWindowedAgg, sinkDumpRelated,
+    sinkCcxExpand, sinkCcxExpandOff, sinkGating)
 }

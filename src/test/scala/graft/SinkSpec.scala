@@ -252,4 +252,69 @@ class SinkSpec extends SparkSpec {
     assert(rLim.batchesPlanned == Seq(0L, 1L), s"got $rLim")
     assert(rLim.rowsAppended == 400L && s3.log(spark).count() == 400L)
   }
+
+  test("sink_xblock_dedup: strip-then-last-wins actually collapses") {
+    val events = Tables.events(spark, sf)
+    val nEvents = events.count()
+    val got = run("sink_xblock_dedup")
+    val rows = got.collect()
+    assert(rows.length < nEvents,
+      "planted duplicate locations must collapse (dict-overwrite twin)")
+    // survivors are unique per (user, location) and each survivor is the
+    // LAST raw occurrence for its normalized location
+    val byKey = rows.groupBy(r =>
+      (r.getAs[Long]("user_id"), r.getAs[String]("location")))
+    assert(byKey.values.forall(_.length == 1))
+    val lastByKey = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        concat(lit("lb:org:c"), col("user_id"), lit(":b"),
+          pmod(col("event_id"), lit(40))).as("location"))
+      .groupBy(col("user_id"), col("location"))
+      .agg(max(struct(col("us"), col("event_id"))).as("m"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("location")) ->
+        r.getStruct(2).getLong(1)).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[String]("location"))
+      assert(r.getAs[Long]("event_id") == lastByKey(k),
+        s"survivor for $k is not the last occurrence")
+    }
+    // locations are normalized: no branch/version residue on the key
+    assert(rows.forall(r => !r.getAs[String]("location").contains("branch@")))
+  }
+
+  test("sink_gating: a disabled sink's plan contains no scan of its table") {
+    val df = run("sink_gating")
+    val rows = df.collect().map(r => r.getAs[String]("model") ->
+      (r.getAs[Boolean]("is_enabled"), r.getAs[Long]("n_dumped"))).toMap
+    assert(rows("orders")._1 && rows("orders")._2 > 0)
+    assert(rows("customer")._1 && rows("customer")._2 > 0) // waffle-only
+    assert(!rows("events")._1 && rows("events")._2 == 0)
+    assert(!rows("supplier")._1 && rows("supplier")._2 == 0)
+    // the operational point of is_enabled: disabled models never read
+    val p = plan(df)
+    assert(p.contains("orders.parquet") && p.contains("customer.parquet"))
+    assert(!p.contains("events.parquet") && !p.contains("supplier.parquet"),
+      "disabled sinks must be compiled out of the plan, not filtered")
+  }
+
+  test("sink_ccx_expand: flag gates the child scan and the fan-out rows") {
+    val on = run("sink_ccx_expand").collect()
+    val off = run("sink_ccx_expand_off").collect()
+    assert(off.forall(_.getAs[Long]("is_ccx") == 0L))
+    assert(on.count(_.getAs[Long]("is_ccx") == 0L) == off.length,
+      "parent rows identical with the flag on or off")
+    assert(on.exists(_.getAs[Long]("is_ccx") == 1L), "expansion must fire")
+    // ccx rows carry their OWN dump ids, never a parent's
+    val ids = on.map(_.getAs[String]("dump_id"))
+    assert(ids.distinct.length == ids.length)
+    // the config gate is plan-level: with the flag off the CHILD scan of
+    // lineitem disappears (one scan remains — the A2 dump gate's sink
+    // state is also lineitem-backed)
+    def scans(key: String) =
+      "lineitem\\.parquet".r.findAllIn(plan(run(key))).size
+    assert(scans("sink_ccx_expand_off") < scans("sink_ccx_expand"),
+      "flag-off plan must drop the child-table scan")
+  }
 }
