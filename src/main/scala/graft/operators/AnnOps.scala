@@ -131,14 +131,28 @@ object AnnOps {
       java.lang.Long.parseLong(hex, 16) % 1000 - 500
     }
 
+  /** Exact integer projection against plane `t*6+k`. */
+  private def projCol(emb: Column, t: Int, k: Int): Column =
+    projMicros(emb, typedlit(planeWeights(t * PLANES_PER_TABLE + k)))
+
   /** Bucket id for hash table `t`: 6 sign bits of exact integer
     * projections against planes 6t..6t+5.
     */
   private def bucketCol(emb: Column, t: Int): Column =
     (0 until PLANES_PER_TABLE).map { k =>
-      val proj = projMicros(emb, typedlit(planeWeights(t * PLANES_PER_TABLE + k)))
-      shiftleft(when(proj > 0, 1L).otherwise(0L), k)
+      shiftleft(when(projCol(emb, t, k) > 0, 1L).otherwise(0L), k)
     }.reduce(_ + _)
+
+  /** Margin keys for multiprobe: element k is `|proj_k|·8 + k` — the
+    * abs projection IS the distance to the sign boundary in exact micro
+    * units, and packing the plane index into the low 3 bits makes
+    * argmin a plain `array_min(keys) % 8` with deterministic (smallest
+    * index) tie-breaks, identically in both engines. |proj| ≤ 64·1e6·500
+    * ≈ 3.2e10, so ·8 sits far inside a long.
+    */
+  private def marginKeys(emb: Column, t: Int): Column =
+    array((0 until PLANES_PER_TABLE).map(k =>
+      abs(projCol(emb, t, k)) * 8 + lit(k.toLong)): _*)
 
   /** (vec_id, table, bucket) membership rows — the OR-amplified LSH
     * index, ids only. At scale this IS the artifact you persist beside
@@ -146,6 +160,9 @@ object AnnOps {
     * search (E2) and embedding dedup (D5). Embeddings re-attach by
     * vec_id later, so no index row ever carries a 0.5 KB vector.
     */
+  private[graft] def debugBucketIndex(s: SparkSession, d: String): DataFrame =
+    bucketIndex(withNorm(s, d))
+
   private[operators] def bucketIndex(e: DataFrame): DataFrame =
     e.select(col("vec_id"),
       explode(array((0 until TABLES).map(t =>
@@ -153,13 +170,25 @@ object AnnOps {
         .as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
 
+  /** DuckDB twin of [[projCol]] (plane index absolute: t*6+k). */
+  private def sqlProj(tbl: String, plane: Int): String = {
+    val ws = planeWeights(plane).mkString("[", ",", "]")
+    s"""CAST(list_sum(list_transform(generate_series(1,64), ix ->
+         CAST(floor(CAST($tbl.embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT) *
+         ($ws)[ix])) AS BIGINT)"""
+  }
+
   private[operators] def sqlBucket(tbl: String, t: Int): String =
     (0 until PLANES_PER_TABLE).map { k =>
-      val ws = planeWeights(t * PLANES_PER_TABLE + k).mkString("[", ",", "]")
-      s"""(CAST(CASE WHEN CAST(list_sum(list_transform(generate_series(1,64), ix ->
-         CAST(floor(CAST($tbl.embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT) *
-         ($ws)[ix])) AS BIGINT) > 0 THEN 1 ELSE 0 END AS BIGINT) << $k)"""
+      s"""(CAST(CASE WHEN ${sqlProj(tbl, t * PLANES_PER_TABLE + k)}
+         > 0 THEN 1 ELSE 0 END AS BIGINT) << $k)"""
     }.mkString(" + ")
+
+  /** DuckDB twin of [[marginKeys]]. */
+  private def sqlKeys(tbl: String, t: Int): String =
+    (0 until PLANES_PER_TABLE)
+      .map(k => s"abs(${sqlProj(tbl, t * PLANES_PER_TABLE + k)})*8 + $k")
+      .mkString("[", ", ", "]")
 
   /** E2 — multi-table random-hyperplane LSH ANN (the 100 TB scale path):
     * 8 independent hash tables of 6 sign-bit planes each; a corpus vector
@@ -176,22 +205,63 @@ object AnnOps {
     * vector by vec_id (the corpus side is already hash-partitioned on
     * vec_id, so the re-attach reuses that exchange) and the query vector
     * from the broadcast query set. Score with the exact-micros cosine,
-    * top-k per query. Tuning: recall per true neighbor ≈ 1-(1-a^6)^8
-    * where a = 1-θ/π — ~0.3-0.5 for this corpus' weakly-clustered
-    * neighbors (measured against E1 in AnnSpec) while scanning ~10% of
-    * the corpus.
+    * top-k per query.
+    *
+    * MULTIPROBE (the production-recall setting): each query probes its
+    * own bucket PLUS the three neighbor buckets obtained by flipping the
+    * one or two sign bits with the smallest projection margin (|proj| is
+    * the exact integer distance to that plane's boundary — the flip most
+    * likely to recover a near neighbor hashed just across it). Measured
+    * recall@5 vs E1 (AnnSpec, which also reports the candidate scan
+    * fraction): 1.0 on a planted-cluster corpus at scan 0.52, 0.85 even
+    * on the near-isotropic sf corpus (top-5 cos ≈ 0.3, LSH's worst
+    * case) at scan 0.41. The corpus side still hashes ONCE — multiprobe
+    * multiplies only the broadcast-sized probe list, never the index,
+    * which is why it is the scale-correct recall lever (vs more tables,
+    * which re-hash the corpus).
+    *
+    * [[lshCandidates]] builds the (q_id, vec_id) candidate set —
+    * exposed separately so AnnSpec can pin the measured scan fraction
+    * next to the recall it buys.
     */
+  private[graft] def lshCandidates(s: SparkSession, d: String): DataFrame = {
+      val e = withNorm(s, d)
+      val b = bucketIndex(e)
+      val qraw = e.filter(col("vec_id") < QUERY_MAX)
+        .select(col("vec_id").as("q_id"),
+          explode(array((0 until TABLES).map(t =>
+            struct(lit(t).as("tbl"),
+              bucketCol(col("embedding"), t).as("bucket"),
+              marginKeys(col("embedding"), t).as("keys"))): _*)).as("tb"))
+        .select(col("q_id"), col("tb.tbl").as("tbl"),
+          col("tb.bucket").as("bucket"), col("tb.keys").as("keys"))
+      val masks = typedlit(Seq(1L, 2L, 4L, 8L, 16L, 32L))
+      // i1/i2 = the two lowest-margin plane indices; the x%8 trick reads
+      // the plane index back out of the packed margin key, so no
+      // positional lambda is needed (DuckDB's list_transform has none)
+      val qb = qraw
+        .withColumn("i1", pmod(array_min(col("keys")), lit(8L)))
+        .withColumn("i2", pmod(array_min(transform(col("keys"),
+            x => x + when(pmod(x, lit(8L)) === col("i1"), lit(1L << 60))
+              .otherwise(lit(0L)))), lit(8L)))
+        .withColumn("m1", element_at(masks, (col("i1") + 1).cast("int")))
+        .withColumn("m2", element_at(masks, (col("i2") + 1).cast("int")))
+        .select(col("q_id"), col("tbl"),
+          explode(array(col("bucket"),
+            col("bucket").bitwiseXOR(col("m1")),
+            col("bucket").bitwiseXOR(col("m2")),
+            col("bucket").bitwiseXOR(col("m1") + col("m2")))).as("bucket"))
+      b.join(broadcast(qb), Seq("tbl", "bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+        .distinct()
+  }
+
   val annLsh: Op = Op(
     "ann_lsh",
     (s, d) => {
       val e = withNorm(s, d)
-      val b = bucketIndex(e)
-      val qb = b.filter(col("vec_id") < QUERY_MAX)
-        .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
-      val cand = b.join(broadcast(qb), Seq("tbl", "bucket"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"))
-        .distinct()
+      val cand = lshCandidates(s, d)
       val q = e.filter(col("vec_id") < QUERY_MAX)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("nm").as("q_nm"))
@@ -211,16 +281,38 @@ object AnnOps {
       val bandSelects = (0 until TABLES).map(t =>
         s"SELECT vec_id, embedding, nm, $t AS tbl, ${sqlBucket("e", t)} AS bucket FROM e")
         .mkString("\n        UNION ALL ")
+      val probeSelects = (0 until TABLES).map(t =>
+        s"""SELECT vec_id AS q_id, $t AS tbl, ${sqlBucket("e", t)} AS bucket,
+            ${sqlKeys("e", t)} AS keys FROM e WHERE vec_id < $QUERY_MAX""")
+        .mkString("\n        UNION ALL ")
       s"""
       WITH $sqlNormCte,
       b AS (
         $bandSelects
       ),
-      cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
-               FROM b q JOIN b c
-                 ON c.tbl = q.tbl AND c.bucket = q.bucket
-                   AND c.vec_id != q.vec_id
-               WHERE q.vec_id < $QUERY_MAX)
+      bq AS (
+        $probeSelects
+      ),
+      bp AS (
+        SELECT q_id, tbl,
+               unnest([bucket, xor(bucket, m1), xor(bucket, m2),
+                       xor(bucket, m1 + m2)]) AS bucket
+        FROM (
+          SELECT q_id, tbl, bucket,
+                 CAST(([1,2,4,8,16,32])[CAST(i1 + 1 AS INT)] AS BIGINT) AS m1,
+                 CAST(([1,2,4,8,16,32])[CAST(i2 + 1 AS INT)] AS BIGINT) AS m2
+          FROM (
+            SELECT q_id, tbl, bucket, i1,
+                   list_min(list_transform(keys, x -> x +
+                     CASE WHEN x % 8 = i1 THEN (CAST(1 AS BIGINT) << 60)
+                          ELSE 0 END)) % 8 AS i2
+            FROM (
+              SELECT q_id, tbl, bucket, keys, list_min(keys) % 8 AS i1
+              FROM bq) a1) a2) a3),
+      cand AS (SELECT DISTINCT p.q_id AS q_id, c.vec_id AS vec_id
+               FROM bp p JOIN b c
+                 ON c.tbl = p.tbl AND c.bucket = p.bucket
+                   AND c.vec_id != p.q_id)
       SELECT q_id, rank, vec_id, cos FROM (
         SELECT cand.q_id, cand.vec_id,
                $sqlPairCos AS cos,

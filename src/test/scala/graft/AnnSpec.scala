@@ -1,8 +1,19 @@
 package graft
 
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
 /** ANN semantics: the exact baseline behaves, and the LSH path trades
   * bounded recall for sublinear candidate scans (recall pinned against
   * the baseline — an oracle match alone cannot prove retrieval quality).
+  *
+  * Recall is a DATA-dependent property: the synthetic sf corpora are
+  * near-isotropic (brute-force top-5 cosines ≈ 0.25-0.49, ~72-75°), and
+  * on neighbor-free data ANY sublinear hash's recall is bounded by its
+  * scan fraction — so the production ≥0.8 floor is pinned on a
+  * planted-cluster corpus with real neighbor structure, and the
+  * synthetic corpus pins the sanity floor + the scan-fraction bound.
   */
 class AnnSpec extends SparkSpec {
 
@@ -18,21 +29,71 @@ class AnnSpec extends SparkSpec {
     }
   }
 
-  private def sets(key: String) = run(key).collect()
+  private def sets(key: String, dir: String = sf) = run(key, dir).collect()
     .groupBy(_.getAs[Long]("q_id"))
     .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
 
-  private def recallVsExact(key: String): Double = {
-    val exact = sets("ann_bruteforce")
-    val approx = sets(key)
-    exact.keys.map { q =>
+  private def recallVsExact(key: String, dir: String = sf): Double = {
+    val exact = sets("ann_bruteforce", dir)
+    val approx = sets(key, dir)
+    // keysIterator, NOT keys.map: mapping a Set would dedupe equal
+    // per-query recalls and silently depress the average
+    exact.keysIterator.map { q =>
       approx.get(q).map(s => (s & exact(q)).size / 5.0).getOrElse(0.0)
     }.sum / exact.size
   }
 
-  test("ann_lsh: recall@5 vs exact baseline >= 0.15") {
+  /** Fraction of the corpus the LSH path actually scores, averaged over
+    * queries (brute force scores 1.0).
+    */
+  private def scanFraction(dir: String): Double = {
+    val corpus = Tables.embeddings(spark, dir).count() - 1 // minus self
+    val cand = operators.AnnOps.lshCandidates(spark, dir)
+      .groupBy(col("q_id")).count().collect()
+    cand.map(_.getAs[Long]("count")).sum.toDouble / (cand.length * corpus)
+  }
+
+  /** 500 unit vectors in 16 Gaussian clusters (queries 0-7 land in
+    * clusters 0-7, each with ~30 same-cluster neighbors at cos ≈ 0.9) —
+    * the neighbor structure real retrieval corpora have.
+    */
+  lazy val clusteredDir: String = {
+    val dir = Files.createTempDirectory("graft_ann_clustered").toString
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(16, 64)(rnd.nextGaussian())
+    val rows = (0 until 500).map { i =>
+      val v = centers(i % 16).map(_ + 0.35 * rnd.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(x => (x / norm).toFloat).toSeq, i % 16)
+    }
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("ann_lsh: multiprobe recall@5 >= 0.8 on clustered data, sublinear scan") {
+    val r = recallVsExact("ann_lsh", clusteredDir)
+    val frac = scanFraction(clusteredDir)
+    info(f"clustered corpus: recall@5 $r%.3f at scan fraction $frac%.3f")
+    assert(r >= 0.9, f"LSH recall@5 $r%.2f below the production floor")
+    // 64 buckets/table over a 500-vector corpus makes the fraction look
+    // coarse (each probed bucket is ~1.5% of the corpus by itself); the
+    // bound guards the mechanism — candidates must stay well under the
+    // brute-force 1.0 — not a production constant, which would come from
+    // more planes per table at real corpus sizes
+    assert(frac <= 0.6, f"scan fraction $frac%.2f — the recall is being " +
+      "bought by near-brute-force scanning, not by the hash")
+  }
+
+  test("ann_lsh: sanity floor + bounded scan on the isotropic sf corpus") {
     val r = recallVsExact("ann_lsh")
-    assert(r >= 0.15, f"LSH recall@5 $r%.2f below floor")
+    val frac = scanFraction(sf)
+    info(f"isotropic corpus: recall@5 $r%.3f at scan fraction $frac%.3f")
+    // near-isotropic data (top-5 cos ≈ 0.3) is LSH's worst case — the
+    // margin-guided probes still recover most true neighbors (measured
+    // 0.85 at scan 0.41); the floor leaves room for corpus regeneration
+    assert(r >= 0.7, f"LSH recall@5 $r%.2f below floor")
+    assert(frac <= 0.6, f"scan fraction $frac%.2f above bound")
   }
 
   test("ann_ivf: recall@5 vs exact baseline >= 0.15") {
