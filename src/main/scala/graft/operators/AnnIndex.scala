@@ -85,8 +85,9 @@ object AnnIndex {
       q: DataFrame,
       k: Int,
       maxBucket: Int): DataFrame = {
-    val qb = AnnOps.bucketIndex(q)
-      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    // the SAME multiprobe expansion as E2 (AnnOps.probeBuckets) — the
+    // probe-vs-ann_lsh parity contract stays true by construction
+    val qb = AnnOps.probeBuckets(q)
     // every query meets every index row of its bucket, so the count per
     // (tbl, bucket, q_id) IS the index-side bucket occupancy — no
     // second read of the index, and counted before the self-filter

@@ -224,10 +224,13 @@ object AnnOps {
     * exposed separately so AnnSpec can pin the measured scan fraction
     * next to the recall it buys.
     */
-  private[graft] def lshCandidates(s: SparkSession, d: String): DataFrame = {
-      val e = withNorm(s, d)
-      val b = bucketIndex(e)
-      val qraw = e.filter(col("vec_id") < QUERY_MAX)
+  /** The multiprobe (q_id, tbl, bucket) probe rows for a NORMED query
+    * frame — ONE definition shared by E2 and [[AnnIndex.probe]], so the
+    * index's probe-vs-E2 parity contract is true by construction (the
+    * same rule as the dedup banding: DedupOps.bandedFromShingles).
+    */
+  private[operators] def probeBuckets(q: DataFrame): DataFrame = {
+      val qraw = q
         .select(col("vec_id").as("q_id"),
           explode(array((0 until TABLES).map(t =>
             struct(lit(t).as("tbl"),
@@ -239,7 +242,7 @@ object AnnOps {
       // i1/i2 = the two lowest-margin plane indices; the x%8 trick reads
       // the plane index back out of the packed margin key, so no
       // positional lambda is needed (DuckDB's list_transform has none)
-      val qb = qraw
+      qraw
         .withColumn("i1", pmod(array_min(col("keys")), lit(8L)))
         .withColumn("i2", pmod(array_min(transform(col("keys"),
             x => x + when(pmod(x, lit(8L)) === col("i1"), lit(1L << 60))
@@ -251,7 +254,12 @@ object AnnOps {
             col("bucket").bitwiseXOR(col("m1")),
             col("bucket").bitwiseXOR(col("m2")),
             col("bucket").bitwiseXOR(col("m1") + col("m2")))).as("bucket"))
-      b.join(broadcast(qb), Seq("tbl", "bucket"))
+  }
+
+  private[graft] def lshCandidates(s: SparkSession, d: String): DataFrame = {
+      val e = withNorm(s, d)
+      val qb = probeBuckets(e.filter(col("vec_id") < QUERY_MAX))
+      bucketIndex(e).join(broadcast(qb), Seq("tbl", "bucket"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"))
         .distinct()

@@ -542,13 +542,12 @@ object PipelineOps {
     * per-source aggregate + a 1-row broadcast total — nothing about the
     * corpus shuffles twice.
     */
-  val mixturePlan: Op = Op(
-    "mixture_plan",
-    (s, d) => {
+  /** The mixture-budget plan shared by G10/G10b: `ntCol` is the per-doc
+    * token count (whitespace or real BPE).
+    */
+  private def mixturePlanFor(s: SparkSession, d: String, ntCol: Column): DataFrame = {
       val perSrc = Tables.documents(s, d)
-        .select(col("source"),
-          size(split(trim(lower(col("text"))), "\\s+")).cast(LongType)
-            .as("nt"))
+        .select(col("source"), ntCol.as("nt"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
         .withColumn("weight", hash32(col("source")) % 9 + 1)
@@ -564,14 +563,14 @@ object PipelineOps {
           col("target_tokens"), col("epochs_milli"),
           (col("epochs_milli") > 1000L).as("is_upsampled"))
         .orderBy(col("source"))
-    },
-    Some(s"""
-      WITH per_src AS (
-        SELECT source, count(*) AS n_docs,
-               CAST(sum(len(regexp_split_to_array(trim(lower(text)),
-                 '\\s+'))) AS BIGINT) AS n_tokens,
-               ${xhash32("source")} % 9 + 1 AS weight
-        FROM documents GROUP BY source),
+  }
+
+  /** G10/G10b shared oracle: per-source (n_docs, n_tokens) arrive from
+    * `perSrcSql`, the budget arithmetic is identical.
+    */
+  private def mixtureSql(perSrcSql: String, prefix: String = ""): String = s"""
+      $prefix
+      per_src AS ($perSrcSql),
       tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
                      CAST(sum(weight) AS BIGINT) AS tot_weight
               FROM per_src)
@@ -586,10 +585,41 @@ object PipelineOps {
           SELECT source, n_docs, n_tokens, weight,
                  tot_tokens * weight // tot_weight AS target_tokens
           FROM per_src CROSS JOIN tot) t1) t2
-      ORDER BY source"""))
+      ORDER BY source"""
+
+  val mixturePlan: Op = Op(
+    "mixture_plan",
+    (s, d) => mixturePlanFor(s, d,
+      size(split(trim(lower(col("text"))), "\\s+")).cast(LongType)),
+    Some(mixtureSql(
+      s"""SELECT source, count(*) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(trim(lower(text)),
+                 '\\s+'))) AS BIGINT) AS n_tokens,
+               ${xhash32("source")} % 9 + 1 AS weight
+        FROM documents GROUP BY source""",
+      prefix = "WITH")))
+
+  /** G10b — mixture budgets in REAL BPE tokens: the same composition
+    * arithmetic, but epochs/targets are denominated in the currency the
+    * training run actually spends. Whitespace counts overstate this
+    * corpus' budgets by the corpus' tokens-per-word ratio, which shifts
+    * milli-epoch counts and can flip upsampling flags.
+    */
+  val mixturePlanBpe: Op = Op(
+    "mixture_plan_bpe",
+    (s, d) => mixturePlanFor(s, d, bpeCount(col("text"))),
+    Some(mixtureSql(
+      s"""SELECT source, count(*) AS n_docs,
+               CAST(sum(n_bpe) AS BIGINT) AS n_tokens,
+               ${xhash32("source")} % 9 + 1 AS weight
+        FROM documents d JOIN bpe_doc b ON d.doc_id = b.doc_id
+        GROUP BY source""",
+      prefix = s"""WITH RECURSIVE
+      ${graft.functions.Bpe.sqlWordLenCte("documents", "lower(text)")},
+      ${graft.functions.Bpe.sqlDocCountCtes("documents", "lower(text)")},""")))
 
   val all: Seq[Op] = Seq(
     joinAsof, joinRange, sampleStratified, qualityFilter, eventsRetention,
     eventsFunnel, sampleWeighted, eventsAnomaly, docPack, docPackBpe,
-    mixturePlan)
+    mixturePlan, mixturePlanBpe)
 }
