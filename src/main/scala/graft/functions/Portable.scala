@@ -79,16 +79,7 @@ object Portable {
     * every `element_at` of the lambda, re-tokenizing the document ~3×
     * per shingle (measured: 11s → <2s on the sf0.1 shingle explode).
     */
-  def shinglesFromTokens(tok: Column): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(tok) - 2, lit(1))),
-        // try_element_at: docs shorter than 3 tokens index past the end —
-        // NULL there (which concat_ws skips) matches DuckDB's tok[i]
-        // out-of-range semantics; ANSI element_at would throw instead.
-        i => concat_ws(" ",
-          try_element_at(tok, i), try_element_at(tok, i + 1),
-          try_element_at(tok, i + 2))))
+  def shinglesFromTokens(tok: Column): Column = ngramsFromTokens(tok, 3)
 
   /** Distinct word n-grams from an ALREADY MATERIALIZED token array —
     * the general form of [[shinglesFromTokens]] (same projection rule,
@@ -98,11 +89,12 @@ object Portable {
     * stopword runs never collide.
     */
   def ngramsFromTokens(tok: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(tok) - (n - 1), lit(1))),
-        i => concat_ws(" ",
-          (0 until n).map(k => try_element_at(tok, i + k)): _*)))
+    // native kernel ([[VectorExpressions.WordNgramsExpr]]) — identical
+    // output to the array_distinct(transform(sequence, concat_ws ∘
+    // try_element_at)) HOF chain (windows 1..max(len-n+1,1), NULL tail
+    // tokens dropped, first-occurrence dedup), one JVM loop per doc
+    // instead of interpreted per-window dispatch
+    call_function("word_ngrams", tok, lit(n))
 
   /** All ordered pairs (ds[i], ds[j]), i<j, from a SORTED id array — the
     * bucket-local pair enumeration used by the dedup candidate

@@ -182,6 +182,119 @@ object VectorExpressions {
       ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
   }
 
+  /** `char_trigrams(s: string): array<long>` — every length-3 CHARACTER
+    * window of `s`, packed as (cp0<<42)|(cp1<<21)|cp2 (21 bits hold any
+    * Unicode code point; 63 bits stay positive). The whole corpus
+    * frequency pass then aggregates LONGS — no per-window string
+    * allocation, long hashing instead of string hashing on the shuffle
+    * key (measured 2.0 s → ~0.8 s on the sf0.1 pass vs the
+    * transform+substr HOF). Packed order EQUALS the string sort order
+    * (UTF-8 byte comparison preserves code-point order), so rank
+    * tie-breaks survive the encoding; [[TrigramStringExpr]] decodes the
+    * handful of surviving top-k rows.
+    */
+  case class CharTrigramsExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "char_trigrams"
+
+    override def nullSafeEval(input: Any): Any = {
+      val str = input.toString
+      val n = str.codePointCount(0, str.length)
+      if (n < 3) new GenericArrayData(Array.empty[Long])
+      else {
+        val cps = new Array[Long](n)
+        var off = 0
+        var i = 0
+        while (i < n) {
+          val cp = str.codePointAt(off)
+          cps(i) = cp.toLong
+          off += Character.charCount(cp)
+          i += 1
+        }
+        val out = new Array[Long](n - 2)
+        i = 0
+        while (i < n - 2) {
+          out(i) = (cps(i) << 42) | (cps(i + 1) << 21) | cps(i + 2)
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `trigram_string(packed: long): string` — decodes a
+    * [[CharTrigramsExpr]] key back to its three characters (code-point
+    * correct; applied to the ≤k rows that survive the top-k, never the
+    * corpus).
+    */
+  case class TrigramStringExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def prettyName: String = "trigram_string"
+
+    override def nullSafeEval(input: Any): Any = {
+      val p = input.asInstanceOf[Long]
+      val sb = new java.lang.StringBuilder(6)
+      sb.appendCodePoint(((p >> 42) & 0x1FFFFF).toInt)
+      sb.appendCodePoint(((p >> 21) & 0x1FFFFF).toInt)
+      sb.appendCodePoint((p & 0x1FFFFF).toInt)
+      org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `word_ngrams(tok: array<string>, n): array<string>` — the distinct
+    * word n-gram windows of a token array, EXACTLY the semantics of the
+    * `transform(sequence(...), i => concat_ws(...try_element_at...))`
+    * + `array_distinct` HOF chain in [[Portable.ngramsFromTokens]]
+    * (windows start at every position 1..max(len-n+1, 1); out-of-range
+    * tokens drop out of the join like concat_ws drops NULLs; first-
+    * occurrence dedup order): one JVM loop per DOCUMENT instead of ~n+2
+    * interpreted dispatches per window. This sits under every D-series
+    * shingle pipeline (D2/D3/D5 candidates, the index, the stream).
+    */
+  case class WordNgramsExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+    override def prettyName: String = "word_ngrams"
+
+    override def nullSafeEval(tokAny: Any, nAny: Any): Any = {
+      val arr = tokAny.asInstanceOf[ArrayData]
+      val n = nAny.asInstanceOf[Int]
+      val len = arr.numElements()
+      val windows = math.max(len - (n - 1), 1)
+      val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+      val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+      var i = 0
+      while (i < windows) {
+        val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+        var k = 0
+        while (k < n) {
+          // out-of-range → null, which concatWs skips (the
+          // try_element_at + concat_ws contract)
+          parts(k) = if (i + k < len) arr.getUTF8String(i + k) else null
+          k += 1
+        }
+        // concatWs allocates a fresh buffer, so the stored key never
+        // aliases the (reused) input row memory
+        seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray[AnyRef](new Array[AnyRef](seen.size())))
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Injects both kernels into a session's function registry. */
   def registerAll(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -201,5 +314,17 @@ object VectorExpressions {
       new ExpressionInfo(classOf[TopKMinAgg].getName, "topk_min"),
       (args: Seq[Expression]) =>
         TopKMinAgg(args(0), args(1)).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("char_trigrams"),
+      new ExpressionInfo(classOf[CharTrigramsExpr].getName, "char_trigrams"),
+      (args: Seq[Expression]) => CharTrigramsExpr(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("trigram_string"),
+      new ExpressionInfo(classOf[TrigramStringExpr].getName, "trigram_string"),
+      (args: Seq[Expression]) => TrigramStringExpr(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgramsExpr].getName, "word_ngrams"),
+      (args: Seq[Expression]) => WordNgramsExpr(args(0), args(1))))
   }
 }

@@ -277,14 +277,18 @@ object TextOps {
       Tables.documents(s, d)
         .repartition(col("doc_id"))
         .select(normText(col("text")).as("nt"))
-        .select(explode(transform(
-          sequence(lit(1), greatest(length(col("nt")) - 2, lit(1))),
-          i => col("nt").substr(i, lit(3)))).as("gram"))
-        .filter(length(col("gram")) === 3)
-        .groupBy(col("gram"))
+        // native packed kernel (VectorExpressions.CharTrigramsExpr):
+        // the corpus pass explodes/aggregates packed LONG keys — no
+        // per-window string allocation, long hashing on the shuffle —
+        // and packed order equals string order, so the (n desc, gram)
+        // tie-break is identical; only the 20 survivors decode
+        .select(explode(call_function("char_trigrams", col("nt"))).as("g"))
+        .groupBy(col("g"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("gram"))
-        .limit(20),
+        .orderBy(col("n").desc, col("g"))
+        .limit(20)
+        .select(call_function("trigram_string", col("g")).as("gram"),
+          col("n")),
     Some("""
       SELECT gram, count(*) AS n
       FROM (

@@ -79,6 +79,27 @@ object KernelProps extends Properties("kernels") {
       }
     }
 
+  property("word_ngrams kernel == the HOF chain incl. short docs") =
+    Prop.forAll(
+      Gen.chooseNum(0, 7).flatMap(len => Gen.listOfN(len, token)),
+      Gen.chooseNum(2, 5)) { (toks, n) =>
+      import spark.implicits._
+      val df = Seq(Tuple1(toks)).toDF("tok")
+      val kernel = df
+        .select(graft.functions.Portable.ngramsFromTokens(col("tok"), n).as("g"))
+        .collect().head.getSeq[String](0)
+      // the original interpreted formulation the kernel replaced —
+      // including the sub-n-token windows whose NULL tails concat_ws
+      // drops, and first-occurrence dedup order
+      val hof = df.select(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("tok")) - (n - 1), lit(1))),
+          i => concat_ws(" ",
+            (0 until n).map(k => try_element_at(col("tok"), i + k)): _*)))
+          .as("g"))
+        .collect().head.getSeq[String](0)
+      kernel == hof
+    }
+
   property("exactSum is invariant under repartitioning") =
     Prop.forAll(Gen.listOfN(60, Gen.chooseNum(-1000.0, 1000.0))) { vs =>
       vs.nonEmpty ==> {
