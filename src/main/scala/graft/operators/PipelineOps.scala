@@ -553,12 +553,16 @@ object PipelineOps {
         .withColumn("weight", hash32(col("source")) % 9 + 1)
       val tot = perSrc.agg(sum(col("n_tokens")).as("tot_tokens"),
         sum(col("weight")).as("tot_weight"))
+      // greatest(n_tokens, 1): a source of empty docs has 0 BPE tokens,
+      // and integer division by zero is engine-DEPENDENT (Spark div →
+      // NULL, DuckDB // → error) — same guard class as sample_weighted
       perSrc.crossJoin(broadcast(tot))
         .withColumn("target_tokens",
           expr("tot_tokens * weight div tot_weight"))
         .withColumn("epochs_milli",
-          expr("(target_tokens div n_tokens) * 1000 + " +
-            "((target_tokens % n_tokens) * 1000) div n_tokens"))
+          expr("(target_tokens div greatest(n_tokens, 1)) * 1000 + " +
+            "((target_tokens % greatest(n_tokens, 1)) * 1000) " +
+            "div greatest(n_tokens, 1)"))
         .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
           col("target_tokens"), col("epochs_milli"),
           (col("epochs_milli") > 1000L).as("is_upsampled"))
@@ -578,8 +582,9 @@ object PipelineOps {
              epochs_milli, epochs_milli > 1000 AS is_upsampled
       FROM (
         SELECT source, n_docs, n_tokens, weight, target_tokens,
-               (target_tokens // n_tokens) * 1000 +
-                 ((target_tokens % n_tokens) * 1000) // n_tokens
+               (target_tokens // greatest(n_tokens, 1)) * 1000 +
+                 ((target_tokens % greatest(n_tokens, 1)) * 1000)
+                 // greatest(n_tokens, 1)
                  AS epochs_milli
         FROM (
           SELECT source, n_docs, n_tokens, weight,

@@ -232,6 +232,20 @@ class TextDedupSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).toSet
     assert(packIds.contains(6L) && packIds.contains(7L),
       "doc_pack must place every doc, even empty ones")
+    // the BPE family: the empty doc counts 0 tokens (and a defined
+    // chars_per_token via the greatest-guard), still packs (EOS-only)
+    // and still budgets
+    val bpe = run("text_bpe_count", miniDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe")).toMap
+    assert(bpe(6L) == 0L, "empty doc must count 0 BPE tokens")
+    assert(bpe(7L) > 0L)
+    val bpePackIds = run("doc_pack_bpe", miniDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(bpePackIds.contains(6L) && bpePackIds.contains(7L),
+      "doc_pack_bpe must place every doc, even empty ones")
+    val mixSrcs = run("mixture_plan_bpe", miniDir).collect()
+      .map(_.getAs[String]("source")).toSet
+    assert(mixSrcs.contains("src7"), "mixture_plan_bpe dropped a source")
   }
 
   test("dedup_ngram_jaccard finds near + exact dup pairs with sane scores") {
