@@ -125,6 +125,42 @@ object Bpe {
     total
   }
 
+  private val pieceMemo: ThreadLocal[java.util.HashMap[String, Array[String]]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, Array[String]]())
+  private def piecesOf(word: String): Array[String] = {
+    val m = pieceMemo.get()
+    val cached = m.get(word)
+    if (cached != null) cached
+    else {
+      val p = encode(word).toArray
+      if (m.size() >= memoCap) m.clear()
+      m.put(word, p)
+      p
+    }
+  }
+
+  /** The full piece sequence of ALREADY-LOWERCASED text — the tokens
+    * [[tokenCount]] counts (word pieces in order, one piece per residual
+    * non-whitespace char).
+    */
+  def pieces(text: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c >= 'a' && c <= 'z') {
+        val start = i
+        while (i < n && { val d = text.charAt(i); d >= 'a' && d <= 'z' }) i += 1
+        out ++= piecesOf(text.substring(start, i))
+      } else {
+        if (!isWs(c)) out += c.toString
+        i += 1
+      }
+    }
+    out.result()
+  }
+
   /** `bpe_count(lowered_text): long` — per-document dispatch (like
     * minhash16, CodegenFallback costs one call per document, nothing per
     * word/char).
@@ -139,11 +175,32 @@ object Bpe {
       copy(child = newChild)
   }
 
-  def registerAll(ext: SparkSessionExtensions): Unit =
+  /** `bpe_pieces(lowered_text): array<string>` — the encoded piece
+    * sequence itself (C13's vocabulary-utilization input).
+    */
+  case class BpePiecesExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+    override def prettyName: String = "bpe_pieces"
+    override def nullSafeEval(input: Any): Any =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        pieces(input.toString).map(
+          org.apache.spark.unsafe.types.UTF8String.fromString): Vector[Any])
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def registerAll(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("bpe_count"),
       new ExpressionInfo(classOf[BpeCountExpr].getName, "bpe_count"),
       (args: Seq[Expression]) => BpeCountExpr(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_pieces"),
+      new ExpressionInfo(classOf[BpePiecesExpr].getName, "bpe_pieces"),
+      (args: Seq[Expression]) => BpePiecesExpr(args(0))))
+  }
 
   // ---- DuckDB oracle twins (generated from the SAME merge table) ----
 

@@ -596,8 +596,58 @@ object TextOps {
       FROM documents d JOIN bpe_doc b ON d.doc_id = b.doc_id
       ORDER BY d.doc_id"""))
 
+  /** C13 — BPE vocabulary utilization: how often each merge-table piece
+    * (and each residual single-char token) is actually used across the
+    * corpus — the audit that tells a tokenizer owner which merges earn
+    * their keep on THIS corpus and which waste vocab slots (the
+    * companion to C12's budgets: C12 prices documents, C13 prices the
+    * vocabulary). One explode + one count over a vocabulary-bounded key
+    * space, 1-row total broadcast for the share — scan-shaped at any
+    * corpus size. The oracle derives each word's final piece sequence
+    * from the same recursive merge replay (arg_min picks the fixpoint
+    * row), multiplies by corpus word counts, and adds residual chars.
+    */
+  val textBpeVocab: Op = Op(
+    "text_bpe_vocab",
+    (s, d) => {
+      val pieces = Tables.documents(s, d)
+        .select(explode(call_function("bpe_pieces", lower(col("text"))))
+          .as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_uses"))
+      val tot = pieces.agg(sum(col("n_uses")).as("tot"))
+      pieces.crossJoin(broadcast(tot))
+        .select(col("token"),
+          length(col("token")).cast(LongType).as("token_len"),
+          col("n_uses"),
+          (col("n_uses").cast("double") / col("tot")).as("uses_frac"))
+        .orderBy(col("n_uses").desc, col("token"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      ${graft.functions.Bpe.sqlWordLenCte("documents", "lower(text)")},
+      wfinal AS (SELECT w, arg_min(s, length(s)) AS s FROM bpe_enc GROUP BY w),
+      wc AS (SELECT w, count(*) AS c FROM (
+               SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+               FROM documents) GROUP BY w),
+      wp AS (SELECT token, CAST(sum(c) AS BIGINT) AS n FROM (
+               SELECT w, unnest(string_split(s, ' ')) AS token FROM wfinal) p
+             JOIN wc USING (w) GROUP BY token),
+      res AS (SELECT token, count(*) AS n FROM (
+                SELECT unnest(regexp_extract_all(lower(text),
+                  '[^a-z \\t\\n\\r]')) AS token
+                FROM documents) GROUP BY token),
+      vocab AS (SELECT token, CAST(sum(n) AS BIGINT) AS n_uses
+                FROM (SELECT * FROM wp UNION ALL SELECT * FROM res) u
+                GROUP BY token),
+      tot AS (SELECT CAST(sum(n_uses) AS BIGINT) AS tot FROM vocab)
+      SELECT token, CAST(length(token) AS BIGINT) AS token_len, n_uses,
+             CAST(n_uses AS DOUBLE) / tot AS uses_frac
+      FROM vocab CROSS JOIN tot
+      ORDER BY n_uses DESC, token"""))
+
   val all: Seq[Op] = Seq(
     textTokenCount, textQuality, textLangid, textFingerprint, textNgramFreq,
     textDocFreq, textCharNgrams, textRepetition, textBm25, textVocabCoverage,
-    textRarity, textBpeCount)
+    textRarity, textBpeCount, textBpeVocab)
 }

@@ -57,6 +57,36 @@ class BpeSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("pieces: sequence joins back to the letters, length == tokenCount") {
+    Seq("the table value", "spark scan data", "a, b! c?", "thethethe x")
+      .foreach { t =>
+        val p = Bpe.pieces(t)
+        assert(p.length.toLong === Bpe.tokenCount(t),
+          s"pieces/count disagree on '$t'")
+        assert(p.mkString === t.filterNot(" \t\n\r".contains(_)),
+          s"pieces must re-concatenate to the non-ws text of '$t'")
+      }
+  }
+
+  test("text_bpe_vocab: counts are consistent with per-doc totals") {
+    val sf = "/root/testdata/sf0.001"
+    val vocab = TextOps.textBpeVocab.fn(spark, sf).collect()
+    val totalUses = vocab.map(_.getAs[Long]("n_uses")).sum
+    val perDoc = TextOps.textBpeCount.fn(spark, sf).collect()
+      .map(_.getAs[Long]("n_bpe")).sum
+    assert(totalUses === perDoc,
+      "vocabulary uses must sum to the corpus token budget")
+    val fracs = vocab.map(_.getAs[Double]("uses_frac")).sum
+    assert(math.abs(fracs - 1.0) < 1e-9)
+  }
+
+  private object TextOps {
+    val textBpeVocab = graft.operators.TextOps.all
+      .find(_.key == "text_bpe_vocab").get
+    val textBpeCount = graft.operators.TextOps.all
+      .find(_.key == "text_bpe_count").get
+  }
+
   test("doc_pack_bpe: manifest arithmetic consistent with its own counts") {
     val sf = "/root/testdata/sf0.001"
     val rows = PipelineOps.docPackBpe.fn(spark, sf).collect()
