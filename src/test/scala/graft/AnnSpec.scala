@@ -100,4 +100,12 @@ class AnnSpec extends SparkSpec {
     val r = recallVsExact("ann_ivf")
     assert(r >= 0.15, f"IVF recall@5 $r%.2f below floor")
   }
+
+  test("ann_ivf: production recall on clustered data") {
+    // with real cluster structure the coarse quantizer's cells align
+    // with the clusters and nprobe=4 covers the query's neighborhood
+    val r = recallVsExact("ann_ivf", clusteredDir)
+    info(f"clustered corpus: IVF recall@5 $r%.3f")
+    assert(r >= 0.8, f"IVF recall@5 $r%.2f below the production floor")
+  }
 }
