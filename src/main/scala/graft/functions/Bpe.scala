@@ -9,9 +9,15 @@ import org.apache.spark.sql.SparkSessionExtensions
 /** Merge-table BPE tokenization — the real token-budget currency of an
   * LLM data pipeline (whitespace counts misestimate budgets by 2-5×).
   *
-  * Semantics (the priority-queue BPE variant): lowercase the text; letter
-  * runs `[a-z]+` are BPE words, every other non-whitespace character is
-  * one token (the byte-fallback analog). A word starts as its character
+  * Semantics (the priority-queue BPE variant): per-CODE-POINT lowercase
+  * the text (the simple 1:1 UnicodeData mapping — `Character.toLowerCase
+  * (int)`, which is also what DuckDB's utf8proc `lower()` applies, so
+  * `lower(text)` on the oracle side reproduces it exactly; the JVM's
+  * full STRING mapping would not: it expands e.g. U+0130 'İ' to two code
+  * points); unicode letter runs `\p{L}+` are BPE words, every other
+  * non-whitespace code point is ONE token (the byte-fallback analog) —
+  * counted per code point, so supplementary-plane characters (emoji)
+  * are one token, not two UTF-16 halves. A word starts as its code-point
   * symbols; repeatedly the LOWEST-RANK adjacent symbol pair present in
   * [[merges]] is merged at its LEFTMOST occurrence, until no pair
   * applies. One merge per step (not GPT-2's all-occurrences sweep) —
@@ -56,10 +62,19 @@ object Bpe {
     m
   }
 
-  /** BPE-encode one lowercase word; returns the symbol sequence. */
+  /** BPE-encode one lowercase word; returns the symbol sequence. Initial
+    * symbols are CODE POINTS (the oracle's RE2 `(.)` splitter also walks
+    * runes), so a supplementary-plane letter is one symbol, never a
+    * surrogate pair split in half.
+    */
   def encode(word: String): Vector[String] = {
-    val syms = scala.collection.mutable.ArrayBuffer[String](
-      word.map(_.toString): _*)
+    val syms = scala.collection.mutable.ArrayBuffer[String]()
+    var ci = 0
+    while (ci < word.length) {
+      val cp = word.codePointAt(ci)
+      syms += new String(Character.toChars(cp))
+      ci += Character.charCount(cp)
+    }
     var continue = syms.length > 1
     while (continue) {
       var bestI = -1
@@ -98,30 +113,54 @@ object Bpe {
     }
   }
 
-  /** Whitespace for tokenization purposes — EXACTLY the `[a-z \t\n\r]`
-    * residual class the oracle SQL uses (see [[sqlOtherCount]]).
+  /** Whitespace for tokenization purposes — EXACTLY the `[\p{L} \t\n\r]`
+    * residual class the oracle SQL uses (see [[sqlOtherCount]]); other
+    * unicode whitespace (NBSP etc.) deliberately counts as a residual
+    * token in BOTH engines.
     */
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\r'
+  private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r'
 
-  /** Full-document token count over ALREADY-LOWERCASED text: Σ
-    * encodeLen(letter runs) + one token per other non-whitespace char.
+  /** Per-code-point fold over RAW text shared by [[tokenCount]] and
+    * [[pieces]]: each code point is simple-lowercased, letter runs
+    * become BPE words, residual non-whitespace code points are single
+    * tokens. Mirrors the oracle's `lower(text)` + `\p{L}` exactly
+    * (letter-ness is decided on the LOWERED code point, as the oracle —
+    * which lowers first — does).
+    */
+  private def foldText(text: String, onWord: String => Unit,
+      onResidual: Int => Unit): Unit = {
+    var i = 0
+    val n = text.length
+    val sb = new java.lang.StringBuilder
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      val lc = Character.toLowerCase(cp)
+      if (Character.isLetter(lc)) {
+        sb.setLength(0)
+        var run = true
+        while (i < n && run) {
+          val c2 = text.codePointAt(i)
+          val l2 = Character.toLowerCase(c2)
+          if (Character.isLetter(l2)) {
+            sb.appendCodePoint(l2)
+            i += Character.charCount(c2)
+          } else run = false
+        }
+        onWord(sb.toString)
+      } else {
+        if (!isWs(lc)) onResidual(lc)
+        i += Character.charCount(cp)
+      }
+    }
+  }
+
+  /** Full-document token count over RAW text: Σ encodeLen(lowercased
+    * letter runs) + one token per other non-whitespace CODE POINT.
     */
   def tokenCount(text: String): Long = {
     var total = 0L
-    var i = 0
-    val n = text.length
-    while (i < n) {
-      val c = text.charAt(i)
-      if (c >= 'a' && c <= 'z') {
-        val start = i
-        while (i < n && { val d = text.charAt(i); d >= 'a' && d <= 'z' }) i += 1
-        total += encodeLen(text.substring(start, i))
-      } else {
-        if (!isWs(c)) total += 1
-        i += 1
-      }
-    }
+    foldText(text, w => total += encodeLen(w), _ => total += 1)
     total
   }
 
@@ -139,29 +178,20 @@ object Bpe {
     }
   }
 
-  /** The full piece sequence of ALREADY-LOWERCASED text — the tokens
-    * [[tokenCount]] counts (word pieces in order, one piece per residual
-    * non-whitespace char).
+  /** The full piece sequence of RAW text — the tokens [[tokenCount]]
+    * counts (lowercased word pieces in order, one piece per residual
+    * non-whitespace code point, itself lowercased as the oracle's
+    * whole-text `lower()` does).
     */
   def pieces(text: String): Vector[String] = {
     val out = Vector.newBuilder[String]
-    var i = 0
-    val n = text.length
-    while (i < n) {
-      val c = text.charAt(i)
-      if (c >= 'a' && c <= 'z') {
-        val start = i
-        while (i < n && { val d = text.charAt(i); d >= 'a' && d <= 'z' }) i += 1
-        out ++= piecesOf(text.substring(start, i))
-      } else {
-        if (!isWs(c)) out += c.toString
-        i += 1
-      }
-    }
+    foldText(text, w => out ++= piecesOf(w),
+      lc => out += new String(Character.toChars(lc)))
     out.result()
   }
 
-  /** `bpe_count(lowered_text): long` — per-document dispatch (like
+  /** `bpe_count(text): long` over RAW text (lowercasing is part of the
+    * expression's own per-code-point fold) — per-document dispatch (like
     * minhash16, CodegenFallback costs one call per document, nothing per
     * word/char).
     */
@@ -175,7 +205,7 @@ object Bpe {
       copy(child = newChild)
   }
 
-  /** `bpe_pieces(lowered_text): array<string>` — the encoded piece
+  /** `bpe_pieces(text): array<string>` over RAW text — the encoded piece
     * sequence itself (C13's vocabulary-utilization input).
     */
   case class BpePiecesExpr(child: Expression)
@@ -216,7 +246,7 @@ object Bpe {
   def sqlWordLenCte(docsRel: String, textCol: String): String = s"""
       bpe_merges(mrank, a, b) AS (VALUES $mergesValues),
       bpe_w0(w) AS (
-        SELECT DISTINCT unnest(regexp_extract_all($textCol, '[a-z]+'))
+        SELECT DISTINCT unnest(regexp_extract_all($textCol, '\\p{L}+'))
         FROM $docsRel),
       bpe_enc(w, s) AS (
         SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) FROM bpe_w0
@@ -238,11 +268,13 @@ object Bpe {
         SELECT w, CAST(min(len(string_split(s, ' '))) AS BIGINT) AS n
         FROM bpe_enc GROUP BY w)"""
 
-  /** Residual (non-letter, non-whitespace) char count of lowercased text
-    * — the single-token fallback class, same set as [[isWs]] + a-z.
+  /** Residual (non-letter, non-whitespace) CODE POINT count of lowercased
+    * text — the single-token fallback class, same set as [[isWs]] +
+    * `\p{L}` (DuckDB `length()` counts code points, as [[tokenCount]]
+    * does).
     */
   def sqlOtherCount(textCol: String): String =
-    s"length(regexp_replace($textCol, '[a-z \\t\\n\\r]', '', 'g'))"
+    s"length(regexp_replace($textCol, '[\\p{L} \\t\\n\\r]', '', 'g'))"
 
   /** Per-doc BPE token count as a CTE chain ending in
     * `bpe_doc(doc_id, n_bpe)`; append after [[sqlWordLenCte]].
@@ -250,7 +282,7 @@ object Bpe {
   def sqlDocCountCtes(docsRel: String, textCol: String): String = s"""
       bpe_wc AS (
         SELECT doc_id, w, count(*) AS c FROM (
-          SELECT doc_id, unnest(regexp_extract_all($textCol, '[a-z]+')) AS w
+          SELECT doc_id, unnest(regexp_extract_all($textCol, '\\p{L}+')) AS w
           FROM $docsRel) GROUP BY doc_id, w),
       bpe_word_tot AS (
         SELECT doc_id, sum(c * n) AS n_word

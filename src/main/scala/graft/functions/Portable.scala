@@ -161,13 +161,15 @@ object Portable {
   def topkMin(ordStruct: Column, k: Int): Column =
     call_function("topk_min", ordStruct, lit(k))
 
-  /** Merge-table BPE token count of a text column ([[Bpe]] — lowercased
-    * here so callers and the oracle agree on the input). DuckDB twin:
-    * the recursive CTE [[Bpe.sqlWordLenCte]]/[[Bpe.sqlDocCountCtes]]
+  /** Merge-table BPE token count of a RAW text column ([[Bpe]] — the
+    * expression simple-lowercases per code point itself, matching the
+    * oracle's utf8proc `lower()`; a Spark `lower()` here would apply the
+    * JVM's full string mapping, which diverges on e.g. U+0130). DuckDB
+    * twin: the recursive CTE [[Bpe.sqlWordLenCte]]/[[Bpe.sqlDocCountCtes]]
     * replaying the same merges.
     */
   def bpeCount(text: Column): Column =
-    call_function("bpe_count", lower(text))
+    call_function("bpe_count", text)
 
   /** Cosine similarity from exact micro dot products: one double division
     * over identical integers → identical doubles everywhere. `na`/`nb` are

@@ -486,24 +486,30 @@ object SinkOps {
             FROM events) t1) t2) t3
       ORDER BY user_id, ord"""))
 
-  /** A6b — the full XBlock serializer unit: location-keyed LAST-WINS
-    * dedup + branch/version key normalization + hierarchy counters, the
-    * three steps `XBlockSink.serialize_item` chains
-    * (course_published.py:47-94: the `location_to_node` dict overwrite
-    * keeps the last occurrence per location; :130-138
-    * `strip_branch_and_version` normalizes the key first; then the
-    * section/subsection/unit counters run over the deduped sequence).
+  /** A6b — the full XBlock serializer unit: hierarchy counters over the
+    * RAW block iteration + branch/version key normalization +
+    * location-keyed LAST-WINS dedup, the three steps
+    * `XBlockSink.serialize_item` chains (course_published.py:55-94: the
+    * loop increments index/section_idx/subsection_idx/unit_idx over
+    * EVERY raw block and stamps them into that block's fields BEFORE the
+    * `location_to_node` dict overwrite keeps the last occurrence per
+    * stripped location — so a surviving duplicate keeps counters that
+    * include contributions from the blocks it overwrote; :129-137
+    * `strip_branch_and_version` normalizes the dedup key).
     *
     * Locations are synthesized from events WITH planted duplicates:
     * `pmod(event_id, 40)` gives each user ~2-3 raw blocks per normalized
     * location, and each raw location carries a distinct
     * `:branch@…:version@…` suffix, so the dedup only collapses AFTER the
-    * strip — both reference behaviors are load-bearing in the result.
+    * strip — both reference behaviors are load-bearing in the result,
+    * and so is the counters-over-raw order (a deduped-first counter
+    * would renumber the survivors).
     *
-    * Scale shape: one shuffle on (user, location) for the last-wins
-    * max_by (map-side combined — at most one row per key per map task),
-    * then the stacked counter windows partition on user-prefixed keys
-    * exactly as A6 — per-key sorts, never a global sort.
+    * Scale shape: the stacked counter windows partition on user-prefixed
+    * keys exactly as A6 (per-key sorts, never a global sort), then one
+    * shuffle on (user, location) for the last-wins max_by (map-side
+    * combined — at most one row per key per map task, carrying only the
+    * id-and-counter struct).
     */
   val sinkXblockDedup: Op = Op(
     "sink_xblock_dedup",
@@ -518,14 +524,6 @@ object SinkOps {
         // strip_branch_and_version: the dedup key drops branch+version
         .withColumn("location",
           regexp_replace(col("raw_location"), ":branch@.*$", ""))
-      val deduped = raw
-        .groupBy(col("user_id"), col("location"))
-        .agg(max_by(
-          struct(col("us"), col("event_id"), col("event_type")),
-          struct(col("us"), col("event_id"))).as("m"))
-        .select(col("user_id"), col("location"), col("m.us").as("us"),
-          col("m.event_id").as("event_id"),
-          col("m.event_type").as("event_type"))
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("us"), col("event_id"))
       val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -536,7 +534,8 @@ object SinkOps {
         .partitionBy(col("user_id"), col("section"), col("subsection"))
         .orderBy(col("us"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      deduped
+      // counters over the RAW pre-dedup sequence (the reference's loop)
+      val counted = raw
         .withColumn("ord", row_number().over(byUser).cast(LongType))
         .withColumn("section",
           sum(when(col("event_type") === "signup", 1L).otherwise(0L)).over(run))
@@ -555,59 +554,65 @@ object SinkOps {
         .withColumn("detached",
           when(col("block_type").isin("static_tab", "about", "course_info"), 1L)
             .otherwise(0L))
-        .select(col("user_id"), col("location"), col("event_id"), col("ord"),
-          col("section"), col("subsection"), col("unit"),
-          col("block_type"), col("detached"))
+      // dict-overwrite twin: last raw occurrence wins, KEEPING its raw
+      // counters (max_by on (us, event_id) = the reference's iteration
+      // order, which is also the counters' order)
+      counted
+        .groupBy(col("user_id"), col("location"))
+        .agg(max_by(
+          struct(col("event_id"), col("ord"), col("section"),
+            col("subsection"), col("unit"), col("block_type"),
+            col("detached")),
+          struct(col("us"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("location"),
+          col("m.event_id").as("event_id"), col("m.ord").as("ord"),
+          col("m.section").as("section"),
+          col("m.subsection").as("subsection"), col("m.unit").as("unit"),
+          col("m.block_type").as("block_type"),
+          col("m.detached").as("detached"))
         .orderBy(col("user_id"), col("ord"))
     },
     Some("""
       SELECT user_id, location, event_id, ord, section, subsection, unit,
-             CASE event_type WHEN 'signup' THEN 'chapter'
-                  WHEN 'purchase' THEN 'sequential'
-                  WHEN 'click' THEN 'vertical'
-                  WHEN 'view' THEN 'static_tab'
-                  ELSE 'course_info' END AS block_type,
-             CAST(CASE WHEN (CASE event_type WHEN 'signup' THEN 'chapter'
-                  WHEN 'purchase' THEN 'sequential'
-                  WHEN 'click' THEN 'vertical'
-                  WHEN 'view' THEN 'static_tab'
-                  ELSE 'course_info' END)
+             block_type,
+             CAST(CASE WHEN block_type
                 IN ('static_tab', 'about', 'course_info')
                 THEN 1 ELSE 0 END AS BIGINT) AS detached
       FROM (
-        SELECT *, CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
-                 OVER (PARTITION BY user_id, section, subsection
-                       ORDER BY us, event_id
-                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS unit
+        SELECT *,
+               CASE event_type WHEN 'signup' THEN 'chapter'
+                    WHEN 'purchase' THEN 'sequential'
+                    WHEN 'click' THEN 'vertical'
+                    WHEN 'view' THEN 'static_tab'
+                    ELSE 'course_info' END AS block_type,
+               row_number() OVER (PARTITION BY user_id, location
+                 ORDER BY us DESC, event_id DESC) AS rn
         FROM (
-          SELECT *, CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY user_id, section
+          SELECT *, CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id, section, subsection
                          ORDER BY us, event_id
-                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS subsection
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS unit
           FROM (
-            SELECT user_id, location, event_id, event_type, us,
-                   CAST(row_number() OVER (PARTITION BY user_id
-                     ORDER BY us, event_id) AS BIGINT) AS ord,
-                   CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)
-                     OVER (PARTITION BY user_id ORDER BY us, event_id
-                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS section
+            SELECT *, CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id, section
+                           ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS subsection
             FROM (
-              SELECT user_id, location, us, event_id, event_type
+              SELECT user_id, location, event_id, event_type, us,
+                     CAST(row_number() OVER (PARTITION BY user_id
+                       ORDER BY us, event_id) AS BIGINT) AS ord,
+                     CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS section
               FROM (
                 SELECT user_id,
                        regexp_replace(concat('lb:org:c', user_id, ':b',
                          event_id % 40, ':branch@', event_type,
                          ':version@', event_id), ':branch@.*$', '')
                          AS location,
-                       epoch_us(ts) AS us, event_id, event_type,
-                       row_number() OVER (
-                         PARTITION BY user_id,
-                           regexp_replace(concat('lb:org:c', user_id, ':b',
-                             event_id % 40, ':branch@', event_type,
-                             ':version@', event_id), ':branch@.*$', '')
-                         ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-                FROM events) dd
-              WHERE rn = 1) t0) t1) t2) t3
+                       epoch_us(ts) AS us, event_id, event_type
+                FROM events) t0) t1) t2) t3) t4
+      WHERE rn = 1
       ORDER BY user_id, ord"""))
 
   /** A7 — select_related serializer: the reference's

@@ -611,7 +611,7 @@ object TextOps {
     "text_bpe_vocab",
     (s, d) => {
       val pieces = Tables.documents(s, d)
-        .select(explode(call_function("bpe_pieces", lower(col("text"))))
+        .select(explode(call_function("bpe_pieces", col("text")))
           .as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n_uses"))
@@ -628,14 +628,14 @@ object TextOps {
       ${graft.functions.Bpe.sqlWordLenCte("documents", "lower(text)")},
       wfinal AS (SELECT w, arg_min(s, length(s)) AS s FROM bpe_enc GROUP BY w),
       wc AS (SELECT w, count(*) AS c FROM (
-               SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+               SELECT unnest(regexp_extract_all(lower(text), '\\p{L}+')) AS w
                FROM documents) GROUP BY w),
       wp AS (SELECT token, CAST(sum(c) AS BIGINT) AS n FROM (
                SELECT w, unnest(string_split(s, ' ')) AS token FROM wfinal) p
              JOIN wc USING (w) GROUP BY token),
       res AS (SELECT token, count(*) AS n FROM (
                 SELECT unnest(regexp_extract_all(lower(text),
-                  '[^a-z \\t\\n\\r]')) AS token
+                  '[^\\p{L} \\t\\n\\r]')) AS token
                 FROM documents) GROUP BY token),
       vocab AS (SELECT token, CAST(sum(n) AS BIGINT) AS n_uses
                 FROM (SELECT * FROM wp UNION ALL SELECT * FROM res) u

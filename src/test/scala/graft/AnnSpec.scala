@@ -44,13 +44,17 @@ class AnnSpec extends SparkSpec {
   }
 
   /** Fraction of the corpus the LSH path actually scores, averaged over
-    * queries (brute force scores 1.0).
+    * queries (brute force scores 1.0). The denominator is the TOTAL
+    * query count — a query with zero candidates contributes a 0.0 scan
+    * fraction instead of silently dropping out and biasing the average.
     */
   private def scanFraction(dir: String): Double = {
-    val corpus = Tables.embeddings(spark, dir).count() - 1 // minus self
+    val e = Tables.embeddings(spark, dir)
+    val corpus = e.count() - 1 // minus self
+    val nQueries = e.filter(col("vec_id") < 8).count() // the q set (E1-E3)
     val cand = operators.AnnOps.lshCandidates(spark, dir)
       .groupBy(col("q_id")).count().collect()
-    cand.map(_.getAs[Long]("count")).sum.toDouble / (cand.length * corpus)
+    cand.map(_.getAs[Long]("count")).sum.toDouble / (nQueries * corpus)
   }
 
   /** 500 unit vectors in 16 Gaussian clusters (queries 0-7 land in

@@ -52,9 +52,39 @@ class BpeSpec extends SparkSpec {
         graft.functions.Portable.bpeCount(col("text")).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = Seq("the table value", "spark scan data", "", "a, b! c?")
-      .zipWithIndex.map { case (t, i) => i.toLong -> Bpe.tokenCount(t.toLowerCase) }
+      .zipWithIndex.map { case (t, i) => i.toLong -> Bpe.tokenCount(t) }
       .toMap
     assert(got === want)
+  }
+
+  test("tokenCount: unicode words, code-point residuals, simple lowercase") {
+    // lowercasing is the expression's own per-code-point simple mapping
+    assert(Bpe.tokenCount("The TABLE") === Bpe.tokenCount("the table"))
+    // non-ASCII letters join words (é is a letter, no merge covers it)
+    assert(Bpe.tokenCount("café") === 4L) // c,a,f,é — (c,a) not a merge
+    assert(Bpe.tokenCount("déjà vu") === Bpe.tokenCount("DÉJÀ VU"))
+    // a supplementary-plane char is ONE residual token, not two halves
+    assert(Bpe.tokenCount("a🙂b") === 3L) // a 🙂 b
+    // U+0130 İ: simple mapping → i (the full JVM string mapping would
+    // expand to i + combining dot and count an extra residual)
+    assert(Bpe.tokenCount("İstanbul") === Bpe.tokenCount("istanbul"))
+    // CJK: letters, one symbol per code point, no merges apply
+    assert(Bpe.tokenCount("日本語") === 3L)
+    // NBSP is NOT tokenization whitespace — one residual token
+    assert(Bpe.tokenCount("a b") === 3L)
+  }
+
+  test("pieces: unicode pieces re-concatenate to lowered non-ws text") {
+    Seq("Café Déjà", "a🙂b!", "日本語 x",
+      "MiXed CASE text").foreach { t =>
+      val p = Bpe.pieces(t)
+      assert(p.length.toLong === Bpe.tokenCount(t))
+      val expected = t.codePoints().toArray
+        .filterNot(cp => cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r')
+        .map(Character.toLowerCase)
+        .flatMap(Character.toChars).mkString
+      assert(p.mkString === expected, s"pieces mismatch on '$t'")
+    }
   }
 
   test("pieces: sequence joins back to the letters, length == tokenCount") {

@@ -282,6 +282,29 @@ class SinkSpec extends SparkSpec {
     }
     // locations are normalized: no branch/version residue on the key
     assert(rows.forall(r => !r.getAs[String]("location").contains("branch@")))
+    // counters are stamped over the RAW iteration (the reference loop
+    // runs index/section_idx/... over every block BEFORE the dict
+    // overwrite): each survivor's ord is its PRE-dedup position
+    val rawOrd = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("ord", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        r.getAs[Int]("ord").toLong).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))
+      assert(r.getAs[Long]("ord") == rawOrd(k),
+        s"survivor $k must keep its raw-position ord")
+    }
+    // ...which means surviving ords have GAPS where overwritten blocks
+    // contributed (a deduped-first renumbering would be 1..n dense)
+    val ordsByUser = rows.groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.map(_.getAs[Long]("ord")).sorted).toMap
+    assert(ordsByUser.values.exists(os => os.last > os.length),
+      "raw-position counters must show dedup gaps")
   }
 
   test("sink_gating: a disabled sink's plan contains no scan of its table") {
