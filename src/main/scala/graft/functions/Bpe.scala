@@ -190,6 +190,26 @@ object Bpe {
     out.result()
   }
 
+  /** The lowercased letter-run words of RAW text, in order — the merge-
+    * loop-free share of the fold, used by BPE TRAINING (C14) and the
+    * learned-table counter, ≡ the oracle's
+    * `regexp_extract_all(lower(text), '\p{L}+')`.
+    */
+  def words(text: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    foldText(text, w => out += w, _ => ())
+    out.result()
+  }
+
+  /** Residual (non-letter, non-whitespace) code-point count of RAW text
+    * — [[tokenCount]] minus the word-token share, ≡ [[sqlOtherCount]].
+    */
+  def residualCount(text: String): Long = {
+    var n = 0L
+    foldText(text, _ => (), _ => n += 1)
+    n
+  }
+
   /** `bpe_count(text): long` over RAW text (lowercasing is part of the
     * expression's own per-code-point fold) — per-document dispatch (like
     * minhash16, CodegenFallback costs one call per document, nothing per
@@ -221,6 +241,34 @@ object Bpe {
       copy(child = newChild)
   }
 
+  /** `bpe_words(text): array<string>` — the lowercased unicode letter
+    * runs of RAW text (no merge table involved; the training/count-
+    * learned word extractor).
+    */
+  case class BpeWordsExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+    override def prettyName: String = "bpe_words"
+    override def nullSafeEval(input: Any): Any =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        words(input.toString).map(
+          org.apache.spark.unsafe.types.UTF8String.fromString): Vector[Any])
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `bpe_residual(text): long` — residual code-point token count. */
+  case class BpeResidualExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "bpe_residual"
+    override def nullSafeEval(input: Any): Any =
+      residualCount(input.toString)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def registerAll(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("bpe_count"),
@@ -230,6 +278,14 @@ object Bpe {
       new FunctionIdentifier("bpe_pieces"),
       new ExpressionInfo(classOf[BpePiecesExpr].getName, "bpe_pieces"),
       (args: Seq[Expression]) => BpePiecesExpr(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_words"),
+      new ExpressionInfo(classOf[BpeWordsExpr].getName, "bpe_words"),
+      (args: Seq[Expression]) => BpeWordsExpr(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_residual"),
+      new ExpressionInfo(classOf[BpeResidualExpr].getName, "bpe_residual"),
+      (args: Seq[Expression]) => BpeResidualExpr(args(0))))
   }
 
   // ---- DuckDB oracle twins (generated from the SAME merge table) ----
@@ -292,4 +348,59 @@ object Bpe {
                CAST(coalesce(w.n_word, 0) +
                  ${sqlOtherCount(textCol)} AS BIGINT) AS n_bpe
         FROM $docsRel d LEFT JOIN bpe_word_tot w ON d.doc_id = w.doc_id)"""
+
+  // ---- BPE TRAINING oracle (C14): k unrolled greedy merge rounds ----
+
+  /** CTE chain replaying the DISTRIBUTED training loop exactly: per
+    * round, count adjacent symbol pairs over the (word, count) vocab
+    * weighted by corpus frequency, take the argmax with deterministic
+    * (cnt DESC, a, b) byte-order ties — both engines compare strings
+    * bytewise — and apply the merge to every word as a left-to-right
+    * non-overlapping ` a b `→` ab ` substring replace. Ends in
+    * `bpe_learned(rank, a, b, cnt)` and `bpe_vfinal(w, s, c)` (the
+    * vocab AFTER all k merges — its `s` is each word's learned-table
+    * tokenization, which is how the learned counter prices documents
+    * without re-running any merge loop).
+    *
+    * `AS MATERIALIZED` on each vocab round: every `bpe_tv{r}` is
+    * referenced twice (pair counting + next round), so inlining would
+    * double the tree per round — materialization keeps the replay
+    * linear in k. A dried-up round (no pair left anywhere) degrades
+    * gracefully: the empty argmax coalesces to a `chr(1)` sentinel
+    * no-op replace and contributes no merge row, exactly like the
+    * engine loop's early stop.
+    */
+  def sqlTrainCtes(docsRel: String, textCol: String, k: Int): String = {
+    val head = s"""
+      bpe_tw0 AS MATERIALIZED (
+        SELECT w, count(*) AS c FROM (
+          SELECT unnest(regexp_extract_all($textCol, '\\p{L}+')) AS w
+          FROM $docsRel) GROUP BY w),
+      bpe_tv0 AS MATERIALIZED (
+        SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, c
+        FROM bpe_tw0)"""
+    val rounds = (0 until k).map { r => s"""
+      bpe_tp$r AS (
+        SELECT u.pa AS pa, u.pb AS pb, CAST(sum(c) AS BIGINT) AS cnt FROM (
+          SELECT c, unnest(list_transform(generate_series(1, len(a) - 1),
+            i -> struct_pack(pa := a[i], pb := a[i+1]))) AS u
+          FROM (SELECT string_split(s, ' ') AS a, c FROM bpe_tv$r) z) y
+        GROUP BY u.pa, u.pb),
+      bpe_tb$r AS MATERIALIZED (
+        SELECT pa, pb, cnt FROM bpe_tp$r ORDER BY cnt DESC, pa, pb LIMIT 1),
+      bpe_tv${r + 1} AS MATERIALIZED (
+        SELECT w, trim(replace(' ' || s || ' ',
+          coalesce((SELECT ' '||pa||' '||pb||' ' FROM bpe_tb$r), chr(1)),
+          coalesce((SELECT ' '||pa||pb||' ' FROM bpe_tb$r), chr(1)))) AS s, c
+        FROM bpe_tv$r)"""
+    }.mkString(",", ",", "")
+    val union = (0 until k)
+      .map(r =>
+        s"SELECT CAST($r AS BIGINT) AS rank, pa AS a, pb AS b, cnt FROM bpe_tb$r")
+      .mkString("\n        UNION ALL ")
+    s"""$head$rounds,
+      bpe_learned AS (
+        $union),
+      bpe_vfinal AS (SELECT w, s, c FROM bpe_tv$k)"""
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -646,8 +646,143 @@ object TextOps {
       FROM vocab CROSS JOIN tot
       ORDER BY n_uses DESC, token"""))
 
+  // ---- C14: BPE vocabulary TRAINING ----
+
+  /** Number of merges the training ops learn (mirrored literally into
+    * the unrolled oracle CTE chain).
+    */
+  private[operators] val TRAIN_K = 32
+
+  /** Distributed BPE training: learn [[TRAIN_K]] merges by iterative
+    * corpus-wide pair counting — count adjacent symbol pairs over the
+    * (word, count) vocabulary weighted by corpus frequency, take the
+    * argmax, apply the merge to every word, repeat. The corpus is
+    * touched ONCE (the word-count aggregate, persisted); every round
+    * after that is one small aggregate over the vocabulary frame, which
+    * is Zipf-compressed ~1000× smaller than the corpus — the standard
+    * shape for distributed tokenizer training at 100 TB (per-document
+    * state never exists; a word's symbols live in ONE row no matter how
+    * often it occurs).
+    *
+    * The per-round argmax is a 1-ROW collect — the canonical iterative-
+    * training driver loop (same class as dedup_clusters' convergence
+    * check): TRAIN_K jobs of one row each, never data-proportional.
+    * Ties break on (cnt DESC, a, b) — Spark and DuckDB both compare
+    * strings bytewise, so the loop is engine-deterministic. The merge
+    * applies as a left-to-right non-overlapping ` a b `→` ab ` substring
+    * replace, identical to the oracle's `replace()`.
+    *
+    * Returns the learned merge table and the final vocab (w, s, c) —
+    * `s` IS each word's learned-table tokenization, so downstream
+    * counting joins it instead of re-running any merge loop.
+    */
+  private def trainBpe(s: SparkSession, d: String)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    val words = Caches.persist(
+      Tables.documents(s, d)
+        .select(explode(call_function("bpe_words", col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c")))
+    // per-code-point symbol spacing: Java regex `.` and RE2 `.` both
+    // match one code point, so both engines space '𝔘' as one symbol
+    var vocab = words.withColumn("s",
+      trim(regexp_replace(col("w"), "(.)", "$1 ")))
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < TRAIN_K && !done) {
+      val a = split(col("s"), " ")
+      val pairs = vocab
+        .select(col("c"), explode(transform(
+          slice(a, lit(1), size(a) - 1),
+          (x, i) => struct(x.as("pa"),
+            element_at(a, i + lit(2)).as("pb")))).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("c")).as("cnt"))
+      val best = pairs
+        .orderBy(col("cnt").desc, col("pa"), col("pb"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val pa = best(0).getAs[String]("pa")
+        val pb = best(0).getAs[String]("pb")
+        merges += ((r.toLong, pa, pb, best(0).getAs[Long]("cnt")))
+        vocab = vocab.withColumn("s",
+          trim(call_function("replace",
+            concat(lit(" "), col("s"), lit(" ")),
+            lit(s" $pa $pb "), lit(s" $pa$pb "))))
+        r += 1
+      }
+    }
+    (merges.result(), vocab)
+  }
+
+  /** C14 — BPE vocabulary training ([[trainBpe]]): the merge table is
+    * LEARNED from the corpus instead of fixed (C12's fixture stands in
+    * for exactly this output). The oracle replays the identical greedy
+    * loop as [[graft.functions.Bpe.sqlTrainCtes TRAIN_K unrolled CTE
+    * rounds]], so every learned (rank, a, b, cnt) row is engine-exact.
+    */
+  val textBpeTrain: Op = Op(
+    "text_bpe_train",
+    (s, d) => {
+      val (merges, _) = trainBpe(s, d)
+      import s.implicits._
+      merges.toDF("rank", "a", "b", "cnt").orderBy(col("rank"))
+    },
+    Some(s"""
+      WITH ${graft.functions.Bpe.sqlTrainCtes("documents", "lower(text)",
+        TRAIN_K)}
+      SELECT rank, a, b, cnt FROM bpe_learned ORDER BY rank"""))
+
+  /** C14b — per-doc token budgets under the LEARNED table: the C12
+    * counter re-run with [[trainBpe]]'s output, making the BPE-budget
+    * family load-bearing on ANY corpus rather than one matching the
+    * fixture. No merge loop runs at count time — each word's learned
+    * tokenization length comes from the final vocab frame, and
+    * documents price themselves with one (doc, word)-count join against
+    * it (vocabulary-sized, Zipf-small vs the corpus) plus the residual
+    * code-point count.
+    */
+  val textBpeCountLearned: Op = Op(
+    "text_bpe_count_learned",
+    (s, d) => {
+      val (_, vocab) = trainBpe(s, d)
+      val wlen = vocab.select(col("w"),
+        size(split(col("s"), " ")).cast(LongType).as("n"))
+      val docWords = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(call_function("bpe_words", col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      val wordTot = docWords.join(wlen, "w")
+        .groupBy(col("doc_id")).agg(sum(col("c") * col("n")).as("n_word"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          call_function("bpe_residual", col("text")).as("resid"))
+        .join(wordTot, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("n_word"), lit(0L)) + col("resid"))
+            .as("n_bpe_learned"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ${graft.functions.Bpe.sqlTrainCtes("documents", "lower(text)",
+        TRAIN_K)},
+      dw AS (SELECT doc_id, w, count(*) AS c FROM (
+           SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '\\p{L}+')) AS w
+           FROM documents) GROUP BY doc_id, w),
+      wl AS (SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n
+             FROM bpe_vfinal),
+      wt AS (SELECT doc_id, sum(c * n) AS n_word
+             FROM dw JOIN wl USING (w) GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(wt.n_word, 0) +
+          ${graft.functions.Bpe.sqlOtherCount("lower(d.text)")}
+            AS BIGINT) AS n_bpe_learned
+      FROM documents d LEFT JOIN wt USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   val all: Seq[Op] = Seq(
     textTokenCount, textQuality, textLangid, textFingerprint, textNgramFreq,
     textDocFreq, textCharNgrams, textRepetition, textBm25, textVocabCoverage,
-    textRarity, textBpeCount, textBpeVocab)
+    textRarity, textBpeCount, textBpeVocab, textBpeTrain, textBpeCountLearned)
 }

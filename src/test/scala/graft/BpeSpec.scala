@@ -115,6 +115,74 @@ class BpeSpec extends SparkSpec {
       .find(_.key == "text_bpe_vocab").get
     val textBpeCount = graft.operators.TextOps.all
       .find(_.key == "text_bpe_count").get
+    val textBpeTrain = graft.operators.TextOps.all
+      .find(_.key == "text_bpe_train").get
+    val textBpeCountLearned = graft.operators.TextOps.all
+      .find(_.key == "text_bpe_count_learned").get
+  }
+
+  test("text_bpe_train: greedy merge table invariants on sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val m = TextOps.textBpeTrain.fn(spark, sf).collect()
+    assert(m.length === 32, "a rich corpus must yield all K merges")
+    assert(m.map(_.getAs[Long]("rank")).toSeq === (0L until 32L),
+      "ranks must be dense 0..K-1")
+    assert(m.forall(_.getAs[Long]("cnt") > 0))
+    val pairs = m.map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+    assert(pairs.distinct.length === pairs.length, "no pair merges twice")
+    // rank 0 IS the global argmax pair of the raw symbol stream
+    assert(m.head.getAs[Long]("cnt") === m.map(_.getAs[Long]("cnt")).max)
+    // every learned symbol is built from earlier symbols or single chars
+    val known = scala.collection.mutable.Set[String]()
+    pairs.foreach { case (a, b) =>
+      assert(a.length == 1 || known.contains(a), s"orphan left symbol $a")
+      assert(b.length == 1 || known.contains(b), s"orphan right symbol $b")
+      known += a + b
+    }
+  }
+
+  test("text_bpe_train: runs dry gracefully on a tiny vocab") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpetiny").toString
+    Seq((0L, "ab ab ab", "en", "s0", 8L), (1L, "ab", "en", "s1", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = TextOps.textBpeTrain.fn(spark, dir).collect()
+    assert(m.length === 1, s"one merge then dry, got ${m.length}")
+    assert(m.head.getAs[String]("a") === "a" &&
+      m.head.getAs[String]("b") === "b" && m.head.getAs[Long]("cnt") === 4L)
+    // the learned counter then prices every doc at 1 token per 'ab'
+    val n = TextOps.textBpeCountLearned.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_learned"))
+      .toMap
+    assert(n === Map(0L -> 3L, 1L -> 1L))
+  }
+
+  test("text_bpe_count_learned: compression accounting vs the char baseline") {
+    val sf = "/root/testdata/sf0.001"
+    val learned = TextOps.textBpeCountLearned.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_learned"))
+      .toMap
+    val m = TextOps.textBpeTrain.fn(spark, sf).collect()
+    // char baseline: one token per letter/residual code point (0 merges)
+    val baseline = Tables.documents(spark, sf).collect().map { r =>
+      val t = r.getAs[String]("text")
+      Bpe.words(t).map(w => w.codePointCount(0, w.length)).sum.toLong +
+        Bpe.residualCount(t)
+    }.sum
+    val mergedAway = m.map(_.getAs[Long]("cnt")).sum
+    val total = learned.values.sum
+    // each merge round removes AT MOST cnt tokens (overlapping pair
+    // occurrences collapse to fewer replacements), and at least one
+    assert(total < baseline, "learned merges must compress the corpus")
+    assert(total >= baseline - mergedAway,
+      s"$total tokens vs baseline $baseline minus $mergedAway merged")
+    // empty docs price at zero in the learned currency too
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    learned.foreach { case (id, n) =>
+      if (docs(id).isEmpty) assert(n === 0L)
+    }
   }
 
   test("doc_pack_bpe: manifest arithmetic consistent with its own counts") {
