@@ -328,3 +328,88 @@ object CsvBulkSink {
   def write(df: DataFrame, path: String): Unit =
     df.select(csvRow(df).as("value")).write.mode("overwrite").text(path)
 }
+
+/** One registered model sink: what `ModelBaseSink` subclasses declare
+  * (reference sinks/base_sink.py:125-160: `model`, `unique_key`, the
+  * serializer) plus the two `is_enabled` flag sources (settings +
+  * waffle, base_sink.py:338-358). `serialize` is the model's serializer
+  * over its source table — projection/rename, the A5/A5b/A7 shape.
+  */
+final case class ModelSinkSpec(
+    model: String,
+    uniqueKey: String,
+    serializedKey: String,
+    settingEnabled: Boolean,
+    waffleEnabled: Boolean,
+    serialize: (SparkSession, String) => DataFrame) {
+
+  /** `is_enabled` = settings flag OR waffle flag (base_sink.py:338-358). */
+  def isEnabled: Boolean = settingEnabled || waffleEnabled
+}
+
+/** Model→sink registry dispatch — the twin of
+  * `ModelBaseSink.get_sink_by_model_name` (base_sink.py:361-369: walk
+  * the registered sinks, match on `model`, None for unknown) and of the
+  * generic `dump_data_to_clickhouse` task that drives a sink BY NAME
+  * (tasks.py:43-59: resolve the class, check `is_enabled`, dump one
+  * object). A driver that knows only "dump model X, object N" needs no
+  * knowledge of which operator implements X — the routing the reference
+  * exposes to its Celery layer.
+  */
+object SinkRegistry {
+
+  /** The registered model sinks (the `__subclasses__()` walk, keyed
+    * up-front — the registry is a handful of entries, so a Map twin of
+    * the reference's linear scan is the same contract). Flags mirror
+    * the A13 gating fixture: supplier/events are disabled models.
+    */
+  val specs: Map[String, ModelSinkSpec] = Seq(
+    ModelSinkSpec("orders", "o_orderkey", "course_id",
+      settingEnabled = true, waffleEnabled = false,
+      (s, d) => graft.Tables.orders(s, d).select(
+        col("o_orderkey").as("course_id"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"),
+        col("o_orderdate").as("last_published"))),
+    ModelSinkSpec("customer", "c_custkey", "user_id",
+      settingEnabled = false, waffleEnabled = true,
+      (s, d) => graft.Tables.customer(s, d).select(
+        col("c_custkey").as("user_id"),
+        col("c_name").as("name"),
+        col("c_acctbal").as("balance"))),
+    ModelSinkSpec("supplier", "s_suppkey", "supplier_id",
+      settingEnabled = false, waffleEnabled = false,
+      (s, d) => graft.Tables.supplier(s, d).select(
+        col("s_suppkey").as("supplier_id"),
+        col("s_name").as("name")))
+  ).map(sp => sp.model -> sp).toMap
+
+  /** `get_sink_by_model_name` twin: None for an unregistered model. */
+  def byModelName(model: String): Option[ModelSinkSpec] = specs.get(model)
+
+  /** The generic dump task (`dump_data_to_clickhouse` twin): resolve
+    * the sink by model name, honor the enable gate (a disabled sink is
+    * never invoked — zero reads of its table), serialize the ONE object
+    * named by `objectId` (the task's `object_id`), stamp it, and append
+    * idempotently. Returns rows appended (0 for a disabled sink or a
+    * replayed dump id). An unknown model throws — the analog of the
+    * task's import/getattr failure on a bad sink path.
+    */
+  def dumpModel(
+      spark: SparkSession,
+      sfDir: String,
+      model: String,
+      objectId: Long,
+      sink: SinkLog,
+      dumpId: String,
+      dumpTimeUs: Long): Long = {
+    val spec = byModelName(model).getOrElse(throw new IllegalArgumentException(
+      s"unknown model '$model'; registered: ${specs.keys.toSeq.sorted.mkString(", ")}"))
+    if (!spec.isEnabled) 0L
+    else sink.appendIdempotent(spark,
+      Sinks.stamped(
+        spec.serialize(spark, sfDir)
+          .filter(col(spec.serializedKey) === objectId),
+        dumpId, dumpTimeUs))
+  }
+}

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.{CsvBulkSink, ExternalSink, ParquetSink, Sinks}
+import graft.sources.{CsvBulkSink, ExternalSink, ParquetSink, SinkRegistry, Sinks}
 
 /** The sources/ sink package: dump-id idempotency, latest-state reads,
   * CSV bulk payload rendering.
@@ -29,6 +29,40 @@ class SourcesSpec extends SparkSpec {
     val b2 = batch(Seq((2L, "upd", 21.0)), "d2", 2000L)
     assert(sink.appendIdempotent(spark, b2) == 1)
     assert(sink.log(spark).count() == 3)
+  }
+
+  test("SinkRegistry: name-keyed dispatch drives the generic dump task") {
+    val path = Files.createTempDirectory("graft_reg").toString + "/log"
+    val sink = ParquetSink(path)
+    // get_sink_by_model_name twin: known models resolve, unknown → None
+    assert(SinkRegistry.byModelName("orders").exists(_.model == "orders"))
+    assert(SinkRegistry.byModelName("course_overviews").isEmpty)
+    // the generic task dumps ONE object of the named model
+    val n = SinkRegistry.dumpModel(spark, sf, "orders", objectId = 1L,
+      sink, dumpId = "d1", dumpTimeUs = 1000L)
+    assert(n == 1L, s"expected the one orders row, appended $n")
+    val row = sink.log(spark).collect().head
+    assert(row.getAs[Long]("course_id") == 1L)
+    assert(row.getAs[String]("dump_id") == "d1")
+    // replaying the same dump attempt is idempotent end-to-end
+    assert(SinkRegistry.dumpModel(spark, sf, "orders", 1L, sink,
+      "d1", 1000L) == 0L)
+    // each model gets its own log (one table per sink, as the reference)
+    val custSink = ParquetSink(
+      Files.createTempDirectory("graft_reg").toString + "/log")
+    // waffle-only model is enabled too (settings OR waffle)
+    assert(SinkRegistry.dumpModel(spark, sf, "customer", 1L, custSink,
+      "d2", 2000L) == 1L)
+    // a DISABLED model is never invoked: zero rows, no scan performed
+    assert(SinkRegistry.dumpModel(spark, sf, "supplier", 1L, custSink,
+      "d3", 3000L) == 0L)
+    assert(sink.log(spark).count() == 1 && custSink.log(spark).count() == 1)
+    // unknown model is the error path (the task's bad-sink-path analog)
+    val e = intercept[IllegalArgumentException] {
+      SinkRegistry.dumpModel(spark, sf, "nope", 1L, sink, "d4", 4000L)
+    }
+    assert(e.getMessage.contains("unknown model")
+      && e.getMessage.contains("orders"))
   }
 
   test("ParquetSink.latestState: newest dump wins per key") {
