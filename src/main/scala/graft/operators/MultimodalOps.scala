@@ -57,30 +57,117 @@ object MultimodalOps {
   /** Input/output rows of the batched decode pipeline. */
   final case class BlobRow(doc_id: Long, data: Array[Byte])
   final case class FeatRow(
-      doc_id: Long, n_bytes: Long, batch_size: Long, feat: Array[Float])
+      doc_id: Long, n_bytes: Long, batch_size: Long, format: String,
+      width: Long, height: Long, bit_depth: Long, color_type: Long,
+      n_chunks: Long, crc_ok: Boolean, feat: Array[Float])
 
   private val DECODE_BATCH = 64
 
-  /** STUB DECODER — a real pipeline calls an image/audio codec here
-    * (those libraries are not in this container). The fake is
-    * deterministic: 4 "features" derived from the first bytes. The
-    * surrounding Spark plumbing — binary column, per-partition batching,
-    * typed schema in/out — is the real, tested part.
+  /** Real PNG container decode: the full chunk walk over the public PNG
+    * layout (8-byte signature; then length/type/data/CRC chunks; IHDR
+    * first with width/height/bit-depth/color-type; IEND last), with
+    * every chunk's CRC-32 validated over type+data. This is the honest
+    * per-batch CPU a media pipeline pays before the pixel codec — pixel
+    * decompression (zlib IDAT) is the part a production pipeline hands
+    * to an image library.
     */
-  private def stubDecode(batch: Seq[BlobRow]): Seq[FeatRow] =
+  object Png {
+    final case class Meta(width: Long, height: Long, bitDepth: Long,
+        colorType: Long, nChunks: Long, crcOk: Boolean)
+
+    private val SIG =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def be32(d: Array[Byte], o: Int): Long =
+      ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+        ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+
+    /** None = not a PNG (signature mismatch — fall back to the raw
+      * path); Some(meta) with crcOk=false = a PNG whose structure or a
+      * chunk CRC fails validation (a quarantine row downstream).
+      */
+    def decode(d: Array[Byte]): Option[Meta] = {
+      if (d.length < 8 || (0 until 8).exists(i => d(i) != SIG(i))) None
+      else {
+        var off = 8L
+        var w = 0L; var h = 0L; var depth = 0L; var ctype = 0L
+        var n = 0L
+        var ok = true
+        var sawIhdr = false
+        var sawIend = false
+        while (!sawIend && ok) {
+          if (off + 12 > d.length) ok = false
+          else {
+            val len = be32(d, off.toInt)
+            if (off + 12 + len > d.length) ok = false
+            else {
+              val o = off.toInt
+              val tpe = new String(d, o + 4, 4,
+                java.nio.charset.StandardCharsets.US_ASCII)
+              val crc = new java.util.zip.CRC32()
+              crc.update(d, o + 4, 4 + len.toInt)
+              if (crc.getValue != be32(d, o + 8 + len.toInt)) ok = false
+              n += 1
+              if (n == 1) {
+                if (tpe != "IHDR" || len != 13) ok = false
+                else {
+                  sawIhdr = true
+                  w = be32(d, o + 8); h = be32(d, o + 12)
+                  depth = d(o + 16) & 0xffL; ctype = d(o + 17) & 0xffL
+                }
+              }
+              if (tpe == "IEND") sawIend = true
+              off += 12 + len
+            }
+          }
+        }
+        Some(Meta(w, h, depth, ctype, n, ok && sawIhdr && sawIend))
+      }
+    }
+  }
+
+  /** Per-batch decode: PNG payloads get the REAL chunk walk ([[Png]]);
+    * anything else (the text-bytes test corpus) takes the deterministic
+    * raw fallback — 4 "features" from the first bytes, standing in for
+    * the codec output. Typed schema in/out either way.
+    */
+  private[graft] def decodeBatch(batch: Seq[BlobRow]): Seq[FeatRow] =
     batch.map { b =>
       val f = (0 until 4).map { i =>
         if (b.data.length > i) (b.data(i) & 0xff) / 255.0f else 0.0f
       }.toArray
-      FeatRow(b.doc_id, b.data.length.toLong, batch.length.toLong, f)
+      Png.decode(b.data) match {
+        case Some(m) => FeatRow(b.doc_id, b.data.length.toLong,
+          batch.length.toLong, "png", m.width, m.height, m.bitDepth,
+          m.colorType, m.nChunks, m.crcOk, f)
+        case None => FeatRow(b.doc_id, b.data.length.toLong,
+          batch.length.toLong, "raw", 0L, 0L, 0L, 0L, 0L, crc_ok = true, f)
+      }
     }
+
+  /** The batched mapPartitions pipeline over ANY blob frame — factored
+    * so MultimodalSpec drives real PNG bytes through the exact operator
+    * code path (the documents corpus is text-bytes, which exercises the
+    * raw fallback).
+    */
+  private[graft] def decodePipeline(
+      ds: org.apache.spark.sql.Dataset[BlobRow])
+      : org.apache.spark.sql.Dataset[FeatRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(it =>
+      it.grouped(DECODE_BATCH).flatMap(b => decodeBatch(b)))
+  }
 
   /** F2 — batched decode/feature-extract over a binary column: the Spark
     * shape of a Pandas-UDF/`mapInPandas` media pipeline. Rows stream
     * through `mapPartitions` in fixed-size batches (the unit a codec or
     * accelerator would want), emitting a typed feature row per blob.
-    * No oracle (not SQL-expressible) — the driver does a rows-only check
-    * and MultimodalSpec asserts the batching invariants.
+    * The container decode is REAL for PNG (r9: full chunk walk, IHDR
+    * dimensions/depth/color-type, per-chunk CRC-32 validation — see
+    * [[Png]]); non-PNG payloads fall back to deterministic stub
+    * features, so the text-bytes test corpus still flows. No oracle
+    * (not SQL-expressible) — the driver does a rows-only check and
+    * MultimodalSpec asserts batching + decode on hand-built fixtures.
     *
     * At 100 TB: mapPartitions preserves the scan partitioning (no
     * shuffle); batch size bounds peak decoder memory per task; the
@@ -90,13 +177,14 @@ object MultimodalOps {
     "mm_decode_batch",
     (s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("data"))
-        .as[BlobRow]
-        .mapPartitions(it =>
-          it.grouped(DECODE_BATCH).flatMap(b => stubDecode(b)))
+      decodePipeline(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("data"))
+          .as[BlobRow])
         .toDF()
         .select(col("doc_id"), col("n_bytes"), col("batch_size"),
+          col("format"), col("width"), col("height"), col("bit_depth"),
+          col("color_type"), col("n_chunks"), col("crc_ok"),
           element_at(col("feat"), 1).as("f0"))
         .orderBy(col("doc_id"))
     },

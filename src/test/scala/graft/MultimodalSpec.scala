@@ -24,7 +24,74 @@ class MultimodalSpec extends SparkSpec {
       assert(bs >= 1 && bs <= 64)
       val f0 = r.getAs[Float]("f0")
       assert(f0 >= 0.0f && f0 <= 1.0f)
+      // text bytes are not a PNG: the raw fallback path
+      assert(r.getAs[String]("format") == "raw")
+      assert(r.getAs[Boolean]("crc_ok"))
     }
+  }
+
+  // ---- hand-built PNG fixtures for the real chunk-walk decode ----
+
+  private val pngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32()
+    val tb = tpe.getBytes("US-ASCII")
+    crc.update(tb); crc.update(data)
+    be32(data.length.toLong) ++ tb ++ data ++ be32(crc.getValue)
+  }
+
+  private def pngBytes(w: Int, h: Int, depth: Int, ctype: Int): Array[Byte] =
+    pngSig ++
+      chunk("IHDR", be32(w.toLong) ++ be32(h.toLong) ++
+        Array(depth.toByte, ctype.toByte, 0.toByte, 0.toByte, 0.toByte)) ++
+      chunk("IDAT", Array[Byte](0x78, 0x01, 0x03, 0x00)) ++
+      chunk("IEND", Array.empty[Byte])
+
+  test("Png.decode: chunk walk reads IHDR and validates every CRC") {
+    import graft.operators.MultimodalOps.Png
+    // the builder's CRC is grounded against the PUBLISHED IEND constant
+    // (len-0 IEND chunk CRC is ae426082 in every PNG ever written)
+    assert(chunk("IEND", Array.empty[Byte]).drop(8).map(b => f"$b%02x")
+      .mkString == "ae426082")
+    val m = Png.decode(pngBytes(7, 3, 8, 2)).get
+    assert(m == Png.Meta(7L, 3L, 8L, 2L, 3L, crcOk = true),
+      s"got $m")
+    // a flipped payload byte fails that chunk's CRC
+    val bad = pngBytes(7, 3, 8, 2)
+    bad(pngSig.length + 12 + 13 + 10) = 0x7f // inside IDAT data
+    assert(!Png.decode(bad).get.crcOk)
+    // truncation mid-chunk fails structurally
+    assert(!Png.decode(pngBytes(7, 3, 8, 2).dropRight(6)).get.crcOk)
+    // IHDR-not-first fails (signature alone doesn't make a PNG)
+    val noIhdr = pngSig ++ chunk("IDAT", Array[Byte](1, 2)) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(!Png.decode(noIhdr).get.crcOk)
+    // non-PNG bytes are not an error — they route to the raw path
+    assert(Png.decode("plain text".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("decodePipeline: PNG and raw blobs share one batched path") {
+    import spark.implicits._
+    import graft.operators.MultimodalOps
+    val blobs = Seq(
+      MultimodalOps.BlobRow(0L, pngBytes(640, 480, 8, 6)),
+      MultimodalOps.BlobRow(1L, "not an image".getBytes("UTF-8")),
+      MultimodalOps.BlobRow(2L, pngBytes(16, 16, 16, 0)))
+    val out = MultimodalOps.decodePipeline(blobs.toDS()).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out(0L).format == "png" && out(0L).width == 640L &&
+      out(0L).height == 480L && out(0L).bit_depth == 8L &&
+      out(0L).color_type == 6L && out(0L).n_chunks == 3L && out(0L).crc_ok)
+    assert(out(1L).format == "raw" && out(1L).width == 0L)
+    assert(out(2L).format == "png" && out(2L).width == 16L &&
+      out(2L).bit_depth == 16L)
+    assert(out.values.forall(_.batch_size <= 64L))
   }
 
   test("mm_shard_manifest: two-level prefix sum equals the sequential scan") {
