@@ -517,7 +517,7 @@ object DedupOps {
         .orderBy(col("i"), col("j"))
     },
     Some {
-      val bandSelects = (0 until AnnOps.TABLES).map(t =>
+      val bandSelects = (0 until AnnOps.LshGeometry.default.tables).map(t =>
         s"SELECT vec_id, $t AS tbl, ${AnnOps.sqlBucket("e", t)} AS bucket FROM e")
         .mkString("\n        UNION ALL ")
       s"""

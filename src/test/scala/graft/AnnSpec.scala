@@ -29,13 +29,14 @@ class AnnSpec extends SparkSpec {
     }
   }
 
-  private def sets(key: String, dir: String = sf) = run(key, dir).collect()
+  private def setsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
     .groupBy(_.getAs[Long]("q_id"))
     .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
 
-  private def recallVsExact(key: String, dir: String = sf): Double = {
+  private def sets(key: String, dir: String = sf) = setsOf(run(key, dir))
+
+  private def recallOf(approx: Map[Long, Set[Long]], dir: String): Double = {
     val exact = sets("ann_bruteforce", dir)
-    val approx = sets(key, dir)
     // keysIterator, NOT keys.map: mapping a Set would dedupe equal
     // per-query recalls and silently depress the average
     exact.keysIterator.map { q =>
@@ -43,16 +44,22 @@ class AnnSpec extends SparkSpec {
     }.sum / exact.size
   }
 
+  private def recallVsExact(key: String, dir: String = sf): Double =
+    recallOf(sets(key, dir), dir)
+
   /** Fraction of the corpus the LSH path actually scores, averaged over
     * queries (brute force scores 1.0). The denominator is the TOTAL
     * query count — a query with zero candidates contributes a 0.0 scan
     * fraction instead of silently dropping out and biasing the average.
     */
-  private def scanFraction(dir: String): Double = {
+  private def scanFraction(
+      dir: String,
+      g: operators.AnnOps.LshGeometry =
+        operators.AnnOps.LshGeometry.default): Double = {
     val e = Tables.embeddings(spark, dir)
     val corpus = e.count() - 1 // minus self
     val nQueries = e.filter(col("vec_id") < 8).count() // the q set (E1-E3)
-    val cand = operators.AnnOps.lshCandidates(spark, dir)
+    val cand = operators.AnnOps.lshCandidates(spark, dir, g)
       .groupBy(col("q_id")).count().collect()
     cand.map(_.getAs[Long]("count")).sum.toDouble / (nQueries * corpus)
   }
@@ -100,6 +107,42 @@ class AnnSpec extends SparkSpec {
     assert(frac <= 0.6, f"scan fraction $frac%.2f above bound")
   }
 
+  test("LshGeometry.forCorpus: planes grow with the corpus, occupancy flat") {
+    import operators.AnnOps.LshGeometry
+    // test-SF corpora keep the board geometry
+    assert(LshGeometry.forCorpus(500) == LshGeometry.default)
+    assert(LshGeometry.forCorpus(50000) == LshGeometry(8, 8))
+    // at 10^9 vectors: 22 planes = 4M buckets/table, ~256 occupancy
+    assert(LshGeometry.forCorpus(1000000000L) == LshGeometry(8, 22))
+    // monotone non-decreasing, clamped
+    val ns = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L, Long.MaxValue / 2)
+    val ps = ns.map(LshGeometry.forCorpus(_).planes)
+    assert(ps == ps.sorted && ps.last <= 24)
+    // expected occupancy n/2^planes stays within ~2x of target once the
+    // clamp releases (the scale claim: scan fraction is geometry-flat)
+    Seq(100000L, 10000000L, 1000000000L).foreach { n =>
+      val occ = n.toDouble / (1L << LshGeometry.forCorpus(n).planes)
+      assert(occ <= 2 * LshGeometry.TARGET_OCCUPANCY, s"occupancy $occ at $n")
+    }
+  }
+
+  test("ann_lsh: second geometry — denser tables cut scan, keep recall") {
+    import operators.AnnOps
+    val g2 = AnnOps.LshGeometry(8, 8) // 256 buckets/table vs default 64
+    val r6 = recallVsExact("ann_lsh", clusteredDir)
+    val f6 = scanFraction(clusteredDir)
+    val r8 = recallOf(setsOf(AnnOps.lshTopK(spark, clusteredDir, g2)),
+      clusteredDir)
+    val f8 = scanFraction(clusteredDir, g2)
+    info(f"planes=6: recall $r6%.3f scan $f6%.3f; planes=8: recall $r8%.3f scan $f8%.3f")
+    // the geometry dial works: more planes → strictly smaller candidate
+    // fraction at bounded recall loss — the per-bucket occupancy claim
+    // forCorpus() is built on
+    assert(f8 < f6, f"scan fraction must shrink with planes: $f8%.3f vs $f6%.3f")
+    assert(r8 >= 0.8, f"recall@5 $r8%.2f below the production floor at planes=8")
+    assert(f8 <= 0.6, f"scan fraction $f8%.2f above bound at planes=8")
+  }
+
   test("ann_ivf: recall@5 vs exact baseline >= 0.15") {
     val r = recallVsExact("ann_ivf")
     assert(r >= 0.15, f"IVF recall@5 $r%.2f below floor")
@@ -111,5 +154,19 @@ class AnnSpec extends SparkSpec {
     val r = recallVsExact("ann_ivf", clusteredDir)
     info(f"clustered corpus: IVF recall@5 $r%.3f")
     assert(r >= 0.8, f"IVF recall@5 $r%.2f below the production floor")
+  }
+
+  test("ann_ivf: cell count scales as sqrt(n), second geometry holds recall") {
+    import operators.AnnOps
+    assert(AnnOps.ivfCellsFor(500) == 22)
+    assert(AnnOps.ivfCellsFor(100) == 16)          // clamp floor
+    assert(AnnOps.ivfCellsFor(1000000000L) == 31623)
+    assert(AnnOps.ivfCellsFor(Long.MaxValue / 4) == 65536) // clamp cap
+    // 32 cells on the clustered corpus: candidate fraction ~nprobe/cells
+    // halves vs 16 cells while the cluster-aligned recall holds
+    val r32 = recallOf(setsOf(AnnOps.ivfTopK(spark, clusteredDir,
+      cells = 32)), clusteredDir)
+    info(f"clustered corpus: IVF recall@5 $r32%.3f at 32 cells")
+    assert(r32 >= 0.8, f"IVF recall@5 $r32%.2f below floor at 32 cells")
   }
 }
