@@ -133,20 +133,33 @@ object AnnOps {
       */
     val default: LshGeometry = LshGeometry(8, 6)
 
-    /** Target mean bucket occupancy the plane count maintains. */
+    /** Target mean bucket occupancy the plane count maintains — the
+      * PROBE-side default: a probe pays probes × tables × occupancy
+      * cosines, so 256 keeps the per-query candidate count flat.
+      */
     val TARGET_OCCUPANCY = 256L
 
-    /** Geometry for a corpus of `n` vectors: planes grow as
-      * log2(n / occupancy), clamped to [6, 24] — at 10^9 vectors that is
-      * 22 planes (4M buckets/table, ~256 vectors each), keeping the
-      * multiprobe candidate count — probes × tables × occupancy —
-      * corpus-size-independent. Tables stay 8: they are the RECALL
-      * lever (OR-amplification), not the occupancy lever, and each
-      * extra table re-hashes the corpus.
+    /** Occupancy target for bucket-local PAIR enumeration (D5): pair
+      * work is occupancy² per bucket = occupancy × n corpus-wide, so
+      * the enumeration wants buckets ~8× finer than a probe does.
       */
-    def forCorpus(n: Long): LshGeometry = {
+    val PAIR_OCCUPANCY = 32L
+
+    /** Geometry for a corpus of `n` vectors: planes grow as
+      * log2(n / occupancy), clamped to [6, 24] — at 10^9 vectors (probe
+      * target) that is 22 planes (4M buckets/table, ~256 vectors each),
+      * keeping the multiprobe candidate count — probes × tables ×
+      * occupancy — corpus-size-independent. Tables stay 8: they are the
+      * RECALL lever (OR-amplification), not the occupancy lever, and
+      * each extra table re-hashes the corpus. At every oracle-checked
+      * SF (≤2000 vectors) BOTH targets resolve to the default geometry,
+      * which is what the board oracles pin.
+      */
+    def forCorpus(
+        n: Long,
+        targetOccupancy: Long = TARGET_OCCUPANCY): LshGeometry = {
       val planes = math.max(6, math.min(24, math.ceil(
-        math.log(math.max(n, 1).toDouble / TARGET_OCCUPANCY) /
+        math.log(math.max(n, 1).toDouble / targetOccupancy) /
           math.log(2.0)).toInt))
       LshGeometry(8, planes)
     }
@@ -335,9 +348,17 @@ object AnnOps {
         .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The op derives its geometry from the corpus row count (one
+    * metadata-cheap count() per run): at every oracle-checked SF
+    * forCorpus returns the default — the oracle pins that geometry —
+    * and above them the plane count grows so candidate volume stays
+    * ~linear in n instead of occupancy-quadratic (measured at sf1:
+    * see BASELINE.md).
+    */
   val annLsh: Op = Op(
     "ann_lsh",
-    (s, d) => lshTopK(s, d),
+    (s, d) => lshTopK(s, d,
+      LshGeometry.forCorpus(Tables.embeddings(s, d).count())),
     Some {
       val g = LshGeometry.default
       val masks = (0 until g.planes).map(k => 1L << k)

@@ -493,7 +493,14 @@ object DedupOps {
     "dedup_embedding",
     (s, d) => {
       val e = AnnOps.withNorm(s, d)
-      val cand = AnnOps.bucketIndex(e)
+      // corpus-sized geometry at the PAIR occupancy target (≡ the
+      // oracle's default at gate SFs): with fixed buckets, 10x corpus =
+      // 10x occupancy = 100x bucket-local pair enumeration — the one
+      // measured super-linear query at sf1 before this derivation
+      // (BASELINE.md r9)
+      val g = AnnOps.LshGeometry.forCorpus(
+        Tables.embeddings(s, d).count(), AnnOps.LshGeometry.PAIR_OCCUPANCY)
+      val cand = AnnOps.bucketIndex(e, g)
         .groupBy(col("tbl"), col("bucket"))
         .agg(sort_array(collect_list(col("vec_id"))).as("ds"))
         .filter(size(col("ds")) >= 2)

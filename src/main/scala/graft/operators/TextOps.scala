@@ -710,6 +710,11 @@ object TextOps {
           trim(call_function("replace",
             concat(lit(" "), col("s"), lit(" ")),
             lit(s" $pa $pb "), lit(s" $pa$pb "))))
+        // bound the recompute depth: without this, round r's aggregate
+        // re-applies all r prior replaces from the cached base — O(K²)
+        // string work by the last round; a periodic persist caps the
+        // chain at 8 (the scope's releaseScope reclaims all of them)
+        if (r % 8 == 7) vocab = Caches.persist(vocab)
         r += 1
       }
     }

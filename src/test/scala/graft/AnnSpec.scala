@@ -124,6 +124,18 @@ class AnnSpec extends SparkSpec {
       val occ = n.toDouble / (1L << LshGeometry.forCorpus(n).planes)
       assert(occ <= 2 * LshGeometry.TARGET_OCCUPANCY, s"occupancy $occ at $n")
     }
+    // GATE SAFETY: at every oracle-checked corpus size (≤2000 vectors)
+    // BOTH occupancy targets resolve to the default geometry — the
+    // board oracles pin default, so the ops' derived geometry must
+    // coincide with it exactly there
+    Seq(200L, 2000L).foreach { n =>
+      assert(LshGeometry.forCorpus(n) == LshGeometry.default)
+      assert(LshGeometry.forCorpus(n, LshGeometry.PAIR_OCCUPANCY)
+        == LshGeometry.default)
+    }
+    // ...and above gate scale the pair target buckets finer than probe
+    assert(LshGeometry.forCorpus(20000, LshGeometry.PAIR_OCCUPANCY).planes >
+      LshGeometry.forCorpus(20000).planes)
   }
 
   test("ann_lsh: second geometry — denser tables cut scan, keep recall") {

@@ -46,4 +46,33 @@ class CacheLifecycleSpec extends SparkSpec {
     assert(Caches.liveCount == 0)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("artifact mode: cache occupancy is bounded by DISTINCT artifacts") {
+    // the deployment-model bound: Spark's cache manager dedupes persists
+    // by plan, so re-running the whole ANN/dedup family re-USES the norm
+    // artifact instead of accumulating per-query copies — occupancy is
+    // O(distinct artifacts), not O(queries run)
+    val family = Seq("ann_bruteforce", "ann_lsh", "ann_ivf",
+      "dedup_embedding", "emb_centroids")
+    Caches.artifactMode = true
+    try {
+      family.foreach { q =>
+        SparkEntry.queries(q)(spark, sf).count(); Caches.releaseScope()
+      }
+      val afterFirstPass = spark.sparkContext.getPersistentRDDs.size
+      family.foreach { q =>
+        SparkEntry.queries(q)(spark, sf).count(); Caches.releaseScope()
+      }
+      val afterSecondPass = spark.sparkContext.getPersistentRDDs.size
+      assert(afterSecondPass == afterFirstPass,
+        s"re-running the family must not grow the cache: " +
+          s"$afterFirstPass -> $afterSecondPass")
+      assert(afterFirstPass <= 4,
+        s"the family shares a handful of artifacts, got $afterFirstPass")
+    } finally {
+      Caches.artifactMode = false
+      Caches.releaseAll()
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
