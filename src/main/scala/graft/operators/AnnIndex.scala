@@ -45,27 +45,54 @@ object AnnIndex {
     */
   val MaxBucket = 200
 
-  /** The two persisted frames of one logical index. */
-  final case class Index(buckets: DataFrame, vectors: DataFrame)
+  /** The two persisted frames of one logical index, plus the geometry
+    * its bucket ids were hashed under — bucket ids are meaningless under
+    * any other geometry, so the index PINS it (r9: geometry became a
+    * sized parameter; a 10^9-vector deployment builds at
+    * [[AnnOps.LshGeometry.forCorpus]] and every later probe/ingest must
+    * hash with the same planes).
+    */
+  final case class Index(
+      buckets: DataFrame,
+      vectors: DataFrame,
+      geometry: AnnOps.LshGeometry = AnnOps.LshGeometry.default)
 
   /** Build the index for an initial corpus of (vec_id, embedding). */
-  def build(embeddings: DataFrame): Index = {
+  def build(
+      embeddings: DataFrame,
+      geometry: AnnOps.LshGeometry = AnnOps.LshGeometry.default): Index = {
     val e = AnnOps.withNormDf(embeddings)
-    Index(AnnOps.bucketIndex(e), e)
+    Index(AnnOps.bucketIndex(e, geometry), e, geometry)
   }
 
   /** Persist / reopen. Buckets partition by `tbl` (a probe of t tables
-    * prunes to those directories); vectors are plain parquet.
+    * prunes to those directories); vectors are plain parquet; the
+    * geometry rides a one-row meta frame so a reopened index hashes its
+    * probes identically.
     */
   def save(index: Index, path: String): Unit = {
     index.buckets.write.mode("overwrite").partitionBy("tbl")
       .parquet(s"$path/buckets")
     index.vectors.write.mode("overwrite").parquet(s"$path/vectors")
+    index.buckets.sparkSession.range(1)
+      .select(lit(index.geometry.tables).as("tables"),
+        lit(index.geometry.planes).as("planes"))
+      .write.mode("overwrite").parquet(s"$path/geometry")
   }
 
-  def load(spark: SparkSession, path: String): Index =
+  def load(spark: SparkSession, path: String): Index = {
+    // pre-r9 saved indices carry no geometry frame → the then-only
+    // default geometry they were necessarily built with
+    val g = try {
+      val r = spark.read.parquet(s"$path/geometry").head()
+      AnnOps.LshGeometry(r.getAs[Int]("tables"), r.getAs[Int]("planes"))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        AnnOps.LshGeometry.default
+    }
     Index(spark.read.parquet(s"$path/buckets"),
-      spark.read.parquet(s"$path/vectors"))
+      spark.read.parquet(s"$path/vectors"), g)
+  }
 
   /** Top-k indexed neighbors of each query vector:
     * (q_id, rank, vec_id, cos), ranked by exact-micros cosine with the
@@ -85,9 +112,10 @@ object AnnIndex {
       q: DataFrame,
       k: Int,
       maxBucket: Int): DataFrame = {
-    // the SAME multiprobe expansion as E2 (AnnOps.probeBuckets) — the
-    // probe-vs-ann_lsh parity contract stays true by construction
-    val qb = AnnOps.probeBuckets(q)
+    // the SAME multiprobe expansion as E2 (AnnOps.probeBuckets), at the
+    // INDEX's pinned geometry — the probe-vs-ann_lsh parity contract
+    // stays true by construction whenever the two geometries coincide
+    val qb = AnnOps.probeBuckets(q, index.geometry)
     // every query meets every index row of its bucket, so the count per
     // (tbl, bucket, q_id) IS the index-side bucket occupancy — no
     // second read of the index, and counted before the self-filter
@@ -146,8 +174,9 @@ object AnnIndex {
     val e = Caches.persist(AnnOps.withNormDf(newVecs))
     val fresh = Caches.persist(freshVecs(index, e))
     (probeWithNorm(index, e, k, maxBucket),
-      Index(index.buckets.unionByName(AnnOps.bucketIndex(fresh)),
-        index.vectors.unionByName(fresh)))
+      Index(
+        index.buckets.unionByName(AnnOps.bucketIndex(fresh, index.geometry)),
+        index.vectors.unionByName(fresh), index.geometry))
   }
 
   /** Persist an ingest: append ONLY the batch's not-yet-indexed bucket
@@ -158,10 +187,11 @@ object AnnIndex {
     */
   def append(path: String, newVecs: DataFrame): Unit = {
     val spark = newVecs.sparkSession
+    val idx = load(spark, path)
     val fresh = Checkpoints.checkpoint(
-      freshVecs(load(spark, path), AnnOps.withNormDf(newVecs)))
-    AnnOps.bucketIndex(fresh).write.mode("append").partitionBy("tbl")
-      .parquet(s"$path/buckets")
+      freshVecs(idx, AnnOps.withNormDf(newVecs)))
+    AnnOps.bucketIndex(fresh, idx.geometry).write.mode("append")
+      .partitionBy("tbl").parquet(s"$path/buckets")
     fresh.write.mode("append").parquet(s"$path/vectors")
   }
 }

@@ -208,15 +208,25 @@ final case class ExternalSink(
     url: String,
     table: String,
     connProps: Map[String, String] = Map.empty,
-    createColumnTypes: Option[String] = None) extends SinkLog {
+    createColumnTypes: Option[String] = None,
+    timeoutSecs: Option[Int] = None) extends SinkLog {
 
+  /** `timeoutSecs` is the `ClickHouseClient.ch_timeout_secs` twin
+    * (base_sink.py:39-53, overridable per instance exactly as
+    * `connection_overrides` overrides the settings default): it rides
+    * the JDBC `queryTimeout` option into every Spark read/write this
+    * sink issues, and the probe statement in [[exists]] sets it
+    * directly — no sink request may hang past it.
+    */
   private def props: java.util.Properties = {
     val p = new java.util.Properties()
     connProps.foreach { case (k, v) => p.setProperty(k, v) }
+    timeoutSecs.foreach(t => p.setProperty("queryTimeout", t.toString))
     p
   }
 
-  protected def exists(spark: SparkSession): Boolean = {
+  protected def exists(spark: SparkSession): Boolean =
+      ExternalSink.surfacing("existence probe", url, table) {
     // Spark's JDBC source loads the driver class itself from the
     // "driver" property; the raw DriverManager probe here must do the
     // same (service autoloading misses drivers registered only in
@@ -234,6 +244,7 @@ final case class ExternalSink(
       // permission) must propagate, or appendIdempotent would skip the
       // dump-id anti-join and a replayed dump would land twice.
       val st = conn.createStatement()
+      timeoutSecs.foreach(st.setQueryTimeout)
       try {
         st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close()
         true
@@ -244,7 +255,8 @@ final case class ExternalSink(
     } finally conn.close()
   }
 
-  protected def append(df: DataFrame): Unit = {
+  protected def append(df: DataFrame): Unit =
+      ExternalSink.surfacing("append", url, table) {
     // Some dialects map StringType to a LOB type (Derby: CLOB) that the
     // database cannot use in DISTINCT — which the idempotency pre-read
     // needs on dump_id. Pin the key column to a comparable VARCHAR at
@@ -291,6 +303,44 @@ object ExternalSink {
   def isTableNotFound(e: java.sql.SQLException): Boolean =
     TableNotFoundStates(e.getSQLState) ||
       (e.getSQLState == "42000" && e.getErrorCode == 942)
+
+  /** The backend's full diagnostic chain, flattened: SQLState, vendor
+    * code and message of the exception AND its `getNextException` chain
+    * (JDBC batch drivers bury the real failure there). The twin of the
+    * reference client logging `e.response` + `e.response.text` before
+    * re-raising (`_send_clickhouse_request`, base_sink.py:55-71) — the
+    * error BODY must reach the operator, not just "request failed".
+    */
+  def describe(e: java.sql.SQLException): String = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    var cur = e
+    var n = 0
+    while (cur != null && n < 8) {
+      parts += s"[state=${cur.getSQLState} code=${cur.getErrorCode}] " +
+        String.valueOf(cur.getMessage).linesIterator.mkString(" ")
+      cur = cur.getNextException
+      n += 1
+    }
+    parts.mkString(" <- ")
+  }
+
+  /** Run a sink request, surfacing the backend diagnostics on failure:
+    * the first SQLException in the cause chain (Spark wraps JDBC
+    * failures) is re-raised with [[describe]]'s flattened detail in the
+    * message, original as cause, SQLState/code preserved. Non-SQL
+    * failures pass through untouched.
+    */
+  def surfacing[T](ctx: String, url: String, table: String)(body: => T): T =
+    try body catch {
+      case e: Throwable =>
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .collectFirst { case s: java.sql.SQLException => s } match {
+          case Some(s) => throw new java.sql.SQLException(
+            s"sink $ctx failed against $url table $table: ${describe(s)}",
+            s.getSQLState, s.getErrorCode, e)
+          case None => throw e
+        }
+    }
 }
 
 /** ClickHouse-FORMAT-CSV-shaped payload rendering: every row of any

@@ -62,6 +62,24 @@ class AnnIndexSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("a non-default geometry is pinned through save/load and probing") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.AnnOps
+    val g = AnnOps.LshGeometry(8, 8)
+    val dir = Files.createTempDirectory("graft_annidx_g").toString + "/index"
+    AnnIndex.save(AnnIndex.build(corpus, g), dir)
+    val reloaded = AnnIndex.load(spark, dir)
+    assert(reloaded.geometry == g, "geometry must survive the roundtrip")
+    // a loaded index probes with ITS planes: row-for-row equal to E2
+    // run at the same geometry (buckets hashed under 8 planes would
+    // never line up with default-6 probe ids otherwise)
+    val queries = corpus.filter(col("vec_id") < 8)
+    val got = AnnIndex.probe(reloaded, queries).collect().map(_.toSeq).toSeq
+    val want = AnnOps.lshTopK(spark, sfDir, g).collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty,
+      s"loaded-index probe must equal E2 at the same geometry (${got.length}/${want.length})")
+  }
+
   test("occupancy cap: saturated buckets contribute no candidates") {
     // identical vectors share every bucket in every table: occupancy 2
     val index = AnnIndex.build(vecs(10L -> unit(0), 11L -> unit(0)))

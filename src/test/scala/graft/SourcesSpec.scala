@@ -103,6 +103,38 @@ class SourcesSpec extends SparkSpec {
       Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
   }
 
+  test("ExternalSink surfaces the backend's diagnostic chain on failure") {
+    // the _send_clickhouse_request twin: the error BODY (SQLState,
+    // vendor code, backend message) must reach the operator, not just
+    // "write failed" — here the second append passes Spark's analysis
+    // (same schema) but the BACKEND rejects it: a dump_id longer than
+    // the table's VARCHAR(128), a database-side truncation error
+    val sink = derbySink("surf_log")
+    assert(sink.appendIdempotent(spark,
+      batch(Seq((1L, "new", 10.0)), "d1", 1000L)) == 1)
+    val oversized = batch(Seq((2L, "x", 1.0)), "d" * 500, 2000L)
+    val e = intercept[java.sql.SQLException] {
+      sink.appendIdempotent(spark, oversized)
+    }
+    assert(e.getMessage.contains("sink append failed against"),
+      s"context missing: ${e.getMessage}")
+    assert(e.getMessage.contains("[state="),
+      s"backend diagnostics missing: ${e.getMessage}")
+    assert(e.getCause != null, "original failure must ride along as cause")
+    // the probe timeout knob plumbs through without disturbing reads
+    val timed = sink.copy(timeoutSecs = Some(30))
+    assert(timed.initialized(spark) && timed.log(spark).count() == 1)
+  }
+
+  test("ExternalSink.describe flattens the getNextException chain") {
+    val tail = new java.sql.SQLException("constraint violated", "23505", 1)
+    val head = new java.sql.SQLException("batch failed", "HY000", 99)
+    head.setNextException(tail)
+    val d = graft.sources.ExternalSink.describe(head)
+    assert(d == "[state=HY000 code=99] batch failed <- " +
+      "[state=23505 code=1] constraint violated", d)
+  }
+
   test("ExternalSink.appendIdempotent: re-delivered dump over JDBC never duplicates") {
     val sink = derbySink("sink_log")
     val b1 = batch(Seq((1L, "new", 10.0), (2L, "new", 20.0)), "d1", 1000L)
