@@ -385,13 +385,25 @@ object CsvBulkSink {
   * waffle, base_sink.py:338-358). `serialize` is the model's serializer
   * over its source table — projection/rename, the A5/A5b/A7 shape.
   */
+/** One nested sink chained under a parent model sink — the
+  * `nested_sinks` / `dump_related` contract (base_sink.py:123-127,
+  * 184-203, 226-233): after a parent object dumps, each nested sink
+  * serializes the object's RELATED rows and they land stamped with the
+  * PARENT's dump_id/time_last_dumped. `serializeRelated` takes
+  * (spark, sfDir, parentObjectId).
+  */
+final case class NestedSinkSpec(
+    name: String,
+    serializeRelated: (SparkSession, String, Long) => DataFrame)
+
 final case class ModelSinkSpec(
     model: String,
     uniqueKey: String,
     serializedKey: String,
     settingEnabled: Boolean,
     waffleEnabled: Boolean,
-    serialize: (SparkSession, String) => DataFrame) {
+    serialize: (SparkSession, String) => DataFrame,
+    nested: Seq[NestedSinkSpec] = Nil) {
 
   /** `is_enabled` = settings flag OR waffle flag (base_sink.py:338-358). */
   def isEnabled: Boolean = settingEnabled || waffleEnabled
@@ -420,7 +432,15 @@ object SinkRegistry {
         col("o_orderkey").as("course_id"),
         col("o_orderstatus").as("status"),
         col("o_totalprice").as("price"),
-        col("o_orderdate").as("last_published"))),
+        col("o_orderdate").as("last_published")),
+      // the XBlockSink-under-CourseOverviewSink shape: the order's
+      // line rows ride the parent dump
+      nested = Seq(NestedSinkSpec("order_lines",
+        (s, d, oid) => graft.Tables.lineitem(s, d)
+          .filter(col("l_orderkey") === oid)
+          .select(col("l_orderkey").as("course_id"),
+            col("l_linenumber").as("line"),
+            col("l_quantity").as("qty"))))),
     ModelSinkSpec("customer", "c_custkey", "user_id",
       settingEnabled = false, waffleEnabled = true,
       (s, d) => graft.Tables.customer(s, d).select(
@@ -440,10 +460,15 @@ object SinkRegistry {
   /** The generic dump task (`dump_data_to_clickhouse` twin): resolve
     * the sink by model name, honor the enable gate (a disabled sink is
     * never invoked — zero reads of its table), serialize the ONE object
-    * named by `objectId` (the task's `object_id`), stamp it, and append
-    * idempotently. Returns rows appended (0 for a disabled sink or a
-    * replayed dump id). An unknown model throws — the analog of the
-    * task's import/getattr failure on a bad sink path.
+    * named by `objectId` (the task's `object_id`), stamp it, append
+    * idempotently, then cascade to the spec's nested sinks — each
+    * related frame lands under the PARENT's dump_id/time (the
+    * `dump` → `nested_sink.dump_related` loop, base_sink.py:184-203).
+    * Returns total rows appended, parent + nested (0 for a disabled
+    * sink or a fully-replayed dump id). An unknown model throws — the
+    * analog of the task's import/getattr failure on a bad sink path; a
+    * nested sink with no provided log likewise (the reference's
+    * NotImplementedError for an unimplemented dump_related).
     */
   def dumpModel(
       spark: SparkSession,
@@ -452,14 +477,31 @@ object SinkRegistry {
       objectId: Long,
       sink: SinkLog,
       dumpId: String,
-      dumpTimeUs: Long): Long = {
+      dumpTimeUs: Long,
+      nestedSinks: Map[String, SinkLog] = Map.empty): Long = {
     val spec = byModelName(model).getOrElse(throw new IllegalArgumentException(
       s"unknown model '$model'; registered: ${specs.keys.toSeq.sorted.mkString(", ")}"))
     if (!spec.isEnabled) 0L
-    else sink.appendIdempotent(spark,
-      Sinks.stamped(
-        spec.serialize(spark, sfDir)
-          .filter(col(spec.serializedKey) === objectId),
-        dumpId, dumpTimeUs))
+    else {
+      // resolve EVERY nested sink before anything dumps — the reference
+      // instantiates nested_sinks in __init__, so a missing/broken
+      // nested sink fails BEFORE the parent row lands, never between
+      // the parent append and the cascade
+      val resolved = spec.nested.map { ns =>
+        ns -> nestedSinks.getOrElse(ns.name,
+          throw new IllegalArgumentException(
+            s"no sink provided for nested '${ns.name}' of model '$model'"))
+      }
+      val nParent = sink.appendIdempotent(spark,
+        Sinks.stamped(
+          spec.serialize(spark, sfDir)
+            .filter(col(spec.serializedKey) === objectId),
+          dumpId, dumpTimeUs))
+      val nNested = resolved.map { case (ns, nsink) =>
+        nsink.appendIdempotent(spark, Sinks.stamped(
+          ns.serializeRelated(spark, sfDir, objectId), dumpId, dumpTimeUs))
+      }.sum
+      nParent + nNested
+    }
   }
 }

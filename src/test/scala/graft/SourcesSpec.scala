@@ -37,16 +37,35 @@ class SourcesSpec extends SparkSpec {
     // get_sink_by_model_name twin: known models resolve, unknown → None
     assert(SinkRegistry.byModelName("orders").exists(_.model == "orders"))
     assert(SinkRegistry.byModelName("course_overviews").isEmpty)
-    // the generic task dumps ONE object of the named model
+    // the generic task dumps ONE object of the named model, cascading
+    // to nested sinks under the PARENT's dump metadata (dump_related)
+    val lines = ParquetSink(
+      Files.createTempDirectory("graft_reg").toString + "/log")
+    val nested = Map("order_lines" -> (lines: graft.sources.SinkLog))
+    val nLines = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") === 1L).count()
+    assert(nLines > 0, "fixture order 1 must have line rows")
     val n = SinkRegistry.dumpModel(spark, sf, "orders", objectId = 1L,
-      sink, dumpId = "d1", dumpTimeUs = 1000L)
-    assert(n == 1L, s"expected the one orders row, appended $n")
+      sink, dumpId = "d1", dumpTimeUs = 1000L, nestedSinks = nested)
+    assert(n == 1L + nLines, s"parent + related rows, appended $n")
     val row = sink.log(spark).collect().head
     assert(row.getAs[Long]("course_id") == 1L)
     assert(row.getAs[String]("dump_id") == "d1")
-    // replaying the same dump attempt is idempotent end-to-end
+    // every related row rides the PARENT's dump_id/time
+    val lrows = lines.log(spark).collect()
+    assert(lrows.length == nLines &&
+      lrows.forall(r => r.getAs[String]("dump_id") == "d1" &&
+        r.getAs[Long]("time_last_dumped_us") == 1000L))
+    // replaying the same dump attempt is idempotent END-TO-END —
+    // parent and nested logs both anti-join the replay away
     assert(SinkRegistry.dumpModel(spark, sf, "orders", 1L, sink,
-      "d1", 1000L) == 0L)
+      "d1", 1000L, nested) == 0L)
+    // a nested spec without a provided log is the dump_related
+    // NotImplementedError analog
+    val eNested = intercept[IllegalArgumentException] {
+      SinkRegistry.dumpModel(spark, sf, "orders", 2L, sink, "d9", 9000L)
+    }
+    assert(eNested.getMessage.contains("order_lines"))
     // each model gets its own log (one table per sink, as the reference)
     val custSink = ParquetSink(
       Files.createTempDirectory("graft_reg").toString + "/log")
