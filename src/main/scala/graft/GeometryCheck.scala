@@ -1,0 +1,50 @@
+package graft
+
+/** Above-gate-scale oracle check for the geometry-scaled queries.
+  *
+  * `ann_lsh` and `dedup_embedding` size their LSH geometry from the
+  * corpus row count ([[operators.AnnOps.LshGeometry.forCorpus]]), which
+  * equals the board default at every oracle-checked SF — but ABOVE gate
+  * scale the engine deliberately hashes finer than the static oracle
+  * SQL, so a raw compare there reports a by-design difference, not a
+  * bug. This main re-runs both queries PINNED to the oracle's default
+  * geometry and dumps them for tools/compare.py, proving the
+  * engine-vs-oracle parity machinery holds at any SF whenever the two
+  * geometries coincide (the r9 sf1 record: CORRECTNESS_sf1_r09.txt).
+  *
+  * Usage: runMain graft.GeometryCheck <sfDir> <outDir>, then point
+  * tools/compare.py at outDir (it carries the full oracle_sql.json).
+  */
+object GeometryCheck {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    val g = operators.AnnOps.LshGeometry.default
+    operators.AnnOps.lshTopK(spark, sfDir, g)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ann_lsh")
+    Caches.releaseScope()
+    operators.DedupOps.embeddingPairsAt(spark, sfDir, g)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/dedup_embedding")
+    Caches.releaseScope()
+    val oracles = SparkEntry.oracleSql
+      .filter { case (k, _) => k == "ann_lsh" || k == "dedup_embedding" }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      oracles.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    spark.stop()
+  }
+}

@@ -489,17 +489,15 @@ object DedupOps {
     * vec_id-partitioned corpus (explode to members → join → regroup —
     * joining the corpus twice would double the scan and shuffle).
     */
-  val dedupEmbedding: Op = Op(
-    "dedup_embedding",
-    (s, d) => {
+  /** D5's body at an explicit geometry — the op derives it from the
+    * corpus count; graft.GeometryCheck re-runs it at the oracle's
+    * default above gate scale.
+    */
+  private[graft] def embeddingPairsAt(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      g: AnnOps.LshGeometry): org.apache.spark.sql.DataFrame = {
       val e = AnnOps.withNorm(s, d)
-      // corpus-sized geometry at the PAIR occupancy target (≡ the
-      // oracle's default at gate SFs): with fixed buckets, 10x corpus =
-      // 10x occupancy = 100x bucket-local pair enumeration — the one
-      // measured super-linear query at sf1 before this derivation
-      // (BASELINE.md r9)
-      val g = AnnOps.LshGeometry.forCorpus(
-        Tables.embeddings(s, d).count(), AnnOps.LshGeometry.PAIR_OCCUPANCY)
       val cand = AnnOps.bucketIndex(e, g)
         .groupBy(col("tbl"), col("bucket"))
         .agg(sort_array(collect_list(col("vec_id"))).as("ds"))
@@ -522,7 +520,18 @@ object DedupOps {
             col("nm_i"), col("nm_j")).as("cos"))
         .filter(col("cos") >= 0.3)
         .orderBy(col("i"), col("j"))
-    },
+  }
+
+  val dedupEmbedding: Op = Op(
+    "dedup_embedding",
+    (s, d) =>
+      // corpus-sized geometry at the PAIR occupancy target (≡ the
+      // oracle's default at gate SFs): with fixed buckets, 10x corpus =
+      // 10x occupancy = 100x bucket-local pair enumeration — the one
+      // measured super-linear query at sf1 before this derivation
+      // (BASELINE.md r9)
+      embeddingPairsAt(s, d, AnnOps.LshGeometry.forCorpus(
+        Tables.embeddings(s, d).count(), AnnOps.LshGeometry.PAIR_OCCUPANCY)),
     Some {
       val bandSelects = (0 until AnnOps.LshGeometry.default.tables).map(t =>
         s"SELECT vec_id, $t AS tbl, ${AnnOps.sqlBucket("e", t)} AS bucket FROM e")

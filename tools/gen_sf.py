@@ -8,8 +8,11 @@ Scaling rules (BASELINE.md round-9 "10x scale step"):
 - dims (region, nation) copy verbatim;
 - keyed tables shift their pk (and the fks that reference them) by
   i * (max_key + 1) per copy i, so referential structure is preserved;
-- events keep their timestamps and are written with BIGINT nanos ts
-  (the TIMESTAMP(NANOS)/nanosAsLong path graft.Tables.events handles);
+- events write ts as TIMESTAMPTZ (UTC session): parquet gets
+  timestamp[us, tz=UTC], which Spark reads as a plain TimestampType
+  (the naive variants read back as TIMESTAMP_NTZ and break
+  unix_micros) and DuckDB's timestamp functions keep working; the
+  sub-microsecond truncation matches Spark's own nanos→micros path;
 - documents mutate every WORD with a per-copy letter suffix: each copy
   is a disjoint "dialect", so exact/near-dup structure scales 10x
   instead of every doc gaining 9 cross-copy duplicates (which would
@@ -69,7 +72,7 @@ write("lineitem", copies(lambda i:
     f"* EXCLUDE (l_orderkey, l_partkey, l_suppkey) FROM {rd('lineitem')}"))
 write("events", copies(lambda i:
     f"SELECT event_id + {i*stride['event_id']} AS event_id, "
-    f"CAST(epoch_ns(ts) AS BIGINT) AS ts, "
+    f"CAST(ts AS TIMESTAMPTZ) AS ts, "
     f"user_id + {i*stride['user_id']} AS user_id, "
     f"event_type, value, props FROM {rd('events')}"))
 
