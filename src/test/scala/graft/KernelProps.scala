@@ -100,6 +100,31 @@ object KernelProps extends Properties("kernels") {
       kernel == hof
     }
 
+  // arbitrary unicode text, including supplementary-plane code points
+  // and the occasional lone surrogate scalacheck's String gen produces —
+  // the fold must stay total and self-consistent on ALL of it
+  private val uniText: Gen[String] = Gen.listOfN(40, Gen.frequency(
+    6 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf(' ', '\t', '\n', '.', ',', '!'),
+    2 -> Gen.oneOf('é', 'ß', 'İ', 'Σ', '日', '語',
+      '\ud83d', '\ude42'))).map(_.mkString) // 🙂 halves → surrogates too
+
+  property("bpe fold: pieces/tokenCount/words/residual are one consistent story") =
+    Prop.forAll(uniText) { s =>
+      import graft.functions.Bpe
+      val p = Bpe.pieces(s)
+      val byParts = Bpe.words(s).map(Bpe.encodeLen(_).toLong).sum +
+        Bpe.residualCount(s)
+      // count == piece-sequence length == word-share + residual-share
+      Bpe.tokenCount(s) == p.length.toLong && Bpe.tokenCount(s) == byParts
+    }
+
+  property("bpe fold: whitespace concatenation is additive") =
+    Prop.forAll(uniText, uniText) { (a, b) =>
+      graft.functions.Bpe.tokenCount(a + " " + b) ==
+        graft.functions.Bpe.tokenCount(a) + graft.functions.Bpe.tokenCount(b)
+    }
+
   property("exactSum is invariant under repartitioning") =
     Prop.forAll(Gen.listOfN(60, Gen.chooseNum(-1000.0, 1000.0))) { vs =>
       vs.nonEmpty ==> {
