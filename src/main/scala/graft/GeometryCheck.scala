@@ -2,15 +2,16 @@ package graft
 
 /** Above-gate-scale oracle check for the geometry-scaled queries.
   *
-  * `ann_lsh` and `dedup_embedding` size their LSH geometry from the
-  * corpus row count ([[operators.AnnOps.LshGeometry.forCorpus]]), which
-  * equals the board default at every oracle-checked SF — but ABOVE gate
-  * scale the engine deliberately hashes finer than the static oracle
-  * SQL, so a raw compare there reports a by-design difference, not a
-  * bug. This main re-runs both queries PINNED to the oracle's default
-  * geometry and dumps them for tools/compare.py, proving the
-  * engine-vs-oracle parity machinery holds at any SF whenever the two
-  * geometries coincide (the r9 sf1 record: CORRECTNESS_sf1_r09.txt).
+  * `ann_lsh`, `ann_ivf` and `dedup_embedding` size their geometry from
+  * the corpus row count ([[operators.AnnOps.LshGeometry.forCorpus]] /
+  * [[operators.AnnOps.ivfCellsFor]]), which equals the board default at
+  * every oracle-checked SF — but ABOVE gate scale the engine
+  * deliberately buckets finer than the static oracle SQL, so a raw
+  * compare there reports a by-design difference, not a bug. This main
+  * re-runs those queries PINNED to the oracle's default geometry and
+  * dumps them for tools/compare.py, proving the engine-vs-oracle parity
+  * machinery holds at any SF whenever the two geometries coincide (the
+  * r9 sf1 record: CORRECTNESS_sf1_r09.txt).
   *
   * Usage: runMain graft.GeometryCheck <sfDir> <outDir>, then point
   * tools/compare.py at outDir (it carries the full oracle_sql.json).
@@ -30,8 +31,11 @@ object GeometryCheck {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/dedup_embedding")
     Caches.releaseScope()
-    val oracles = SparkEntry.oracleSql
-      .filter { case (k, _) => k == "ann_lsh" || k == "dedup_embedding" }
+    operators.AnnOps.ivfTopK(spark, sfDir) // default = the pinned 16 cells
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ann_ivf")
+    Caches.releaseScope()
+    val oracles = SparkEntry.oracleSql.filter { case (k, _) =>
+      k == "ann_lsh" || k == "dedup_embedding" || k == "ann_ivf" }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -69,26 +69,56 @@ object AnnIndex {
     * prunes to those directories); vectors are plain parquet; the
     * geometry rides a one-row meta frame so a reopened index hashes its
     * probes identically.
+    *
+    * Multi-frame saves are not atomic, so save brackets the frames with
+    * a completion marker (r10 advisory): `complete=false` lands FIRST —
+    * invalidating any previous save's marker before a byte of the old
+    * frames is overwritten — then geometry, buckets, vectors, then
+    * `complete=true`. A crash anywhere inside the bracket leaves
+    * `complete=false` on disk and [[load]] refuses the index, instead
+    * of silently reloading a non-default-geometry index at the default
+    * and probing with mismatched bucket ids (near-empty results).
     */
   def save(index: Index, path: String): Unit = {
-    index.buckets.write.mode("overwrite").partitionBy("tbl")
-      .parquet(s"$path/buckets")
-    index.vectors.write.mode("overwrite").parquet(s"$path/vectors")
-    index.buckets.sparkSession.range(1)
+    val spark = index.buckets.sparkSession
+    writeMarker(spark, path, complete = false)
+    spark.range(1)
       .select(lit(index.geometry.tables).as("tables"),
         lit(index.geometry.planes).as("planes"))
       .write.mode("overwrite").parquet(s"$path/geometry")
+    index.buckets.write.mode("overwrite").partitionBy("tbl")
+      .parquet(s"$path/buckets")
+    index.vectors.write.mode("overwrite").parquet(s"$path/vectors")
+    writeMarker(spark, path, complete = true)
   }
 
+  private def writeMarker(
+      spark: SparkSession, path: String, complete: Boolean): Unit =
+    spark.range(1).select(lit(complete).as("complete"))
+      .write.mode("overwrite").parquet(s"$path/complete")
+
   def load(spark: SparkSession, path: String): Index = {
-    // pre-r9 saved indices carry no geometry frame → the then-only
-    // default geometry they were necessarily built with
-    val g = try {
-      val r = spark.read.parquet(s"$path/geometry").head()
-      AnnOps.LshGeometry(r.getAs[Int]("tables"), r.getAs[Int]("planes"))
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        AnnOps.LshGeometry.default
+    def readable(sub: String): Option[org.apache.spark.sql.Row] =
+      try Some(spark.read.parquet(s"$path/$sub").head())
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    readable("complete") match {
+      case Some(m) =>
+        if (!m.getAs[Boolean]("complete"))
+          throw new IllegalStateException(
+            s"AnnIndex at $path is a partial save (interrupted between " +
+              "marker and frames) — rebuild or re-save it")
+      case None =>
+        // no marker: a pre-r10 layout. With a geometry frame (r9) the
+        // save order was buckets→vectors→geometry, so geometry-present
+        // implies the frames landed too; without one it is a pre-r9
+        // default-geometry index — the ONLY case the default fallback
+        // below is for.
+        ()
+    }
+    val g = readable("geometry") match {
+      case Some(r) =>
+        AnnOps.LshGeometry(r.getAs[Int]("tables"), r.getAs[Int]("planes"))
+      case None => AnnOps.LshGeometry.default
     }
     Index(spark.read.parquet(s"$path/buckets"),
       spark.read.parquet(s"$path/vectors"), g)
@@ -177,6 +207,34 @@ object AnnIndex {
       Index(
         index.buckets.unionByName(AnnOps.bucketIndex(fresh, index.geometry)),
         index.vectors.unionByName(fresh), index.geometry))
+  }
+
+  /** Drop retired vectors from an in-session index: an anti-join of
+    * both frames against the (broadcast, id-width) retired set — the
+    * index twin of the reference's user-retirement sweep
+    * (sinks/user_retire.py:23-49: sunk state must be REMOVABLE, not
+    * just appendable). Retiring an id that was never indexed — or was
+    * already retired — is a no-op by construction, so at-least-once
+    * delivery of retirement batches is safe.
+    */
+  def retire(index: Index, ids: DataFrame): Index = {
+    val r = broadcast(ids.select(col("vec_id")).distinct())
+    Index(index.buckets.join(r, Seq("vec_id"), "left_anti"),
+      index.vectors.join(r, Seq("vec_id"), "left_anti"), index.geometry)
+  }
+
+  /** Retire ids from a SAVED index: anti-join rewrite of both frames,
+    * checkpoint-materialized first (the save overwrites the directories
+    * being read), geometry preserved, completion-marker-bracketed like
+    * every save. A rewrite prices at one pass over the index — at lake
+    * scale, batch retirements per compaction window (the reference's
+    * retirement is itself a periodic batch task), not per request.
+    */
+  def retire(path: String, ids: DataFrame): Unit = {
+    val spark = ids.sparkSession
+    val idx = retire(load(spark, path), ids)
+    save(Index(Checkpoints.checkpoint(idx.buckets),
+      Checkpoints.checkpoint(idx.vectors), idx.geometry), path)
   }
 
   /** Persist an ingest: append ONLY the batch's not-yet-indexed bucket

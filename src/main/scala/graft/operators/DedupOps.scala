@@ -524,14 +524,19 @@ object DedupOps {
 
   val dedupEmbedding: Op = Op(
     "dedup_embedding",
-    (s, d) =>
+    (s, d) => {
       // corpus-sized geometry at the PAIR occupancy target (≡ the
-      // oracle's default at gate SFs): with fixed buckets, 10x corpus =
-      // 10x occupancy = 100x bucket-local pair enumeration — the one
+      // oracle's default at gate SFs, with 2× margin — PAIR_OCCUPANCY's
+      // gate-margin note): with fixed buckets, 10x corpus = 10x
+      // occupancy = 100x bucket-local pair enumeration — the one
       // measured super-linear query at sf1 before this derivation
       // (BASELINE.md r9)
-      embeddingPairsAt(s, d, AnnOps.LshGeometry.forCorpus(
-        Tables.embeddings(s, d).count(), AnnOps.LshGeometry.PAIR_OCCUPANCY)),
+      val g = AnnOps.LshGeometry.forCorpus(
+        Tables.embeddings(s, d).count(), AnnOps.LshGeometry.PAIR_OCCUPANCY)
+      AnnOps.logGeometryDivergence("dedup_embedding", g,
+        AnnOps.LshGeometry.default)
+      embeddingPairsAt(s, d, g)
+    },
     Some {
       val bandSelects = (0 until AnnOps.LshGeometry.default.tables).map(t =>
         s"SELECT vec_id, $t AS tbl, ${AnnOps.sqlBucket("e", t)} AS bucket FROM e")

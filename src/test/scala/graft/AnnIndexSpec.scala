@@ -6,6 +6,8 @@ import org.apache.spark.sql.DataFrame
 
 import graft.operators.AnnIndex
 
+case class IdxVec(vec_id: Long, embedding: Array[Float])
+
 /** The persistent incremental ANN index: probes find nearest indexed
   * neighbors without re-hashing or shuffling the indexed corpus.
   */
@@ -137,5 +139,99 @@ class AnnIndexSpec extends SparkSpec {
     val r = AnnIndex.probe(reloaded, vecs(99L -> unit(7))).collect()
     assert(r.nonEmpty && r.head.getLong(2) == 20L,
       "the appended batch must be probeable")
+  }
+
+  test("retire: probes never return a retired id; replayed retire is a no-op") {
+    import spark.implicits._
+    val index = AnnIndex.build(
+      vecs(10L -> unit(0), 11L -> unit(0, 2f), 12L -> unit(7)))
+    val retired = Seq(10L).toDF("vec_id")
+    val idx1 = AnnIndex.retire(index, retired)
+    val r = AnnIndex.probe(idx1, vecs(99L -> unit(0))).collect()
+    assert(r.nonEmpty && !r.exists(_.getLong(2) == 10L),
+      s"retired id must never surface: ${r.toSeq}")
+    assert(r.head.getLong(2) == 11L, "surviving co-bucket vector still found")
+    val idx2 = AnnIndex.retire(idx1, retired) // at-least-once replay
+    assert(idx2.buckets.count() == idx1.buckets.count() &&
+      idx2.vectors.count() == idx1.vectors.count(),
+      "a replayed retire must be a no-op")
+  }
+
+  test("persisted retire rewrites the saved index; geometry survives") {
+    import spark.implicits._
+    import graft.operators.AnnOps
+    val g = AnnOps.LshGeometry(8, 8)
+    val dir = Files.createTempDirectory("graft_annret").toString + "/index"
+    AnnIndex.save(AnnIndex.build(vecs(10L -> unit(0), 11L -> unit(0, 2f)), g), dir)
+    AnnIndex.retire(dir, Seq(10L).toDF("vec_id"))
+    val reloaded = AnnIndex.load(spark, dir)
+    assert(reloaded.geometry == g, "retire must not lose the pinned geometry")
+    assert(reloaded.vectors.count() == 1)
+    val ids = AnnIndex.probe(reloaded, vecs(99L -> unit(0)))
+      .collect().map(_.getLong(2)).toSet
+    assert(ids == Set(11L), s"got $ids")
+    AnnIndex.retire(dir, Seq(10L).toDF("vec_id")) // replay on the path
+    assert(AnnIndex.load(spark, dir).vectors.count() == 1)
+  }
+
+  test("a partial save (stale completion marker) refuses to load") {
+    import org.apache.spark.sql.functions.lit
+    val dir = Files.createTempDirectory("graft_annpart").toString + "/index"
+    AnnIndex.save(AnnIndex.build(vecs(10L -> unit(0))), dir)
+    // simulate a crash inside the save bracket: the first thing save
+    // writes is complete=false, and nothing reset it to true
+    spark.range(1).select(lit(false).as("complete"))
+      .write.mode("overwrite").parquet(s"$dir/complete")
+    val e = intercept[IllegalStateException] { AnnIndex.load(spark, dir) }
+    assert(e.getMessage.contains("partial save"))
+  }
+
+  test("pre-r9 layout (no geometry, no marker) still loads at default geometry") {
+    import graft.operators.AnnOps
+    val dir = Files.createTempDirectory("graft_annold").toString + "/index"
+    AnnIndex.save(AnnIndex.build(vecs(10L -> unit(0), 11L -> unit(7))), dir)
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$dir/geometry"))
+    rmrf(new java.io.File(s"$dir/complete"))
+    val reloaded = AnnIndex.load(spark, dir)
+    assert(reloaded.geometry == AnnOps.LshGeometry.default)
+    val r = AnnIndex.probe(reloaded, vecs(99L -> unit(0))).collect()
+    assert(r.nonEmpty && r.head.getLong(2) == 10L)
+  }
+
+  test("a foreachBatch stream lands vectors via append; loaded probes match a batch build") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_annstrm").toString
+    val idxPath = s"$dir/index"
+    AnnIndex.save(AnnIndex.build(vecs(10L -> unit(0))), idxPath)
+    val src = MemoryStream[IdxVec]
+    val query = src.toDS().toDF().writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        AnnIndex.append(idxPath, batch)
+      }.start()
+    src.addData(IdxVec(20L, unit(7).toArray))
+    query.processAllAvailable()
+    // second epoch re-delivers vec 20 alongside a new vector: the
+    // append's anti-join is the epoch-idempotency contract
+    src.addData(IdxVec(21L, unit(13).toArray), IdxVec(20L, unit(7).toArray))
+    query.processAllAvailable()
+    query.stop()
+    val reloaded = AnnIndex.load(spark, idxPath)
+    assert(reloaded.vectors.count() == 3,
+      "one vector row per vec_id across epochs, replay appended nothing")
+    // probe parity: the streamed-in index answers exactly like an index
+    // built from the full corpus in one shot
+    val all = vecs(10L -> unit(0), 20L -> unit(7), 21L -> unit(13))
+    val q = vecs(99L -> unit(7))
+    val got = AnnIndex.probe(reloaded, q).collect().map(_.toSeq).toSeq
+    val want = AnnIndex.probe(AnnIndex.build(all), q)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty,
+      s"stream-built and batch-built probes must agree ($got vs $want)")
   }
 }

@@ -133,6 +133,12 @@ class AnnSpec extends SparkSpec {
       assert(LshGeometry.forCorpus(n, LshGeometry.PAIR_OCCUPANCY)
         == LshGeometry.default)
     }
+    // ...with MARGIN (r10 advisory): the default-geometry region must
+    // extend to at least 2× the largest oracle-checked corpus, so a
+    // slightly larger regenerated gate corpus cannot silently flip
+    // dedup_embedding off the oracle-pinned geometry
+    assert(LshGeometry.forCorpus(4096, LshGeometry.PAIR_OCCUPANCY)
+      == LshGeometry.default)
     // ...and above gate scale the pair target buckets finer than probe
     assert(LshGeometry.forCorpus(20000, LshGeometry.PAIR_OCCUPANCY).planes >
       LshGeometry.forCorpus(20000).planes)
@@ -170,10 +176,20 @@ class AnnSpec extends SparkSpec {
 
   test("ann_ivf: cell count scales as sqrt(n), second geometry holds recall") {
     import operators.AnnOps
-    assert(AnnOps.ivfCellsFor(500) == 22)
-    assert(AnnOps.ivfCellsFor(100) == 16)          // clamp floor
-    assert(AnnOps.ivfCellsFor(1000000000L) == 31623)
+    // GATE SAFETY (the wired dial, r10): every oracle-checked corpus —
+    // and anything up to 2× the largest one — resolves to the pinned
+    // 16-cell default; growth starts only above n = 4096
+    Seq(100L, 500L, 2000L, 4096L).foreach { n =>
+      assert(AnnOps.ivfCellsFor(n) == 16, s"gate corpus $n must pin 16")
+    }
+    assert(AnnOps.ivfCellsFor(4097L * 2) > 16)
+    assert(AnnOps.ivfCellsFor(1000000L) == 250)
+    assert(AnnOps.ivfCellsFor(1000000000L) == 7906)
     assert(AnnOps.ivfCellsFor(Long.MaxValue / 4) == 65536) // clamp cap
+    // monotone non-decreasing
+    val cs = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L)
+      .map(AnnOps.ivfCellsFor)
+    assert(cs == cs.sorted)
     // 32 cells on the clustered corpus: candidate fraction ~nprobe/cells
     // halves vs 16 cells while the cluster-aligned recall holds
     val r32 = recallOf(setsOf(AnnOps.ivfTopK(spark, clusteredDir,

@@ -136,6 +136,37 @@ class DedupIndexSpec extends SparkSpec {
       s"cross-batch dup must surface via the appended index: $got")
   }
 
+  test("retire: probes never pair with a retired doc; replayed retire is a no-op") {
+    import spark.implicits._
+    val index = DedupIndex.build(
+      docs(0L -> base, 1L -> base.replace("idx9", "y"), 2L -> other))
+    val retired = Seq(0L).toDF("doc_id")
+    val idx1 = DedupIndex.retire(index, retired)
+    val pairs = DedupIndex.probe(idx1, docs(9L -> base)).collect()
+      .map(r => (r.getAs[Long]("first_id"), r.getAs[Long]("new_id"))).toSet
+    assert(!pairs.exists(_._1 == 0L),
+      s"retired doc must never pair: $pairs")
+    assert(pairs == Set((1L, 9L)), s"surviving near-dup still found: $pairs")
+    val idx2 = DedupIndex.retire(idx1, retired) // at-least-once replay
+    assert(idx2.count() == idx1.count(), "a replayed retire must be a no-op")
+  }
+
+  test("persisted retire rewrites the saved index; probe after retire is clean") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lshret").toString + "/index"
+    DedupIndex.save(DedupIndex.build(
+      docs(0L -> base, 1L -> base.replace("idx9", "y"))), dir)
+    DedupIndex.retire(dir, Seq(0L).toDF("doc_id"))
+    val reloaded = DedupIndex.load(spark, dir)
+    assert(reloaded.count() == 1L * DedupIndex.Bands,
+      "only the surviving doc's band rows remain")
+    val pairs = DedupIndex.probe(reloaded, docs(9L -> base)).collect()
+      .map(r => (r.getAs[Long]("first_id"), r.getAs[Long]("new_id"))).toSet
+    assert(pairs == Set((1L, 9L)), s"got $pairs")
+    DedupIndex.retire(dir, Seq(0L).toDF("doc_id")) // replay on the path
+    assert(DedupIndex.load(spark, dir).count() == 1L * DedupIndex.Bands)
+  }
+
   test("index signatures are the stream's signatures (one banding scheme)") {
     import org.apache.spark.sql.functions.{col, lit}
     val d = docs(0L -> base, 1L -> other)
