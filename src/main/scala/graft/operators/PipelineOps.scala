@@ -446,11 +446,22 @@ object PipelineOps {
     * count INCLUDING the EOS token (whitespace for doc_pack, real BPE
     * for doc_pack_bpe — same manifest arithmetic either way).
     */
-  private def packManifest(s: SparkSession, d: String, ntCol: Column): DataFrame = {
+  private def packManifest(s: SparkSession, d: String, ntCol: Column): DataFrame =
+    packManifestFromCounts(
+      Tables.documents(s, d).select(col("doc_id"), ntCol.as("nt")))
+
+  /** The same manifest over a PRECOMPUTED (doc_id, nt) frame — the
+    * artifact-consumption path: a corpus priced once under a learned
+    * [[TokenizerIndex]] ([[TokenizerIndex.priceDocuments]] + 1 EOS)
+    * packs here without re-tokenizing, so the tokenizer trains once
+    * per corpus however many packing/mixture runs consume it
+    * (TokenizerIndexSpec pins the manifest invariants on that path).
+    */
+  private[graft] def packManifestFromCounts(counts: DataFrame): DataFrame = {
     // persist(): the narrow (doc_id, blk, nt) frame feeds both the
     // block-sum aggregate and the join — one tokenizing scan, not two
-    val docs = Caches.persist(Tables.documents(s, d)
-      .select(col("doc_id"), ntCol.as("nt"),
+    val docs = Caches.persist(counts
+      .select(col("doc_id"), col("nt"),
         expr(s"doc_id div $PACK_BLOCK").as("blk")))
     val blockSums = docs.groupBy(col("blk")).agg(sum(col("nt")).as("bsum"))
     val wBlocks = Window.orderBy(col("blk"))
@@ -545,9 +556,16 @@ object PipelineOps {
   /** The mixture-budget plan shared by G10/G10b: `ntCol` is the per-doc
     * token count (whitespace or real BPE).
     */
-  private def mixturePlanFor(s: SparkSession, d: String, ntCol: Column): DataFrame = {
-      val perSrc = Tables.documents(s, d)
-        .select(col("source"), ntCol.as("nt"))
+  private def mixturePlanFor(s: SparkSession, d: String, ntCol: Column): DataFrame =
+    mixturePlanFromCounts(
+      Tables.documents(s, d).select(col("source"), ntCol.as("nt")))
+
+  /** The same mixture plan over a PRECOMPUTED (source, nt) frame — the
+    * [[TokenizerIndex]] artifact-consumption path, as with
+    * [[packManifestFromCounts]].
+    */
+  private[graft] def mixturePlanFromCounts(counts: DataFrame): DataFrame = {
+      val perSrc = counts
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
         .withColumn("weight", hash32(col("source")) % 9 + 1)

@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{PipelineOps, TokenizerIndex}
+
+/** The persistent learned-BPE artifact: the driver-local training
+  * engine is byte-identical to C14's distributed loop, the artifact
+  * survives save/load, and the C14b consumer prices documents with a
+  * scan-shaped plan instead of retraining.
+  */
+class TokenizerIndexSpec extends SparkSpec {
+
+  private def mergesOf(l: TokenizerIndex.Learned) = l.merges
+  private def vocabOf(l: TokenizerIndex.Learned) =
+    l.vocab.collect().map(r => (r.getAs[String]("w"), r.getAs[String]("s"),
+      r.getAs[Long]("c"))).sortBy(_._1).toSeq
+
+  test("local and distributed training are byte-identical (merges AND vocab)") {
+    val words = Caches.persist(TokenizerIndex.wordCounts(spark, sf))
+    val dist = TokenizerIndex.trainDistributed(spark, words, 32)
+    val local = TokenizerIndex.trainLocal(spark,
+      words.collect().toIndexedSeq
+        .map(r => r.getAs[String]("w") -> r.getAs[Long]("c")), 32)
+    assert(mergesOf(local) == mergesOf(dist),
+      "the two engines must learn the same merge table")
+    assert(vocabOf(local) == vocabOf(dist),
+      "and leave every word with the same tokenization")
+    Caches.releaseScope()
+  }
+
+  test("merge application is the replace-variant (documented semantics)") {
+    // back-to-back occurrences share the boundary space: one merge per
+    // round — while Bpe.encode's one-merge-per-step variant would give
+    // "ab ab". The artifact is self-consistent (consumers price from
+    // the vocab's own `s`), so the variant never leaks into a count.
+    assert(TokenizerIndex.applyMerge("a b a b", "a", "b") == "ab a b")
+    assert(TokenizerIndex.applyMerge("a b c a b", "a", "b") == "ab c ab")
+    assert(TokenizerIndex.applyMerge("x y", "a", "b") == "x y")
+    // the fixture-table one-merge-per-step variant merges BOTH
+    // back-to-back occurrences ((t,h) is merge rank 0) — by design a
+    // different tokenization than the round's single replace pass
+    assert(graft.functions.Bpe.encode("thth").mkString(" ") == "th th")
+    assert(TokenizerIndex.applyMerge("t h t h", "t", "h") == "th t h")
+  }
+
+  test("argmax ties break UTF-8-bytewise, not UTF-16 (supplementary plane)") {
+    val uFFFF = "￿"
+    val u10000 = new String(Character.toChars(0x10000))
+    // Java's native String order puts the surrogate pair first —
+    // using it would pick a different merge than Spark/DuckDB on a tie
+    assert(u10000.compareTo(uFFFF) < 0)
+    assert(TokenizerIndex.utf8Less(uFFFF, u10000),
+      "UTF-8 bytes order U+FFFF below U+10000, as both engines do")
+    assert(!TokenizerIndex.utf8Less(u10000, uFFFF))
+    assert(TokenizerIndex.utf8Less("a", "ab") && !TokenizerIndex.utf8Less("ab", "a"))
+  }
+
+  test("end-to-end replace-variant pricing on a crafted corpus") {
+    import spark.implicits._
+    // corpus vocabulary: ab(x2), abab, x — round 1 learns (a,b) with
+    // weight 4; 'abab' becomes 'ab a b' (replace-variant: 3 pieces)
+    val learned = TokenizerIndex.trainLocal(spark,
+      Seq("ab" -> 2L, "abab" -> 1L, "x" -> 1L), 1)
+    assert(mergesOf(learned) == Vector((0L, "a", "b", 4L)))
+    val docs = Seq((0L, "ab ab"), (1L, "abab x!")).toDF("doc_id", "text")
+    val got = TokenizerIndex.priceDocuments(docs, learned).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 0: ab + ab = 2; doc 1: abab(3, replace-variant) + x(1) + !(1)
+    assert(got == Map(0L -> 2L, 1L -> 5L), s"got $got")
+  }
+
+  test("k=512 trains locally in seconds at sf0.1; k=32 prefix is the distributed table") {
+    val big = "/root/testdata/sf0.1"
+    val words = Caches.persist(TokenizerIndex.wordCounts(spark, big))
+    val wc = words.collect().toIndexedSeq
+      .map(r => r.getAs[String]("w") -> r.getAs[Long]("c"))
+    val t0 = System.nanoTime()
+    val local = TokenizerIndex.trainLocal(spark, wc, 512)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"k=512 local training over ${wc.size} words: $secs%.2f s")
+    assert(secs < 30.0, f"driver-local training must stay in seconds ($secs%.1f)")
+    assert(local.merges.length == 512 ||
+      local.merges.length < 512, "loop may dry up, never overrun")
+    val dist = TokenizerIndex.trainDistributed(spark, words, 32)
+    assert(local.merges.take(32) == dist.merges,
+      "the k=512 run's first 32 merges ARE the oracle-replayed k=32 table")
+    Caches.releaseScope()
+  }
+
+  test("save/load roundtrip: loaded artifact prices identically; partial save refuses") {
+    val dir = Files.createTempDirectory("graft_tokidx").toString + "/tok"
+    val learned = TokenizerIndex.train(spark, sf, 32)
+    TokenizerIndex.save(learned, dir)
+    val loaded = TokenizerIndex.load(spark, dir)
+    assert(loaded.merges == learned.merges)
+    val docs = Tables.documents(spark, sf)
+    val a = TokenizerIndex.priceDocuments(docs, learned).collect().map(_.toSeq)
+    val b = TokenizerIndex.priceDocuments(docs, loaded).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq && a.nonEmpty)
+    // a crash inside the save bracket leaves complete=false: refuse
+    spark.range(1).select(lit(false).as("complete"))
+      .write.mode("overwrite").parquet(s"$dir/complete")
+    val e = intercept[IllegalStateException] { TokenizerIndex.load(spark, dir) }
+    assert(e.getMessage.contains("partial save"))
+    Caches.releaseScope()
+  }
+
+  test("C14b consumer plan: one corpus scan, no merge loop, no cartesian") {
+    val df = run("text_bpe_count_learned")
+    val p = plan(df)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"consumer plan must not re-scan per round ($scans scans):\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the vocabulary must join broadcast")
+    assert(df.collect().length > 0)
+    Caches.releaseScope()
+  }
+
+  test("packing and mixture consume the artifact without re-tokenizing") {
+    val learned = TokenizerIndex.train(spark, sf, 32)
+    val docs = Tables.documents(spark, sf)
+    val priced = TokenizerIndex.priceDocuments(docs, learned)
+    // +1 EOS, the G9b contract
+    val manifest = PipelineOps.packManifestFromCounts(
+      priced.select(col("doc_id"), (col("n_bpe_learned") + 1L).as("nt")))
+      .collect()
+    val nt = priced.collect().map(r => r.getLong(0) -> (r.getLong(1) + 1L)).toMap
+    // manifest invariant: consecutive docs pack back-to-back — each
+    // doc's reconstructed start equals the previous start + nt
+    val starts = manifest.map { r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("seq_idx") * PipelineOps.SEQ_TOKENS +
+          r.getAs[Long]("offset_in_seq"))
+    }.sortBy(_._1)
+    starts.sliding(2).foreach {
+      case Array((d0, s0), (d1, s1)) =>
+        assert(s1 == s0 + nt(d0), s"doc $d1 must start where $d0 ended")
+      case _ => ()
+    }
+    assert(starts.head._2 == 0L)
+    val mix = PipelineOps.mixturePlanFromCounts(
+      priced.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("n_bpe_learned").as("nt")))
+    assert(mix.collect().nonEmpty && mix.columns.contains("epochs_milli"))
+    Caches.releaseScope()
+  }
+}
