@@ -19,7 +19,8 @@ final case class BackfillReport(
     batchesFailed: Seq[Long],
     itemsEligible: Long,
     itemsSkipped: Long,
-    rowsAppended: Long) {
+    rowsAppended: Long,
+    nestedRowsAppended: Long = 0L) {
   def ok: Boolean = batchesFailed.isEmpty
 }
 
@@ -70,6 +71,14 @@ object Backfill {
     * @param limit        stop after this many eligible items have been
     *                     submitted (batch granularity, like the
     *                     reference's post-flush check)
+    * @param nested       per-batch related-row cascades: each function
+    *                     maps the parent batch rows to the related rows
+    *                     that must land in its sink under the BATCH's
+    *                     dump metadata (dump_related riding the parent
+    *                     dump, base_sink.py:184-203). A failing cascade
+    *                     marks the whole batch failed — a retried batch
+    *                     replays the parent rows too, and the sink's
+    *                     dump-id anti-join drops them.
     */
   def run(
       spark: SparkSession,
@@ -83,7 +92,8 @@ object Backfill {
       force: Boolean = false,
       ids: Option[Seq[Long]] = None,
       skipIds: Option[Seq[Long]] = None,
-      limit: Option[Long] = None): BackfillReport = {
+      limit: Option[Long] = None,
+      nested: Seq[(DataFrame => DataFrame, SinkLog)] = Nil): BackfillReport = {
 
     val selected = {
       val in = ids.fold(items)(xs => items.filter(col(pkCol).isin(xs: _*)))
@@ -128,6 +138,7 @@ object Backfill {
 
     var submitted = 0L
     var appended = 0L
+    var nestedAppended = 0L
     val landed = Seq.newBuilder[Long]
     val failed = Seq.newBuilder[Long]
     val run = Seq.newBuilder[Long]
@@ -135,25 +146,85 @@ object Backfill {
     batches.foreach { case (batchId, n) =>
       if (!limit.exists(submitted >= _)) {
         run += batchId
-        val batch = Sinks.stamped(
-          eligible.filter(col("__batch") === batchId)
-            .drop("__dump", "__batch"),
-          s"$runId-b$batchId", dumpTimeUs)
-        Try(sink.appendIdempotent(spark, batch)) match {
-          case Success(rows) =>
+        val dumpId = s"$runId-b$batchId"
+        val batchRows = eligible.filter(col("__batch") === batchId)
+          .drop("__dump", "__batch")
+        Try {
+          val nParent = sink.appendIdempotent(spark,
+            Sinks.stamped(batchRows, dumpId, dumpTimeUs))
+          val nNested = nested.map { case (related, nsink) =>
+            nsink.appendIdempotent(spark,
+              Sinks.stamped(related(batchRows), dumpId, dumpTimeUs))
+          }.sum
+          (nParent, nNested)
+        } match {
+          case Success((nParent, nNested)) =>
             landed += batchId
-            appended += rows
+            appended += nParent
+            nestedAppended += nNested
             submitted += n
           case Failure(_) =>
             // the reference tolerates a failing batch: report it, keep
             // going; a re-run with the same runId retries ONLY this
-            // batch (its dump_id never reached the sink)
+            // batch (its dump_id never reached the sink — and any
+            // parent rows that DID land before a nested failure are
+            // dropped by the dump-id anti-join on retry)
             failed += batchId
         }
       }
     }
 
     BackfillReport(run.result(), landed.result(), failed.result(),
-      eligible.count(), skippedCount, appended)
+      eligible.count(), skippedCount, appended, nestedAppended)
+  }
+
+  /** The FULL command twin: registry → sink → batched dump — what
+    * `dump_data_to_clickhouse` actually does for a model name
+    * (dump_data_to_clickhouse.py:29-100 resolving the sink via
+    * `get_sink_by_model_name`, then paging + dumping through it).
+    * Resolves the [[SinkRegistry]] spec, honors the enable gate (a
+    * disabled model runs nothing and reports zero), resolves EVERY
+    * nested sink up front (a missing one fails before any row lands,
+    * as the reference's `__init__`-time nested instantiation does),
+    * serializes the model, and drives [[run]] with the per-batch
+    * nested cascade wired to the spec's related serializers.
+    *
+    * The gate column is synthesized as modified-at-epoch-0: a pk the
+    * sink has EVER dumped is skipped, so the first run dumps the
+    * model and a completed re-run finds nothing to do — the command's
+    * observed behavior for sources without a tracked modified time;
+    * `force` re-dumps regardless, like `--force`.
+    */
+  def runModel(
+      spark: SparkSession,
+      sfDir: String,
+      model: String,
+      sink: SinkLog,
+      runId: String,
+      dumpTimeUs: Long,
+      batchSize: Long = 1000L,
+      force: Boolean = false,
+      ids: Option[Seq[Long]] = None,
+      skipIds: Option[Seq[Long]] = None,
+      limit: Option[Long] = None,
+      nestedSinks: Map[String, SinkLog] = Map.empty): BackfillReport = {
+    val spec = SinkRegistry.byModelName(model).getOrElse(
+      throw new IllegalArgumentException(s"unknown model '$model'"))
+    if (!spec.isEnabled) BackfillReport(Nil, Nil, Nil, 0L, 0L, 0L)
+    else {
+      val resolved = spec.nested.map { ns =>
+        ns -> nestedSinks.getOrElse(ns.name,
+          throw new IllegalArgumentException(
+            s"no sink provided for nested '${ns.name}' of model '$model'"))
+      }
+      val nested = resolved.map { case (ns, nsink) =>
+        ((batch: DataFrame) => ns.serializeRelated(spark, sfDir,
+          batch.select(col(spec.serializedKey).as("parent_id")))) -> nsink
+      }
+      run(spark,
+        spec.serialize(spark, sfDir).withColumn("__modified_us", lit(0L)),
+        spec.serializedKey, "__modified_us", sink, runId, dumpTimeUs,
+        batchSize, force, ids, skipIds, limit, nested)
+    }
   }
 }

@@ -390,11 +390,15 @@ object CsvBulkSink {
   * 184-203, 226-233): after a parent object dumps, each nested sink
   * serializes the object's RELATED rows and they land stamped with the
   * PARENT's dump_id/time_last_dumped. `serializeRelated` takes
-  * (spark, sfDir, parentObjectId).
+  * (spark, sfDir, parentIds) where `parentIds` is a one-column
+  * (`parent_id`) frame — BATCH-shaped, so the single-object task
+  * (a 1-row frame) and [[Backfill.runModel]]'s per-batch cascade share
+  * ONE definition and can never drift; the related scan semi-joins the
+  * broadcast id set instead of filtering per object.
   */
 final case class NestedSinkSpec(
     name: String,
-    serializeRelated: (SparkSession, String, Long) => DataFrame)
+    serializeRelated: (SparkSession, String, DataFrame) => DataFrame)
 
 final case class ModelSinkSpec(
     model: String,
@@ -436,8 +440,9 @@ object SinkRegistry {
       // the XBlockSink-under-CourseOverviewSink shape: the order's
       // line rows ride the parent dump
       nested = Seq(NestedSinkSpec("order_lines",
-        (s, d, oid) => graft.Tables.lineitem(s, d)
-          .filter(col("l_orderkey") === oid)
+        (s, d, pids) => graft.Tables.lineitem(s, d)
+          .join(broadcast(pids.select(col("parent_id").as("l_orderkey"))),
+            Seq("l_orderkey"), "left_semi")
           .select(col("l_orderkey").as("course_id"),
             col("l_linenumber").as("line"),
             col("l_quantity").as("qty"))))),
@@ -497,9 +502,10 @@ object SinkRegistry {
           spec.serialize(spark, sfDir)
             .filter(col(spec.serializedKey) === objectId),
           dumpId, dumpTimeUs))
+      val oneId = spark.range(1).select(lit(objectId).as("parent_id"))
       val nNested = resolved.map { case (ns, nsink) =>
         nsink.appendIdempotent(spark, Sinks.stamped(
-          ns.serializeRelated(spark, sfDir, objectId), dumpId, dumpTimeUs))
+          ns.serializeRelated(spark, sfDir, oneId), dumpId, dumpTimeUs))
       }.sum
       nParent + nNested
     }

@@ -339,6 +339,112 @@ class SourcesSpec extends SparkSpec {
       s"malformed CSV row must quarantine: ${q.toSeq}")
   }
 
+  test("Backfill drives the registry end-to-end: two models, nested cascade, counts match the direct path") {
+    import graft.sources.{Backfill, SinkLog}
+    def newSink() = ParquetSink(
+      Files.createTempDirectory("graft_regbf").toString + "/log")
+    val ordSink = newSink(); val lineSink = newSink()
+    val nested = Map("order_lines" -> (lineSink: SinkLog))
+    val nOrders = Tables.orders(spark, sf).count()
+    val nLines = Tables.lineitem(spark, sf).count()
+    // model 1 (orders, nested cascade), several pk-range batches
+    val r = Backfill.runModel(spark, sf, "orders", ordSink, "r1", 1000L,
+      batchSize = 500L, nestedSinks = nested)
+    assert(r.ok && r.batchesLanded.length > 1, s"got $r")
+    assert(r.rowsAppended == nOrders && r.nestedRowsAppended == nLines,
+      s"every order and every line row must land: $r")
+    assert(ordSink.log(spark).count() == nOrders &&
+      lineSink.log(spark).count() == nLines)
+    // related rows ride their parent BATCH's dump metadata
+    val lineBatch = lineSink.log(spark)
+      .filter(col("course_id") === 1L).collect()
+    assert(lineBatch.nonEmpty &&
+      lineBatch.forall(_.getAs[String]("dump_id").startsWith("r1-b")))
+    // counts match the direct single-object task for the same order
+    val dSink = newSink(); val dLines = newSink()
+    val nDirect = SinkRegistry.dumpModel(spark, sf, "orders", 1L, dSink,
+      "dx", 500L, Map("order_lines" -> (dLines: SinkLog)))
+    val viaBackfill = 1L + lineBatch.length
+    assert(nDirect == viaBackfill,
+      s"registry->Backfill and registry->task must dump the same rows ($nDirect vs $viaBackfill)")
+    // a completed backfill re-run finds nothing to do (gate, not force)
+    val r2 = Backfill.runModel(spark, sf, "orders", ordSink, "r9", 9000L,
+      batchSize = 500L, nestedSinks = nested)
+    assert(r2.ok && r2.rowsAppended == 0L && r2.itemsSkipped == nOrders,
+      s"got $r2")
+    assert(ordSink.log(spark).count() == nOrders &&
+      lineSink.log(spark).count() == nLines)
+    // model 2 (customer, no nested)
+    val custSink = newSink()
+    val rc = Backfill.runModel(spark, sf, "customer", custSink, "r2", 2000L)
+    assert(rc.ok &&
+      rc.rowsAppended == Tables.customer(spark, sf).count())
+    // disabled model: nothing runs, zero report
+    val rs = Backfill.runModel(spark, sf, "supplier", newSink(), "r3", 3000L)
+    assert(rs.ok && rs.rowsAppended == 0L && rs.itemsEligible == 0L)
+    // unknown model / missing nested sink fail before any row lands
+    intercept[IllegalArgumentException] {
+      Backfill.runModel(spark, sf, "nope", newSink(), "r4", 4000L)
+    }
+    val bare = newSink()
+    val eNested = intercept[IllegalArgumentException] {
+      Backfill.runModel(spark, sf, "orders", bare, "r5", 5000L)
+    }
+    assert(eNested.getMessage.contains("order_lines"))
+    assert(!bare.initialized(spark), "nothing may land before resolution")
+  }
+
+  test("quarantine metrics: batch read surfaces (n_ok, n_quarantined) without a second scan") {
+    import graft.sources.FileSources
+    val dir = Files.createTempDirectory("graft_qmetrics").toString
+    val lines = Seq(
+      """{"event_id":1,"ts":"2026-01-01 10:00:00","user_id":7,"event_type":"click","value":1.5,"props":"{}"}""",
+      """broken line one""",
+      """{"event_id":2,"ts":"2026-01-01 11:00:00","user_id":8,"event_type":"view","value":2.0,"props":"{}"}""",
+      """{broken line two""",
+      """{"event_id":3,"ts":"2026-01-01 12:00:00","user_id":9,"event_type":"purchase","value":9.9,"props":"{}"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/events.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val (df, obs) = FileSources.quarantineObservation(
+      FileSources.eventsJsonl(spark, s"$dir/events.jsonl"))
+    assert(FileSources.good(df).count() == 3) // the action the metrics ride
+    assert(obs.get == Map("n_ok" -> 3L, "n_quarantined" -> 2L), s"${obs.get}")
+  }
+
+  test("quarantine metrics: streaming reader reports counts per micro-batch") {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.FileSources
+    val dir = Files.createTempDirectory("graft_qstream").toString
+    val drop = s"$dir/drop"
+    new java.io.File(drop).mkdirs()
+    def write(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$drop/$name"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    write("b1.jsonl", Seq(
+      """{"event_id":1,"ts":"2026-01-01 10:00:00","user_id":7,"event_type":"click","value":1.5,"props":"{}"}""",
+      """{"event_id":2,"ts":"2026-01-01 11:00:00","user_id":8,"event_type":"view","value":2.0,"props":"{}"}""",
+      """corrupt a"""))
+    val q = FileSources.withQuarantineMetrics(
+        FileSources.streamEventsJsonl(spark, drop))
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable()
+    write("b2.jsonl", Seq(
+      """corrupt b""",
+      """corrupt c""",
+      """{"event_id":3,"ts":"2026-01-01 12:00:00","user_id":9,"event_type":"purchase","value":9.9,"props":"{}"}"""))
+    q.processAllAvailable()
+    q.stop()
+    val perBatch = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.asScala
+        .getOrElse(FileSources.QuarantineMetrics, null)))
+      .map(r => (r.getAs[Long]("n_ok"), r.getAs[Long]("n_quarantined")))
+      .filter { case (ok, bad) => ok + bad > 0 }
+    assert(perBatch == Seq((2L, 1L), (1L, 2L)),
+      s"each micro-batch must report its own reject rate: $perBatch")
+  }
+
   test("SQL surface: registered views answer ANSI SQL with pushdown intact") {
     Tables.registerViews(spark, sf)
     val df = spark.sql("""
