@@ -74,6 +74,46 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.tokenCount("a b") === 3L)
   }
 
+  test("cross-engine unicode table parity: boundary code points match DuckDB") {
+    // Ground truth computed by running the text_bpe_count ORACLE SQL in
+    // DuckDB 1.0.0 over these exact strings (tools/unicode_parity.py
+    // re-derives it — run it after a JRE or DuckDB upgrade). This pins
+    // the JVM's Character tables to utf8proc/RE2 where bpe_count is
+    // sensitive: the simple-vs-full lowercase mapping (U+0130 İ: a full
+    // mapping would add a combining dot and count one extra token),
+    // titlecase digraphs, cross-block case maps, supplementary-plane
+    // letters (Deseret/Osage/Medefaidrin), recently-cased scripts
+    // (Georgian Mtavruli, Cherokee), Lm modifiers, and the classes both
+    // engines must agree are residual (Nl roman numerals, Mn combining
+    // marks). U+A7C0 (Unicode 14) is the deliberate drift probe: JRE 17
+    // (Unicode 13) says non-letter, DuckDB 1.0's RE2 says letter — and
+    // the COUNT still agrees because an unmergeable code point prices 1
+    // either way; a future table change that breaks count parity fails
+    // the gate, which is the property that matters.
+    // explicit escapes: source-file encoding or NFC normalization must
+    // never silently change what is being pinned
+    val pinned = Seq(
+      "\u0130stanbul ICE" -> 9L,                             // Istanbul w/ dotted capital I
+      "\u1E9E\u00DF \u01C5\u01C4\u01C6" -> 5L,           // sharp s, Dz digraph family
+      "\uA7BA\uA7BB" -> 2L,                                 // Latin glottal A (Unicode 12)
+      "\uD801\uDC00\uD801\uDC28 \uD801\uDCB0\uD801\uDCD8" -> 4L, // Deseret + Osage
+      "\u1C90\u10D0 \u1C91\u10D1" -> 4L,                  // Georgian Mtavruli + Mkhedruli
+      "\u13A0\uAB70" -> 2L,                                 // Cherokee upper + lower
+      "\u02B0\u02B7 x" -> 3L,                               // Lm modifier letters
+      "\u2160 \u2163" -> 2L,                                // Nl roman numerals (residual)
+      "a\u0300e\u0301" -> 4L,                               // decomposed combining marks
+      "\uD81B\uDE40\uD81B\uDE60" -> 2L,                   // Medefaidrin (Unicode 11)
+      "\uA7C0\uA7C1" -> 2L,                                 // drift probe (Unicode 14)
+      "\u0390 \u0345" -> 2L,                                // Greek + ypogegrammeni (Mn)
+      "\u023A\u2C65\u023E" -> 3L,                          // cross-block case mapping
+      "\uFB00 \uFB01" -> 2L,                                // Latin ligatures (Ll, no map)
+      "\u03A3\u039F\u03A3 \u03C3\u03BF\u03C2" -> 6L)    // final-sigma: simple lower
+    pinned.foreach { case (text, want) =>
+      assert(Bpe.tokenCount(text) == want,
+        s"'$text': engine ${Bpe.tokenCount(text)} != DuckDB-pinned $want")
+    }
+  }
+
   test("pieces: unicode pieces re-concatenate to lowered non-ws text") {
     Seq("Café Déjà", "a🙂b!", "日本語 x",
       "MiXed CASE text").foreach { t =>
