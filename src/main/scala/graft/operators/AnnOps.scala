@@ -141,17 +141,32 @@ object AnnOps {
 
     /** Occupancy target for bucket-local PAIR enumeration (D5): pair
       * work is occupancy² per bucket = occupancy × n corpus-wide, so
-      * the enumeration wants buckets finer than a probe does. 64 (not
-      * the tighter 32) is a GATE-MARGIN choice: the default-geometry
-      * region is n ≤ occupancy·2^6, and the largest oracle-checked
-      * corpus (sf0.1: 2000 vectors) must sit WELL inside it — at 32 the
-      * boundary was 2048, a 2% margin that a slightly larger
-      * regenerated corpus would silently cross, flipping dedup_embedding
-      * off the oracle-pinned geometry; at 64 the boundary is 4096 (2×
-      * margin) and the extra bucket-local pair work near the boundary
-      * is a bounded constant factor (occupancy × n).
+      * the enumeration wants buckets ~8× finer than a probe does.
       */
-    val PAIR_OCCUPANCY = 64L
+    val PAIR_OCCUPANCY = 32L
+
+    /** Upper edge of the pair-geometry DEFAULT region: corpora up to
+      * here use the board default outright. 4096 = 2× the largest
+      * oracle-checked corpus (sf0.1: 2000 vectors) — the GATE MARGIN
+      * the r10 advisory asked for (at a bare ceil(log2(n/32)) rule the
+      * default region ended at 2048, a 2% margin that a slightly
+      * larger regenerated corpus would silently cross, flipping
+      * dedup_embedding off the oracle-pinned geometry). Above the
+      * region the tight PAIR_OCCUPANCY target applies directly, so
+      * per-element pair work stays ≤ 32·tables at every scale — the
+      * sf10 step measured the difference: a 64-occupancy compromise
+      * target put 100× data at 158× time (occupancy drifted 31→49),
+      * the tight target holds it near-linear.
+      */
+    val PAIR_DEFAULT_MAX = 4096L
+
+    /** Pair-enumeration geometry for a corpus of `n` vectors: the
+      * board default through [[PAIR_DEFAULT_MAX]] (gate safety with 2×
+      * margin), the [[PAIR_OCCUPANCY]]-targeted fine bucketing above
+      * it.
+      */
+    def forCorpusPairs(n: Long): LshGeometry =
+      if (n <= PAIR_DEFAULT_MAX) default else forCorpus(n, PAIR_OCCUPANCY)
 
     /** Geometry for a corpus of `n` vectors: planes grow as
       * log2(n / occupancy), clamped to [6, 24] — at 10^9 vectors (probe

@@ -526,13 +526,13 @@ object DedupOps {
     "dedup_embedding",
     (s, d) => {
       // corpus-sized geometry at the PAIR occupancy target (≡ the
-      // oracle's default at gate SFs, with 2× margin — PAIR_OCCUPANCY's
-      // gate-margin note): with fixed buckets, 10x corpus = 10x
-      // occupancy = 100x bucket-local pair enumeration — the one
-      // measured super-linear query at sf1 before this derivation
-      // (BASELINE.md r9)
-      val g = AnnOps.LshGeometry.forCorpus(
-        Tables.embeddings(s, d).count(), AnnOps.LshGeometry.PAIR_OCCUPANCY)
+      // oracle's default through PAIR_DEFAULT_MAX — 2× gate margin):
+      // with fixed buckets, 10x corpus = 10x occupancy = 100x
+      // bucket-local pair enumeration — the one measured super-linear
+      // query at sf1 before this derivation, re-confirmed and
+      // re-tightened by the r10 sf10 step (BASELINE.md)
+      val g = AnnOps.LshGeometry.forCorpusPairs(
+        Tables.embeddings(s, d).count())
       AnnOps.logGeometryDivergence("dedup_embedding", g,
         AnnOps.LshGeometry.default)
       embeddingPairsAt(s, d, g)

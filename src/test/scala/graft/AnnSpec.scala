@@ -130,18 +130,22 @@ class AnnSpec extends SparkSpec {
     // coincide with it exactly there
     Seq(200L, 2000L).foreach { n =>
       assert(LshGeometry.forCorpus(n) == LshGeometry.default)
-      assert(LshGeometry.forCorpus(n, LshGeometry.PAIR_OCCUPANCY)
-        == LshGeometry.default)
+      assert(LshGeometry.forCorpusPairs(n) == LshGeometry.default)
     }
     // ...with MARGIN (r10 advisory): the default-geometry region must
     // extend to at least 2× the largest oracle-checked corpus, so a
     // slightly larger regenerated gate corpus cannot silently flip
     // dedup_embedding off the oracle-pinned geometry
-    assert(LshGeometry.forCorpus(4096, LshGeometry.PAIR_OCCUPANCY)
-      == LshGeometry.default)
-    // ...and above gate scale the pair target buckets finer than probe
-    assert(LshGeometry.forCorpus(20000, LshGeometry.PAIR_OCCUPANCY).planes >
+    assert(LshGeometry.forCorpusPairs(4096) == LshGeometry.default)
+    // ...and above gate scale the pair target buckets finer than probe,
+    // holding per-element pair work at ≤ PAIR_OCCUPANCY·tables (the
+    // sf10 scale step's near-linear guarantee)
+    assert(LshGeometry.forCorpusPairs(20000).planes >
       LshGeometry.forCorpus(20000).planes)
+    Seq(20000L, 200000L, 2000000L).foreach { n =>
+      val occ = n.toDouble / (1L << LshGeometry.forCorpusPairs(n).planes)
+      assert(occ <= LshGeometry.PAIR_OCCUPANCY, s"pair occupancy $occ at $n")
+    }
   }
 
   test("ann_lsh: second geometry — denser tables cut scan, keep recall") {
