@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -115,6 +115,106 @@ object VectorExpressions {
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
+  }
+
+  /** `lsh_buckets(emb: array<float>, w: array<long>, planes: int):
+    * array<long>` — ALL per-table LSH bucket ids of one embedding in a
+    * single fused pass. `w` is the flattened plane-weight matrix
+    * (tables·planes rows × 64 weights, [[graft.operators.AnnOps.planeWeights]]
+    * order); bucket t packs the sign bits of planes t·planes ..
+    * t·planes+planes-1, bit k = (Σ_i q(v_i)·w_i > 0), exactly the
+    * composed `shiftleft(when(proj_micros(...) > 0, ...))` chain it
+    * replaces (AnnSpec pins the equivalence against an independent
+    * re-derivation).
+    *
+    * Why fused: the composed form put tables×planes separate
+    * [[ProjMicrosExpr]] loops into ONE generated projection method —
+    * at the corpus-sized sf10 geometry (8×10) that method passes the
+    * JVM's 8000-bytecode JIT ceiling (-XX:HugeMethodLimit), so the
+    * hottest loop in the engine ran in the bytecode INTERPRETER:
+    * measured 62 s for a 200k-row hash pass that the fused kernel (one
+    * ~200-bytecode nested loop, quantizing the 64 floats ONCE instead
+    * of once per plane) does in ~1 s. Geometry growth makes the
+    * composed form worse exactly when scale makes it hot — planes
+    * GROW as log2(n), so the 100 TB geometry is the one the JIT
+    * refuses. The weight stride is fixed at 64 = the engine's embedding
+    * dimensionality (the same 64 in every oracle's
+    * `generate_series(1,64)` projection).
+    */
+  case class LshBucketsExpr(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "lsh_buckets"
+
+    override def nullSafeEval(a: Any, wAny: Any, pAny: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val w = wAny.asInstanceOf[ArrayData]
+      val planes = pAny.asInstanceOf[Int]
+      val dims = math.min(v.numElements(), 64)
+      val tables = w.numElements() / (planes * 64)
+      val q = new Array[Long](dims)
+      var i = 0
+      while (i < dims) {
+        q(i) = math.floor(v.getFloat(i).toDouble * 1e6 + 0.5).toLong
+        i += 1
+      }
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var bucket = 0L
+        var k = 0
+        while (k < planes) {
+          val base = (t * planes + k) * 64
+          var acc = 0L
+          i = 0
+          while (i < dims) { acc += q(i) * w.getLong(base + i); i += 1 }
+          if (acc > 0) bucket |= (1L << k)
+          k += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, w, p) => {
+        val qbuf = ctx.addMutableState("long[]", "lshQbuf",
+          v => s"$v = new long[64];")
+        val dims = ctx.freshName("dims")
+        val tables = ctx.freshName("tables")
+        val out = ctx.freshName("out")
+        val i = ctx.freshName("i")
+        val t = ctx.freshName("t")
+        val k = ctx.freshName("k")
+        val acc = ctx.freshName("acc")
+        val base = ctx.freshName("base")
+        val bucket = ctx.freshName("bucket")
+        s"""
+        int $dims = java.lang.Math.min($a.numElements(), 64);
+        int $tables = $w.numElements() / (($p) * 64);
+        for (int $i = 0; $i < $dims; $i++) {
+          $qbuf[$i] = ${quantLoop(a, i)};
+        }
+        long[] $out = new long[$tables];
+        for (int $t = 0; $t < $tables; $t++) {
+          long $bucket = 0L;
+          for (int $k = 0; $k < $p; $k++) {
+            int $base = ($t * ($p) + $k) * 64;
+            long $acc = 0L;
+            for (int $i = 0; $i < $dims; $i++) {
+              $acc += $qbuf[$i] * $w.getLong($base + $i);
+            }
+            if ($acc > 0) $bucket |= (1L << $k);
+          }
+          $out[$t] = $bucket;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);"""
+      })
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
   }
 
   /** `minhash16(shs: array<string>): array<long>` — the 16-function MinHash
@@ -305,6 +405,10 @@ object VectorExpressions {
       new FunctionIdentifier("proj_micros"),
       new ExpressionInfo(classOf[ProjMicrosExpr].getName, "proj_micros"),
       (args: Seq[Expression]) => ProjMicrosExpr(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[LshBucketsExpr].getName, "lsh_buckets"),
+      (args: Seq[Expression]) => LshBucketsExpr(args(0), args(1), args(2))))
     ext.injectFunction((
       new FunctionIdentifier("minhash16"),
       new ExpressionInfo(classOf[Minhash16Expr].getName, "minhash16"),

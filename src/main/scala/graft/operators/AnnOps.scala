@@ -247,18 +247,35 @@ object AnnOps {
     * search (E2) and embedding dedup (D5). Embeddings re-attach by
     * vec_id later, so no index row ever carries a 0.5 KB vector.
     */
-  private[graft] def debugBucketIndex(s: SparkSession, d: String): DataFrame =
-    bucketIndex(withNorm(s, d))
+  private[graft] def debugBucketIndex(
+      s: SparkSession, d: String,
+      g: LshGeometry = LshGeometry.default): DataFrame =
+    bucketIndex(withNorm(s, d), g)
+
+  /** The flattened tables×planes×64 weight matrix literal the fused
+    * corpus-hashing kernel consumes.
+    */
+  private def allPlaneWeights(g: LshGeometry): IndexedSeq[Long] =
+    (0 until g.tables * g.planes).flatMap(planeWeights)
+
+  /** All per-table buckets of one embedding in ONE fused native pass
+    * ([[graft.functions.VectorExpressions.LshBucketsExpr]]). The
+    * composed per-plane form ([[bucketCol]], kept for the tiny probe
+    * side where margin keys need the individual projections anyway)
+    * emits tables×planes separate projection loops into one generated
+    * method — past the JVM's 8000-bytecode JIT ceiling at corpus-sized
+    * geometries, leaving the hottest loop in the engine interpreted
+    * (measured 62 s vs ~1 s for the 200k-row sf10 hash pass).
+    */
+  private def lshBucketsCol(emb: Column, g: LshGeometry): Column =
+    call_function("lsh_buckets", emb,
+      typedlit(allPlaneWeights(g)), lit(g.planes))
 
   private[operators] def bucketIndex(
       e: DataFrame,
       g: LshGeometry = LshGeometry.default): DataFrame =
     e.select(col("vec_id"),
-      explode(array((0 until g.tables).map(t =>
-        struct(lit(t).as("tbl"),
-          bucketCol(col("embedding"), t, g).as("bucket"))): _*))
-        .as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      posexplode(lshBucketsCol(col("embedding"), g)).as(Seq("tbl", "bucket")))
 
   /** DuckDB twin of [[projCol]] (plane index absolute: t*planes+k). */
   private def sqlProj(tbl: String, plane: Int): String = {

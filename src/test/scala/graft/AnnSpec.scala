@@ -107,6 +107,39 @@ class AnnSpec extends SparkSpec {
     assert(frac <= 0.6, f"scan fraction $frac%.2f above bound")
   }
 
+  test("lsh_buckets fused kernel ≡ independent per-plane derivation, 2 geometries") {
+    // the md5 weight family, quantization, and sign-bit packing are all
+    // RE-DERIVED here from the documented definition (not calls into
+    // AnnOps), so a kernel bug can't hide behind a shared helper
+    def weights(j: Int): IndexedSeq[Long] = (0 until 64).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"p$j|$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16) % 1000 - 500
+    }
+    val embs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](r.fieldIndex("embedding")))
+    assert(embs.nonEmpty)
+    for (g <- Seq(operators.AnnOps.LshGeometry.default,
+                  operators.AnnOps.LshGeometry(8, 10))) {
+      val expected = embs.flatMap { case (id, v) =>
+        val q = v.take(64).map(f => math.floor(f.toDouble * 1e6 + 0.5).toLong)
+        (0 until g.tables).map { t =>
+          val bucket = (0 until g.planes).map { k =>
+            val w = weights(t * g.planes + k)
+            val proj = q.indices.map(i => q(i) * w(i)).sum
+            if (proj > 0) 1L << k else 0L
+          }.sum
+          (id, t, bucket)
+        }
+      }.toSet
+      val actual = operators.AnnOps.debugBucketIndex(spark, sf, g).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("tbl"),
+          r.getAs[Long]("bucket"))).toSet
+      assert(actual == expected, s"fused bucket mismatch at $g")
+      Caches.releaseScope()
+    }
+  }
+
   test("LshGeometry.forCorpus: planes grow with the corpus, occupancy flat") {
     import operators.AnnOps.LshGeometry
     // test-SF corpora keep the board geometry
