@@ -75,10 +75,13 @@ object Backfill {
     *                     maps the parent batch rows to the related rows
     *                     that must land in its sink under the BATCH's
     *                     dump metadata (dump_related riding the parent
-    *                     dump, base_sink.py:184-203). A failing cascade
-    *                     marks the whole batch failed — a retried batch
-    *                     replays the parent rows too, and the sink's
-    *                     dump-id anti-join drops them.
+    *                     dump, base_sink.py:184-203). Cascades land
+    *                     BEFORE the parent rows: a failing cascade
+    *                     marks the batch failed with the parent sink
+    *                     untouched, so the eligibility gate (which
+    *                     reads the parent sink) re-selects the batch
+    *                     on re-run; already-landed nested rows are
+    *                     deduped by the sink's dump-id anti-join.
     */
   def run(
       spark: SparkSession,
@@ -150,12 +153,20 @@ object Backfill {
         val batchRows = eligible.filter(col("__batch") === batchId)
           .drop("__dump", "__batch")
         Try {
-          val nParent = sink.appendIdempotent(spark,
-            Sinks.stamped(batchRows, dumpId, dumpTimeUs))
+          // Nested sinks land FIRST: the eligibility gate reads only the
+          // PARENT sink's latest state, so the parent append must be the
+          // commit point it observes. If a nested append fails here the
+          // parent never lands, the gate still sees the batch as
+          // undumped, and a re-run retries it — nested rows that DID
+          // land are re-delivered under the same dump_id and dropped by
+          // the sink's dump-id anti-join. (Parent-first would strand a
+          // nested failure forever: the gate would skip the batch.)
           val nNested = nested.map { case (related, nsink) =>
             nsink.appendIdempotent(spark,
               Sinks.stamped(related(batchRows), dumpId, dumpTimeUs))
           }.sum
+          val nParent = sink.appendIdempotent(spark,
+            Sinks.stamped(batchRows, dumpId, dumpTimeUs))
           (nParent, nNested)
         } match {
           case Success((nParent, nNested)) =>
@@ -166,9 +177,9 @@ object Backfill {
           case Failure(_) =>
             // the reference tolerates a failing batch: report it, keep
             // going; a re-run with the same runId retries ONLY this
-            // batch (its dump_id never reached the sink — and any
-            // parent rows that DID land before a nested failure are
-            // dropped by the dump-id anti-join on retry)
+            // batch (its dump_id never reached the PARENT sink, so the
+            // gate re-selects it; any nested rows that landed before
+            // the failure are deduped by the dump-id anti-join)
             failed += batchId
         }
       }

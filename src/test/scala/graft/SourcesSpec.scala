@@ -485,4 +485,70 @@ class SourcesSpec extends SparkSpec {
       assert(viaSink(k) == expected)
     }
   }
+
+  test("Backfill: nested sink failure then same-runId retry loses no rows and duplicates none") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    import graft.sources.{Backfill, SinkLog}
+    def newSink() = ParquetSink(
+      Files.createTempDirectory("graft_bfretry").toString + "/log")
+    val parent = newSink()
+    val goodNested = newSink()
+    val flakyInner = newSink()
+    // a nested sink with one transient outage: the first append attempt
+    // throws, every later one delegates to a real parquet log
+    val flaky = new SinkLog {
+      var failuresLeft = 1
+      protected def exists(s: SparkSession): Boolean =
+        flakyInner.initialized(s)
+      protected def append(df: DataFrame): Unit =
+        throw new IllegalStateException("unreachable: appendIdempotent overridden")
+      def log(s: SparkSession): DataFrame = flakyInner.log(s)
+      override def appendIdempotent(s: SparkSession, b: DataFrame): Long = {
+        if (failuresLeft > 0) {
+          failuresLeft -= 1
+          throw new RuntimeException("transient nested sink outage")
+        }
+        flakyInner.appendIdempotent(s, b)
+      }
+    }
+    val items = spark.range(1, 11)
+      .select(col("id").as("pk"), lit(100L).as("modified_us"),
+        concat(lit("v"), col("id")).as("payload"))
+    val related = (b: DataFrame) =>
+      b.select(col("pk").as("parent_id"), col("payload"))
+    val nested: Seq[(DataFrame => DataFrame, SinkLog)] =
+      Seq(related -> (goodNested: SinkLog), related -> (flaky: SinkLog))
+
+    // run 1: batch 0 (pks 1-4 share __batch 0 with batchSize 5) hits the
+    // outage AFTER goodNested landed but BEFORE the parent append — the
+    // parent sink must stay untouched for that batch (it is the commit
+    // point the eligibility gate reads)
+    val r1 = Backfill.run(spark, items, "pk", "modified_us", parent,
+      runId = "r1", dumpTimeUs = 1000L, batchSize = 5L, nested = nested)
+    assert(r1.batchesFailed.length == 1, s"got $r1")
+    val failedBatch = r1.batchesFailed.head
+    assert(parent.log(spark)
+      .filter(col("pk") < (failedBatch + 1) * 5 && col("pk") >= failedBatch * 5)
+      .count() == 0,
+      "no parent row of the failed batch may land before its cascades")
+    assert(parent.log(spark).count() < 10, "the failed batch is missing until retried")
+
+    // run 2, SAME runId: the gate re-selects exactly the failed batch
+    // (the landed batch's pks read as already dumped); goodNested's
+    // replayed rows are dropped by the dump-id anti-join
+    val r2 = Backfill.run(spark, items, "pk", "modified_us", parent,
+      runId = "r1", dumpTimeUs = 2000L, batchSize = 5L, nested = nested)
+    assert(r2.ok, s"got $r2")
+    assert(parent.log(spark).count() == 10,
+      "every parent row lands exactly once after the retry")
+    assert(parent.log(spark).select("pk").distinct().count() == 10)
+    assert(goodNested.log(spark).count() == 10,
+      s"replayed nested rows must dedup by dump_id: ${goodNested.log(spark).count()}")
+    assert(flaky.log(spark).count() == 10,
+      "the flaky sink's rows all land after retry — none silently lost")
+    // and a third run finds nothing to do
+    val r3 = Backfill.run(spark, items, "pk", "modified_us", parent,
+      runId = "r1", dumpTimeUs = 3000L, batchSize = 5L, nested = nested)
+    assert(r3.ok && r3.rowsAppended == 0L && r3.itemsSkipped == 10L, s"got $r3")
+  }
 }
