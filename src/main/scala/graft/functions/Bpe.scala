@@ -67,7 +67,24 @@ object Bpe {
     * runes), so a supplementary-plane letter is one symbol, never a
     * surrogate pair split in half.
     */
-  def encode(word: String): Vector[String] = {
+  def encode(word: String): Vector[String] = encodeLoop(word, rank)
+
+  /** BPE-encode one word under an ARBITRARY rank-ordered merge table —
+    * the portability contract for exported
+    * [[graft.operators.TokenizerIndex]] tables: identical
+    * lowest-rank-first one-merge-per-step loop as [[encode]], so a
+    * learned table priced here matches any standard BPE implementation
+    * (rank map built per call; bulk callers should price through the
+    * artifact's vocab frame instead).
+    */
+  def encodeWith(word: String, table: Seq[(String, String)]): Vector[String] = {
+    val rk = new java.util.HashMap[String, Integer]()
+    table.zipWithIndex.foreach { case ((a, b), i) => rk.put(a + " " + b, i) }
+    encodeLoop(word, rk)
+  }
+
+  private def encodeLoop(
+      word: String, rank: java.util.HashMap[String, Integer]): Vector[String] = {
     val syms = scala.collection.mutable.ArrayBuffer[String]()
     var ci = 0
     while (ci < word.length) {
@@ -355,8 +372,13 @@ object Bpe {
     * round, count adjacent symbol pairs over the (word, count) vocab
     * weighted by corpus frequency, take the argmax with deterministic
     * (cnt DESC, a, b) byte-order ties — both engines compare strings
-    * bytewise — and apply the merge to every word as a left-to-right
-    * non-overlapping ` a b `→` ab ` substring replace. Ends in
+    * bytewise — and apply the merge to every word as the standard
+    * greedy left-to-right symbol scan, expressed as a substring
+    * replace over a DOUBLE-spaced symbol string (every boundary space
+    * doubled, pattern ` a  b `→` ab `, spaces re-collapsed after):
+    * doubling stops adjacent occurrences sharing a delimiter, making
+    * the non-overlapping replace's match set exactly the greedy
+    * scan's merge set (see the TokenizerIndex semantics note). Ends in
     * `bpe_learned(rank, a, b, cnt)` and `bpe_vfinal(w, s, c)` (the
     * vocab AFTER all k merges — its `s` is each word's learned-table
     * tokenization, which is how the learned counter prices documents
@@ -389,9 +411,11 @@ object Bpe {
       bpe_tb$r AS MATERIALIZED (
         SELECT pa, pb, cnt FROM bpe_tp$r ORDER BY cnt DESC, pa, pb LIMIT 1),
       bpe_tv${r + 1} AS MATERIALIZED (
-        SELECT w, trim(replace(' ' || s || ' ',
-          coalesce((SELECT ' '||pa||' '||pb||' ' FROM bpe_tb$r), chr(1)),
-          coalesce((SELECT ' '||pa||pb||' ' FROM bpe_tb$r), chr(1)))) AS s, c
+        SELECT w, trim(replace(
+          replace(' ' || replace(s, ' ', '  ') || ' ',
+            coalesce((SELECT ' '||pa||'  '||pb||' ' FROM bpe_tb$r), chr(1)),
+            coalesce((SELECT ' '||pa||pb||' ' FROM bpe_tb$r), chr(1))),
+          '  ', ' ')) AS s, c
         FROM bpe_tv$r)"""
     }.mkString(",", ",", "")
     val union = (0 until k)

@@ -669,9 +669,11 @@ object TextOps {
     * check): TRAIN_K jobs of one row each, never data-proportional.
     * Ties break on (cnt DESC, a, b) — Spark and DuckDB both compare
     * strings bytewise, so the loop is engine-deterministic. The merge
-    * applies as a left-to-right non-overlapping ` a b `→` ab ` substring
-    * replace, identical to the oracle's `replace()` (the
-    * replace-variant — see the [[TokenizerIndex]] semantics note).
+    * applies as the standard greedy left-to-right symbol scan,
+    * expressed as a double-spaced substring replace identical to the
+    * oracle's (see the [[TokenizerIndex]] semantics note) — the
+    * exported table prices identically through any standard BPE
+    * implementation.
     *
     * ROUND-LATENCY BOUND (not a data bound): k sequential rounds cost
     * ~90 ms each at local[32] regardless of corpus size — fine at

@@ -38,19 +38,24 @@ import graft.{Caches, Tables}
   *    distributed loop would pay 512 round-trips. [[train]] picks the
   *    path by measured vocabulary size.
   *
-  * MERGE-APPLICATION SEMANTICS (r10 advisory, documented deliberately):
-  * training applies each learned merge as a left-to-right
-  * non-overlapping ` a b `→` ab ` substring replace over the
-  * space-joined symbol string — in the engine, in the DuckDB oracle
-  * (`replace()`), and in [[trainLocal]] (Java `String.replace`, the
-  * same contract). Back-to-back occurrences that share the boundary
-  * space ("abab" with merge (a,b) → "ab a b") therefore merge once per
-  * ROUND, not once per scan — the replace-variant — whereas
-  * [[graft.functions.Bpe.encode]]'s one-merge-per-step variant yields
-  * "ab ab". The learned artifact is SELF-consistent: every consumer
-  * prices words from the vocab frame's own `s` tokenization (never
-  * through Bpe.encode), so the variant difference can never leak into
-  * a count.
+  * MERGE-APPLICATION SEMANTICS (standard BPE, unified in r11): each
+  * round applies its learned merge as the textbook greedy left-to-right
+  * symbol scan — walk the word's symbols, merge every adjacent (a, b)
+  * occurrence, consuming both (so "abab" with merge (a,b) → "ab ab",
+  * and a self-merge run "aaaaa" with (a,a) → "aa aa a"). All three
+  * engines implement the SAME scan: [[applyMerge]] walks the symbol
+  * array directly; [[trainDistributed]] and the DuckDB oracle CTE
+  * express it as a substring replace over a DOUBLE-spaced symbol
+  * string (` a  b `→` ab ` after doubling every boundary space) —
+  * doubling makes left-to-right non-overlapping `replace` consume one
+  * boundary space per side, so adjacent occurrences no longer share a
+  * delimiter and the replace's match set is exactly the greedy scan's
+  * merge set (proven piecewise in TokenizerIndexSpec). Because a
+  * learned table is rank-consistent (a merge's symbols are built only
+  * by strictly earlier merges), applying rounds in rank order equals
+  * [[graft.functions.Bpe]]'s lowest-rank-first one-merge-per-step loop,
+  * so the exported merge table prices identically through any standard
+  * BPE implementation (the encode-parity test pins this).
   */
 object TokenizerIndex {
 
@@ -142,18 +147,32 @@ object TokenizerIndex {
     sb.toString
   }
 
-  /** One round's merge application — the replace-variant (see object
-    * doc): left-to-right non-overlapping ` a b `→` ab ` on the
-    * space-bracketed symbol string, exactly Java/Spark/DuckDB
-    * `replace` semantics.
+  /** One round's merge application — the standard greedy left-to-right
+    * symbol scan (see object doc): merge every adjacent (a, b)
+    * occurrence, consuming both symbols, exactly what GPT-2-family
+    * trainers do when a round's winning pair is applied.
     */
-  private[graft] def applyMerge(s: String, a: String, b: String): String =
-    (" " + s + " ").replace(" " + a + " " + b + " ", " " + a + b + " ").trim
+  private[graft] def applyMerge(s: String, a: String, b: String): String = {
+    val parts = s.split(' ')
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < parts.length) {
+      if (sb.length > 0) sb.append(' ')
+      if (i < parts.length - 1 && parts(i) == a && parts(i + 1) == b) {
+        sb.append(a).append(b)
+        i += 2
+      } else {
+        sb.append(parts(i))
+        i += 1
+      }
+    }
+    sb.toString
+  }
 
   /** The greedy merge loop over a COLLECTED (word, count) vocabulary:
     * identical per-round semantics to [[trainDistributed]] — count
     * adjacent symbol pairs weighted by corpus frequency, argmax with
-    * (cnt DESC, a, b) UTF-8-bytewise ties, apply as the replace-variant
+    * (cnt DESC, a, b) UTF-8-bytewise ties, apply as the greedy scan
     * — at driver speed (no per-round job). O(k · Σ|word|) character
     * work; a 30k-word gate vocabulary trains k=512 in low seconds.
     */
@@ -250,10 +269,22 @@ object TokenizerIndex {
         val pa = best(0).getAs[String]("pa")
         val pb = best(0).getAs[String]("pb")
         merges += ((r.toLong, pa, pb, best(0).getAs[Long]("cnt")))
+        // greedy-scan semantics via codegen'd string ops: double every
+        // boundary space first so the left-to-right non-overlapping
+        // replace consumes one space per side — adjacent occurrences
+        // ("abab", self-merge runs) stop sharing a delimiter and ALL
+        // merge this round, exactly the symbol-array scan (object doc).
+        // Every interior run is exactly 2 spaces after the merge
+        // replace (each side keeps/adds one), so a plain
+        // `replace("  ", " ")` re-collapses — no regex in the round
         vocab = vocab.withColumn("s",
           trim(call_function("replace",
-            concat(lit(" "), col("s"), lit(" ")),
-            lit(s" $pa $pb "), lit(s" $pa$pb "))))
+            call_function("replace",
+              concat(lit(" "),
+                call_function("replace", col("s"), lit(" "), lit("  ")),
+                lit(" ")),
+              lit(s" $pa  $pb "), lit(s" $pa$pb ")),
+            lit("  "), lit(" "))))
         // bound the recompute depth: without this, round r's aggregate
         // re-applies all r prior replaces from the cached base — O(K²)
         // string work by the last round; a periodic persist caps the
@@ -322,6 +353,13 @@ object TokenizerIndex {
     * vocabulary, one per-doc aggregate. This is the plan shape C14b
     * serves from — no training inside, which is the whole point of the
     * artifact.
+    *
+    * Out-of-vocabulary words (a corpus other than the training one)
+    * price as their CODE-POINT count — the exact token length standard
+    * BPE assigns a word none of the learned merges touch, and an upper
+    * bound otherwise. Without the fallback an unseen word would join to
+    * null and silently price as 0, violating the train-once/price-
+    * anywhere contract.
     */
   def priceDocuments(docs: DataFrame, learned: Learned): DataFrame =
     docs
@@ -330,7 +368,7 @@ object TokenizerIndex {
         explode_outer(call_function("bpe_words", col("text"))).as("w"))
       .join(broadcast(vocabLengths(learned)), Seq("w"), "left")
       .groupBy(col("doc_id"))
-      .agg((coalesce(sum(col("n")), lit(0L)) + max(col("resid")))
-        .as("n_bpe_learned"))
+      .agg((coalesce(sum(coalesce(col("n"), length(col("w")))), lit(0L))
+        + max(col("resid"))).as("n_bpe_learned"))
       .orderBy(col("doc_id"))
 }

@@ -32,19 +32,70 @@ class TokenizerIndexSpec extends SparkSpec {
     Caches.releaseScope()
   }
 
-  test("merge application is the replace-variant (documented semantics)") {
-    // back-to-back occurrences share the boundary space: one merge per
-    // round — while Bpe.encode's one-merge-per-step variant would give
-    // "ab ab". The artifact is self-consistent (consumers price from
-    // the vocab's own `s`), so the variant never leaks into a count.
-    assert(TokenizerIndex.applyMerge("a b a b", "a", "b") == "ab a b")
+  test("merge application is the standard greedy left-to-right scan") {
+    // back-to-back occurrences ALL merge in one round — the textbook
+    // scan, matching Bpe.encode's one-merge-per-step outcome
+    assert(TokenizerIndex.applyMerge("a b a b", "a", "b") == "ab ab")
     assert(TokenizerIndex.applyMerge("a b c a b", "a", "b") == "ab c ab")
     assert(TokenizerIndex.applyMerge("x y", "a", "b") == "x y")
-    // the fixture-table one-merge-per-step variant merges BOTH
-    // back-to-back occurrences ((t,h) is merge rank 0) — by design a
-    // different tokenization than the round's single replace pass
     assert(graft.functions.Bpe.encode("thth").mkString(" ") == "th th")
-    assert(TokenizerIndex.applyMerge("t h t h", "t", "h") == "th t h")
+    assert(TokenizerIndex.applyMerge("t h t h", "t", "h") == "th th")
+    // self-merge runs consume greedily left to right: aaaaa → aa aa a
+    // (NOT the space-sharing replace artifact "aa a aa")
+    assert(TokenizerIndex.applyMerge("a a a a a", "a", "a") == "aa aa a")
+    assert(TokenizerIndex.applyMerge("a a a a", "a", "a") == "aa aa")
+    assert(TokenizerIndex.applyMerge("a", "a", "a") == "a")
+  }
+
+  test("distributed merge application equals the local scan on adversarial symbol runs") {
+    import spark.implicits._
+    // the doubled-space replace trick must equal the symbol-array scan
+    // on exactly the shapes where single-space replace diverged:
+    // shared-boundary repeats and odd self-merge runs
+    val words = Seq("abab", "ababab", "aaaaa", "aaaa", "banana", "xy", "a")
+    val wc = words.map(_ -> 1L)
+    for (k <- Seq(1, 2, 3)) {
+      val local = TokenizerIndex.trainLocal(spark, wc, k)
+      val dist = TokenizerIndex.trainDistributed(spark,
+        wc.toDF("w", "c"), k)
+      assert(mergesOf(local) == mergesOf(dist), s"k=$k merge tables differ")
+      assert(vocabOf(local) == vocabOf(dist),
+        s"k=$k tokenizations differ between engines")
+    }
+    Caches.releaseScope()
+  }
+
+  test("encode parity: priceDocuments equals Bpe.encodeWith under the exported table") {
+    import graft.functions.Bpe
+    // a crafted repeat-pair corpus: shared-boundary repeats, self-merge
+    // runs, and a word that chains merges — the exact shapes where the
+    // old replace-variant disagreed with standard BPE
+    val wc = Seq("abab" -> 3L, "ab" -> 5L, "aaaa" -> 2L, "aaaaa" -> 2L,
+      "banana" -> 4L, "an" -> 1L)
+    val learned = TokenizerIndex.trainLocal(spark, wc, 4)
+    val table = learned.merges.map(m => (m._2, m._3))
+    // every learned tokenization IS the standard-BPE piece sequence
+    learned.vocab.collect().foreach { r =>
+      val w = r.getAs[String]("w")
+      val s = r.getAs[String]("s").split(' ').toVector
+      val enc = Bpe.encodeWith(w, table)
+      assert(s == enc,
+        s"'$w': trained pieces $s != standard encode $enc (table $table)")
+    }
+    // and the document pricing matches token-for-token
+    import spark.implicits._
+    val docs = Seq((0L, "abab ab!"), (1L, "aaaaa banana"), (2L, "zq"))
+      .toDF("doc_id", "text")
+    val priced = TokenizerIndex.priceDocuments(docs, learned).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def price(ws: Seq[String], resid: Long) =
+      ws.map {
+        case w if wc.exists(_._1 == w) => Bpe.encodeWith(w, table).length.toLong
+        case w => w.codePointCount(0, w.length).toLong // OOV fallback
+      }.sum + resid
+    assert(priced(0L) == price(Seq("abab", "ab"), 1L), s"got $priced")
+    assert(priced(1L) == price(Seq("aaaaa", "banana"), 0L), s"got $priced")
+    assert(priced(2L) == 2L, s"OOV-only doc: got $priced")
   }
 
   test("argmax ties break UTF-8-bytewise, not UTF-16 (supplementary plane)") {
@@ -59,18 +110,45 @@ class TokenizerIndexSpec extends SparkSpec {
     assert(TokenizerIndex.utf8Less("a", "ab") && !TokenizerIndex.utf8Less("ab", "a"))
   }
 
-  test("end-to-end replace-variant pricing on a crafted corpus") {
+  test("end-to-end standard-BPE pricing on a crafted corpus") {
     import spark.implicits._
     // corpus vocabulary: ab(x2), abab, x — round 1 learns (a,b) with
-    // weight 4; 'abab' becomes 'ab a b' (replace-variant: 3 pieces)
+    // weight 4; 'abab' becomes 'ab ab' (standard scan: 2 pieces)
     val learned = TokenizerIndex.trainLocal(spark,
       Seq("ab" -> 2L, "abab" -> 1L, "x" -> 1L), 1)
     assert(mergesOf(learned) == Vector((0L, "a", "b", 4L)))
     val docs = Seq((0L, "ab ab"), (1L, "abab x!")).toDF("doc_id", "text")
     val got = TokenizerIndex.priceDocuments(docs, learned).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // doc 0: ab + ab = 2; doc 1: abab(3, replace-variant) + x(1) + !(1)
-    assert(got == Map(0L -> 2L, 1L -> 5L), s"got $got")
+    // doc 0: ab + ab = 2; doc 1: abab(2) + x(1) + !(1)
+    assert(got == Map(0L -> 2L, 1L -> 4L), s"got $got")
+  }
+
+  test("OOV words price as their code-point count, never 0") {
+    import spark.implicits._
+    // train on a corpus that has never seen 'zqzqzqzqzq' or 'δδδ'
+    val learned = TokenizerIndex.trainLocal(spark,
+      Seq("ab" -> 2L, "abab" -> 1L), 1)
+    val docs = Seq(
+      (0L, "ab zqzqzqzqzq"),   // in-vocab word + 10-letter unseen word
+      (1L, "δδδ"),             // unseen non-ASCII: 3 code points
+      (2L, "zq ab")            // unseen 2-letter + in-vocab
+    ).toDF("doc_id", "text")
+    val got = TokenizerIndex.priceDocuments(docs, learned).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 0: ab(1) + 10 OOV code points + 1 space residual... residual
+    // counts non-word chars; the space is 1 → 1 + 10 + 1
+    val words0 = 1L + 10L
+    assert(got(0L) >= words0,
+      s"an unseen 10-letter word must price as 10, not 0: $got")
+    assert(got(1L) >= 3L, s"unseen non-ASCII word prices per code point: $got")
+    assert(got(2L) >= 3L, s"got $got")
+    // exact per-word check without residual noise: single-word docs
+    val bare = Seq((10L, "zqzqzqzqzq"), (11L, "ab")).toDF("doc_id", "text")
+    val g2 = TokenizerIndex.priceDocuments(bare, learned).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2(10L) - g2(11L) == 9L,
+      s"OOV word = 10 code points vs learned 'ab' = 1 token: $g2")
   }
 
   test("k=512 trains locally in seconds at sf0.1; k=32 prefix is the distributed table") {
