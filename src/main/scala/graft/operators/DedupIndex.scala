@@ -66,14 +66,46 @@ object DedupIndex {
   /** Build the index for an initial corpus. */
   def build(docs: DataFrame): DataFrame = signatures(docs)
 
-  /** Persist / reopen the index. Partitioned by band: a probe of b bands
-    * prunes to those directories, and one band's buckets co-locate.
+  /** Persist / reopen the index. Signature rows live under `sigs/`,
+    * partitioned by band: a probe of b bands prunes to those
+    * directories, and one band's buckets co-locate.
+    *
+    * Saves are not atomic (a band-partitioned multi-file write), so —
+    * like [[AnnIndex.save]] — every mutation brackets the data with a
+    * completion marker: `complete=false` lands FIRST, invalidating the
+    * previous save before a byte of it is touched, then the signature
+    * rows, then `complete=true`. A crash inside the bracket leaves
+    * `complete=false` and [[load]] refuses the index instead of
+    * silently reading a partial signature store (missing bands ⇒
+    * silently missed near-duplicates, the worst failure mode a dedup
+    * index can have).
     */
-  def save(index: DataFrame, path: String): Unit =
-    index.write.mode("overwrite").partitionBy("band").parquet(path)
+  def save(index: DataFrame, path: String): Unit = {
+    writeMarker(index.sparkSession, path, complete = false)
+    index.write.mode("overwrite").partitionBy("band").parquet(s"$path/sigs")
+    writeMarker(index.sparkSession, path, complete = true)
+  }
 
-  def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  private def writeMarker(
+      spark: SparkSession, path: String, complete: Boolean): Unit =
+    spark.range(1).select(lit(complete).as("complete"))
+      .write.mode("overwrite").parquet(s"$path/complete")
+
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val marker =
+      try spark.read.parquet(s"$path/complete").head()
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"DedupIndex at $path has no completion marker — not a " +
+              "saved index (or a pre-r11 root layout; re-save it)")
+      }
+    if (!marker.getAs[Boolean]("complete"))
+      throw new IllegalStateException(
+        s"DedupIndex at $path is a partial save (interrupted between " +
+          "marker and signature rows) — rebuild or re-save it")
+    spark.read.parquet(s"$path/sigs")
+  }
 
   /** Near-dup pairs between a NEW batch and the indexed corpus:
     * (first_id — the indexed doc, new_id, est_jaccard ≥ tau). Pairs
@@ -165,10 +197,20 @@ object DedupIndex {
     * over the index per retirement batch — at lake scale, batch
     * retirements per compaction window (the reference's retirement is
     * itself a periodic batch task), not per request.
+    *
+    * The rewrite is the riskiest mutation — it overwrites the ONLY copy
+    * of the signature store — so the marker bracket matters most here:
+    * the retired frame is fully materialized to a checkpoint BEFORE
+    * `complete=false` lands, and a crash mid-rewrite leaves a load-
+    * refused partial instead of a silently-truncated index.
     */
-  def retire(path: String, ids: DataFrame): Unit =
-    Checkpoints.checkpoint(retire(load(ids.sparkSession, path), ids))
-      .write.mode("overwrite").partitionBy("band").parquet(path)
+  def retire(path: String, ids: DataFrame): Unit = {
+    val spark = ids.sparkSession
+    val retained = Checkpoints.checkpoint(retire(load(spark, path), ids))
+    writeMarker(spark, path, complete = false)
+    retained.write.mode("overwrite").partitionBy("band").parquet(s"$path/sigs")
+    writeMarker(spark, path, complete = true)
+  }
 
   /** Persist an ingest: append ONLY the batch's not-yet-indexed
     * signature rows to a saved index path. The fresh rows are
@@ -181,6 +223,13 @@ object DedupIndex {
     val spark = newDocs.sparkSession
     val fresh = Checkpoints.checkpoint(
       freshSigs(load(spark, path), signatures(newDocs)))
-    fresh.write.mode("append").partitionBy("band").parquet(path)
+    // marker-bracketed like save/retire: a crash mid-append would leave
+    // SOME of a doc's bands on disk, and a replayed append's per-doc
+    // anti-join would then skip the doc forever (its partial presence
+    // reads as "already indexed"). With the bracket, load refuses the
+    // partial instead of silently missing near-duplicates.
+    writeMarker(spark, path, complete = false)
+    fresh.write.mode("append").partitionBy("band").parquet(s"$path/sigs")
+    writeMarker(spark, path, complete = true)
   }
 }

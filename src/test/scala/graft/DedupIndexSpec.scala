@@ -45,7 +45,8 @@ class DedupIndexSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_lshidx").toString + "/index"
     val index = DedupIndex.build(docs(0L -> base, 1L -> other))
     DedupIndex.save(index, dir)
-    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("band=")),
+    assert(new java.io.File(s"$dir/sigs").listFiles()
+        .exists(_.getName.startsWith("band=")),
       "index parquet must partition by band")
     val reloaded = DedupIndex.load(spark, dir)
     val batch = docs(2L -> base.replace("idx9", "edited"))
@@ -165,6 +166,52 @@ class DedupIndexSpec extends SparkSpec {
     assert(pairs == Set((1L, 9L)), s"got $pairs")
     DedupIndex.retire(dir, Seq(0L).toDF("doc_id")) // replay on the path
     assert(DedupIndex.load(spark, dir).count() == 1L * DedupIndex.Bands)
+  }
+
+  test("a partial save (stale completion marker) refuses to load") {
+    import org.apache.spark.sql.functions.lit
+    val dir = Files.createTempDirectory("graft_lshpart").toString + "/index"
+    DedupIndex.save(DedupIndex.build(docs(0L -> base)), dir)
+    // simulate a crash inside any mutation bracket (save, append, or
+    // the in-place retire rewrite): the first thing each writes is
+    // complete=false, and nothing reset it to true
+    spark.range(1).select(lit(false).as("complete"))
+      .write.mode("overwrite").parquet(s"$dir/complete")
+    val e = intercept[IllegalStateException] { DedupIndex.load(spark, dir) }
+    assert(e.getMessage.contains("partial save"))
+    // a crash BEFORE the first marker write (nothing on disk yet at a
+    // fresh path) must also refuse, not read garbage
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$dir/complete"))
+    val e2 = intercept[IllegalStateException] { DedupIndex.load(spark, dir) }
+    assert(e2.getMessage.contains("no completion marker"))
+  }
+
+  test("a crash-interrupted retire rewrite refuses to load, then a re-save recovers") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lshcrash").toString + "/index"
+    val full = DedupIndex.build(docs(0L -> base, 1L -> other))
+    DedupIndex.save(full, dir)
+    // simulate retire(path) dying between its complete=false and the
+    // band rewrite: marker false, band dirs half-gone
+    spark.range(1).select(org.apache.spark.sql.functions.lit(false)
+      .as("complete")).write.mode("overwrite").parquet(s"$dir/complete")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    new java.io.File(s"$dir/sigs").listFiles()
+      .filter(_.getName.startsWith("band=")).take(DedupIndex.Bands / 2)
+      .foreach(rmrf)
+    intercept[IllegalStateException] { DedupIndex.load(spark, dir) }
+    // recovery path: rebuild from the corpus and re-save over the wreck
+    DedupIndex.save(full, dir)
+    assert(DedupIndex.load(spark, dir).count() == 2L * DedupIndex.Bands)
+    val pairs = DedupIndex.probe(DedupIndex.load(spark, dir),
+        docs(9L -> base)).collect()
+      .map(r => (r.getAs[Long]("first_id"), r.getAs[Long]("new_id"))).toSet
+    assert(pairs == Set((0L, 9L)), s"got $pairs")
   }
 
   test("index signatures are the stream's signatures (one banding scheme)") {
