@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIndex, AnnOps, DedupIndex}
+
+/** Probe-only deployment benchmark for the index-backed ANN/dedup
+  * queries (judge ask r10 #4).
+  *
+  * The board's `ann_lsh` / `dedup_minhash_lsh` / `dedup_embedding`
+  * numbers include hashing the WHOLE corpus per run — the right cost
+  * model for a one-shot batch job, but not for the deployment shape,
+  * where the index persists beside the data ([[AnnIndex]] /
+  * [[DedupIndex]]) and each arriving query batch only pays for itself.
+  * This main measures that split honestly:
+  *
+  *  - **build** (once, reported separately): corpus → saved index, the
+  *    amortized cost. Reused across runs unless SPARK_GRAFT_REBUILD=1.
+  *  - **probe** (min-of-3 per query): a BOUNDED in-memory batch against
+  *    the load()ed index — ann_lsh's own 8-vector query set, and
+  *    SPARK_GRAFT_PROBE_N (default 1000) shifted-id docs/embeddings for
+  *    the dedup probes. The batches are collected to the driver before
+  *    timing (bounded by construction), so a probe plan that touched
+  *    the corpus parquet would be a bug — AnnIndexSpec/DedupIndexSpec
+  *    pin exactly that: the loaded-probe plan reads only the index
+  *    artifact, never the corpus files.
+  *
+  * Output: one JSON line, `build` + per-query min-of-3 `queries`, the
+  * same shape as [[Bench]] so rounds compare.
+  */
+object BenchProbe {
+  private val REPS = 3
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val probeN = sys.env.getOrElse("SPARK_GRAFT_PROBE_N", "1000").toInt
+    val idxDir = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+      s"/root/repo/localdata/probeidx/${new java.io.File(sfDir).getName}")
+    val rebuild = sys.env.get("SPARK_GRAFT_REBUILD").exists(_ == "1")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def secs(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def loadable(load: => Unit): Boolean =
+      try { load; true } catch { case _: Throwable => false }
+
+    // ---- build phase (amortized; timed only when it actually runs) ----
+    var annBuild, dedupBuild = 0.0
+    val annPath = s"$idxDir/ann"
+    val dedupPath = s"$idxDir/dedup"
+    if (rebuild || !loadable(AnnIndex.load(spark, annPath))) {
+      annBuild = secs {
+        val emb = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val g = AnnOps.LshGeometry.forCorpus(emb.count())
+        AnnIndex.save(AnnIndex.build(emb, g), annPath)
+      }
+      Caches.releaseScope()
+    }
+    if (rebuild || !loadable(DedupIndex.load(spark, dedupPath))) {
+      dedupBuild = secs {
+        DedupIndex.save(
+          DedupIndex.build(Tables.documents(spark, sfDir)
+            .select(col("doc_id"), col("text"))), dedupPath)
+      }
+      Caches.releaseScope()
+    }
+
+    // ---- bounded probe batches, collected BEFORE timing ----
+    // ann: the board query set (vec_id < 8), exactly ann_lsh's
+    val annQ = localize(spark, Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 8))
+    // dedup: probeN corpus docs/vectors at shifted ids — guaranteed
+    // near-dups of their indexed originals, the worst probe-cost case
+    // (every probe row produces candidates)
+    val docB = localize(spark, Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < probeN)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+    val embB = localize(spark, Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < probeN)
+      .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding")))
+    Caches.releaseScope()
+
+    val annIdx = AnnIndex.load(spark, annPath)
+    val dedupIdx = DedupIndex.load(spark, dedupPath)
+    val probes: Seq[(String, () => Long)] = Seq(
+      "ann_lsh_probe" ->
+        (() => AnnIndex.probe(annIdx, annQ).count()),
+      "dedup_minhash_probe" ->
+        (() => DedupIndex.probe(dedupIdx, docB).count()),
+      "dedup_embedding_probe" ->
+        (() => AnnIndex.probePairs(annIdx, embB, tau = 0.3).count()))
+
+    var anyFailed = false
+    val results = probes.map { case (name, fn) =>
+      var ok = true
+      val runs = (1 to REPS).iterator.map { _ =>
+        try Some(secs { val n = fn(); System.err.println(s"[probe] $name rows=$n") })
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[probe] $name FAILED: ${e.getMessage}")
+            anyFailed = true; ok = false; None
+        }
+      }.takeWhile(_.isDefined).flatten.toSeq
+      Caches.releaseScope()
+      (name, runs.headOption.getOrElse(0.0),
+        if (runs.isEmpty) 0.0 else runs.min, ok)
+    }
+
+    def jmap(entries: Seq[(String, Double)]): String = entries
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, _, mn, true) => mn }.sum
+    println(s"""{"metric":"probe_total","value":$total,"unit":"sec","build":${
+      jmap(Seq("ann" -> annBuild, "dedup" -> dedupBuild))
+    },"queries":${jmap(results.map { case (k, _, mn, _) => k -> mn })},"first":${
+      jmap(results.map { case (k, f, _, _) => k -> f })
+    },"reps":$REPS,"probe_batch":{"ann":${annQ.count()},"dedup":${docB.count()},"embedding":${embB.count()}},"failed":${
+      results.collect { case (k, _, _, false) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+    },"sf":"$sfDir"}""")
+    spark.stop()
+    if (anyFailed) sys.exit(1)
+  }
+
+  /** Collect a bounded frame to the driver and re-create it in-memory:
+    * the timed probe plans must not contain a corpus file scan, which
+    * is also what the spec asserts.
+    */
+  private def localize(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(df.collect(): _*)),
+      df.schema)
+}

@@ -174,6 +174,44 @@ object AnnIndex {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Near-dup PAIRS between a new batch and the indexed corpus —
+    * (vec_id: the indexed vector, new_id, cos ≥ tau) — the
+    * embedding-dedup twin of [[DedupIndex.probe]] and the deployment
+    * shape of D5 `dedup_embedding`: a curation pipeline does not
+    * re-enumerate corpus×corpus pairs per arriving batch, it asks "is
+    * this new embedding a near-duplicate of anything we already hold".
+    * Same candidate machinery as [[probe]] (multiprobe buckets,
+    * occupancy cap counted before the self-filter, candidates as
+    * broadcast id pairs), but thresholded on exact-micros cosine
+    * instead of ranked top-k, so the output contract matches D5's
+    * `cos >= tau` filter.
+    */
+  def probePairs(
+      index: Index,
+      newVecs: DataFrame,
+      tau: Double = 0.3,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val q = AnnOps.withNormDf(newVecs)
+    val qb = AnnOps.probeBuckets(q, index.geometry)
+    val occ = Window.partitionBy(col("tbl"), col("bucket"), col("q_id"))
+    val ids = index.buckets
+      .join(broadcast(qb), Seq("tbl", "bucket"))
+      .withColumn("bucket_occ", count(lit(1)).over(occ))
+      .filter(col("bucket_occ") <= maxBucket)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val qv = q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nm").as("q_nm"))
+    index.vectors.join(broadcast(ids), "vec_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("vec_id"), col("q_id").as("new_id"),
+        cosineFromMicros(dotMicros(col("q_emb"), col("embedding")),
+          col("q_nm"), col("nm")).as("cos"))
+      .filter(col("cos") >= tau)
+      .orderBy(col("vec_id"), col("new_id"))
+  }
+
   /** The batch's normed vectors that are NOT already indexed (ids
     * broadcast into a semi-prune of the corpus scan, then an anti-join
     * on the batch), so replayed batches fold in as no-ops.

@@ -117,6 +117,53 @@ class AnnIndexSpec extends SparkSpec {
       "no stats on a loaded index may not demote the joins to shuffles")
   }
 
+  test("a loaded probe reads ONLY the index artifact — never the corpus files") {
+    // the deployment claim behind BenchProbe: probe cost scales with the
+    // query batch, which is only true if the plan never re-reads (and so
+    // never re-hashes) the corpus parquet the index was built from
+    val dir = Files.createTempDirectory("graft_annart").toString + "/index"
+    AnnIndex.save(AnnIndex.build(corpus), dir)
+    val loaded = AnnIndex.load(spark, dir)
+    for (probePlan <- Seq(
+        plan(AnnIndex.probe(loaded, vecs(99L -> unit(0)))),
+        plan(AnnIndex.probePairs(loaded, vecs(99L -> unit(0)))))) {
+      assert(!probePlan.contains("embeddings.parquet"),
+        "loaded probe must not scan the corpus the index was built from")
+      assert(probePlan.contains(dir),
+        "loaded probe must scan the saved index artifact")
+      assert(probePlan.contains("LocalTableScan") ||
+        probePlan.contains("RDDScan"),
+        "the query batch rides in-memory, not from a file")
+    }
+  }
+
+  test("probePairs: planted near-dup of an indexed vector surfaces with cos >= tau") {
+    val index = AnnIndex.build(vecs(
+      10L -> unit(0), 11L -> unit(7), 12L -> unit(13)))
+    // batch: a scaled copy of vec 10 (cos 1.0) and an orthogonal vector
+    val got = AnnIndex.probePairs(index,
+        vecs(99L -> unit(0, 0.5f), 98L -> unit(21)), tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(p => (p._1, p._2)).toSeq == Seq((10L, 99L)),
+      s"only the planted dup passes tau=0.9: ${got.toSeq}")
+    assert(math.abs(got.head._3 - 1.0) < 1e-9)
+    // tau above the pair's cosine filters it
+    assert(AnnIndex.probePairs(index, vecs(99L -> unit(0, 0.5f)),
+      tau = 1.01).collect().isEmpty)
+  }
+
+  test("probePairs occupancy cap: saturated buckets contribute no pairs") {
+    // identical indexed vectors share every (tbl, bucket): occupancy 3
+    val index = AnnIndex.build(vecs(
+      10L -> unit(0), 11L -> unit(0), 12L -> unit(0)))
+    val batch = vecs(99L -> unit(0))
+    assert(AnnIndex.probePairs(index, batch, tau = 0.9, maxBucket = 2)
+      .collect().isEmpty, "buckets over the cap must not pair")
+    val uncapped = AnnIndex.probePairs(index, batch, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((10L, 99L), (11L, 99L), (12L, 99L)))
+  }
+
   test("replayed batches fold in as no-ops: bucket and vector rows never duplicate") {
     val index0 = AnnIndex.build(vecs(10L -> unit(0)))
     val batch = vecs(20L -> unit(7))

@@ -76,6 +76,24 @@ class DedupIndexSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("a loaded probe reads ONLY the index artifact — never the corpus files") {
+    // the deployment claim behind BenchProbe: probe cost scales with the
+    // query batch, which requires the plan to never re-read (so never
+    // re-shingle) the corpus the index was built from
+    val dir = Files.createTempDirectory("graft_lshart").toString + "/index"
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    DedupIndex.save(DedupIndex.build(corpus), dir)
+    val p = plan(DedupIndex.probe(DedupIndex.load(spark, dir),
+      docs(1000000000L -> base)))
+    assert(!p.contains("documents.parquet"),
+      "loaded probe must not scan the corpus the index was built from")
+    assert(p.contains(dir), "loaded probe must scan the saved index artifact")
+    assert(p.contains("LocalTableScan") || p.contains("RDDScan"),
+      "the probe batch rides in-memory, not from a file")
+  }
+
   test("replayed batches fold in as no-ops: bucket rows never duplicate") {
     val index0 = DedupIndex.build(docs(0L -> base))
     val batch = docs(1L -> base.replace("idx3", "x"))
