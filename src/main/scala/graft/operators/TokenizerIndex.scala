@@ -172,9 +172,34 @@ object TokenizerIndex {
   /** The greedy merge loop over a COLLECTED (word, count) vocabulary:
     * identical per-round semantics to [[trainDistributed]] — count
     * adjacent symbol pairs weighted by corpus frequency, argmax with
-    * (cnt DESC, a, b) UTF-8-bytewise ties, apply as the greedy scan
-    * — at driver speed (no per-round job). O(k · Σ|word|) character
-    * work; a 30k-word gate vocabulary trains k=512 in low seconds.
+    * (cnt DESC, a, b) UTF-8-bytewise ties, apply as the greedy scan —
+    * at driver speed (no per-round job), with the INCREMENTAL trainer
+    * structure every production BPE trainer uses (r11, for real vocab
+    * sizes: k=32768 over a 1M-word vocabulary in seconds, where the
+    * naive full-recount-per-round loop is O(k · Σ|word|) and takes
+    * hours):
+    *
+    *  - pair counts live in one hash map, DELTA-updated when a merge
+    *    rewrites a word (decrement the word's old adjacencies,
+    *    increment its new ones) — a merge only pays for the words that
+    *    actually contain its pair (pair → word-ids posting lists), and
+    *    a word of L symbols can only be rewritten L-1 times total, so
+    *    ALL rounds together cost O(Σ|word|²) worst case, independent
+    *    of k;
+    *  - the argmax is a lazy max-heap ordered by the SAME total
+    *    (cnt DESC, a, b) UTF-8-bytewise comparison as the distributed
+    *    loop's ORDER BY: entries are pushed on every count increase,
+    *    and a popped entry whose stored count is stale is re-pushed at
+    *    the pair's current count (discard-and-repush), so the first
+    *    entry that validates is exactly the pair the full scan would
+    *    have picked — ties included, because entries at the same count
+    *    pop in (a, b) byte order and every count-v pair has a live
+    *    entry at v by the time v pops. Byte-parity with
+    *    [[trainDistributed]] is pinned per-round in TokenizerIndexSpec.
+    *
+    * Training stops at k merges or VOCAB SATURATION — no adjacent pair
+    * left anywhere (every word is one symbol) — whichever comes first,
+    * same as both other engines.
     */
   def trainLocal(
       spark: SparkSession,
@@ -182,51 +207,154 @@ object TokenizerIndex {
       k: Int): Learned = {
     val words = wordCounts.map(_._1).toArray
     val counts = wordCounts.map(_._2).toArray
-    val syms = words.map(spaceSymbols)
+    // symbol intern table: pairs travel as packed long keys, words as
+    // int arrays — string work only at argmax/result time
+    val symId = new java.util.HashMap[String, Integer]()
+    val symStr = scala.collection.mutable.ArrayBuffer[String]()
+    def intern(sym: String): Int = {
+      val e = symId.get(sym)
+      if (e != null) e.intValue
+      else { symId.put(sym, symStr.length); symStr += sym; symStr.length - 1 }
+    }
+    val seqs: Array[Array[Int]] = words.map { w =>
+      val b = scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        b += intern(new String(Character.toChars(cp)))
+        i += Character.charCount(cp)
+      }
+      b.toArray
+    }
+    def pk(a: Int, b: Int): Long = (a.toLong << 32) | (b & 0xffffffffL)
+    val pairCnt = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    val pairWords = new java.util.HashMap[java.lang.Long,
+      scala.collection.mutable.ArrayBuffer[Int]]()
+    // per-word scratch for net delta updates, reused across rewrites
+    val delta = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def addPosting(key: Long, i: Int): Unit = {
+      val lst = pairWords.computeIfAbsent(key,
+        _ => scala.collection.mutable.ArrayBuffer[Int]())
+      if (lst.isEmpty || lst(lst.length - 1) != i) lst += i
+    }
+    def bump(key: Long, by: Long): Long = {
+      val v = pairCnt.merge(key, by, (x, y) => x + y)
+      if (v == 0L) { pairCnt.remove(key); 0L } else v
+    }
+    // entries: (cnt, a, b, packed key); the comparator IS the engines'
+    // ORDER BY cnt DESC, a, b with UTF-8-bytewise string order
+    val heap = new java.util.PriorityQueue[(Long, String, String, Long)](
+      11,
+      new java.util.Comparator[(Long, String, String, Long)] {
+        def compare(x: (Long, String, String, Long),
+            y: (Long, String, String, Long)): Int = {
+          if (x._1 != y._1) java.lang.Long.compare(y._1, x._1)
+          else if (x._2 != y._2) { if (utf8Less(x._2, y._2)) -1 else 1 }
+          else if (x._3 != y._3) { if (utf8Less(x._3, y._3)) -1 else 1 }
+          else 0
+        }
+      })
+    def push(key: Long, cnt: Long): Unit = {
+      heap.offer((cnt, symStr((key >>> 32).toInt),
+        symStr((key & 0xffffffffL).toInt), key)); ()
+    }
+    // initial counts: one pass, weighted per adjacency position like
+    // the distributed explode
+    var i = 0
+    while (i < seqs.length) {
+      val s = seqs(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val key = pk(s(j), s(j + 1))
+        bump(key, counts(i))
+        addPosting(key, i)
+        j += 1
+      }
+      i += 1
+    }
+    pairCnt.forEach((key, cnt) => push(key, cnt))
+
     val merges = Vector.newBuilder[(Long, String, String, Long)]
     var r = 0
     var done = false
     while (r < k && !done) {
-      val cnt = new java.util.HashMap[String, Long]()
-      var i = 0
-      while (i < syms.length) {
-        val parts = syms(i).split(' ')
-        var j = 0
-        while (j < parts.length - 1) {
-          val key = parts(j) + " " + parts(j + 1)
-          cnt.merge(key, counts(i), _ + _)
-          j += 1
+      // lazy argmax: discard dead entries, re-push stale ones at their
+      // current count, accept the first entry that validates
+      var best: (Long, String, String, Long) = null
+      while (best == null && !done) {
+        val e = heap.poll()
+        if (e == null) done = true
+        else {
+          val cur = pairCnt.get(e._4)
+          if (cur == null) () // pair no longer exists
+          else if (cur.longValue != e._1) push(e._4, cur.longValue)
+          else best = e
         }
-        i += 1
       }
-      if (cnt.isEmpty) done = true
-      else {
-        // deterministic argmax: iteration order of the hash map cannot
-        // matter because the (cnt DESC, a, b) comparison is total
-        var bestKey: String = null
-        var bestCnt = Long.MinValue
-        val it = cnt.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getValue > bestCnt ||
-            (e.getValue == bestCnt && utf8Less(e.getKey, bestKey)))
-            { bestKey = e.getKey; bestCnt = e.getValue }
-        }
-        val sp = bestKey.indexOf(' ')
-        val pa = bestKey.substring(0, sp)
-        val pb = bestKey.substring(sp + 1)
+      if (!done) {
+        val (bestCnt, pa, pb, bestKey) = best
+        val aId = (bestKey >>> 32).toInt
+        val bId = (bestKey & 0xffffffffL).toInt
+        val cId = intern(pa + pb)
         merges += ((r.toLong, pa, pb, bestCnt))
-        i = 0
-        while (i < syms.length) {
-          syms(i) = applyMerge(syms(i), pa, pb)
-          i += 1
+        val affected = pairWords.remove(bestKey)
+        val touched = new java.util.HashSet[java.lang.Long]()
+        if (affected != null) affected.foreach { i =>
+          val s = seqs(i)
+          // posting lists are lazy (stale ids linger after rewrites):
+          // re-check the adjacency before paying for a rewrite
+          var has = false
+          var j = 0
+          while (!has && j < s.length - 1) {
+            has = s(j) == aId && s(j + 1) == bId
+            j += 1
+          }
+          if (has) {
+            // the greedy left-to-right scan, on symbol ids
+            val ns = scala.collection.mutable.ArrayBuffer[Int]()
+            j = 0
+            while (j < s.length) {
+              if (j < s.length - 1 && s(j) == aId && s(j + 1) == bId) {
+                ns += cId; j += 2
+              } else { ns += s(j); j += 1 }
+            }
+            val n = ns.toArray
+            seqs(i) = n
+            // NET deltas only (old-pair multiset minus new-pair
+            // multiset): away from merge sites the two cancel, so the
+            // count map and especially the heap only see the 2-3 pairs
+            // around each merged occurrence — whole-word re-push was
+            // the dominant cost at Zipf head words
+            delta.clear()
+            j = 0
+            while (j < s.length - 1) {
+              delta.merge(pk(s(j), s(j + 1)), -1L, (x, y) => x + y); j += 1
+            }
+            j = 0
+            while (j < n.length - 1) {
+              delta.merge(pk(n(j), n(j + 1)), 1L, (x, y) => x + y); j += 1
+            }
+            delta.forEach { (key, d) =>
+              if (d != 0L) {
+                bump(key, d * counts(i))
+                if (d > 0L) { addPosting(key, i); touched.add(key); () }
+              }
+            }
+          }
+        }
+        // one push per net-increased pair; decreased-only pairs stay
+        // covered by their older (higher) entries via discard-and-repush
+        touched.forEach { key =>
+          val cur = pairCnt.get(key)
+          if (cur != null) push(key, cur.longValue)
         }
         r += 1
       }
     }
     import spark.implicits._
     val vocab = words.indices
-      .map(i => (words(i), syms(i), counts(i))).toDF("w", "s", "c")
+      .map(i => (words(i), seqs(i).map(symStr).mkString(" "), counts(i)))
+      .toDF("w", "s", "c")
     Learned(merges.result(), vocab)
   }
 

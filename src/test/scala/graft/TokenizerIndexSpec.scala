@@ -169,6 +169,63 @@ class TokenizerIndexSpec extends SparkSpec {
     Caches.releaseScope()
   }
 
+  test("k-large: merge counts are monotone non-increasing; training early-stops at vocab saturation") {
+    // monotone: a merge (a,b)->c can only create pairs whose weighted
+    // count is at most the merged pair's (every new-pair occurrence
+    // rides a c occurrence), and existing counts only decrease — so
+    // round r+1's argmax count <= round r's. Saturation: a k far above
+    // the corpus' pair budget ends when every word is one symbol.
+    val wc = Seq("interleave" -> 7L, "interleaved" -> 3L, "leave" -> 9L,
+      "banana" -> 5L, "bandana" -> 2L, "abracadabra" -> 1L, "x" -> 99L)
+    val learned = TokenizerIndex.trainLocal(spark, wc, 100000)
+    assert(learned.merges.nonEmpty && learned.merges.length < 100000,
+      "a tiny corpus must saturate long before k")
+    val cnts = learned.merges.map(_._4)
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      s"merge counts must be monotone non-increasing: $cnts")
+    // saturated = every word fully merged to a single piece
+    learned.vocab.collect().foreach { r =>
+      assert(!r.getAs[String]("s").contains(' '),
+        s"word '${r.getAs[String]("w")}' not fully merged at saturation")
+    }
+    // and the saturated table is a fixpoint: a larger k changes nothing
+    val again = TokenizerIndex.trainLocal(spark, wc, 200000)
+    assert(again.merges == learned.merges)
+  }
+
+  test("k=4096 over a 200k-word synthetic Zipf vocabulary trains in seconds") {
+    // the production-shape check for the incremental trainer: real
+    // vocab sizes (hundreds of thousands of distinct words) at real
+    // k — the naive full-recount loop is O(k * corpus chars) and
+    // cannot do this in CI time. Deterministic synthetic Zipf corpus:
+    // skewed letters make early merges touch many words (the worst
+    // delta-update case).
+    val rnd = new scala.util.Random(42)
+    val letters = "etaoinshrdlucmfwypvbgkjqxz"
+    def word(): String = {
+      val n = 3 + rnd.nextInt(9)
+      val sb = new StringBuilder
+      (0 until n).foreach { _ =>
+        sb += letters(math.min((math.abs(rnd.nextGaussian()) * 6).toInt, 25))
+      }
+      sb.toString
+    }
+    val wc = (0 until 200000).map { i =>
+      (word() + java.lang.Integer.toString(i, 26).map(c =>
+        ('a' + Character.digit(c, 26)).toChar), // force distinctness
+        math.max(1L, 1000000L / (i + 1)))
+    }
+    val t0 = System.nanoTime()
+    val learned = TokenizerIndex.trainLocal(spark, wc, 4096)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"k=4096 over ${wc.size} words: $secs%.2f s, ${learned.merges.length} merges")
+    assert(secs < 60.0, f"incremental trainer must hold at vocab scale ($secs%.1f s)")
+    assert(learned.merges.length == 4096, "a 200k-word vocab must not saturate at k=4096")
+    val cnts = learned.merges.map(_._4)
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      "monotone non-increasing merge counts at scale")
+  }
+
   test("save/load roundtrip: loaded artifact prices identically; partial save refuses") {
     val dir = Files.createTempDirectory("graft_tokidx").toString + "/tok"
     val learned = TokenizerIndex.train(spark, sf, 32)
