@@ -381,6 +381,67 @@ class StreamingSpec extends SparkSpec {
       "evicted bucket must not pair a late duplicate")
   }
 
+  test("near-dup stream over the sf1 corpus: peak state obeys the eviction-horizon bound") {
+    // The 100 TB claim for the streaming path: state is bounded by
+    // (arrival rate x eviction horizon), NEVER corpus size. Drive the
+    // full sf1 document table (50k docs) through the stream as a
+    // 1-doc/sec event-time feed and check the measured peak state rows
+    // against the formula the constants imply.
+    val sf1 = new java.io.File("/root/repo/localdata/sf1/documents.parquet")
+    assume(sf1.exists, "locally generated sf1 data not present")
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.NearDupStream
+
+    val docs = spark.read.parquet(sf1.toString)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+    val n = docs.length
+    assert(n >= 50000, s"sf1 must hold 50k docs, found $n")
+    val baseMs = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val batchSize = 2500 // event-time span per micro-batch: 2500 s
+    val wmSecs = 600 // 10-minute watermark
+    val evictSecs = 3600 // 60-minute idle eviction
+
+    val src = MemoryStream[Doc]
+    val query = NearDupStream
+      .candidatePairs(src.toDS().toDF().withWatermark("ts", s"$wmSecs seconds"),
+        idleEvictMinutes = evictSecs / 60)
+      .writeStream.format("noop").outputMode("append").start()
+
+    var peakRows = 0L
+    var peakBytes = 0L
+    docs.grouped(batchSize).zipWithIndex.foreach { case (chunk, g) =>
+      src.addData(chunk.zipWithIndex.map { case (r, i) =>
+        Doc(r.getAs[Long]("doc_id"),
+          new Timestamp(baseMs + (g.toLong * batchSize + i) * 1000L),
+          r.getAs[String]("text"))
+      }.toIndexedSeq)
+      query.processAllAvailable()
+      val so = query.lastProgress.stateOperators
+      if (so.nonEmpty) {
+        peakRows = math.max(peakRows, so(0).numRowsTotal)
+        peakBytes = math.max(peakBytes, so(0).memoryUsedBytes)
+      }
+    }
+    query.stop()
+
+    // The bound: live bucket keys <= Bands x (docs inside the horizon).
+    // Horizon = idle eviction + watermark lateness + 2 batch spans (a
+    // batch's keys all land before its own watermark advances, and
+    // timed-out keys clear during the NEXT batch) at the 1 doc/sec feed.
+    val horizonDocs = evictSecs + wmSecs + 2 * batchSize
+    val bound = NearDupStream.Bands.toLong * horizonDocs
+    info(f"peak state: $peakRows rows, ${peakBytes / 1024.0 / 1024.0}%.1f MiB " +
+      f"(bound $bound rows; unevicted worst case ${NearDupStream.Bands.toLong * n})")
+    assert(peakRows > 0L, "the stream must actually have built state")
+    assert(peakRows <= bound,
+      s"peak state $peakRows exceeds the eviction-horizon bound $bound — " +
+        "state is scaling with the corpus, not the horizon")
+    // and the horizon bound is far below corpus-proportional state
+    assert(bound < NearDupStream.Bands.toLong * n / 3,
+      "test must leave a real gap between the bound and corpus size")
+  }
+
   test("near-dup stream: saturated bucket stops pairing (occupancy cap)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
