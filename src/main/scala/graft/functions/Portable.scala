@@ -51,12 +51,16 @@ object Portable {
     conv(substring(md5(e), 1, 15), 16, 10).cast(LongType)
 
   /** Whitespace tokenization of trimmed text.
-    * DuckDB twin: regexp_split_to_array(trim(expr), '\s+')
+    * DuckDB twin: regexp_split_to_array(trim(expr, ' '), '\s+')
+    * (the explicit ' ' char list pins DuckDB to Spark's ASCII-space trim:
+    * default DuckDB trim also strips U+00A0)
     */
   def tokens(e: Column): Column = split(trim(e), "\\s+")
 
   /** Normalized text for fingerprinting: collapse whitespace, lowercase.
-    * DuckDB twin: lower(trim(regexp_replace(expr, '\s+', ' ', 'g')))
+    * DuckDB twin: lower(trim(regexp_replace(expr, '\s+', ' ', 'g'), ' '))
+    * (explicit ' ' — Spark's trim strips ASCII 0x20 only, DuckDB's
+    * default also strips U+00A0; boundary NBSP text diverged at sf10)
     */
   def normText(e: Column): Column =
     lower(trim(regexp_replace(e, "\\s+", " ")))
@@ -68,7 +72,7 @@ object Portable {
     * DuckDB twin:
     *   list_distinct([concat_ws(' ', tok[i], tok[i+1], tok[i+2])
     *     for i in generate_series(1, greatest(len(tok)-2, 1))])
-    *   with tok = regexp_split_to_array(trim(lower(text)), '\s+')
+    *   with tok = regexp_split_to_array(trim(lower(text), ' '), '\s+')
     */
   def shingles(text: Column): Column =
     shinglesFromTokens(split(trim(lower(text)), "\\s+"))

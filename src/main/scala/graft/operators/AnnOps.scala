@@ -277,6 +277,20 @@ object AnnOps {
     e.select(col("vec_id"),
       posexplode(lshBucketsCol(col("embedding"), g)).as(Seq("tbl", "bucket")))
 
+  /** Bucket membership rows CARRYING the vector — (vec_id, embedding,
+    * nm, tbl, bucket) — for consumers that do their vector math
+    * bucket-locally (D5's pair enumeration) instead of re-attaching
+    * embeddings by id afterwards. Costs ~0.3 KB per row in the ONE
+    * groupBy-bucket shuffle, and buys the consumer freedom from any
+    * candidate-sized join (see [[DedupOps.embeddingPairsAt]]'s plan
+    * narrative).
+    */
+  private[operators] def bucketRowsWithVectors(
+      e: DataFrame,
+      g: LshGeometry = LshGeometry.default): DataFrame =
+    e.select(col("vec_id"), col("embedding"), col("nm"),
+      posexplode(lshBucketsCol(col("embedding"), g)).as(Seq("tbl", "bucket")))
+
   /** DuckDB twin of [[projCol]] (plane index absolute: t*planes+k). */
   private def sqlProj(tbl: String, plane: Int): String = {
     val ws = planeWeights(plane).mkString("[", ",", "]")

@@ -26,7 +26,7 @@ object DedupOps {
     */
   private val sqlShingleCte: String = """
       tok AS (SELECT doc_id,
-                     regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+                     regexp_split_to_array(trim(lower(text), ' '), '\s+') AS tok
               FROM documents),
       shl AS (SELECT doc_id,
                      list_distinct([concat_ws(' ', tok[i], tok[i+1], tok[i+2])
@@ -50,7 +50,7 @@ object DedupOps {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy(col("fp")),
     Some(s"""
-      SELECT ${xhash60("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")} AS fp,
+      SELECT ${xhash60("lower(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '))")} AS fp,
              min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents
       GROUP BY fp
@@ -492,33 +492,46 @@ object DedupOps {
   /** D5's body at an explicit geometry — the op derives it from the
     * corpus count; graft.GeometryCheck re-runs it at the oracle's
     * default above gate scale.
+    *
+    * Plan shape (r11): cosines compute BUCKET-LOCALLY. Bucket rows
+    * carry the vector ([[AnnOps.bucketRowsWithVectors]]), so the only
+    * corpus-sized shuffle is the one groupBy-bucket at ~0.3 KB/row;
+    * pair scoring is then pure in-task compute (occupancy² per bucket,
+    * occupancy pinned by the PAIR_OCCUPANCY geometry) and only the
+    * SURVIVORS (cos ≥ tau — rare) reach the cross-table dedup
+    * aggregate. The previous shape deduped candidate ids FIRST and
+    * re-attached both embeddings by id; at sf10 that meant a
+    * 19M-row distinct plus a candidate-sized join/groupBy carrying
+    * 0.5 KB of vectors per row — the measured 100× wall was this
+    * shuffle machinery, not the cosine math. A pair colliding in t of
+    * 8 tables now scores t times instead of once; exact-micros cosine
+    * makes every copy bit-identical, so the max() dedup is untouched
+    * and redundant scoring is cheap codegen'd arithmetic traded
+    * against candidate-sized shuffles.
     */
   private[graft] def embeddingPairsAt(
       s: org.apache.spark.sql.SparkSession,
       d: String,
       g: AnnOps.LshGeometry): org.apache.spark.sql.DataFrame = {
       val e = AnnOps.withNorm(s, d)
-      val cand = AnnOps.bucketIndex(e, g)
+      AnnOps.bucketRowsWithVectors(e, g)
         .groupBy(col("tbl"), col("bucket"))
-        .agg(sort_array(collect_list(col("vec_id"))).as("ds"))
+        .agg(sort_array(collect_list(
+          struct(col("vec_id"), col("embedding"), col("nm")))).as("ds"))
         .filter(size(col("ds")) >= 2)
-        .select(explode(pairCombinations(col("ds"))).as("p"))
-        .select(col("p.i").as("i"), col("p.j").as("j"))
-        .distinct()
-      cand
-        .select(col("i"), col("j"),
-          explode(array(col("i"), col("j"))).as("vec_id"))
-        .join(e, "vec_id")
-        .groupBy(col("i"), col("j"))
-        .agg(
-          min(when(col("vec_id") === col("i"), col("embedding"))).as("emb_i"),
-          min(when(col("vec_id") === col("i"), col("nm"))).as("nm_i"),
-          min(when(col("vec_id") === col("j"), col("embedding"))).as("emb_j"),
-          min(when(col("vec_id") === col("j"), col("nm"))).as("nm_j"))
-        .select(col("i"), col("j"),
-          cosineFromMicros(dotMicros(col("emb_i"), col("emb_j")),
-            col("nm_i"), col("nm_j")).as("cos"))
+        // all i<j pairs of the (vec_id-sorted) bucket: the nested
+        // transform is the struct-typed twin of pairCombinations
+        .select(explode(flatten(transform(col("ds"), (x, i) =>
+          transform(
+            slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
+            y => struct(x.as("x"), y.as("y")))))).as("p"))
+        .select(col("p.x.vec_id").as("i"), col("p.y.vec_id").as("j"),
+          cosineFromMicros(
+            dotMicros(col("p.x.embedding"), col("p.y.embedding")),
+            col("p.x.nm"), col("p.y.nm")).as("cos"))
         .filter(col("cos") >= 0.3)
+        .groupBy(col("i"), col("j"))
+        .agg(max(col("cos")).as("cos"))
         .orderBy(col("i"), col("j"))
   }
 
@@ -606,13 +619,13 @@ object DedupOps {
              FROM reach GROUP BY v)
       SELECT (SELECT count(*) FROM documents) AS n_docs,
              (SELECT count(DISTINCT
-                ${xhash60("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")})
+                ${xhash60("lower(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '))")})
                 FROM documents) AS n_distinct_fp,
              (SELECT count(*) FROM mh_pairs) AS n_near_pairs,
              (SELECT count(*) FROM cl) AS n_docs_in_clusters,
              (SELECT count(DISTINCT cluster_id) FROM cl) AS n_clusters,
              (SELECT count(DISTINCT
-                ${xhash60("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")})
+                ${xhash60("lower(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '))")})
                 FROM documents)
                - ((SELECT count(*) FROM cl)
                   - (SELECT count(DISTINCT cluster_id) FROM cl))
@@ -658,7 +671,7 @@ object DedupOps {
     },
     Some(s"""
       WITH tokd AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tok
+        SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS tok
         FROM documents),
       g AS (
         SELECT doc_id,
@@ -730,7 +743,7 @@ object DedupOps {
     Some(s"""
       WITH tok AS (
         SELECT doc_id,
-               regexp_split_to_array(trim(lower(text)), '\\s+') AS tok
+               regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS tok
         FROM documents),
       g AS (
         SELECT doc_id,

@@ -212,15 +212,15 @@ object PipelineOps {
       SELECT doc_id, verdict, verdict = 'keep' AS kept FROM (
         SELECT doc_id,
                CASE
-                 WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) < 20
+                 WHEN len(regexp_split_to_array(trim(lower(text), ' '), '\s+')) < 20
                    THEN 'too_short'
                  WHEN (length(text) - length(regexp_replace(text,
                      '[[:punct:]]', '', 'g'))) /
                      CAST(greatest(length(text), 1) AS DOUBLE) > 0.10
                    THEN 'too_much_punct'
-                 WHEN len(list_filter(regexp_split_to_array(trim(lower(text)),
+                 WHEN len(list_filter(regexp_split_to_array(trim(lower(text), ' '),
                      '\s+'), t -> t IN ('the','a','of','to','and','is','in','it')))
-                     / CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     / CAST(len(regexp_split_to_array(trim(lower(text), ' '), '\s+'))
                      AS DOUBLE) < 0.01
                    THEN 'low_stopword'
                  ELSE 'keep'
@@ -499,9 +499,9 @@ object PipelineOps {
                AS is_split
       FROM (
         SELECT doc_id,
-               CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) + 1
+               CAST(len(regexp_split_to_array(trim(lower(text), ' '), '\\s+')) + 1
                  AS BIGINT) AS nt,
-               CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               CAST(sum(len(regexp_split_to_array(trim(lower(text), ' '), '\\s+'))
                  + 1) OVER (ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS BIGINT) AS cum
@@ -616,7 +616,7 @@ object PipelineOps {
       size(split(trim(lower(col("text"))), "\\s+")).cast(LongType)),
     Some(mixtureSql(
       s"""SELECT source, count(*) AS n_docs,
-               CAST(sum(len(regexp_split_to_array(trim(lower(text)),
+               CAST(sum(len(regexp_split_to_array(trim(lower(text), ' '),
                  '\\s+'))) AS BIGINT) AS n_tokens,
                ${xhash32("source")} % 9 + 1 AS weight
         FROM documents GROUP BY source""",

@@ -27,7 +27,7 @@ object TextOps {
     size(filter(toks(c), t => t.isin(words.map(w => w: Any): _*)))
 
   private def sqlNStop(words: Seq[String]): String =
-    s"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
+    s"len(list_filter(regexp_split_to_array(trim(lower(text), ' '), '\\s+'), " +
       s"t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   /** GPT-2-style pre-tokenizer pattern, the "BPE-ish" token estimate:
@@ -58,7 +58,7 @@ object TextOps {
         .orderBy(col("doc_id")),
     Some("""
       SELECT doc_id,
-             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+             CAST(len(regexp_split_to_array(trim(lower(text), ' '), '\s+'))
                AS BIGINT) AS n_tokens,
              CAST(len(regexp_extract_all(lower(text),
                '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
@@ -109,13 +109,13 @@ object TextOps {
         FROM (
           SELECT doc_id,
                  CAST(length(text) AS BIGINT) AS n_chars_m,
-                 CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 CAST(len(regexp_split_to_array(trim(lower(text), ' '), '\\s+'))
                    AS BIGINT) AS n_tokens,
                  (length(text) - length(regexp_replace(text, '[[:punct:]]',
                     '', 'g'))) / CAST(greatest(length(text), 1) AS DOUBLE)
                     AS punct_ratio,
                  ${sqlNStop(enStop)} /
-                   CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   CAST(len(regexp_split_to_array(trim(lower(text), ' '), '\\s+'))
                      AS DOUBLE) AS stopword_ratio
           FROM documents) t1) t2
       ORDER BY doc_id"""))
@@ -183,9 +183,9 @@ object TextOps {
         .orderBy(col("doc_id")),
     Some(s"""
       SELECT doc_id,
-             ${xhash32("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")} AS fp32,
-             ${xhash60("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")} AS fp60,
-             CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+             ${xhash32("lower(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '))")} AS fp32,
+             ${xhash60("lower(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '))")} AS fp60,
+             CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' ')))
                AS BIGINT) AS norm_len
       FROM documents
       ORDER BY doc_id"""))
@@ -217,7 +217,7 @@ object TextOps {
         SELECT unnest([concat_ws(' ', tok[i], tok[i+1])
                  for i in generate_series(1, greatest(len(tok)-1, 1))])
                AS bigram
-        FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+        FROM (SELECT regexp_split_to_array(trim(lower(text), ' '), '\s+') AS tok
               FROM documents) t1) t2
       GROUP BY bigram
       ORDER BY n DESC, bigram
@@ -254,7 +254,7 @@ object TextOps {
         SELECT token, count(*) AS df
         FROM (
           SELECT doc_id,
-                 unnest(list_distinct(regexp_split_to_array(trim(lower(text)),
+                 unnest(list_distinct(regexp_split_to_array(trim(lower(text), ' '),
                    '\s+'))) AS token
           FROM documents) t
         GROUP BY token) f
@@ -295,7 +295,7 @@ object TextOps {
         SELECT unnest([substr(nt, i, 3)
                  for i in generate_series(1, greatest(length(nt)-2, 1))])
                AS gram
-        FROM (SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+        FROM (SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'), ' ')) AS nt
               FROM documents) t1) t2
       WHERE length(gram) = 3
       GROUP BY gram
@@ -346,7 +346,7 @@ object TextOps {
                    i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))))
                  ELSE 0 END AS BIGINT) AS n_distinct_trigrams
         FROM (SELECT doc_id,
-                regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+                regexp_split_to_array(trim(lower(text), ' '), '\s+') AS tok
               FROM documents) t1) t2
       ORDER BY doc_id"""))
 
@@ -411,7 +411,7 @@ object TextOps {
       val scoreSql = contribs.reduce((a, c) => s"($a + $c)")
       s"""
       WITH tokd AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tok
+        SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS tok
         FROM documents),
       base AS (
         SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl,
@@ -471,7 +471,7 @@ object TextOps {
     Some(s"""
       WITH counts AS (
         SELECT word, count(*) AS cnt
-        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text), ' '), '\\s+'))
                 AS word FROM documents) t
         GROUP BY word),
       tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM counts),
@@ -541,7 +541,7 @@ object TextOps {
       WITH tc AS (
         SELECT doc_id, t, count(*) AS c
         FROM (SELECT doc_id,
-                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+                unnest(regexp_split_to_array(trim(lower(text), ' '), '\s+')) AS t
               FROM documents) x
         GROUP BY doc_id, t),
       freq AS (SELECT t, CAST(sum(c) AS BIGINT) AS cnt FROM tc GROUP BY t),
@@ -588,7 +588,7 @@ object TextOps {
       ${graft.functions.Bpe.sqlWordLenCte("documents", "lower(text)")},
       ${graft.functions.Bpe.sqlDocCountCtes("documents", "lower(text)")}
       SELECT d.doc_id, b.n_bpe,
-             CAST(len(regexp_split_to_array(trim(lower(d.text)), '\\s+'))
+             CAST(len(regexp_split_to_array(trim(lower(d.text), ' '), '\\s+'))
                AS BIGINT) AS n_ws_tokens,
              CAST(length(d.text) AS BIGINT) AS n_chars_m,
              CAST(length(d.text) AS DOUBLE) / greatest(b.n_bpe, 1)
