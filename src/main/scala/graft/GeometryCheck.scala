@@ -13,29 +13,42 @@ package graft
   * machinery holds at any SF whenever the two geometries coincide (the
   * r9 sf1 record: CORRECTNESS_sf1_r09.txt).
   *
-  * Usage: runMain graft.GeometryCheck <sfDir> <outDir>, then point
-  * tools/compare.py at outDir (it carries the full oracle_sql.json).
+  * Usage: runMain graft.GeometryCheck <sfDir> <outDir> [keys], then
+  * point tools/compare.py at outDir (it carries the matching
+  * oracle_sql.json). `keys` is an optional comma-separated subset of
+  * {ann_lsh, dedup_embedding, ann_ivf} — pinned geometry makes the
+  * buckets coarser than the corpus dial wants, so the three queries'
+  * costs diverge sharply above gate scale and running them separately
+  * keeps each record cheap to (re)produce.
   */
 object GeometryCheck {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    val keys: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSet
+      else Set("ann_lsh", "dedup_embedding", "ann_ivf")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val g = operators.AnnOps.LshGeometry.default
-    operators.AnnOps.lshTopK(spark, sfDir, g)
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ann_lsh")
-    Caches.releaseScope()
-    operators.DedupOps.embeddingPairsAt(spark, sfDir, g)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$outDir/dedup_embedding")
-    Caches.releaseScope()
-    operators.AnnOps.ivfTopK(spark, sfDir) // default = the pinned 16 cells
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ann_ivf")
-    Caches.releaseScope()
-    val oracles = SparkEntry.oracleSql.filter { case (k, _) =>
-      k == "ann_lsh" || k == "dedup_embedding" || k == "ann_ivf" }
+    if (keys("ann_lsh")) {
+      operators.AnnOps.lshTopK(spark, sfDir, g)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ann_lsh")
+      Caches.releaseScope()
+    }
+    if (keys("dedup_embedding")) {
+      operators.DedupOps.embeddingPairsAt(spark, sfDir, g)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/dedup_embedding")
+      Caches.releaseScope()
+    }
+    if (keys("ann_ivf")) {
+      operators.AnnOps.ivfTopK(spark, sfDir) // default = the pinned 16 cells
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ann_ivf")
+      Caches.releaseScope()
+    }
+    val oracles = SparkEntry.oracleSql.filter { case (k, _) => keys(k) }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
