@@ -81,7 +81,7 @@ object AnnIndex {
     */
   def save(index: Index, path: String): Unit = {
     val spark = index.buckets.sparkSession
-    writeMarker(spark, path, complete = false)
+    writeMarker(spark, path, complete = false, op = "save")
     spark.range(1)
       .select(lit(index.geometry.tables).as("tables"),
         lit(index.geometry.planes).as("planes"))
@@ -89,24 +89,47 @@ object AnnIndex {
     index.buckets.write.mode("overwrite").partitionBy("tbl")
       .parquet(s"$path/buckets")
     index.vectors.write.mode("overwrite").parquet(s"$path/vectors")
-    writeMarker(spark, path, complete = true)
+    writeMarker(spark, path, complete = true, op = "save")
   }
 
+  /** The marker carries WHICH mutation was in flight (r12): a torn
+    * `save`/`retire`/`compact` overwrote the only copy of a frame and is
+    * unrecoverable in place, but a torn `append` only ADDED rows — the
+    * previous complete state is intact underneath, so replaying the
+    * interrupted batch repairs it ([[append]] reads through the false
+    * marker for exactly that op).
+    */
   private def writeMarker(
-      spark: SparkSession, path: String, complete: Boolean): Unit =
-    spark.range(1).select(lit(complete).as("complete"))
+      spark: SparkSession, path: String, complete: Boolean,
+      op: String): Unit =
+    spark.range(1)
+      .select(lit(complete).as("complete"), lit(op).as("op"))
       .write.mode("overwrite").parquet(s"$path/complete")
 
-  def load(spark: SparkSession, path: String): Index = {
+  def load(spark: SparkSession, path: String): Index =
+    loadImpl(spark, path, tolerateTornAppend = false)
+
+  private def loadImpl(
+      spark: SparkSession, path: String,
+      tolerateTornAppend: Boolean): Index = {
     def readable(sub: String): Option[org.apache.spark.sql.Row] =
       try Some(spark.read.parquet(s"$path/$sub").head())
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     readable("complete") match {
       case Some(m) =>
-        if (!m.getAs[Boolean]("complete"))
+        // pre-r12 markers have no `op` column: treat as an overwrite op
+        // (the conservative reading — refuse the torn state)
+        val op =
+          if (m.schema.fieldNames.contains("op")) m.getAs[String]("op")
+          else "save"
+        if (!m.getAs[Boolean]("complete") &&
+            !(tolerateTornAppend && op == "append"))
           throw new IllegalStateException(
-            s"AnnIndex at $path is a partial save (interrupted between " +
-              "marker and frames) — rebuild or re-save it")
+            s"AnnIndex at $path is a partial $op (interrupted between " +
+              "marker and frames) — " +
+              (if (op == "append")
+                 "replay the interrupted append batch to repair it"
+               else "rebuild or re-save it"))
       case None =>
         // no marker: a pre-r10 layout. With a geometry frame (r9) the
         // save order was buckets→vectors→geometry, so geometry-present
@@ -280,14 +303,72 @@ object AnnIndex {
     * first so the append jobs never read the directories they write.
     * (A plain save() of ingest's returned union over a load()ed index
     * would fail — Spark refuses to overwrite a path being read.)
+    *
+    * Crash-safe (r12 advisory): the pre-r12 append was unbracketed and
+    * keyed the whole batch's freshness on `vectors` — a crash between
+    * the buckets append and the vectors append left orphan bucket rows,
+    * and the REPLAYED append re-appended them (duplicate bucket entries
+    * inflate the occupancy probe/probePairs count before distinct,
+    * silently saturating healthy buckets). Now:
+    *  - the marker brackets the append (`complete=false, op=append`
+    *    first), so [[load]] refuses the torn state to probes;
+    *  - `vectors` land FIRST, `buckets` SECOND: an orphan VECTOR row is
+    *    inert (it only scores once bucket rows nominate it as a
+    *    candidate, and it never counts toward occupancy), whereas an
+    *    orphan bucket row is the poison — so the harmless frame is the
+    *    one a crash can orphan;
+    *  - EACH frame anti-joins the batch against its OWN landed rows
+    *    (vectors on vec_id, buckets on (vec_id, tbl)), so a replay
+    *    after ANY crash point appends exactly the rows that are
+    *    missing and the result is row-identical to a never-crashed
+    *    append — convergent, not merely refusing.
+    * append() itself reads through a `complete=false, op=append` marker
+    * (the base state underneath an interrupted append is intact; only
+    * overwrite ops — save/retire/compact — are unrecoverable in place).
     */
   def append(path: String, newVecs: DataFrame): Unit = {
     val spark = newVecs.sparkSession
+    val idx = loadImpl(spark, path, tolerateTornAppend = true)
+    val e = AnnOps.withNormDf(newVecs)
+    val freshV = Checkpoints.checkpoint(freshVecs(idx, e))
+    // bucket freshness keyed on the BUCKETS frame itself, per (vec_id,
+    // tbl) row: batch ids broadcast-semi-prune the index scan (tiny
+    // output), which broadcast-anti-joins the batch's recomputed bucket
+    // rows — the corpus side never shuffles, same shape as freshVecs
+    val batchBuckets = AnnOps.bucketIndex(e, idx.geometry)
+    val landed = idx.buckets
+      .join(broadcast(e.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("tbl")).distinct()
+    val freshB = Checkpoints.checkpoint(
+      batchBuckets.join(broadcast(landed), Seq("vec_id", "tbl"), "left_anti"))
+    writeMarker(spark, path, complete = false, op = "append")
+    freshV.write.mode("append").parquet(s"$path/vectors")
+    freshB.write.mode("append").partitionBy("tbl").parquet(s"$path/buckets")
+    writeMarker(spark, path, complete = true, op = "append")
+  }
+
+  /** Rewrite the accumulated append files into a bounded number of
+    * target-sized files — the lakehouse small-file compaction every
+    * long-running ingest loop needs: [[append]] adds files per batch
+    * forever, and a thousand-batch index is a thousand-file scan. The
+    * rewrite is checkpoint-materialized (the save overwrites the
+    * directories being read), marker-bracketed via [[save]], idempotent,
+    * and probe-identical before/after (AnnIndexSpec). File-count bound:
+    * `partitions` files under vectors and per-tbl bucket directory
+    * (buckets repartition on (tbl, bucket) so one output file holds
+    * whole buckets — a probe of one bucket reads one file's row
+    * groups). Size `partitions` so each file lands near the FS block
+    * size at the deployment's corpus, e.g. corpusBytes / 128 MiB.
+    */
+  def compact(path: String, partitions: Int = 8): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
     val idx = load(spark, path)
-    val fresh = Checkpoints.checkpoint(
-      freshVecs(idx, AnnOps.withNormDf(newVecs)))
-    AnnOps.bucketIndex(fresh, idx.geometry).write.mode("append")
-      .partitionBy("tbl").parquet(s"$path/buckets")
-    fresh.write.mode("append").parquet(s"$path/vectors")
+    save(Index(
+      Checkpoints.checkpoint(
+        idx.buckets.repartition(partitions, col("tbl"), col("bucket"))),
+      Checkpoints.checkpoint(
+        idx.vectors.repartition(partitions, col("vec_id"))),
+      idx.geometry), path)
   }
 }

@@ -81,17 +81,30 @@ object DedupIndex {
     * index can have).
     */
   def save(index: DataFrame, path: String): Unit = {
-    writeMarker(index.sparkSession, path, complete = false)
+    writeMarker(index.sparkSession, path, complete = false, op = "save")
     index.write.mode("overwrite").partitionBy("band").parquet(s"$path/sigs")
-    writeMarker(index.sparkSession, path, complete = true)
+    writeMarker(index.sparkSession, path, complete = true, op = "save")
   }
 
+  /** Like [[AnnIndex]]'s marker (r12), the marker records WHICH mutation
+    * was in flight: a torn overwrite (save/retire/compact) destroyed the
+    * only copy and is unrecoverable in place; a torn `append` only added
+    * rows — the previous complete state is intact underneath, and
+    * replaying the interrupted batch repairs it.
+    */
   private def writeMarker(
-      spark: SparkSession, path: String, complete: Boolean): Unit =
-    spark.range(1).select(lit(complete).as("complete"))
+      spark: SparkSession, path: String, complete: Boolean,
+      op: String): Unit =
+    spark.range(1)
+      .select(lit(complete).as("complete"), lit(op).as("op"))
       .write.mode("overwrite").parquet(s"$path/complete")
 
-  def load(spark: SparkSession, path: String): DataFrame = {
+  def load(spark: SparkSession, path: String): DataFrame =
+    loadImpl(spark, path, tolerateTornAppend = false)
+
+  private def loadImpl(
+      spark: SparkSession, path: String,
+      tolerateTornAppend: Boolean): DataFrame = {
     val marker =
       try spark.read.parquet(s"$path/complete").head()
       catch {
@@ -100,10 +113,20 @@ object DedupIndex {
             s"DedupIndex at $path has no completion marker — not a " +
               "saved index (or a pre-r11 root layout; re-save it)")
       }
-    if (!marker.getAs[Boolean]("complete"))
+    // pre-r12 markers have no `op` column: treat as an overwrite op
+    // (the conservative reading — refuse the torn state)
+    val op =
+      if (marker.schema.fieldNames.contains("op"))
+        marker.getAs[String]("op")
+      else "save"
+    if (!marker.getAs[Boolean]("complete") &&
+        !(tolerateTornAppend && op == "append"))
       throw new IllegalStateException(
-        s"DedupIndex at $path is a partial save (interrupted between " +
-          "marker and signature rows) — rebuild or re-save it")
+        s"DedupIndex at $path is a partial $op (interrupted between " +
+          "marker and signature rows) — " +
+          (if (op == "append")
+             "replay the interrupted append batch to repair it"
+           else "rebuild or re-save it"))
     spark.read.parquet(s"$path/sigs")
   }
 
@@ -156,8 +179,14 @@ object DedupIndex {
     val present = index
       .join(broadcast(sigs.select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
-      .select(col("doc_id")).distinct()
-    sigs.join(broadcast(present), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("band")).distinct()
+    // per-(doc_id, band) ROW granularity (r12): a crash mid-append can
+    // commit some band partitions and not others, and a per-doc key
+    // would then read the doc as "already indexed" and skip its missing
+    // bands forever. Per-row, a replayed append lands exactly the rows
+    // that are missing — convergent from any crash point. On a clean
+    // index a doc has all bands or none, so the semantics are unchanged.
+    sigs.join(broadcast(present), Seq("doc_id", "band"), "left_anti")
   }
 
   /** The incremental step: probe, then fold the batch into the index.
@@ -207,9 +236,9 @@ object DedupIndex {
   def retire(path: String, ids: DataFrame): Unit = {
     val spark = ids.sparkSession
     val retained = Checkpoints.checkpoint(retire(load(spark, path), ids))
-    writeMarker(spark, path, complete = false)
+    writeMarker(spark, path, complete = false, op = "retire")
     retained.write.mode("overwrite").partitionBy("band").parquet(s"$path/sigs")
-    writeMarker(spark, path, complete = true)
+    writeMarker(spark, path, complete = true, op = "retire")
   }
 
   /** Persist an ingest: append ONLY the batch's not-yet-indexed
@@ -221,15 +250,37 @@ object DedupIndex {
     */
   def append(path: String, newDocs: DataFrame): Unit = {
     val spark = newDocs.sparkSession
+    // reads through a `complete=false, op=append` marker: the base
+    // state under an interrupted append is intact (appends only add),
+    // and freshSigs' per-(doc_id, band) anti-join lands exactly the
+    // rows the crash lost — so replaying the batch REPAIRS the index.
+    // The marker still brackets the append, so probes (load) refuse the
+    // torn state instead of silently missing near-duplicates in the
+    // half-landed bands.
     val fresh = Checkpoints.checkpoint(
-      freshSigs(load(spark, path), signatures(newDocs)))
-    // marker-bracketed like save/retire: a crash mid-append would leave
-    // SOME of a doc's bands on disk, and a replayed append's per-doc
-    // anti-join would then skip the doc forever (its partial presence
-    // reads as "already indexed"). With the bracket, load refuses the
-    // partial instead of silently missing near-duplicates.
-    writeMarker(spark, path, complete = false)
+      freshSigs(loadImpl(spark, path, tolerateTornAppend = true),
+        signatures(newDocs)))
+    writeMarker(spark, path, complete = false, op = "append")
     fresh.write.mode("append").partitionBy("band").parquet(s"$path/sigs")
-    writeMarker(spark, path, complete = true)
+    writeMarker(spark, path, complete = true, op = "append")
+  }
+
+  /** Rewrite the accumulated append files into a bounded number of
+    * target-sized files — [[append]] adds files per batch forever (the
+    * lakehouse small-file problem; the reference's batched bulk insert
+    * exists for the same reason, base_sink.py:251-282). The rewrite is
+    * checkpoint-materialized (the save overwrites the directory being
+    * read), marker-bracketed via [[save]], idempotent, and
+    * probe-identical before/after (DedupIndexSpec). File-count bound:
+    * ≤ `partitions` files per band directory (rows repartition on
+    * (band, bkey) so one output file holds whole buckets). Size
+    * `partitions` so files land near the FS block size at the
+    * deployment's corpus, e.g. corpusBytes / bands / 128 MiB.
+    */
+  def compact(path: String, partitions: Int = 8): Unit = {
+    val spark = SparkSession.active
+    save(Checkpoints.checkpoint(
+      load(spark, path).repartition(partitions, col("band"), col("bkey"))),
+      path)
   }
 }

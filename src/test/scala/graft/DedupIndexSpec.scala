@@ -232,6 +232,80 @@ class DedupIndexSpec extends SparkSpec {
     assert(pairs == Set((0L, 9L)), s"got $pairs")
   }
 
+  test("a torn append refuses to load; the replayed append converges to the clean-run state") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val baseDocs = docs(0L -> base, 1L -> other)
+    val batch = docs(2L -> base.replace("idx9", "edited"), 3L -> "tiny text here")
+    val cleanDir = Files.createTempDirectory("graft_lshclean").toString + "/index"
+    DedupIndex.save(DedupIndex.build(baseDocs), cleanDir)
+    DedupIndex.append(cleanDir, batch)
+    val clean = DedupIndex.load(spark, cleanDir)
+
+    // simulate append dying mid-write: marker (false, append) on disk
+    // and only SOME of the batch's band partitions committed
+    val dir = Files.createTempDirectory("graft_lshtorn").toString + "/index"
+    DedupIndex.save(DedupIndex.build(baseDocs), dir)
+    spark.range(1)
+      .select(lit(false).as("complete"), lit("append").as("op"))
+      .write.mode("overwrite").parquet(s"$dir/complete")
+    DedupIndex.build(batch).filter(col("band") < DedupIndex.Bands / 2)
+      .write.mode("append").partitionBy("band").parquet(s"$dir/sigs")
+
+    val e = intercept[IllegalStateException] { DedupIndex.load(spark, dir) }
+    assert(e.getMessage.contains("partial append"),
+      s"probes must refuse the torn state: ${e.getMessage}")
+
+    // the replay reads through the torn-append marker; the per-(doc_id,
+    // band) anti-join lands exactly the missing band rows — a per-doc
+    // key would read the half-landed docs as "already indexed" and skip
+    // their missing bands forever
+    DedupIndex.append(dir, batch)
+    val healed = DedupIndex.load(spark, dir)
+    def multiset(df: DataFrame) =
+      df.groupBy(col("doc_id"), col("band"), col("bkey"))
+        .count().collect().map(_.toSeq).toSet
+    assert(multiset(healed) == multiset(clean),
+      "crash+replay must converge to the clean run's rows, no dups, no holes")
+    val pairs = DedupIndex.probe(healed, docs(9L -> base)).collect()
+      .map(r => (r.getAs[Long]("first_id"), r.getAs[Long]("new_id"))).toSet
+    assert(pairs == DedupIndex.probe(clean, docs(9L -> base)).collect()
+      .map(r => (r.getAs[Long]("first_id"), r.getAs[Long]("new_id"))).toSet)
+  }
+
+  test("compact bounds the file count; probes identical before/after; idempotent") {
+    val dir = Files.createTempDirectory("graft_lshcomp").toString + "/index"
+    DedupIndex.save(DedupIndex.build(docs(0L -> base)), dir)
+    for (i <- 0 until 5)
+      DedupIndex.append(dir, docs((10L + i) -> other.replace("oth3", s"v$i")))
+    def bandFiles(band: Int): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else if (f.getName.endsWith(".parquet") &&
+          f.getName.startsWith("part-")) 1
+        else 0
+      walk(new java.io.File(s"$dir/sigs/band=$band"))
+    }
+    assert(bandFiles(0) >= 6,
+      s"each append adds files per band dir (got ${bandFiles(0)})")
+    val probeQ = docs(9L -> base, 8L -> other)
+    def pairs() = DedupIndex.probe(DedupIndex.load(spark, dir), probeQ)
+      .collect().map(r => (r.getAs[Long]("first_id"),
+        r.getAs[Long]("new_id"), r.getAs[Double]("est_jaccard"))).toSet
+    val before = pairs()
+    DedupIndex.compact(dir, partitions = 2)
+    for (b <- 0 until DedupIndex.Bands)
+      assert(bandFiles(b) <= 2, s"band=$b: ${bandFiles(b)} files > 2")
+    assert(pairs() == before && before.nonEmpty,
+      "compaction must not change probe results")
+    DedupIndex.compact(dir, partitions = 2) // idempotent re-run
+    assert(pairs() == before)
+    // appends keep working on a compacted index
+    DedupIndex.append(dir, docs(30L -> base.replace("idx5", "z")))
+    val after = DedupIndex.probe(DedupIndex.load(spark, dir), docs(9L -> base))
+      .collect().map(_.getAs[Long]("first_id")).toSet
+    assert(after.contains(30L))
+  }
+
   test("index signatures are the stream's signatures (one banding scheme)") {
     import org.apache.spark.sql.functions.{col, lit}
     val d = docs(0L -> base, 1L -> other)
