@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Merge-table BPE tokenization — the real token-budget currency of an
@@ -275,6 +275,57 @@ object Bpe {
       copy(child = newChild)
   }
 
+  /** One greedy-scan BPE merge round over a space-separated symbol
+    * string: every left-to-right NON-OVERLAPPING adjacent occurrence of
+    * (a, b) becomes the single symbol `ab` — identical semantics to the
+    * double-space replace trick the oracle CTE replays
+    * ([[sqlTrainCtes]]: doubling boundary spaces makes the
+    * non-overlapping substring replace's match set exactly the greedy
+    * scan's merge set), but computed in ONE pass with no intermediate
+    * doubled/patterned strings. This is the r11 `watch` advisory's fix:
+    * the training round was 3 chained `replace` projections (~4 string
+    * passes, one over a 2×-length string) per round, 24 deep between
+    * persists.
+    */
+  def mergeStep(s: String, a: String, b: String): String = {
+    if (s.isEmpty) s
+    else {
+      val toks = s.split(" ")
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < toks.length) {
+        if (sb.length > 0) sb.append(' ')
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          sb.append(a).append(b)
+          i += 2
+        } else {
+          sb.append(toks(i))
+          i += 1
+        }
+      }
+      sb.toString
+    }
+  }
+
+  /** `bpe_merge_step(s, a, b): string` — [[mergeStep]] as an expression
+    * (per-ROW dispatch like the other BPE expressions; the training
+    * loop's vocab rows are words, so the fallback call is one per word
+    * per round).
+    */
+  case class BpeMergeStepExpr(
+      first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "bpe_merge_step"
+    override def nullSafeEval(s: Any, a: Any, b: Any): Any =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        mergeStep(s.toString, a.toString, b.toString))
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression,
+        newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
   /** `bpe_residual(text): long` — residual code-point token count. */
   case class BpeResidualExpr(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -303,6 +354,10 @@ object Bpe {
       new FunctionIdentifier("bpe_residual"),
       new ExpressionInfo(classOf[BpeResidualExpr].getName, "bpe_residual"),
       (args: Seq[Expression]) => BpeResidualExpr(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_merge_step"),
+      new ExpressionInfo(classOf[BpeMergeStepExpr].getName, "bpe_merge_step"),
+      (args: Seq[Expression]) => BpeMergeStepExpr(args(0), args(1), args(2))))
   }
 
   // ---- DuckDB oracle twins (generated from the SAME merge table) ----

@@ -374,8 +374,26 @@ object TokenizerIndex {
     * the recompute chain the repeated `s`-rewrites would otherwise
     * grow.
     */
+  /** Map-side rows per loop task: pair counting explodes each word row
+    * into ~|word| tiny structs, so half a million words is comfortable
+    * single-task work — and a 30k-word vocab on 32 session partitions
+    * is 31 empty tasks of pure scheduling latency per round, k times.
+    */
+  private val WordsPerTask: Long = 1L << 19
+
   def trainDistributed(s: SparkSession, words: DataFrame, k: Int): Learned = {
-    var vocab = words.withColumn("s",
+    // size the loop's parallelism to the VOCABULARY, not the session
+    // (r12, closing the r11 watch advisory): the k rounds run over the
+    // Zipf-small (w, c) frame, and their cost is round latency — task
+    // count × k — not data. One count() up front (amortized over k
+    // rounds; the caller's persisted word-count frame makes it cheap)
+    // dials the frame to ~WordsPerTask rows per task, so a board-scale
+    // vocab runs 1-task rounds while an adversarial >2^20-word vocab
+    // still spreads. The reduce side is AQE-coalesced already.
+    val parts = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong,
+      words.count() / WordsPerTask + 1L)).toInt
+    var vocab = words.repartition(parts).withColumn("s",
       trim(regexp_replace(col("w"), "(.)", "$1 ")))
     val merges = Vector.newBuilder[(Long, String, String, Long)]
     var r = 0
@@ -397,22 +415,14 @@ object TokenizerIndex {
         val pa = best(0).getAs[String]("pa")
         val pb = best(0).getAs[String]("pb")
         merges += ((r.toLong, pa, pb, best(0).getAs[Long]("cnt")))
-        // greedy-scan semantics via codegen'd string ops: double every
-        // boundary space first so the left-to-right non-overlapping
-        // replace consumes one space per side — adjacent occurrences
-        // ("abab", self-merge runs) stop sharing a delimiter and ALL
-        // merge this round, exactly the symbol-array scan (object doc).
-        // Every interior run is exactly 2 spaces after the merge
-        // replace (each side keeps/adds one), so a plain
-        // `replace("  ", " ")` re-collapses — no regex in the round
+        // greedy-scan semantics in ONE pass (r12, closing the r11 watch
+        // advisory): bpe_merge_step is a native token scan — every
+        // left-to-right non-overlapping (pa, pb) adjacency merges, the
+        // same match set the oracle CTE computes with its double-space
+        // substring replace, without the 3-replace chain (4 string
+        // passes, one over a 2×-length string) the rewrite had cost
         vocab = vocab.withColumn("s",
-          trim(call_function("replace",
-            call_function("replace",
-              concat(lit(" "),
-                call_function("replace", col("s"), lit(" "), lit("  ")),
-                lit(" ")),
-              lit(s" $pa  $pb "), lit(s" $pa$pb ")),
-            lit("  "), lit(" "))))
+          call_function("bpe_merge_step", col("s"), lit(pa), lit(pb)))
         // bound the recompute depth: without this, round r's aggregate
         // re-applies all r prior replaces from the cached base — O(K²)
         // string work by the last round; a periodic persist caps the
