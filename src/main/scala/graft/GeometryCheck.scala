@@ -22,11 +22,21 @@ package graft
   * keeps each record cheap to (re)produce.
   */
 object GeometryCheck {
+  private val Known = Set("ann_lsh", "dedup_embedding", "ann_ivf")
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val keys: Set[String] =
-      if (args.length > 2) args(2).split(",").map(_.trim).toSet
-      else Set("ann_lsh", "dedup_embedding", "ann_ivf")
+      if (args.length > 2)
+        args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Known
+    // An unknown or empty key set would run nothing and dump an empty
+    // oracle_sql.json — which compare.py reports as "0 ok, 0 fail" with
+    // exit 0, a silently-passing record. Refuse before starting Spark.
+    val unknown = keys -- Known
+    require(unknown.isEmpty,
+      s"unknown keys ${unknown.mkString(", ")}; valid: ${Known.mkString(", ")}")
+    require(keys.nonEmpty, s"empty key set; valid: ${Known.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -48,7 +58,13 @@ object GeometryCheck {
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ann_ivf")
       Caches.releaseScope()
     }
-    val oracles = SparkEntry.oracleSql.filter { case (k, _) => keys(k) }
+    // A subset re-run into an outDir holding earlier dumps must not
+    // shrink oracle_sql.json to just the latest subset (compare.py would
+    // silently skip the parquet already on disk). The dumps themselves
+    // are the durable record of what ran here: include every known key
+    // whose dump directory exists.
+    val dumped = Known.filter(k => new java.io.File(s"$outDir/$k").isDirectory)
+    val oracles = SparkEntry.oracleSql.filter { case (k, _) => dumped(k) }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

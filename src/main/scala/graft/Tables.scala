@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Schema-checked loaders for the driver-generated test tables.
   *
@@ -26,16 +26,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark only
-    * reads as a raw long (spark.sql.legacy.parquet.nanosAsLong=true, set in
-    * [[GraftSession]]). Convert to a proper TimestampType (micros) here with
-    * integer division so no precision is lost.
+  /** `events.ts` arrives in whatever parquet flavor the generator used:
+    * TIMESTAMP(NANOS) (reads as a raw long under
+    * spark.sql.legacy.parquet.nanosAsLong=true, set in [[GraftSession]])
+    * or TIMESTAMP(MICROS) without UTC adjustment (reads as
+    * TIMESTAMP_NTZ). Normalize both to a session-TZ TimestampType so
+    * every downstream operator (unix_micros, windows, watermarks) sees
+    * one type. The session TZ is UTC, so the NTZ cast is
+    * instant-preserving and matches the DuckDB oracle's naive reading.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

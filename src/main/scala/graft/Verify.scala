@@ -39,7 +39,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Subset runs (SPARK_GRAFT_ONLY) must not emit oracles for queries
+    // that were never ASKED for — compare.py would report them as "no
+    // spark output" failures. Filter by the requested set, NOT by which
+    // dump dirs landed: a requested query that failed to dump must stay
+    // in the oracle so compare.py flags it (filtering by landed dirs
+    // would silently convert a dump failure into a passing record).
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
