@@ -736,8 +736,132 @@ object TextOps {
       FROM documents d LEFT JOIN wt USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** C16 — extraction-stage main-content extraction: the pipeline stage
+    * that runs BEFORE every other C-op on web-crawled input. Strips
+    * markup, decodes entities, splits the page into blocks, and
+    * classifies each block as content vs boilerplate with the standard
+    * public heuristics (jusText/trafilatura family): minimum text
+    * length and link density (anchor-text chars vs block chars). The
+    * corpus carries clean text, so — exactly like the mm_* ops fake the
+    * codec but keep the plumbing real — a deterministic HTML-ish page is
+    * synthesized per document in-query (nav + two paragraph halves + a
+    * link-dense promo + footer, with encoded entities), and the
+    * EXTRACTOR is the operator under test. Narrow per-row projection,
+    * no shuffle beyond output ordering: at 100 TB this runs at scan
+    * speed inside whole-stage codegen, the same shape as C1–C8.
+    *
+    * Heuristics (public-knowledge defaults): keep a block iff its
+    * decoded text is ≥ [[MinBlockChars]] chars AND anchor-text chars
+    * make up < 1/2 of it. nav/footer fail the length gate, the promo
+    * fails link density, and a short second paragraph (data-dependent)
+    * fails length — so keep/drop varies with the corpus, not the
+    * template.
+    */
+  private val MinBlockChars = 30
+
+  val textExtract: Op = {
+    val anchorRe = "<a [^>]*>([^<]*)</a>"
+    // Entity decode AFTER tag-strip; order fixed and mirrored in SQL.
+    val ents = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+    Op(
+      "text_extract",
+      (s, d) => {
+        val words = split(col("text"), " ")
+        val mid = floor(size(words) / lit(2)).cast("int")
+        val page = concat_ws("\n",
+          lit("<nav><a href=\"/\">home</a> <a href=\"/docs\">docs</a> " +
+            "<a href=\"/about\">about</a></nav>"),
+          concat(lit("<p>"), array_join(slice(words, lit(1), mid), " "),
+            lit("</p>")),
+          lit("<p>see <a href=\"/x\">these</a> <a href=\"/y\">links</a> " +
+            "<a href=\"/z\">now</a></p>"),
+          concat(lit("<p>"),
+            array_join(slice(words, mid + lit(1), size(words) - mid), " "),
+            lit(" &amp; &lt;tail&gt;</p>")),
+          lit("<footer>&copy; 2026 example corp</footer>"))
+        def decoded(b: Column): Column = trim(
+          ents.foldLeft(regexp_replace(b, "<[^>]*>", "")) {
+            case (c, (e, r)) => replace(c, lit(e), lit(r))
+          })
+        def linkChars(b: Column): Column = aggregate(
+          transform(regexp_extract_all(b, lit(anchorRe), lit(1)),
+            m => length(m)),
+          lit(0), (acc, x) => acc + x)
+        def chars(arr: Column): Column =
+          aggregate(transform(arr, c => length(c("txt"))), lit(0),
+            (acc, x) => acc + x)
+        val cleaned = transform(split(page, "\n"),
+          b => struct(decoded(b).as("txt"), linkChars(b).as("lc")))
+        val kept = filter(cleaned, c =>
+          length(c("txt")) >= lit(MinBlockChars) &&
+            c("lc") * lit(2) < length(c("txt")))
+        Tables.documents(s, d)
+          .select(col("doc_id"), cleaned.as("cs"), kept.as("ks"))
+          .select(
+            col("doc_id"),
+            array_join(transform(col("ks"), c => c("txt")), "\n")
+              .as("content"),
+            size(col("ks")).cast(LongType).as("kept_blocks"),
+            size(col("cs")).cast(LongType).as("total_blocks"),
+            ((chars(col("cs")) - chars(col("ks"))).cast("double") /
+              chars(col("cs")).cast("double")).as("boilerplate_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val decodeSql = ents.foldLeft(
+          "regexp_replace(b, '<[^>]*>', '', 'g')") {
+          case (c, (e, r)) =>
+            s"replace($c, '$e', '${if (r == "'") "''" else r}')"
+        }
+        s"""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ), pg AS (
+        SELECT doc_id,
+          '<nav><a href="/">home</a> <a href="/docs">docs</a> ' ||
+            '<a href="/about">about</a></nav>' || chr(10) ||
+          '<p>' || array_to_string(list_slice(ws, 1, len(ws)//2), ' ') ||
+            '</p>' || chr(10) ||
+          '<p>see <a href="/x">these</a> <a href="/y">links</a> ' ||
+            '<a href="/z">now</a></p>' || chr(10) ||
+          '<p>' ||
+            array_to_string(list_slice(ws, len(ws)//2+1, len(ws)), ' ') ||
+            ' &amp; &lt;tail&gt;</p>' || chr(10) ||
+          '<footer>&copy; 2026 example corp</footer>' AS page
+        FROM w
+      ), blk AS (
+        SELECT doc_id,
+          list_transform(string_split(page, chr(10)), b -> struct_pack(
+            txt := trim($decodeSql, ' '),
+            lc := CAST(coalesce(list_aggregate(list_transform(
+              regexp_extract_all(b, '$anchorRe', 1),
+              m -> length(m)), 'sum'), 0) AS INT))) AS cs
+        FROM pg
+      ), kp AS (
+        SELECT doc_id, cs,
+          list_filter(cs, c -> length(c.txt) >= $MinBlockChars
+            AND c.lc * 2 < length(c.txt)) AS ks
+        FROM blk
+      )
+      SELECT doc_id,
+        array_to_string(list_transform(ks, c -> c.txt), chr(10)) AS content,
+        CAST(len(ks) AS BIGINT) AS kept_blocks,
+        CAST(len(cs) AS BIGINT) AS total_blocks,
+        CAST(coalesce(list_aggregate(list_transform(cs, c -> length(c.txt)),
+               'sum'), 0)
+           - coalesce(list_aggregate(list_transform(ks, c -> length(c.txt)),
+               'sum'), 0) AS DOUBLE)
+          / CAST(coalesce(list_aggregate(list_transform(cs,
+               c -> length(c.txt)), 'sum'), 0) AS DOUBLE)
+          AS boilerplate_ratio
+      FROM kp ORDER BY doc_id"""
+      })
+  }
+
   val all: Seq[Op] = Seq(
     textTokenCount, textQuality, textLangid, textFingerprint, textNgramFreq,
     textDocFreq, textCharNgrams, textRepetition, textBm25, textVocabCoverage,
-    textRarity, textBpeCount, textBpeVocab, textBpeTrain, textBpeCountLearned)
+    textRarity, textBpeCount, textBpeVocab, textBpeTrain, textBpeCountLearned,
+    textExtract)
 }

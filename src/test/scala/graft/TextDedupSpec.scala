@@ -376,4 +376,61 @@ class TextDedupSpec extends SparkSpec {
     // must cover the whole token stream (the curve reaches 1.0)
     assert(rows.length < 100 || cums.last == nTotal || cov.last > 0.9)
   }
+
+  test("text_extract: markup stripped, boilerplate dropped, content kept") {
+    val rows = run("text_extract").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val content = r.getAs[String]("content")
+      // extraction output is markup- and entity-free
+      assert(!content.contains("<") || content.contains("<tail>"),
+        "only the decoded literal '<tail>' marker may carry angle brackets")
+      assert(!content.contains("&amp;") && !content.contains("&lt;") &&
+        !content.contains("&copy;"), s"undecoded entity in: $content")
+      // the synthesized template blocks never survive
+      assert(!content.contains("home docs about"), "nav must be dropped")
+      assert(!content.contains("see these links now"), "promo must be dropped")
+      assert(!content.contains("2026 example corp"), "footer must be dropped")
+      val (kept, total) = (r.getAs[Long]("kept_blocks"),
+        r.getAs[Long]("total_blocks"))
+      assert(total == 5L, "template always synthesizes 5 blocks")
+      assert(kept >= 0L && kept <= 2L,
+        "only the two paragraph halves can pass the classifier")
+      val ratio = r.getAs[Double]("boilerplate_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0)
+      // every kept char is in content (+ newline separators between blocks)
+      assert(content.length >= 0 &&
+        (kept > 0 || content.isEmpty))
+    }
+    // the corpus has long docs: both halves pass for at least one, and the
+    // length gate is data-dependent (not every doc keeps both halves)
+    assert(rows.exists(_.getAs[Long]("kept_blocks") == 2L),
+      "long docs must keep both paragraph halves")
+    // content words come from the source text (tags/entities are template)
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val src = run("text_token_count").collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(byId.keySet == src, "one output row per document")
+  }
+
+  test("text_extract: link-density and length gates classify planted blocks") {
+    val dir = Files.createTempDirectory("graft_extract").toString
+    val long = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (0L, long, "en", "s0", long.length.toLong),   // both halves >= 30 chars
+      (1L, "tiny doc", "en", "s1", 8L))             // both halves < 30 chars
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = run("text_extract", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("kept_blocks") == 2L)
+    assert(out(0L).getAs[String]("content").contains("word1"))
+    // the entity tail decodes on the kept second half
+    assert(out(0L).getAs[String]("content").contains("& <tail>"))
+    assert(out(1L).getAs[Long]("kept_blocks") == 0L,
+      "short halves fail the length gate")
+    assert(out(1L).getAs[String]("content").isEmpty)
+    assert(out(1L).getAs[Double]("boilerplate_ratio") == 1.0)
+  }
 }
