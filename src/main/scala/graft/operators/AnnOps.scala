@@ -530,9 +530,20 @@ object AnnOps {
       // deduping embedding-carrying rows is ~30× the exchange volume),
       // then vectors re-attach from the vec_id-partitioned corpus and
       // the broadcast query set.
-      val assign = scoredCent.withColumn("rn", cellRank)
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("c_id").as("cell"))
+      //
+      // The corpus-side argmax is an AGGREGATE, not a window: a window
+      // over (corpus × cells) rows must exchange-and-sort all n·cells
+      // rows (22M at 200k vectors under the √n dial — measured 9× the
+      // r10 fixed-16-cell cost), while max_by partial-aggregates each
+      // vector's cells map-side, so only n one-row groups shuffle. The
+      // (ccos, -c_id) struct replays the window's ccos DESC, c_id ASC
+      // order exactly — ccos is exact-micros-derived, so the argmax is
+      // deterministic and oracle-identical.
+      val assign = scoredCent
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("c_id"),
+          struct(col("ccos"), (-col("c_id")).as("nc"))).as("cell"))
+        .select(col("vec_id"), col("cell"))
       val probe = scoredCent.filter(col("vec_id") < QUERY_MAX)
         .withColumn("rn", cellRank)
         .filter(col("rn") <= nprobe)

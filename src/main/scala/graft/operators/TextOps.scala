@@ -859,9 +859,85 @@ object TextOps {
       })
   }
 
+  /** C17 — PII redaction: the scrub pass every training-data pipeline
+    * runs before packing — replace emails, phone numbers and IPv4
+    * addresses with typed placeholders and report per-category counts
+    * plus a PII-per-token density (the drop-signal for PII-heavy docs).
+    * The corpus is synthetic and PII-free, so deterministic PII spans
+    * derived from doc_id are planted in-query (the same fake-payload
+    * pattern as text_extract / mm_*), and the REDACTOR is the operator
+    * under oracle check. Patterns stay inside the Java-regex ∩ RE2
+    * subset (no lookarounds) so engine and oracle match byte-for-byte.
+    * Narrow codegen projection, no shuffle: scan speed at 100 TB.
+    */
+  val textPiiRedact: Op = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\b555-[0-9]{4}\\b"
+    val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    Op(
+      "text_pii_redact",
+      (s, d) => {
+        // planted spans: one email + one phone + one IP per doc, all
+        // deterministic functions of doc_id, prepended to the real text
+        val planted = concat(
+          lit("contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".1 "), col("text"))
+        def nMatch(c: Column, re: String): Column =
+          size(regexp_extract_all(c, lit(re), lit(0))).cast(LongType)
+        val redacted = regexp_replace(
+          regexp_replace(
+            regexp_replace(planted, emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]"),
+          ipRe, "[IP]")
+        val nEmail = nMatch(planted, emailRe)
+        val nPhone = nMatch(planted, phoneRe)
+        val nIp = nMatch(planted, ipRe)
+        val nTok = size(split(planted, "\\s+")).cast(LongType)
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            redacted.as("redacted"),
+            nEmail.as("n_email"), nPhone.as("n_phone"), nIp.as("n_ip"),
+            ((nEmail + nPhone + nIp).cast("double") / nTok.cast("double"))
+              .as("pii_density"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+      WITH p AS (
+        SELECT doc_id,
+          'contact user' || doc_id || '@example.com or 555-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+            ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 ' || text
+            AS planted
+        FROM documents
+      ), m AS (
+        SELECT doc_id, planted,
+          CAST(len(regexp_extract_all(planted, '$emailRe')) AS BIGINT)
+            AS n_email,
+          CAST(len(regexp_extract_all(planted, '$phoneRe')) AS BIGINT)
+            AS n_phone,
+          CAST(len(regexp_extract_all(planted, '$ipRe')) AS BIGINT) AS n_ip,
+          CAST(len(regexp_split_to_array(planted, '\\s+')) AS BIGINT)
+            AS n_tok
+        FROM p
+      )
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(planted,
+          '$emailRe', '[EMAIL]', 'g'),
+          '$phoneRe', '[PHONE]', 'g'),
+          '$ipRe', '[IP]', 'g') AS redacted,
+        n_email, n_phone, n_ip,
+        CAST(n_email + n_phone + n_ip AS DOUBLE) / CAST(n_tok AS DOUBLE)
+          AS pii_density
+      FROM m ORDER BY doc_id"""))
+  }
+
   val all: Seq[Op] = Seq(
     textTokenCount, textQuality, textLangid, textFingerprint, textNgramFreq,
     textDocFreq, textCharNgrams, textRepetition, textBm25, textVocabCoverage,
     textRarity, textBpeCount, textBpeVocab, textBpeTrain, textBpeCountLearned,
-    textExtract)
+    textExtract, textPiiRedact)
 }

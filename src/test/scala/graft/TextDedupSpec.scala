@@ -433,4 +433,25 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1L).getAs[String]("content").isEmpty)
     assert(out(1L).getAs[Double]("boilerplate_ratio") == 1.0)
   }
+
+  test("text_pii_redact: planted spans scrubbed, counts and density exact") {
+    val rows = run("text_pii_redact").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val red = r.getAs[String]("redacted")
+      assert(red.contains("[EMAIL]") && red.contains("[PHONE]") &&
+        red.contains("[IP]"), s"all three planted spans must redact: $red")
+      assert(!red.contains("@example.com"), "email must not survive")
+      assert(!red.contains("10.0."), "IP must not survive")
+      assert(!red.matches(".*\\b555-[0-9]{4}\\b.*"), "phone must not survive")
+      // exactly one of each is planted; the clean corpus contributes none
+      assert(r.getAs[Long]("n_email") == 1L)
+      assert(r.getAs[Long]("n_phone") == 1L)
+      assert(r.getAs[Long]("n_ip") == 1L)
+      val d = r.getAs[Double]("pii_density")
+      assert(d > 0.0 && d < 1.0)
+      // redaction only ever shrinks or preserves the token stream
+      assert(red.split("\\s+").length >= 5)
+    }
+  }
 }
