@@ -69,6 +69,28 @@ object TextOps {
 
   private val enStop = Seq("the", "a", "of", "to", "and", "is", "in", "it")
 
+  // greatest(len, 1): empty docs get ratio 0 instead of an ANSI
+  // divide-by-zero (oracle twin uses the same guard)
+  private def punctRatioCol: Column = {
+    val len = length(col("text"))
+    (len - length(regexp_replace(col("text"), "\\p{Punct}", ""))) /
+      greatest(len, lit(1)).cast("double")
+  }
+
+  private def stopRatioCol: Column =
+    nStop(col("text"), enStop) / size(toks(col("text"))).cast("double")
+
+  /** C2's composite heuristic score — shared with C18, whose learned
+    * classifier distills exactly this gate as its weak label (one
+    * definition, so supervision and heuristic can never drift apart).
+    */
+  private[graft] def qualityScoreCol: Column = {
+    val lenScore =
+      least(size(toks(col("text"))).cast("double") / lit(100.0), lit(1.0))
+    stopRatioCol * lit(0.5) + (lit(1.0) - punctRatioCol) * lit(0.3) +
+      lenScore * lit(0.2)
+  }
+
   /** C2 — quality scoring: length/punctuation/stopword signals combined
     * into one score, the standard cheap pre-filter before expensive
     * pipeline stages (dedup, model scoring).
@@ -78,15 +100,9 @@ object TextOps {
     (s, d) => {
       val len = length(col("text"))
       val nTok = size(toks(col("text")))
-      // greatest(len, 1): empty docs get ratio 0 instead of an ANSI
-      // divide-by-zero (oracle twin uses the same guard)
-      val punct =
-        (len - length(regexp_replace(col("text"), "\\p{Punct}", ""))) /
-          greatest(len, lit(1)).cast("double")
-      val stop = nStop(col("text"), enStop) / nTok.cast("double")
-      val lenScore = least(nTok.cast("double") / lit(100.0), lit(1.0))
-      val score = stop * lit(0.5) + (lit(1.0) - punct) * lit(0.3) +
-        lenScore * lit(0.2)
+      val punct = punctRatioCol
+      val stop = stopRatioCol
+      val score = qualityScoreCol
       Tables.documents(s, d)
         .select(
           col("doc_id"),
@@ -935,9 +951,62 @@ object TextOps {
       FROM m ORDER BY doc_id"""))
   }
 
+  /** C18 — learned quality scoring ([[QualityClassifier]]): the
+    * fastText-style linear scorer every curation stack runs after the
+    * cheap heuristics — hashed unigram+bigram features, integer-micros
+    * weights trained by [[QualityClassifier.Epochs]] full-batch
+    * distributed gradient rounds (quantized gradients, so both training
+    * and scoring are engine-exact), weak labels distilled from the C2
+    * gate ([[qualityScoreCol]] > 0.5). The corpus is scanned once into
+    * the persisted one-row-per-doc feature frame, compacted once into
+    * the training RDD; every epoch is one treeAggregate over it (each
+    * task folds its docs into a model-sized partial gradient — no
+    * per-epoch planning, no join, no data shuffle) — the
+    * parameter-server shape, model-sized driver traffic at any corpus
+    * size. The oracle
+    * replays the full training loop as unrolled CTE rounds
+    * ([[QualityClassifier.sqlCtes]]) and must match scores to the micro.
+    */
+  val qualityClassifier: Op = {
+    val labelSql = s"""
+        SELECT doc_id,
+               CAST(CASE WHEN stopword_ratio*0.5 + (1.0 - punct_ratio)*0.3
+                      + least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.2 > 0.5
+                    THEN 1 ELSE 0 END AS BIGINT) AS y
+        FROM (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(lower(text), ' '),
+                   '\\s+')) AS BIGINT) AS n_tokens,
+                 (length(text) - length(regexp_replace(text, '[[:punct:]]',
+                    '', 'g'))) / CAST(greatest(length(text), 1) AS DOUBLE)
+                    AS punct_ratio,
+                 ${sqlNStop(enStop)} /
+                   CAST(len(regexp_split_to_array(trim(lower(text), ' '),
+                     '\\s+')) AS DOUBLE) AS stopword_ratio
+          FROM documents) t1"""
+    Op(
+      "quality_classifier",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val labels = docs.select(col("doc_id"),
+          (qualityScoreCol > lit(0.5)).cast(LongType).as("y"))
+        val df = Caches.persist(
+          QualityClassifier.docFrame(docs).join(labels, "doc_id"))
+        val model = QualityClassifier.train(QualityClassifier.buildTrainData(df))
+        QualityClassifier.score(df, model).orderBy(col("doc_id"))
+      },
+      Some(s"""
+      WITH ${QualityClassifier.sqlCtes("documents", labelSql,
+          QualityClassifier.Epochs)}
+      SELECT p.doc_id, l.y, p.p AS score_micros,
+             p.p >= ${QualityClassifier.PredThreshold} AS is_quality_pred
+      FROM qc_p${QualityClassifier.Epochs} p JOIN qc_lab l USING (doc_id)
+      ORDER BY p.doc_id"""))
+  }
+
   val all: Seq[Op] = Seq(
     textTokenCount, textQuality, textLangid, textFingerprint, textNgramFreq,
     textDocFreq, textCharNgrams, textRepetition, textBm25, textVocabCoverage,
     textRarity, textBpeCount, textBpeVocab, textBpeTrain, textBpeCountLearned,
-    textExtract, textPiiRedact)
+    textExtract, textPiiRedact, qualityClassifier)
 }
