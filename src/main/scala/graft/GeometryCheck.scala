@@ -8,10 +8,15 @@ package graft
   * every oracle-checked SF — but ABOVE gate scale the engine
   * deliberately buckets finer than the static oracle SQL, so a raw
   * compare there reports a by-design difference, not a bug. This main
-  * re-runs those queries PINNED to the oracle's default geometry and
-  * dumps them for tools/compare.py, proving the engine-vs-oracle parity
-  * machinery holds at any SF whenever the two geometries coincide (the
-  * r9 sf1 record: CORRECTNESS_sf1_r09.txt).
+  * dumps those queries WITH MATCHING ORACLES for tools/compare.py:
+  * ann_lsh/ann_ivf re-run pinned to the oracle's default geometry
+  * (proving parity whenever geometries coincide — the r9 sf1 record:
+  * CORRECTNESS_sf1_r09.txt); dedup_embedding instead runs at its
+  * corpus-derived geometry with the oracle REGENERATED at that same
+  * geometry (r12: DedupOps.sqlEmbeddingPairs is geometry-parameterized),
+  * so above PAIR_DEFAULT_MAX the record proves parity at the geometry
+  * the engine actually deploys — default-pinning it there would hit the
+  * very occupancy blowup the corpus dial exists to prevent.
   *
   * Usage: runMain graft.GeometryCheck <sfDir> <outDir> [keys], then
   * point tools/compare.py at outDir (it carries the matching
@@ -48,7 +53,16 @@ object GeometryCheck {
       Caches.releaseScope()
     }
     if (keys("dedup_embedding")) {
-      operators.DedupOps.embeddingPairsAt(spark, sfDir, g)
+      // D5 checks at the CORPUS-derived geometry, not the pinned
+      // default: its oracle generator is geometry-parameterized
+      // (DedupOps.sqlEmbeddingPairs), so above PAIR_DEFAULT_MAX the
+      // record proves parity at the geometry the engine actually runs —
+      // and pinning default there would anyway be the exact occupancy
+      // blowup (~n²/buckets in-task pairs) the corpus dial exists to
+      // prevent (measured: OOM at sf10's 200k vectors).
+      val gp = operators.AnnOps.LshGeometry.forCorpusPairs(
+        Tables.embeddings(spark, sfDir).count())
+      operators.DedupOps.embeddingPairsAt(spark, sfDir, gp)
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/dedup_embedding")
       Caches.releaseScope()
@@ -64,7 +78,17 @@ object GeometryCheck {
     // are the durable record of what ran here: include every known key
     // whose dump directory exists.
     val dumped = Known.filter(k => new java.io.File(s"$outDir/$k").isDirectory)
-    val oracles = SparkEntry.oracleSql.filter { case (k, _) => dumped(k) }
+    // dedup_embedding's dump is at the corpus geometry (above): its
+    // oracle entry must be regenerated at the same geometry whenever the
+    // dump exists — including merge re-runs where the key wasn't in THIS
+    // subset (the geometry is a pure function of sfDir, so this is
+    // stale-proof; at gate SFs it equals the static board oracle).
+    val oracles = SparkEntry.oracleSql.filter { case (k, _) => dumped(k) } ++
+      (if (dumped("dedup_embedding"))
+        Map("dedup_embedding" -> operators.DedupOps.sqlEmbeddingPairs(
+          operators.AnnOps.LshGeometry.forCorpusPairs(
+            Tables.embeddings(spark, sfDir).count())))
+      else Map.empty)
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

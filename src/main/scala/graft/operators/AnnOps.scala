@@ -299,9 +299,11 @@ object AnnOps {
          ($ws)[ix])) AS BIGINT)"""
   }
 
-  private[operators] def sqlBucket(tbl: String, t: Int): String =
-    (0 until LshGeometry.default.planes).map { k =>
-      s"""(CAST(CASE WHEN ${sqlProj(tbl, t * LshGeometry.default.planes + k)}
+  private[operators] def sqlBucket(
+      tbl: String, t: Int,
+      g: LshGeometry = LshGeometry.default): String =
+    (0 until g.planes).map { k =>
+      s"""(CAST(CASE WHEN ${sqlProj(tbl, t * g.planes + k)}
          > 0 THEN 1 ELSE 0 END AS BIGINT) << $k)"""
     }.mkString(" + ")
 

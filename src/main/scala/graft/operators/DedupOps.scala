@@ -550,11 +550,20 @@ object DedupOps {
         AnnOps.LshGeometry.default)
       embeddingPairsAt(s, d, g)
     },
-    Some {
-      val bandSelects = (0 until AnnOps.LshGeometry.default.tables).map(t =>
-        s"SELECT vec_id, $t AS tbl, ${AnnOps.sqlBucket("e", t)} AS bucket FROM e")
-        .mkString("\n        UNION ALL ")
-      s"""
+    Some(sqlEmbeddingPairs(AnnOps.LshGeometry.default)))
+
+  /** D5's DuckDB twin at an ARBITRARY geometry — the board oracle is
+    * this at the default (≡ forCorpusPairs at every gate SF), and
+    * [[graft.GeometryCheck]] replays it at the corpus-derived geometry
+    * above gate scale, so parity is provable at the geometry the engine
+    * actually deploys (the plane family is index-parameterized, see
+    * [[AnnOps.planeWeights]]).
+    */
+  private[graft] def sqlEmbeddingPairs(g: AnnOps.LshGeometry): String = {
+    val bandSelects = (0 until g.tables).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${AnnOps.sqlBucket("e", t, g)} AS bucket FROM e")
+      .mkString("\n        UNION ALL ")
+    s"""
       WITH ${AnnOps.sqlNormCte},
       b AS (
         $bandSelects
@@ -571,7 +580,7 @@ object DedupOps {
         JOIN e y ON cand.j = y.vec_id) t
       WHERE cos >= 0.3
       ORDER BY i, j"""
-    })
+  }
 
   /** D7 — the end-of-run dedup report: one row summarizing what the
     * pipeline did to the corpus — raw docs, exact-fingerprint survivors,

@@ -861,7 +861,12 @@ object TextOps {
         FROM blk
       )
       SELECT doc_id,
-        array_to_string(list_transform(ks, c -> c.txt), chr(10)) AS content,
+        -- coalesce: DuckDB's array_to_string over an EMPTY list is NULL
+        -- where Spark's array_join is '' — hit when every block drops
+        -- (short docs: both paragraph halves under MinBlockChars; first
+        -- seen at sf10, whose corpus has 10-word documents)
+        coalesce(array_to_string(list_transform(ks, c -> c.txt), chr(10)),
+                 '') AS content,
         CAST(len(ks) AS BIGINT) AS kept_blocks,
         CAST(len(cs) AS BIGINT) AS total_blocks,
         CAST(coalesce(list_aggregate(list_transform(cs, c -> length(c.txt)),

@@ -370,4 +370,88 @@ class AnnIndexSpec extends SparkSpec {
     assert(got == want && got.nonEmpty,
       s"stream-built and batch-built probes must agree ($got vs $want)")
   }
+
+  test("sf1 embedding stream through the append cycle: probe parity with " +
+      "a batch build, file growth bounded by compact") {
+    // The corpus-scale version of the foreachBatch drive above (fixture
+    // scale proves semantics; this proves the cycle at 20k vectors /
+    // 8 micro-batches): an index created EMPTY at the geometry sized for
+    // the expected corpus (the deployment shape — geometry is pinned at
+    // creation, batches must not re-derive it), filled entirely by the
+    // stream, must probe identically to a one-shot batch build, before
+    // and after compact() bounds the 8-append file growth.
+    val sf1 = new java.io.File("/root/repo/localdata/sf1/embeddings.parquet")
+    assume(sf1.exists, "locally generated sf1 data not present")
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val all = spark.read.parquet(sf1.toString)
+      .select(col("vec_id"), col("embedding"))
+    val n = all.count()
+    assert(n >= 20000, s"sf1 must hold 20k vectors, found $n")
+    val g = graft.operators.AnnOps.LshGeometry.forCorpus(n)
+    val dir = Files.createTempDirectory("graft_annsf1").toString
+    val idxPath = s"$dir/index"
+
+    // fixture feed: the driver replays the corpus into the MemoryStream
+    // (same pattern as the NearDupStream sf1 drive); the first batch
+    // seeds the index at the corpus-sized geometry — pinned there for
+    // every later append
+    val rows = all.as[IdxVec].collect()
+    val batchSize = 2500
+    val batches = rows.grouped(batchSize).toSeq
+    AnnIndex.save(AnnIndex.build(
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        batches.head.toSeq, 4)).toDF("vec_id", "embedding"), g), idxPath)
+    val src = MemoryStream[IdxVec]
+    val query = src.toDS().toDF().writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        AnnIndex.append(idxPath, batch)
+      }.start()
+    batches.tail.foreach { chunk =>
+      src.addData(chunk.toIndexedSeq)
+      query.processAllAvailable()
+    }
+    query.stop()
+
+    val streamed = AnnIndex.load(spark, idxPath)
+    assert(streamed.geometry == g,
+      "the creation-time geometry must survive the whole ingest cycle")
+    assert(streamed.vectors.count() == n,
+      "every streamed vector must land exactly once")
+
+    def files(sub: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else if (f.getName.endsWith(".parquet") &&
+          f.getName.startsWith("part-")) 1
+        else 0
+      walk(new java.io.File(s"$idxPath/$sub"))
+    }
+    val vecFilesGrown = files("vectors")
+    assert(vecFilesGrown >= rows.length / batchSize,
+      s"each batch appends files (got $vecFilesGrown)")
+
+    val queries = all.filter(col("vec_id") % 1000 === 0)
+    val want = AnnIndex.probe(AnnIndex.build(all, g), queries)
+      .collect().map(_.toSeq).toSeq
+    val got = AnnIndex.probe(streamed, queries)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty,
+      s"stream-built probes must equal the batch build " +
+        s"(got ${got.length}, want ${want.length})")
+
+    AnnIndex.compact(idxPath, partitions = 4)
+    val vecFilesCompacted = files("vectors")
+    assert(vecFilesCompacted <= 4,
+      s"compact must bound vector files (got $vecFilesCompacted)")
+    val gotCompacted = AnnIndex.probe(AnnIndex.load(spark, idxPath), queries)
+      .collect().map(_.toSeq).toSeq
+    assert(gotCompacted == want, "compaction must not change probe results")
+    info(s"n=$n batches=${(n + batchSize - 1) / batchSize} " +
+      s"geometry=$g vectorFiles: $vecFilesGrown -> $vecFilesCompacted")
+  }
 }
