@@ -188,44 +188,89 @@ object PipelineOps {
     * most dropped docs). Narrow projection — runs at scan speed; the
     * `kept` subset is what flows into dedup/tokenization downstream.
     */
+  /** G4's verdict cascade over an arbitrary text column — shared with
+    * G4b, which runs the same gate on C16-extracted content (one
+    * definition, so the standalone gate and the composed pipeline stage
+    * can never drift apart).
+    */
+  private def g4Verdict(c: Column): Column = {
+    val len = length(c)
+    val nTok = size(tokens(lower(c)))
+    val punct = (len - length(regexp_replace(c, "\\p{Punct}", ""))) /
+      greatest(len, lit(1)).cast("double")
+    val stop = size(filter(tokens(lower(c)),
+      t => t.isin("the", "a", "of", "to", "and", "is", "in", "it"))) /
+      nTok.cast("double")
+    when(nTok < 20, "too_short")
+      .when(punct > lit(0.10), "too_much_punct")
+      .when(stop < lit(0.01), "low_stopword")
+      .otherwise("keep")
+  }
+
+  /** DuckDB twin of [[g4Verdict]] over the column expression `src`. */
+  private def sqlG4Verdict(src: String): String = s"""CASE
+                 WHEN len(regexp_split_to_array(trim(lower($src), ' '), '\\s+')) < 20
+                   THEN 'too_short'
+                 WHEN (length($src) - length(regexp_replace($src,
+                     '[[:punct:]]', '', 'g'))) /
+                     CAST(greatest(length($src), 1) AS DOUBLE) > 0.10
+                   THEN 'too_much_punct'
+                 WHEN len(list_filter(regexp_split_to_array(trim(lower($src), ' '),
+                     '\\s+'), t -> t IN ('the','a','of','to','and','is','in','it')))
+                     / CAST(len(regexp_split_to_array(trim(lower($src), ' '), '\\s+'))
+                     AS DOUBLE) < 0.01
+                   THEN 'low_stopword'
+                 ELSE 'keep'
+               END"""
+
   val qualityFilter: Op = Op(
     "quality_filter",
     (s, d) => {
-      val len = length(col("text"))
-      val nTok = size(tokens(lower(col("text"))))
-      val punct =
-        (len - length(regexp_replace(col("text"), "\\p{Punct}", ""))) /
-          greatest(len, lit(1)).cast("double")
-      val stop = size(filter(tokens(lower(col("text"))),
-        t => t.isin("the", "a", "of", "to", "and", "is", "in", "it"))) /
-        nTok.cast("double")
-      val verdict = when(nTok < 20, "too_short")
-        .when(punct > lit(0.10), "too_much_punct")
-        .when(stop < lit(0.01), "low_stopword")
-        .otherwise("keep")
+      val verdict = g4Verdict(col("text"))
       Tables.documents(s, d)
         .select(col("doc_id"), verdict.as("verdict"),
           (verdict === "keep").as("kept"))
         .orderBy(col("doc_id"))
     },
-    Some("""
+    Some(s"""
       SELECT doc_id, verdict, verdict = 'keep' AS kept FROM (
-        SELECT doc_id,
-               CASE
-                 WHEN len(regexp_split_to_array(trim(lower(text), ' '), '\s+')) < 20
-                   THEN 'too_short'
-                 WHEN (length(text) - length(regexp_replace(text,
-                     '[[:punct:]]', '', 'g'))) /
-                     CAST(greatest(length(text), 1) AS DOUBLE) > 0.10
-                   THEN 'too_much_punct'
-                 WHEN len(list_filter(regexp_split_to_array(trim(lower(text), ' '),
-                     '\s+'), t -> t IN ('the','a','of','to','and','is','in','it')))
-                     / CAST(len(regexp_split_to_array(trim(lower(text), ' '), '\s+'))
-                     AS DOUBLE) < 0.01
-                   THEN 'low_stopword'
-                 ELSE 'keep'
-               END AS verdict
+        SELECT doc_id, ${sqlG4Verdict("text")} AS verdict
         FROM documents) t
+      ORDER BY doc_id"""))
+
+  /** G4b — the quality gate consuming C16's extractor output: the
+    * composed pipeline stage a real curation stack runs (crawl →
+    * extract main content → gate on the EXTRACTED text, never the raw
+    * page). Shares the extractor columns/CTEs with C16 and the verdict
+    * cascade with G4, so the composition is definitionally the two
+    * oracle-checked stages chained; still one narrow codegen projection
+    * per document, no shuffle beyond the output ordering. Verdicts move
+    * vs G4's raw-text run exactly where extraction matters: nav/promo
+    * boilerplate no longer inflates length or link-punctuation, and
+    * short extracted cores gate as too_short.
+    */
+  val qualityFilterExtracted: Op = Op(
+    "quality_filter_extracted",
+    (s, d) => {
+      val (_, kept) = TextOps.extractBlocks
+      val verdict = g4Verdict(col("content"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.extractContent(kept).as("content"))
+        .select(col("doc_id"), verdict.as("verdict"),
+          (verdict === "keep").as("kept"),
+          length(col("content")).cast(LongType).as("n_chars_extracted"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ${TextOps.sqlExtractKpCtes},
+      x AS (SELECT doc_id,
+              coalesce(array_to_string(list_transform(ks, c -> c.txt),
+                chr(10)), '') AS content
+            FROM kp)
+      SELECT doc_id, verdict, verdict = 'keep' AS kept, n_chars_extracted
+      FROM (SELECT doc_id, ${sqlG4Verdict("content")} AS verdict,
+              CAST(length(content) AS BIGINT) AS n_chars_extracted
+            FROM x) t
       ORDER BY doc_id"""))
 
   /** G5 — cohort retention: users cohorted by first-activity day; the
@@ -642,7 +687,7 @@ object PipelineOps {
       ${graft.functions.Bpe.sqlDocCountCtes("documents", "lower(text)")},""")))
 
   val all: Seq[Op] = Seq(
-    joinAsof, joinRange, sampleStratified, qualityFilter, eventsRetention,
-    eventsFunnel, sampleWeighted, eventsAnomaly, docPack, docPackBpe,
-    mixturePlan, mixturePlanBpe)
+    joinAsof, joinRange, sampleStratified, qualityFilter,
+    qualityFilterExtracted, eventsRetention, eventsFunnel, sampleWeighted,
+    eventsAnomaly, docPack, docPackBpe, mixturePlan, mixturePlanBpe)
 }

@@ -775,63 +775,62 @@ object TextOps {
     */
   private val MinBlockChars = 30
 
-  val textExtract: Op = {
-    val anchorRe = "<a [^>]*>([^<]*)</a>"
-    // Entity decode AFTER tag-strip; order fixed and mirrored in SQL.
-    val ents = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
-    Op(
-      "text_extract",
-      (s, d) => {
-        val words = split(col("text"), " ")
-        val mid = floor(size(words) / lit(2)).cast("int")
-        val page = concat_ws("\n",
-          lit("<nav><a href=\"/\">home</a> <a href=\"/docs\">docs</a> " +
-            "<a href=\"/about\">about</a></nav>"),
-          concat(lit("<p>"), array_join(slice(words, lit(1), mid), " "),
-            lit("</p>")),
-          lit("<p>see <a href=\"/x\">these</a> <a href=\"/y\">links</a> " +
-            "<a href=\"/z\">now</a></p>"),
-          concat(lit("<p>"),
-            array_join(slice(words, mid + lit(1), size(words) - mid), " "),
-            lit(" &amp; &lt;tail&gt;</p>")),
-          lit("<footer>&copy; 2026 example corp</footer>"))
-        def decoded(b: Column): Column = trim(
-          ents.foldLeft(regexp_replace(b, "<[^>]*>", "")) {
-            case (c, (e, r)) => replace(c, lit(e), lit(r))
-          })
-        def linkChars(b: Column): Column = aggregate(
-          transform(regexp_extract_all(b, lit(anchorRe), lit(1)),
-            m => length(m)),
-          lit(0), (acc, x) => acc + x)
-        def chars(arr: Column): Column =
-          aggregate(transform(arr, c => length(c("txt"))), lit(0),
-            (acc, x) => acc + x)
-        val cleaned = transform(split(page, "\n"),
-          b => struct(decoded(b).as("txt"), linkChars(b).as("lc")))
-        val kept = filter(cleaned, c =>
-          length(c("txt")) >= lit(MinBlockChars) &&
-            c("lc") * lit(2) < length(c("txt")))
-        Tables.documents(s, d)
-          .select(col("doc_id"), cleaned.as("cs"), kept.as("ks"))
-          .select(
-            col("doc_id"),
-            array_join(transform(col("ks"), c => c("txt")), "\n")
-              .as("content"),
-            size(col("ks")).cast(LongType).as("kept_blocks"),
-            size(col("cs")).cast(LongType).as("total_blocks"),
-            ((chars(col("cs")) - chars(col("ks"))).cast("double") /
-              chars(col("cs")).cast("double")).as("boilerplate_ratio"))
-          .orderBy(col("doc_id"))
-      },
-      Some {
-        val decodeSql = ents.foldLeft(
-          "regexp_replace(b, '<[^>]*>', '', 'g')") {
-          case (c, (e, r)) =>
-            s"replace($c, '$e', '${if (r == "'") "''" else r}')"
-        }
-        s"""
-      WITH w AS (
+  private val extractAnchorRe = "<a [^>]*>([^<]*)</a>"
+  // Entity decode AFTER tag-strip; order fixed and mirrored in SQL.
+  private val extractEnts = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+
+  /** C16's extractor as reusable columns: (cleaned blocks, kept blocks)
+    * of the synthesized page — shared with the G4b gate composition
+    * ([[PipelineOps.qualityFilterExtracted]]) so the extractor the gate
+    * consumes is the extractor the C16 oracle checks.
+    */
+  private[operators] def extractBlocks: (Column, Column) = {
+    val words = split(col("text"), " ")
+    val mid = floor(size(words) / lit(2)).cast("int")
+    val page = concat_ws("\n",
+      lit("<nav><a href=\"/\">home</a> <a href=\"/docs\">docs</a> " +
+        "<a href=\"/about\">about</a></nav>"),
+      concat(lit("<p>"), array_join(slice(words, lit(1), mid), " "),
+        lit("</p>")),
+      lit("<p>see <a href=\"/x\">these</a> <a href=\"/y\">links</a> " +
+        "<a href=\"/z\">now</a></p>"),
+      concat(lit("<p>"),
+        array_join(slice(words, mid + lit(1), size(words) - mid), " "),
+        lit(" &amp; &lt;tail&gt;</p>")),
+      lit("<footer>&copy; 2026 example corp</footer>"))
+    def decoded(b: Column): Column = trim(
+      extractEnts.foldLeft(regexp_replace(b, "<[^>]*>", "")) {
+        case (c, (e, r)) => replace(c, lit(e), lit(r))
+      })
+    def linkChars(b: Column): Column = aggregate(
+      transform(regexp_extract_all(b, lit(extractAnchorRe), lit(1)),
+        m => length(m)),
+      lit(0), (acc, x) => acc + x)
+    val cleaned = transform(split(page, "\n"),
+      b => struct(decoded(b).as("txt"), linkChars(b).as("lc")))
+    val kept = filter(cleaned, c =>
+      length(c("txt")) >= lit(MinBlockChars) &&
+        c("lc") * lit(2) < length(c("txt")))
+    (cleaned, kept)
+  }
+
+  /** Kept-block text joined back to a document (Spark side of the
+    * oracle's `coalesce(array_to_string(...), '')`).
+    */
+  private[operators] def extractContent(ks: Column): Column =
+    array_join(transform(ks, c => c("txt")), "\n")
+
+  /** The C16 CTE chain through `kp` (doc_id, cs, ks) — the SQL twin of
+    * [[extractBlocks]], shared with the G4b gate's oracle.
+    */
+  private[operators] def sqlExtractKpCtes: String = {
+    val decodeSql = extractEnts.foldLeft(
+      "regexp_replace(b, '<[^>]*>', '', 'g')") {
+      case (c, (e, r)) =>
+        s"replace($c, '$e', '${if (r == "'") "''" else r}')"
+    }
+    s"""w AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       ), pg AS (
         SELECT doc_id,
@@ -851,7 +850,7 @@ object TextOps {
           list_transform(string_split(page, chr(10)), b -> struct_pack(
             txt := trim($decodeSql, ' '),
             lc := CAST(coalesce(list_aggregate(list_transform(
-              regexp_extract_all(b, '$anchorRe', 1),
+              regexp_extract_all(b, '$extractAnchorRe', 1),
               m -> length(m)), 'sum'), 0) AS INT))) AS cs
         FROM pg
       ), kp AS (
@@ -859,7 +858,31 @@ object TextOps {
           list_filter(cs, c -> length(c.txt) >= $MinBlockChars
             AND c.lc * 2 < length(c.txt)) AS ks
         FROM blk
-      )
+      )"""
+  }
+
+  val textExtract: Op = {
+    Op(
+      "text_extract",
+      (s, d) => {
+        def chars(arr: Column): Column =
+          aggregate(transform(arr, c => length(c("txt"))), lit(0),
+            (acc, x) => acc + x)
+        val (cleaned, kept) = extractBlocks
+        Tables.documents(s, d)
+          .select(col("doc_id"), cleaned.as("cs"), kept.as("ks"))
+          .select(
+            col("doc_id"),
+            extractContent(col("ks")).as("content"),
+            size(col("ks")).cast(LongType).as("kept_blocks"),
+            size(col("cs")).cast(LongType).as("total_blocks"),
+            ((chars(col("cs")) - chars(col("ks"))).cast("double") /
+              chars(col("cs")).cast("double")).as("boilerplate_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        s"""
+      WITH $sqlExtractKpCtes
       SELECT doc_id,
         -- coalesce: DuckDB's array_to_string over an EMPTY list is NULL
         -- where Spark's array_join is '' — hit when every block drops
