@@ -395,8 +395,90 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** `log2_q16(num: long, den: long): long` — fixed-point log2(num/den)
+    * with 16 fractional bits, computed by an EXACT integer recipe so any
+    * engine that replays the same shifts/divides produces the identical
+    * BIGINT (the DuckDB twin is the chained CTE emitted by
+    * [[FixedLog.sqlRounds]]). This is the log-domain primitive the
+    * text ops deliberately lacked: `ln()` differs across engines by
+    * ULPs, so scores built on it can hash-mismatch at a micro-rounding
+    * boundary — this kernel has NO transcendentals, only 64-bit integer
+    * ops with defined truncation, and its ≈2^-16-bit approximation
+    * error is identical everywhere by construction.
+    *
+    * Contract: num ≥ den ≥ 1 (callers score ratios ≥ 1, e.g. a count
+    * over a sub-count). Recipe: normalize BOTH operands to exactly 33
+    * bits (shift up or down — two-sided, so a tiny den under a huge num
+    * never clamps away exponent bits), exponent = bit-length difference
+    * corrected by the normalized compare, 30-bit mantissa in
+    * [2^30, 2^31), then 16 square-and-shift rounds each yielding one
+    * fractional bit; every intermediate stays inside a signed 64-bit
+    * long (mantissa < 2^31, square < 2^62, n2 << 30 < 2^63).
+    */
+  case class Log2Q16Expr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "log2_q16"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val num = a.asInstanceOf[Long]
+      val den = b.asInstanceOf[Long]
+      val blenN = 64 - java.lang.Long.numberOfLeadingZeros(num)
+      val blenD = 64 - java.lang.Long.numberOfLeadingZeros(den)
+      val n2 = if (blenN <= 33) num << (33 - blenN) else num >> (blenN - 33)
+      val d2 = if (blenD <= 33) den << (33 - blenD) else den >> (blenD - 33)
+      val e0 = if (n2 >= d2) 0 else -1
+      val e = (blenN - blenD) + e0
+      var v = if (e0 == 0) (n2 << 30) / d2 else ((n2 << 30) / d2) << 1
+      var acc = 0L
+      var i = 0
+      while (i < 16) {
+        val u = v * v
+        if (u >= (1L << 61)) { acc = acc * 2 + 1; v = u >> 31 }
+        else { acc = acc * 2; v = u >> 30 }
+        i += 1
+      }
+      (e.toLong << 16) + acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val bn = ctx.freshName("bn")
+        val bd = ctx.freshName("bd")
+        val n2 = ctx.freshName("n2")
+        val d2 = ctx.freshName("d2")
+        val e = ctx.freshName("e")
+        val v = ctx.freshName("v")
+        val u = ctx.freshName("u")
+        val acc = ctx.freshName("acc")
+        val i = ctx.freshName("i")
+        s"""
+        int $bn = 64 - java.lang.Long.numberOfLeadingZeros($a);
+        int $bd = 64 - java.lang.Long.numberOfLeadingZeros($b);
+        long $n2 = ($bn <= 33) ? ($a << (33 - $bn)) : ($a >> ($bn - 33));
+        long $d2 = ($bd <= 33) ? ($b << (33 - $bd)) : ($b >> ($bd - 33));
+        int $e = ($bn - $bd) + (($n2 >= $d2) ? 0 : -1);
+        long $v = ($n2 >= $d2) ? (($n2 << 30) / $d2) : ((($n2 << 30) / $d2) << 1);
+        long $acc = 0L;
+        for (int $i = 0; $i < 16; $i++) {
+          long $u = $v * $v;
+          if ($u >= (1L << 61)) { $acc = $acc * 2 + 1; $v = $u >> 31; }
+          else { $acc = $acc * 2; $v = $u >> 30; }
+        }
+        ${ev.value} = (((long) $e) << 16) + $acc;"""
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Injects both kernels into a session's function registry. */
   def registerAll(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("log2_q16"),
+      new ExpressionInfo(classOf[Log2Q16Expr].getName, "log2_q16"),
+      (args: Seq[Expression]) => Log2Q16Expr(args(0), args(1))))
     ext.injectFunction((
       new FunctionIdentifier("dot_micros"),
       new ExpressionInfo(classOf[DotMicrosExpr].getName, "dot_micros"),

@@ -24,7 +24,7 @@ import graft.functions.Portable._
   */
 object AnnOps {
 
-  private val QUERY_MAX = 8 // vec_id < 8 plays the query set
+  private[operators] val QUERY_MAX = 8 // vec_id < 8 plays the query set
   private val TOP_K = 5
 
   /** Per-vector exact-micros self-dot, reused by both ops. The
@@ -267,7 +267,7 @@ object AnnOps {
     * geometries, leaving the hottest loop in the engine interpreted
     * (measured 62 s vs ~1 s for the 200k-row sf10 hash pass).
     */
-  private def lshBucketsCol(emb: Column, g: LshGeometry): Column =
+  private[operators] def lshBucketsCol(emb: Column, g: LshGeometry): Column =
     call_function("lsh_buckets", emb,
       typedlit(allPlaneWeights(g)), lit(g.planes))
 
@@ -485,7 +485,7 @@ object AnnOps {
       ORDER BY q_id, rank"""
     })
 
-  private val CENTROIDS = 16
+  private[operators] val CENTROIDS = 16
   private val NPROBE = 4
 
   /** IVF cell count for a corpus of `n` vectors: √n-family growth

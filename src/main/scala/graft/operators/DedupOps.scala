@@ -773,8 +773,155 @@ object DedupOps {
       GROUP BY c.doc_id
       ORDER BY doc_id"""))
 
+  /** D11's keep/drop threshold: in-cell pairs at or above this cosine
+    * are semantic duplicates (the corpus plants its near-dup structure
+    * around [0.3, 0.5) — 0.35 drops ~10% at the gate SFs, so the
+    * verdict genuinely varies with the data).
+    */
+  private val SEM_TAU = 0.35
+
+  /** D11's in-cell sub-bucketing dial: below ~512 mean occupancy the
+    * cell itself bounds the pair enumeration (None — the oracle-exact
+    * default region, which covers every gate SF: 500 vectors / 16
+    * cells ≈ 31); above it, 4 LSH tables of enough planes to bring
+    * per-(cell, bucket) occupancy back to ~64, so in-task pair work
+    * stays bounded while recall degrades gracefully (4-table
+    * OR-amplification, the D3/D5 band argument).
+    */
+  private[graft] def semSubGeometry(
+      n: Long, cells: Int): Option[AnnOps.LshGeometry] = {
+    val occ = n.toDouble / cells
+    if (occ <= 512) None
+    else Some(AnnOps.LshGeometry(4, math.max(1, math.min(24,
+      math.ceil(math.log(occ / 64.0) / math.log(2.0)).toInt))))
+  }
+
+  /** D11's body at an explicit geometry (cells + optional in-cell LSH),
+    * the [[graft.GeometryCheck]]-style seam. */
+  private[graft] def semanticAt(
+      s: SparkSession,
+      d: String,
+      cells: Int,
+      sub: Option[AnnOps.LshGeometry]): DataFrame = {
+    val e = AnnOps.withNorm(s, d)
+    val cent = e.filter(col("vec_id") >= AnnOps.QUERY_MAX &&
+        col("vec_id") < AnnOps.QUERY_MAX + cells)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nm").as("c_nm"))
+    // the corpus-side argmax is an AGGREGATE over id-width rows, not a
+    // window — the ann_ivf lesson: a window exchanges-and-sorts all
+    // n·cells rows, max_by partial-aggregates them map-side. persist:
+    // assign feeds the pair path AND the final verdict join.
+    val assign = Caches.persist(e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_id"),
+        cosineFromMicros(dotMicros(col("embedding"), col("c_emb")),
+          col("nm"), col("c_nm")).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"),
+        struct(col("ccos"), (-col("c_id")).as("nc"))).as("cell")))
+    // vectors re-attach from the vec_id-partitioned shared norm frame;
+    // bucket rows carry the vector so pair scoring is in-task (the D5
+    // r11 shape, keyed on (cell[, tbl, bucket]) instead of LSH alone)
+    val withCell = assign.join(e, "vec_id")
+    val bucketed = sub match {
+      case None =>
+        withCell.select(col("cell"), lit(0).as("tbl"), lit(0L).as("bucket"),
+          col("vec_id"), col("embedding"), col("nm"))
+      case Some(g) =>
+        withCell.select(col("cell"), col("vec_id"), col("embedding"),
+          col("nm"),
+          posexplode(AnnOps.lshBucketsCol(col("embedding"), g))
+            .as(Seq("tbl", "bucket")))
+          .select(col("cell"), col("tbl"), col("bucket"), col("vec_id"),
+            col("embedding"), col("nm"))
+    }
+    val pairs = bucketed
+      .groupBy(col("cell"), col("tbl"), col("bucket"))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id"), col("embedding"), col("nm")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(
+          slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
+          y => struct(x.as("x"), y.as("y")))))).as("p"))
+      .select(col("p.x.vec_id").as("i"), col("p.y.vec_id").as("j"),
+        cosineFromMicros(
+          dotMicros(col("p.x.embedding"), col("p.y.embedding")),
+          col("p.x.nm"), col("p.y.nm")).as("cos"))
+      .filter(col("cos") >= SEM_TAU)
+      .groupBy(col("i"), col("j"))
+      .agg(max(col("cos")).as("cos"))
+    val dup = pairs.groupBy(col("j"))
+      .agg(count(lit(1)).as("n_dups"), max(col("cos")).as("max_dup_cos"))
+    assign.join(dup, assign("vec_id") === dup("j"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("max_dup_cos"),
+        (coalesce(col("n_dups"), lit(0L)) === 0).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** D11 — SemDeDup-style SEMANTIC deduplication: cluster the embedding
+    * corpus with the IVF coarse quantizer (nearest of a deterministic
+    * centroid set — E3's cells), then score pairs WITHIN each cluster
+    * and drop every vector with a higher-priority (lower-id) in-cell
+    * neighbor at cos ≥ τ. This is the embedding-space dedup that D5's
+    * random-hyperplane blocking cannot express: D5 finds pairs that
+    * collide under RANDOM projections (near-duplicate geometry); D11
+    * groups by SEMANTIC neighborhood first, so the pruning rate is
+    * per-topic — the published SemDeDup recipe (k-means cells +
+    * within-cell cosine pruning), re-expressed with this engine's
+    * exact-micros cosine and bucket-local pair enumeration.
+    *
+    * Scale shape: assignment is n·cells codegen'd dot products against
+    * a BROADCAST centroid set, collapsed map-side by the max_by
+    * aggregate (id-width shuffle). Pair enumeration is cell-local with
+    * the vectors riding in the bucket rows (one corpus-sized shuffle);
+    * above ~512 mean occupancy an in-cell LSH sub-bucketing
+    * ([[semSubGeometry]]) bounds the in-task quadratic, the same dial
+    * D5 runs. Cells grow √n ([[AnnOps.ivfCellsFor]]), so both knobs
+    * move with the corpus; every gate SF resolves to the oracle-pinned
+    * 16 cells with no sub-bucketing (default region n ≤ 4096, same 2×
+    * margin as D5).
+    */
+  val dedupSemantic: Op = Op(
+    "dedup_semantic",
+    (s, d) => {
+      val n = Tables.embeddings(s, d).count()
+      val cells = AnnOps.ivfCellsFor(n)
+      val sub = semSubGeometry(n, cells)
+      AnnOps.logGeometryDivergence("dedup_semantic", (cells, sub),
+        (AnnOps.CENTROIDS, None))
+      semanticAt(s, d, cells, sub)
+    },
+    Some(s"""
+      WITH ${AnnOps.sqlNormCte},
+      cent AS (SELECT vec_id AS c_id, embedding, nm FROM e
+               WHERE vec_id >= ${AnnOps.QUERY_MAX}
+                 AND vec_id < ${AnnOps.QUERY_MAX + AnnOps.CENTROIDS}),
+      scored AS (SELECT v.vec_id, cent.c_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY ${AnnOps.sqlCos("v", "cent")} DESC, cent.c_id)
+                     AS rn
+                 FROM e v, cent),
+      assign AS (SELECT vec_id, c_id AS cell FROM scored WHERE rn = 1),
+      m AS (SELECT e.vec_id, e.embedding, e.nm, assign.cell
+            FROM e JOIN assign USING (vec_id)),
+      pr AS (SELECT a.vec_id AS i, b.vec_id AS j,
+                    ${AnnOps.sqlCos("a", "b")} AS cos
+             FROM m a JOIN m b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      dup AS (SELECT j, count(*) AS n_dups, max(cos) AS max_dup_cos
+              FROM pr WHERE cos >= $SEM_TAU GROUP BY j)
+      SELECT a.vec_id, a.cell,
+             CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+             d.max_dup_cos,
+             coalesce(d.n_dups, 0) = 0 AS keep
+      FROM assign a LEFT JOIN dup d ON a.vec_id = d.j
+      ORDER BY a.vec_id"""))
+
   val all: Seq[Op] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbedding, dedupClusters, dedupReport, dedupDecontaminate,
-    dedupSubstr)
+    dedupSubstr, dedupSemantic)
 }

@@ -1032,9 +1032,99 @@ object TextOps {
       ORDER BY p.doc_id"""))
   }
 
+  /** C19 — bigram language-model scoring in the REAL log domain: each
+    * document's mean conditional information content, mean over its
+    * bigram occurrences of -log2 p(w2|w1) with p estimated from corpus
+    * bigram counts (p(w2|w1) = c(w1,w2) / c_prefix(w1), the exact
+    * conditional MLE — c_prefix sums the bigram counts, so num ≥ den by
+    * construction). This is the sequence-level CCNet-style quality
+    * signal the unigram ops cannot see: C11's rarity flags rare WORDS,
+    * C8 flags repetition, but only a conditional model separates fluent
+    * text (common words in common orders, low bits/bigram) from
+    * shuffled or templated text (common words in improbable orders).
+    *
+    * The log itself is [[graft.functions.FixedLog]]'s exact fixed-point
+    * kernel — the first log-domain score on the board: the rational
+    * surrogates (C9/C11) trade the log away because `ln()` is not
+    * engine-portable; log2_q16 is, by integer construction, so the SUM
+    * of bits is a faithful log of the document's probability under the
+    * model rather than a max-dominated rational sum.
+    *
+    * Scale shape: occurrences collapse to per-doc (w1, w2, c) counts
+    * first (one uniform-ish shuffle, map-side combined); the model is
+    * sized by DISTINCT corpus bigrams, each scored once by the kernel;
+    * the scoring join fans out per distinct doc-bigram. Both bigram
+    * joins are Zipf-skewed at 100 TB — AQE skew-split handles the head
+    * keys, and the classic head-vocabulary broadcast refinement drops
+    * in unchanged (same argument as C11). Docs with < 2 tokens carry no
+    * bigram and are excluded (same WHERE in both engines).
+    */
+  val lmBigram: Op = Op(
+    "lm_bigram",
+    (s, d) => {
+      val tokd = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("tok"))
+        .filter(size(col("tok")) >= 2)
+      // persist: docbg feeds the model aggregate AND the scoring join —
+      // without it the corpus re-tokenizes per consumer (the C11 lesson)
+      val docbg = Caches.persist(tokd
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tok)-1), i -> " +
+            "named_struct('w1', element_at(tok, i), 'w2', element_at(tok, i+1)))"))
+          .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(count(lit(1)).as("c")))
+      val bg = Caches.persist(
+        docbg.groupBy("w1", "w2").agg(sum(col("c")).as("cnt")))
+      val un = bg.groupBy("w1").agg(sum(col("cnt")).as("ucnt"))
+      val scored = bg.join(un, "w1")
+        .select(col("w1"), col("w2"),
+          graft.functions.FixedLog.bitsQ16(col("ucnt"), col("cnt"))
+            .as("bits_q16"))
+      docbg.join(scored, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          sum(col("c") * col("bits_q16")).as("sum_bits_q16"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_bits_q16"),
+          expr("sum_bits_q16 div n_bigrams").as("mean_bits_q16"),
+          (col("sum_bits_q16").cast("double") / col("n_bigrams") / lit(65536.0))
+            .as("mean_bits"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH tokd AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS tok
+        FROM documents),
+      docbg AS (
+        SELECT doc_id, w1, w2, count(*) AS c
+        FROM (SELECT doc_id, tok[i] AS w1, tok[i+1] AS w2
+              FROM (SELECT doc_id, tok,
+                           unnest(generate_series(1, len(tok)-1)) AS i
+                    FROM tokd WHERE len(tok) >= 2) x) y
+        GROUP BY doc_id, w1, w2),
+      bg AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cnt
+             FROM docbg GROUP BY w1, w2),
+      un AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ucnt
+             FROM bg GROUP BY w1),
+      lgsrc AS (SELECT bg.w1 AS w1, bg.w2 AS w2, bg.cnt AS cnt, un.ucnt AS ucnt
+                FROM bg JOIN un USING (w1)),
+      ${graft.functions.FixedLog.sqlRounds(
+        "lgsrc", Seq("w1", "w2"), "ucnt", "cnt", "lg")}
+      SELECT doc_id, n_bigrams, sum_bits_q16,
+             sum_bits_q16 // n_bigrams AS mean_bits_q16,
+             CAST(sum_bits_q16 AS DOUBLE) / n_bigrams / 65536.0 AS mean_bits
+      FROM (SELECT d.doc_id,
+                   CAST(sum(d.c) AS BIGINT) AS n_bigrams,
+                   CAST(sum(d.c * g.bits_q16) AS BIGINT) AS sum_bits_q16
+            FROM docbg d JOIN lg g ON d.w1 = g.w1 AND d.w2 = g.w2
+            GROUP BY d.doc_id) z
+      ORDER BY doc_id"""))
+
   val all: Seq[Op] = Seq(
     textTokenCount, textQuality, textLangid, textFingerprint, textNgramFreq,
     textDocFreq, textCharNgrams, textRepetition, textBm25, textVocabCoverage,
     textRarity, textBpeCount, textBpeVocab, textBpeTrain, textBpeCountLearned,
-    textExtract, textPiiRedact, qualityClassifier)
+    textExtract, textPiiRedact, qualityClassifier, lmBigram)
 }

@@ -125,6 +125,51 @@ object KernelProps extends Properties("kernels") {
         graft.functions.Bpe.tokenCount(a) + graft.functions.Bpe.tokenCount(b)
     }
 
+  /** JVM-independent reference of the log2_q16 recipe (BigInt-free: the
+    * recipe is designed to stay inside a signed 64-bit long; this mirror
+    * is the spec the kernel AND the unrolled oracle CTE both implement).
+    */
+  private def refLog2Q16(num: Long, den: Long): Long = {
+    val blenN = 64 - java.lang.Long.numberOfLeadingZeros(num)
+    val blenD = 64 - java.lang.Long.numberOfLeadingZeros(den)
+    val n2 = if (blenN <= 33) num << (33 - blenN) else num >> (blenN - 33)
+    val d2 = if (blenD <= 33) den << (33 - blenD) else den >> (blenD - 33)
+    val e0 = if (n2 >= d2) 0 else -1
+    val e = (blenN - blenD) + e0
+    var v = if (e0 == 0) (n2 << 30) / d2 else ((n2 << 30) / d2) << 1
+    var acc = 0L
+    for (_ <- 0 until 16) {
+      val u = v * v
+      if (u >= (1L << 61)) { acc = acc * 2 + 1; v = u >> 31 }
+      else { acc = acc * 2; v = u >> 30 }
+    }
+    (e.toLong << 16) + acc
+  }
+
+  property("log2_q16 kernel == reference recipe, within 1e-4 bits of log2") =
+    Prop.forAll(
+      Gen.listOfN(30, Gen.zip(
+        Gen.chooseNum(1L, 1000000000000L),
+        Gen.chooseNum(0L, 1000000L)))) { pairs =>
+      pairs.nonEmpty ==> {
+        import spark.implicits._
+        val rows = pairs.map { case (d, extra) => (d + extra, d) } ++
+          Seq((1L, 1L), (2L, 1L), (1L << 62, 1L), (3L, 2L))
+        val df = rows.toDF("num", "den")
+        df.createOrReplaceTempView("kp_log2")
+        val got = spark.sql(
+          "SELECT num, den, log2_q16(num, den) AS b FROM kp_log2")
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+          .toMap
+        rows.forall { case (num, den) =>
+          val b = got((num, den))
+          b == refLog2Q16(num, den) &&
+            math.abs(b / 65536.0 -
+              math.log(num.toDouble / den) / math.log(2.0)) < 1e-4
+        }
+      }
+    }
+
   property("exactSum is invariant under repartitioning") =
     Prop.forAll(Gen.listOfN(60, Gen.chooseNum(-1000.0, 1000.0))) { vs =>
       vs.nonEmpty ==> {
