@@ -686,8 +686,73 @@ object PipelineOps {
       ${graft.functions.Bpe.sqlWordLenCte("documents", "lower(text)")},
       ${graft.functions.Bpe.sqlDocCountCtes("documents", "lower(text)")},""")))
 
+  /** G11 — per-domain frequency capping: keep at most ceil(√n_s)
+    * documents from each source s, chosen by a deterministic hash
+    * priority — the RefinedWeb/FineWeb-style guard against any single
+    * domain (SEO farms, mirror sites, boilerplate-heavy hosts)
+    * dominating the training mixture, with the square-root schedule
+    * that keeps large domains represented sub-linearly instead of
+    * cutting a hard constant.
+    *
+    * Scale shape: NO per-source window over the corpus (rank-by-window
+    * exchanges-and-sorts every row, and web domains are maximally
+    * Zipf-skewed). Instead the per-source SELECTION THRESHOLD is
+    * computed: a bounded-heap [[graft.functions.TopKMinAgg topk_min]]
+    * collects each source's cap-smallest (hash, doc_id) priorities —
+    * map-side partials carry ≤ maxCap rows per source — and a document
+    * is kept iff its priority struct is ≤ the cap-th smallest
+    * (lexicographic struct compare, identical in both engines). The
+    * heap width is the one corpus-derived dial (max cap = ceil(√ of
+    * the largest domain), the same count-then-plan shape as the D5/E2
+    * geometry dials); the domain-stats frame is |domains|-sized and
+    * joins back by source (AQE broadcasts it when small). Verdict ≡
+    * rank ≤ cap, proven by the oracle's row_number formulation.
+    */
+  val sampleDomainCap: Op = Op(
+    "sample_domain_cap",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+      val caps = Caches.persist(docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_source"))
+        .select(col("source"), col("n_source"),
+          ceil(sqrt(col("n_source").cast("double"))).cast(LongType)
+            .as("cap")))
+      // the heap-width dial: one |domains|-row aggregate, collected
+      // like the geometry dials (caps is persisted — this is its
+      // materializing action, the threshold + verdict joins reuse it)
+      val maxCap = caps.agg(max(col("cap"))).collect()(0).getLong(0).toInt
+      val pri = docs.select(col("source"),
+        struct(hash60(concat(col("source"), lit("|"), col("doc_id")))
+          .as("h"), col("doc_id")).as("p"))
+      val th = pri.groupBy(col("source"))
+        .agg(topkMin(col("p"), maxCap).as("tops"))
+        .join(caps, "source")
+        .select(col("source"), element_at(col("tops"), col("cap").cast("int"))
+          .as("th"))
+      docs.join(caps, "source").join(th, "source")
+        .select(col("doc_id"), col("source"), col("n_source"), col("cap"),
+          (struct(hash60(concat(col("source"), lit("|"), col("doc_id")))
+            .as("h"), col("doc_id")) <= col("th")).as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH c AS (SELECT source, count(*) AS n_source,
+                        CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+                          AS cap
+                 FROM documents GROUP BY source),
+      r AS (SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY ${graft.Op.xhash60(
+                       "concat(source, '|', doc_id)")}, doc_id) AS rn
+            FROM documents)
+      SELECT r.doc_id, r.source, c.n_source, c.cap, r.rn <= c.cap AS kept
+      FROM r JOIN c USING (source)
+      ORDER BY r.doc_id"""))
+
   val all: Seq[Op] = Seq(
     joinAsof, joinRange, sampleStratified, qualityFilter,
     qualityFilterExtracted, eventsRetention, eventsFunnel, sampleWeighted,
-    eventsAnomaly, docPack, docPackBpe, mixturePlan, mixturePlanBpe)
+    eventsAnomaly, docPack, docPackBpe, mixturePlan, mixturePlanBpe,
+    sampleDomainCap)
 }

@@ -190,6 +190,40 @@ class PipelineSpec extends SparkSpec {
     assert(s > 0, "sf0.001 has signups")
   }
 
+  test("sample_domain_cap: sqrt caps enforced exactly on a skewed corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_domcap").toString
+    // 100 docs from a dominant host, 4 from a small one, 1 singleton —
+    // caps must be 10 / 2 / 1
+    val docs = (0L until 100L).map(i => (i, s"text $i", "en", "big.com", 7L)) ++
+      (100L until 104L).map(i => (i, s"text $i", "en", "small.org", 7L)) :+
+      ((104L, "text 104", "en", "solo.net", 8L))
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = run("sample_domain_cap", dir).collect()
+    assert(rows.length == 105, "one verdict row per document")
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    def kept(s: String) = bySrc(s).count(_.getAs[Boolean]("kept"))
+    assert(bySrc("big.com").head.getAs[Long]("cap") == 10L)
+    assert(kept("big.com") == 10, "dominant domain capped at ceil(sqrt(100))")
+    assert(bySrc("small.org").head.getAs[Long]("cap") == 2L)
+    assert(kept("small.org") == 2)
+    assert(bySrc("solo.net").head.getAs[Long]("cap") == 1L)
+    assert(kept("solo.net") == 1)
+    // determinism: a second run keeps the identical subset
+    val again = run("sample_domain_cap", dir).collect()
+      .filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("doc_id")).toSet
+    assert(again ==
+      rows.filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("sample_domain_cap plan: bounded-heap threshold, no corpus window sort") {
+    val p = plan(run("sample_domain_cap"))
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
+      "selection must come from the topk_min threshold, not a window rank")
+    assert(p.contains("topk_min"), "bounded-heap aggregate expected in plan")
+  }
+
   test("emb_centroids: 64 dims per label, centroid = mean of quantized values") {
     val out = run("emb_centroids").collect()
     val dims = out.groupBy(_.getAs[Long]("label")).view.mapValues(_.length)
