@@ -27,7 +27,8 @@ package graft
   * keeps each record cheap to (re)produce.
   */
 object GeometryCheck {
-  private val Known = Set("ann_lsh", "dedup_embedding", "ann_ivf")
+  private val Known =
+    Set("ann_lsh", "dedup_embedding", "ann_ivf", "dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -72,6 +73,18 @@ object GeometryCheck {
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ann_ivf")
       Caches.releaseScope()
     }
+    if (keys("dedup_semantic")) {
+      // D11 checks at the CORPUS geometry like D5: cells AND sub-planes
+      // derive from the row count, and sqlSemanticAt regenerates the
+      // oracle at that exact geometry (below: pure function of sfDir).
+      val n = Tables.embeddings(spark, sfDir).count()
+      val cells = operators.AnnOps.ivfCellsFor(n)
+      operators.DedupOps.semanticAt(spark, sfDir, cells,
+        operators.DedupOps.semSubGeometry(n, cells))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/dedup_semantic")
+      Caches.releaseScope()
+    }
     // A subset re-run into an outDir holding earlier dumps must not
     // shrink oracle_sql.json to just the latest subset (compare.py would
     // silently skip the parquet already on disk). The dumps themselves
@@ -88,7 +101,13 @@ object GeometryCheck {
         Map("dedup_embedding" -> operators.DedupOps.sqlEmbeddingPairs(
           operators.AnnOps.LshGeometry.forCorpusPairs(
             Tables.embeddings(spark, sfDir).count())))
-      else Map.empty)
+      else Map.empty) ++
+      (if (dumped("dedup_semantic")) {
+        val n = Tables.embeddings(spark, sfDir).count()
+        val cells = operators.AnnOps.ivfCellsFor(n)
+        Map("dedup_semantic" -> operators.DedupOps.sqlSemanticAt(cells,
+          operators.DedupOps.semSubGeometry(n, cells)))
+      } else Map.empty)
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

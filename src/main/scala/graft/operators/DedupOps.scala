@@ -894,11 +894,46 @@ object DedupOps {
         (AnnOps.CENTROIDS, None))
       semanticAt(s, d, cells, sub)
     },
-    Some(s"""
+    Some(sqlSemanticAt(AnnOps.CENTROIDS, None)))
+
+  /** D11's DuckDB twin at an ARBITRARY geometry — the board oracle is
+    * this at (16 cells, no sub-bucketing); [[graft.GeometryCheck]]
+    * replays it at the corpus-derived geometry above gate scale, so
+    * parity is provable at the geometry the engine actually deploys
+    * (the sqlEmbeddingPairs precedent; centroids AND sub-planes are
+    * both index-parameterized).
+    */
+  private[graft] def sqlSemanticAt(
+      cells: Int, sub: Option[AnnOps.LshGeometry]): String = {
+    // with sub-bucketing, a pair counts iff it shares the cell AND a
+    // (tbl, bucket) in >=1 sub-table; cos is functionally determined by
+    // (i, j), so DISTINCT replays the engine's groupBy(i, j) collapse
+    val pairCte = sub match {
+      case None =>
+        s"""pr AS (SELECT a.vec_id AS i, b.vec_id AS j,
+                    ${AnnOps.sqlCos("a", "b")} AS cos
+             FROM m a JOIN m b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id)"""
+      case Some(g) =>
+        val bandSelects = (0 until g.tables).map(t =>
+          s"SELECT vec_id, $t AS tbl, ${AnnOps.sqlBucket("m", t, g)} AS bucket FROM m")
+          .mkString("\n        UNION ALL ")
+        s"""bk AS (
+        $bandSelects
+      ),
+      mb AS (SELECT m.vec_id, m.embedding, m.nm, m.cell, bk.tbl, bk.bucket
+             FROM m JOIN bk USING (vec_id)),
+      pr AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j,
+                    ${AnnOps.sqlCos("a", "b")} AS cos
+             FROM mb a JOIN mb b
+               ON a.cell = b.cell AND a.tbl = b.tbl AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id)"""
+    }
+    s"""
       WITH ${AnnOps.sqlNormCte},
       cent AS (SELECT vec_id AS c_id, embedding, nm FROM e
                WHERE vec_id >= ${AnnOps.QUERY_MAX}
-                 AND vec_id < ${AnnOps.QUERY_MAX + AnnOps.CENTROIDS}),
+                 AND vec_id < ${AnnOps.QUERY_MAX + cells}),
       scored AS (SELECT v.vec_id, cent.c_id,
                    row_number() OVER (PARTITION BY v.vec_id
                      ORDER BY ${AnnOps.sqlCos("v", "cent")} DESC, cent.c_id)
@@ -907,10 +942,7 @@ object DedupOps {
       assign AS (SELECT vec_id, c_id AS cell FROM scored WHERE rn = 1),
       m AS (SELECT e.vec_id, e.embedding, e.nm, assign.cell
             FROM e JOIN assign USING (vec_id)),
-      pr AS (SELECT a.vec_id AS i, b.vec_id AS j,
-                    ${AnnOps.sqlCos("a", "b")} AS cos
-             FROM m a JOIN m b
-               ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      $pairCte,
       dup AS (SELECT j, count(*) AS n_dups, max(cos) AS max_dup_cos
               FROM pr WHERE cos >= $SEM_TAU GROUP BY j)
       SELECT a.vec_id, a.cell,
@@ -918,7 +950,8 @@ object DedupOps {
              d.max_dup_cos,
              coalesce(d.n_dups, 0) = 0 AS keep
       FROM assign a LEFT JOIN dup d ON a.vec_id = d.j
-      ORDER BY a.vec_id"""))
+      ORDER BY a.vec_id"""
+  }
 
   val all: Seq[Op] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,

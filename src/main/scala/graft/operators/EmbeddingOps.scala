@@ -203,5 +203,193 @@ object EmbeddingOps {
       FROM dist d JOIN st USING (label)
       ORDER BY label, vec_id"""))
 
-  val all: Seq[Op] = Seq(embCentroids, embQuantize, embOutliers)
+  /** E8 power-iteration rounds: fixed, so the result is a well-defined
+    * deterministic statistic ("the 12-round power iterate from the
+    * all-ones start") whether or not the spectrum has converged — the
+    * same contract as C14's fixed K merges.
+    */
+  private val PcaRounds = 12
+
+  /** E8's driver-side model loop — EXACTLY the arithmetic the oracle's
+    * unrolled CTE rounds replay (JVM `/` ≡ DuckDB integer `//`: BOTH
+    * truncate toward zero on negatives — measured, not assumed; IEEE
+    * double ops in the spelled order), factored out so the spec can pin
+    * it against an independent formulation. `S` is the raw second-moment
+    * matrix (row-major 64×64 exact micro² sums), `s` the per-dim micro
+    * sums, `n` the row count. Returns the Q20 loading vector.
+    *
+    * Overflow audit (all inside signed 64-bit): centered C entries are
+    * ≤ n·(2.1e6)²; cS = C floor-div n·2^16 is ≤ ~2^26 at ANY corpus
+    * size (covariance is bounded by the data range, not the corpus);
+    * w = Σ_j cS·v over 64 Q20 terms ≤ 2^52; wq = w floor-div 2^24
+    * ≤ 2^28, so Σ wq² ≤ 2^62.
+    */
+  private[graft] def pcaPowerLoop(
+      S: Array[Long], s: Array[Long], n: Long): Array[Long] = {
+    val m = s.map(si => math.floor(si.toDouble / n + 0.5).toLong)
+    val cS = new Array[Long](64 * 64)
+    var i = 0
+    while (i < 64) {
+      var j = 0
+      while (j < 64) {
+        val c = S(i * 64 + j) - m(i) * s(j) - m(j) * s(i) + n * m(i) * m(j)
+        cS(i * 64 + j) = c / (n * 65536L)
+        j += 1
+      }
+      i += 1
+    }
+    var v = Array.fill(64)(1048576L) // Q20 all-ones start
+    for (_ <- 0 until PcaRounds) {
+      val wq = new Array[Long](64)
+      i = 0
+      while (i < 64) {
+        var w = 0L
+        var j = 0
+        while (j < 64) { w += cS(i * 64 + j) * v(j); j += 1 }
+        wq(i) = w / 16777216L // 2^24, truncating like DuckDB //
+        i += 1
+      }
+      var n2 = 0L
+      i = 0
+      while (i < 64) { n2 += wq(i) * wq(i); i += 1 }
+      val norm = math.sqrt(math.max(n2, 1L).toDouble)
+      v = wq.map(x => math.floor(x.toDouble * 1048576.0 / norm + 0.5).toLong)
+    }
+    v
+  }
+
+  /** E8 — top principal component by distributed PCA: every embedding's
+    * projection onto the corpus's leading variance direction — the
+    * spectral statistic an embedding pipeline runs before whitening,
+    * semantic dedup (SemDeDup whitens before cosine), drift monitoring,
+    * or low-rank compression. Returns per-vector (pc1_q exact integer,
+    * pc1 double) scores.
+    *
+    * Spark-first shape (the [[QualityClassifier]] precedent for model
+    * loops): the corpus is scanned ONCE by a treeAggregate that folds
+    * each row's quantized outer product into a 64×64+65-long partial
+    * (raw second moments S, per-dim sums, count — centering is derived
+    * EXACTLY as C = S - m·sᵀ - s·mᵀ + n·m·mᵀ with integer m, so the
+    * one-pass fold loses nothing vs a center-then-multiply two-pass);
+    * the 12 power-iteration rounds then run DRIVER-SIDE on the
+    * model-sized 64×64 matrix in pure integer/IEEE arithmetic (re-
+    * planning a 64-dim iteration through Catalyst would cost more in
+    * planning than the math, the measured C18 lesson), and scoring is
+    * one map-only codegen'd [[graft.functions.Portable.projMicros]]
+    * pass against the literal Q20 loadings (the centering term is a
+    * scalar constant folded driver-side). Every step is exact-integer
+    * or order-fixed IEEE, so the DuckDB oracle replays the WHOLE
+    * pipeline — moments, centering, 12 unrolled CTE rounds, scoring —
+    * to the bit.
+    */
+  val embPca: Op = Op(
+    "emb_pca",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      // one corpus pass: S (4096), sums (64), n (1) in a single fold
+      val agg = e.select(col("embedding")).rdd
+        .treeAggregate(new Array[Long](4096 + 64 + 1))(
+          (acc, row) => {
+            val emb = row.getSeq[Float](0)
+            val q = new Array[Long](64)
+            var i = 0
+            while (i < 64) {
+              q(i) = math.floor(emb(i).toDouble * 1e6 + 0.5).toLong
+              i += 1
+            }
+            i = 0
+            while (i < 64) {
+              val qi = q(i)
+              val base = i * 64
+              var j = 0
+              while (j < 64) { acc(base + j) += qi * q(j); j += 1 }
+              acc(4096 + i) += qi
+              i += 1
+            }
+            acc(4160) += 1L
+            acc
+          },
+          (a, b) => {
+            var k = 0
+            while (k < 4161) { a(k) += b(k); k += 1 }
+            a
+          })
+      val n = agg(4160)
+      val sums = java.util.Arrays.copyOfRange(agg, 4096, 4160)
+      val v = pcaPowerLoop(java.util.Arrays.copyOf(agg, 4096), sums, n)
+      val m = sums.map(si => math.floor(si.toDouble / n + 0.5).toLong)
+      val c0 = (0 until 64).map(i => m(i) * v(i)).sum
+      // map-only scoring: pc1_q = Σ (q_i - m_i)·v_i = proj_micros - c0
+      val pc1q = projMicros(col("embedding"),
+        typedlit(v.toIndexedSeq)) - lit(c0)
+      e.select(col("vec_id"), pc1q.as("pc1_q"),
+          (pc1q.cast("double") / lit(1048576.0) / lit(1000000.0)).as("pc1"))
+        .orderBy(col("vec_id"))
+    },
+    Some(sqlPca))
+
+  /** E8's DuckDB twin: the full replay — moments, exact centering,
+    * [[PcaRounds]] unrolled power-iteration rounds, scoring. Every CTE
+    * is MATERIALIZED (the C18/C14 oracle discipline): each round
+    * references its predecessor more than once, so inlining would
+    * expand the chain 2^rounds-fold — the planner blowup (and parquet
+    * handle explosion) the hint exists to prevent.
+    */
+  private def sqlPca: String = {
+    val rounds = (1 to PcaRounds).map { r =>
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""w$r AS MATERIALIZED (
+             SELECT cs.i, CAST(sum(cs.c * $prev.v) AS BIGINT) AS w
+             FROM cs JOIN $prev ON cs.j = $prev.i GROUP BY cs.i),
+      wq$r AS MATERIALIZED (SELECT i, w // 16777216 AS wq FROM w$r),
+      n2$r AS MATERIALIZED (
+             SELECT CAST(sum(wq*wq) AS BIGINT) AS n2 FROM wq$r),
+      v$r AS MATERIALIZED (
+              SELECT i, CAST(floor(CAST(wq AS DOUBLE) * 1048576.0 /
+                sqrt(CAST(greatest(n2, 1) AS DOUBLE)) + 0.5) AS BIGINT) AS v
+              FROM wq$r CROSS JOIN n2$r)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH xq AS MATERIALIZED (
+        SELECT vec_id, ix,
+               CAST(floor(CAST(embedding[ix] AS DOUBLE)*1000000 + 0.5)
+                 AS BIGINT) AS q
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS ix
+              FROM embeddings) t),
+      cnt AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
+      sm AS MATERIALIZED (
+             SELECT ix, CAST(sum(q) AS BIGINT) AS s FROM xq GROUP BY ix),
+      mm AS MATERIALIZED (
+             SELECT ix, CAST(floor(CAST(s AS DOUBLE)/n + 0.5) AS BIGINT) AS m
+             FROM sm CROSS JOIN cnt),
+      sp AS MATERIALIZED (
+             SELECT a.ix AS i, b.ix AS j, CAST(sum(a.q*b.q) AS BIGINT) AS sp
+             FROM xq a JOIN xq b USING (vec_id) GROUP BY a.ix, b.ix),
+      cs AS MATERIALIZED (
+             SELECT sp.i, sp.j,
+                    (sp.sp - ma.m*sb.s - mb.m*sa.s + n*ma.m*mb.m)
+                      // (n * 65536) AS c
+             FROM sp
+             JOIN mm ma ON ma.ix = sp.i JOIN mm mb ON mb.ix = sp.j
+             JOIN sm sa ON sa.ix = sp.i JOIN sm sb ON sb.ix = sp.j
+             CROSS JOIN cnt),
+      v0 AS MATERIALIZED (SELECT ix AS i, CAST(1048576 AS BIGINT) AS v
+             FROM (SELECT unnest(generate_series(1, 64)) AS ix)),
+      $rounds,
+      cx AS MATERIALIZED (
+             SELECT xq.vec_id, xq.ix, xq.q - mm.m AS cx
+             FROM xq JOIN mm USING (ix))
+      SELECT vec_id, pc1_q,
+             CAST(pc1_q AS DOUBLE) / 1048576.0 / 1000000.0 AS pc1
+      FROM (SELECT cx.vec_id,
+                   CAST(sum(cx.cx * v$PcaRounds.v) AS BIGINT) AS pc1_q
+            FROM cx JOIN v$PcaRounds ON cx.ix = v$PcaRounds.i
+            GROUP BY cx.vec_id) z
+      ORDER BY vec_id"""
+  }
+
+  val all: Seq[Op] = Seq(embCentroids, embQuantize, embOutliers, embPca)
 }

@@ -224,6 +224,41 @@ class PipelineSpec extends SparkSpec {
     assert(p.contains("topk_min"), "bounded-heap aggregate expected in plan")
   }
 
+  test("emb_pca: planted dominant direction recovered, scores centered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca").toString
+    val rnd = new scala.util.Random(7)
+    // unit-ish direction u; vectors t·u + small isotropic noise — the
+    // top PC must align with u and pc1 must recover t (up to sign)
+    val u = Array.fill(64)(rnd.nextDouble() * 2 - 1)
+    val un = math.sqrt(u.map(x => x * x).sum)
+    val rows = (0 until 80).map { k =>
+      val t = (k - 40) / 40.0
+      val emb = u.map(x => (t * x / un +
+        (rnd.nextDouble() * 2 - 1) * 0.03).toFloat)
+      (k.toLong, emb, k % 4)
+    }
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = run("emb_pca", dir).collect()
+    assert(out.length == 80)
+    val t = (0 until 80).map(k => (k - 40) / 40.0)
+    val p = out.sortBy(_.getAs[Long]("vec_id")).map(_.getAs[Double]("pc1"))
+    val (mt, mp) = (t.sum / 80, p.sum / 80)
+    val cov = t.zip(p).map { case (a, b) => (a - mt) * (b - mp) }.sum
+    val corr = cov / math.sqrt(t.map(a => (a - mt) * (a - mt)).sum *
+      p.map(b => (b - mp) * (b - mp)).sum)
+    assert(math.abs(corr) > 0.995,
+      s"pc1 must recover the planted coefficient, |corr|=${math.abs(corr)}")
+    // centered scores: the mean projection is ~0 (integer-mean rounding
+    // leaves at most half a micro per dim)
+    assert(math.abs(mp) < 1e-3, s"scores must be centered, mean=$mp")
+    // exact-integer consistency between pc1_q and pc1
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("pc1") -
+        r.getAs[Long]("pc1_q").toDouble / 1048576.0 / 1000000.0) < 1e-15)
+    }
+  }
+
   test("emb_centroids: 64 dims per label, centroid = mean of quantized values") {
     val out = run("emb_centroids").collect()
     val dims = out.groupBy(_.getAs[Long]("label")).view.mapValues(_.length)
