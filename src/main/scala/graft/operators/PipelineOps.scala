@@ -686,6 +686,56 @@ object PipelineOps {
       ${graft.functions.Bpe.sqlWordLenCte("documents", "lower(text)")},
       ${graft.functions.Bpe.sqlDocCountCtes("documents", "lower(text)")},""")))
 
+  /** G10c — TEMPERATURE-scaled mixture planning: the weights derive
+    * from the corpus itself as n_tokens^(1/T) with T = 2 — the
+    * standard multilingual/multi-source temperature trick (sampling
+    * ∝ size flattens nothing, T → ∞ is uniform; T = 2 is the common
+    * compromise that keeps small sources visible without drowning the
+    * head). T = 2 is also the one temperature with an ENGINE-EXACT
+    * portable form: n^(1/2) is IEEE sqrt (correctly rounded, unlike
+    * pow/exp), floored to an integer weight, after which the budget
+    * arithmetic is G10's exact milli-epoch integer division
+    * unchanged. The is_upsampled flag is the point: under temperature
+    * the tail sources systematically exceed one epoch — the
+    * over-stretch warning a proportional mixture never trips.
+    */
+  val mixturePlanTemp: Op = Op(
+    "mixture_plan_temp",
+    (s, d) => {
+      val perSrc = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(trim(lower(col("text"))), "\\s+")).cast(LongType)
+            .as("nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .withColumn("weight",
+          greatest(floor(sqrt(col("n_tokens").cast("double")))
+            .cast(LongType), lit(1L)))
+      val tot = perSrc.agg(sum(col("n_tokens")).as("tot_tokens"),
+        sum(col("weight")).as("tot_weight"))
+      perSrc.crossJoin(broadcast(tot))
+        .withColumn("target_tokens",
+          expr("tot_tokens * weight div tot_weight"))
+        .withColumn("epochs_milli",
+          expr("(target_tokens div greatest(n_tokens, 1)) * 1000 + " +
+            "((target_tokens % greatest(n_tokens, 1)) * 1000) " +
+            "div greatest(n_tokens, 1)"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+          col("target_tokens"), col("epochs_milli"),
+          (col("epochs_milli") > 1000L).as("is_upsampled"))
+        .orderBy(col("source"))
+    },
+    Some(mixtureSql(
+      """SELECT source, count(*) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(trim(lower(text), ' '),
+                 '\s+'))) AS BIGINT) AS n_tokens,
+               greatest(CAST(floor(sqrt(CAST(sum(len(
+                 regexp_split_to_array(trim(lower(text), ' '), '\s+')))
+                 AS DOUBLE))) AS BIGINT), 1) AS weight
+        FROM documents
+        GROUP BY source""",
+      prefix = "WITH")))
+
   /** G11 — per-domain frequency capping: keep at most ceil(√n_s)
     * documents from each source s, chosen by a deterministic hash
     * priority — the RefinedWeb/FineWeb-style guard against any single
@@ -754,5 +804,5 @@ object PipelineOps {
     joinAsof, joinRange, sampleStratified, qualityFilter,
     qualityFilterExtracted, eventsRetention, eventsFunnel, sampleWeighted,
     eventsAnomaly, docPack, docPackBpe, mixturePlan, mixturePlanBpe,
-    sampleDomainCap)
+    mixturePlanTemp, sampleDomainCap)
 }

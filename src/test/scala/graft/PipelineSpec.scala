@@ -190,6 +190,33 @@ class PipelineSpec extends SparkSpec {
     assert(s > 0, "sf0.001 has signups")
   }
 
+  test("mixture_plan_temp: temperature flattens a skewed mixture, tail upsampled") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_temp").toString
+    val long = (1 to 100).map(i => s"w$i").mkString(" ")
+    val docs = (0L until 50L).map(i => (i, long, "en", "big.com", 0L)) :+
+      ((50L, "just five short tokens here", "en", "tiny.org", 0L))
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = run("mixture_plan_temp", dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val (big, tiny) = (rows("big.com"), rows("tiny.org"))
+    assert(big.getAs[Long]("weight") ==
+      math.floor(math.sqrt(big.getAs[Long]("n_tokens").toDouble)).toLong)
+    // temperature share vs proportional share: the tail source's budget
+    // fraction must EXCEED its token fraction (that's what T=2 is for)
+    val totTok = big.getAs[Long]("n_tokens") + tiny.getAs[Long]("n_tokens")
+    val tempShare = tiny.getAs[Long]("target_tokens").toDouble /
+      (big.getAs[Long]("target_tokens") + tiny.getAs[Long]("target_tokens"))
+    val propShare = tiny.getAs[Long]("n_tokens").toDouble / totTok
+    assert(tempShare > 2 * propShare,
+      s"temperature must flatten: temp=$tempShare prop=$propShare")
+    // flattening means the tail runs >1 epoch — the upsampling warning
+    assert(tiny.getAs[Boolean]("is_upsampled"))
+    assert(tiny.getAs[Long]("epochs_milli") > 1000L)
+    assert(!big.getAs[Boolean]("is_upsampled"))
+  }
+
   test("sample_domain_cap: sqrt caps enforced exactly on a skewed corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft_domcap").toString
     // 100 docs from a dominant host, 4 from a small one, 1 singleton —
