@@ -224,7 +224,9 @@ object EmbeddingOps {
     * w = Σ_j cS·v over 64 Q20 terms ≤ 2^52; wq = w floor-div 2^24
     * ≤ 2^28, so Σ wq² ≤ 2^62.
     */
-  private[graft] def pcaPowerLoop(
+  /** The n-scaled centered covariance in cS units (C floor-div n·2^16,
+    * where "floor-div" is the JVM's truncating `/` ≡ DuckDB `//`). */
+  private def pcaMatrix(
       S: Array[Long], s: Array[Long], n: Long): Array[Long] = {
     val m = s.map(si => math.floor(si.toDouble / n + 0.5).toLong)
     val cS = new Array[Long](64 * 64)
@@ -238,10 +240,17 @@ object EmbeddingOps {
       }
       i += 1
     }
+    cS
+  }
+
+  /** [[PcaRounds]] square-and-shift power rounds over an explicit matrix
+    * (the deflation path feeds deflated matrices through the SAME loop).
+    */
+  private[graft] def powerRounds(cS: Array[Long]): Array[Long] = {
     var v = Array.fill(64)(1048576L) // Q20 all-ones start
     for (_ <- 0 until PcaRounds) {
       val wq = new Array[Long](64)
-      i = 0
+      var i = 0
       while (i < 64) {
         var w = 0L
         var j = 0
@@ -256,6 +265,54 @@ object EmbeddingOps {
       v = wq.map(x => math.floor(x.toDouble * 1048576.0 / norm + 0.5).toLong)
     }
     v
+  }
+
+  private[graft] def pcaPowerLoop(
+      S: Array[Long], s: Array[Long], n: Long): Array[Long] =
+    powerRounds(pcaMatrix(S, s, n))
+
+  /** Rayleigh eigenvalue (in cS units) of `v` under `cS`, plus the
+    * deflated matrix cS - λ·(v vᵀ)/(vᵀv) — exactly the arithmetic the
+    * oracle's deflation CTEs replay. The quadratic form vᵀcSv would
+    * overflow a long (≤2^72), so each term w_i·v_i is taken in DOUBLE
+    * (IEEE multiply is correctly rounded — deterministic in any
+    * engine), scaled down by 2^30 and floored to a long BEFORE the
+    * exact integer sum, keeping the aggregate order-insensitive.
+    */
+  private[graft] def pcaDeflate(
+      cS: Array[Long], v: Array[Long]): (Double, Array[Long]) = {
+    val w = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      var acc = 0L
+      var j = 0
+      while (j < 64) { acc += cS(i * 64 + j) * v(j); j += 1 }
+      w(i) = acc
+      i += 1
+    }
+    var num2 = 0L
+    var den2 = 0L
+    i = 0
+    while (i < 64) {
+      num2 += math.floor(w(i).toDouble * v(i).toDouble / 1073741824.0 + 0.5)
+        .toLong
+      den2 += v(i) * v(i)
+      i += 1
+    }
+    val lam = num2.toDouble * 1073741824.0 / den2.toDouble
+    val out = new Array[Long](64 * 64)
+    i = 0
+    while (i < 64) {
+      var j = 0
+      while (j < 64) {
+        out(i * 64 + j) = cS(i * 64 + j) - math.floor(
+          (num2.toDouble * 1073741824.0 / den2.toDouble) *
+            (v(i).toDouble * v(j).toDouble) / den2.toDouble + 0.5).toLong
+        j += 1
+      }
+      i += 1
+    }
+    (lam, out)
   }
 
   /** E8 — top principal component by distributed PCA: every embedding's
@@ -282,43 +339,49 @@ object EmbeddingOps {
     * pipeline — moments, centering, 12 unrolled CTE rounds, scoring —
     * to the bit.
     */
+  /** ONE corpus pass folding S (4096 raw second moments), per-dim sums
+    * (64) and the count into a single treeAggregate partial. */
+  private def pcaMoments(
+      e: org.apache.spark.sql.DataFrame): (Array[Long], Array[Long], Long) = {
+    val agg = e.select(col("embedding")).rdd
+      .treeAggregate(new Array[Long](4096 + 64 + 1))(
+        (acc, row) => {
+          val emb = row.getSeq[Float](0)
+          val q = new Array[Long](64)
+          var i = 0
+          while (i < 64) {
+            q(i) = math.floor(emb(i).toDouble * 1e6 + 0.5).toLong
+            i += 1
+          }
+          i = 0
+          while (i < 64) {
+            val qi = q(i)
+            val base = i * 64
+            var j = 0
+            while (j < 64) { acc(base + j) += qi * q(j); j += 1 }
+            acc(4096 + i) += qi
+            i += 1
+          }
+          acc(4160) += 1L
+          acc
+        },
+        (a, b) => {
+          var k = 0
+          while (k < 4161) { a(k) += b(k); k += 1 }
+          a
+        })
+    (java.util.Arrays.copyOf(agg, 4096),
+      java.util.Arrays.copyOfRange(agg, 4096, 4160), agg(4160))
+  }
+
   val embPca: Op = Op(
     "emb_pca",
     (s, d) => {
       val e = Tables.embeddings(s, d)
         .repartition(col("vec_id"))
         .select(col("vec_id"), col("embedding"))
-      // one corpus pass: S (4096), sums (64), n (1) in a single fold
-      val agg = e.select(col("embedding")).rdd
-        .treeAggregate(new Array[Long](4096 + 64 + 1))(
-          (acc, row) => {
-            val emb = row.getSeq[Float](0)
-            val q = new Array[Long](64)
-            var i = 0
-            while (i < 64) {
-              q(i) = math.floor(emb(i).toDouble * 1e6 + 0.5).toLong
-              i += 1
-            }
-            i = 0
-            while (i < 64) {
-              val qi = q(i)
-              val base = i * 64
-              var j = 0
-              while (j < 64) { acc(base + j) += qi * q(j); j += 1 }
-              acc(4096 + i) += qi
-              i += 1
-            }
-            acc(4160) += 1L
-            acc
-          },
-          (a, b) => {
-            var k = 0
-            while (k < 4161) { a(k) += b(k); k += 1 }
-            a
-          })
-      val n = agg(4160)
-      val sums = java.util.Arrays.copyOfRange(agg, 4096, 4160)
-      val v = pcaPowerLoop(java.util.Arrays.copyOf(agg, 4096), sums, n)
+      val (mS, sums, n) = pcaMoments(e)
+      val v = pcaPowerLoop(mS, sums, n)
       val m = sums.map(si => math.floor(si.toDouble / n + 0.5).toLong)
       val c0 = (0 until 64).map(i => m(i) * v(i)).sum
       // map-only scoring: pc1_q = Σ (q_i - m_i)·v_i = proj_micros - c0
@@ -391,5 +454,152 @@ object EmbeddingOps {
       ORDER BY vec_id"""
   }
 
-  val all: Seq[Op] = Seq(embCentroids, embQuantize, embOutliers, embPca)
+  /** E9 component count: top-3 captures the whitening use case without
+    * an oracle the size of a phone book (each component is 12
+    * materialized CTE rounds + a deflation block).
+    */
+  private val WhitenK = 3
+
+  /** E9 — PCA WHITENING coordinates: each embedding's projections onto
+    * the top-[[WhitenK]] principal components (via eigenvalue deflation
+    * of E8's integer power iteration) plus the variance-normalized
+    * whitened coordinates z_c = pc_c/√λ_c — the standard preprocessing
+    * before semantic dedup (SemDeDup whitens before cosine), diversity
+    * scoring, or low-rank drift analysis. Same scale shape as E8: ONE
+    * treeAggregate corpus pass, all K model loops driver-side
+    * (deflation is 64×64 arithmetic), scoring K map-only codegen'd
+    * projections in a single select. The oracle replays everything —
+    * K×12 unrolled rounds, the exact deflation algebra, the λ-derived
+    * scale factors — bit-for-bit.
+    */
+  val embWhiten: Op = Op(
+    "emb_whiten",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val (mS, sums, n) = pcaMoments(e)
+      val m = sums.map(si => math.floor(si.toDouble / n + 0.5).toLong)
+      var mat = pcaMatrix(mS, sums, n)
+      val comps = (0 until WhitenK).map { _ =>
+        val v = powerRounds(mat)
+        val (lam, next) = pcaDeflate(mat, v)
+        mat = next
+        (v, lam)
+      }
+      val cols = comps.zipWithIndex.flatMap { case ((v, lam), ci) =>
+        val c = ci + 1
+        val c0 = (0 until 64).map(i => m(i) * v(i)).sum
+        val q = projMicros(col("embedding"), typedlit(v.toIndexedSeq)) -
+          lit(c0)
+        val pc = q.cast("double") / lit(1048576.0) / lit(1000000.0)
+        // λ is in cS units; variance per vector is λ·2^16 micros², so
+        // the per-component standard deviation in ORIGINAL units is
+        // √(λ·65536)/1e6 — guarded for a deflated-away spectrum
+        val sd = math.sqrt(math.max(lam, 1e-12) * 65536.0) / 1000000.0
+        Seq(pc.as(s"pc$c"), (pc / lit(sd)).as(s"z$c"))
+      }
+      e.select(col("vec_id") +: cols: _*).orderBy(col("vec_id"))
+    },
+    Some(sqlWhiten))
+
+  /** E9's DuckDB twin (all CTEs MATERIALIZED — see [[sqlPca]]). */
+  private def sqlWhiten: String = {
+    def roundsFor(cs: String, p: String): String =
+      (1 to PcaRounds).map { r =>
+        val prev = s"$p${r - 1}"
+        s"""${p}w$r AS MATERIALIZED (
+             SELECT $cs.i, CAST(sum($cs.c * $prev.v) AS BIGINT) AS w
+             FROM $cs JOIN $prev ON $cs.j = $prev.i GROUP BY $cs.i),
+      ${p}wq$r AS MATERIALIZED (SELECT i, w // 16777216 AS wq FROM ${p}w$r),
+      ${p}n2$r AS MATERIALIZED (
+             SELECT CAST(sum(wq*wq) AS BIGINT) AS n2 FROM ${p}wq$r),
+      $p$r AS MATERIALIZED (
+              SELECT i, CAST(floor(CAST(wq AS DOUBLE) * 1048576.0 /
+                sqrt(CAST(greatest(n2, 1) AS DOUBLE)) + 0.5) AS BIGINT) AS v
+              FROM ${p}wq$r CROSS JOIN ${p}n2$r)"""
+      }.mkString(",\n      ")
+    val comps = (1 to WhitenK).map { c =>
+      val cs = s"cs$c"
+      val vf = s"u${c}_$PcaRounds"
+      val deflate = if (c < WhitenK)
+        s""",
+      cs${c + 1} AS MATERIALIZED (
+             SELECT a.i, a.j,
+                    a.c - CAST(floor(
+                      (CAST(num2 AS DOUBLE) * 1073741824.0 /
+                        CAST(den2 AS DOUBLE)) *
+                      (CAST(va.v AS DOUBLE) * CAST(vb.v AS DOUBLE)) /
+                      CAST(den2 AS DOUBLE) + 0.5) AS BIGINT) AS c
+             FROM $cs a
+             JOIN $vf va ON va.i = a.i JOIN $vf vb ON vb.i = a.j
+             CROSS JOIN num$c CROSS JOIN den$c)"""
+      else ""
+      s"""u${c}_0 AS MATERIALIZED (
+             SELECT ix AS i, CAST(1048576 AS BIGINT) AS v
+             FROM (SELECT unnest(generate_series(1, 64)) AS ix)),
+      ${roundsFor(cs, s"u${c}_")},
+      wl$c AS MATERIALIZED (
+             SELECT $cs.i, CAST(sum($cs.c * v.v) AS BIGINT) AS w
+             FROM $cs JOIN $vf v ON $cs.j = v.i GROUP BY $cs.i),
+      num$c AS MATERIALIZED (
+             SELECT CAST(sum(CAST(floor(CAST(w.w AS DOUBLE) *
+               CAST(v.v AS DOUBLE) / 1073741824.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS num2
+             FROM wl$c w JOIN $vf v ON w.i = v.i),
+      den$c AS MATERIALIZED (
+             SELECT CAST(sum(v*v) AS BIGINT) AS den2 FROM $vf),
+      p$c AS MATERIALIZED (
+             SELECT cx.vec_id, CAST(sum(cx.cx * v.v) AS BIGINT) AS q
+             FROM cx JOIN $vf v ON cx.ix = v.i GROUP BY cx.vec_id)$deflate"""
+    }.mkString(",\n      ")
+    val outCols = (1 to WhitenK).map { c =>
+      val pc = s"CAST(p$c.q AS DOUBLE)/1048576.0/1000000.0"
+      val lam = s"CAST(num$c.num2 AS DOUBLE) * 1073741824.0 / " +
+        s"CAST(den$c.den2 AS DOUBLE)"
+      s"""$pc AS pc$c,
+             ($pc) / (sqrt(greatest($lam, 1e-12) * 65536.0) / 1000000.0)
+               AS z$c"""
+    }.mkString(",\n             ")
+    val joins = (2 to WhitenK).map(c => s"JOIN p$c USING (vec_id)")
+      .mkString(" ")
+    val crosses = (1 to WhitenK)
+      .map(c => s"CROSS JOIN num$c CROSS JOIN den$c").mkString(" ")
+    s"""
+      WITH xq AS MATERIALIZED (
+        SELECT vec_id, ix,
+               CAST(floor(CAST(embedding[ix] AS DOUBLE)*1000000 + 0.5)
+                 AS BIGINT) AS q
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS ix
+              FROM embeddings) t),
+      cnt AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
+      sm AS MATERIALIZED (
+             SELECT ix, CAST(sum(q) AS BIGINT) AS s FROM xq GROUP BY ix),
+      mm AS MATERIALIZED (
+             SELECT ix, CAST(floor(CAST(s AS DOUBLE)/n + 0.5) AS BIGINT) AS m
+             FROM sm CROSS JOIN cnt),
+      sp AS MATERIALIZED (
+             SELECT a.ix AS i, b.ix AS j, CAST(sum(a.q*b.q) AS BIGINT) AS sp
+             FROM xq a JOIN xq b USING (vec_id) GROUP BY a.ix, b.ix),
+      cs1 AS MATERIALIZED (
+             SELECT sp.i, sp.j,
+                    (sp.sp - ma.m*sb.s - mb.m*sa.s + n*ma.m*mb.m)
+                      // (n * 65536) AS c
+             FROM sp
+             JOIN mm ma ON ma.ix = sp.i JOIN mm mb ON mb.ix = sp.j
+             JOIN sm sa ON sa.ix = sp.i JOIN sm sb ON sb.ix = sp.j
+             CROSS JOIN cnt),
+      cx AS MATERIALIZED (
+             SELECT xq.vec_id, xq.ix, xq.q - mm.m AS cx
+             FROM xq JOIN mm USING (ix)),
+      $comps
+      SELECT p1.vec_id,
+             $outCols
+      FROM p1 $joins $crosses
+      ORDER BY p1.vec_id"""
+  }
+
+  val all: Seq[Op] =
+    Seq(embCentroids, embQuantize, embOutliers, embPca, embWhiten)
 }

@@ -286,6 +286,53 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("emb_whiten: two planted directions split across pc1/pc2, z-scores unit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_whiten").toString
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Double] = {
+      val u = Array.fill(64)(rnd.nextDouble() * 2 - 1)
+      val n = math.sqrt(u.map(x => x * x).sum)
+      u.map(_ / n)
+    }
+    val u1 = unit()
+    // gram-schmidt the second direction against the first
+    val raw2 = unit()
+    val d12 = raw2.zip(u1).map { case (a, b) => a * b }.sum
+    val u2p = raw2.zip(u1).map { case (a, b) => a - d12 * b }
+    val n2n = math.sqrt(u2p.map(x => x * x).sum)
+    val u2 = u2p.map(_ / n2n)
+    val (t1s, t2s) = ((0 until 120).map(_ => rnd.nextDouble() * 2 - 1),
+      (0 until 120).map(_ => (rnd.nextDouble() * 2 - 1) * 0.4))
+    val rows = (0 until 120).map { k =>
+      val emb = (0 until 64).map(i => (t1s(k) * u1(i) + t2s(k) * u2(i) +
+        (rnd.nextDouble() * 2 - 1) * 0.01).toFloat).toArray
+      (k.toLong, emb, k % 4)
+    }
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = run("emb_whiten", dir).collect().sortBy(_.getAs[Long]("vec_id"))
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val (ma, mb) = (a.sum / a.length, b.sum / b.length)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      cov / math.sqrt(a.map(x => (x - ma) * (x - ma)).sum *
+        b.map(y => (y - mb) * (y - mb)).sum)
+    }
+    val pc1 = out.map(_.getAs[Double]("pc1")).toSeq
+    val pc2 = out.map(_.getAs[Double]("pc2")).toSeq
+    assert(math.abs(corr(pc1, t1s.map(identity))) > 0.99,
+      "pc1 must recover the dominant planted coefficient")
+    assert(math.abs(corr(pc2, t2s.map(identity))) > 0.95,
+      "pc2 must recover the deflated second direction")
+    assert(math.abs(corr(pc1, pc2)) < 0.15, "components near-orthogonal")
+    // whitening: z-scores carry ~unit sample variance per component
+    Seq("z1", "z2").foreach { zc =>
+      val z = out.map(_.getAs[Double](zc))
+      val mz = z.sum / z.length
+      val vz = z.map(x => (x - mz) * (x - mz)).sum / z.length
+      assert(vz > 0.7 && vz < 1.3, s"$zc variance $vz must be ~1")
+    }
+  }
+
   test("emb_centroids: 64 dims per label, centroid = mean of quantized values") {
     val out = run("emb_centroids").collect()
     val dims = out.groupBy(_.getAs[Long]("label")).view.mapValues(_.length)
