@@ -1122,9 +1122,98 @@ object TextOps {
             GROUP BY d.doc_id) z
       ORDER BY doc_id"""))
 
+  /** C19b — bigram LM scoring against a HELD-OUT reference model: the
+    * LM trains on the even-doc_id half of the corpus and scores EVERY
+    * document with add-one smoothing — the actual CCNet deployment
+    * shape (perplexity under a reference-corpus LM, not self-scoring),
+    * where an out-of-domain document pays for bigrams the reference
+    * never saw. Smoothed conditional: p(w2|w1) = (c+1)/(c_prefix+V)
+    * with V = the reference's continuation vocabulary — so
+    * bits = log2((c_prefix+V)/(c+1)), num ≥ den by c ≤ c_prefix and
+    * V ≥ 1, [[graft.functions.FixedLog]] exact as in C19. Unseen
+    * prefixes degrade to log2(V) — the uniform-over-vocabulary prior.
+    *
+    * Same scale shape as C19 (per-doc bigram counts first, model sized
+    * by the reference's distinct bigrams, AQE on the Zipf head); the
+    * held-out split is a deterministic doc_id parity so both engines
+    * and any rerun agree on membership, and is_ref rides in the output
+    * so downstream gates can exclude training docs.
+    */
+  val lmBigramRef: Op = Op(
+    "lm_bigram_ref",
+    (s, d) => {
+      val tokd = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("tok"))
+        .filter(size(col("tok")) >= 2)
+      val docbg = Caches.persist(tokd
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tok)-1), i -> " +
+            "named_struct('w1', element_at(tok, i), 'w2', element_at(tok, i+1)))"))
+          .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(count(lit(1)).as("c")))
+      val bgRef = Caches.persist(docbg
+        .filter(col("doc_id") % 2 === 0)
+        .groupBy("w1", "w2").agg(sum(col("c")).as("cnt")))
+      val unRef = bgRef.groupBy("w1").agg(sum(col("cnt")).as("ucnt"))
+      val vocab = bgRef.select(countDistinct(col("w2")).as("v"))
+      val scored = docbg
+        .join(bgRef, Seq("w1", "w2"), "left")
+        .join(unRef, Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), col("c"),
+          graft.functions.FixedLog.bitsQ16(
+            coalesce(col("ucnt"), lit(0L)) + col("v"),
+            coalesce(col("cnt"), lit(0L)) + lit(1L)).as("bits_q16"))
+      scored.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          sum(col("c") * col("bits_q16")).as("sum_bits_q16"))
+        .select(col("doc_id"), (col("doc_id") % 2 === 0).as("is_ref"),
+          col("n_bigrams"), col("sum_bits_q16"),
+          (col("sum_bits_q16").cast("double") / col("n_bigrams") / lit(65536.0))
+            .as("mean_bits"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH tokd AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS tok
+        FROM documents),
+      docbg AS MATERIALIZED (
+        SELECT doc_id, w1, w2, count(*) AS c
+        FROM (SELECT doc_id, tok[i] AS w1, tok[i+1] AS w2
+              FROM (SELECT doc_id, tok,
+                           unnest(generate_series(1, len(tok)-1)) AS i
+                    FROM tokd WHERE len(tok) >= 2) x) y
+        GROUP BY doc_id, w1, w2),
+      bgref AS MATERIALIZED (
+        SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cnt
+        FROM docbg WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+      unref AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ucnt
+                FROM bgref GROUP BY w1),
+      voc AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bgref),
+      lgsrc AS (
+        SELECT d.doc_id, d.c,
+               coalesce(u.ucnt, 0) + voc.v AS sm_num,
+               coalesce(b.cnt, 0) + 1 AS sm_den
+        FROM docbg d
+        LEFT JOIN bgref b ON d.w1 = b.w1 AND d.w2 = b.w2
+        LEFT JOIN unref u ON d.w1 = u.w1
+        CROSS JOIN voc),
+      ${graft.functions.FixedLog.sqlRounds(
+        "lgsrc", Seq("doc_id", "c"), "sm_num", "sm_den", "lg")}
+      SELECT doc_id, doc_id % 2 = 0 AS is_ref, n_bigrams, sum_bits_q16,
+             CAST(sum_bits_q16 AS DOUBLE) / n_bigrams / 65536.0 AS mean_bits
+      FROM (SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   CAST(sum(c * bits_q16) AS BIGINT) AS sum_bits_q16
+            FROM lg GROUP BY doc_id) z
+      ORDER BY doc_id"""))
+
   val all: Seq[Op] = Seq(
     textTokenCount, textQuality, textLangid, textFingerprint, textNgramFreq,
     textDocFreq, textCharNgrams, textRepetition, textBm25, textVocabCoverage,
     textRarity, textBpeCount, textBpeVocab, textBpeTrain, textBpeCountLearned,
-    textExtract, textPiiRedact, qualityClassifier, lmBigram)
+    textExtract, textPiiRedact, qualityClassifier, lmBigram, lmBigramRef)
 }

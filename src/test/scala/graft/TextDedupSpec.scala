@@ -501,6 +501,38 @@ class TextDedupSpec extends SparkSpec {
     assert(fluentBits > 0.0)
   }
 
+  test("lm_bigram_ref: out-of-domain docs pay for unseen bigrams") {
+    val dir = Files.createTempDirectory("graft_lmref").toString
+    // even ids (the training half) share one fluent phrasebook; doc 11
+    // is odd (scored only) and in-domain, doc 13 is odd and alien
+    val fluent = "the cat sat on the mat and the dog sat on the rug"
+    val alien = "zx qv wp zx qv wp zx qv wp zx qv wp"
+    val docs = (0L until 10L).map(i =>
+      (i, fluent, "en", s"s$i", 0L)) ++ Seq(
+      (11L, fluent, "en", "s11", 0L),
+      (13L, alien, "en", "s13", 0L))
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = run("lm_bigram_ref", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Boolean]("is_ref"))
+    assert(!out(11L).getAs[Boolean]("is_ref"))
+    val inDomain = out(11L).getAs[Double]("mean_bits")
+    val outDomain = out(13L).getAs[Double]("mean_bits")
+    assert(outDomain > inDomain + 1.0,
+      s"alien doc $outDomain must exceed in-domain $inDomain")
+    // every alien bigram has an unseen prefix, so it prices EXACTLY at
+    // the uniform prior log2(V/(0+1)); the fluent reference has V = 8
+    // continuations (cat sat on the mat and dog rug) → exactly 3 bits
+    assert(outDomain == 3.0, s"unseen-prefix floor must be log2(8)=$outDomain")
+    assert(inDomain > 0.0)
+    // in-domain odd doc scores exactly like its even twins (same
+    // bigrams, same model)
+    assert(out(11L).getAs[Long]("sum_bits_q16") ==
+      out(0L).getAs[Long]("sum_bits_q16"))
+  }
+
   test("lm_bigram: every doc with >=2 tokens scored, bits internally consistent") {
     val rows = run("lm_bigram").collect()
     assert(rows.nonEmpty)
