@@ -381,6 +381,52 @@ class StreamingSpec extends SparkSpec {
       "evicted bucket must not pair a late duplicate")
   }
 
+  test("domain-cap stream: quota holds across batches, windows reset, state evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.DomainCapStream
+    import graft.streaming.DomainCapStream.CapDoc
+
+    val src = MemoryStream[CapDoc]
+    val query = DomainCapStream.admitted(
+      src.toDS().toDF().withWatermark("ts", "10 minutes"),
+      cap = 2, windowMinutes = 60)
+      .writeStream.format("memory").queryName("dom_cap")
+      .outputMode("append").start()
+
+    // batch 1: three A docs in the 10:00 window — quota admits two,
+    // deterministically the two earliest (ts, doc_id)
+    src.addData(CapDoc(3, t("10:05"), "a.com"), CapDoc(1, t("10:01"), "a.com"),
+      CapDoc(2, t("10:03"), "a.com"))
+    query.processAllAvailable()
+    // batch 2: the counter survives the batch boundary — two more A
+    // docs in the same window are rejected; B's own quota admits
+    src.addData(CapDoc(4, t("10:20"), "a.com"), CapDoc(5, t("10:40"), "a.com"),
+      CapDoc(6, t("10:30"), "b.org"))
+    query.processAllAvailable()
+    // batch 3: a NEW window resets A's quota
+    src.addData(CapDoc(7, t("11:10"), "a.com"))
+    query.processAllAvailable()
+    // drive the watermark far past 12:00 so 10:00/11:00 counters evict,
+    // then a straggler into the evicted 11:00 window gets a FRESH quota
+    // (the documented trade of freeing state at the horizon)
+    src.addData(CapDoc(8, t("15:00"), "c.net"))
+    query.processAllAvailable()
+    src.addData(CapDoc(9, t("14:59"), "a.com"))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("dom_cap")
+      .as[DomainCapStream.Admitted].collect().sortBy(_.doc_id)
+    val byDoc = got.map(a => a.doc_id -> a).toMap
+    assert(byDoc.keySet == Set(1L, 2L, 6L, 7L, 8L, 9L),
+      s"admitted set wrong: ${got.toSeq}")
+    assert(byDoc(1L).seq == 1 && byDoc(2L).seq == 2,
+      "batch-1 admission follows (ts, doc_id) order")
+    assert(byDoc(7L).seq == 1, "a new window restarts the quota")
+    assert(got.count(_.source == "a.com") == 4)
+  }
+
   test("near-dup stream over the sf1 corpus: peak state obeys the eviction-horizon bound") {
     // The 100 TB claim for the streaming path: state is bounded by
     // (arrival rate x eviction horizon), NEVER corpus size. Drive the
