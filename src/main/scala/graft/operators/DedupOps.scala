@@ -875,7 +875,14 @@ object DedupOps {
     *
     * Scale shape: assignment is n·cells codegen'd dot products against
     * a BROADCAST centroid set, collapsed map-side by the max_by
-    * aggregate (id-width shuffle). Pair enumeration is cell-local with
+    * aggregate (id-width shuffle). With the √n cell dial that
+    * assignment grows as n^1.5 — fine through ~10⁷ vectors (sf100's 2M
+    * × 354 cells materializes in ~1 min at local[32]) but the known
+    * k-means-assignment wall above it; the standard deployment fixes
+    * compose here without semantic change: a two-level centroid tree
+    * (√cells coarse probes prune the centroid set per vector) or
+    * reusing E6's persisted LSH buckets as an assignment prefilter,
+    * both public-recipe refinements of the same argmax. Pair enumeration is cell-local with
     * the vectors riding in the bucket rows (one corpus-sized shuffle);
     * above ~512 mean occupancy an in-cell LSH sub-bucketing
     * ([[semSubGeometry]]) bounds the in-task quadratic, the same dial

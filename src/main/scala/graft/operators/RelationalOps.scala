@@ -842,11 +842,50 @@ object RelationalOps {
              strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS date_max
       FROM orders"""))
 
+  /** B25 — set operators: INTERSECT / EXCEPT between derived key sets
+    * (customers active in 1995 vs 1996) — the remaining ANSI set
+    * surface after B14's UNION. Spark's `intersect`/`except` plan as
+    * left-semi/left-anti joins over pre-distincted sides — exactly the
+    * shuffle shape B4/B5 pin — so the scale behavior is the semijoin
+    * story, not a new one; the oracle runs the literal SQL set
+    * operators. Cohort retention/churn counting is the pipeline use.
+    */
+  val q25SetOps: Op = Op(
+    "q25_setops",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      def active(yr: Int) =
+        o.filter(year(col("o_orderdate")) === yr).select(col("o_custkey"))
+      val a = active(1995)
+      val b = active(1996)
+      def tag(name: String, ds: org.apache.spark.sql.DataFrame) =
+        ds.agg(count(lit(1)).as("n_custs"))
+          .select(lit(name).as("set_op"), col("n_custs"))
+      tag("except_95_not_96", a.except(b))
+        .unionAll(tag("except_96_not_95", b.except(a)))
+        .unionAll(tag("intersect_95_96", a.intersect(b)))
+        .orderBy(col("set_op"))
+    },
+    Some("""
+      WITH a AS (SELECT o_custkey FROM orders
+                 WHERE year(o_orderdate) = 1995),
+      b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      SELECT set_op, n_custs FROM (
+        SELECT 'except_95_not_96' AS set_op, count(*) AS n_custs
+        FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b) x
+        UNION ALL
+        SELECT 'except_96_not_95', count(*)
+        FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a) y
+        UNION ALL
+        SELECT 'intersect_95_96', count(*)
+        FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b) z) t
+      ORDER BY set_op"""))
+
   val all: Seq[Op] = Seq(
     q1Agg, q2Pushdown, q3JoinAgg, q4Semijoin, q5Antijoin, q6StarJoin,
     q7WindowTopk, q7bTopkAgg, q8Distinct, q8bApproxDistinct, q8cKmvDistinct,
     q9Rollup, q10Topk,
     q11CaseAgg, q12DateAgg, q13StringFuncs, q14Union, q15ScalarSubquery,
     q16Sessionize, q17JsonExtract, q18RunningSum, q19OuterJoin, q20Cube,
-    q21Pivot, q22Percentile, q23MovingAvg, q24Profile)
+    q21Pivot, q22Percentile, q23MovingAvg, q24Profile, q25SetOps)
 }

@@ -198,4 +198,20 @@ class RelationalSpec extends SparkSpec {
     assert(r.head.getAs[Double]("p50") == rank(5), "p50 under value skew")
     assert(r.head.getAs[Double]("p90") == rank(9), "p90 under value skew")
   }
+
+  test("q25_setops: set algebra consistent with distinct cohort counts") {
+    import org.apache.spark.sql.functions._
+    val r = run("q25_setops").collect()
+      .map(x => x.getAs[String]("set_op") -> x.getAs[Long]("n_custs")).toMap
+    assert(r.keySet == Set("except_95_not_96", "except_96_not_95",
+      "intersect_95_96"))
+    val o = Tables.orders(spark, sf)
+    def cohort(yr: Int) = o.filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey")).distinct().count()
+    // |A| = |A\B| + |A∩B| and symmetrically — the set identity the three
+    // operators must jointly satisfy
+    assert(cohort(1995) == r("except_95_not_96") + r("intersect_95_96"))
+    assert(cohort(1996) == r("except_96_not_95") + r("intersect_95_96"))
+    assert(r("intersect_95_96") > 0, "sf0.001 has year-over-year repeaters")
+  }
 }
