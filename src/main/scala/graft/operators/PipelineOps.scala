@@ -800,9 +800,112 @@ object PipelineOps {
       FROM r JOIN c USING (source)
       ORDER BY r.doc_id"""))
 
+  /** G12 — the CURATION FUNNEL report: one row per pipeline stage
+    * (raw → G4 quality gate → D1 exact dedup → G11 domain caps) with
+    * docs in/out and surviving token mass — the attrition audit every
+    * curation run publishes, composed from the SAME stage definitions
+    * the standalone ops check (g4Verdict, the normText fingerprint
+    * min-id survivor rule, the √n cap with hash priority), so the
+    * funnel can never drift from its parts.
+    *
+    * Scale shape: ONE corpus scan projects everything downstream needs
+    * (verdict, fingerprint, token count — persisted, four consumers);
+    * exact dedup is the D1 min_by aggregate (never a window); domain
+    * caps run the G11 bounded-heap threshold on the survivor set; the
+    * four stage aggregates are 1-row frames stitched by broadcast cross
+    * joins (the dedup_report precedent).
+    */
+  val curationReport: Op = Op(
+    "curation_report",
+    (s, d) => {
+      val base = Caches.persist(Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(tokens(lower(col("text")))).cast(LongType).as("nt"),
+          (g4Verdict(col("text")) === "keep").as("kept_q"),
+          hash60(normText(col("text"))).as("fp")))
+      val q = base.filter(col("kept_q"))
+      val dd = Caches.persist(q.groupBy(col("fp"))
+        .agg(min_by(struct(col("doc_id"), col("source"), col("nt")),
+          col("doc_id")).as("s"))
+        .select(col("s.doc_id").as("doc_id"), col("s.source").as("source"),
+          col("s.nt").as("nt")))
+      val caps = Caches.persist(dd.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_source"))
+        .select(col("source"),
+          ceil(sqrt(col("n_source").cast("double"))).cast(LongType)
+            .as("cap")))
+      val maxCap = caps.agg(max(col("cap"))).collect()(0).getLong(0).toInt
+      def pri = struct(
+        hash60(concat(col("source"), lit("|"), col("doc_id"))).as("h"),
+        col("doc_id"))
+      val th = dd.select(col("source"), pri.as("p"))
+        .groupBy(col("source"))
+        .agg(topkMin(col("p"), maxCap).as("tops"))
+        .join(caps, "source")
+        .select(col("source"),
+          element_at(col("tops"), col("cap").cast("int")).as("th"))
+      val kept = dd.join(th, "source").filter(pri <= col("th"))
+      def agg1(df: DataFrame, n: String, t: String) =
+        df.agg(count(lit(1)).as(n), sum(col("nt")).as(t))
+      val a0 = agg1(base, "n0", "t0")
+      val a1 = agg1(q, "n1", "t1")
+      val a2 = agg1(dd, "n2", "t2")
+      val a3 = agg1(kept, "n3", "t3")
+      a0.select(lit("1_raw").as("stage"), col("n0").as("docs_in"),
+          col("n0").as("docs_out"), col("t0").as("tokens_out"))
+        .unionAll(a0.crossJoin(broadcast(a1))
+          .select(lit("2_quality").as("stage"), col("n0").as("docs_in"),
+            col("n1").as("docs_out"), col("t1").as("tokens_out")))
+        .unionAll(a1.crossJoin(broadcast(a2))
+          .select(lit("3_exact_dedup").as("stage"), col("n1").as("docs_in"),
+            col("n2").as("docs_out"), col("t2").as("tokens_out")))
+        .unionAll(a2.crossJoin(broadcast(a3))
+          .select(lit("4_domain_cap").as("stage"), col("n2").as("docs_in"),
+            col("n3").as("docs_out"), col("t3").as("tokens_out")))
+        .orderBy(col("stage"))
+    },
+    Some(s"""
+      WITH base AS MATERIALIZED (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(lower(text), ' '),
+                 '\\s+')) AS BIGINT) AS nt,
+               ${sqlG4Verdict("text")} = 'keep' AS kept_q,
+               ${graft.Op.xhash60(
+                 "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '))")}
+                 AS fp
+        FROM documents),
+      q AS (SELECT * FROM base WHERE kept_q),
+      dd AS MATERIALIZED (
+        SELECT doc_id, source, nt FROM (
+          SELECT q.*, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+            AS rn FROM q) x
+        WHERE rn = 1),
+      caps AS (SELECT source,
+                      CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+                        AS cap
+               FROM dd GROUP BY source),
+      rk AS (SELECT dd.*,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY ${graft.Op.xhash60(
+                        "concat(source, '|', doc_id)")}, doc_id) AS rn
+             FROM dd),
+      kept AS (SELECT rk.doc_id, rk.source, rk.nt
+               FROM rk JOIN caps USING (source) WHERE rn <= cap),
+      a0 AS (SELECT count(*) AS n0, CAST(sum(nt) AS BIGINT) AS t0 FROM base),
+      a1 AS (SELECT count(*) AS n1, CAST(sum(nt) AS BIGINT) AS t1 FROM q),
+      a2 AS (SELECT count(*) AS n2, CAST(sum(nt) AS BIGINT) AS t2 FROM dd),
+      a3 AS (SELECT count(*) AS n3, CAST(sum(nt) AS BIGINT) AS t3 FROM kept)
+      SELECT stage, docs_in, docs_out, tokens_out FROM (
+        SELECT '1_raw' AS stage, n0 AS docs_in, n0 AS docs_out,
+               t0 AS tokens_out FROM a0
+        UNION ALL SELECT '2_quality', n0, n1, t1 FROM a0, a1
+        UNION ALL SELECT '3_exact_dedup', n1, n2, t2 FROM a1, a2
+        UNION ALL SELECT '4_domain_cap', n2, n3, t3 FROM a2, a3) t
+      ORDER BY stage"""))
+
   val all: Seq[Op] = Seq(
     joinAsof, joinRange, sampleStratified, qualityFilter,
     qualityFilterExtracted, eventsRetention, eventsFunnel, sampleWeighted,
     eventsAnomaly, docPack, docPackBpe, mixturePlan, mixturePlanBpe,
-    mixturePlanTemp, sampleDomainCap)
+    mixturePlanTemp, sampleDomainCap, curationReport)
 }

@@ -190,6 +190,42 @@ class PipelineSpec extends SparkSpec {
     assert(s > 0, "sf0.001 has signups")
   }
 
+  test("curation_report: funnel chains, each planted failure drops at its stage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    val good = "the cat and the dog sat in a house of many rooms with " +
+      "a door and a window and a roof to keep the rain out today"
+    val docs =
+      // 30 quality-passing docs on one dominant domain (cap 6 of the
+      // dedup survivors), each unique
+      (0L until 30L).map(i => (i, good + s" extra$i", "en", "big.com", 0L)) ++
+        Seq(
+          (40L, "too short", "en", "x.org", 0L),          // quality drop
+          (41L, good + " extra1", "en", "x.org", 0L),     // exact dup of 1
+          (42L, good + " solo", "en", "solo.net", 0L))    // survives all
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = run("curation_report", dir).collect()
+      .map(r => r.getAs[String]("stage") -> r).toMap
+    assert(rows.keySet ==
+      Set("1_raw", "2_quality", "3_exact_dedup", "4_domain_cap"))
+    def out(st: String) = rows(st).getAs[Long]("docs_out")
+    def in(st: String) = rows(st).getAs[Long]("docs_in")
+    assert(in("1_raw") == 33L && out("1_raw") == 33L)
+    assert(out("2_quality") == 32L, "only the too-short doc fails the gate")
+    assert(out("3_exact_dedup") == 31L, "doc 41 collapses onto doc 1")
+    // dedup survivors per source: big.com 30, solo.net 1 → caps 6 + 1
+    assert(out("4_domain_cap") == 7L, "sqrt caps over the survivor set")
+    // the funnel CHAINS: each stage's docs_in is the previous docs_out
+    assert(in("2_quality") == out("1_raw"))
+    assert(in("3_exact_dedup") == out("2_quality"))
+    assert(in("4_domain_cap") == out("3_exact_dedup"))
+    // token mass never grows down the funnel
+    val toks = Seq("1_raw", "2_quality", "3_exact_dedup", "4_domain_cap")
+      .map(st => rows(st).getAs[Long]("tokens_out"))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b })
+  }
+
   test("mixture_plan_temp: temperature flattens a skewed mixture, tail upsampled") {
     val dir = java.nio.file.Files.createTempDirectory("graft_temp").toString
     val long = (1 to 100).map(i => s"w$i").mkString(" ")
