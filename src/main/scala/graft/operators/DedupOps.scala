@@ -960,8 +960,138 @@ object DedupOps {
       ORDER BY a.vec_id"""
   }
 
+  /** Bloom geometry (D12): 256 words × 63 usable bits = 16,128 bits, 3
+    * hash probes per n-gram. Sized against the ~1.4k distinct eval grams
+    * at the gate SFs so the fill ratio lands near 23% and the per-gram
+    * false-positive rate near (0.23)³ ≈ 1.2% — false positives genuinely
+    * occur in the output, which is what makes the two-stage
+    * (filter → exact verify) design load-bearing rather than decorative.
+    * Bits 0..62 only: DuckDB's `<<` range-errors at 63 where the JVM
+    * wraps, so the portable word is 63 bits wide.
+    */
+  private val BLOOM_WORDS = 256
+  private val BLOOM_BITS = BLOOM_WORDS * 63
+  private val BLOOM_K = 3
+
+  /** Probe j's bit position for gram column g: the portable md5 hash of
+    * the j-salted gram, mod the bitset width.
+    */
+  private def bloomPos(j: Int, g: Column): Column =
+    pmod(hash60(concat(lit(s"$j:"), g)), lit(BLOOM_BITS.toLong))
+
+  /** DuckDB twin of [[bloomPos]]. */
+  private def sqlBloomPos(j: Int, g: String): String =
+    s"${xhash60(s"'$j:' || $g")} % $BLOOM_BITS"
+
+  /** D12 — Bloom-filter decontamination: the FIXED-SIZE-broadcast
+    * variant of D8. D8 broadcasts the raw eval n-gram index, whose size
+    * grows with the eval suite (a full benchmark union is GBs — too big
+    * to ship to every task); the Bloom bitset is a constant-size bit
+    * array (2 KB here; ~1 GB covers 10⁹ grams at 1% FP) built ONCE from
+    * the eval side and carried into the corpus scan as a literal, so
+    * membership is 3 md5 probes + 3 array-word tests per corpus n-gram —
+    * pure map-side codegen, zero joins for the overwhelming majority of
+    * grams that miss. Only Bloom survivors (true overlaps + the ~1% false
+    * positives) reach the exact verification join against the real eval
+    * set, and the output separates the two (`n_exact_hits` vs
+    * `n_false_pos`) — the standard two-stage shape of production
+    * decontamination/URL filters (Bloom 1970; the CCNet/Dolma-family
+    * dedup filters use exactly this pre-filter-then-verify split).
+    *
+    * Spark shape: the eval bitset is a tiny aggregate collected
+    * driver-side (model-sized driver traffic — the C18/E8 precedent) and
+    * re-emitted as a 256-long literal array; the corpus n-gram stream is
+    * scanned once, filtered map-only, and only the rare survivors join
+    * the broadcast exact set. At 100 TB the corpus side never shuffles
+    * at all — the one aggregate runs on the (rare) verified hits.
+    */
+  val dedupBloom: Op = Op(
+    "dedup_bloom",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), "\\s+").as("tok"))
+        .filter(size(col("tok")) >= DECON_N)
+      val grams = base.select(col("doc_id"),
+        explode(ngramsFromTokens(col("tok"), DECON_N)).as("g"))
+      // persist: the eval gram set feeds the bitset build (driver
+      // collect) AND the exact-verify broadcast join
+      val evalG = Caches.persist(
+        grams.filter(col("doc_id") < EVAL_MAX).select(col("g")).distinct())
+      val words = new Array[Long](BLOOM_WORDS)
+      evalG
+        .select(explode(array((0 until BLOOM_K).map(j =>
+          bloomPos(j, col("g"))): _*)).as("pos"))
+        .select(floor(col("pos") / lit(63)).cast("int").as("w_idx"),
+          call_function("shiftleft", lit(1L),
+            (col("pos") % lit(63L)).cast("int")).as("wbit"))
+        .groupBy(col("w_idx"))
+        .agg(expr("bit_or(wbit)").as("w"))
+        .collect()
+        .foreach(r => words(r.getInt(0)) = r.getLong(1))
+      val wordsCol = typedLit(words.toSeq)
+      def member(j: Int): Column = {
+        val p = bloomPos(j, col("g"))
+        element_at(wordsCol, floor(p / lit(63)).cast("int") + 1)
+          .bitwiseAND(call_function("shiftleft", lit(1L),
+            (p % lit(63L)).cast("int"))) =!= lit(0L)
+      }
+      grams.filter(col("doc_id") >= EVAL_MAX)
+        .filter((0 until BLOOM_K).map(member).reduce(_ && _))
+        .join(broadcast(evalG.withColumn("exact", lit(1L))),
+          Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bloom_hits"),
+          sum(coalesce(col("exact"), lit(0L))).as("n_exact_hits"))
+        .select(col("doc_id"), col("n_bloom_hits"), col("n_exact_hits"),
+          (col("n_bloom_hits") - col("n_exact_hits")).as("n_false_pos"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH tokd AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS tok
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, len(tok) - ${DECON_N - 1}), i ->
+                   concat_ws(' ', ${(0 until DECON_N)
+                     .map(k => s"tok[i+$k]").mkString(", ")})))) AS g
+        FROM tokd WHERE len(tok) >= $DECON_N),
+      ev AS (SELECT DISTINCT g FROM g WHERE doc_id < $EVAL_MAX),
+      evpos AS (
+        SELECT unnest([${(0 until BLOOM_K)
+          .map(j => sqlBloomPos(j, "g")).mkString(", ")}]) AS pos
+        FROM ev),
+      words AS (
+        SELECT CAST(pos // 63 AS INT) AS w_idx,
+               bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS w
+        FROM evpos GROUP BY 1),
+      cpos AS (
+        SELECT doc_id, g,
+               unnest([${(0 until BLOOM_K)
+                 .map(j => sqlBloomPos(j, "g")).mkString(", ")}]) AS pos
+        FROM g WHERE doc_id >= $EVAL_MAX),
+      hits AS (
+        SELECT doc_id, g
+        FROM cpos JOIN words ON CAST(pos // 63 AS INT) = w_idx
+        WHERE (w & (1::BIGINT << CAST(pos % 63 AS INT))) <> 0
+        GROUP BY doc_id, g
+        HAVING count(*) = $BLOOM_K)
+      SELECT h.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bloom_hits,
+             CAST(sum(CASE WHEN e2.g IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_exact_hits,
+             CAST(count(*) - sum(CASE WHEN e2.g IS NOT NULL THEN 1 ELSE 0
+               END) AS BIGINT) AS n_false_pos
+      FROM hits h LEFT JOIN ev e2 USING (g)
+      GROUP BY h.doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[Op] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbedding, dedupClusters, dedupReport, dedupDecontaminate,
-    dedupSubstr, dedupSemantic)
+    dedupSubstr, dedupSemantic, dedupBloom)
 }

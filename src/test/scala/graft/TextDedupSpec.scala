@@ -566,4 +566,71 @@ class TextDedupSpec extends SparkSpec {
       assert(red.split("\\s+").length >= 5)
     }
   }
+
+  test("dedup_bloom: planted leak flagged exactly, Bloom never misses an " +
+      "exact overlap (no false negatives vs dedup_decontaminate)") {
+    // same planted corpus as the decontaminate test: doc 30 leaks 3 full
+    // 8-grams, doc 31 is below width, doc 32 is clean
+    val dir = Files.createTempDirectory("graft_bloom").toString
+    val evalText = (1 to 20).map(i => s"eval$i").mkString(" ")
+    val leaked = "intro words then " +
+      (5 to 14).map(i => s"eval$i").mkString(" ") + " and more after"
+    val below = "padding " + (5 to 11).map(i => s"eval$i").mkString(" ") +
+      " other tail words here to pass length"
+    val clean = (1 to 20).map(i => s"clean$i").mkString(" ")
+    spark.createDataFrame(Seq(
+        (0L, evalText, "en", "s", evalText.length.toLong),
+        (30L, leaked, "en", "s", leaked.length.toLong),
+        (31L, below, "en", "s", below.length.toLong),
+        (32L, clean, "en", "s", clean.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = run("dedup_bloom", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bloom_hits"), r.getAs[Long]("n_exact_hits"),
+          r.getAs[Long]("n_false_pos"))).toMap
+    val r30 = rows.getOrElse(30L, fail("leaked doc must be flagged"))
+    assert(r30._2 == 3L, s"3 shared 8-grams must verify exactly: $r30")
+    // Bloom guarantees one-sided error: exact hits can never be missed,
+    // and bloom >= exact on every flagged doc
+    rows.values.foreach { case (b, e, f) =>
+      assert(b >= e && f == b - e, s"hit accounting: ($b, $e, $f)")
+    }
+    assert(rows.get(31L).forall(_._2 == 0L), "below-width leak never exact")
+    assert(rows.get(32L).forall(_._2 == 0L), "clean doc never exact")
+  }
+
+  test("dedup_bloom at gate SF: exact-hit docs == dedup_decontaminate's " +
+      "docs gram-for-gram; false positives exist (the verify stage is " +
+      "load-bearing); corpus joins only broadcast") {
+    val d01 = "/root/testdata/sf0.01"
+    val bloom = run("dedup_bloom", d01)
+    val bRows = bloom.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bloom_hits"), r.getAs[Long]("n_exact_hits"),
+          r.getAs[Long]("n_false_pos"))).toMap
+    val exact = run("dedup_decontaminate", d01).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_ngrams"))
+      .toMap
+    // no false negatives: every exactly-contaminated doc is flagged with
+    // the identical distinct-gram count
+    exact.foreach { case (id, n) =>
+      assert(bRows.contains(id) && bRows(id)._2 == n,
+        s"doc $id: exact $n vs bloom ${bRows.get(id)}")
+    }
+    // and no phantom exact hits beyond the exact set
+    bRows.foreach { case (id, (_, e, _)) =>
+      assert(e == exact.getOrElse(id, 0L), s"doc $id exact-hit drift")
+    }
+    // the 2 KB bitset is sized so FPs genuinely occur at this SF —
+    // without them the two-stage design would be untested decoration
+    assert(bRows.values.map(_._3).sum > 0, "expected false positives")
+    // scale contract: the only join is the broadcast exact-verify on the
+    // (rare) bloom survivors; the corpus n-gram stream itself is filtered
+    // map-side against the literal bitset and never shuffle-joined
+    val p = plan(bloom)
+    assert(p.contains("BroadcastHashJoin"), "exact verify must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus side must never shuffle-join")
+  }
 }
