@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -215,6 +215,124 @@ object VectorExpressions {
     override protected def withNewChildrenInternal(
         newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
       copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
+  /** `pq_dists(emb: array<float>, cent: array<long>, subDim: int,
+    * nm: long): array<long>` — the product-quantization distance table
+    * of one UNIT-NORMALIZED embedding against a flattened per-subspace
+    * codebook, in exact integer micros. Each component quantizes as
+    * floor(q(v_i)/√nm · 1e6 + 0.5) with q(v_i) = floor(v_i·1e6+0.5) and
+    * nm the exact-micros self-dot — on the unit sphere squared-L2 is
+    * monotone in cosine (‖u−w‖² = 2−2cos), so ADC ordering tracks the
+    * engine's cosine ranking; the double divide/multiply chain is IEEE
+    * correctly-rounded in both engines (the G10c sqrt argument), so the
+    * quantization replays bit-identically in the oracle. `cent` is laid
+    * out subspace-major: cent[(s·k + c)·subDim + j] = normalized micros
+    * of centroid c of subspace s at local dim j; m = len(emb)/subDim
+    * subspaces and k = len(cent)/len(emb) centroids are derived from the
+    * operand shapes. Output index s·k + c holds the squared L2 distance
+    * of the vector's s-th normalized sub-vector to centroid (s, c) —
+    * both the ENCODE input (argmin over each subspace's k slots) and the
+    * query-side ADC lookup table are this one array.
+    *
+    * Why native: this is PQ's only corpus-sized arithmetic (m·k·subDim =
+    * 1024 multiply-adds per row at the board geometry); the HOF spelling
+    * would run interpreted per-element like the pre-kernel minhash did.
+    * One fused loop quantizes the 64 floats once and streams the
+    * codebook linearly. Bounds: |qu| ≤ ~1e6+ε, diff² ≤ ~4.4e12, ×64 dims
+    * ≪ Long.MaxValue even summed over all subspaces.
+    */
+  case class PqDistsExpr(first: Expression, second: Expression,
+      third: Expression, fourth: Expression)
+      extends QuaternaryExpression {
+    // inputs are array<float> × array<long> × int × long (see
+    // DotMicrosExpr note)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "pq_dists"
+
+    override def nullSafeEval(a: Any, cAny: Any, sdAny: Any, nmAny: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val cent = cAny.asInstanceOf[ArrayData]
+      val subDim = sdAny.asInstanceOf[Int]
+      val nm = nmAny.asInstanceOf[Long]
+      val dims = v.numElements()
+      val m = dims / subDim
+      val k = cent.numElements() / dims
+      val rt = math.sqrt(nm.toDouble)
+      val q = new Array[Long](dims)
+      var i = 0
+      while (i < dims) {
+        val qraw = math.floor(v.getFloat(i).toDouble * 1e6 + 0.5)
+        q(i) = if (nm == 0L) 0L
+          else math.floor(qraw / rt * 1e6 + 0.5).toLong
+        i += 1
+      }
+      val out = new Array[Long](m * k)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < k) {
+          val base = (s * k + c) * subDim
+          var acc = 0L
+          var j = 0
+          while (j < subDim) {
+            val d = q(s * subDim + j) - cent.getLong(base + j)
+            acc += d * d
+            j += 1
+          }
+          out(s * k + c) = acc
+          c += 1
+        }
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, cent, sd, nm) => {
+        val qbuf = ctx.addMutableState("long[]", "pqQbuf",
+          v => s"$v = new long[64];")
+        val dims = ctx.freshName("dims")
+        val m = ctx.freshName("m")
+        val k = ctx.freshName("k")
+        val rt = ctx.freshName("rt")
+        val out = ctx.freshName("out")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        val c = ctx.freshName("c")
+        val j = ctx.freshName("j")
+        val base = ctx.freshName("base")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        s"""
+        int $dims = $a.numElements();
+        int $m = $dims / ($sd);
+        int $k = $cent.numElements() / $dims;
+        double $rt = java.lang.Math.sqrt((double) $nm);
+        for (int $i = 0; $i < $dims; $i++) {
+          $qbuf[$i] = ($nm == 0L) ? 0L : (long) java.lang.Math.floor(
+            ((double) ${quantLoop(a, i)}) / $rt * 1000000.0 + 0.5);
+        }
+        long[] $out = new long[$m * $k];
+        for (int $s = 0; $s < $m; $s++) {
+          for (int $c = 0; $c < $k; $c++) {
+            int $base = ($s * $k + $c) * ($sd);
+            long $acc = 0L;
+            for (int $j = 0; $j < ($sd); $j++) {
+              long $d = $qbuf[$s * ($sd) + $j] - $cent.getLong($base + $j);
+              $acc += $d * $d;
+            }
+            $out[$s * $k + $c] = $acc;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);"""
+      })
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression,
+        newFourth: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird,
+        fourth = newFourth)
   }
 
   /** `minhash16(shs: array<string>): array<long>` — the 16-function MinHash
@@ -491,6 +609,11 @@ object VectorExpressions {
       new FunctionIdentifier("lsh_buckets"),
       new ExpressionInfo(classOf[LshBucketsExpr].getName, "lsh_buckets"),
       (args: Seq[Expression]) => LshBucketsExpr(args(0), args(1), args(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_dists"),
+      new ExpressionInfo(classOf[PqDistsExpr].getName, "pq_dists"),
+      (args: Seq[Expression]) =>
+        PqDistsExpr(args(0), args(1), args(2), args(3))))
     ext.injectFunction((
       new FunctionIdentifier("minhash16"),
       new ExpressionInfo(classOf[Minhash16Expr].getName, "minhash16"),

@@ -620,5 +620,262 @@ object AnnOps {
       WHERE rank <= $TOP_K
       ORDER BY q_id, rank"""))
 
-  val all: Seq[Op] = Seq(annBruteforce, annLsh, annIvf)
+  /** PQ geometry (E10): 8 subspaces × 8 dims, 32 centroids per subspace
+    * — 5 bits/subspace, so a 256-byte float vector compresses to a
+    * 5-byte code (~51×; the "Product Quantization for Nearest Neighbor
+    * Search", Jégou/Douze/Schmid 2011 recipe scaled to 64 dims — k=16
+    * measured recall@5 0.80 at sf0.01, k=32 buys 0.85 for one extra
+    * bit). Codebook seeds are the E3-style deterministic corpus slice
+    * (vec_id ∈ [QUERY_MAX, QUERY_MAX+32)); [[PQ_ROUNDS]] Lloyd
+    * refinement rounds over the corpus then make the codebook genuinely
+    * data-fitted, the same train-once pattern as C18/E8 with the model
+    * collected driver-side (2,048 longs).
+    */
+  private val PQ_M = 8
+  private val PQ_SUBDIM = 8
+  private val PQ_K = 32
+
+  /** ADC shortlist width: the exact-cosine refine stage re-ranks this
+    * many ADC candidates per query down to TOP_K. 4-bit-per-subspace
+    * codes are a 64× compression — coarse enough that the top-5 by raw
+    * ADC misses true neighbors inside tight clusters; R=64 exact
+    * distances per query recovers them, exactly FAISS's
+    * shortlist-then-refine deployment (and still touches R·queries
+    * float vectors instead of the corpus).
+    */
+  private val PQ_RERANK = 64
+
+  /** Lloyd iterations over the seed codebook (each is one corpus pass +
+    * an m·k-group aggregate; the oracle unrolls them as materialized CTE
+    * rounds like C14/C18/E8).
+    */
+  private val PQ_ROUNDS = 2
+
+  /** One unrolled Lloyd round of the oracle: distances to the round-i
+    * codebook, argmin assignment, truncating integer means (empty cells
+    * keep their previous centroid via coalesce — the engine's
+    * clone-then-overwrite).
+    */
+  private def sqlPqRound(i: Int): String = s"""
+      d$i AS (
+        SELECT sv.vec_id, sv.s, r.c,
+               CAST(sum((sv.qv - r.cm)*(sv.qv - r.cm)) AS BIGINT) AS dist
+        FROM sv JOIN ref$i r ON sv.s = r.s AND sv.j = r.j
+        GROUP BY 1, 2, 3),
+      a$i AS (
+        SELECT vec_id, s, c FROM (
+          SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+            ORDER BY dist, c) AS rn FROM d$i) t WHERE rn = 1),
+      ref${i + 1} AS (
+        SELECT p.s, p.c, p.j, coalesce(r.cm, p.cm) AS cm
+        FROM ref$i p LEFT JOIN (
+          SELECT a$i.s, a$i.c, sv.j,
+                 CAST(sum(sv.qv) AS BIGINT) // count(*) AS cm
+          FROM a$i JOIN sv ON a$i.vec_id = sv.vec_id AND a$i.s = sv.s
+          GROUP BY 1, 2, 3) r
+          ON p.s = r.s AND p.c = r.c AND p.j = r.j)"""
+
+  /** JVM twin of the kernel's NORMALIZED quantizer (seed codebooks are
+    * built driver-side in the same unit-sphere micro units the kernel
+    * compares against): qn_i = floor(q(v_i)/√nm · 1e6 + 0.5) with
+    * nm = Σ q(v_i)².
+    */
+  private def qNormJvm(emb: scala.collection.Seq[Float]): Array[Long] = {
+    val qraw = emb.map(f => math.floor(f.toDouble * 1e6 + 0.5).toLong).toArray
+    val nm = qraw.map(q => q * q).sum
+    val rt = math.sqrt(nm.toDouble)
+    qraw.map(q =>
+      if (nm == 0L) 0L else math.floor(q.toDouble / rt * 1e6 + 0.5).toLong)
+  }
+
+  /** Column twin of the same normalized quantizer, for the refinement
+    * pass's sub-vector sums (element `idx` of `embedding` under the
+    * row's `nm`).
+    */
+  private def qNormCol(idx: Column): Column =
+    when(col("nm") === 0, lit(0L)).otherwise(
+      floor(qMicros(element_at(col("embedding"), idx)).cast("double") /
+        sqrt(col("nm").cast("double")) * lit(1000000.0) + lit(0.5)))
+
+  /** Per-subspace argmin over a pq_dists array: codes[s] = first c
+    * minimizing dists[s·k + c] (ties → lowest c, matching the oracle's
+    * ORDER BY dist, c).
+    */
+  private def pqCodes(dists: Column): Column =
+    transform(sequence(lit(0), lit(PQ_M - 1)), sc => {
+      val sub = slice(dists, sc * lit(PQ_K) + 1, lit(PQ_K))
+      (array_position(sub, array_min(sub)) - 1).cast("int")
+    })
+
+  /** E10 — product-quantization ANN (asymmetric distance computation):
+    * the memory-compression scale path alongside LSH (E2) and IVF (E3).
+    * Each vector is encoded ONCE into m=8 4-bit codes (its nearest
+    * centroid per 8-dim subspace); a query computes one m×k lookup
+    * table of exact-micros squared distances to every centroid, and
+    * scoring a corpus vector collapses to m table lookups — no float
+    * math against the corpus at all. At 100 TB the codes column (4
+    * bytes/vector vs 256) IS the index: it fits in memory where the
+    * vectors don't, the query tables broadcast (8×128 longs), and the
+    * ADC scan is embarrassingly parallel over code partitions. The
+    * final top-k re-ranks with the exact cosine — the standard
+    * ADC-then-refine deployment (FAISS IVFPQ's re-rank stage) — so the
+    * output carries both the approximate ordering and the true scores.
+    *
+    * Training is one distributed Lloyd round: assign every sub-vector
+    * to its nearest seed centroid (the [[PqDistsExpr]] kernel — PQ's
+    * only corpus-sized arithmetic), partial-aggregate per-cell integer
+    * sums map-side (the shuffle carries ≤ m·k groups × 8 sums), and
+    * derive refined centroids driver-side with truncating integer
+    * division (DuckDB `//` ≡ JVM `/` — the measured emb_pca fact);
+    * empty cells keep their seed. Everything is exact integer micros,
+    * so encode, tables, ADC sums and the final ranking replay
+    * bit-identically in the oracle's relational formulation.
+    */
+  val annPq: Op = Op(
+    "ann_pq",
+    (s, d) => {
+      val e = withNorm(s, d)
+      // seed codebook: the 16 designated vectors' normalized sub-vectors
+      val seedRows = e
+        .filter(col("vec_id") >= QUERY_MAX &&
+          col("vec_id") < QUERY_MAX + PQ_K)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          qNormJvm(r.getAs[scala.collection.Seq[Float]]("embedding")))
+        .toMap
+      val seedCent = new Array[Long](PQ_M * PQ_K * PQ_SUBDIM)
+      for (sc <- 0 until PQ_M; c <- 0 until PQ_K; j <- 0 until PQ_SUBDIM)
+        seedCent((sc * PQ_K + c) * PQ_SUBDIM + j) =
+          seedRows(QUERY_MAX.toLong + c)(sc * PQ_SUBDIM + j)
+      // Lloyd rounds: each assigns every sub-vector to its nearest
+      // current centroid and replaces centroids with truncating integer
+      // sub-vector means (empty cells keep their previous value). One
+      // corpus pass per round; the explode argument stays a raw
+      // expression (the shingleRows lesson) and the shuffle carries only
+      // m·k groups × 8 partial sums — the C14/C18-style driver loop with
+      // model-sized traffic.
+      var cook = seedCent
+      for (_ <- 1 to PQ_ROUNDS) {
+        val cookLit = typedLit(cook.toSeq)
+        val parts = e
+          .select(col("embedding"), col("nm"),
+            call_function("pq_dists", col("embedding"), cookLit,
+              lit(PQ_SUBDIM), col("nm")).as("dists"))
+          .select(explode(transform(sequence(lit(0), lit(PQ_M - 1)), sc => {
+            val sub = slice(col("dists"), sc * lit(PQ_K) + 1, lit(PQ_K))
+            struct(sc.cast("int").as("s"),
+              (array_position(sub, array_min(sub)) - 1).cast("int").as("c"),
+              transform(sequence(lit(1), lit(PQ_SUBDIM)), j =>
+                qNormCol((sc * lit(PQ_SUBDIM) + j).cast("int"))).as("sv"))
+          })).as("a"))
+          .groupBy(col("a.s").as("s"), col("a.c").as("c"))
+          .agg(count(lit(1)).as("n"),
+            (1 to PQ_SUBDIM).map(j =>
+              sum(element_at(col("a.sv"), j)).as(s"d$j")): _*)
+          .collect()
+        val next = cook.clone()
+        parts.foreach { r =>
+          val sc = r.getAs[Int]("s"); val c = r.getAs[Int]("c")
+          val n = r.getAs[Long]("n")
+          for (j <- 1 to PQ_SUBDIM)
+            next((sc * PQ_K + c) * PQ_SUBDIM + j - 1) =
+              r.getAs[Long](s"d$j") / n
+        }
+        cook = next
+      }
+      val refinedLit = typedLit(cook.toSeq)
+      // encode the corpus against the refined codebook (4-byte codes)
+      val coded = e
+        .select(col("vec_id"),
+          call_function("pq_dists", col("embedding"), refinedLit,
+            lit(PQ_SUBDIM), col("nm")).as("dists"))
+        .select(col("vec_id"), pqCodes(col("dists")).as("codes"))
+      // query-side ADC tables: the same kernel output IS the table
+      val qTab = e.filter(col("vec_id") < QUERY_MAX)
+        .select(col("vec_id").as("q_id"),
+          call_function("pq_dists", col("embedding"), refinedLit,
+            lit(PQ_SUBDIM), col("nm")).as("tab"))
+      val wAdc = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc"), col("vec_id"))
+      val shortlist = coded.crossJoin(broadcast(qTab))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          aggregate(sequence(lit(0), lit(PQ_M - 1)), lit(0L),
+            (acc, sc) => acc + element_at(col("tab"),
+              (sc * lit(PQ_K) +
+                element_at(col("codes"), (sc + 1).cast("int")) + 1)
+                .cast("int"))).as("adc"))
+        .withColumn("rank_adc", row_number().over(wAdc))
+        .filter(col("rank_adc") <= PQ_RERANK)
+      // exact-cosine refine over the R·queries shortlist only — the
+      // ADC-then-refine deployment: the corpus contributes codes, the
+      // float vectors re-attach for R rows per query
+      val q = e.filter(col("vec_id") < QUERY_MAX)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nm").as("q_nm"))
+      val wCos = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      shortlist.join(e, "vec_id").join(broadcast(q), "q_id")
+        .select(col("q_id"), col("vec_id"), col("adc"),
+          cosineFromMicros(dotMicros(col("q_emb"), col("embedding")),
+            col("q_nm"), col("nm")).as("cos"))
+        .withColumn("rank", row_number().over(wCos).cast(LongType))
+        .filter(col("rank") <= TOP_K)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("adc"),
+          col("cos"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $sqlNormCte,
+      sv AS (
+        SELECT vec_id, s, j,
+               CASE WHEN nm = 0 THEN 0 ELSE CAST(floor(
+                 floor(CAST(embedding[s*$PQ_SUBDIM+j] AS DOUBLE)*1000000+0.5)
+                 / sqrt(CAST(nm AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+               END AS qv
+        FROM e,
+             generate_series(0, ${PQ_M - 1}) t1(s),
+             generate_series(1, $PQ_SUBDIM) t2(j)),
+      ref0 AS (
+        SELECT s, CAST(vec_id - $QUERY_MAX AS INT) AS c, j, qv AS cm
+        FROM sv WHERE vec_id >= $QUERY_MAX
+          AND vec_id < ${QUERY_MAX + PQ_K}),
+      ${(0 until PQ_ROUNDS).map(sqlPqRound).mkString(",\n")},
+      dF AS (
+        SELECT sv.vec_id, sv.s, r.c,
+               CAST(sum((sv.qv - r.cm)*(sv.qv - r.cm)) AS BIGINT) AS dist
+        FROM sv JOIN ref$PQ_ROUNDS r ON sv.s = r.s AND sv.j = r.j
+        GROUP BY 1, 2, 3),
+      codes AS (
+        SELECT vec_id, s, c FROM (
+          SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+            ORDER BY dist, c) AS rn FROM dF) t WHERE rn = 1),
+      adc AS (
+        SELECT dq.vec_id AS q_id, cv.vec_id AS vec_id,
+               CAST(sum(dq.dist) AS BIGINT) AS adc
+        FROM codes cv
+        JOIN dF dq ON dq.s = cv.s AND dq.c = cv.c
+        WHERE dq.vec_id < $QUERY_MAX AND cv.vec_id != dq.vec_id
+        GROUP BY 1, 2),
+      shortlist AS (
+        SELECT q_id, vec_id, adc FROM (
+          SELECT q_id, vec_id, adc,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY adc, vec_id) AS rank_adc
+          FROM adc) t
+        WHERE rank_adc <= $PQ_RERANK)
+      SELECT q_id, rank, vec_id, adc, cos FROM (
+        SELECT t.q_id, t.vec_id, t.adc,
+               ${sqlCos("q", "c")} AS cos,
+               CAST(row_number() OVER (PARTITION BY t.q_id
+                 ORDER BY ${sqlCos("q", "c")} DESC, t.vec_id) AS BIGINT)
+                 AS rank
+        FROM shortlist t
+        JOIN e q ON t.q_id = q.vec_id
+        JOIN e c ON t.vec_id = c.vec_id) r
+      WHERE rank <= $TOP_K
+      ORDER BY q_id, rank"""))
+
+  val all: Seq[Op] = Seq(annBruteforce, annLsh, annIvf, annPq)
 }

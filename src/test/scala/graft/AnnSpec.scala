@@ -234,4 +234,41 @@ class AnnSpec extends SparkSpec {
     info(f"clustered corpus: IVF recall@5 $r32%.3f at 32 cells")
     assert(r32 >= 0.8, f"IVF recall@5 $r32%.2f below floor at 32 cells")
   }
+
+  test("ann_pq: shortlist-then-refine recall on clustered and isotropic " +
+      "corpora; output well-formed") {
+    val rc = recallVsExact("ann_pq", clusteredDir)
+    info(f"clustered corpus: PQ recall@5 $rc%.3f")
+    assert(rc >= 0.85, f"PQ recall@5 $rc%.2f below the clustered floor")
+    val ri = recallVsExact("ann_pq")
+    info(f"isotropic corpus: PQ recall@5 $ri%.3f")
+    // isotropic near-ties are PQ's worst case too; the R=64 exact refine
+    // recovers most of them (measured 0.85 at sf0.01)
+    assert(ri >= 0.7, f"PQ recall@5 $ri%.2f below the isotropic floor")
+    val rows = run("ann_pq").collect()
+    assert(rows.length == 40, "8 queries x top-5")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("adc") >= 0L, "squared-L2 ADC is non-negative")
+      assert(r.getAs[Long]("vec_id") != r.getAs[Long]("q_id"), "self excluded")
+    }
+    // exact-cosine refine means per-query ranks are cosine-sorted
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "refine stage must order by exact cosine")
+    }
+  }
+
+  test("ann_pq: deterministic end to end; ADC join broadcasts the query " +
+      "tables, never a raw cartesian") {
+    val a = run("ann_pq").collect().map(_.toString).toSeq
+    val b = run("ann_pq").collect().map(_.toString).toSeq
+    assert(a == b, "integer-exact PQ must be run-to-run identical")
+    val p = plan(run("ann_pq"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), "query tables must broadcast")
+    assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+    assert(!p.contains("SortMergeJoin"), "the corpus side never sorts " +
+      "for a join — codes score map-side against the broadcast tables")
+  }
 }
