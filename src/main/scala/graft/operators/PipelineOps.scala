@@ -903,9 +903,107 @@ object PipelineOps {
         UNION ALL SELECT '4_domain_cap', n2, n3, t3 FROM a2, a3) t
       ORDER BY stage"""))
 
+  /** PageRank dials (G13): 4 synthesized outlinks per document, 6 power
+    * iterations, damping 0.85 in exact integer micros (teleport
+    * 150,000 = 0.15·1e6 per node). Six rounds reach ~0.85⁶ ≈ 0.38
+    * residual — rank ORDER is stable well before the values converge,
+    * and the round count is a latency dial, not a correctness one (every
+    * round replays exactly in both engines).
+    */
+  private val PR_LINKS = 4
+  private val PR_ROUNDS = 6
+
+  /** G13 — link-graph centrality by PageRank power iteration: the
+    * source-quality signal crawl-based curation stacks weight documents
+    * by (Brin/Page 1998; Common Crawl publishes harmonic-centrality/
+    * PageRank host rankings for exactly this use). The corpus has no
+    * real hyperlinks, so a deterministic outlink set is synthesized per
+    * document from the portable hash (the C16/mm fake-payload pattern —
+    * the GRAPH ITERATION is what's oracle-checked; targets are hash mod
+    * n, so in-degrees vary and the stationary ranks genuinely spread).
+    *
+    * This is the one iterative-graph shape on the board beyond D6's
+    * connected components: K rounds of (edges ⋈ ranks → groupBy target)
+    * expressed relationally — the Pregel message-passing step as a join
+    * + map-side-combined aggregate. Scale shape: ranks and
+    * contributions are id-width rows (never the document payload); the
+    * edge frame is built once, persisted, and partitioned by src so
+    * every round's join reuses its layout (at 100 TB you'd bucket edges
+    * and ranks on the same key and each round shuffles only O(V) rank
+    * rows); the contribution aggregate combines map-side, so the
+    * per-target shuffle carries one partial per (partition, target),
+    * bounding hub-page skew. All arithmetic is exact
+    * integer micros with truncating division (DuckDB `//` ≡ JVM `div`
+    * on non-negative operands), so all K rounds replay bit-identically
+    * in the oracle's unrolled CTEs (the C14/C18/E8 pattern).
+    */
+  val graphPagerank: Op = Op(
+    "graph_pagerank",
+    (s, d) => {
+      val docs = Caches.persist(
+        Tables.documents(s, d).select(col("doc_id")))
+      val n = docs.count()
+      val edges = Caches.persist(docs
+        .repartition(col("doc_id"))
+        .select(col("doc_id").as("src"),
+          explode(transform(sequence(lit(0), lit(PR_LINKS - 1)), j =>
+            pmod(hash60(concat(lit("pr"), col("doc_id").cast("string"),
+              lit(":"), j.cast("string"))), lit(n)))).as("tgt")))
+      var ranks = docs.select(col("doc_id"), lit(1000000L).as("rank"))
+      for (_ <- 1 to PR_ROUNDS) {
+        val contrib = edges.join(ranks, col("src") === col("doc_id"))
+          .select(col("tgt"), expr(s"rank div $PR_LINKS").as("share"))
+          .groupBy(col("tgt"))
+          .agg(sum(col("share")).as("contrib"))
+        ranks = docs.join(contrib, col("doc_id") === col("tgt"), "left")
+          .select(col("doc_id"),
+            (lit(150000L) + expr(
+              s"(85 * coalesce(contrib, cast(0 as bigint))) div 100"))
+              .as("rank"))
+      }
+      val indeg = edges.groupBy(col("tgt")).agg(count(lit(1)).as("in_deg"))
+      ranks.join(indeg, col("doc_id") === col("tgt"), "left")
+        .select(col("doc_id"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          col("rank").as("rank_micros"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val rounds = (1 to PR_ROUNDS).map { i =>
+        s"""
+      c$i AS (
+        SELECT ed.tgt AS doc_id,
+               CAST(sum(r.rank // $PR_LINKS) AS BIGINT) AS contrib
+        FROM ed JOIN r${i - 1} r ON ed.src = r.doc_id
+        GROUP BY 1),
+      r$i AS (
+        SELECT d.doc_id,
+               CAST(150000 + (85 * coalesce(c.contrib, 0)) // 100
+                 AS BIGINT) AS rank
+        FROM documents d LEFT JOIN c$i c ON d.doc_id = c.doc_id)"""
+      }.mkString(",\n")
+      s"""
+      WITH ed AS MATERIALIZED (
+        SELECT d.doc_id AS src,
+               ${Op.xhash60(
+          "'pr' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")}
+                 % (SELECT count(*) FROM documents) AS tgt
+        FROM documents d, generate_series(0, ${PR_LINKS - 1}) t(j)),
+      r0 AS (
+        SELECT doc_id, CAST(1000000 AS BIGINT) AS rank FROM documents),
+      $rounds,
+      ind AS (SELECT tgt, CAST(count(*) AS BIGINT) AS in_deg
+              FROM ed GROUP BY tgt)
+      SELECT r.doc_id,
+             CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
+             r.rank AS rank_micros
+      FROM r$PR_ROUNDS r LEFT JOIN ind i ON r.doc_id = i.tgt
+      ORDER BY doc_id"""
+    })
+
   val all: Seq[Op] = Seq(
     joinAsof, joinRange, sampleStratified, qualityFilter,
     qualityFilterExtracted, eventsRetention, eventsFunnel, sampleWeighted,
     eventsAnomaly, docPack, docPackBpe, mixturePlan, mixturePlanBpe,
-    mixturePlanTemp, sampleDomainCap, curationReport)
+    mixturePlanTemp, sampleDomainCap, curationReport, graphPagerank)
 }

@@ -565,6 +565,43 @@ class PipelineSpec extends SparkSpec {
     assert(maxSeq == lastEnd / 512, "last doc must land in the last sequence")
   }
 
+  test("graph_pagerank: teleport floor, mass bound, inlink monotonicity, " +
+      "determinism") {
+    val rows = run("graph_pagerank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("in_deg"),
+        r.getAs[Long]("rank_micros")))
+    val n = rows.length
+    assert(n >= 100, "corpus-sized node set")
+    // a node nobody links to earns exactly the teleport mass; any inlink
+    // adds a strictly positive share (every rank >= 150000 -> every
+    // per-edge floor-share >= 37500 > 0)
+    rows.foreach { case (id, deg, rank) =>
+      if (deg == 0L) assert(rank == 150000L, s"doc $id: sink rank $rank")
+      else assert(rank > 150000L, s"doc $id: linked rank $rank")
+    }
+    // total mass stays within the teleport/full bounds (truncating
+    // division only ever leaks mass downward)
+    val total = rows.map(_._3).sum
+    assert(total <= n * 1000000L && total >= n * 150000L,
+      s"mass $total out of bounds for $n nodes")
+    // ranks genuinely spread (the hash graph is not regular)
+    assert(rows.map(_._3).distinct.length > n / 2, "rank spread")
+    val again = run("graph_pagerank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("in_deg"),
+        r.getAs[Long]("rank_micros")))
+    assert(rows.toSeq == again.toSeq, "integer PageRank must be exact")
+  }
+
+  test("graph_pagerank: iterative joins stay id-width — no cartesian, " +
+      "edges materialized once") {
+    val df = run("graph_pagerank")
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+    assert(p.contains("InMemoryTableScan"),
+      "the edge frame must persist across the K round joins")
+  }
+
   /** Corpus with a dup CHAIN (0~1, 1~2 strongly; 0~2 weaker) so clustering
     * exercises a real transitive step, plus an unrelated pair.
     */
