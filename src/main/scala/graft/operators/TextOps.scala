@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -1139,44 +1140,47 @@ object TextOps {
     * and any rerun agree on membership, and is_ref rides in the output
     * so downstream gates can exclude training docs.
     */
-  val lmBigramRef: Op = Op(
-    "lm_bigram_ref",
-    (s, d) => {
-      val tokd = Tables.documents(s, d)
-        .select(col("doc_id"), toks(col("text")).as("tok"))
-        .filter(size(col("tok")) >= 2)
-      val docbg = Caches.persist(tokd
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(tok)-1), i -> " +
-            "named_struct('w1', element_at(tok, i), 'w2', element_at(tok, i+1)))"))
-          .as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        .groupBy("doc_id", "w1", "w2")
-        .agg(count(lit(1)).as("c")))
-      val bgRef = Caches.persist(docbg
-        .filter(col("doc_id") % 2 === 0)
-        .groupBy("w1", "w2").agg(sum(col("c")).as("cnt")))
-      val unRef = bgRef.groupBy("w1").agg(sum(col("cnt")).as("ucnt"))
-      val vocab = bgRef.select(countDistinct(col("w2")).as("v"))
-      val scored = docbg
-        .join(bgRef, Seq("w1", "w2"), "left")
-        .join(unRef, Seq("w1"), "left")
-        .crossJoin(broadcast(vocab))
-        .select(col("doc_id"), col("c"),
-          graft.functions.FixedLog.bitsQ16(
-            coalesce(col("ucnt"), lit(0L)) + col("v"),
-            coalesce(col("cnt"), lit(0L)) + lit(1L)).as("bits_q16"))
-      scored.groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_bigrams"),
-          sum(col("c") * col("bits_q16")).as("sum_bits_q16"))
-        .select(col("doc_id"), (col("doc_id") % 2 === 0).as("is_ref"),
-          col("n_bigrams"), col("sum_bits_q16"),
-          (col("sum_bits_q16").cast("double") / col("n_bigrams") / lit(65536.0))
-            .as("mean_bits"))
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""
-      WITH tokd AS (
+  /** C19b's per-doc score frame — (doc_id, n_bigrams, sum_bits_q16)
+    * under the held-out reference model — factored out so C20's bucket
+    * partition consumes the IDENTICAL scoring definition (and shares
+    * its persisted frames within a scope).
+    */
+  private def lmRefDocScores(s: SparkSession, d: String): DataFrame = {
+    val tokd = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 2)
+    val docbg = Caches.persist(tokd
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tok)-1), i -> " +
+          "named_struct('w1', element_at(tok, i), 'w2', element_at(tok, i+1)))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("c")))
+    val bgRef = Caches.persist(docbg
+      .filter(col("doc_id") % 2 === 0)
+      .groupBy("w1", "w2").agg(sum(col("c")).as("cnt")))
+    val unRef = bgRef.groupBy("w1").agg(sum(col("cnt")).as("ucnt"))
+    val vocab = bgRef.select(countDistinct(col("w2")).as("v"))
+    docbg
+      .join(bgRef, Seq("w1", "w2"), "left")
+      .join(unRef, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("c"),
+        graft.functions.FixedLog.bitsQ16(
+          coalesce(col("ucnt"), lit(0L)) + col("v"),
+          coalesce(col("cnt"), lit(0L)) + lit(1L)).as("bits_q16"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("bits_q16")).as("sum_bits_q16"))
+  }
+
+  /** DuckDB twin of [[lmRefDocScores]] as CTE text ending in
+    * `docsc(doc_id, n_bigrams, sum_bits_q16)` — shared by the C19b and
+    * C20 oracles so the two stay definitionally one scoring pass.
+    */
+  private val sqlLmRefCtes: String = s"""
+      tokd AS (
         SELECT doc_id,
                regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS tok
         FROM documents),
@@ -1202,18 +1206,110 @@ object TextOps {
         LEFT JOIN unref u ON d.w1 = u.w1
         CROSS JOIN voc),
       ${graft.functions.FixedLog.sqlRounds(
-        "lgsrc", Seq("doc_id", "c"), "sm_num", "sm_den", "lg")}
+    "lgsrc", Seq("doc_id", "c"), "sm_num", "sm_den", "lg")},
+      docsc AS (SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_bigrams,
+                       CAST(sum(c * bits_q16) AS BIGINT) AS sum_bits_q16
+                FROM lg GROUP BY doc_id)"""
+
+  val lmBigramRef: Op = Op(
+    "lm_bigram_ref",
+    (s, d) =>
+      lmRefDocScores(s, d)
+        .select(col("doc_id"), (col("doc_id") % 2 === 0).as("is_ref"),
+          col("n_bigrams"), col("sum_bits_q16"),
+          (col("sum_bits_q16").cast("double") / col("n_bigrams") / lit(65536.0))
+            .as("mean_bits"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH $sqlLmRefCtes
       SELECT doc_id, doc_id % 2 = 0 AS is_ref, n_bigrams, sum_bits_q16,
              CAST(sum_bits_q16 AS DOUBLE) / n_bigrams / 65536.0 AS mean_bits
-      FROM (SELECT doc_id,
-                   CAST(sum(c) AS BIGINT) AS n_bigrams,
-                   CAST(sum(c * bits_q16) AS BIGINT) AS sum_bits_q16
-            FROM lg GROUP BY doc_id) z
+      FROM docsc
+      ORDER BY doc_id"""))
+
+  /** C20's histogram bin width in q16 bit units: 256 = 1/256 bit of
+    * conditional information per bigram. The bin domain is bounded by
+    * the VALUE RANGE of the score (realistic bigram LMs live under ~30
+    * bits → ≤ ~7.7k occupied bins at any corpus size), which is what
+    * makes the cumulative window safe at 100 TB — it orders bins, not
+    * documents. Width is a fidelity dial: at 1/16 bit the gate corpus's
+    * tightly-clustered scores left the crossing bin holding 66% of the
+    * mass (the whole boundary bin lands on the head side); 1/256 bit
+    * splits the same corpus 34/34/32.
+    */
+  private val PPL_BIN = 256L
+
+  /** C20 — perplexity-bucket partition (CCNet's head/middle/tail): score
+    * every document with the held-out reference bigram LM (C19b's exact
+    * definition, shared code path), then split the corpus into three
+    * buckets of ~equal TOKEN MASS by ascending bits-per-bigram — head =
+    * the most-fluent third, the slice CCNet keeps outright, tail = the
+    * third a curation run drops or down-weights. Thresholds come from a
+    * bounded HISTOGRAM, not a corpus sort: per-doc scores coarsen to
+    * 1/16-bit bins, one tiny cumulative window over the occupied bins
+    * (≤ ~500 at any scale — the q22 no-global-window argument) finds
+    * the two bins where cumulative mass crosses 1/3 and 2/3, and the
+    * 1-row threshold frame broadcasts back over the scored corpus —
+    * exactly how CCNet derives its language-specific perplexity cutoffs
+    * (histogram percentiles), and integer-exact end to end so the
+    * oracle replays the partition to the document.
+    */
+  val qualityPplBuckets: Op = Op(
+    "quality_ppl_buckets",
+    (s, d) => {
+      // persist: the scored frame feeds the histogram AND the final
+      // verdict join
+      val scored = Caches.persist(lmRefDocScores(s, d)
+        .select(col("doc_id"), col("n_bigrams"), col("sum_bits_q16"),
+          expr(s"(sum_bits_q16 div n_bigrams) div $PPL_BIN").as("bin")))
+      val hist = scored.groupBy(col("bin"))
+        .agg(sum(col("n_bigrams")).as("mass"))
+      val wb = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumh = hist.withColumn("cum", sum(col("mass")).over(wb))
+      val tot = hist.agg(sum(col("mass")).as("total"))
+      val th = cumh.crossJoin(broadcast(tot))
+        .agg(min(when(col("cum") * 3 >= col("total"), col("bin"))).as("t1"),
+          min(when(col("cum") * 3 >= col("total") * 2, col("bin"))).as("t2"))
+      scored.crossJoin(broadcast(th))
+        .select(col("doc_id"), (col("doc_id") % 2 === 0).as("is_ref"),
+          col("n_bigrams"),
+          (col("sum_bits_q16").cast("double") / col("n_bigrams") / lit(65536.0))
+            .as("mean_bits"),
+          when(col("bin") <= col("t1"), lit("head"))
+            .when(col("bin") <= col("t2"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $sqlLmRefCtes,
+      scored AS (
+        SELECT doc_id, n_bigrams, sum_bits_q16,
+               (sum_bits_q16 // n_bigrams) // $PPL_BIN AS bin
+        FROM docsc),
+      hist AS (SELECT bin, CAST(sum(n_bigrams) AS BIGINT) AS mass
+               FROM scored GROUP BY bin),
+      cumh AS (SELECT bin,
+                      CAST(sum(mass) OVER (ORDER BY bin) AS BIGINT) AS cum
+               FROM hist),
+      tot AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM hist),
+      th AS (SELECT min(CASE WHEN cum * 3 >= total THEN bin END) AS t1,
+                    min(CASE WHEN cum * 3 >= total * 2 THEN bin END) AS t2
+             FROM cumh, tot)
+      SELECT s.doc_id, s.doc_id % 2 = 0 AS is_ref, s.n_bigrams,
+             CAST(s.sum_bits_q16 AS DOUBLE) / s.n_bigrams / 65536.0
+               AS mean_bits,
+             CASE WHEN s.bin <= th.t1 THEN 'head'
+                  WHEN s.bin <= th.t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM scored s, th
       ORDER BY doc_id"""))
 
   val all: Seq[Op] = Seq(
     textTokenCount, textQuality, textLangid, textFingerprint, textNgramFreq,
     textDocFreq, textCharNgrams, textRepetition, textBm25, textVocabCoverage,
     textRarity, textBpeCount, textBpeVocab, textBpeTrain, textBpeCountLearned,
-    textExtract, textPiiRedact, qualityClassifier, lmBigram, lmBigramRef)
+    textExtract, textPiiRedact, qualityClassifier, lmBigram, lmBigramRef,
+    qualityPplBuckets)
 }

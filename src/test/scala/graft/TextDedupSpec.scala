@@ -633,4 +633,45 @@ class TextDedupSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "corpus side must never shuffle-join")
   }
+
+  test("quality_ppl_buckets: token-mass terciles, score-ordered buckets, " +
+      "full coverage vs lm_bigram_ref") {
+    val rows = run("quality_ppl_buckets").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("mean_bits"), r.getAs[String]("bucket")))
+    val total = rows.map(_._2).sum.toDouble
+    val mass = rows.groupBy(_._4).view.mapValues(_.map(_._2).sum).toMap
+    Seq("head", "middle", "tail").foreach { b =>
+      val share = mass.getOrElse(b, 0L) / total
+      assert(share > 0.2 && share < 0.47,
+        f"$b holds $share%.2f of token mass — not a tercile split")
+    }
+    // buckets are score-ordered up to one histogram bin (1/256 bit)
+    val binW = 2.0 / 256
+    val h = rows.filter(_._4 == "head").map(_._3)
+    val m = rows.filter(_._4 == "middle").map(_._3)
+    val t = rows.filter(_._4 == "tail").map(_._3)
+    assert(h.max <= m.min + binW, "head must score below middle")
+    assert(m.max <= t.min + binW, "middle must score below tail")
+    // every LM-scored doc gets a bucket (same population as C19b)
+    assert(rows.length == run("lm_bigram_ref").count(),
+      "bucket partition must cover the scored corpus exactly")
+  }
+
+  test("quality_ppl_buckets: a planted alien doc lands in tail, fluent " +
+      "clones land in head") {
+    val dir = Files.createTempDirectory("graft_ppl").toString
+    val fluent = "the cat sat on the mat and the dog sat on the rug today"
+    val alien = "zx qv wk jh pf mg bn td lr cs zx qv wk jh pf mg bn td"
+    val docs = (0L to 8L).map(i =>
+      (i, fluent, "en", s"s$i", fluent.length.toLong)) :+
+      (9L, alien, "xx", "s9", alien.length.toLong)
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val by = run("quality_ppl_buckets", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert(by(9L) == "tail", s"alien doc must be tail: ${by(9L)}")
+    assert(by(0L) == "head", s"fluent doc must be head: ${by(0L)}")
+  }
 }
