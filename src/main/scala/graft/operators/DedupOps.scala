@@ -1090,8 +1090,128 @@ object DedupOps {
       GROUP BY h.doc_id
       ORDER BY doc_id"""))
 
+  /** D13 — canonical-URL deduplication: the FIRST dedup stage of every
+    * crawl pipeline, upstream even of D1's content hash — the same page
+    * fetched as `HTTPS://WWW.Host:443/a/?utm_source=x#frag` and
+    * `https://host/a?…` must collapse before anything downstream counts
+    * it twice. Canonicalization is the RFC-3986-style normalization +
+    * tracking-hygiene every crawler applies: lowercase scheme/host,
+    * strip default ports (:80/:443), strip `www.`, drop the fragment,
+    * strip trailing path slashes, drop tracking parameters
+    * (`utm_*`/`fbclid`/`gclid`/`ref`), and SORT the surviving query
+    * parameters so order never splits a group. The corpus has no URLs,
+    * so each document synthesizes one deterministically with planted
+    * variant decorations (the C16/C17 fake-payload pattern — six
+    * variants per canonical target exercising every rule, including a
+    * pair that only collapses because param sorting AND utm-stripping
+    * both fire); the CANONICALIZER is what the oracle checks, and group
+    * sizes vary with the corpus.
+    *
+    * Scale shape: canonicalization is pure per-row regex/array work in
+    * one codegen'd projection (the C17 regex subset — Java ∩ RE2, so
+    * both engines agree byte-for-byte), followed by D1's exact-dedup
+    * shuffle on the canonical string — uniform-ish keys (URL hash), one
+    * map-side-combined aggregate. At 100 TB this is the cheapest dedup
+    * pass in the pipeline and runs first precisely because it is.
+    */
+  val dedupUrl: Op = Op(
+    "dedup_url",
+    (s, d) => {
+      val g = expr("doc_id div 6")
+      val k = pmod(g, lit(7)).cast("string")
+      val gs = g.cast("string")
+      val ms = (g + lit(1000000L)).cast("string")
+      val url = when(pmod(col("doc_id"), lit(6)) === 0,
+          concat(lit("https://h"), k, lit(".example.com/article/"), gs,
+            lit("?id="), gs))
+        .when(pmod(col("doc_id"), lit(6)) === 1,
+          concat(lit("https://H"), k, lit(".EXAMPLE.COM/article/"), gs,
+            lit("?utm_source=feed&id="), gs))
+        .when(pmod(col("doc_id"), lit(6)) === 2,
+          concat(lit("https://www.h"), k, lit(".example.com:443/article/"),
+            gs, lit("/?id="), gs, lit("#top")))
+        .when(pmod(col("doc_id"), lit(6)) === 3,
+          concat(lit("https://h"), k, lit(".example.com/article/"), gs,
+            lit("?page=2&id="), gs))
+        .when(pmod(col("doc_id"), lit(6)) === 4,
+          concat(lit("https://h"), k, lit(".example.com/article/"), gs,
+            lit("?id="), gs, lit("&page=2&utm_campaign=promo")))
+        .otherwise(
+          concat(lit("https://h"), k, lit(".example.com/article/"), ms,
+            lit("?id="), ms))
+      val noFrag = regexp_replace(col("url"), "#.*$", "")
+      val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+      val hostport = lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1))
+      val host = regexp_replace(
+        regexp_replace(hostport, ":(80|443)$", ""), "^www\\.", "")
+      val path = regexp_replace(
+        regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
+      val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+      val params = array_join(array_sort(filter(split(query, "&"),
+        x => x =!= "" && !x.rlike("^(utm_[^=]*|fbclid|gclid|ref)="))), "&")
+      Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), concat(scheme, lit("://"), host, path,
+          when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+          .as("canon_url"))
+        .groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 6 AS INT)
+                 WHEN 0 THEN 'https://h' || (doc_id // 6) % 7 ||
+                   '.example.com/article/' || doc_id // 6 ||
+                   '?id=' || doc_id // 6
+                 WHEN 1 THEN 'https://H' || (doc_id // 6) % 7 ||
+                   '.EXAMPLE.COM/article/' || doc_id // 6 ||
+                   '?utm_source=feed&id=' || doc_id // 6
+                 WHEN 2 THEN 'https://www.h' || (doc_id // 6) % 7 ||
+                   '.example.com:443/article/' || doc_id // 6 ||
+                   '/?id=' || doc_id // 6 || '#top'
+                 WHEN 3 THEN 'https://h' || (doc_id // 6) % 7 ||
+                   '.example.com/article/' || doc_id // 6 ||
+                   '?page=2&id=' || doc_id // 6
+                 WHEN 4 THEN 'https://h' || (doc_id // 6) % 7 ||
+                   '.example.com/article/' || doc_id // 6 ||
+                   '?id=' || doc_id // 6 || '&page=2&utm_campaign=promo'
+                 ELSE 'https://h' || (doc_id // 6) % 7 ||
+                   '.example.com/article/' || (doc_id // 6 + 1000000) ||
+                   '?id=' || (doc_id // 6 + 1000000)
+               END AS url
+        FROM documents),
+      nf AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf FROM u),
+      parts AS (
+        SELECT doc_id,
+               lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) AS scheme,
+               regexp_replace(regexp_replace(
+                 lower(regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1)),
+                 ':(80|443)$$', ''), '^www\\.', '') AS host,
+               regexp_replace(
+                 regexp_extract(nf, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                 '/+$$', '') AS path,
+               array_to_string(list_sort(list_filter(
+                 str_split(regexp_extract(nf, '\\?([^#]*)', 1), '&'),
+                 x -> x <> '' AND NOT regexp_matches(x,
+                   '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS params
+        FROM nf),
+      c AS (
+        SELECT doc_id,
+               scheme || '://' || host || path ||
+                 CASE WHEN params = '' THEN '' ELSE '?' || params END
+                 AS canon_url
+        FROM parts)
+      SELECT canon_url, min(doc_id) AS keep_id,
+             count(*) AS n_copies
+      FROM c
+      GROUP BY canon_url
+      ORDER BY keep_id"""))
+
   val all: Seq[Op] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbedding, dedupClusters, dedupReport, dedupDecontaminate,
-    dedupSubstr, dedupSemantic, dedupBloom)
+    dedupSubstr, dedupSemantic, dedupBloom, dedupUrl)
 }

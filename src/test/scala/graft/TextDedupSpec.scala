@@ -634,6 +634,30 @@ class TextDedupSpec extends SparkSpec {
       "corpus side must never shuffle-join")
   }
 
+  test("dedup_url: every canonicalization rule fires — case/port/www/" +
+      "slash/fragment collapse, tracking params strip, param order sorts") {
+    val rows = run("dedup_url").collect()
+      .map(r => r.getAs[Long]("keep_id") ->
+        (r.getAs[String]("canon_url"), r.getAs[Long]("n_copies"))).toMap
+    // ids 0,1,2 carry the same page decorated with (case+utm),
+    // (www+:443+trailing slash+#fragment) — all must collapse onto id 0
+    assert(rows(0L) == (("https://h0.example.com/article/0?id=0", 3L)),
+      s"normalization group: ${rows(0L)}")
+    // ids 3,4 share a REAL param set in different order, one with a utm
+    // tail — only sorting + tracking-strip together collapse them
+    assert(rows(3L) == (("https://h0.example.com/article/0?id=0&page=2", 2L)),
+      s"param-sort group: ${rows(3L)}")
+    // id 5 is a genuinely different page and must stay its own group
+    assert(rows(5L)._2 == 1L, s"unique page: ${rows(5L)}")
+    assert(!rows.values.exists(_._1.contains("utm_")),
+      "no canonical URL may retain a tracking param")
+    assert(!rows.values.exists(_._1.contains("#")), "fragments stripped")
+    // one per-row projection + one exact-dedup shuffle — no joins
+    val p = plan(run("dedup_url"))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "URL dedup is projection + groupBy only")
+  }
+
   test("quality_ppl_buckets: token-mass terciles, score-ordered buckets, " +
       "full coverage vs lm_bigram_ref") {
     val rows = run("quality_ppl_buckets").collect()
