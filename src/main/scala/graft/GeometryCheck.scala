@@ -21,14 +21,14 @@ package graft
   * Usage: runMain graft.GeometryCheck <sfDir> <outDir> [keys], then
   * point tools/compare.py at outDir (it carries the matching
   * oracle_sql.json). `keys` is an optional comma-separated subset of
-  * {ann_lsh, dedup_embedding, ann_ivf} — pinned geometry makes the
+  * the Known set below — pinned geometry makes the
   * buckets coarser than the corpus dial wants, so the three queries'
   * costs diverge sharply above gate scale and running them separately
   * keeps each record cheap to (re)produce.
   */
 object GeometryCheck {
   private val Known =
-    Set("ann_lsh", "dedup_embedding", "ann_ivf", "dedup_semantic")
+    Set("ann_lsh", "dedup_embedding", "ann_ivf", "dedup_semantic", "ann_pq")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -71,6 +71,15 @@ object GeometryCheck {
     if (keys("ann_ivf")) {
       operators.AnnOps.ivfTopK(spark, sfDir) // default = the pinned 16 cells
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ann_ivf")
+      Caches.releaseScope()
+    }
+    if (keys("ann_pq")) {
+      // E10 re-runs PINNED to the oracle's default dials (k=32, R=64) —
+      // the ann_lsh pattern: above the default region the engine runs
+      // 8-bit codes + a widened shortlist, whose recall the scale bench
+      // records; parity is proven wherever the geometries coincide.
+      operators.AnnOps.pqTopK(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ann_pq")
       Caches.releaseScope()
     }
     if (keys("dedup_semantic")) {

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native codegen'd vector kernels.
@@ -335,6 +335,175 @@ object VectorExpressions {
         fourth = newFourth)
   }
 
+  /** `pq_encode(emb: array<float>, cent: array<long>, subDim: int,
+    * nm: long): array<int>` — the PQ code assignment directly: per
+    * subspace, the index of the nearest centroid (squared-L2 over the
+    * [[PqDistsExpr]]-normalized micros, first-lowest index on ties,
+    * matching the oracle's ORDER BY dist, c). Same operand layout and
+    * quantization as pq_dists.
+    *
+    * Why a second kernel: corpus-side assignment/encode only needs the
+    * ARGMIN, but deriving it from pq_dists materializes the full m×k
+    * table per row — 2048 longs = 16 KB/row at the 8-bit scale
+    * geometry, i.e. ~32 GB of intermediate per corpus pass at 2M
+    * vectors (the measured sf100 cost). This loop keeps the running
+    * minimum in registers and emits m ints. pq_dists remains the
+    * QUERY-side kernel, where the full table IS the ADC output and the
+    * row count is the query set.
+    */
+  case class PqEncodeExpr(first: Expression, second: Expression,
+      third: Expression, fourth: Expression)
+      extends QuaternaryExpression {
+    // inputs are array<float> × array<long> × int × long
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "pq_encode"
+
+    override def nullSafeEval(a: Any, cAny: Any, sdAny: Any, nmAny: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val cent = cAny.asInstanceOf[ArrayData]
+      val subDim = sdAny.asInstanceOf[Int]
+      val nm = nmAny.asInstanceOf[Long]
+      val dims = v.numElements()
+      val m = dims / subDim
+      val k = cent.numElements() / dims
+      val rt = math.sqrt(nm.toDouble)
+      val q = new Array[Long](dims)
+      var i = 0
+      while (i < dims) {
+        val qraw = math.floor(v.getFloat(i).toDouble * 1e6 + 0.5)
+        q(i) = if (nm == 0L) 0L
+          else math.floor(qraw / rt * 1e6 + 0.5).toLong
+        i += 1
+      }
+      val out = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        var best = Long.MaxValue
+        var bc = 0
+        var c = 0
+        while (c < k) {
+          val base = (s * k + c) * subDim
+          var acc = 0L
+          var j = 0
+          while (j < subDim) {
+            val d = q(s * subDim + j) - cent.getLong(base + j)
+            acc += d * d
+            j += 1
+          }
+          if (acc < best) { best = acc; bc = c }
+          c += 1
+        }
+        out(s) = bc
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, cent, sd, nm) => {
+        val qbuf = ctx.addMutableState("long[]", "pqeQbuf",
+          v => s"$v = new long[64];")
+        val dims = ctx.freshName("dims")
+        val m = ctx.freshName("m")
+        val k = ctx.freshName("k")
+        val rt = ctx.freshName("rt")
+        val out = ctx.freshName("out")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        val c = ctx.freshName("c")
+        val j = ctx.freshName("j")
+        val base = ctx.freshName("base")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        val best = ctx.freshName("best")
+        val bc = ctx.freshName("bc")
+        s"""
+        int $dims = $a.numElements();
+        int $m = $dims / ($sd);
+        int $k = $cent.numElements() / $dims;
+        double $rt = java.lang.Math.sqrt((double) $nm);
+        for (int $i = 0; $i < $dims; $i++) {
+          $qbuf[$i] = ($nm == 0L) ? 0L : (long) java.lang.Math.floor(
+            ((double) ${quantLoop(a, i)}) / $rt * 1000000.0 + 0.5);
+        }
+        int[] $out = new int[$m];
+        for (int $s = 0; $s < $m; $s++) {
+          long $best = Long.MAX_VALUE;
+          int $bc = 0;
+          for (int $c = 0; $c < $k; $c++) {
+            int $base = ($s * $k + $c) * ($sd);
+            long $acc = 0L;
+            for (int $j = 0; $j < ($sd); $j++) {
+              long $d = $qbuf[$s * ($sd) + $j] - $cent.getLong($base + $j);
+              $acc += $d * $d;
+            }
+            if ($acc < $best) { $best = $acc; $bc = $c; }
+          }
+          $out[$s] = $bc;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);"""
+      })
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression,
+        newFourth: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird,
+        fourth = newFourth)
+  }
+
+  /** `qnorm_micros(emb: array<float>, nm: long): array<long>` — the
+    * unit-sphere quantization [[PqDistsExpr]] applies internally,
+    * exposed as a column: out[i] = floor(q(v_i)/√nm · 1e6 + 0.5) with
+    * q(v_i) = floor(v_i·1e6+0.5), 0 when nm = 0. One codegen loop per
+    * row — the HOF spelling (a transform lambda per element with a
+    * floor/divide chain inside) runs interpreted and dominated E10's
+    * Lloyd pass at sf100 (64 interpreted evals × corpus rows per round).
+    */
+  case class QnormMicrosExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    // inputs are array<float> × long (see DotMicrosExpr note)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "qnorm_micros"
+
+    override def nullSafeEval(a: Any, nmAny: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val nm = nmAny.asInstanceOf[Long]
+      val dims = v.numElements()
+      val rt = math.sqrt(nm.toDouble)
+      val out = new Array[Long](dims)
+      var i = 0
+      while (i < dims) {
+        val qraw = math.floor(v.getFloat(i).toDouble * 1e6 + 0.5)
+        out(i) = if (nm == 0L) 0L
+          else math.floor(qraw / rt * 1e6 + 0.5).toLong
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, nm) => {
+        val dims = ctx.freshName("dims")
+        val rt = ctx.freshName("rt")
+        val out = ctx.freshName("out")
+        val i = ctx.freshName("i")
+        s"""
+        int $dims = $a.numElements();
+        double $rt = java.lang.Math.sqrt((double) $nm);
+        long[] $out = new long[$dims];
+        for (int $i = 0; $i < $dims; $i++) {
+          $out[$i] = ($nm == 0L) ? 0L : (long) java.lang.Math.floor(
+            ((double) ${quantLoop(a, i)}) / $rt * 1000000.0 + 0.5);
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);"""
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** `minhash16(shs: array<string>): array<long>` — the 16-function MinHash
     * signature of a shingle set in one tight JVM loop.
     *
@@ -609,6 +778,15 @@ object VectorExpressions {
       new FunctionIdentifier("lsh_buckets"),
       new ExpressionInfo(classOf[LshBucketsExpr].getName, "lsh_buckets"),
       (args: Seq[Expression]) => LshBucketsExpr(args(0), args(1), args(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncodeExpr].getName, "pq_encode"),
+      (args: Seq[Expression]) =>
+        PqEncodeExpr(args(0), args(1), args(2), args(3))))
+    ext.injectFunction((
+      new FunctionIdentifier("qnorm_micros"),
+      new ExpressionInfo(classOf[QnormMicrosExpr].getName, "qnorm_micros"),
+      (args: Seq[Expression]) => QnormMicrosExpr(args(0), args(1))))
     ext.injectFunction((
       new FunctionIdentifier("pq_dists"),
       new ExpressionInfo(classOf[PqDistsExpr].getName, "pq_dists"),

@@ -698,55 +698,58 @@ object AnnOps {
         sqrt(col("nm").cast("double")) * lit(1000000.0) + lit(0.5)))
 
   /** Per-subspace argmin over a pq_dists array: codes[s] = first c
-    * minimizing dists[s·k + c] (ties → lowest c, matching the oracle's
-    * ORDER BY dist, c).
+    * minimizing dists[s·k + c] (ties → lowest c). The composed twin of
+    * the fused `pq_encode` kernel — kept as the independent derivation
+    * AnnSpec pins the kernel against (the lsh_buckets precedent).
     */
-  private def pqCodes(dists: Column): Column =
+  private[graft] def pqCodes(dists: Column, k: Int): Column =
     transform(sequence(lit(0), lit(PQ_M - 1)), sc => {
-      val sub = slice(dists, sc * lit(PQ_K) + 1, lit(PQ_K))
+      val sub = slice(dists, sc * lit(k) + 1, lit(k))
       (array_position(sub, array_min(sub)) - 1).cast("int")
     })
 
-  /** E10 — product-quantization ANN (asymmetric distance computation):
-    * the memory-compression scale path alongside LSH (E2) and IVF (E3).
-    * Each vector is encoded ONCE into m=8 4-bit codes (its nearest
-    * centroid per 8-dim subspace); a query computes one m×k lookup
-    * table of exact-micros squared distances to every centroid, and
-    * scoring a corpus vector collapses to m table lookups — no float
-    * math against the corpus at all. At 100 TB the codes column (4
-    * bytes/vector vs 256) IS the index: it fits in memory where the
-    * vectors don't, the query tables broadcast (8×128 longs), and the
-    * ADC scan is embarrassingly parallel over code partitions. The
-    * final top-k re-ranks with the exact cosine — the standard
-    * ADC-then-refine deployment (FAISS IVFPQ's re-rank stage) — so the
-    * output carries both the approximate ordering and the true scores.
-    *
-    * Training is one distributed Lloyd round: assign every sub-vector
-    * to its nearest seed centroid (the [[PqDistsExpr]] kernel — PQ's
-    * only corpus-sized arithmetic), partial-aggregate per-cell integer
-    * sums map-side (the shuffle carries ≤ m·k groups × 8 sums), and
-    * derive refined centroids driver-side with truncating integer
-    * division (DuckDB `//` ≡ JVM `/` — the measured emb_pca fact);
-    * empty cells keep their seed. Everything is exact integer micros,
-    * so encode, tables, ADC sums and the final ranking replay
-    * bit-identically in the oracle's relational formulation.
+  /** PQ geometry for a corpus of n vectors: (k centroids/subspace,
+    * ADC shortlist width R). The default region (n ≤ [[LshGeometry
+    * .PAIR_DEFAULT_MAX]] = 4096, the same 2× gate margin as the
+    * LSH/IVF dials) keeps the oracle-pinned 5-bit/R=64 board
+    * configuration. Above it BOTH dials move, and the scale step
+    * MEASURED why: at 200k vectors the board dials scored recall@5
+    * 0.125 (and 0.05 at 2M) — near-isotropic data's top-5 margins
+    * shrink as n grows, so 5-bit ADC noise buries them. k jumps to
+    * 256 (8-bit codes — the standard FAISS configuration; still a
+    * format dial: per-row work is m·k·subDim at any corpus size) and
+    * R widens as n/256 — per-query refine cost stays 1/256th of a
+    * brute-force scan. Measured: k=256/R=1024 → recall 1.000 at 200k;
+    * k=256/R=8192 → 0.950 at 2M (k=32/R=4096 only reaches 0.70 at
+    * 200k — code precision, not shortlist width, is the binding dial).
     */
-  val annPq: Op = Op(
-    "ann_pq",
-    (s, d) => {
+  private[graft] def pqGeometryFor(n: Long): (Int, Int) =
+    if (n <= LshGeometry.PAIR_DEFAULT_MAX) (PQ_K, PQ_RERANK)
+    else (256, math.max(1024, math.min(1 << 20, (n / 256).toInt)))
+
+  /** E10's body at an arbitrary (k, rounds, rerank) geometry — the
+    * recall/compression dial seam (AnnSpec pins the k=16 vs k=32
+    * tradeoff and the [[pqGeometryFor]] regimes).
+    */
+  private[graft] def pqTopK(
+      s: SparkSession,
+      d: String,
+      k: Int = PQ_K,
+      rounds: Int = PQ_ROUNDS,
+      rerank: Int = PQ_RERANK): DataFrame = {
       val e = withNorm(s, d)
-      // seed codebook: the 16 designated vectors' normalized sub-vectors
+      // seed codebook: the k designated vectors' normalized sub-vectors
       val seedRows = e
         .filter(col("vec_id") >= QUERY_MAX &&
-          col("vec_id") < QUERY_MAX + PQ_K)
+          col("vec_id") < QUERY_MAX + k)
         .select(col("vec_id"), col("embedding"))
         .collect()
         .map(r => r.getAs[Long]("vec_id") ->
           qNormJvm(r.getAs[scala.collection.Seq[Float]]("embedding")))
         .toMap
-      val seedCent = new Array[Long](PQ_M * PQ_K * PQ_SUBDIM)
-      for (sc <- 0 until PQ_M; c <- 0 until PQ_K; j <- 0 until PQ_SUBDIM)
-        seedCent((sc * PQ_K + c) * PQ_SUBDIM + j) =
+      val seedCent = new Array[Long](PQ_M * k * PQ_SUBDIM)
+      for (sc <- 0 until PQ_M; c <- 0 until k; j <- 0 until PQ_SUBDIM)
+        seedCent((sc * k + c) * PQ_SUBDIM + j) =
           seedRows(QUERY_MAX.toLong + c)(sc * PQ_SUBDIM + j)
       // Lloyd rounds: each assigns every sub-vector to its nearest
       // current centroid and replaces centroids with truncating integer
@@ -756,19 +759,26 @@ object AnnOps {
       // m·k groups × 8 partial sums — the C14/C18-style driver loop with
       // model-sized traffic.
       var cook = seedCent
-      for (_ <- 1 to PQ_ROUNDS) {
+      for (_ <- 1 to rounds) {
         val cookLit = typedLit(cook.toSeq)
         val parts = e
-          .select(col("embedding"), col("nm"),
-            call_function("pq_dists", col("embedding"), cookLit,
-              lit(PQ_SUBDIM), col("nm")).as("dists"))
-          .select(explode(transform(sequence(lit(0), lit(PQ_M - 1)), sc => {
-            val sub = slice(col("dists"), sc * lit(PQ_K) + 1, lit(PQ_K))
+          // BOTH corpus-sized arrays come from fused kernels: qn is the
+          // normalized micros in one codegen loop (a per-element
+          // transform lambda ran interpreted — 64 floor/√ evals per row
+          // per round), and cs is the per-subspace argmin DIRECTLY —
+          // deriving codes from pq_dists materializes the full m×k
+          // table (16 KB/row at k=256 — ~32 GB of intermediate per
+          // corpus pass at sf100, the measured cost of the first cut)
+          .select(
+            call_function("qnorm_micros", col("embedding"), col("nm"))
+              .as("qn"),
+            call_function("pq_encode", col("embedding"), cookLit,
+              lit(PQ_SUBDIM), col("nm")).as("cs"))
+          .select(explode(transform(sequence(lit(0), lit(PQ_M - 1)), sc =>
             struct(sc.cast("int").as("s"),
-              (array_position(sub, array_min(sub)) - 1).cast("int").as("c"),
-              transform(sequence(lit(1), lit(PQ_SUBDIM)), j =>
-                qNormCol((sc * lit(PQ_SUBDIM) + j).cast("int"))).as("sv"))
-          })).as("a"))
+              element_at(col("cs"), (sc + 1).cast("int")).as("c"),
+              slice(col("qn"), sc * lit(PQ_SUBDIM) + 1, lit(PQ_SUBDIM))
+                .as("sv")))).as("a"))
           .groupBy(col("a.s").as("s"), col("a.c").as("c"))
           .agg(count(lit(1)).as("n"),
             (1 to PQ_SUBDIM).map(j =>
@@ -779,35 +789,43 @@ object AnnOps {
           val sc = r.getAs[Int]("s"); val c = r.getAs[Int]("c")
           val n = r.getAs[Long]("n")
           for (j <- 1 to PQ_SUBDIM)
-            next((sc * PQ_K + c) * PQ_SUBDIM + j - 1) =
+            next((sc * k + c) * PQ_SUBDIM + j - 1) =
               r.getAs[Long](s"d$j") / n
         }
         cook = next
       }
       val refinedLit = typedLit(cook.toSeq)
-      // encode the corpus against the refined codebook (4-byte codes)
+      // encode the corpus against the refined codebook (fused argmin
+      // kernel — the codes column is the only corpus-sized output)
       val coded = e
         .select(col("vec_id"),
-          call_function("pq_dists", col("embedding"), refinedLit,
-            lit(PQ_SUBDIM), col("nm")).as("dists"))
-        .select(col("vec_id"), pqCodes(col("dists")).as("codes"))
+          call_function("pq_encode", col("embedding"), refinedLit,
+            lit(PQ_SUBDIM), col("nm")).as("codes"))
       // query-side ADC tables: the same kernel output IS the table
       val qTab = e.filter(col("vec_id") < QUERY_MAX)
         .select(col("vec_id").as("q_id"),
           call_function("pq_dists", col("embedding"), refinedLit,
             lit(PQ_SUBDIM), col("nm")).as("tab"))
-      val wAdc = Window.partitionBy(col("q_id"))
-        .orderBy(col("adc"), col("vec_id"))
+      // shortlist via the bounded-heap aggregate, NOT a window: the ADC
+      // scan is corpus-sized, and a rank window would shuffle-and-sort
+      // ALL n·queries scored rows into #queries partitions (measured
+      // 2M-row sorts on 8 tasks at sf100); topk_min partial-aggregates
+      // map-side so the shuffle carries ≤ R rows per (query, partition)
+      // — the q7b/B8c scale shape. (adc, vec_id) is a total order, so
+      // the heap's k-smallest set ≡ the window's rank ≤ R set exactly.
       val shortlist = coded.crossJoin(broadcast(qTab))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           aggregate(sequence(lit(0), lit(PQ_M - 1)), lit(0L),
             (acc, sc) => acc + element_at(col("tab"),
-              (sc * lit(PQ_K) +
+              (sc * lit(k) +
                 element_at(col("codes"), (sc + 1).cast("int")) + 1)
                 .cast("int"))).as("adc"))
-        .withColumn("rank_adc", row_number().over(wAdc))
-        .filter(col("rank_adc") <= PQ_RERANK)
+        .groupBy(col("q_id"))
+        .agg(topkMin(struct(col("adc"), col("vec_id")), rerank).as("ks"))
+        .select(col("q_id"), explode(col("ks")).as("p"))
+        .select(col("q_id"), col("p.vec_id").as("vec_id"),
+          col("p.adc").as("adc"))
       // exact-cosine refine over the R·queries shortlist only — the
       // ADC-then-refine deployment: the corpus contributes codes, the
       // float vectors re-attach for R rows per query
@@ -825,6 +843,39 @@ object AnnOps {
         .select(col("q_id"), col("rank"), col("vec_id"), col("adc"),
           col("cos"))
         .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** E10 — product-quantization ANN (asymmetric distance computation):
+    * the memory-compression scale path alongside LSH (E2) and IVF (E3).
+    * Each vector is encoded ONCE into m=8 5-bit codes (its nearest
+    * centroid per 8-dim subspace); a query computes one m×k lookup
+    * table of exact-micros squared distances to every centroid, and
+    * scoring a corpus vector collapses to m table lookups — no float
+    * math against the corpus at all. At 100 TB the codes column
+    * (5 bytes/vector vs 256) IS the index: it fits in memory where the
+    * vectors don't, the query tables broadcast (8×256 longs), and the
+    * ADC scan is embarrassingly parallel over code partitions. The
+    * ADC top-R shortlist re-ranks with the exact cosine — the standard
+    * ADC-then-refine deployment (FAISS IVFPQ's re-rank stage) — so the
+    * output carries both the approximate ordering and the true scores.
+    *
+    * Training is [[PQ_ROUNDS]] distributed Lloyd rounds: assign every
+    * sub-vector to its nearest current centroid (the [[PqDistsExpr]]
+    * kernel — PQ's only corpus-sized arithmetic), partial-aggregate
+    * per-cell integer sums map-side (the shuffle carries ≤ m·k groups
+    * × 8 sums), and derive refined centroids driver-side with
+    * truncating integer division (DuckDB `//` ≡ JVM `/` — the measured
+    * emb_pca fact); empty cells keep their seed. Everything is exact
+    * integer micros, so encode, tables, ADC sums and the final ranking
+    * replay bit-identically in the oracle's relational formulation.
+    */
+  val annPq: Op = Op(
+    "ann_pq",
+    (s, d) => {
+      val (k, rerank) = pqGeometryFor(Tables.embeddings(s, d).count())
+      logGeometryDivergence("ann_pq", s"k=$k R=$rerank",
+        s"k=$PQ_K R=$PQ_RERANK")
+      pqTopK(s, d, k = k, rerank = rerank)
     },
     Some(s"""
       WITH $sqlNormCte,

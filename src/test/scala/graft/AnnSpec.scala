@@ -259,6 +259,73 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ann_pq: second geometry — k=16 4-bit codes trade recall for a " +
+      "bit/subspace (the compression dial)") {
+    val r16 = recallOf(setsOf(operators.AnnOps.pqTopK(spark, sf, k = 16)), sf)
+    val r32 = recallVsExact("ann_pq")
+    info(f"isotropic corpus: PQ recall@5 k=16 $r16%.3f vs k=32 $r32%.3f")
+    // measured at sf0.01 gate: 0.80 vs 0.85 — k buys recall without
+    // touching corpus-scan cost (per-row work is m·k·subDim, corpus
+    // cost stays linear); the floors leave regeneration room
+    assert(r16 >= 0.6, f"k=16 recall $r16%.2f below floor")
+    assert(r32 >= r16 - 0.05,
+      "the finer codebook must not lose recall to the coarser one")
+  }
+
+  test("pq_encode fused kernel ≡ argmin over the pq_dists table, 2 " +
+      "geometries") {
+    import operators.AnnOps
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        expr("dot_micros(embedding, embedding)").as("nm"))
+    for (k <- Seq(16, 32)) {
+      // seed codebook straight from the data slice, normalized micros
+      val seeds = e.filter(col("vec_id") >= 8 && col("vec_id") < 8 + k)
+        .orderBy("vec_id").collect()
+      val cent = new Array[Long](8 * k * 8)
+      seeds.zipWithIndex.foreach { case (r, c) =>
+        val emb = r.getAs[scala.collection.Seq[Float]]("embedding")
+        val qraw = emb.map(f => math.floor(f.toDouble * 1e6 + 0.5).toLong)
+        val nm = qraw.map(q => q * q).sum
+        val rt = math.sqrt(nm.toDouble)
+        for (s <- 0 until 8; j <- 0 until 8)
+          cent((s * k + c) * 8 + j) =
+            math.floor(qraw(s * 8 + j).toDouble / rt * 1e6 + 0.5).toLong
+      }
+      val cl = typedLit(cent.toSeq)
+      val both = e.select(
+          call_function("pq_encode", col("embedding"), cl, lit(8),
+            col("nm")).as("fused"),
+          AnnOps.pqCodes(call_function("pq_dists", col("embedding"), cl,
+            lit(8), col("nm")), k).as("composed"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+          s"k=$k: fused/composed code divergence")
+      }
+    }
+  }
+
+  test("pqGeometryFor: oracle-pinned default region, 8-bit codes + " +
+      "n/256 shortlist above it") {
+    import operators.AnnOps.pqGeometryFor
+    // the default region covers every oracle-checked corpus with the
+    // same 2x gate margin as the LSH/IVF dials
+    assert(pqGeometryFor(500) == ((32, 64)))
+    assert(pqGeometryFor(4096) == ((32, 64)))
+    // above: code precision jumps to the 8-bit standard and the refine
+    // shortlist tracks n/256 (measured: board dials scored 0.125 at
+    // 200k and 0.05 at 2M; 256/1024 -> 1.000 at 200k, 256/8192 -> 0.95
+    // at 2M)
+    assert(pqGeometryFor(20000) == ((256, 1024)))
+    assert(pqGeometryFor(200000) == ((256, 1024)))
+    assert(pqGeometryFor(2000000) == ((256, 7812)))
+    // the shortlist dial is bounded (a 10^9-vector probe refines ~4M
+    // candidates per query - 1/256th of brute force - and never more
+    // than the 2^20 cap)
+    assert(pqGeometryFor(1000000000L)._2 == (1 << 20))
+  }
+
   test("ann_pq: deterministic end to end; ADC join broadcasts the query " +
       "tables, never a raw cartesian") {
     val a = run("ann_pq").collect().map(_.toString).toSeq
