@@ -342,6 +342,117 @@ object MultimodalOps {
         FROM documents) t
       ORDER BY source, doc_id"""))
 
+  /** Perceptual-hash geometry (F6): a 63-cell average hash (the
+    * 64-cell public aHash minus one cell — bit 63 is unusable as a
+    * portable word bit, the D12 lesson: DuckDB's `<<` range-errors
+    * where the JVM wraps), banded 7 × 9 bits for candidate generation,
+    * Hamming ≤ 6 as the near-dup verdict.
+    */
+  private val PH_CELLS = 63
+  private val PH_BANDS = 7
+  private val PH_BAND_BITS = 9
+  private val PH_TAU = 6
+
+  /** F6 — perceptual-hash near-duplicate detection over the media
+    * column: the image-dedup stage of a multimodal pipeline (aHash/
+    * pHash-family fingerprints + Hamming banding — the public
+    * average-hash recipe). The "downscale" is deterministic content
+    * striping: the payload splits into [[PH_CELLS]] equal character
+    * stripes whose code-point sums play the 8×8 luma grid (the fake
+    * codec, exactly the F-series pattern — a real deployment swaps in
+    * the pixel decoder and keeps EVERYTHING downstream); bit i = stripe
+    * i above the payload mean, so near-identical payloads differ in few
+    * bits, which is the property the banding exploits. Candidates
+    * come from 9-bit band buckets (Hamming ≤ 6 pairs share a band
+    * w.p. ≥ 1 − C(7,6)·…  ≈ 1 for ≤ 6 flipped bits spread over 7
+    * bands — at least one band is untouched by pigeonhole), pairs
+    * enumerate bucket-locally with the hash riding in the bucket rows
+    * (the D4/D5 shape — no self-join), and the exact Hamming distance
+    * verifies via bit_count(xor). At 100 TB: one corpus-linear hash
+    * pass, one groupBy-band shuffle of id+hash rows, in-task pair
+    * work bounded by band-bucket occupancy.
+    */
+  val mmPhashDedup: Op = Op(
+    "mm_phash_dedup",
+    (s, d) => {
+      val hashed = graft.Caches.persist(Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("text"),
+          greatest(expr(s"char_length(text) div $PH_CELLS"), lit(1))
+            .as("w"))
+        .select(col("doc_id"),
+          expr(s"""transform(sequence(0, ${PH_CELLS - 1}), i ->
+            aggregate(sequence(i * w + 1, i * w + w), cast(0 as bigint),
+              (acc, p) -> acc + ascii(substring(text, p, 1))))""")
+            .as("cells"))
+        .select(col("doc_id"), col("cells"),
+          expr(s"aggregate(cells, cast(0 as bigint), (a, x) -> a + x)" +
+            s" div $PH_CELLS").as("mean"))
+        .select(col("doc_id"),
+          expr(s"""aggregate(sequence(0, ${PH_CELLS - 1}),
+            cast(0 as bigint), (acc, i) ->
+              acc + if(element_at(cells, i + 1) > mean,
+                shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""")
+            .as("phash")))
+      hashed
+        .select(col("doc_id"), col("phash"),
+          explode(expr(s"""transform(sequence(0, ${PH_BANDS - 1}), b ->
+            named_struct('band', b, 'key',
+              shiftright(phash, b * $PH_BAND_BITS)
+                & ${(1 << PH_BAND_BITS) - 1}))""")).as("bk"))
+        .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+        .agg(sort_array(collect_list(
+          struct(col("doc_id"), col("phash")))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(flatten(transform(col("ds"), (x, i) =>
+          transform(
+            slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
+            y => struct(x.as("x"), y.as("y")))))).as("p"))
+        .select(col("p.x.doc_id").as("i"), col("p.y.doc_id").as("j"),
+          bit_count(col("p.x.phash").bitwiseXOR(col("p.y.phash")))
+            .cast(LongType).as("hamming"))
+        .filter(col("hamming") <= PH_TAU)
+        .groupBy(col("i"), col("j"))
+        .agg(min(col("hamming")).as("hamming"))
+        .orderBy(col("i"), col("j"))
+    },
+    Some(s"""
+      WITH ph AS (
+        SELECT doc_id, text,
+               greatest(length(text) // $PH_CELLS, 1) AS w
+        FROM documents),
+      cells AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, ${PH_CELLS - 1}), i ->
+                 CAST(list_sum(list_transform(
+                   generate_series(i*w+1, i*w+w), p ->
+                     ascii(substr(text, p, 1)))) AS BIGINT)) AS cells
+        FROM ph),
+      hm AS (SELECT doc_id, cells,
+                    CAST(list_sum(cells) AS BIGINT) // $PH_CELLS AS mean
+             FROM cells),
+      hv AS (SELECT doc_id,
+               CAST(list_sum(list_transform(
+                 generate_series(0, ${PH_CELLS - 1}), i ->
+                   CASE WHEN cells[i+1] > mean
+                        THEN (1::BIGINT << CAST(i AS INT))
+                        ELSE 0 END)) AS BIGINT) AS phash
+             FROM hm),
+      bk AS (SELECT doc_id, phash, b,
+                    (phash >> CAST(b * $PH_BAND_BITS AS INT))
+                      & ${(1 << PH_BAND_BITS) - 1} AS key
+             FROM hv, generate_series(0, ${PH_BANDS - 1}) t(b)),
+      pr AS (SELECT a.doc_id AS i, b2.doc_id AS j,
+                    CAST(bit_count(xor(a.phash, b2.phash)) AS BIGINT)
+                      AS hamming
+             FROM bk a JOIN bk b2
+               ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id)
+      SELECT i, j, CAST(min(hamming) AS BIGINT) AS hamming
+      FROM pr WHERE hamming <= $PH_TAU
+      GROUP BY i, j
+      ORDER BY i, j"""))
+
   val all: Seq[Op] =
-    Seq(mmBinaryMeta, mmDecodeBatch, mmChunk, mmFrameSample, mmShardManifest)
+    Seq(mmBinaryMeta, mmDecodeBatch, mmChunk, mmFrameSample,
+      mmShardManifest, mmPhashDedup)
 }

@@ -139,4 +139,31 @@ class MultimodalSpec extends SparkSpec {
       rows.foreach { case (_, i, ts) => assert(ts == i * 1000L / 24L) }
     }
   }
+
+  test("mm_phash_dedup: exact copy at Hamming 0, light edit within tau, " +
+      "distinct payload unpaired; no cartesian") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_phash").toString
+    val base = (1 to 120).map(i => s"px$i").mkString(" ")
+    // a light edit: one stripe's content shifts, most cells untouched
+    val edited = base.replace("px60", "qx60")
+    val other = (1 to 120).map(i => s"zz${i * 7}").mkString(" ")
+    spark.createDataFrame(Seq(
+        (0L, base, "en", "s", base.length.toLong),
+        (1L, base, "en", "s", base.length.toLong),
+        (2L, edited, "en", "s", edited.length.toLong),
+        (3L, other, "en", "s", other.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = run("mm_phash_dedup", dir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(pairs((0L, 1L)) == 0L, s"exact copy must hash identically: $pairs")
+    assert(pairs.contains(0L -> 2L) && pairs((0L, 2L)) <= 6L,
+      s"light edit must pair within tau: $pairs")
+    assert(!pairs.keySet.exists { case (i, j) => i == 3L || j == 3L },
+      s"distinct payload must not pair: $pairs")
+    val p = plan(run("mm_phash_dedup", dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "pairs must enumerate bucket-locally, never via join")
+  }
 }
