@@ -881,11 +881,53 @@ object RelationalOps {
         FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b) z) t
       ORDER BY set_op"""))
 
+  /** B26 — explicit GROUPING SETS with grouping_id: the remaining ANSI
+    * grouping surface after ROLLUP (B9, a prefix chain) and CUBE (B20,
+    * the full lattice) — an ARBITRARY set list, here
+    * {(status, priority), (status), (priority), ()}, which neither
+    * shorthand can express (CUBE emits the same four sets here, but
+    * the general form prunes the lattice; the op pins the surface and
+    * the grouping_id bit semantics, MSB = leftmost group column —
+    * verified identical in DuckDB's GROUPING()). Plans as one Expand +
+    * hash aggregate: each input row replicates once per grouping set
+    * BEFORE the shuffle with map-side combine, so the exchange carries
+    * one partial per (set, group) — same scale shape as B9/B20.
+    */
+  val q26GroupingSets: Op = Op(
+    "q26_grouping_sets",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+            Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("gid"), col("n_orders"), col("revenue"))
+        .orderBy(col("gid"), col("status"), col("priority")),
+    Some(s"""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+               AS gid,
+             count(*) AS n_orders,
+             ${xsum("o_totalprice")} AS revenue
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        (o_orderstatus), (o_orderpriority), ())
+      ORDER BY gid, status, priority"""))
+
   val all: Seq[Op] = Seq(
     q1Agg, q2Pushdown, q3JoinAgg, q4Semijoin, q5Antijoin, q6StarJoin,
     q7WindowTopk, q7bTopkAgg, q8Distinct, q8bApproxDistinct, q8cKmvDistinct,
     q9Rollup, q10Topk,
     q11CaseAgg, q12DateAgg, q13StringFuncs, q14Union, q15ScalarSubquery,
     q16Sessionize, q17JsonExtract, q18RunningSum, q19OuterJoin, q20Cube,
-    q21Pivot, q22Percentile, q23MovingAvg, q24Profile, q25SetOps)
+    q21Pivot, q22Percentile, q23MovingAvg, q24Profile, q25SetOps,
+    q26GroupingSets)
 }

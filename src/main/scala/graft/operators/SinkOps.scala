@@ -868,10 +868,54 @@ object SinkOps {
       GROUP BY 1, 2
       ORDER BY hour_start, event_type"""))
 
+  /** A14 — SCD2 validity intervals over the per-key event history: the
+    * reference's sinks keep EVERY dumped version of an item (each
+    * publish inserts a fresh row stamped `time_last_dumped` —
+    * course_published.py's append-only model; A1's latest-row view is
+    * one consumer of it); the other standard consumer is "state as of
+    * T", which needs each version's validity window. This is the
+    * type-2 slowly-changing-dimension reconstruction every warehouse
+    * runs over append-only history: per key, order versions by
+    * (ts, event_id) and close each interval at the next version's
+    * open — `lead()` over the key partition; the last interval stays
+    * open (`valid_to_us` NULL, `is_current` true).
+    *
+    * Scale shape: ONE window over the key partition (co-partitioned
+    * with A1's shuffle — at 100 TB the same keyed exchange serves
+    * both), no joins; zero-width intervals (same-ts versions) are kept
+    * and deterministic via the event_id tie-break, matching how a
+    * rapid double-publish reads in the reference's history.
+    */
+  val sinkScd2: Op = Op(
+    "sink_scd2",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+        .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("us").as("valid_from_us"), col("valid_to_us"),
+          col("valid_to_us").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id, event_type, value,
+             us AS valid_from_us,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS valid_to_us,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               IS NULL AS is_current
+      FROM (SELECT user_id, event_id, event_type, value,
+                   epoch_us(ts) AS us
+            FROM events) t
+      ORDER BY user_id, valid_from_us, event_id"""))
+
   val all: Seq[Op] = Seq(
     sinkLatestState, sinkShouldDump, sinkRetireUsers, sinkPseudonymize,
     sinkPagination, sinkBackfillPlan, sinkSerializeOverview,
     sinkSerializeProfile, sinkXblockHierarchy, sinkXblockDedup,
     sinkExternalId, sinkCsvFormat, eventsWindowedAgg, sinkDumpRelated,
-    sinkCcxExpand, sinkCcxExpandOff, sinkGating)
+    sinkCcxExpand, sinkCcxExpandOff, sinkGating, sinkScd2)
 }

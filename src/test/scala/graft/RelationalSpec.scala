@@ -214,4 +214,25 @@ class RelationalSpec extends SparkSpec {
     assert(cohort(1996) == r("except_96_not_95") + r("intersect_95_96"))
     assert(r("intersect_95_96") > 0, "sf0.001 has year-over-year repeaters")
   }
+
+  test("q26_grouping_sets: gid bit semantics, every set internally " +
+      "consistent with the grand total") {
+    val rows = run("q26_grouping_sets").collect()
+      .map(r => (r.getAs[String]("status"), r.getAs[String]("priority"),
+        r.getAs[Long]("gid"), r.getAs[Long]("n_orders")))
+    val total = rows.filter(_._3 == 3L)
+    assert(total.length == 1 && total.head._1 == "ALL" &&
+      total.head._2 == "ALL", "gid=3 is the () set")
+    val n = total.head._4
+    // each grouping set partitions the same input: counts re-add to the
+    // grand total, and the gid bits track which column is aggregated
+    // (MSB = status, the leftmost group column)
+    Seq(0L, 1L, 2L).foreach { gid =>
+      assert(rows.filter(_._3 == gid).map(_._4).sum == n, s"gid=$gid sum")
+    }
+    rows.foreach { case (st, pr, gid, _) =>
+      assert((st == "ALL") == ((gid & 2L) != 0L), s"status bit at $gid")
+      assert((pr == "ALL") == ((gid & 1L) != 0L), s"priority bit at $gid")
+    }
+  }
 }

@@ -340,4 +340,27 @@ class SinkSpec extends SparkSpec {
     assert(scans("sink_ccx_expand_off") < scans("sink_ccx_expand"),
       "flag-off plan must drop the child-table scan")
   }
+
+  test("sink_scd2: intervals tile the per-key history, one open row per " +
+      "key, population matches the event log") {
+    val rows = run("sink_scd2").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("valid_from_us"),
+        Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.toLong),
+        r.getAs[Boolean]("is_current")))
+    val nEvents = Tables.events(spark, sf).count()
+    assert(rows.length == nEvents, "every version owns exactly one interval")
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(x => (x._2, x._3.getOrElse(Long.MaxValue)))
+      // each interval closes exactly at the next one's open (ties allowed
+      // as zero-width intervals), and only the last stays open
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3.contains(b._2),
+          s"user ${a._1}: gap between ${a._3} and ${b._2}")
+        case _ =>
+      }
+      assert(sorted.init.forall(!_._4) && sorted.last._4,
+        s"user ${g.head._1}: exactly the last interval is current")
+      assert(sorted.last._3.isEmpty, "open interval has NULL valid_to")
+    }
+  }
 }
