@@ -727,17 +727,17 @@ object AnnOps {
     if (n <= LshGeometry.PAIR_DEFAULT_MAX) (PQ_K, PQ_RERANK)
     else (256, math.max(1024, math.min(1 << 20, (n / 256).toInt)))
 
-  /** E10's body at an arbitrary (k, rounds, rerank) geometry — the
-    * recall/compression dial seam (AnnSpec pins the k=16 vs k=32
-    * tradeoff and the [[pqGeometryFor]] regimes).
+  /** Train a PQ codebook over a (vec_id, embedding, nm) frame: seed
+    * from the deterministic corpus slice (vec_id ∈
+    * [QUERY_MAX, QUERY_MAX+k) — a production build would sample), then
+    * `rounds` distributed Lloyd rounds. Returns the flattened
+    * normalized-micros codebook (the kernels' operand layout) —
+    * model-sized driver traffic, the C14/C18 loop shape. Factored out
+    * so [[PqIndex]] trains with the IDENTICAL definition the board op
+    * uses.
     */
-  private[graft] def pqTopK(
-      s: SparkSession,
-      d: String,
-      k: Int = PQ_K,
-      rounds: Int = PQ_ROUNDS,
-      rerank: Int = PQ_RERANK): DataFrame = {
-      val e = withNorm(s, d)
+  private[operators] def pqTrain(
+      e: DataFrame, k: Int, rounds: Int): Array[Long] = {
       // seed codebook: the k designated vectors' normalized sub-vectors
       val seedRows = e
         .filter(col("vec_id") >= QUERY_MAX &&
@@ -794,17 +794,36 @@ object AnnOps {
         }
         cook = next
       }
-      val refinedLit = typedLit(cook.toSeq)
-      // encode the corpus against the refined codebook (fused argmin
-      // kernel — the codes column is the only corpus-sized output)
-      val coded = e
-        .select(col("vec_id"),
-          call_function("pq_encode", col("embedding"), refinedLit,
-            lit(PQ_SUBDIM), col("nm")).as("codes"))
+      cook
+  }
+
+  /** Encode a (vec_id, embedding, nm) frame to PQ codes under a trained
+    * codebook (fused argmin kernel — the codes column is the only
+    * corpus-sized output).
+    */
+  private[operators] def pqEncodeDf(
+      e: DataFrame, codebook: Array[Long]): DataFrame =
+    e.select(col("vec_id"),
+      call_function("pq_encode", col("embedding"),
+        typedLit(codebook.toSeq), lit(PQ_SUBDIM), col("nm")).as("codes"))
+
+  /** ADC shortlist + exact-cosine refine of `queries` against a coded
+    * corpus, with `vectors` as the refine store — shared by the board
+    * op and [[PqIndex.probe]] so the search semantics cannot drift.
+    */
+  private[operators] def pqSearch(
+      codebook: Array[Long],
+      k: Int,
+      rerank: Int,
+      topK: Int,
+      coded: DataFrame,
+      vectors: DataFrame,
+      queries: DataFrame): DataFrame = {
+      val cbLit = typedLit(codebook.toSeq)
       // query-side ADC tables: the same kernel output IS the table
-      val qTab = e.filter(col("vec_id") < QUERY_MAX)
+      val qTab = queries
         .select(col("vec_id").as("q_id"),
-          call_function("pq_dists", col("embedding"), refinedLit,
+          call_function("pq_dists", col("embedding"), cbLit,
             lit(PQ_SUBDIM), col("nm")).as("tab"))
       // shortlist via the bounded-heap aggregate, NOT a window: the ADC
       // scan is corpus-sized, and a rank window would shuffle-and-sort
@@ -829,20 +848,35 @@ object AnnOps {
       // exact-cosine refine over the R·queries shortlist only — the
       // ADC-then-refine deployment: the corpus contributes codes, the
       // float vectors re-attach for R rows per query
-      val q = e.filter(col("vec_id") < QUERY_MAX)
+      val q = queries
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("nm").as("q_nm"))
       val wCos = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id"))
-      shortlist.join(e, "vec_id").join(broadcast(q), "q_id")
+      shortlist.join(vectors, "vec_id").join(broadcast(q), "q_id")
         .select(col("q_id"), col("vec_id"), col("adc"),
           cosineFromMicros(dotMicros(col("q_emb"), col("embedding")),
             col("q_nm"), col("nm")).as("cos"))
         .withColumn("rank", row_number().over(wCos).cast(LongType))
-        .filter(col("rank") <= TOP_K)
+        .filter(col("rank") <= topK)
         .select(col("q_id"), col("rank"), col("vec_id"), col("adc"),
           col("cos"))
         .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** E10's body at an arbitrary (k, rounds, rerank) geometry — train,
+    * encode, search over one corpus frame.
+    */
+  private[graft] def pqTopK(
+      s: SparkSession,
+      d: String,
+      k: Int = PQ_K,
+      rounds: Int = PQ_ROUNDS,
+      rerank: Int = PQ_RERANK): DataFrame = {
+      val e = withNorm(s, d)
+      val cook = pqTrain(e, k, rounds)
+      pqSearch(cook, k, rerank, TOP_K, pqEncodeDf(e, cook), e,
+        e.filter(col("vec_id") < QUERY_MAX))
   }
 
   /** E10 — product-quantization ANN (asymmetric distance computation):
