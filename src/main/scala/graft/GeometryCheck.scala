@@ -28,7 +28,8 @@ package graft
   */
 object GeometryCheck {
   private val Known =
-    Set("ann_lsh", "dedup_embedding", "ann_ivf", "dedup_semantic", "ann_pq")
+    Set("ann_lsh", "dedup_embedding", "ann_ivf", "dedup_semantic",
+      "ann_pq", "mm_phash_dedup")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -71,6 +72,17 @@ object GeometryCheck {
     if (keys("ann_ivf")) {
       operators.AnnOps.ivfTopK(spark, sfDir) // default = the pinned 16 cells
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ann_ivf")
+      Caches.releaseScope()
+    }
+    if (keys("mm_phash_dedup")) {
+      // F6 checks at the CORPUS band geometry like D5/D11: the oracle
+      // regenerates at the same (bands, width), a pure function of
+      // sfDir's document count
+      val (bands, width) = operators.MultimodalOps.phashGeometryFor(
+        Tables.documents(spark, sfDir).count())
+      operators.MultimodalOps.phashPairsAt(spark, sfDir, bands, width)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/mm_phash_dedup")
       Caches.releaseScope()
     }
     if (keys("ann_pq")) {
@@ -116,6 +128,12 @@ object GeometryCheck {
         val cells = operators.AnnOps.ivfCellsFor(n)
         Map("dedup_semantic" -> operators.DedupOps.sqlSemanticAt(cells,
           operators.DedupOps.semSubGeometry(n, cells)))
+      } else Map.empty) ++
+      (if (dumped("mm_phash_dedup")) {
+        val (bands, width) = operators.MultimodalOps.phashGeometryFor(
+          Tables.documents(spark, sfDir).count())
+        Map("mm_phash_dedup" ->
+          operators.MultimodalOps.sqlPhashAt(bands, width))
       } else Map.empty)
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -345,13 +346,133 @@ object MultimodalOps {
   /** Perceptual-hash geometry (F6): a 63-cell average hash (the
     * 64-cell public aHash minus one cell — bit 63 is unusable as a
     * portable word bit, the D12 lesson: DuckDB's `<<` range-errors
-    * where the JVM wraps), banded 7 × 9 bits for candidate generation,
-    * Hamming ≤ 6 as the near-dup verdict.
+    * where the JVM wraps), banded for candidate generation, Hamming ≤ 6
+    * as the near-dup verdict.
     */
   private val PH_CELLS = 63
   private val PH_BANDS = 7
   private val PH_BAND_BITS = 9
   private val PH_TAU = 6
+
+  /** D3's bucket-cap twin: a (band, key) bucket holding more than this
+    * many documents contributes NO pairs (monotone saturation — a
+    * pathological hot bucket degrades recall, never cost).
+    */
+  private val PH_MAX_BUCKET = 200
+
+  /** Band geometry for a corpus of n documents: (bands, bits-per-band).
+    * The default region (n ≤ 4096, the standing gate margin) keeps the
+    * oracle-pinned 7 × 9-bit multi-index — Hamming ≤ 6 pairs are
+    * GUARANTEED a shared untouched band by pigeonhole. Above it the
+    * bands must widen or occupancy explodes by pigeonhole on the KEY
+    * SPACE itself (measured: at 500k docs, 9-bit keys put ~1000 docs
+    * in every bucket — n/512 regardless of data — and the in-bucket
+    * quadratic OOMed the first sf10 bench): width grows with log2(n)+2
+    * up to the 21-bit third of the hash, so expected occupancy stays
+    * ≤ ~n/2^21 ≈ 0.25 at 500k. The price is the standard LSH-banding
+    * tradeoff — at 3 bands only ≤ 2 flipped bits keep the pigeonhole
+    * guarantee, deeper edits surface probabilistically — and the cap
+    * bounds whatever skew remains.
+    */
+  private[graft] def phashGeometryFor(n: Long): (Int, Int) =
+    if (n <= 16384) (PH_BANDS, PH_BAND_BITS)
+    else {
+      val w = math.min(21,
+        2 + math.ceil(math.log(math.max(n, 2).toDouble) /
+          math.log(2.0)).toInt)
+      (63 / w, w)
+    }
+
+  /** F6's body at an explicit band geometry — the GeometryCheck seam
+    * (the D5/D11 pattern: above the default region the engine buckets
+    * wider than the static oracle, and the matching-geometry oracle
+    * regenerates via [[sqlPhashAt]]).
+    */
+  private[graft] def phashPairsAt(
+      s: SparkSession, d: String, bands: Int, width: Int): DataFrame = {
+      val hashed = graft.Caches.persist(Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("text"),
+          greatest(expr(s"char_length(text) div $PH_CELLS"), lit(1))
+            .as("w"))
+        .select(col("doc_id"),
+          expr(s"""transform(sequence(0, ${PH_CELLS - 1}), i ->
+            aggregate(sequence(i * w + 1, i * w + w), cast(0 as bigint),
+              (acc, p) -> acc + ascii(substring(text, p, 1))))""")
+            .as("cells"))
+        .select(col("doc_id"), col("cells"),
+          expr(s"aggregate(cells, cast(0 as bigint), (a, x) -> a + x)" +
+            s" div $PH_CELLS").as("mean"))
+        .select(col("doc_id"),
+          expr(s"""aggregate(sequence(0, ${PH_CELLS - 1}),
+            cast(0 as bigint), (acc, i) ->
+              acc + if(element_at(cells, i + 1) > mean,
+                shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""")
+            .as("phash")))
+      hashed
+        .select(col("doc_id"), col("phash"),
+          explode(expr(s"""transform(sequence(0, ${bands - 1}), b ->
+            named_struct('band', b, 'key',
+              shiftright(phash, b * $width)
+                & ${(1L << width) - 1}))""")).as("bk"))
+        .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+        .agg(sort_array(collect_list(
+          struct(col("doc_id"), col("phash")))).as("ds"))
+        .filter(size(col("ds")) >= 2 &&
+          size(col("ds")) <= PH_MAX_BUCKET)
+        .select(explode(flatten(transform(col("ds"), (x, i) =>
+          transform(
+            slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
+            y => struct(x.as("x"), y.as("y")))))).as("p"))
+        .select(col("p.x.doc_id").as("i"), col("p.y.doc_id").as("j"),
+          bit_count(col("p.x.phash").bitwiseXOR(col("p.y.phash")))
+            .cast(LongType).as("hamming"))
+        .filter(col("hamming") <= PH_TAU)
+        .groupBy(col("i"), col("j"))
+        .agg(min(col("hamming")).as("hamming"))
+        .orderBy(col("i"), col("j"))
+  }
+
+  /** DuckDB twin of [[phashPairsAt]] at an explicit geometry. */
+  private[graft] def sqlPhashAt(bands: Int, width: Int): String = s"""
+      WITH ph AS (
+        SELECT doc_id, text,
+               greatest(length(text) // $PH_CELLS, 1) AS w
+        FROM documents),
+      cells AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, ${PH_CELLS - 1}), i ->
+                 CAST(list_sum(list_transform(
+                   generate_series(i*w+1, i*w+w), p ->
+                     ascii(substr(text, p, 1)))) AS BIGINT)) AS cells
+        FROM ph),
+      hm AS (SELECT doc_id, cells,
+                    CAST(list_sum(cells) AS BIGINT) // $PH_CELLS AS mean
+             FROM cells),
+      hv AS (SELECT doc_id,
+               CAST(list_sum(list_transform(
+                 generate_series(0, ${PH_CELLS - 1}), i ->
+                   CASE WHEN cells[i+1] > mean
+                        THEN (1::BIGINT << CAST(i AS INT))
+                        ELSE 0 END)) AS BIGINT) AS phash
+             FROM hm),
+      bk AS (SELECT doc_id, phash, b,
+                    (phash >> CAST(b * $width AS INT))
+                      & ${(1L << width) - 1} AS key
+             FROM hv, generate_series(0, ${bands - 1}) t(b)),
+      occ AS (SELECT b, key, count(*) AS n FROM bk GROUP BY 1, 2),
+      pr AS (SELECT a.doc_id AS i, b2.doc_id AS j,
+                    CAST(bit_count(xor(a.phash, b2.phash)) AS BIGINT)
+                      AS hamming
+             FROM bk a
+             JOIN bk b2
+               ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id
+             JOIN occ ON occ.b = a.b AND occ.key = a.key
+             WHERE occ.n <= $PH_MAX_BUCKET)
+      SELECT i, j, CAST(min(hamming) AS BIGINT) AS hamming
+      FROM pr WHERE hamming <= $PH_TAU
+      GROUP BY i, j
+      ORDER BY i, j"""
 
   /** F6 — perceptual-hash near-duplicate detection over the media
     * column: the image-dedup stage of a multimodal pipeline (aHash/
@@ -375,82 +496,12 @@ object MultimodalOps {
   val mmPhashDedup: Op = Op(
     "mm_phash_dedup",
     (s, d) => {
-      val hashed = graft.Caches.persist(Tables.documents(s, d)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), col("text"),
-          greatest(expr(s"char_length(text) div $PH_CELLS"), lit(1))
-            .as("w"))
-        .select(col("doc_id"),
-          expr(s"""transform(sequence(0, ${PH_CELLS - 1}), i ->
-            aggregate(sequence(i * w + 1, i * w + w), cast(0 as bigint),
-              (acc, p) -> acc + ascii(substring(text, p, 1))))""")
-            .as("cells"))
-        .select(col("doc_id"), col("cells"),
-          expr(s"aggregate(cells, cast(0 as bigint), (a, x) -> a + x)" +
-            s" div $PH_CELLS").as("mean"))
-        .select(col("doc_id"),
-          expr(s"""aggregate(sequence(0, ${PH_CELLS - 1}),
-            cast(0 as bigint), (acc, i) ->
-              acc + if(element_at(cells, i + 1) > mean,
-                shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""")
-            .as("phash")))
-      hashed
-        .select(col("doc_id"), col("phash"),
-          explode(expr(s"""transform(sequence(0, ${PH_BANDS - 1}), b ->
-            named_struct('band', b, 'key',
-              shiftright(phash, b * $PH_BAND_BITS)
-                & ${(1 << PH_BAND_BITS) - 1}))""")).as("bk"))
-        .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
-        .agg(sort_array(collect_list(
-          struct(col("doc_id"), col("phash")))).as("ds"))
-        .filter(size(col("ds")) >= 2)
-        .select(explode(flatten(transform(col("ds"), (x, i) =>
-          transform(
-            slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
-            y => struct(x.as("x"), y.as("y")))))).as("p"))
-        .select(col("p.x.doc_id").as("i"), col("p.y.doc_id").as("j"),
-          bit_count(col("p.x.phash").bitwiseXOR(col("p.y.phash")))
-            .cast(LongType).as("hamming"))
-        .filter(col("hamming") <= PH_TAU)
-        .groupBy(col("i"), col("j"))
-        .agg(min(col("hamming")).as("hamming"))
-        .orderBy(col("i"), col("j"))
+      val (bands, width) = phashGeometryFor(Tables.documents(s, d).count())
+      AnnOps.logGeometryDivergence("mm_phash_dedup",
+        s"$bands x $width-bit bands", s"$PH_BANDS x $PH_BAND_BITS-bit bands")
+      phashPairsAt(s, d, bands, width)
     },
-    Some(s"""
-      WITH ph AS (
-        SELECT doc_id, text,
-               greatest(length(text) // $PH_CELLS, 1) AS w
-        FROM documents),
-      cells AS (
-        SELECT doc_id,
-               list_transform(generate_series(0, ${PH_CELLS - 1}), i ->
-                 CAST(list_sum(list_transform(
-                   generate_series(i*w+1, i*w+w), p ->
-                     ascii(substr(text, p, 1)))) AS BIGINT)) AS cells
-        FROM ph),
-      hm AS (SELECT doc_id, cells,
-                    CAST(list_sum(cells) AS BIGINT) // $PH_CELLS AS mean
-             FROM cells),
-      hv AS (SELECT doc_id,
-               CAST(list_sum(list_transform(
-                 generate_series(0, ${PH_CELLS - 1}), i ->
-                   CASE WHEN cells[i+1] > mean
-                        THEN (1::BIGINT << CAST(i AS INT))
-                        ELSE 0 END)) AS BIGINT) AS phash
-             FROM hm),
-      bk AS (SELECT doc_id, phash, b,
-                    (phash >> CAST(b * $PH_BAND_BITS AS INT))
-                      & ${(1 << PH_BAND_BITS) - 1} AS key
-             FROM hv, generate_series(0, ${PH_BANDS - 1}) t(b)),
-      pr AS (SELECT a.doc_id AS i, b2.doc_id AS j,
-                    CAST(bit_count(xor(a.phash, b2.phash)) AS BIGINT)
-                      AS hamming
-             FROM bk a JOIN bk b2
-               ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id)
-      SELECT i, j, CAST(min(hamming) AS BIGINT) AS hamming
-      FROM pr WHERE hamming <= $PH_TAU
-      GROUP BY i, j
-      ORDER BY i, j"""))
+    Some(sqlPhashAt(PH_BANDS, PH_BAND_BITS)))
 
   val all: Seq[Op] =
     Seq(mmBinaryMeta, mmDecodeBatch, mmChunk, mmFrameSample,

@@ -166,4 +166,20 @@ class MultimodalSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       "pairs must enumerate bucket-locally, never via join")
   }
+
+  test("phashGeometryFor: oracle-pinned default region; bands widen with " +
+      "log2(n) above it so bucket occupancy stays bounded") {
+    import graft.operators.MultimodalOps.phashGeometryFor
+    assert(phashGeometryFor(500) == ((7, 9)))
+    assert(phashGeometryFor(16384) == ((7, 9)))
+    // above the region the 9-bit key space itself forces ~n/512 docs
+    // into every bucket (the measured sf10 OOM); width tracks log2(n)+2
+    // up to a 21-bit third of the hash
+    assert(phashGeometryFor(50000) == ((3, 18)))
+    assert(phashGeometryFor(500000) == ((3, 21)))
+    assert(phashGeometryFor(1000000000L) == ((3, 21)))
+    // expected occupancy at the widest geometry stays sub-1 per bucket
+    // for any corpus the 63-bit hash can meaningfully serve
+    assert(500000.0 / (1L << 21) < 1.0)
+  }
 }
