@@ -613,6 +613,55 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** `phash63(text: string): long` — F6's 63-cell average perceptual
+    * hash in one code-point walk: stripe width w = max(numChars/63, 1),
+    * cell i = Σ code points at (1-based, code-point) positions
+    * i·w+1 .. i·w+w (positions past the text contribute 0, positions
+    * past stripe 62 are ignored), mean = Σ cells / 63 (truncating),
+    * bit i set iff cell i > mean. Exactly the
+    * transform/aggregate/substring/ascii HOF chain it replaces
+    * (MultimodalSpec pins the equivalence) — which ran INTERPRETED at
+    * ~63 sub-aggregate dispatches per row and was the dominant cost of
+    * the sf10 hash materialization (26 s cold for 500k docs).
+    * Per-row dispatch is one call per DOCUMENT, so CodegenFallback
+    * costs nothing here (the minhash16 argument).
+    */
+  case class Phash63Expr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "phash63"
+
+    override def nullSafeEval(input: Any): Any = {
+      val str = input.toString
+      val n = str.codePointCount(0, str.length)
+      val w = math.max(n / 63, 1)
+      val cells = new Array[Long](63)
+      var off = 0
+      var p = 0
+      while (off < str.length) {
+        val cp = str.codePointAt(off)
+        off += Character.charCount(cp)
+        val stripe = p / w
+        if (stripe < 63) cells(stripe) += cp
+        p += 1
+      }
+      var sum = 0L
+      var i = 0
+      while (i < 63) { sum += cells(i); i += 1 }
+      val mean = sum / 63
+      var h = 0L
+      i = 0
+      while (i < 63) {
+        if (cells(i) > mean) h |= 1L << i
+        i += 1
+      }
+      h
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `trigram_string(packed: long): string` — decodes a
     * [[CharTrigramsExpr]] key back to its three characters (code-point
     * correct; applied to the ≤k rows that survive the top-k, never the
@@ -801,6 +850,10 @@ object VectorExpressions {
       new ExpressionInfo(classOf[TopKMinAgg].getName, "topk_min"),
       (args: Seq[Expression]) =>
         TopKMinAgg(args(0), args(1)).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("phash63"),
+      new ExpressionInfo(classOf[Phash63Expr].getName, "phash63"),
+      (args: Seq[Expression]) => Phash63Expr(args(0))))
     ext.injectFunction((
       new FunctionIdentifier("char_trigrams"),
       new ExpressionInfo(classOf[CharTrigramsExpr].getName, "char_trigrams"),

@@ -388,27 +388,38 @@ object MultimodalOps {
     * wider than the static oracle, and the matching-geometry oracle
     * regenerates via [[sqlPhashAt]]).
     */
+  /** The composed HOF derivation of the 63-cell hash — kept as the
+    * independent twin MultimodalSpec pins the `phash63` kernel against
+    * (the lsh_buckets/pq_encode parity precedent).
+    */
+  private[graft] def phashHof(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("text"),
+      greatest(expr(s"char_length(text) div $PH_CELLS"), lit(1))
+        .as("w"))
+    .select(col("doc_id"),
+      expr(s"""transform(sequence(0, ${PH_CELLS - 1}), i ->
+        aggregate(sequence(i * w + 1, i * w + w), cast(0 as bigint),
+          (acc, p) -> acc + ascii(substring(text, p, 1))))""")
+        .as("cells"))
+    .select(col("doc_id"), col("cells"),
+      expr(s"aggregate(cells, cast(0 as bigint), (a, x) -> a + x)" +
+        s" div $PH_CELLS").as("mean"))
+    .select(col("doc_id"),
+      expr(s"""aggregate(sequence(0, ${PH_CELLS - 1}),
+        cast(0 as bigint), (acc, i) ->
+          acc + if(element_at(cells, i + 1) > mean,
+            shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""")
+        .as("phash"))
+
   private[graft] def phashPairsAt(
       s: SparkSession, d: String, bands: Int, width: Int): DataFrame = {
+      // one kernel call per document (the HOF spelling ran interpreted
+      // — 63 sub-aggregates per row — and dominated the sf10 hash
+      // materialization at 26 s cold)
       val hashed = graft.Caches.persist(Tables.documents(s, d)
         .repartition(col("doc_id"))
-        .select(col("doc_id"), col("text"),
-          greatest(expr(s"char_length(text) div $PH_CELLS"), lit(1))
-            .as("w"))
         .select(col("doc_id"),
-          expr(s"""transform(sequence(0, ${PH_CELLS - 1}), i ->
-            aggregate(sequence(i * w + 1, i * w + w), cast(0 as bigint),
-              (acc, p) -> acc + ascii(substring(text, p, 1))))""")
-            .as("cells"))
-        .select(col("doc_id"), col("cells"),
-          expr(s"aggregate(cells, cast(0 as bigint), (a, x) -> a + x)" +
-            s" div $PH_CELLS").as("mean"))
-        .select(col("doc_id"),
-          expr(s"""aggregate(sequence(0, ${PH_CELLS - 1}),
-            cast(0 as bigint), (acc, i) ->
-              acc + if(element_at(cells, i + 1) > mean,
-                shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""")
-            .as("phash")))
+          call_function("phash63", col("text")).as("phash")))
       hashed
         .select(col("doc_id"), col("phash"),
           explode(expr(s"""transform(sequence(0, ${bands - 1}), b ->

@@ -167,6 +167,37 @@ class MultimodalSpec extends SparkSpec {
       "pairs must enumerate bucket-locally, never via join")
   }
 
+  test("phash63 kernel ≡ the composed HOF derivation, including " +
+      "multibyte and short payloads") {
+    import org.apache.spark.sql.functions.{call_function, col}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ph63").toString
+    val docs = Seq(
+      (0L, (1 to 200).map(i => s"tok$i").mkString(" ")),
+      (1L, "short"),                       // below 63 chars -> w = 1
+      (2L, ""),                            // empty payload
+      (3L, "héllo wörld ünïcode çontent " * 8), // multibyte code points
+      (4L, (1 to 63).map(_ => "a").mkString(""))) // exactly 63 chars
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val base = Tables.documents(spark, dir)
+    val fused = base
+      .select(col("doc_id"), call_function("phash63", col("text")).as("phash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = graft.operators.MultimodalOps.phashHof(base)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == composed, s"kernel/HOF divergence: $fused vs $composed")
+    // and on the real corpus
+    val corp = Tables.documents(spark, sf)
+    val f2 = corp.select(col("doc_id"),
+        call_function("phash63", col("text")).as("phash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c2 = graft.operators.MultimodalOps.phashHof(corp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f2 == c2, "kernel/HOF divergence on the sf corpus")
+  }
+
   test("phashGeometryFor: oracle-pinned default region; bands widen with " +
       "log2(n) above it so bucket occupancy stays bounded") {
     import graft.operators.MultimodalOps.phashGeometryFor
