@@ -984,6 +984,45 @@ object DedupOps {
     pmod(conv(substring(h, j * 5 + 1, 5), 16, 10).cast(LongType),
       lit(BLOOM_BITS.toLong))
 
+  /** Build the fixed-size bitset from a distinct-gram frame (column
+    * `g`) — collected driver-side (2 KB). Factored out so the streaming
+    * ingest edge ([[graft.streaming.DocIngest]]) builds its filter from
+    * the SAME definition D12 checks against the oracle.
+    */
+  private[graft] def bloomBitset(evalG: DataFrame): Array[Long] = {
+    val words = new Array[Long](BLOOM_WORDS)
+    evalG
+      .select(md5(col("g")).as("h"))
+      .select(explode(array((0 until BLOOM_K).map(j =>
+        bloomPos(j, col("h"))): _*)).as("pos"))
+      .select(floor(col("pos") / lit(63)).cast("int").as("w_idx"),
+        call_function("shiftleft", lit(1L),
+          (col("pos") % lit(63L)).cast("int")).as("wbit"))
+      .groupBy(col("w_idx"))
+      .agg(expr("bit_or(wbit)").as("w"))
+      .collect()
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  /** Membership test of a gram COLUMN against a built bitset: one md5 +
+    * [[BLOOM_K]] sliced-position word probes, pure row-local expression
+    * work (usable inside streaming filters and HOF lambdas).
+    */
+  private[graft] def bloomHit(words: Array[Long], g: Column): Column = {
+    val wordsCol = typedLit(words.toSeq)
+    val h = md5(g)
+    (0 until BLOOM_K).map { j =>
+      val p = bloomPos(j, h)
+      element_at(wordsCol, floor(p / lit(63)).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          (p % lit(63L)).cast("int"))) =!= lit(0L)
+    }.reduce(_ && _)
+  }
+
+  /** The n-gram width D12/D8 and the streaming decon stage share. */
+  private[graft] def deconN: Int = DECON_N
+
   /** DuckDB twin of [[bloomPos]] over a hex column expression. */
   private def sqlBloomPos(j: Int, h: String): String =
     s"CAST(('0x' || substr($h, ${j * 5 + 1}, 5)) AS BIGINT) % $BLOOM_BITS"

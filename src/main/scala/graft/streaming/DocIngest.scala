@@ -43,4 +43,44 @@ object DocIngest {
   /** The composed ingest: watermark → quality gate → exact dedup. */
   def pipeline(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     dedup(qualityGate(docs.withWatermark("ts", watermark)))
+
+  /** Bloom decontamination at the ingest edge — the streaming face of
+    * D12's two-stage design: the eval-set bitset is built ONCE offline
+    * ([[graft.operators.DedupOps.bloomBitset]], the same definition the
+    * oracle checks) and rides into the stream as a 2 KB literal; each
+    * document tests its long n-grams with a pure row-local expression
+    * (one md5 + 3 word probes per gram — no state, no join, no
+    * shuffle), and the stream SPLITS: misses continue down the
+    * pipeline, hits route to a quarantine side output whose exact
+    * verification (D12's broadcast-join stage) runs offline — a
+    * streaming pipeline never blocks on the full eval index, and
+    * Bloom's one-sided error means nothing contaminated can reach the
+    * clean side. Returns (clean, suspects).
+    */
+  def bloomSplit(
+      docs: DataFrame, words: Array[Long]): (DataFrame, DataFrame) = {
+    val flagged = docs
+      .withColumn("tok", split(trim(lower(col("text"))), "\\s+"))
+      .withColumn("bloom_hit",
+        size(col("tok")) >= graft.operators.DedupOps.deconN &&
+          exists(
+            ngramsFromTokens(col("tok"), graft.operators.DedupOps.deconN),
+            g => graft.operators.DedupOps.bloomHit(words, g)))
+      .drop("tok")
+    (flagged.filter(!col("bloom_hit")).drop("bloom_hit"),
+      flagged.filter(col("bloom_hit")).drop("bloom_hit"))
+  }
+
+  /** The full edge chain with decontamination: watermark → quality
+    * gate → Bloom split → exact dedup on the clean side. Returns
+    * (deduped clean stream, quarantine stream).
+    */
+  def pipelineWithDecon(
+      docs: DataFrame,
+      words: Array[Long],
+      watermark: String = "1 hour"): (DataFrame, DataFrame) = {
+    val (clean, suspects) =
+      bloomSplit(qualityGate(docs.withWatermark("ts", watermark)), words)
+    (dedup(clean), suspects)
+  }
 }

@@ -246,6 +246,52 @@ class StreamingSpec extends SparkSpec {
       s"expected first-seen survivors 1 and 5, got $ids")
   }
 
+  test("doc ingest stream with Bloom decon: contaminated docs quarantine " +
+      "map-side, clean docs flow; nothing contaminated reaches the " +
+      "clean side") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.DocIngest
+
+    // the offline-built eval bitset (D12's builder, the oracle-checked
+    // definition): 8-grams of a held-out benchmark text
+    val evalToks = (1 to 30).map(i => s"eval$i")
+    val evalGrams = evalToks.sliding(8).map(_.mkString(" ")).toSeq
+    val words = graft.operators.DedupOps.bloomBitset(
+      evalGrams.toDF("g"))
+
+    val clean = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs far away to a quiet place in the woods today again"
+    // a gate-passing doc that embeds a 10-token eval run (3 full 8-grams)
+    val leaked = "the story begins and it is told here " +
+      (5 to 14).map(i => s"eval$i").mkString(" ") +
+      " and the ending is a quiet one in the woods"
+
+    val src = MemoryStream[Doc]
+    val (cleanStream, quarantine) =
+      DocIngest.pipelineWithDecon(src.toDS().toDF(), words)
+    val q1 = cleanStream.writeStream.format("memory")
+      .queryName("decon_clean").outputMode("append").start()
+    val q2 = quarantine.writeStream.format("memory")
+      .queryName("decon_quarantine").outputMode("append").start()
+
+    src.addData(
+      Doc(1, t("10:00"), clean),
+      Doc(2, t("10:01"), leaked),
+      Doc(3, t("10:02"), "way too short"))
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+
+    val cleanIds = spark.table("decon_clean").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    val quarIds = spark.table("decon_quarantine").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(cleanIds == Seq(1L),
+      s"only the uncontaminated gate-passing doc flows: $cleanIds")
+    assert(quarIds == Seq(2L),
+      s"the leaked doc quarantines (and the short doc gated out): $quarIds")
+  }
+
   test("near-dup stream: cross-batch LSH pairs, unrelated docs unpaired") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
