@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnIndex, AnnOps, DedupIndex}
+import graft.operators.{AnnIndex, AnnOps, DedupIndex, PqIndex}
 
 /** Probe-only deployment benchmark for the index-backed ANN/dedup
   * queries (judge ask r10 #4).
@@ -53,9 +53,10 @@ object BenchProbe {
       try { load; true } catch { case _: Throwable => false }
 
     // ---- build phase (amortized; timed only when it actually runs) ----
-    var annBuild, dedupBuild = 0.0
+    var annBuild, dedupBuild, pqBuild = 0.0
     val annPath = s"$idxDir/ann"
     val dedupPath = s"$idxDir/dedup"
+    val pqPath = s"$idxDir/pq"
     if (rebuild || !loadable(AnnIndex.load(spark, annPath))) {
       annBuild = secs {
         val emb = Tables.embeddings(spark, sfDir)
@@ -70,6 +71,15 @@ object BenchProbe {
         DedupIndex.save(
           DedupIndex.build(Tables.documents(spark, sfDir)
             .select(col("doc_id"), col("text"))), dedupPath)
+      }
+      Caches.releaseScope()
+    }
+    if (rebuild || !loadable(PqIndex.load(spark, pqPath))) {
+      pqBuild = secs {
+        val emb = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val (k, rerank) = AnnOps.pqGeometryFor(emb.count())
+        PqIndex.save(PqIndex.build(emb, k = k, rerank = rerank), pqPath)
       }
       Caches.releaseScope()
     }
@@ -91,9 +101,12 @@ object BenchProbe {
 
     val annIdx = AnnIndex.load(spark, annPath)
     val dedupIdx = DedupIndex.load(spark, dedupPath)
+    val pqIdx = PqIndex.load(spark, pqPath)
     val probes: Seq[(String, () => Long)] = Seq(
       "ann_lsh_probe" ->
         (() => AnnIndex.probe(annIdx, annQ).count()),
+      "ann_pq_probe" ->
+        (() => PqIndex.probe(pqIdx, annQ).count()),
       "dedup_minhash_probe" ->
         (() => DedupIndex.probe(dedupIdx, docB).count()),
       "dedup_embedding_probe" ->
@@ -120,7 +133,7 @@ object BenchProbe {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, _, mn, true) => mn }.sum
     println(s"""{"metric":"probe_total","value":$total,"unit":"sec","build":${
-      jmap(Seq("ann" -> annBuild, "dedup" -> dedupBuild))
+      jmap(Seq("ann" -> annBuild, "dedup" -> dedupBuild, "pq" -> pqBuild))
     },"queries":${jmap(results.map { case (k, _, mn, _) => k -> mn })},"first":${
       jmap(results.map { case (k, f, _, _) => k -> f })
     },"reps":$REPS,"probe_batch":{"ann":${annQ.count()},"dedup":${docB.count()},"embedding":${embB.count()}},"failed":${
