@@ -1270,8 +1270,69 @@ object DedupOps {
       GROUP BY canon_url
       ORDER BY keep_id"""))
 
+  /** D14's keep threshold: pairs where the smaller document's shingle
+    * set is ≥ 70% inside the larger one's.
+    */
+  private val CONT_TAU = 0.7
+
+  /** D14 — shingle CONTAINMENT pairs: Broder's asymmetric companion to
+    * D2's resemblance ("On the Resemblance and Containment of
+    * Documents", Broder 1997): c(A,B) = |S(A)∩S(B)| / |S(A)| — how much
+    * of the SMALLER document lives inside the larger. This is the
+    * inclusion detector symmetric Jaccard structurally misses: a short
+    * document quoted wholesale inside a long one scores
+    * containment ≈ 1 while Jaccard ≈ |A|/|B| ≈ 0 — exactly the
+    * quote/boilerplate/subset duplication a curation pass wants flagged
+    * (the output carries BOTH measures so the divergence is visible).
+    *
+    * Same plan as D2 — the shared-shingle candidate generator with the
+    * df cap, bucket-local pair enumeration, set sizes riding in the
+    * collected structs (two shuffles, zero joins) — and the same capped
+    * semantics: capped shingles leave the intersection, denominators
+    * stay full-set.
+    */
+  val dedupContainment: Op = Op(
+    "dedup_containment",
+    (s, d) => {
+      val sh = shingleRows(s, d).withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      sh.groupBy(col("s"))
+        .agg(sort_array(collect_list(
+          struct(col("doc_id"), col("n")))).as("ds"))
+        .filter(size(col("ds")).between(2, MAX_DF))
+        .select(explode(pairCombinations(col("ds"))).as("p"))
+        .groupBy(col("p.i.doc_id").as("i"), col("p.j.doc_id").as("j"),
+          col("p.i.n").as("n_i"), col("p.j.n").as("n_j"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("i"), col("j"), col("n_i"), col("n_j"),
+          col("c").as("n_shared"),
+          (col("c") * lit(1.0) / least(col("n_i"), col("n_j")))
+            .as("containment"),
+          (col("c") * lit(1.0) / (col("n_i") + col("n_j") - col("c")))
+            .as("jaccard"))
+        .filter(col("containment") >= CONT_TAU)
+        .orderBy(col("i"), col("j"))
+    },
+    Some(s"""
+      WITH $sqlShingleCte,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      dfc AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MAX_DF),
+      common AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+                 FROM sh a JOIN sh b
+                   ON a.s = b.s AND a.doc_id < b.doc_id
+                 JOIN dfc ON a.s = dfc.s
+                 GROUP BY 1, 2)
+      SELECT i, j, x.n AS n_i, y.n AS n_j, c AS n_shared,
+             c * 1.0 / least(x.n, y.n) AS containment,
+             c * 1.0 / (x.n + y.n - c) AS jaccard
+      FROM common
+      JOIN sizes x ON i = x.doc_id
+      JOIN sizes y ON j = y.doc_id
+      WHERE c * 1.0 / least(x.n, y.n) >= $CONT_TAU
+      ORDER BY i, j"""))
+
   val all: Seq[Op] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbedding, dedupClusters, dedupReport, dedupDecontaminate,
-    dedupSubstr, dedupSemantic, dedupBloom, dedupUrl)
+    dedupSubstr, dedupSemantic, dedupBloom, dedupUrl, dedupContainment)
 }

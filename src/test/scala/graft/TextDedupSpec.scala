@@ -658,6 +658,32 @@ class TextDedupSpec extends SparkSpec {
       "URL dedup is projection + groupBy only")
   }
 
+  test("dedup_containment: a quoted subset scores ~1 containment at low " +
+      "jaccard; symmetric near-dups agree with D2") {
+    val dir = Files.createTempDirectory("graft_cont").toString
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    // doc 1 is the first 12 tokens of doc 0 quoted wholesale: 10 of its
+    // 10 shingles live in doc 0, but jaccard is only ~10/58
+    val quoted = (1 to 12).map(i => s"w$i").mkString(" ")
+    val unrelated = (1 to 30).map(i => s"z$i").mkString(" ")
+    spark.createDataFrame(Seq(
+        (0L, long, "en", "s", long.length.toLong),
+        (1L, quoted, "en", "s", quoted.length.toLong),
+        (2L, unrelated, "en", "s", unrelated.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = run("dedup_containment", dir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) ->
+        (r.getAs[Double]("containment"), r.getAs[Double]("jaccard"))).toMap
+    val (cont, jac) = rows.getOrElse((0L, 1L),
+      fail(s"quoted-subset pair must surface: $rows"))
+    assert(cont == 1.0, s"full quote -> containment 1.0, got $cont")
+    assert(jac < 0.25, s"and jaccard stays low ($jac) — the asymmetry " +
+      "D2 cannot see")
+    assert(!rows.keySet.exists { case (i, j) => i == 2L || j == 2L },
+      "unrelated doc never pairs")
+  }
+
   test("quality_ppl_buckets: token-mass terciles, score-ordered buckets, " +
       "full coverage vs lm_bigram_ref") {
     val rows = run("quality_ppl_buckets").collect()
