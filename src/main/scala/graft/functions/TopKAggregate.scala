@@ -164,3 +164,120 @@ case class TopKMinAgg(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0), kExpr = newChildren(1))
 }
+
+/** `mg_sketch(key: bigint, capacity)` — Misra-Gries frequent-items
+  * summary over a long key, returning the retained candidate keys
+  * (sorted, ≤ capacity of them).
+  *
+  * WHY: exact heavy hitters via `GROUP BY key HAVING count > n/θ⁻¹`
+  * shuffles one partial per DISTINCT key per partition and builds
+  * hash-aggregate state proportional to the key cardinality — at 100 TB
+  * with billions of tail keys that state is the bottleneck, not the
+  * answer (which is ≤ θ⁻¹ rows). This summary is FIXED-SIZE: each
+  * partition reduces to ≤ capacity (key, count) pairs whatever the
+  * cardinality, the shuffle moves only those, and merges fold summaries
+  * pairwise. The classic guarantee (Misra & Gries 1982; merge form
+  * Agarwal et al., "Mergeable Summaries", PODS'12): every key with true
+  * frequency > n/(capacity+1) SURVIVES in the summary — so with
+  * capacity ≥ θ⁻¹ the result is a SUPERSET of the θ-heavy hitters, and
+  * a second exact counting pass over just those candidates makes the
+  * final answer exact (PipelineOps.eventsHeavyHitters). Retained
+  * COUNTS are under-estimates and intermediate contents depend on
+  * partitioning; neither leaks into the two-phase result, which is
+  * exact by the superset guarantee alone.
+  *
+  * update: present → +1; room → insert at 1; full → decrement ALL by 1,
+  * dropping zeros (amortized O(1): each decrement cancels a prior
+  * increment). merge: sum counts keywise; if over capacity, subtract
+  * the (capacity+1)-th largest count from everything and drop ≤ 0 —
+  * the PODS'12 mergeable form, preserving the error bound n/(cap+1).
+  */
+case class MgSketchAgg(
+    child: Expression,
+    capExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.LongMap[Long]] {
+
+  override def children: Seq[Expression] = Seq(child, capExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "mg_sketch"
+
+  private lazy val cap: Int = {
+    require(capExpr.foldable, "mg_sketch: capacity must be a literal")
+    val c = capExpr.eval().asInstanceOf[Number].intValue()
+    require(c > 0, "mg_sketch: capacity must be positive")
+    c
+  }
+
+  override def createAggregationBuffer(): mutable.LongMap[Long] =
+    mutable.LongMap.empty[Long]
+
+  private def decrementAll(buf: mutable.LongMap[Long], by: Long): Unit = {
+    val dead = mutable.ArrayBuffer.empty[Long]
+    buf.foreach { case (k, v) =>
+      if (v <= by) dead += k else buf(k) = v - by
+    }
+    dead.foreach(buf.remove)
+  }
+
+  override def update(
+      buf: mutable.LongMap[Long], input: InternalRow): mutable.LongMap[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.asInstanceOf[Long]
+      val cur = buf.getOrElse(key, 0L)
+      if (cur > 0L) buf(key) = cur + 1L
+      else if (buf.size < cap) buf(key) = 1L
+      else decrementAll(buf, 1L)
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.LongMap[Long],
+      other: mutable.LongMap[Long]): mutable.LongMap[Long] = {
+    other.foreach { case (k, v) => buf(k) = buf.getOrElse(k, 0L) + v }
+    if (buf.size > cap) {
+      // subtract the (cap+1)-th largest count, keeping the top cap
+      val counts = buf.valuesIterator.toArray
+      java.util.Arrays.sort(counts)
+      decrementAll(buf, counts(counts.length - cap - 1))
+      // ties at the pivot can leave > cap entries at the pivot value;
+      // the bound allows dropping them too, but keeping them only
+      // widens the candidate set — keep (correctness over tightness)
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.LongMap[Long]): Any = {
+    val keys = buf.keysIterator.toArray
+    java.util.Arrays.sort(keys)
+    new GenericArrayData(keys)
+  }
+
+  override def serialize(buf: mutable.LongMap[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach { case (k, v) => bb.putLong(k); bb.putLong(v) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.LongMap[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf(bb.getLong()) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MgSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MgSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), capExpr = newChildren(1))
+}

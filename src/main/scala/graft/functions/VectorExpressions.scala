@@ -662,6 +662,78 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** The Q16 log2 recipe of [[Log2Q16Expr]] as a plain static — one
+    * definition for every interpreted caller ([[CpEntropyExpr]] runs it
+    * per DISTINCT code point inside its per-row pass; the expression's
+    * own eval delegates here). Contract num ≥ den ≥ 1.
+    */
+  private[functions] def log2q16(num: Long, den: Long): Long = {
+    val blenN = 64 - java.lang.Long.numberOfLeadingZeros(num)
+    val blenD = 64 - java.lang.Long.numberOfLeadingZeros(den)
+    val n2 = if (blenN <= 33) num << (33 - blenN) else num >> (blenN - 33)
+    val d2 = if (blenD <= 33) den << (33 - blenD) else den >> (blenD - 33)
+    val e0 = if (n2 >= d2) 0 else -1
+    val e = (blenN - blenD) + e0
+    var v = if (e0 == 0) (n2 << 30) / d2 else ((n2 << 30) / d2) << 1
+    var acc = 0L
+    var i = 0
+    while (i < 16) {
+      val u = v * v
+      if (u >= (1L << 61)) { acc = acc * 2 + 1; v = u >> 31 }
+      else { acc = acc * 2; v = u >> 30 }
+      i += 1
+    }
+    (e.toLong << 16) + acc
+  }
+
+  /** `cp_entropy(text: string): struct<n_cp, n_distinct_cp, ent_q16>` —
+    * C21's code-point unigram entropy in ONE pass per document:
+    * count code points into a hash map, then
+    * `ent_q16 = log2_q16(n, 1) − (Σ_c k_c · log2_q16(k_c, 1)) div n`
+    * (the − Σ p log2 p identity rearranged so every term is an integer;
+    * the divide truncates, both operands non-negative). All arithmetic
+    * is the [[log2q16]] recipe, so the DuckDB oracle reproduces the
+    * BIGINT bit-for-bit from an unnest+group replay — no
+    * transcendentals. Per-row dispatch is one call per document
+    * (CodegenFallback costs nothing — the minhash16 argument); the op
+    * built on this is shuffle-free.
+    */
+  case class CpEntropyExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(
+      Seq(
+        org.apache.spark.sql.types.StructField("n_cp", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_distinct_cp", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("ent_q16", LongType, nullable = false)))
+    override def prettyName: String = "cp_entropy"
+
+    override def nullSafeEval(input: Any): Any = {
+      val str = input.toString
+      val counts = new java.util.HashMap[Integer, Array[Long]]()
+      var off = 0
+      var n = 0L
+      while (off < str.length) {
+        val cp = str.codePointAt(off)
+        off += Character.charCount(cp)
+        val slot = counts.get(cp)
+        if (slot == null) counts.put(cp, Array(1L)) else slot(0) += 1L
+        n += 1L
+      }
+      var sumBits = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val k = it.next()(0)
+        if (k > 1L) sumBits += k * log2q16(k, 1L)
+      }
+      val ent = if (n == 0L) 0L else log2q16(n, 1L) - sumBits / n
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n, counts.size().toLong, ent))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `trigram_string(packed: long): string` — decodes a
     * [[CharTrigramsExpr]] key back to its three characters (code-point
     * correct; applied to the ≤k rows that survive the top-k, never the
@@ -756,26 +828,8 @@ object VectorExpressions {
     override def dataType: DataType = LongType
     override def prettyName: String = "log2_q16"
 
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val num = a.asInstanceOf[Long]
-      val den = b.asInstanceOf[Long]
-      val blenN = 64 - java.lang.Long.numberOfLeadingZeros(num)
-      val blenD = 64 - java.lang.Long.numberOfLeadingZeros(den)
-      val n2 = if (blenN <= 33) num << (33 - blenN) else num >> (blenN - 33)
-      val d2 = if (blenD <= 33) den << (33 - blenD) else den >> (blenD - 33)
-      val e0 = if (n2 >= d2) 0 else -1
-      val e = (blenN - blenD) + e0
-      var v = if (e0 == 0) (n2 << 30) / d2 else ((n2 << 30) / d2) << 1
-      var acc = 0L
-      var i = 0
-      while (i < 16) {
-        val u = v * v
-        if (u >= (1L << 61)) { acc = acc * 2 + 1; v = u >> 31 }
-        else { acc = acc * 2; v = u >> 30 }
-        i += 1
-      }
-      (e.toLong << 16) + acc
-    }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      log2q16(a.asInstanceOf[Long], b.asInstanceOf[Long])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -854,6 +908,15 @@ object VectorExpressions {
       new FunctionIdentifier("phash63"),
       new ExpressionInfo(classOf[Phash63Expr].getName, "phash63"),
       (args: Seq[Expression]) => Phash63Expr(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("cp_entropy"),
+      new ExpressionInfo(classOf[CpEntropyExpr].getName, "cp_entropy"),
+      (args: Seq[Expression]) => CpEntropyExpr(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("mg_sketch"),
+      new ExpressionInfo(classOf[MgSketchAgg].getName, "mg_sketch"),
+      (args: Seq[Expression]) =>
+        MgSketchAgg(args(0), args(1)).toAggregateExpression()))
     ext.injectFunction((
       new FunctionIdentifier("char_trigrams"),
       new ExpressionInfo(classOf[CharTrigramsExpr].getName, "char_trigrams"),

@@ -1001,9 +1001,56 @@ object PipelineOps {
       ORDER BY doc_id"""
     })
 
+  /** G14 — exact heavy hitters in two phases: which keys carry more
+    * than 1/128 of all events (the hot users/domains/IPs a pipeline
+    * must know about for skew handling, rate limiting and abuse
+    * triage), with exact counts and ppm shares.
+    *
+    * The naive `GROUP BY key HAVING count > n/128` is correct but
+    * builds hash-aggregate state proportional to the DISTINCT key count
+    * — billions of tail keys at 100 TB, all shuffled as partials only
+    * to be discarded by the HAVING. Phase 1 instead runs the
+    * [[graft.functions.MgSketchAgg]] Misra-Gries summary: fixed
+    * 128-entry state per partition regardless of cardinality, fixed
+    * shuffle volume, and the classic guarantee that every ≥ n/129 key
+    * survives — a SUPERSET of the answer. Phase 2 broadcast-semi-joins
+    * the ≤ 128 candidates back over the events and counts exactly, so
+    * the aggregate state is candidate-sized and the final filter +
+    * share arithmetic is pure integer math (identical in the oracle,
+    * which states the naive definition — the sketch is an optimization
+    * with a proof, not an approximation of the answer).
+    */
+  val eventsHeavyHitters: Op = Op(
+    "events_heavy_hitters",
+    (s, d) => {
+      val e = Caches.persist(Tables.events(s, d).select(col("user_id")))
+      val nFrame = e.agg(count(lit(1)).as("n_total"))
+      val cands = e
+        .agg(call_function("mg_sketch", col("user_id"), lit(128)).as("ks"))
+        .select(explode(col("ks")).as("user_id"))
+      e.join(broadcast(cands), Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(nFrame))
+        .filter(col("n_events") * lit(128L) > col("n_total"))
+        .select(col("user_id"), col("n_events"), col("n_total"),
+          expr("n_events * 1000000 div n_total").as("share_ppm"))
+        .orderBy(col("n_events").desc, col("user_id"))
+    },
+    Some("""
+      SELECT user_id, count(*) AS n_events,
+             (SELECT count(*) FROM events) AS n_total,
+             count(*) * 1000000 // (SELECT count(*) FROM events)
+               AS share_ppm
+      FROM events
+      GROUP BY user_id
+      HAVING count(*) * 128 > (SELECT count(*) FROM events)
+      ORDER BY n_events DESC, user_id"""))
+
   val all: Seq[Op] = Seq(
     joinAsof, joinRange, sampleStratified, qualityFilter,
     qualityFilterExtracted, eventsRetention, eventsFunnel, sampleWeighted,
     eventsAnomaly, docPack, docPackBpe, mixturePlan, mixturePlanBpe,
-    mixturePlanTemp, sampleDomainCap, curationReport, graphPagerank)
+    mixturePlanTemp, sampleDomainCap, curationReport, graphPagerank,
+    eventsHeavyHitters)
 }

@@ -922,6 +922,56 @@ object RelationalOps {
         (o_orderstatus), (o_orderpriority), ())
       ORDER BY gid, status, priority"""))
 
+  /** B27 — time-interval RANGE window frame: per event, the count and
+    * exact value total of the SAME USER's events inside the trailing
+    * hour (`RANGE BETWEEN 1 HOUR PRECEDING AND CURRENT ROW`) — the
+    * rate/velocity feature behind burst detection, rate limiting and
+    * fraud scoring, and the one ANSI window-frame surface the board
+    * lacked (B18 is an unbounded running frame, B23 a ROWS frame; a
+    * RANGE frame bounds by ORDER-BY VALUE distance, so frame width
+    * varies per row and equal-timestamp peers always share a frame —
+    * which also makes the result order-deterministic under ties, where
+    * a ROWS frame would tie-break arbitrarily).
+    *
+    * Both engines order by integer epoch micros (Spark's rangeBetween
+    * needs a numeric ordering column; DuckDB gets the identical frame
+    * from the same integer), so the frame boundary arithmetic is exact
+    * integer comparison — no interval-type coercion divergence. ONE
+    * shuffle on user_id; Spark evaluates sliding range frames with an
+    * amortized-linear moving lower bound per partition, so a 100 TB
+    * event log costs one keyed exchange plus a per-user linear pass
+    * (per-user row counts are bounded; planted-hot-key behavior is
+    * SkewSpec's pinned story).
+    */
+  val q27TimeRangeAgg: Op = Op(
+    "q27_time_range_agg",
+    (s, d) => {
+      val hourMicros = 3600L * 1000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-hourMicros, 0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .withColumn("n_last_hour", count(lit(1)).over(w))
+        .withColumn("value_last_hour",
+          sum(round(col("value") * 1000000).cast(LongType)).over(w) /
+            1000000.0)
+        .select(col("event_id"), col("user_id"), col("n_last_hour"),
+          col("value_last_hour"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+             count(*) OVER w AS n_last_hour,
+             CAST(sum(CAST(round(value*1000000) AS BIGINT)) OVER w
+               AS BIGINT) / 1000000.0 AS value_last_hour
+      FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+            FROM events) e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
   val all: Seq[Op] = Seq(
     q1Agg, q2Pushdown, q3JoinAgg, q4Semijoin, q5Antijoin, q6StarJoin,
     q7WindowTopk, q7bTopkAgg, q8Distinct, q8bApproxDistinct, q8cKmvDistinct,
@@ -929,5 +979,5 @@ object RelationalOps {
     q11CaseAgg, q12DateAgg, q13StringFuncs, q14Union, q15ScalarSubquery,
     q16Sessionize, q17JsonExtract, q18RunningSum, q19OuterJoin, q20Cube,
     q21Pivot, q22Percentile, q23MovingAvg, q24Profile, q25SetOps,
-    q26GroupingSets)
+    q26GroupingSets, q27TimeRangeAgg)
 }

@@ -1306,10 +1306,72 @@ object TextOps {
       FROM scored s, th
       ORDER BY doc_id"""))
 
+  /** C21 — code-point unigram entropy (the Gopher/C4-family "compression
+    * ratio" quality rule): a document whose character distribution is
+    * near-degenerate (repeated padding, ASCII-art, base64 walls, one-char
+    * floods) scores far below fluent text (~4.2 bits/char for English),
+    * and gates out before the expensive dedup/LM stages. Complements the
+    * board's other degeneracy signals at a different granularity: C8
+    * sees repeated word TRIGRAMS, C19 improbable word SEQUENCES — a
+    * megabyte of "aaaa…" has no tokens at all and only the character
+    * distribution catches it.
+    *
+    * The score is exact in both engines: the entropy identity
+    * `H = log2(n) − (Σ_c k_c·log2(k_c))/n` makes every term a count
+    * log, computed with [[graft.functions.FixedLog]]'s integer Q16
+    * recipe — the engine runs ONE code-point pass per document
+    * (cp_entropy kernel, no shuffle anywhere before the output sort),
+    * the oracle replays the identical integers from an unnest+group.
+    * At 100 TB this is embarrassingly parallel scan work — the
+    * repartition spreads the CPU pass across cores the same way every
+    * per-row C-series op does.
+    */
+  val textEntropy: Op = Op(
+    "text_entropy",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          call_function("cp_entropy", col("text")).as("e"))
+        .select(col("doc_id"),
+          col("e.n_cp").as("n_cp"),
+          col("e.n_distinct_cp").as("n_distinct_cp"),
+          col("e.ent_q16").as("ent_q16"),
+          (col("e.ent_q16").cast("double") / 65536.0).as("ent_bits"),
+          (col("e.ent_q16") < lit(3L * 65536L)).as("is_low_entropy"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH chars AS (
+        SELECT doc_id, c, count(*) AS k
+        FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+              FROM documents) t
+        WHERE c <> ''
+        GROUP BY doc_id, c),
+      ${graft.functions.FixedLog.sqlRounds(
+        "chars", Seq("doc_id", "c"), "k", "1", "lgk")},
+      docs AS (
+        SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_cp,
+               CAST(count(*) AS BIGINT) AS n_distinct_cp
+        FROM chars GROUP BY doc_id),
+      ${graft.functions.FixedLog.sqlRounds(
+        "docs", Seq("doc_id", "n_cp", "n_distinct_cp"), "n_cp", "1", "lgn")},
+      sums AS (
+        SELECT c.doc_id AS doc_id,
+               CAST(sum(c.k * g.bits_q16) AS BIGINT) AS s
+        FROM chars c JOIN lgk g ON c.doc_id = g.doc_id AND c.c = g.c
+        GROUP BY c.doc_id)
+      SELECT d.doc_id, d.n_cp, d.n_distinct_cp,
+             d.bits_q16 - s.s // d.n_cp AS ent_q16,
+             CAST(d.bits_q16 - s.s // d.n_cp AS DOUBLE) / 65536.0 AS ent_bits,
+             (d.bits_q16 - s.s // d.n_cp) < 196608 AS is_low_entropy
+      FROM lgn d JOIN sums s ON d.doc_id = s.doc_id
+      ORDER BY d.doc_id"""))
+
   val all: Seq[Op] = Seq(
     textTokenCount, textQuality, textLangid, textFingerprint, textNgramFreq,
     textDocFreq, textCharNgrams, textRepetition, textBm25, textVocabCoverage,
     textRarity, textBpeCount, textBpeVocab, textBpeTrain, textBpeCountLearned,
     textExtract, textPiiRedact, qualityClassifier, lmBigram, lmBigramRef,
-    qualityPplBuckets)
+    qualityPplBuckets, textEntropy)
 }

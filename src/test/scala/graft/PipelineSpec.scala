@@ -626,4 +626,63 @@ class PipelineSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
   }
+
+  test("events_heavy_hitters: exact under 100k-key tail with capacity-128 " +
+      "sketch; hot keys survive every partitioning") {
+    import spark.implicits._
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // 3 hot keys (3000/2000/1000 events of n≈106k — all > n/128 ≈ 829)
+    // + 100k singleton tail keys that overflow the 128-entry sketch
+    // thousands of times over; planted interleaved so decrements hit
+    // every counter
+    val hot = Seq((1L, 3000), (2L, 2000), (3L, 1000)).flatMap {
+      case (k, c) => (0 until c).map(i => (k * 1000000L + i, k, t(i), "click", 1.0))
+    }
+    val tail = (0 until 100000).map(i =>
+      (9000000L + i, 100L + i, t(i), "view", 0.5))
+    val tmp = java.nio.file.Files.createTempDirectory("ghh").toString
+    (hot ++ tail).toDF("event_id", "user_id", "ts", "event_type", "value")
+      .repartition(8) // interleave hot + tail across tasks
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = run("events_heavy_hitters", tmp).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_total"), r.getAs[Long]("share_ppm")))
+    val n = 106000L
+    assert(out.toSeq == Seq((1L, 3000L, n, 3000L * 1000000L / n),
+      (2L, 2000L, n, 2000L * 1000000L / n),
+      (3L, 1000L, n, 1000L * 1000000L / n)),
+      s"exact heavy hitters under tail cardinality: ${out.toSeq}")
+    // plan shape: the sketch aggregates with map-side partials, the
+    // exact pass joins candidates by broadcast — never a full-key
+    // aggregate feeding the filter
+    val df = run("events_heavy_hitters", tmp)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("mg_sketch"), "sketch aggregate missing from plan")
+    assert(p.contains("BroadcastHashJoin"), "candidate join must broadcast")
+  }
+
+  test("mg_sketch: superset guarantee at tiny capacity, single-key " +
+      "degenerate, null keys ignored") {
+    import spark.implicits._
+    // 60 of key 7, 40 of key 8, 100 singletons: n=200, cap=4 → any key
+    // with freq > 40 must survive; key 7 qualifies everywhere
+    val rows = ((0 until 60).map(_ => 7L) ++ (0 until 40).map(_ => 8L) ++
+      (0 until 100).map(i => 1000L + i))
+    val shuffled = new scala.util.Random(42).shuffle(rows)
+    val got = shuffled.toDF("k").repartition(7)
+      .agg(expr("mg_sketch(k, 4)").as("ks"))
+      .collect()(0).getSeq[Long](0)
+    assert(got.contains(7L), s"freq-0.3 key must survive cap-4 sketch: $got")
+    assert(got.size <= 4, s"summary exceeds capacity: $got")
+    assert(got == got.sorted, "eval must sort for determinism")
+    val single = Seq(5L, 5L, 5L).toDF("k")
+      .agg(expr("mg_sketch(k, 1)").as("ks"))
+      .collect()(0).getSeq[Long](0)
+    assert(single == Seq(5L))
+    val withNulls = Seq(Some(9L), None, Some(9L), None).toDF("k")
+      .agg(expr("mg_sketch(k, 2)").as("ks"))
+      .collect()(0).getSeq[Long](0)
+    assert(withNulls == Seq(9L), "nulls must be ignored like SQL aggregates")
+  }
 }

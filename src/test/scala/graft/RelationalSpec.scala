@@ -235,4 +235,38 @@ class RelationalSpec extends SparkSpec {
       assert((pr == "ALL") == ((gid & 1L) != 0L), s"priority bit at $gid")
     }
   }
+
+  test("q27_time_range_agg: frame equals the brute-force inequality join; " +
+      "one keyed shuffle, no cartesian") {
+    val rows = run("q27_time_range_agg").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_last_hour"), r.getAs[Double]("value_last_hour")))
+      .toMap
+    assert(rows.nonEmpty && rows.values.forall(_._1 >= 1L),
+      "every frame contains at least the current row")
+    // independent definition: the O(n²)-per-user inequality self-join the
+    // RANGE frame replaces — counts and exact sums must agree row-for-row
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val brute = e.as("a").join(e.as("b"), col("a.user_id") === col("b.user_id"))
+      .filter(col("b.us") >= col("a.us") - lit(3600L * 1000000L) &&
+        col("b.us") <= col("a.us"))
+      .groupBy(col("a.event_id"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("b.value") * 1000000)
+          .cast("long")) / 1000000.0).as("v"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("v"))).toMap
+    assert(rows == brute, "RANGE frame diverges from inequality-join truth")
+    val df = run("q27_time_range_agg")
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("Window"), "must plan a window, not a join")
+    assert(p.contains("hashpartitioning(user_id"),
+      "window must shuffle once on user_id")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "the whole point: no join at all")
+  }
 }

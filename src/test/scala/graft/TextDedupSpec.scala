@@ -724,4 +724,52 @@ class TextDedupSpec extends SparkSpec {
     assert(by(9L) == "tail", s"alien doc must be tail: ${by(9L)}")
     assert(by(0L) == "head", s"fluent doc must be head: ${by(0L)}")
   }
+
+  test("text_entropy: closed-form cases exact in Q16, degenerate docs " +
+      "gate low, multibyte counts by code point, no shuffle before sort") {
+    val dir = Files.createTempDirectory("graft_ent").toString
+    val docs = Seq(
+      (0L, "aaaaaaaaaaaaaaaa", "en", "s", 16L),       // 1 symbol → H = 0
+      (1L, "abababababababab", "en", "s", 16L),       // uniform 2 → H = 1
+      (2L, "abcdabcdabcdabcd", "en", "s", 16L),       // uniform 4 → H = 2
+      (3L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L),
+      (4L, "ñññ💩💩💩", "xx", "s", 6L),               // multibyte, uniform 2
+      (5L, "", "en", "s", 0L))                         // empty → excluded
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = run("text_entropy", dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_cp"), x.getAs[Long]("n_distinct_cp"),
+          x.getAs[Long]("ent_q16"), x.getAs[Boolean]("is_low_entropy")))
+      .toMap
+    assert(!r.contains(5L), "empty text must be excluded")
+    // uniform distributions hit the Q16 grid exactly: H = log2(k) is an
+    // integer, and the kernel's exponent path carries it losslessly
+    assert(r(0L) == ((16L, 1L, 0L, true)), s"H(uniform-1): ${r(0L)}")
+    assert(r(1L)._3 == 65536L && r(1L)._4, s"H(uniform-2): ${r(1L)}")
+    assert(r(2L)._3 == 2L * 65536L && r(2L)._4, s"H(uniform-4): ${r(2L)}")
+    // surrogate-pair code points count once each (6 cps, not 9 UTF-16 units)
+    assert(r(4L)._1 == 6L && r(4L)._2 == 2L && r(4L)._3 == 65536L,
+      s"multibyte: ${r(4L)}")
+    // fluent text sits in the natural-language band and passes the gate
+    val fluent = r(3L)._3 / 65536.0
+    assert(fluent > 3.0 && fluent < 5.0 && !r(3L)._4, s"fluent: $fluent")
+    // entropy is bounded by log2(alphabet): uniform docs meet the bound
+    // exactly, nothing exceeds its ceil
+    r.values.foreach { case (_, dct, ent, _) =>
+      val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(
+        2 * dct - 1)
+      assert(ent <= ceilLog2.toLong * 65536L,
+        s"H must not exceed log2 of the alphabet: $dct $ent")
+    }
+    val df = run("text_entropy", dir)
+    df.collect()
+    val p = plan(df)
+    // shuffle-free apart from the doc_id spread + output sort: no
+    // aggregate exchange, no join — the kernel does everything per row
+    assert(!p.contains("Join"), "entropy must not plan a join")
+    assert(!"HashAggregate".r.findFirstIn(p).isDefined,
+      "entropy must not plan an aggregate")
+  }
 }
