@@ -19,11 +19,19 @@ object Scratch {
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // SPARK_GRAFT_FORCE=1: execute the query's OWN physical plan via
+    // queryExecution.toRdd — count() re-optimizes with only
+    // count-needed columns, so a projection-only query (per-row
+    // kernels, window frames) can prune its entire compute under the
+    // bench action; this mode prices the un-pruned plan instead.
+    val force = sys.env.get("SPARK_GRAFT_FORCE").exists(_ == "1")
     args.foreach { key =>
       // construct+execute together, like Bench does; run 0 is session-
       // cold, the later runs are the bench-relevant steady-state cost
       (0 to 5).foreach { i =>
-        t(s"$key e2e$i")(SparkEntry.queries(key)(spark, d).count())
+        val df = SparkEntry.queries(key)(spark, d)
+        if (force) t(s"$key forced$i")(df.queryExecution.toRdd.count())
+        else t(s"$key e2e$i")(df.count())
       }
       SparkEntry.queries(key)(spark, d).explain("formatted")
       // mirror the bench harness: the cache scope closes per key, so
