@@ -972,6 +972,44 @@ object RelationalOps {
                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       ORDER BY event_id"""))
 
+  /** B28 — CORRELATED scalar subqueries, through the SQL entry path:
+    * per customer, how many of their orders run above 1.5× their own
+    * average order value (the self-relative outlier count — "which
+    * purchases were unusually large FOR THIS customer"). q15's scalar
+    * subquery is uncorrelated (one global value); this is the remaining
+    * ANSI subquery surface, where the inner query references the outer
+    * row and Catalyst must DECORRELATE: both correlated aggregates
+    * rewrite to one `GROUP BY o_custkey` aggregate joined back on the
+    * key — the q3 equi-join shuffle shape, NOT a per-row re-execution
+    * (which is what a naive nested-loop interpretation would do and
+    * what the plan spec forbids). Issued via `spark.sql` over
+    * [[Tables.registerViews]] — the one board query exercising the
+    * engine's full SQL-text path end-to-end.
+    *
+    * The 1.5× comparison is exact integer math (price micros · n · 2 >
+    * 3 · Σ price micros, n ≥ 1 since the row itself is in its group),
+    * so both engines compare identical longs.
+    */
+  private val q28Sql: String = """
+      SELECT o.o_custkey AS custkey, count(*) AS n_above
+      FROM orders o
+      WHERE CAST(round(o.o_totalprice*1000000) AS BIGINT)
+              * (SELECT count(*) FROM orders i
+                 WHERE i.o_custkey = o.o_custkey) * 2
+            > (SELECT CAST(sum(CAST(round(i.o_totalprice*1000000) AS BIGINT))
+                 AS BIGINT) FROM orders i
+               WHERE i.o_custkey = o.o_custkey) * 3
+      GROUP BY o.o_custkey
+      ORDER BY custkey"""
+
+  val q28Correlated: Op = Op(
+    "q28_correlated",
+    (s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(q28Sql)
+    },
+    Some(q28Sql))
+
   val all: Seq[Op] = Seq(
     q1Agg, q2Pushdown, q3JoinAgg, q4Semijoin, q5Antijoin, q6StarJoin,
     q7WindowTopk, q7bTopkAgg, q8Distinct, q8bApproxDistinct, q8cKmvDistinct,
@@ -979,5 +1017,5 @@ object RelationalOps {
     q11CaseAgg, q12DateAgg, q13StringFuncs, q14Union, q15ScalarSubquery,
     q16Sessionize, q17JsonExtract, q18RunningSum, q19OuterJoin, q20Cube,
     q21Pivot, q22Percentile, q23MovingAvg, q24Profile, q25SetOps,
-    q26GroupingSets, q27TimeRangeAgg)
+    q26GroupingSets, q27TimeRangeAgg, q28Correlated)
 }

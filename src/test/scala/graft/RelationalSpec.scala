@@ -269,4 +269,34 @@ class RelationalSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       "the whole point: no join at all")
   }
+
+  test("q28_correlated: decorrelates to key-joined aggregates, matches " +
+      "the DataFrame-computed truth") {
+    val got = run("q28_correlated").collect()
+      .map(r => r.getAs[Long]("custkey") -> r.getAs[Long]("n_above")).toMap
+    // independent truth: group-side computation with the same integer
+    // comparison
+    val byCust = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 1000000).cast("long").as("p"))
+      .collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("p")))
+      .groupBy(_._1)
+    val expect = byCust.flatMap { case (ck, rows) =>
+      val n = rows.size.toLong
+      val sum = rows.map(_._2).sum
+      val c = rows.count(r => r._2 * n * 2 > sum * 3).toLong
+      if (c > 0) Some(ck -> c) else None
+    }
+    assert(got == expect, s"q28 diverges: ${got.size} vs ${expect.size}")
+    assert(got.nonEmpty, "sf0.001 has self-relative outliers")
+    val df = run("q28_correlated")
+    df.collect()
+    val p = plan(df)
+    // decorrelation contract: the correlated subqueries become key
+    // equi-joins — never a nested-loop per outer row
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      "correlated subqueries must decorrelate to equi-joins")
+  }
 }
