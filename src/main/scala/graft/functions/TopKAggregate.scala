@@ -3,6 +3,7 @@ package graft.functions
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -204,6 +205,24 @@ case class MgSketchAgg(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "mg_sketch"
 
+  /** Analysis-time validation (r12 advisory): without it a STRING key or
+    * a non-integral capacity surfaced as an executor-side
+    * ClassCastException instead of an AnalysisException, unlike every
+    * built-in aggregate.
+    */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => capExpr.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"mg_sketch: capacity must be integral, got ${other.catalogString}")
+    }
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mg_sketch: key must be BIGINT or INT, got ${other.catalogString}")
+  }
+
+  /** INT keys widen to the LONG summary domain once per row. */
+  private lazy val widenInt = child.dataType == IntegerType
+
   private lazy val cap: Int = {
     require(capExpr.foldable, "mg_sketch: capacity must be a literal")
     val c = capExpr.eval().asInstanceOf[Number].intValue()
@@ -226,7 +245,8 @@ case class MgSketchAgg(
       buf: mutable.LongMap[Long], input: InternalRow): mutable.LongMap[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val key = v.asInstanceOf[Long]
+      val key =
+        if (widenInt) v.asInstanceOf[Int].toLong else v.asInstanceOf[Long]
       val cur = buf.getOrElse(key, 0L)
       if (cur > 0L) buf(key) = cur + 1L
       else if (buf.size < cap) buf(key) = 1L
@@ -240,13 +260,16 @@ case class MgSketchAgg(
       other: mutable.LongMap[Long]): mutable.LongMap[Long] = {
     other.foreach { case (k, v) => buf(k) = buf.getOrElse(k, 0L) + v }
     if (buf.size > cap) {
-      // subtract the (cap+1)-th largest count, keeping the top cap
+      // subtract the (cap+1)-th largest count from every entry and drop
+      // the ones that reach ≤ 0 — the PODS'12 mergeable form. Entries
+      // TIED with the pivot hit exactly 0 and are removed too
+      // (decrementAll drops v <= by), so the summary can shrink below
+      // cap after a merge; the n/(cap+1) survival bound is unaffected
+      // because a true θ-heavy key's count always strictly exceeds the
+      // pivot's share of the mass it absorbed.
       val counts = buf.valuesIterator.toArray
       java.util.Arrays.sort(counts)
       decrementAll(buf, counts(counts.length - cap - 1))
-      // ties at the pivot can leave > cap entries at the pivot value;
-      // the bound allows dropping them too, but keeping them only
-      // widens the candidate set — keep (correctness over tightness)
     }
     buf
   }

@@ -1047,10 +1047,95 @@ object PipelineOps {
       HAVING count(*) * 128 > (SELECT count(*) FROM events)
       ORDER BY n_events DESC, user_id"""))
 
+  /** G15 — exact heavy-hitter DOMAINS: G14's two-phase Misra-Gries
+    * shape generalized from a native long key (user_id) to a STRING key
+    * through the portable hash — the skew-triage pass a crawl pipeline
+    * runs on its URL stream before D13/G11 decide what to keep. Each
+    * document synthesizes a decorated URL over a quadratically-skewed
+    * host family (host index floor(√(doc_id mod 4096)) → 64 domains
+    * whose shares grow linearly, so the 1/128 cut genuinely separates a
+    * head from a tail at every SF), and the domain is recovered with
+    * D13's canonicalization rules (lowercase, strip :443, strip www.,
+    * drop the fragment) — the decorations guarantee the heavy-hitter
+    * count is over the CANONICAL domain, not the raw host string.
+    *
+    * Phase 1 sketches `hash60(domain)`: the summary state stays 256
+    * longs per partition whatever the domain cardinality, and the
+    * survival guarantee transfers through the hash — a ≥ n/129-frequent
+    * domain is a ≥ n/129-frequent hash, so its hash is in the candidate
+    * set (a hash collision can only ADD a candidate, never evict one:
+    * colliding keys pool their counts). Phase 2 broadcast-semi-joins
+    * the candidate hashes and counts the DOMAIN STRING exactly, so
+    * collisions cannot merge two domains in the answer. cap = 256 keeps
+    * 2× margin over the 1/128 threshold's minimum capacity of 128.
+    */
+  val domainsHeavyHitters: Op = Op(
+    "domains_heavy_hitters",
+    (s, d) => {
+      val j = floor(sqrt(pmod(col("doc_id"), lit(4096)).cast("double")))
+        .cast(LongType).cast("string")
+      val ds = col("doc_id").cast("string")
+      val url = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("https://h"), j, lit(".example.com/p/"), ds))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("https://WWW.h"), j, lit(".EXAMPLE.com:443/p/"), ds,
+            lit("#frag")))
+        .otherwise(
+          concat(lit("https://h"), j, lit(".example.com/p/"), ds,
+            lit("?utm_source=x")))
+      val host = regexp_replace(regexp_replace(
+        lower(regexp_extract(regexp_replace(col("url"), "#.*$", ""),
+          "^[A-Za-z]+://([^/?#]+)", 1)), ":(80|443)$", ""), "^www\\.", "")
+      val doms = Caches.persist(Tables.documents(s, d)
+        .select(col("doc_id"), url.as("url"))
+        .select(host.as("domain")))
+      val nFrame = doms.agg(count(lit(1)).as("n_total"))
+      val cands = doms
+        .agg(call_function("mg_sketch", hash60(col("domain")), lit(256))
+          .as("ks"))
+        .select(explode(col("ks")).as("kh"))
+      doms.join(broadcast(cands), hash60(col("domain")) === col("kh"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(nFrame))
+        .filter(col("n_docs") * lit(128L) > col("n_total"))
+        .select(col("domain"), col("n_docs"), col("n_total"),
+          expr("n_docs * 1000000 div n_total").as("share_ppm"))
+        .orderBy(col("n_docs").desc, col("domain"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT)
+                 WHEN 0 THEN 'https://h' ||
+                   CAST(floor(sqrt(CAST(doc_id % 4096 AS DOUBLE))) AS BIGINT)
+                   || '.example.com/p/' || doc_id
+                 WHEN 1 THEN 'https://WWW.h' ||
+                   CAST(floor(sqrt(CAST(doc_id % 4096 AS DOUBLE))) AS BIGINT)
+                   || '.EXAMPLE.com:443/p/' || doc_id || '#frag'
+                 ELSE 'https://h' ||
+                   CAST(floor(sqrt(CAST(doc_id % 4096 AS DOUBLE))) AS BIGINT)
+                   || '.example.com/p/' || doc_id || '?utm_source=x'
+               END AS url
+        FROM documents),
+      dom AS (
+        SELECT regexp_replace(regexp_replace(
+                 lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                   '^[A-Za-z]+://([^/?#]+)', 1)),
+                 ':(80|443)$', ''), '^www\.', '') AS domain
+        FROM u)
+      SELECT domain, count(*) AS n_docs,
+             (SELECT count(*) FROM dom) AS n_total,
+             count(*) * 1000000 // (SELECT count(*) FROM dom) AS share_ppm
+      FROM dom
+      GROUP BY domain
+      HAVING count(*) * 128 > (SELECT count(*) FROM dom)
+      ORDER BY n_docs DESC, domain"""))
+
   val all: Seq[Op] = Seq(
     joinAsof, joinRange, sampleStratified, qualityFilter,
     qualityFilterExtracted, eventsRetention, eventsFunnel, sampleWeighted,
     eventsAnomaly, docPack, docPackBpe, mixturePlan, mixturePlanBpe,
     mixturePlanTemp, sampleDomainCap, curationReport, graphPagerank,
-    eventsHeavyHitters)
+    eventsHeavyHitters, domainsHeavyHitters)
 }

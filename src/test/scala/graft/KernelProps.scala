@@ -170,6 +170,55 @@ object KernelProps extends Properties("kernels") {
       }
     }
 
+  property("mg_sketch: heavy keys survive ANY partitioning and merge shape") =
+    Prop.forAll(
+      // quadratic skew so some keys are genuinely heavy at small n
+      Gen.listOfN(120, Gen.chooseNum(0, 99).map(x => math.sqrt(x).toInt.toLong)),
+      Gen.chooseNum(2, 12),
+      Gen.chooseNum(1, 6)) { (keys, cap, nparts) =>
+      import graft.functions.MgSketchAgg
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      val agg = MgSketchAgg(BoundReference(0, LongType, nullable = true),
+        Literal(cap, IntegerType))
+      // partition round-robin, update each partial independently (the
+      // map side), then fold the partials through BOTH a left-deep and
+      // a right-deep merge tree (the reduce side under different task
+      // completion orders)
+      def partial(part: Int) = {
+        val b = agg.createAggregationBuffer()
+        keys.zipWithIndex.collect { case (k, i) if i % nparts == part => k }
+          .foreach(k => agg.update(b, new GenericInternalRow(Array[Any](k))))
+        b
+      }
+      val parts = (0 until nparts).map(partial)
+      val leftDeep = parts.map(p => agg.deserialize(agg.serialize(p)))
+        .reduceLeft(agg.merge)
+      val rightDeep = parts.map(p => agg.deserialize(agg.serialize(p)))
+        .reduceRight((a, b) => agg.merge(a, b))
+      val n = keys.size
+      val heavy = keys.groupBy(identity).collect {
+        case (k, ks) if ks.size.toLong * (cap + 1) > n => k
+      }.toSet
+      // the PODS'12 guarantee: > n/(cap+1)-frequent keys are retained
+      // whatever the partitioning or merge-tree shape
+      heavy.subsetOf(leftDeep.keySet.toSet) &&
+        heavy.subsetOf(rightDeep.keySet.toSet)
+    }
+
+  property("mg_sketch rejects non-integral keys at analysis time") =
+    Prop.secure {
+      import spark.implicits._
+      Seq(("a", 1L)).toDF("s", "v").createOrReplaceTempView("kp_mgtype")
+      val bad = scala.util.Try(
+        spark.sql("SELECT mg_sketch(s, 4) FROM kp_mgtype").collect())
+      val widened = spark.sql(
+        "SELECT mg_sketch(CAST(3 AS INT), 4) FROM kp_mgtype")
+        .collect().head.getSeq[Long](0)
+      bad.isFailure && widened == Seq(3L)
+    }
+
   property("exactSum is invariant under repartitioning") =
     Prop.forAll(Gen.listOfN(60, Gen.chooseNum(-1000.0, 1000.0))) { vs =>
       vs.nonEmpty ==> {
