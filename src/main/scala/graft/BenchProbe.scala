@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnIndex, AnnOps, DedupIndex, PqIndex}
+import graft.operators.{AnnIndex, AnnOps, DedupIndex, IvfPqIndex, PqIndex}
 
 /** Probe-only deployment benchmark for the index-backed ANN/dedup
   * queries (judge ask r10 #4).
@@ -53,10 +53,11 @@ object BenchProbe {
       try { load; true } catch { case _: Throwable => false }
 
     // ---- build phase (amortized; timed only when it actually runs) ----
-    var annBuild, dedupBuild, pqBuild = 0.0
+    var annBuild, dedupBuild, pqBuild, ivfpqBuild = 0.0
     val annPath = s"$idxDir/ann"
     val dedupPath = s"$idxDir/dedup"
     val pqPath = s"$idxDir/pq"
+    val ivfpqPath = s"$idxDir/ivfpq"
     if (rebuild || !loadable(AnnIndex.load(spark, annPath))) {
       annBuild = secs {
         val emb = Tables.embeddings(spark, sfDir)
@@ -84,6 +85,18 @@ object BenchProbe {
       Caches.releaseScope()
     }
 
+    if (rebuild || !loadable(IvfPqIndex.load(spark, ivfpqPath))) {
+      ivfpqBuild = secs {
+        val emb = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val n = emb.count()
+        val (k, rerank) = AnnOps.pqGeometryFor(n)
+        IvfPqIndex.save(IvfPqIndex.build(emb,
+          cells = AnnOps.ivfCellsFor(n), k = k, rerank = rerank), ivfpqPath)
+      }
+      Caches.releaseScope()
+    }
+
     // ---- bounded probe batches, collected BEFORE timing ----
     // ann: the board query set (vec_id < 8), exactly ann_lsh's
     val annQ = localize(spark, Tables.embeddings(spark, sfDir)
@@ -102,11 +115,14 @@ object BenchProbe {
     val annIdx = AnnIndex.load(spark, annPath)
     val dedupIdx = DedupIndex.load(spark, dedupPath)
     val pqIdx = PqIndex.load(spark, pqPath)
+    val ivfpqIdx = IvfPqIndex.load(spark, ivfpqPath)
     val probes: Seq[(String, () => Long)] = Seq(
       "ann_lsh_probe" ->
         (() => AnnIndex.probe(annIdx, annQ).count()),
       "ann_pq_probe" ->
         (() => PqIndex.probe(pqIdx, annQ).count()),
+      "ann_ivfpq_probe" ->
+        (() => IvfPqIndex.probe(ivfpqIdx, annQ).count()),
       "dedup_minhash_probe" ->
         (() => DedupIndex.probe(dedupIdx, docB).count()),
       "dedup_embedding_probe" ->
@@ -133,7 +149,8 @@ object BenchProbe {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, _, mn, true) => mn }.sum
     println(s"""{"metric":"probe_total","value":$total,"unit":"sec","build":${
-      jmap(Seq("ann" -> annBuild, "dedup" -> dedupBuild, "pq" -> pqBuild))
+      jmap(Seq("ann" -> annBuild, "dedup" -> dedupBuild, "pq" -> pqBuild,
+        "ivfpq" -> ivfpqBuild))
     },"queries":${jmap(results.map { case (k, _, mn, _) => k -> mn })},"first":${
       jmap(results.map { case (k, f, _, _) => k -> f })
     },"reps":$REPS,"probe_batch":{"ann":${annQ.count()},"dedup":${docB.count()},"embedding":${embB.count()}},"failed":${

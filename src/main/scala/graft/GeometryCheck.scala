@@ -29,7 +29,7 @@ package graft
 object GeometryCheck {
   private val Known =
     Set("ann_lsh", "dedup_embedding", "ann_ivf", "dedup_semantic",
-      "ann_pq", "mm_phash_dedup")
+      "ann_pq", "mm_phash_dedup", "ann_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -92,6 +92,16 @@ object GeometryCheck {
       // records; parity is proven wherever the geometries coincide.
       operators.AnnOps.pqTopK(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ann_pq")
+      Caches.releaseScope()
+    }
+    if (keys("ann_ivfpq")) {
+      // E12 re-runs PINNED to the oracle's default dials (16 cells,
+      // k=32, R=64, nprobe=4) — the ann_pq pattern: above the default
+      // region the engine runs the corpus-derived cell count and 8-bit
+      // codes, whose recall the scale bench records; parity is proven
+      // wherever the geometries coincide.
+      operators.AnnOps.ivfPqTopK(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ann_ivfpq")
       Caches.releaseScope()
     }
     if (keys("dedup_semantic")) {

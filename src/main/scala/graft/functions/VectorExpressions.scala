@@ -504,6 +504,212 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** `lsub_micros(a: array<long>, b: array<long>): array<long>` —
+    * element-wise long subtraction, the RESIDUAL step of IVFPQ encoding
+    * (r = qnorm(v) − qnorm(centroid), both already in normalized
+    * micros). A `zip_with` lambda would run interpreted per element on
+    * every corpus row of every Lloyd round; this is one codegen loop.
+    */
+  case class LsubMicrosExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    // inputs are array<long> × array<long> (see DotMicrosExpr note)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "lsub_micros"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) { out(i) = x.getLong(i) - y.getLong(i); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val out = ctx.freshName("out")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long[] $out = new long[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          $out[$i] = $a.getLong($i) - $b.getLong($i);
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);"""
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** `pql_dists(v: array<long>, cent: array<long>, subDim: int):
+    * array<long>` — [[PqDistsExpr]] over an ALREADY-NORMALIZED long
+    * vector (no quantization step): the IVFPQ residual-domain distance
+    * table. Same operand layout and output contract as pq_dists; the
+    * input is typically [[LsubMicrosExpr]]'s residual. Bounds: residual
+    * components are differences of two ≤ ~1e6 normalized micros, so
+    * |d| ≤ ~4e6, d² ≤ 1.6e13, ×64 dims ≪ Long.MaxValue.
+    */
+  case class PqlDistsExpr(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    // inputs are array<long> × array<long> × int (see DotMicrosExpr note)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "pql_dists"
+
+    override def nullSafeEval(a: Any, cAny: Any, sdAny: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val cent = cAny.asInstanceOf[ArrayData]
+      val subDim = sdAny.asInstanceOf[Int]
+      val dims = v.numElements()
+      val m = dims / subDim
+      val k = cent.numElements() / dims
+      val out = new Array[Long](m * k)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < k) {
+          val base = (s * k + c) * subDim
+          var acc = 0L
+          var j = 0
+          while (j < subDim) {
+            val d = v.getLong(s * subDim + j) - cent.getLong(base + j)
+            acc += d * d
+            j += 1
+          }
+          out(s * k + c) = acc
+          c += 1
+        }
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, cent, sd) => {
+        val dims = ctx.freshName("dims")
+        val m = ctx.freshName("m")
+        val k = ctx.freshName("k")
+        val out = ctx.freshName("out")
+        val s = ctx.freshName("s")
+        val c = ctx.freshName("c")
+        val j = ctx.freshName("j")
+        val base = ctx.freshName("base")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        s"""
+        int $dims = $a.numElements();
+        int $m = $dims / ($sd);
+        int $k = $cent.numElements() / $dims;
+        long[] $out = new long[$m * $k];
+        for (int $s = 0; $s < $m; $s++) {
+          for (int $c = 0; $c < $k; $c++) {
+            int $base = ($s * $k + $c) * ($sd);
+            long $acc = 0L;
+            for (int $j = 0; $j < ($sd); $j++) {
+              long $d = $a.getLong($s * ($sd) + $j) - $cent.getLong($base + $j);
+              $acc += $d * $d;
+            }
+            $out[$s * $k + $c] = $acc;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);"""
+      })
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression,
+        newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
+  /** `pql_encode(v: array<long>, cent: array<long>, subDim: int):
+    * array<int>` — [[PqEncodeExpr]] over an already-normalized long
+    * vector: per-subspace argmin (first-lowest on ties, the oracle's
+    * ORDER BY dist, c) without materializing the m×k table. The IVFPQ
+    * corpus-encode kernel.
+    */
+  case class PqlEncodeExpr(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    // inputs are array<long> × array<long> × int
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "pql_encode"
+
+    override def nullSafeEval(a: Any, cAny: Any, sdAny: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val cent = cAny.asInstanceOf[ArrayData]
+      val subDim = sdAny.asInstanceOf[Int]
+      val dims = v.numElements()
+      val m = dims / subDim
+      val k = cent.numElements() / dims
+      val out = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        var best = Long.MaxValue
+        var bc = 0
+        var c = 0
+        while (c < k) {
+          val base = (s * k + c) * subDim
+          var acc = 0L
+          var j = 0
+          while (j < subDim) {
+            val d = v.getLong(s * subDim + j) - cent.getLong(base + j)
+            acc += d * d
+            j += 1
+          }
+          if (acc < best) { best = acc; bc = c }
+          c += 1
+        }
+        out(s) = bc
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, cent, sd) => {
+        val dims = ctx.freshName("dims")
+        val m = ctx.freshName("m")
+        val k = ctx.freshName("k")
+        val out = ctx.freshName("out")
+        val s = ctx.freshName("s")
+        val c = ctx.freshName("c")
+        val j = ctx.freshName("j")
+        val base = ctx.freshName("base")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        val best = ctx.freshName("best")
+        val bc = ctx.freshName("bc")
+        s"""
+        int $dims = $a.numElements();
+        int $m = $dims / ($sd);
+        int $k = $cent.numElements() / $dims;
+        int[] $out = new int[$m];
+        for (int $s = 0; $s < $m; $s++) {
+          long $best = Long.MAX_VALUE;
+          int $bc = 0;
+          for (int $c = 0; $c < $k; $c++) {
+            int $base = ($s * $k + $c) * ($sd);
+            long $acc = 0L;
+            for (int $j = 0; $j < ($sd); $j++) {
+              long $d = $a.getLong($s * ($sd) + $j) - $cent.getLong($base + $j);
+              $acc += $d * $d;
+            }
+            if ($acc < $best) { $best = $acc; $bc = $c; }
+          }
+          $out[$s] = $bc;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);"""
+      })
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression,
+        newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
   /** `minhash16(shs: array<string>): array<long>` — the 16-function MinHash
     * signature of a shingle set in one tight JVM loop.
     *
@@ -895,6 +1101,18 @@ object VectorExpressions {
       new ExpressionInfo(classOf[PqDistsExpr].getName, "pq_dists"),
       (args: Seq[Expression]) =>
         PqDistsExpr(args(0), args(1), args(2), args(3))))
+    ext.injectFunction((
+      new FunctionIdentifier("lsub_micros"),
+      new ExpressionInfo(classOf[LsubMicrosExpr].getName, "lsub_micros"),
+      (args: Seq[Expression]) => LsubMicrosExpr(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("pql_dists"),
+      new ExpressionInfo(classOf[PqlDistsExpr].getName, "pql_dists"),
+      (args: Seq[Expression]) => PqlDistsExpr(args(0), args(1), args(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("pql_encode"),
+      new ExpressionInfo(classOf[PqlEncodeExpr].getName, "pql_encode"),
+      (args: Seq[Expression]) => PqlEncodeExpr(args(0), args(1), args(2))))
     ext.injectFunction((
       new FunctionIdentifier("minhash16"),
       new ExpressionInfo(classOf[Minhash16Expr].getName, "minhash16"),

@@ -486,7 +486,7 @@ object AnnOps {
     })
 
   private[operators] val CENTROIDS = 16
-  private val NPROBE = 4
+  private[operators] val NPROBE = 4
 
   /** IVF cell count for a corpus of `n` vectors: √n-family growth
     * (candidate fraction nprobe/cells shrinks as the corpus grows, cell
@@ -632,8 +632,8 @@ object AnnOps {
     * collected driver-side (2,048 longs).
     */
   private val PQ_M = 8
-  private val PQ_SUBDIM = 8
-  private val PQ_K = 32
+  private[operators] val PQ_SUBDIM = 8
+  private[operators] val PQ_K = 32
 
   /** ADC shortlist width: the exact-cosine refine stage re-ranks this
     * many ADC candidates per query down to TOP_K. 4-bit-per-subspace
@@ -643,13 +643,13 @@ object AnnOps {
     * shortlist-then-refine deployment (and still touches R·queries
     * float vectors instead of the corpus).
     */
-  private val PQ_RERANK = 64
+  private[operators] val PQ_RERANK = 64
 
   /** Lloyd iterations over the seed codebook (each is one corpus pass +
     * an m·k-group aggregate; the oracle unrolls them as materialized CTE
     * rounds like C14/C18/E8).
     */
-  private val PQ_ROUNDS = 2
+  private[operators] val PQ_ROUNDS = 2
 
   /** One unrolled Lloyd round of the oracle: distances to the round-i
     * codebook, argmin assignment, truncating integer means (empty cells
@@ -962,5 +962,331 @@ object AnnOps {
       WHERE rank <= $TOP_K
       ORDER BY q_id, rank"""))
 
-  val all: Seq[Op] = Seq(annBruteforce, annLsh, annIvf, annPq)
+  /** PQ seed ids for the IVFPQ codebook: the deterministic slice STARTS
+    * ABOVE the centroid slice ([[QUERY_MAX]] + cells) — a centroid
+    * vector's own residual is the zero vector (it is assigned to its own
+    * cell at cosine 1), so seeding from the ann_pq slice would hand
+    * Lloyd a degenerate all-zeros codebook.
+    */
+  private[operators] def ivfPqSeedBase(cells: Int): Long = (QUERY_MAX + cells).toLong
+
+  /** Train a residual-PQ codebook over a (vec_id, rv) frame where rv is
+    * the [[graft.functions.VectorExpressions.LsubMicrosExpr]] residual
+    * qnorm(v) − qnorm(centroid(cell(v))) in normalized micros — the
+    * IVFPQ twin of [[pqTrain]]: identical Lloyd arithmetic (truncating
+    * integer means, empty cells keep their seed, model-sized driver
+    * traffic), only the vector domain changes from normalized points on
+    * the unit sphere to residuals around their cell centroid.
+    */
+  private[operators] def ivfPqTrain(
+      res: DataFrame, k: Int, rounds: Int, seedBase: Long): Array[Long] = {
+    val seedRows = res
+      .filter(col("vec_id") >= seedBase && col("vec_id") < seedBase + k)
+      .select(col("vec_id"), col("rv"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Long]]("rv"))
+      .toMap
+    val seedCent = new Array[Long](PQ_M * k * PQ_SUBDIM)
+    for (sc <- 0 until PQ_M; c <- 0 until k; j <- 0 until PQ_SUBDIM)
+      seedCent((sc * k + c) * PQ_SUBDIM + j) =
+        seedRows(seedBase + c)(sc * PQ_SUBDIM + j)
+    var cook = seedCent
+    for (_ <- 1 to rounds) {
+      val cookLit = typedLit(cook.toSeq)
+      val parts = res
+        .select(col("rv"),
+          call_function("pql_encode", col("rv"), cookLit, lit(PQ_SUBDIM))
+            .as("cs"))
+        .select(explode(transform(sequence(lit(0), lit(PQ_M - 1)), sc =>
+          struct(sc.cast("int").as("s"),
+            element_at(col("cs"), (sc + 1).cast("int")).as("c"),
+            slice(col("rv"), sc * lit(PQ_SUBDIM) + 1, lit(PQ_SUBDIM))
+              .as("sv")))).as("a"))
+        .groupBy(col("a.s").as("s"), col("a.c").as("c"))
+        .agg(count(lit(1)).as("n"),
+          (1 to PQ_SUBDIM).map(j =>
+            sum(element_at(col("a.sv"), j)).as(s"d$j")): _*)
+        .collect()
+      val next = cook.clone()
+      parts.foreach { r =>
+        val sc = r.getAs[Int]("s"); val c = r.getAs[Int]("c")
+        val n = r.getAs[Long]("n")
+        for (j <- 1 to PQ_SUBDIM)
+          next((sc * k + c) * PQ_SUBDIM + j - 1) =
+            r.getAs[Long](s"d$j") / n
+      }
+      cook = next
+    }
+    cook
+  }
+
+  /** The cell-partitioned residual frame every IVFPQ stage consumes:
+    * (vec_id, cell, rv) with cell the [[ivfTopK]]-style coarse argmax
+    * assignment and rv the normalized-micros residual. Factored out so
+    * the board op and [[IvfPqIndex]] derive residuals identically.
+    */
+  private[operators] def ivfPqResiduals(
+      e: DataFrame, cent: DataFrame): DataFrame = {
+    val assign = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_id"),
+        cosineFromMicros(dotMicros(col("embedding"), col("c_emb")),
+          col("nm"), col("c_nm")).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"),
+        struct(col("ccos"), (-col("c_id")).as("nc"))).as("cell"))
+    val cqnF = cent.select(col("c_id").as("cell"),
+      call_function("qnorm_micros", col("c_emb"), col("c_nm")).as("cqn"))
+    e.join(assign, "vec_id").join(broadcast(cqnF), "cell")
+      .select(col("vec_id"), col("cell"),
+        call_function("lsub_micros",
+          call_function("qnorm_micros", col("embedding"), col("nm")),
+          col("cqn")).as("rv"))
+  }
+
+  /** The (c_id, c_emb, c_nm) coarse-centroid frame (E3's deterministic
+    * corpus slice).
+    */
+  private[operators] def ivfPqCentroids(e: DataFrame, cells: Int): DataFrame =
+    e.filter(col("vec_id") >= QUERY_MAX &&
+        col("vec_id") < QUERY_MAX + cells)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nm").as("c_nm"))
+
+  /** Per-query probe list (q_id, cell): the nprobe nearest coarse cells
+    * by exact-micros cosine — a queries×cells-sized job, never
+    * corpus-sized.
+    */
+  private[operators] def ivfPqProbe(
+      queries: DataFrame, cent: DataFrame, nprobe: Int): DataFrame =
+    queries.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_id"),
+        cosineFromMicros(dotMicros(col("embedding"), col("c_emb")),
+          col("nm"), col("c_nm")).as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("c_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+
+  /** ADC-over-probed-cells + exact-cosine refine: the IVFPQ search body
+    * shared by the board op and [[IvfPqIndex.probe]]. `coded` is
+    * (vec_id, cell, codes); ONLY rows whose cell appears in a query's
+    * probe list are ADC-scored — the join on cell IS the inverted-file
+    * lookup, so per-query work is the probed cells' occupancy, not the
+    * corpus.
+    */
+  private[operators] def ivfPqSearch(
+      codebook: Array[Long],
+      k: Int,
+      rerank: Int,
+      topK: Int,
+      nprobe: Int,
+      cent: DataFrame,
+      coded: DataFrame,
+      vectors: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val cookLit = typedLit(codebook.toSeq)
+    val probe = ivfPqProbe(queries, cent, nprobe)
+    val cqnF = cent.select(col("c_id").as("cell"),
+      call_function("qnorm_micros", col("c_emb"), col("c_nm")).as("cqn"))
+    // per-(query, probed-cell) ADC table over the QUERY residual w.r.t.
+    // THAT cell's centroid — nprobe small tables per query, broadcast
+    val qTab = probe
+      .join(queries.select(col("vec_id").as("q_id"),
+        call_function("qnorm_micros", col("embedding"), col("nm"))
+          .as("qn")), "q_id")
+      .join(broadcast(cqnF), "cell")
+      .select(col("q_id"), col("cell"),
+        call_function("pql_dists",
+          call_function("lsub_micros", col("qn"), col("cqn")),
+          cookLit, lit(PQ_SUBDIM)).as("tab"))
+    // the inverted-file join: each coded vector meets only the queries
+    // probing ITS cell; ADC collapses to m table lookups per pair, and
+    // the bounded-heap shortlist keeps ≤ R rows per (query, partition)
+    // map-side (the pqSearch scale argument, unchanged)
+    val shortlist = coded.join(broadcast(qTab), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        aggregate(sequence(lit(0), lit(PQ_M - 1)), lit(0L),
+          (acc, sc) => acc + element_at(col("tab"),
+            (sc * lit(k) +
+              element_at(col("codes"), (sc + 1).cast("int")) + 1)
+              .cast("int"))).as("adc"))
+      .groupBy(col("q_id"))
+      .agg(topkMin(struct(col("adc"), col("vec_id")), rerank).as("ks"))
+      .select(col("q_id"), explode(col("ks")).as("p"))
+      .select(col("q_id"), col("p.vec_id").as("vec_id"),
+        col("p.adc").as("adc"))
+    val qr = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("nm").as("q_nm"))
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    shortlist.join(vectors, "vec_id").join(broadcast(qr), "q_id")
+      .select(col("q_id"), col("vec_id"), col("adc"),
+        cosineFromMicros(dotMicros(col("q_emb"), col("embedding")),
+          col("q_nm"), col("nm")).as("cos"))
+      .withColumn("rank", row_number().over(wCos).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc"),
+        col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** E12's body at an arbitrary geometry — assign, train residual
+    * codebook, encode, search over one corpus frame.
+    */
+  private[graft] def ivfPqTopK(
+      s: SparkSession,
+      d: String,
+      cells: Int = CENTROIDS,
+      nprobe: Int = NPROBE,
+      k: Int = PQ_K,
+      rounds: Int = PQ_ROUNDS,
+      rerank: Int = PQ_RERANK): DataFrame = {
+    val e = withNorm(s, d)
+    val cent = ivfPqCentroids(e, cells)
+    // persist: the residual frame feeds `rounds` training passes, the
+    // seed collect, and the encode — without it each re-derives the
+    // assignment (a corpus×cells scoring pass)
+    val res = Caches.persist(ivfPqResiduals(e, cent))
+    val cook = ivfPqTrain(res, k, rounds, ivfPqSeedBase(cells))
+    val coded = res.select(col("vec_id"), col("cell"),
+      call_function("pql_encode", col("rv"), typedLit(cook.toSeq),
+        lit(PQ_SUBDIM)).as("codes"))
+    ivfPqSearch(cook, k, rerank, TOP_K, nprobe, cent, coded, e,
+      e.filter(col("vec_id") < QUERY_MAX))
+  }
+
+  /** One unrolled residual-Lloyd round of the E12 oracle ([[sqlPqRound]]
+    * over the rsv residual table instead of sv).
+    */
+  private def sqlIvfPqRound(i: Int): String = s"""
+      d$i AS (
+        SELECT r.vec_id, r.s, f.c,
+               CAST(sum((r.qv - f.cm)*(r.qv - f.cm)) AS BIGINT) AS dist
+        FROM rsv r JOIN ref$i f ON r.s = f.s AND r.j = f.j
+        GROUP BY 1, 2, 3),
+      a$i AS (
+        SELECT vec_id, s, c FROM (
+          SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+            ORDER BY dist, c) AS rn FROM d$i) t WHERE rn = 1),
+      ref${i + 1} AS (
+        SELECT p.s, p.c, p.j, coalesce(r.cm, p.cm) AS cm
+        FROM ref$i p LEFT JOIN (
+          SELECT a$i.s, a$i.c, r2.j,
+                 CAST(sum(r2.qv) AS BIGINT) // count(*) AS cm
+          FROM a$i JOIN rsv r2 ON a$i.vec_id = r2.vec_id AND a$i.s = r2.s
+          GROUP BY 1, 2, 3) r
+          ON p.s = r.s AND p.c = r.c AND p.j = r.j)"""
+
+  /** E12 — IVFPQ, the COMPOSED index (FAISS IVFPQ; Jégou/Douze/Schmid
+    * 2011 §IV): E3's coarse quantizer partitions the corpus into cells,
+    * and E10's product quantizer encodes each vector's RESIDUAL
+    * v − centroid(cell) — residuals concentrate near the origin, so the
+    * same code budget quantizes them with less error than raw points,
+    * and the probe touches only nprobe cells' codes instead of every
+    * code in the corpus (the one remaining O(corpus) probe path flat PQ
+    * had). This is the actual 100 TB deployment shape: the coarse
+    * assignment is the partition key (each cell's codes are co-located),
+    * a query ships nprobe ADC tables to those partitions only, and the
+    * exact-cosine refine touches R float vectors per query.
+    *
+    * Everything stays exact integer micros: the residual is a LONG
+    * subtraction of two normalized-micros vectors
+    * ([[graft.functions.VectorExpressions.LsubMicrosExpr]]), training is
+    * [[pqTrain]]'s Lloyd loop verbatim in the residual domain
+    * ([[ivfPqTrain]]), and encode/ADC run the pql_* kernels — so
+    * assignment, codebook, codes, ADC sums and ranking all replay
+    * bit-identically in the oracle's relational unrolling.
+    */
+  val annIvfPq: Op = Op(
+    "ann_ivfpq",
+    (s, d) => {
+      val n = Tables.embeddings(s, d).count()
+      val cells = ivfCellsFor(n)
+      val (k, rerank) = pqGeometryFor(n)
+      logGeometryDivergence("ann_ivfpq",
+        s"$cells cells k=$k R=$rerank",
+        s"$CENTROIDS cells k=$PQ_K R=$PQ_RERANK")
+      ivfPqTopK(s, d, cells = cells, k = k, rerank = rerank)
+    },
+    Some(s"""
+      WITH $sqlNormCte,
+      sv AS (
+        SELECT vec_id, s, j,
+               CASE WHEN nm = 0 THEN 0 ELSE CAST(floor(
+                 floor(CAST(embedding[s*$PQ_SUBDIM+j] AS DOUBLE)*1000000+0.5)
+                 / sqrt(CAST(nm AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+               END AS qv
+        FROM e,
+             generate_series(0, ${PQ_M - 1}) t1(s),
+             generate_series(1, $PQ_SUBDIM) t2(j)),
+      cent AS (SELECT vec_id AS c_id, embedding, nm FROM e
+               WHERE vec_id >= $QUERY_MAX
+                 AND vec_id < ${QUERY_MAX + CENTROIDS}),
+      scored AS (SELECT v.vec_id, cent.c_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY ${sqlCos("v", "cent")} DESC, cent.c_id) AS rn
+                 FROM e v, cent),
+      assign AS (SELECT vec_id, c_id AS cell FROM scored WHERE rn = 1),
+      rsv AS MATERIALIZED (
+        SELECT v.vec_id, a.cell, v.s, v.j, v.qv - c.qv AS qv
+        FROM sv v
+        JOIN assign a ON v.vec_id = a.vec_id
+        JOIN sv c ON c.vec_id = a.cell AND c.s = v.s AND c.j = v.j),
+      ref0 AS (
+        SELECT s, CAST(vec_id - ${QUERY_MAX + CENTROIDS} AS INT) AS c, j,
+               qv AS cm
+        FROM rsv WHERE vec_id >= ${QUERY_MAX + CENTROIDS}
+          AND vec_id < ${QUERY_MAX + CENTROIDS + PQ_K}),
+      ${(0 until PQ_ROUNDS).map(sqlIvfPqRound).mkString(",\n")},
+      dF AS (
+        SELECT r.vec_id, r.s, f.c,
+               CAST(sum((r.qv - f.cm)*(r.qv - f.cm)) AS BIGINT) AS dist
+        FROM rsv r JOIN ref$PQ_ROUNDS f ON r.s = f.s AND r.j = f.j
+        GROUP BY 1, 2, 3),
+      codes AS (
+        SELECT vec_id, s, c FROM (
+          SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+            ORDER BY dist, c) AS rn FROM dF) t WHERE rn = 1),
+      probe AS (SELECT vec_id AS q_id, c_id AS cell FROM scored
+                WHERE rn <= $NPROBE AND vec_id < $QUERY_MAX),
+      qrsv AS (
+        SELECT p.q_id, p.cell, v.s, v.j, v.qv - c.qv AS qv
+        FROM probe p
+        JOIN sv v ON v.vec_id = p.q_id
+        JOIN sv c ON c.vec_id = p.cell AND c.s = v.s AND c.j = v.j),
+      qd AS (
+        SELECT q.q_id, q.cell, q.s, f.c,
+               CAST(sum((q.qv - f.cm)*(q.qv - f.cm)) AS BIGINT) AS dist
+        FROM qrsv q JOIN ref$PQ_ROUNDS f ON q.s = f.s AND q.j = f.j
+        GROUP BY 1, 2, 3, 4),
+      adc AS (
+        SELECT qd.q_id, cv.vec_id, CAST(sum(qd.dist) AS BIGINT) AS adc
+        FROM codes cv
+        JOIN assign av ON cv.vec_id = av.vec_id
+        JOIN qd ON qd.cell = av.cell AND qd.s = cv.s AND qd.c = cv.c
+        WHERE cv.vec_id != qd.q_id
+        GROUP BY 1, 2),
+      shortlist AS (
+        SELECT q_id, vec_id, adc FROM (
+          SELECT q_id, vec_id, adc,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY adc, vec_id) AS rank_adc
+          FROM adc) t
+        WHERE rank_adc <= $PQ_RERANK)
+      SELECT q_id, rank, vec_id, adc, cos FROM (
+        SELECT t.q_id, t.vec_id, t.adc,
+               ${sqlCos("q", "c")} AS cos,
+               CAST(row_number() OVER (PARTITION BY t.q_id
+                 ORDER BY ${sqlCos("q", "c")} DESC, t.vec_id) AS BIGINT)
+                 AS rank
+        FROM shortlist t
+        JOIN e q ON t.q_id = q.vec_id
+        JOIN e c ON t.vec_id = c.vec_id) r
+      WHERE rank <= $TOP_K
+      ORDER BY q_id, rank"""))
+
+  val all: Seq[Op] = Seq(annBruteforce, annLsh, annIvf, annPq, annIvfPq)
 }

@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.operators.IvfPqIndex
+
+/** The persistent IVFPQ index: the inverted-file layout (one parquet
+  * partition per coarse cell) must make a loaded probe read ONLY the
+  * probed cells' code partitions — the sub-linear probe path flat
+  * PqIndex lacks — while reproducing E12 exactly.
+  */
+class IvfPqIndexSpec extends SparkSpec {
+
+  private def sfDir = "/root/testdata/sf0.001"
+
+  private def corpus: DataFrame =
+    Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+
+  private def probeRows(df: DataFrame) = df.collect()
+    .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+      r.getAs[Long]("vec_id"), r.getAs[Long]("adc"),
+      r.getAs[Double]("cos"))).toSeq
+
+  test("probe of the corpus by its own query subset equals ann_ivfpq " +
+      "row-for-row") {
+    val index = IvfPqIndex.build(corpus)
+    val got = probeRows(
+      IvfPqIndex.probe(index, corpus.filter(col("vec_id") < 8)))
+    val want = probeRows(run("ann_ivfpq", sfDir))
+    assert(got == want,
+      s"index probe must reproduce E12 (got ${got.length}, want ${want.length})")
+  }
+
+  test("save/load roundtrip: identical probes, pinned models and dials") {
+    val dir = Files.createTempDirectory("graft_ivfpq").toString + "/index"
+    val index = IvfPqIndex.build(corpus)
+    IvfPqIndex.save(index, dir)
+    val reloaded = IvfPqIndex.load(spark, dir)
+    assert(reloaded.cells == index.cells && reloaded.nprobe == index.nprobe &&
+      reloaded.k == index.k && reloaded.rerank == index.rerank)
+    assert(reloaded.codebook.toSeq == index.codebook.toSeq,
+      "the residual codebook must reload bit-identically")
+    val q = corpus.filter(col("vec_id") < 8)
+    assert(probeRows(IvfPqIndex.probe(reloaded, q)) ==
+      probeRows(IvfPqIndex.probe(index, q)))
+  }
+
+  test("a loaded probe reads ONLY the probed cells' code partitions — " +
+      "never the corpus, never the unprobed inverted lists") {
+    val dir = Files.createTempDirectory("graft_ivfpq2").toString + "/index"
+    IvfPqIndex.save(IvfPqIndex.build(corpus), dir)
+    val reloaded = IvfPqIndex.load(spark, dir)
+    // ONE query from a literal frame: it probes nprobe = 4 of the 16
+    // cells, so ≥ 12 inverted lists must never be read
+    val q = spark.createDataFrame(
+      corpus.filter(col("vec_id") < 1).collect().map(r =>
+        (r.getAs[Long]("vec_id"),
+          r.getAs[scala.collection.Seq[Float]]("embedding").toArray)).toSeq)
+      .toDF("vec_id", "embedding")
+    val df = IvfPqIndex.probe(reloaded, q)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains(sfDir), "loaded probe must not rescan the corpus")
+    // the executed scan over the inverted file must carry the probed
+    // cells as PARTITION filters and read ≤ nprobe of the 16 partitions
+    // (DataFrame.inputFiles reports the pre-pruning listing, so the
+    // check reads the scan node's own partition metric)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => (other.children ++ other.subqueries).flatMap(scans)
+    }
+    val codeScans = scans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("/codes")))
+    assert(codeScans.nonEmpty, "probe must read the saved inverted file")
+    codeScans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        "the probed-cell set must reach the scan as a partition filter")
+      val partsRead = s.metrics("numPartitions").value
+      assert(partsRead > 0 && partsRead <= reloaded.nprobe,
+        s"one query probes ≤ nprobe cells, scan read $partsRead partitions")
+    }
+  }
+
+  test("torn save refuses to load; torn append repairs by replay with " +
+      "no duplicate rows") {
+    val dir = Files.createTempDirectory("graft_ivfpq3").toString + "/index"
+    val base = corpus.filter(col("vec_id") < 400)
+    IvfPqIndex.save(IvfPqIndex.build(base), dir)
+    spark.range(1)
+      .select(org.apache.spark.sql.functions.lit(false).as("complete"),
+        org.apache.spark.sql.functions.lit("save").as("op"))
+      .write.mode("overwrite").parquet(s"$dir/complete")
+    intercept[IllegalStateException] { IvfPqIndex.load(spark, dir) }
+    spark.range(1)
+      .select(org.apache.spark.sql.functions.lit(true).as("complete"),
+        org.apache.spark.sql.functions.lit("save").as("op"))
+      .write.mode("overwrite").parquet(s"$dir/complete")
+    val batch = corpus.filter(col("vec_id") >= 400)
+    // simulate a torn append: vectors landed, codes not
+    val e = batch.repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        org.apache.spark.sql.functions.expr(
+          "dot_micros(embedding, embedding)").as("nm"))
+    spark.range(1)
+      .select(org.apache.spark.sql.functions.lit(false).as("complete"),
+        org.apache.spark.sql.functions.lit("append").as("op"))
+      .write.mode("overwrite").parquet(s"$dir/complete")
+    e.write.mode("append").parquet(s"$dir/vectors")
+    intercept[IllegalStateException] { IvfPqIndex.load(spark, dir) }
+    IvfPqIndex.append(dir, batch)
+    val idx = IvfPqIndex.load(spark, dir)
+    val n = corpus.count()
+    assert(idx.vectors.count() == n, "no duplicate vector rows after replay")
+    assert(idx.codes.count() == n, "codes complete after replay")
+    IvfPqIndex.append(dir, batch)
+    val idx2 = IvfPqIndex.load(spark, dir)
+    assert(idx2.vectors.count() == n && idx2.codes.count() == n)
+  }
+
+  test("append under the pinned models: appended vectors become " +
+      "findable; retire removes them; compact bounds files with probe " +
+      "parity") {
+    val dir = Files.createTempDirectory("graft_ivfpq4").toString + "/index"
+    val base = corpus.filter(col("vec_id") < 450)
+    IvfPqIndex.save(IvfPqIndex.build(base), dir)
+    IvfPqIndex.append(dir, corpus.filter(col("vec_id") >= 450))
+    val idx = IvfPqIndex.load(spark, dir)
+    val q = corpus.filter(col("vec_id") < 8)
+    val withAppended = probeRows(IvfPqIndex.probe(idx, q))
+    assert(idx.codes.count() == corpus.count())
+    val someHit = withAppended.head._3
+    IvfPqIndex.retire(dir, spark.createDataFrame(Seq(Tuple1(someHit)))
+      .toDF("vec_id"))
+    val afterRetire =
+      probeRows(IvfPqIndex.probe(IvfPqIndex.load(spark, dir), q))
+    assert(!afterRetire.exists(_._3 == someHit), "retired id must not surface")
+    IvfPqIndex.compact(dir, partitions = 2)
+    val compacted = IvfPqIndex.load(spark, dir)
+    // one file per cell directory after clustering by cell
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { cd =>
+      assert(cd.listFiles().count(_.getName.endsWith(".parquet")) <= 1,
+        s"${cd.getName} must compact to one file")
+    }
+    assert(probeRows(IvfPqIndex.probe(compacted, q)) == afterRetire,
+      "compaction must be probe-invisible")
+  }
+}
