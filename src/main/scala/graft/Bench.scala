@@ -30,6 +30,22 @@ package graft
 object Bench {
   private val REPS = 3
 
+  /** Projection-only / window-output queries whose compute `count()`
+    * can prune (the Scratch scaladoc gotcha, documented in BASELINE.md
+    * since r12): for these the board emits BOTH numbers — `queries`
+    * (count path, scan-bound, comparable with every earlier round) and
+    * `forced` (the query's OWN physical plan via queryExecution.toRdd,
+    * pricing the un-pruned per-row compute + output sort) — so a
+    * regression in the kernel work cannot hide behind column pruning.
+    */
+  private val ForcedKeys = Set(
+    "text_extract", "text_pii_redact", "text_entropy", "text_token_count",
+    "text_quality", "text_langid", "text_fingerprint", "text_repetition",
+    "q27_time_range_agg", "q18_running_sum", "q23_moving_avg",
+    "sink_pseudonymize", "sink_csv_format", "sink_serialize_overview",
+    "sink_serialize_profile", "mm_binary_meta", "mm_chunk",
+    "mm_frame_sample", "dedup_substr_rewrite", "events_heavy_hitters")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -105,28 +121,47 @@ object Bench {
         }
       }.takeWhile(_.isDefined).flatten.toSeq
       Caches.releaseScope()
+      // forced-plan pass for pruning-prone queries: same min-of-REPS
+      // discipline, its own cache scope so the count-path numbers stay
+      // attributable
+      val forcedRuns = if (!ok || !ForcedKeys.contains(name)) Seq.empty[Double]
+      else {
+        val fr = (1 to REPS).iterator.map { _ =>
+          try Some(secs(fn(spark, sfDir).queryExecution.toRdd.count()))
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FORCED FAILED: ${e.getMessage}")
+              anyFailed = true
+              None
+          }
+        }.takeWhile(_.isDefined).flatten.toSeq
+        Caches.releaseScope()
+        fr
+      }
       val first = runs.headOption.getOrElse(0.0)
       val best = if (runs.isEmpty) 0.0 else runs.min
-      (name, first, best, ok)
+      (name, first, best, ok, forcedRuns)
     }
     val calibEnd = calibrate()
 
     def jmap(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val qs = jmap(results.map { case (k, _, mn, _) => k -> mn })
-    val firsts = jmap(results.map { case (k, f, _, _) => k -> f })
-    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
+    val qs = jmap(results.map { case (k, _, mn, _, _) => k -> mn })
+    val firsts = jmap(results.map { case (k, f, _, _, _) => k -> f })
+    val forced = jmap(results.collect {
+      case (k, _, _, _, fr) if fr.nonEmpty => k -> fr.min })
+    val failed = results.collect { case (k, _, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // Total counts only successful queries; failures are listed separately.
-    val total = results.collect { case (_, _, mn, true) => mn }.sum
+    val total = results.collect { case (_, _, mn, true, _) => mn }.sum
     val matTotal = results
-      .collect { case (_, f, mn, true) => math.max(f - mn, 0.0) }.sum
+      .collect { case (_, f, mn, true, _) => math.max(f - mn, 0.0) }.sum
     val calib = f""""calibration":{"start":$calibStart%.3f,"mid":$calibMid%.3f,"end":$calibEnd%.3f,"drift":${
       Seq(calibStart, calibMid, calibEnd).max /
         math.max(Seq(calibStart, calibMid, calibEnd).min, 1e-9)}%.2f}"""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first":$firsts,"reps":$REPS,"cache_policy":"${
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first":$firsts,"forced":$forced,"reps":$REPS,"cache_policy":"${
         if (Caches.artifactMode) "artifact" else "scoped-per-query"
       }","materialization_total":${f"$matTotal%.3f"},$calib,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()

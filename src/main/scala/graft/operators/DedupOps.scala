@@ -288,7 +288,7 @@ object DedupOps {
   /** DuckDB CTE chain ending in `mh_pairs(i, j, jaccard)` — the oracle
     * twin of [[minhashPairs]] (shared by the D3 and D6 oracles).
     */
-  private val sqlMinhashPairsCtes: String = {
+  private[operators] val sqlMinhashPairsCtes: String = {
     val minCols = (0 until K).map(i =>
       s"min(${sqlMinhashFn(i)}) AS m$i").mkString(",\n               ")
     val bandSelects = (0 until K / R).map(b =>
@@ -420,6 +420,65 @@ object DedupOps {
       SELECT v AS doc_id, least(v, min(r)) AS cluster_id
       FROM reach GROUP BY v
       ORDER BY doc_id"""))
+
+  /** D16 — QUALITY-AWARE cluster canonicals: D6 keeps the minimum
+    * doc_id per near-dup cluster (a deterministic but quality-blind
+    * convention); production curation keeps the BEST member — dedup is
+    * exactly the moment the pipeline chooses which copy of the content
+    * survives, and crawl timestamps (≈ doc_id order) are uncorrelated
+    * with quality. This op joins D6's connected components with C18's
+    * learned quality scores and keeps the argmax-score member, ties
+    * broken to the min doc_id — the same rule as a (score DESC, doc_id)
+    * rank-1, expressed as a max_by AGGREGATE so only one id-width row
+    * per cluster survives the shuffle (never a window over the corpus).
+    *
+    * Composition is by construction drift-free: the cluster side IS
+    * [[clusterPairs]]∘[[minhashPairs]] (D6's body) and the score side IS
+    * [[TextOps.qualityScoreDf]] (C18's train-and-score pass), so the
+    * canonical rule can never disagree with the standalone ops.
+    */
+  val dedupCanonicalQuality: Op = Op(
+    "dedup_canonical_quality",
+    (s, d) => {
+      val clusters = clusterPairs(Checkpoints.checkpoint(
+        minhashPairs(s, d).select(col("i"), col("j"))))
+      val scores = TextOps.qualityScoreDf(Tables.documents(s, d))
+        .select(col("doc_id"), col("score_micros"))
+      clusters.join(scores, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max_by(struct(col("doc_id"), col("score_micros")),
+            struct(col("score_micros"), (-col("doc_id")).as("nd")))
+            .as("kb"))
+        .select(col("cluster_id"), col("kb.doc_id").as("keep_id"),
+          col("kb.score_micros").as("keep_score_micros"),
+          col("n_members"))
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $sqlMinhashPairsCtes,
+      und AS (SELECT i AS src, j AS dst FROM mh_pairs
+              UNION ALL SELECT j, i FROM mh_pairs),
+      reach(v, r) AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT w.v, u.dst FROM reach w JOIN und u ON w.r = u.src),
+      cl AS (SELECT v AS doc_id, least(v, min(r)) AS cluster_id
+             FROM reach GROUP BY v),
+      ${TextOps.sqlQualityCtes},
+      cj AS (SELECT cl.cluster_id, cl.doc_id, p.p AS score
+             FROM cl JOIN ${TextOps.sqlQualityScoreTable} p USING (doc_id)),
+      rk AS (SELECT cluster_id, doc_id, score,
+                    row_number() OVER (PARTITION BY cluster_id
+                      ORDER BY score DESC, doc_id) AS rn
+             FROM cj),
+      nn AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+             FROM cj GROUP BY cluster_id)
+      SELECT rk.cluster_id, rk.doc_id AS keep_id,
+             rk.score AS keep_score_micros, nn.n_members
+      FROM rk JOIN nn USING (cluster_id)
+      WHERE rn = 1
+      ORDER BY cluster_id"""))
 
   private val BITS = 60 // hash60 width
 
@@ -772,6 +831,117 @@ object DedupOps {
       FROM gh c JOIN df USING (gh)
       GROUP BY c.doc_id
       ORDER BY doc_id"""))
+
+  /** D15's body over an arbitrary (doc_id, text) frame — the seam the
+    * planted-duplicate spec drives with synthetic corpora.
+    */
+  private[graft] def substrRewriteFor(docs: DataFrame): DataFrame = {
+    // persist: the token frame feeds the span stream AND the final
+    // rewrite projection; the POSITIONED span stream feeds the df/keeper
+    // aggregate AND the removal join (the D10 persist lesson, but this
+    // op keeps positions — the audit's distinct-gram stream can't say
+    // WHICH occurrence to cut)
+    val toks = Caches.persist(docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("tok")))
+    val pos = Caches.persist(toks
+      .filter(size(col("tok")) >= SPAN_N)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("tok")) - lit(SPAN_N - 1)),
+        p => struct(p.as("p"), hash60(concat_ws(" ",
+          (0 until SPAN_N).map(kk =>
+            element_at(col("tok"), p + lit(kk))): _*)).as("gh")))).as("s"))
+      .select(col("doc_id"), col("s.p").as("p"), col("s.gh").as("gh")))
+    val st = pos.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        min(col("doc_id")).as("keeper"))
+    // removed token positions per doc: every position covered by a span
+    // that exists in ≥ 2 docs and whose first-occurrence doc (min
+    // doc_id) is someone else — the keeper doc keeps ALL its copies
+    val remPos = pos.join(st, "gh")
+      .filter(col("df") >= 2 && col("doc_id") > col("keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(SPAN_N - 1))).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("t")).as("rem"))
+    toks.join(remPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("tok")).cast(LongType).as("n_tokens"),
+        coalesce(size(col("rem")), lit(0)).cast(LongType)
+          .as("n_removed_tokens"),
+        array_join(filter(col("tok"), (x, i) =>
+          !array_contains(coalesce(col("rem"),
+            expr("CAST(array() AS ARRAY<INT>)")), i + lit(1))), " ")
+          .as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** D15 — ExactSubstr dedup as a REWRITE: emit the span-deduplicated
+    * corpus, not just D10's audit numbers — the Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * deployment output, at doc granularity: a [[SPAN_N]]-token span
+    * occurrence is cut when the span occurs in ≥ 2 documents and this
+    * document is not its first occurrence (min doc_id keeps every copy
+    * it holds — including intra-doc repeats, which are C8's repetition
+    * signal, not cross-doc duplication). A token goes when ANY removed
+    * span covers it; the output carries the cleaned text plus the token
+    * mass accounting (n_tokens, n_removed_tokens) that reconciles with
+    * D10's span-level audit.
+    *
+    * Scale shape: the positioned span stream is one row per token
+    * (~corpus token count), shuffled twice — once to the span-hash
+    * aggregate (df + keeper, map-side combined), once back to the doc
+    * for the removal set (positions only, id-width rows). The rewrite
+    * itself is ONE projection over the persisted token frame: the
+    * removal set rides in as a per-doc array and the kept-token filter
+    * is a codegen'd index lambda — the corpus text never shuffles at
+    * all. Boilerplate spans with huge df skew the stats join; AQE
+    * skew-split handles the head keys (and the D2-style df cap drops in
+    * unchanged if a corpus needs it — capped spans would simply never
+    * be removed).
+    */
+  val dedupSubstrRewrite: Op = Op(
+    "dedup_substr_rewrite",
+    (s, d) => substrRewriteFor(Tables.documents(s, d)),
+    Some {
+      val gram = s"concat_ws(' ', ${(0 until SPAN_N)
+        .map(kk => s"tok[p+$kk]").mkString(", ")})"
+      s"""
+      WITH tok AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS tok
+        FROM documents),
+      ghp AS (
+        SELECT doc_id, unnest(generate_series(1, len(tok) - ${SPAN_N - 1}))
+                 AS p, tok
+        FROM tok WHERE len(tok) >= $SPAN_N),
+      gh AS (SELECT doc_id, p, ${xhash60(gram)} AS gh FROM ghp),
+      st AS (SELECT gh, count(DISTINCT doc_id) AS df,
+                    min(doc_id) AS keeper
+             FROM gh GROUP BY gh),
+      rem AS (SELECT DISTINCT g.doc_id, g.p + k.k AS t
+              FROM gh g JOIN st USING (gh)
+              CROSS JOIN generate_series(0, ${SPAN_N - 1}) k(k)
+              WHERE st.df >= 2 AND g.doc_id > st.keeper),
+      tp AS (SELECT doc_id, unnest(generate_series(1, len(tok))) AS i, tok
+             FROM tok),
+      kept AS (SELECT tp.doc_id, tp.i, tp.tok[tp.i] AS w
+               FROM tp LEFT JOIN rem
+                 ON rem.doc_id = tp.doc_id AND rem.t = tp.i
+               WHERE rem.doc_id IS NULL),
+      agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text
+              FROM kept GROUP BY doc_id),
+      nr AS (SELECT doc_id, count(*) AS nrem FROM rem GROUP BY doc_id)
+      SELECT t.doc_id,
+             CAST(len(t.tok) AS BIGINT) AS n_tokens,
+             CAST(coalesce(nr.nrem, 0) AS BIGINT) AS n_removed_tokens,
+             coalesce(a.clean_text, '') AS clean_text
+      FROM tok t
+      LEFT JOIN agg a USING (doc_id)
+      LEFT JOIN nr USING (doc_id)
+      ORDER BY doc_id"""
+    })
 
   /** D11's keep/drop threshold: in-cell pairs at or above this cosine
     * are semantic duplicates (the corpus plants its near-dup structure
@@ -1334,5 +1504,6 @@ object DedupOps {
   val all: Seq[Op] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbedding, dedupClusters, dedupReport, dedupDecontaminate,
-    dedupSubstr, dedupSemantic, dedupBloom, dedupUrl, dedupContainment)
+    dedupSubstr, dedupSubstrRewrite, dedupSemantic, dedupBloom, dedupUrl,
+    dedupContainment, dedupCanonicalQuality)
 }

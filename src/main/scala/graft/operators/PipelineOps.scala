@@ -736,6 +736,98 @@ object PipelineOps {
         GROUP BY source""",
       prefix = "WITH")))
 
+  /** G16 — mixture EXECUTION: materialize G10's epoch plan as an actual
+    * per-document selection. G10/G10b/G10c stop at budgets
+    * (target_tokens per source); this op decides WHICH documents fill
+    * each budget: within a source, documents are ordered by the
+    * deterministic hash priority (hash60(source || '|' || doc_id),
+    * doc_id — G11's priority, so reruns and engines agree), and a
+    * document is selected iff the token mass of the documents BEFORE it
+    * is still under the source's target — the classic
+    * hash-threshold sample, landing within one document of the budget
+    * (|selected − target| ≤ max doc length by construction; a source
+    * whose target meets or exceeds its mass selects everything, and the
+    * shortfall is exactly what G10's epochs_milli > 1000 upsampling
+    * flag already prices).
+    *
+    * Scale shape: NO per-source window over the corpus (the G11
+    * argument — sources are Zipf-skewed). The selection threshold
+    * resolves in two phases: a (source, bucket)-histogram of token
+    * sums, bucket = the priority's top 12 bits (≤ 4096 id-width rows
+    * per source, map-side combined — the only corpus-sized shuffle),
+    * whose small-frame running sum finds each source's BOUNDARY bucket;
+    * buckets strictly below it are kept wholesale, above dropped
+    * wholesale, and only the boundary bucket's ~1/4096 slice of each
+    * source pays the exact ordered prefix-sum window. Bucket = the
+    * hash's high bits, so (bucket, h, doc_id) order IS (h, doc_id)
+    * order and the two-phase split is exactly the oracle's one-window
+    * semantics.
+    */
+  val sampleMixture: Op = Op(
+    "sample_mixture",
+    (s, d) => {
+      val ntCol = size(split(trim(lower(col("text"))), "\\s+"))
+        .cast(LongType)
+      val docs = Caches.persist(Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), ntCol.as("nt"),
+          hash60(concat(col("source"), lit("|"), col("doc_id"))).as("h"))
+        .withColumn("bucket", shiftright(col("h"), 48)))
+      val tgt = mixturePlanFor(s, d, ntCol)
+        .select(col("source"), col("target_tokens"))
+      val wB = Window.partitionBy(col("source")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val hist = docs.groupBy(col("source"), col("bucket"))
+        .agg(sum(col("nt")).as("bt"))
+        .withColumn("cum_before", coalesce(sum(col("bt")).over(wB), lit(0L)))
+        .join(broadcast(tgt), "source")
+      val marked = docs.join(hist, Seq("source", "bucket"))
+      val easy = marked
+        .filter(col("cum_before") + col("bt") <= col("target_tokens") ||
+          col("cum_before") >= col("target_tokens"))
+        .select(col("doc_id"), col("source"), col("nt"),
+          (col("cum_before") + col("bt") <= col("target_tokens"))
+            .as("kept"))
+      val wIn = Window.partitionBy(col("source"), col("bucket"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val boundary = marked
+        .filter(col("cum_before") < col("target_tokens") &&
+          col("cum_before") + col("bt") > col("target_tokens"))
+        .withColumn("cum_in", coalesce(sum(col("nt")).over(wIn), lit(0L)))
+        .select(col("doc_id"), col("source"), col("nt"),
+          (col("cum_before") + col("cum_in") < col("target_tokens"))
+            .as("kept"))
+      easy.unionAll(boundary).orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH per_src AS (
+        SELECT source,
+               CAST(sum(len(regexp_split_to_array(trim(lower(text), ' '),
+                 '\\s+'))) AS BIGINT) AS n_tokens,
+               ${xhash32("source")} % 9 + 1 AS weight
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                     CAST(sum(weight) AS BIGINT) AS tot_weight
+              FROM per_src),
+      tgt AS (SELECT source, tot_tokens * weight // tot_weight
+                       AS target_tokens
+              FROM per_src CROSS JOIN tot),
+      docs AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(lower(text), ' '),
+                 '\\s+')) AS BIGINT) AS nt,
+               ${graft.Op.xhash60("concat(source, '|', doc_id)")} AS h
+        FROM documents),
+      r AS (SELECT docs.*,
+                   coalesce(sum(nt) OVER (PARTITION BY source
+                     ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cum
+            FROM docs)
+      SELECT r.doc_id, r.source, r.nt, r.cum < t.target_tokens AS kept
+      FROM r JOIN tgt t USING (source)
+      ORDER BY doc_id"""))
+
   /** G11 — per-domain frequency capping: keep at most ceil(√n_s)
     * documents from each source s, chosen by a deterministic hash
     * priority — the RefinedWeb/FineWeb-style guard against any single
@@ -815,20 +907,17 @@ object PipelineOps {
     * four stage aggregates are 1-row frames stitched by broadcast cross
     * joins (the dedup_report precedent).
     */
-  val curationReport: Op = Op(
-    "curation_report",
-    (s, d) => {
-      val base = Caches.persist(Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          size(tokens(lower(col("text")))).cast(LongType).as("nt"),
-          (g4Verdict(col("text")) === "keep").as("kept_q"),
-          hash60(normText(col("text"))).as("fp")))
+  /** G12's funnel body over a prepared base frame (doc_id, source, nt,
+    * kept_q, fp, ...) and a pluggable exact-dedup SURVIVOR rule — the
+    * seam G12b swaps the quality-aware rule through without duplicating
+    * the funnel arithmetic.
+    */
+  private def curationFunnel(
+      base: DataFrame,
+      survivor: DataFrame => DataFrame,
+      stage3: String = "3_exact_dedup"): DataFrame = {
       val q = base.filter(col("kept_q"))
-      val dd = Caches.persist(q.groupBy(col("fp"))
-        .agg(min_by(struct(col("doc_id"), col("source"), col("nt")),
-          col("doc_id")).as("s"))
-        .select(col("s.doc_id").as("doc_id"), col("s.source").as("source"),
-          col("s.nt").as("nt")))
+      val dd = Caches.persist(survivor(q))
       val caps = Caches.persist(dd.groupBy(col("source"))
         .agg(count(lit(1)).as("n_source"))
         .select(col("source"),
@@ -857,13 +946,33 @@ object PipelineOps {
           .select(lit("2_quality").as("stage"), col("n0").as("docs_in"),
             col("n1").as("docs_out"), col("t1").as("tokens_out")))
         .unionAll(a1.crossJoin(broadcast(a2))
-          .select(lit("3_exact_dedup").as("stage"), col("n1").as("docs_in"),
+          .select(lit(stage3).as("stage"), col("n1").as("docs_in"),
             col("n2").as("docs_out"), col("t2").as("tokens_out")))
         .unionAll(a2.crossJoin(broadcast(a3))
           .select(lit("4_domain_cap").as("stage"), col("n2").as("docs_in"),
             col("n3").as("docs_out"), col("t3").as("tokens_out")))
         .orderBy(col("stage"))
-    },
+  }
+
+  /** The shared base projection of the G12 funnel — one corpus scan
+    * with everything downstream needs.
+    */
+  private def curationBase(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(tokens(lower(col("text")))).cast(LongType).as("nt"),
+        (g4Verdict(col("text")) === "keep").as("kept_q"),
+        hash60(normText(col("text"))).as("fp"))
+
+  val curationReport: Op = Op(
+    "curation_report",
+    (s, d) => curationFunnel(
+      Caches.persist(curationBase(s, d)),
+      q => q.groupBy(col("fp"))
+        .agg(min_by(struct(col("doc_id"), col("source"), col("nt")),
+          col("doc_id")).as("s"))
+        .select(col("s.doc_id").as("doc_id"), col("s.source").as("source"),
+          col("s.nt").as("nt"))),
     Some(s"""
       WITH base AS MATERIALIZED (
         SELECT doc_id, source,
@@ -900,6 +1009,112 @@ object PipelineOps {
                t0 AS tokens_out FROM a0
         UNION ALL SELECT '2_quality', n0, n1, t1 FROM a0, a1
         UNION ALL SELECT '3_exact_dedup', n1, n2, t2 FROM a1, a2
+        UNION ALL SELECT '4_domain_cap', n2, n3, t3 FROM a2, a3) t
+      ORDER BY stage"""))
+
+  /** G12b — the funnel with the QUALITY-AWARE NEAR-dup dedup stage: the
+    * D16 survivor rule wired into the stage pipeline. An exact-dedup
+    * quality rule would be provably inert — same normalized-text
+    * fingerprint means the same lowercased token sequence, hence the
+    * same C18 features and score, so the argmax always ties back to the
+    * min doc_id. Near-dup CLUSTERS are where copies genuinely differ
+    * (truncations, appended boilerplate, dialect edits), so stage 3
+    * here clusters the quality survivors with D3/D6's MinHash-LSH
+    * pipeline and keeps each cluster's argmax-C18-score member (ties →
+    * min doc_id; unclustered docs survive trivially) — dedup is the
+    * moment the pipeline chooses which copy it trains on, and the
+    * surviving member's token mass and source flow into stages 3 and 4,
+    * so the funnels diverge wherever a cluster spans quality levels.
+    *
+    * Composition is drift-free by construction: pairs + components are
+    * [[DedupOps.minhashPairs]]∘[[DedupOps.clusterPairs]] (D6's bodies)
+    * restricted to the stage input, the scores are
+    * [[TextOps.qualityScoreDf]] (C18), and the survivor rule is D16's
+    * max_by struct. Scale shape: the cluster side inherits D3's banded
+    * occupancy-capped candidates; the survivor selection is an
+    * id-width max_by aggregate per cluster, never a window.
+    */
+  val curationReportQuality: Op = Op(
+    "curation_report_quality",
+    (s, d) => {
+      val scores = TextOps.qualityScoreDf(Tables.documents(s, d))
+        .select(col("doc_id"), col("score_micros"))
+      curationFunnel(
+        Caches.persist(curationBase(s, d).join(scores, "doc_id")),
+        q => {
+          val qq = Caches.persist(q)
+          val pairsQ = DedupOps.minhashPairs(s, d).select(col("i"), col("j"))
+            .join(qq.select(col("doc_id").as("i")), Seq("i"), "left_semi")
+            .join(qq.select(col("doc_id").as("j")), Seq("j"), "left_semi")
+          val clusters = DedupOps.clusterPairs(
+            graft.Checkpoints.checkpoint(pairsQ))
+          val keep = clusters.join(qq, "doc_id")
+            .groupBy(col("cluster_id"))
+            .agg(max_by(struct(col("doc_id"), col("source"), col("nt")),
+              struct(col("score_micros"), (-col("doc_id")).as("nd")))
+              .as("s"))
+            .select(col("s.doc_id").as("doc_id"),
+              col("s.source").as("source"), col("s.nt").as("nt"))
+          qq.join(clusters, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("source"), col("nt"))
+            .unionAll(keep)
+        },
+        stage3 = "3_near_dedup")
+    },
+    Some(s"""
+      WITH RECURSIVE ${DedupOps.sqlMinhashPairsCtes},
+      ${TextOps.sqlQualityCtes},
+      base AS MATERIALIZED (
+        SELECT d.doc_id, d.source,
+               CAST(len(regexp_split_to_array(trim(lower(d.text), ' '),
+                 '\\s+')) AS BIGINT) AS nt,
+               ${sqlG4Verdict("d.text")} = 'keep' AS kept_q,
+               p.p AS score
+        FROM documents d
+        JOIN ${TextOps.sqlQualityScoreTable} p ON d.doc_id = p.doc_id),
+      q AS (SELECT * FROM base WHERE kept_q),
+      pq AS (SELECT i, j FROM mh_pairs
+             WHERE i IN (SELECT doc_id FROM q)
+               AND j IN (SELECT doc_id FROM q)),
+      und AS (SELECT i AS src, j AS dst FROM pq
+              UNION ALL SELECT j, i FROM pq),
+      reach(v, r) AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT w.v, u.dst FROM reach w JOIN und u ON w.r = u.src),
+      cl AS (SELECT v AS doc_id, least(v, min(r)) AS cluster_id
+             FROM reach GROUP BY v),
+      mem AS (SELECT cl.cluster_id, q.doc_id, q.source, q.nt, q.score
+              FROM cl JOIN q USING (doc_id)),
+      keepc AS (SELECT doc_id, source, nt FROM (
+                  SELECT mem.*, row_number() OVER (PARTITION BY cluster_id
+                    ORDER BY score DESC, doc_id) AS rn FROM mem) x
+                WHERE rn = 1),
+      dd AS MATERIALIZED (
+        SELECT doc_id, source, nt FROM q
+        WHERE doc_id NOT IN (SELECT doc_id FROM cl)
+        UNION ALL
+        SELECT doc_id, source, nt FROM keepc),
+      caps AS (SELECT source,
+                      CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+                        AS cap
+               FROM dd GROUP BY source),
+      rk AS (SELECT dd.*,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY ${graft.Op.xhash60(
+                        "concat(source, '|', doc_id)")}, doc_id) AS rn
+             FROM dd),
+      kept AS (SELECT rk.doc_id, rk.source, rk.nt
+               FROM rk JOIN caps USING (source) WHERE rn <= cap),
+      a0 AS (SELECT count(*) AS n0, CAST(sum(nt) AS BIGINT) AS t0 FROM base),
+      a1 AS (SELECT count(*) AS n1, CAST(sum(nt) AS BIGINT) AS t1 FROM q),
+      a2 AS (SELECT count(*) AS n2, CAST(sum(nt) AS BIGINT) AS t2 FROM dd),
+      a3 AS (SELECT count(*) AS n3, CAST(sum(nt) AS BIGINT) AS t3 FROM kept)
+      SELECT stage, docs_in, docs_out, tokens_out FROM (
+        SELECT '1_raw' AS stage, n0 AS docs_in, n0 AS docs_out,
+               t0 AS tokens_out FROM a0
+        UNION ALL SELECT '2_quality', n0, n1, t1 FROM a0, a1
+        UNION ALL SELECT '3_near_dedup', n1, n2, t2 FROM a1, a2
         UNION ALL SELECT '4_domain_cap', n2, n3, t3 FROM a2, a3) t
       ORDER BY stage"""))
 
@@ -1136,6 +1351,8 @@ object PipelineOps {
     joinAsof, joinRange, sampleStratified, qualityFilter,
     qualityFilterExtracted, eventsRetention, eventsFunnel, sampleWeighted,
     eventsAnomaly, docPack, docPackBpe, mixturePlan, mixturePlanBpe,
-    mixturePlanTemp, sampleDomainCap, curationReport, graphPagerank,
+    mixturePlanTemp, sampleMixture, sampleDomainCap, curationReport,
+    curationReportQuality,
+    graphPagerank,
     eventsHeavyHitters, domainsHeavyHitters)
 }

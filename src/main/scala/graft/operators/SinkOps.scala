@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -886,20 +887,28 @@ object SinkOps {
     * and deterministic via the event_id tie-break, matching how a
     * rapid double-publish reads in the reference's history.
     */
+  /** The ONE interval-chain definition: versions (user_id, event_id,
+    * event_type, value, us) → SCD2 intervals. Shared by the batch op
+    * and [[graft.streaming.Scd2Stream]]'s per-key incremental rebuild,
+    * so the stream can never drift from the batch semantics.
+    */
+  private[graft] def scd2Intervals(versions: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    versions
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
   val sinkScd2: Op = Op(
     "sink_scd2",
-    (s, d) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("us"), col("event_id"))
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          col("value"), unix_micros(col("ts")).as("us"))
-        .withColumn("valid_to_us", lead(col("us"), 1).over(w))
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          col("value"), col("us").as("valid_from_us"), col("valid_to_us"),
-          col("valid_to_us").isNull.as("is_current"))
-        .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
-    },
+    (s, d) => scd2Intervals(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), unix_micros(col("ts")).as("us")))
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id")),
     Some("""
       SELECT user_id, event_id, event_type, value,
              us AS valid_from_us,

@@ -996,8 +996,10 @@ object TextOps {
     * replays the full training loop as unrolled CTE rounds
     * ([[QualityClassifier.sqlCtes]]) and must match scores to the micro.
     */
-  val qualityClassifier: Op = {
-    val labelSql = s"""
+  /** C18's weak-label recipe as oracle SQL — shared by the C18 op and
+    * every composition that replays the trained scorer (D16).
+    */
+  private[operators] lazy val sqlQualityLabel: String = s"""
         SELECT doc_id,
                CAST(CASE WHEN stopword_ratio*0.5 + (1.0 - punct_ratio)*0.3
                       + least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.2 > 0.5
@@ -1013,25 +1015,40 @@ object TextOps {
                    CAST(len(regexp_split_to_array(trim(lower(text), ' '),
                      '\\s+')) AS DOUBLE) AS stopword_ratio
           FROM documents) t1"""
-    Op(
-      "quality_classifier",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val labels = docs.select(col("doc_id"),
-          (qualityScoreCol > lit(0.5)).cast(LongType).as("y"))
-        val df = Caches.persist(
-          QualityClassifier.docFrame(docs).join(labels, "doc_id"))
-        val model = QualityClassifier.train(QualityClassifier.buildTrainData(df))
-        QualityClassifier.score(df, model).orderBy(col("doc_id"))
-      },
-      Some(s"""
-      WITH ${QualityClassifier.sqlCtes("documents", labelSql,
-          QualityClassifier.Epochs)}
+
+  /** C18's full train-and-score pass over an arbitrary (doc_id, text,
+    * ...) frame: weak labels from the C2 gate, [[QualityClassifier]]
+    * training, engine-exact scoring. Factored out so compositions (D16's
+    * quality-aware canonicals) score with the IDENTICAL model the board
+    * op checks.
+    */
+  private[operators] def qualityScoreDf(docs: DataFrame): DataFrame = {
+    val labels = docs.select(col("doc_id"),
+      (qualityScoreCol > lit(0.5)).cast(LongType).as("y"))
+    val df = Caches.persist(
+      QualityClassifier.docFrame(docs).join(labels, "doc_id"))
+    val model = QualityClassifier.train(QualityClassifier.buildTrainData(df))
+    QualityClassifier.score(df, model)
+  }
+
+  /** The C18 oracle's CTE chain + the name of its final per-doc score
+    * table (columns doc_id, p = score micros), for composition.
+    */
+  private[operators] lazy val sqlQualityCtes: String =
+    QualityClassifier.sqlCtes("documents", sqlQualityLabel,
+      QualityClassifier.Epochs)
+  private[operators] val sqlQualityScoreTable: String =
+    s"qc_p${QualityClassifier.Epochs}"
+
+  val qualityClassifier: Op = Op(
+    "quality_classifier",
+    (s, d) => qualityScoreDf(Tables.documents(s, d)).orderBy(col("doc_id")),
+    Some(s"""
+      WITH $sqlQualityCtes
       SELECT p.doc_id, l.y, p.p AS score_micros,
              p.p >= ${QualityClassifier.PredThreshold} AS is_quality_pred
-      FROM qc_p${QualityClassifier.Epochs} p JOIN qc_lab l USING (doc_id)
+      FROM $sqlQualityScoreTable p JOIN qc_lab l USING (doc_id)
       ORDER BY p.doc_id"""))
-  }
 
   /** C19 — bigram language-model scoring in the REAL log domain: each
     * document's mean conditional information content, mean over its

@@ -543,6 +543,29 @@ class PipelineSpec extends SparkSpec {
       r.exists(!_.getAs[Boolean]("is_upsampled")))
   }
 
+  test("sample_mixture: selected token mass lands within one document of " +
+      "each source's budget; saturated sources select everything") {
+    val plan = run("mixture_plan").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("target_tokens"), r.getAs[Long]("n_tokens"))).toMap
+    val sel = run("sample_mixture").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("nt"),
+        r.getAs[Boolean]("kept")))
+    sel.groupBy(_._1).foreach { case (src, rows) =>
+      val (target, total) = plan(src)
+      val selected = rows.collect { case (_, nt, true) => nt }.sum
+      val maxDoc = rows.map(_._2).max
+      if (target >= total)
+        assert(selected == total, s"$src: saturated source must keep all")
+      else
+        assert(target <= selected && selected < target + maxDoc,
+          s"$src: selected $selected vs target $target (maxDoc $maxDoc)")
+    }
+    // the budgets genuinely bite somewhere (not all sources saturate)
+    assert(plan.exists { case (_, (t, n)) => t < n },
+      "at least one source must be under-sampled for the bound to mean anything")
+  }
+
   test("doc_pack: distributed prefix sum equals the sequential concat scan") {
     val r = run("doc_pack").collect().sortBy(_.getAs[Long]("doc_id"))
     assert(r.length == 500)

@@ -13,6 +13,8 @@ import graft.streaming.EventIngest
   * and the latest-epoch view reflects cross-batch updates idempotently.
   */
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class VEv(ts: Timestamp, user_id: Long, event_id: Long,
+    event_type: String, value: Double)
 case class UserEv(user_id: Long, ts: Timestamp)
 case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
@@ -51,6 +53,65 @@ class StreamingSpec extends SparkSpec {
     // the append log keeps the superseded epoch row (ReplacingMergeTree
     // style): raw rows > latest-state rows
     assert(spark.read.parquet(sink).count() > state.size)
+  }
+
+  test("scd2 stream: incremental CDC merge equals the batch rebuild over " +
+      "the same event prefix, including a late-arrival batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Scd2Stream
+
+    val dir = Files.createTempDirectory("graft_scd2s").toString
+    val sink = s"$dir/sink"
+    val ckpt = s"$dir/ckpt"
+    val src = MemoryStream[VEv]
+    val query = Scd2Stream.start(src.toDS().toDF(), sink, ckpt)
+
+    // batch 1: two versions of user 1, one of user 2
+    val b1 = Seq(
+      VEv(t("10:00"), 1L, 1L, "created", 1.0),
+      VEv(t("12:00"), 1L, 3L, "published", 2.0),
+      VEv(t("10:30"), 2L, 2L, "created", 5.0))
+    src.addData(b1: _*)
+    query.processAllAvailable()
+    // batch 2: a LATE version of user 1 that belongs BETWEEN its two
+    // existing intervals, plus a brand-new user 3
+    val b2 = Seq(
+      VEv(t("11:00"), 1L, 4L, "edited", 9.0),
+      VEv(t("09:00"), 3L, 5L, "created", 7.0))
+    src.addData(b2: _*)
+    query.processAllAvailable()
+    query.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Double]("value"),
+        r.getAs[Long]("valid_from_us"), Option(r.get(r.fieldIndex(
+          "valid_to_us")).asInstanceOf[java.lang.Long]).map(_.longValue),
+        r.getAs[Boolean]("is_current")))
+      .sortBy(x => (x._1, x._5, x._2)).toSeq
+
+    val got = rows(Scd2Stream.currentIntervals(spark, sink))
+    // the batch twin over the SAME events — one definition, one answer
+    val want = rows(graft.operators.SinkOps.scd2Intervals(
+      (b1 ++ b2).toDF()
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))))
+    assert(got == want,
+      s"stream-built intervals must equal the batch rebuild:\n$got\nvs\n$want")
+    // the late arrival genuinely spliced mid-chain: user 1's middle
+    // interval is the late event, closed by the later version
+    val u1 = got.filter(_._1 == 1L)
+    assert(u1.map(_._2) == Seq(1L, 4L, 3L), s"splice order: $u1")
+    assert(u1(0)._6.contains(u1(1)._5) && u1(1)._6.contains(u1(2)._5),
+      "closing chain must thread through the spliced version")
+    assert(u1.map(_._7) == Seq(false, false, true))
+    // untouched keys keep their batch-1 chains (per-key replacement,
+    // not global rewrite): user 2's row came from epoch 0's dump
+    val u2dumps = spark.read.parquet(sink).filter(col("user_id") === 2L)
+      .select(col("dump_id")).distinct().collect().map(_.getString(0))
+    assert(u2dumps.length == 1 && u2dumps.head.contains("epoch-000000000"),
+      s"user 2 must not be rewritten by batch 2: ${u2dumps.toSeq}")
   }
 
   test("stream ingest into ExternalSink: epochs land exactly-once over JDBC") {

@@ -55,6 +55,82 @@ class TextDedupSpec extends SparkSpec {
     assert(r(3L) == ((3L, 0L, 0.0)), "unique doc shares nothing")
   }
 
+  test("dedup_substr_rewrite: first occurrence keeps every token, later " +
+      "copies lose exactly the covered span, audit + mass reconcile") {
+    val dir = Files.createTempDirectory("graft_substrw").toString
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val pre = (1 to 12).map(i => s"b$i").mkString(" ")
+    val span = (1 to 8).map(i => s"a$i").mkString(" ") // d0's first span
+    val docs = Seq(
+      (0L, a, "en", "s0", a.length.toLong),            // keeper (min id)
+      (1L, a, "en", "s1", a.length.toLong),            // full later copy
+      (2L, pre + " " + span, "en", "s2", 1L),          // one copied span
+      (3L, (1 to 10).map(i => s"c$i").mkString(" "), "en", "s3", 10L),
+      (4L, "short doc", "en", "s4", 9L))               // below span width
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = run("dedup_substr_rewrite", dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_removed_tokens"),
+          x.getAs[String]("clean_text"))).toMap
+    assert(r.keySet == Set(0L, 1L, 2L, 3L, 4L), "every doc gets a row")
+    assert(r(0L) == ((20L, 0L, a)), s"keeper untouched: ${r(0L)}")
+    assert(r(1L) == ((20L, 20L, "")), "full later copy rewrites to empty")
+    assert(r(2L) == ((20L, 8L, pre)), s"covered span cut, prefix kept: ${r(2L)}")
+    assert(r(3L) == ((10L, 0L, (1 to 10).map(i => s"c$i").mkString(" "))))
+    assert(r(4L) == ((2L, 0L, "short doc")), "sub-width docs pass through")
+    // reconcile with D10's audit on the same corpus: a doc loses tokens
+    // only if the audit saw duplicated spans in it, and the mass
+    // accounting closes (clean token count = n_tokens - n_removed)
+    val audit = run("dedup_substr", dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_dup_spans")).toMap
+    r.foreach { case (id, (nt, nrem, clean)) =>
+      if (nrem > 0)
+        assert(audit(id) > 0, s"doc $id cut without audited dup spans")
+      val cleanToks = if (clean.isEmpty) 0 else clean.split("\\s+").length
+      assert(cleanToks == nt - nrem, s"mass mismatch for doc $id")
+    }
+  }
+
+  test("dedup_canonical_quality: keeps the argmax-score member — " +
+      "including a planted cluster whose best member is NOT the min id") {
+    val dir = Files.createTempDirectory("graft_canon").toString
+    // a near-dup cluster whose LATER member carries a stopword-rich
+    // (higher-quality-label) tail, plus fillers on both sides of the
+    // label threshold so the classifier trains non-degenerately
+    val junk = (1 to 40).map(i => s"xq$i").mkString(" ")
+    val tail = "the cat is on the mat and it was happy there that day"
+    val good = junk + " " + tail
+    val docs = Seq(
+      (0L, junk, "en", "s0", junk.length.toLong),
+      (1L, good, "en", "s1", good.length.toLong),
+      (2L, tail + " in the warm sun near the door", "en", "s2", 50L),
+      (3L, "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10", "en", "s3", 40L),
+      (4L, tail + " and it was quiet there for a while", "en", "s4", 60L),
+      (5L, tail + " while the dog was out in the yard", "en", "s5", 60L))
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val scores = run("quality_classifier", dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("score_micros"))
+      .toMap
+    val got = run("dedup_canonical_quality", dir).collect()
+      .map(x => (x.getAs[Long]("cluster_id"), x.getAs[Long]("keep_id"),
+        x.getAs[Long]("keep_score_micros"), x.getAs[Long]("n_members")))
+    assert(got.nonEmpty, "the planted near-dup pair must cluster")
+    val c0 = got.find(_._1 == 0L).getOrElse(
+      fail("docs 0 and 1 must form cluster 0"))
+    assert(c0._4 == 2L, s"cluster 0 has both members: $c0")
+    // the selection RULE: argmax score, tie → min id — checked against
+    // the standalone C18 scores
+    val expected = Seq(0L, 1L).maxBy(id => (scores(id), -id))
+    assert(c0._2 == expected && c0._3 == scores(expected))
+    // and the plant did its job: the best-quality member is the LATER id
+    assert(expected == 1L && scores(1L) > scores(0L),
+      s"planted tail must out-score the junk base: $scores")
+  }
+
   test("text_rarity: rare-token docs score above common-token docs") {
     val dir = Files.createTempDirectory("graft_rarity").toString
     val common = Seq.fill(30)("the").mkString(" ")
