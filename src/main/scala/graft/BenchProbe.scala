@@ -67,7 +67,11 @@ object BenchProbe {
       }
       Caches.releaseScope()
     }
-    if (rebuild || !loadable(DedupIndex.load(spark, dedupPath))) {
+    // the sf100 step materializes only the embeddings table (see
+    // tools/gen_emb_sf100.py) — skip the document-side index there
+    val hasDocs =
+      new java.io.File(s"$sfDir/documents.parquet").exists()
+    if (hasDocs && (rebuild || !loadable(DedupIndex.load(spark, dedupPath)))) {
       dedupBuild = secs {
         DedupIndex.save(
           DedupIndex.build(Tables.documents(spark, sfDir)
@@ -104,7 +108,8 @@ object BenchProbe {
     // dedup: probeN corpus docs/vectors at shifted ids — guaranteed
     // near-dups of their indexed originals, the worst probe-cost case
     // (every probe row produces candidates)
-    val docB = localize(spark, Tables.documents(spark, sfDir)
+    val docB = if (!hasDocs) null
+    else localize(spark, Tables.documents(spark, sfDir)
       .filter(col("doc_id") < probeN)
       .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
     val embB = localize(spark, Tables.embeddings(spark, sfDir)
@@ -113,7 +118,6 @@ object BenchProbe {
     Caches.releaseScope()
 
     val annIdx = AnnIndex.load(spark, annPath)
-    val dedupIdx = DedupIndex.load(spark, dedupPath)
     val pqIdx = PqIndex.load(spark, pqPath)
     val ivfpqIdx = IvfPqIndex.load(spark, ivfpqPath)
     val probes: Seq[(String, () => Long)] = Seq(
@@ -122,11 +126,15 @@ object BenchProbe {
       "ann_pq_probe" ->
         (() => PqIndex.probe(pqIdx, annQ).count()),
       "ann_ivfpq_probe" ->
-        (() => IvfPqIndex.probe(ivfpqIdx, annQ).count()),
-      "dedup_minhash_probe" ->
-        (() => DedupIndex.probe(dedupIdx, docB).count()),
-      "dedup_embedding_probe" ->
-        (() => AnnIndex.probePairs(annIdx, embB, tau = 0.3).count()))
+        (() => IvfPqIndex.probe(ivfpqIdx, annQ).count())) ++
+      (if (!hasDocs) Seq.empty else {
+        val dedupIdx = DedupIndex.load(spark, dedupPath)
+        Seq(
+          "dedup_minhash_probe" ->
+            (() => DedupIndex.probe(dedupIdx, docB).count()),
+          "dedup_embedding_probe" ->
+            (() => AnnIndex.probePairs(annIdx, embB, tau = 0.3).count()))
+      })
 
     var anyFailed = false
     val results = probes.map { case (name, fn) =>
@@ -153,7 +161,9 @@ object BenchProbe {
         "ivfpq" -> ivfpqBuild))
     },"queries":${jmap(results.map { case (k, _, mn, _) => k -> mn })},"first":${
       jmap(results.map { case (k, f, _, _) => k -> f })
-    },"reps":$REPS,"probe_batch":{"ann":${annQ.count()},"dedup":${docB.count()},"embedding":${embB.count()}},"failed":${
+    },"reps":$REPS,"probe_batch":{"ann":${annQ.count()},"dedup":${
+      if (docB == null) 0L else docB.count()
+    },"embedding":${embB.count()}},"failed":${
       results.collect { case (k, _, _, false) => "\"" + k + "\"" }
         .mkString("[", ",", "]")
     },"sf":"$sfDir"}""")

@@ -1085,9 +1085,13 @@ object AnnOps {
       cent: DataFrame,
       coded: DataFrame,
       vectors: DataFrame,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame,
+      probeList: Option[DataFrame] = None): DataFrame = {
     val cookLit = typedLit(codebook.toSeq)
-    val probe = ivfPqProbe(queries, cent, nprobe)
+    // a caller that already resolved the probe list (IvfPqIndex, which
+    // collects it driver-side anyway for partition pruning) passes it
+    // back in so the queries×cells scoring job runs once, not twice
+    val probe = probeList.getOrElse(ivfPqProbe(queries, cent, nprobe))
     val cqnF = cent.select(col("c_id").as("cell"),
       call_function("qnorm_micros", col("c_emb"), col("c_nm")).as("cqn"))
     // per-(query, probed-cell) ADC table over the QUERY residual w.r.t.

@@ -77,13 +77,22 @@ object IvfPqIndex {
     * filter — on a saved index only the probed directories are read.
     */
   def probe(index: Index, queries: DataFrame, topK: Int = 5): DataFrame = {
+    val spark = queries.sparkSession
     val q = AnnOps.withNormDf(queries)
-    val probedCells = AnnOps.ivfPqProbe(q, index.centroids, index.nprobe)
-      .select(col("cell")).distinct().collect().map(_.getLong(0)).toSeq
+    // ONE queries×centroids job: the collected probe list both prunes
+    // the codes scan (partition filter) and feeds the search as a
+    // literal frame, so the scoring never re-runs
+    val probeRows = AnnOps.ivfPqProbe(q, index.centroids, index.nprobe)
+      .collect()
+    val probedCells = probeRows.map(_.getAs[Long]("cell")).distinct.toSeq
+    import spark.implicits._
+    val probeLit = probeRows
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cell"))).toSeq
+      .toDF("q_id", "cell")
     AnnOps.ivfPqSearch(index.codebook, index.k, index.rerank, topK,
       index.nprobe, index.centroids,
       index.codes.filter(col("cell").isin(probedCells: _*)),
-      index.vectors, q)
+      index.vectors, q, probeList = Some(probeLit))
   }
 
   private def writeMarker(

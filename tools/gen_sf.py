@@ -70,10 +70,18 @@ write("lineitem", copies(lambda i:
     f"l_partkey + {i*stride['p_partkey']} AS l_partkey, "
     f"l_suppkey + {i*stride['s_suppkey']} AS l_suppkey, "
     f"* EXCLUDE (l_orderkey, l_partkey, l_suppkey) FROM {rd('lineitem')}"))
+# PLANTED HEAVY KEY (r12 advisory): the per-copy user_id shift spreads
+# every user's share by 1/N, so above sf0.1 NO user exceeds the 1/128
+# heavy-hitter threshold and the events_heavy_hitters scale record was
+# vacuously 0 rows from both engines. Remap a deterministic 1/64 slice
+# of events (source event_id % 64 == 0, same rows in every copy) onto
+# user_id 1, so exactly one planted hot key (~15625 ppm share) crosses
+# the gate at EVERY scale factor while the tail still scales 10x.
 write("events", copies(lambda i:
     f"SELECT event_id + {i*stride['event_id']} AS event_id, "
     f"CAST(ts AS TIMESTAMPTZ) AS ts, "
-    f"user_id + {i*stride['user_id']} AS user_id, "
+    f"CASE WHEN event_id % 64 = 0 THEN 1 "
+    f"ELSE user_id + {i*stride['user_id']} END AS user_id, "
     f"event_type, value, props FROM {rd('events')}"))
 
 def doc_i(i):
