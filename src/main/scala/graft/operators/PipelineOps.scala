@@ -1347,6 +1347,78 @@ object PipelineOps {
       HAVING count(*) * 128 > (SELECT count(*) FROM dom)
       ORDER BY n_docs DESC, domain"""))
 
+  /** G17 — EXACT grouped percentiles without a corpus sort: p50/p90/p99
+    * of `value` per event_type, each defined as the value at 0-based
+    * global rank floor(q·(n−1)) under (value, event_id) order — the
+    * discrete "lower" quantile, stated plainly by the oracle's
+    * row_number formulation.
+    *
+    * The naive plan (q22's shape, or any percentile_disc) SORTS every
+    * group's rows — at 100 TB that is the full-data sort-exchange that
+    * dominates the job. This op resolves each quantile in two phases
+    * (the sample_mixture boundary-bucket technique, pointed at ranks
+    * instead of token budgets): a (group, bucket)-histogram over the
+    * value-monotone key floor(value·1000) — one map-side-combined
+    * id-width shuffle, the ONLY corpus-sized exchange — finds, from a
+    * small-frame running sum, the single bucket containing each
+    * target rank and the within-bucket offset; then ONLY the boundary
+    * buckets' rows (a broadcast semi-join against the ≤ 3·groups-row
+    * bounds frame) are sorted, per (group, quantile), to pick the
+    * offset row. Bucketing is monotone in value and equal values share
+    * a bucket, so within-bucket (value, event_id) order extends the
+    * cross-bucket order exactly — the two-phase pick IS the global-sort
+    * answer, row for row.
+    */
+  val eventsQuantiles: Op = {
+    val targets = Seq(("p50", 50), ("p90", 90), ("p99", 99))
+    Op(
+      "events_quantiles",
+      (s, d) => {
+        val ev = Caches.persist(Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), col("value"),
+            floor(col("value") * lit(1000.0)).cast(LongType).as("b")))
+        val wB = Window.partitionBy(col("event_type")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val hist = ev.groupBy(col("event_type"), col("b"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", coalesce(sum(col("c")).over(wB), lit(0L)))
+          .withColumn("n", sum(col("c")).over(
+            Window.partitionBy(col("event_type"))))
+        def idx(q: Int) = expr(s"(n - 1) * $q div 100")
+        val bounds = targets.map { case (name, q) =>
+          hist.filter(col("cum") <= idx(q) && idx(q) < col("cum") + col("c"))
+            .select(col("event_type"), col("b"), lit(name).as("q"),
+              (idx(q) - col("cum")).as("off"))
+        }.reduce(_.unionAll(_))
+        val wIn = Window.partitionBy(col("event_type"), col("q"))
+          .orderBy(col("value"), col("event_id"))
+        val qvals = ev.join(broadcast(bounds), Seq("event_type", "b"))
+          .withColumn("rn", row_number().over(wIn).cast(LongType) - 1)
+          .filter(col("rn") === col("off"))
+        val ns = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+        val aggCols = targets.map { case (name, _) =>
+          max(when(col("q") === name, col("value"))).as(name) }
+        ns.join(qvals.groupBy(col("event_type"))
+            .agg(aggCols.head, aggCols.tail: _*), "event_type")
+          .select(col("event_type") +: col("n_events") +:
+            targets.map(t => col(t._1)): _*)
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+      WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) - 1 AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+      SELECT event_type,
+             CAST(max(n) AS BIGINT) AS n_events,
+             ${targets.map { case (name, q) =>
+               s"max(CASE WHEN rn = (n-1)*$q//100 THEN value END) AS $name"
+             }.mkString(",\n             ")}
+      FROM r GROUP BY event_type ORDER BY event_type"""))
+  }
+
   val all: Seq[Op] = Seq(
     joinAsof, joinRange, sampleStratified, qualityFilter,
     qualityFilterExtracted, eventsRetention, eventsFunnel, sampleWeighted,
@@ -1354,5 +1426,5 @@ object PipelineOps {
     mixturePlanTemp, sampleMixture, sampleDomainCap, curationReport,
     curationReportQuality,
     graphPagerank,
-    eventsHeavyHitters, domainsHeavyHitters)
+    eventsHeavyHitters, domainsHeavyHitters, eventsQuantiles)
 }

@@ -124,6 +124,46 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(idx2.vectors.count() == n && idx2.codes.count() == n)
   }
 
+  test("a foreachBatch stream lands vectors via append under the PINNED " +
+      "models; loaded probes match the same appends applied batch-wise") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_ivfpqstrm").toString
+    val (pathS, pathB) = (s"$dir/stream", s"$dir/batch")
+    val base = IvfPqIndex.build(corpus.filter(col("vec_id") < 450))
+    IvfPqIndex.save(base, pathS)
+    IvfPqIndex.save(base, pathB)
+    val rows = corpus.filter(col("vec_id") >= 450).collect()
+      .map(r => IdxVec(r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val (e1, e2) = rows.partition(_.vec_id < 475)
+    val src = MemoryStream[IdxVec]
+    val query = src.toDS().toDF().writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IvfPqIndex.append(pathS, batch)
+      }.start()
+    src.addData(e1: _*)
+    query.processAllAvailable()
+    // epoch 2 re-delivers one epoch-1 vector: the per-frame anti-join is
+    // the idempotency contract
+    src.addData((e2 :+ e1.head): _*)
+    query.processAllAvailable()
+    query.stop()
+    IvfPqIndex.append(pathB, corpus.filter(col("vec_id") >= 450))
+    val streamed = IvfPqIndex.load(spark, pathS)
+    val batched = IvfPqIndex.load(spark, pathB)
+    assert(streamed.vectors.count() == corpus.count() &&
+      streamed.codes.count() == corpus.count(),
+      "one row per vec_id across epochs; the replayed vector appended nothing")
+    val q = corpus.filter(col("vec_id") < 8)
+    val got = probeRows(IvfPqIndex.probe(streamed, q))
+    val want = probeRows(IvfPqIndex.probe(batched, q))
+    assert(got == want && got.nonEmpty,
+      "stream-appended and batch-appended probes must agree")
+  }
+
   test("append under the pinned models: appended vectors become " +
       "findable; retire removes them; compact bounds files with probe " +
       "parity") {

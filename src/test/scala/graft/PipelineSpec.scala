@@ -566,6 +566,34 @@ class PipelineSpec extends SparkSpec {
       "at least one source must be under-sampled for the bound to mean anything")
   }
 
+  test("events_quantiles: boundary-bucket picks equal the global-sort " +
+      "answer on planted ranks, ties, and single-bucket groups") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft_quant").toString
+    val ts = Timestamp.valueOf("2026-01-01 10:00:00")
+    // type a: values 1..100 (known rank arithmetic: p50 -> rank 49 ->
+    // value 50.0); type b: ALL TIES (every quantile = the tied value,
+    // exercised entirely inside one bucket); type c: two values
+    // straddling a bucket edge
+    val rows =
+      (1 to 100).map(i => (i.toLong, ts, 7L, "a", i.toDouble, "{}")) ++
+      (1 to 10).map(i => (100L + i, ts, 7L, "b", 3.5, "{}")) ++
+      Seq((200L, ts, 7L, "c", 0.0009, "{}"), (201L, ts, 7L, "c", 0.0011, "{}"))
+    spark.createDataFrame(rows.toSeq)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = run("events_quantiles", dir).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        (x.getAs[Long]("n_events"), x.getAs[Double]("p50"),
+          x.getAs[Double]("p90"), x.getAs[Double]("p99"))).toMap
+    // rank floor(q·(n−1)): n=100 → p50 idx 49 → value 50; p90 idx 89 →
+    // 90; p99 idx 98 → 99
+    assert(r("a") == ((100L, 50.0, 90.0, 99.0)), s"type a: ${r("a")}")
+    assert(r("b") == ((10L, 3.5, 3.5, 3.5)), s"all-ties: ${r("b")}")
+    // n=2: p50 idx 0 → smaller value; p90/p99 idx 0 too
+    assert(r("c") == ((2L, 0.0009, 0.0009, 0.0009)), s"edge: ${r("c")}")
+  }
+
   test("doc_pack: distributed prefix sum equals the sequential concat scan") {
     val r = run("doc_pack").collect().sortBy(_.getAs[Long]("doc_id"))
     assert(r.length == 500)
