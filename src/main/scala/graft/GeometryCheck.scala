@@ -29,7 +29,7 @@ package graft
 object GeometryCheck {
   private val Known =
     Set("ann_lsh", "dedup_embedding", "ann_ivf", "dedup_semantic",
-      "ann_pq", "mm_phash_dedup", "ann_ivfpq")
+      "ann_pq", "mm_phash_dedup", "ann_ivfpq", "emb_knn_graph")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -104,6 +104,19 @@ object GeometryCheck {
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ann_ivfpq")
       Caches.releaseScope()
     }
+    if (keys("emb_knn_graph")) {
+      // E14 checks at the CORPUS geometry like D11 (they share the
+      // cell-blocked candidate generator): cells and sub-planes derive
+      // from the row count, and sqlKnnAt regenerates the oracle at that
+      // exact geometry.
+      val n = Tables.embeddings(spark, sfDir).count()
+      val cells = operators.AnnOps.ivfCellsFor(n)
+      operators.EmbeddingOps.knnAt(spark, sfDir, cells,
+        operators.DedupOps.semSubGeometry(n, cells))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/emb_knn_graph")
+      Caches.releaseScope()
+    }
     if (keys("dedup_semantic")) {
       // D11 checks at the CORPUS geometry like D5: cells AND sub-planes
       // derive from the row count, and sqlSemanticAt regenerates the
@@ -137,6 +150,12 @@ object GeometryCheck {
         val n = Tables.embeddings(spark, sfDir).count()
         val cells = operators.AnnOps.ivfCellsFor(n)
         Map("dedup_semantic" -> operators.DedupOps.sqlSemanticAt(cells,
+          operators.DedupOps.semSubGeometry(n, cells)))
+      } else Map.empty) ++
+      (if (dumped("emb_knn_graph")) {
+        val n = Tables.embeddings(spark, sfDir).count()
+        val cells = operators.AnnOps.ivfCellsFor(n)
+        Map("emb_knn_graph" -> operators.EmbeddingOps.sqlKnnAt(cells,
           operators.DedupOps.semSubGeometry(n, cells)))
       } else Map.empty) ++
       (if (dumped("mm_phash_dedup")) {

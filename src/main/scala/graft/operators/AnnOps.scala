@@ -962,6 +962,60 @@ object AnnOps {
       WHERE rank <= $TOP_K
       ORDER BY q_id, rank"""))
 
+  /** The cell-blocked pair generator shared by D11 (semantic dedup) and
+    * E14 (k-NN graph): assign every vector to its nearest coarse cell
+    * (the max_by aggregate — never a window over n·cells rows), then
+    * enumerate pairs BUCKET-LOCALLY with the vectors riding in the
+    * bucket rows (one corpus-sized shuffle; no self-join recomputing
+    * the assignment per side). `sub` optionally splits big cells with
+    * in-cell LSH sub-buckets ([[graft.operators.DedupOps.semSubGeometry]]'s
+    * dial) so in-task pair work stays bounded above ~512 occupancy.
+    * Returns (assign: vec_id → cell, pairs: i < j with exact-micros
+    * cos, deduped across sub-tables).
+    */
+  private[operators] def cellBucketedPairs(
+      e: DataFrame,
+      cells: Int,
+      sub: Option[LshGeometry]): (DataFrame, DataFrame) = {
+    val cent = ivfPqCentroids(e, cells)
+    val assign = Caches.persist(e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_id"),
+        cosineFromMicros(dotMicros(col("embedding"), col("c_emb")),
+          col("nm"), col("c_nm")).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"),
+        struct(col("ccos"), (-col("c_id")).as("nc"))).as("cell")))
+    val withCell = assign.join(e, "vec_id")
+    val bucketed = sub match {
+      case None =>
+        withCell.select(col("cell"), lit(0).as("tbl"), lit(0L).as("bucket"),
+          col("vec_id"), col("embedding"), col("nm"))
+      case Some(g) =>
+        withCell.select(col("cell"), col("vec_id"), col("embedding"),
+          col("nm"),
+          posexplode(lshBucketsCol(col("embedding"), g))
+            .as(Seq("tbl", "bucket")))
+          .select(col("cell"), col("tbl"), col("bucket"), col("vec_id"),
+            col("embedding"), col("nm"))
+    }
+    val pairs = bucketed
+      .groupBy(col("cell"), col("tbl"), col("bucket"))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id"), col("embedding"), col("nm")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(
+          slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
+          y => struct(x.as("x"), y.as("y")))))).as("p"))
+      .select(col("p.x.vec_id").as("i"), col("p.y.vec_id").as("j"),
+        cosineFromMicros(
+          dotMicros(col("p.x.embedding"), col("p.y.embedding")),
+          col("p.x.nm"), col("p.y.nm")).as("cos"))
+      .groupBy(col("i"), col("j"))
+      .agg(max(col("cos")).as("cos"))
+    (assign, pairs)
+  }
+
   /** PQ seed ids for the IVFPQ codebook: the deterministic slice STARTS
     * ABOVE the centroid slice ([[QUERY_MAX]] + cells) — a centroid
     * vector's own residual is the zero vector (it is assigned to its own

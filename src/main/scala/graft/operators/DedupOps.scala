@@ -973,54 +973,13 @@ object DedupOps {
       d: String,
       cells: Int,
       sub: Option[AnnOps.LshGeometry]): DataFrame = {
-    val e = AnnOps.withNorm(s, d)
-    val cent = e.filter(col("vec_id") >= AnnOps.QUERY_MAX &&
-        col("vec_id") < AnnOps.QUERY_MAX + cells)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        col("nm").as("c_nm"))
-    // the corpus-side argmax is an AGGREGATE over id-width rows, not a
-    // window — the ann_ivf lesson: a window exchanges-and-sorts all
-    // n·cells rows, max_by partial-aggregates them map-side. persist:
-    // assign feeds the pair path AND the final verdict join.
-    val assign = Caches.persist(e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("c_id"),
-        cosineFromMicros(dotMicros(col("embedding"), col("c_emb")),
-          col("nm"), col("c_nm")).as("ccos"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("c_id"),
-        struct(col("ccos"), (-col("c_id")).as("nc"))).as("cell")))
-    // vectors re-attach from the vec_id-partitioned shared norm frame;
-    // bucket rows carry the vector so pair scoring is in-task (the D5
-    // r11 shape, keyed on (cell[, tbl, bucket]) instead of LSH alone)
-    val withCell = assign.join(e, "vec_id")
-    val bucketed = sub match {
-      case None =>
-        withCell.select(col("cell"), lit(0).as("tbl"), lit(0L).as("bucket"),
-          col("vec_id"), col("embedding"), col("nm"))
-      case Some(g) =>
-        withCell.select(col("cell"), col("vec_id"), col("embedding"),
-          col("nm"),
-          posexplode(AnnOps.lshBucketsCol(col("embedding"), g))
-            .as(Seq("tbl", "bucket")))
-          .select(col("cell"), col("tbl"), col("bucket"), col("vec_id"),
-            col("embedding"), col("nm"))
-    }
-    val pairs = bucketed
-      .groupBy(col("cell"), col("tbl"), col("bucket"))
-      .agg(sort_array(collect_list(
-        struct(col("vec_id"), col("embedding"), col("nm")))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(
-          slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
-          y => struct(x.as("x"), y.as("y")))))).as("p"))
-      .select(col("p.x.vec_id").as("i"), col("p.y.vec_id").as("j"),
-        cosineFromMicros(
-          dotMicros(col("p.x.embedding"), col("p.y.embedding")),
-          col("p.x.nm"), col("p.y.nm")).as("cos"))
-      .filter(col("cos") >= SEM_TAU)
-      .groupBy(col("i"), col("j"))
-      .agg(max(col("cos")).as("cos"))
+    // the assign + bucket-local pair machinery is the SHARED
+    // [[AnnOps.cellBucketedPairs]] generator (E14's k-NN graph runs the
+    // identical candidate semantics — factored r13 so they cannot
+    // drift); D11 applies its τ threshold to the deduped pair stream
+    val (assign, allPairs) =
+      AnnOps.cellBucketedPairs(AnnOps.withNorm(s, d), cells, sub)
+    val pairs = allPairs.filter(col("cos") >= SEM_TAU)
     val dup = pairs.groupBy(col("j"))
       .agg(count(lit(1)).as("n_dups"), max(col("cos")).as("max_dup_cos"))
     assign.join(dup, assign("vec_id") === dup("j"), "left")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -600,6 +601,123 @@ object EmbeddingOps {
       ORDER BY p1.vec_id"""
   }
 
+  /** E14's neighbor count. */
+  private val KNN_K = 3
+
+  /** E14's body at an explicit geometry (cells + optional in-cell LSH) —
+    * the [[graft.GeometryCheck]] seam, sharing D11's candidate
+    * semantics through [[AnnOps.cellBucketedPairs]].
+    */
+  private[graft] def knnAt(
+      s: SparkSession,
+      d: String,
+      cells: Int,
+      sub: Option[AnnOps.LshGeometry]): DataFrame = {
+    val (_, pairs) =
+      AnnOps.cellBucketedPairs(AnnOps.withNorm(s, d), cells, sub)
+    // both directions of every pair, then a bounded-heap top-k per
+    // source — the (−cos, nbr) struct makes "highest cosine first,
+    // lowest id on ties" a MIN-heap order, and posexplode of the sorted
+    // retained array IS the rank
+    val directed = pairs
+      .select(col("i").as("src"), col("j").as("nbr"), col("cos"))
+      .unionAll(pairs
+        .select(col("j").as("src"), col("i").as("nbr"), col("cos")))
+    directed
+      .groupBy(col("src"))
+      .agg(topkMin(struct((-col("cos")).as("negcos"), col("nbr")), KNN_K)
+        .as("ks"))
+      .select(col("src").as("vec_id"), posexplode(col("ks")).as(Seq("p", "k")))
+      .select(col("vec_id"), (col("p") + 1).cast(LongType).as("rank"),
+        col("k.nbr").as("nbr_id"), (-col("k.negcos")).as("cos"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** E14's oracle at an explicit geometry (the D11 sqlSemanticAt
+    * pattern: pairs share the cell AND, under sub-bucketing, ≥1
+    * (tbl, bucket); DISTINCT replays the engine's pair dedup).
+    */
+  private[graft] def sqlKnnAt(
+      cells: Int, sub: Option[AnnOps.LshGeometry]): String = {
+    val pairCte = sub match {
+      case None =>
+        s"""pr AS (SELECT a.vec_id AS i, b.vec_id AS j,
+                    ${AnnOps.sqlCos("a", "b")} AS cos
+             FROM m a JOIN m b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id)"""
+      case Some(g) =>
+        val bandSelects = (0 until g.tables).map(t =>
+          s"SELECT vec_id, $t AS tbl, ${AnnOps.sqlBucket("m", t, g)} AS bucket FROM m")
+          .mkString("\n        UNION ALL ")
+        s"""bk AS (
+        $bandSelects
+      ),
+      mb AS (SELECT m.vec_id, m.embedding, m.nm, m.cell, bk.tbl, bk.bucket
+             FROM m JOIN bk USING (vec_id)),
+      pr AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j,
+                    ${AnnOps.sqlCos("a", "b")} AS cos
+             FROM mb a JOIN mb b
+               ON a.cell = b.cell AND a.tbl = b.tbl AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id)"""
+    }
+    s"""
+      WITH ${AnnOps.sqlNormCte},
+      cent AS (SELECT vec_id AS c_id, embedding, nm FROM e
+               WHERE vec_id >= ${AnnOps.QUERY_MAX}
+                 AND vec_id < ${AnnOps.QUERY_MAX + cells}),
+      scored AS (SELECT v.vec_id, cent.c_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY ${AnnOps.sqlCos("v", "cent")} DESC, cent.c_id)
+                     AS rn
+                 FROM e v, cent),
+      assign AS (SELECT vec_id, c_id AS cell FROM scored WHERE rn = 1),
+      m AS (SELECT e.vec_id, e.embedding, e.nm, assign.cell
+            FROM e JOIN assign USING (vec_id)),
+      $pairCte,
+      dg AS (SELECT i AS src, j AS nbr, cos FROM pr
+             UNION ALL SELECT j, i, cos FROM pr)
+      SELECT src AS vec_id, rank, nbr AS nbr_id, cos FROM (
+        SELECT src, nbr, cos,
+               CAST(row_number() OVER (PARTITION BY src
+                 ORDER BY cos DESC, nbr) AS BIGINT) AS rank
+        FROM dg) t
+      WHERE rank <= $KNN_K
+      ORDER BY vec_id, rank"""
+  }
+
+  /** E14 — the k-NN GRAPH over the embedding corpus: every vector's
+    * top-[[KNN_K]] in-cell neighbors by exact-micros cosine — the
+    * all-corpus neighbor structure (not E1–E12's 8-query lookups) that
+    * SemDeDup clustering, kNN-LM datastores, dataset cartography and
+    * duplicate-aware mixing all start from. Candidates are CELL-BLOCKED
+    * (D11's exact semantics, via the shared
+    * [[AnnOps.cellBucketedPairs]] generator): the graph is the k-NN
+    * graph of the coarse-quantized neighborhoods, which is the
+    * practical object at scale — a vector in a singleton cell has no
+    * edges, and the oracle states the same blocking, so the result is
+    * deterministic and engine-exact rather than a recall-bearing
+    * approximation of the metric graph.
+    *
+    * Scale shape: one corpus-sized shuffle (the bucket groupBy, vectors
+    * riding in the rows), in-task pair scoring bounded by cell/bucket
+    * occupancy (the D11 dial splits cells above ~512), and the top-k is
+    * a bounded-heap aggregate over the directed pair stream — ≤ k rows
+    * per (vector, partition) shuffle, never a window over all pairs.
+    * Geometry follows the corpus like D11 (√n cells + the same sub-LSH
+    * dial), GeometryCheck-replayable at the active geometry.
+    */
+  val embKnnGraph: Op = Op(
+    "emb_knn_graph",
+    (s, d) => {
+      val n = Tables.embeddings(s, d).count()
+      val cells = AnnOps.ivfCellsFor(n)
+      AnnOps.logGeometryDivergence("emb_knn_graph", s"$cells cells",
+        s"${AnnOps.CENTROIDS} cells")
+      knnAt(s, d, cells, DedupOps.semSubGeometry(n, cells))
+    },
+    Some(sqlKnnAt(AnnOps.CENTROIDS, None)))
+
   val all: Seq[Op] =
-    Seq(embCentroids, embQuantize, embOutliers, embPca, embWhiten)
+    Seq(embCentroids, embQuantize, embOutliers, embPca, embWhiten,
+      embKnnGraph)
 }

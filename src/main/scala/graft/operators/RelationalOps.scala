@@ -1010,6 +1010,33 @@ object RelationalOps {
     },
     Some(q28Sql))
 
+  /** B29 — LATERAL correlated derived table (q28's sibling on the SQL
+    * text path): per-nation top-2 customers by account balance through
+    * `FROM nation, LATERAL (SELECT ... ORDER BY ... LIMIT 2)` — the
+    * per-row-subquery idiom analysts reach for before they learn window
+    * functions, and the second standard decorrelation shape after
+    * q28's scalar subqueries. Spark's DecorrelateInnerQuery rewrites
+    * the lateral limit to a rank-per-join-key plan (no per-outer-row
+    * re-execution, no nested loop over customer); balances compare as
+    * exact round-micros longs (the q22/q28 convention).
+    */
+  private val q29Sql: String = """
+      SELECT n.n_name AS nation, t.custkey, t.bal_micros
+      FROM nation n, LATERAL (
+        SELECT c.c_custkey AS custkey,
+               CAST(round(c.c_acctbal*1000000) AS BIGINT) AS bal_micros
+        FROM customer c WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY bal_micros DESC, c.c_custkey LIMIT 2) t
+      ORDER BY nation, bal_micros DESC, custkey"""
+
+  val q29Lateral: Op = Op(
+    "q29_lateral",
+    (s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(q29Sql)
+    },
+    Some(q29Sql))
+
   val all: Seq[Op] = Seq(
     q1Agg, q2Pushdown, q3JoinAgg, q4Semijoin, q5Antijoin, q6StarJoin,
     q7WindowTopk, q7bTopkAgg, q8Distinct, q8bApproxDistinct, q8cKmvDistinct,
@@ -1017,5 +1044,5 @@ object RelationalOps {
     q11CaseAgg, q12DateAgg, q13StringFuncs, q14Union, q15ScalarSubquery,
     q16Sessionize, q17JsonExtract, q18RunningSum, q19OuterJoin, q20Cube,
     q21Pivot, q22Percentile, q23MovingAvg, q24Profile, q25SetOps,
-    q26GroupingSets, q27TimeRangeAgg, q28Correlated)
+    q26GroupingSets, q27TimeRangeAgg, q28Correlated, q29Lateral)
 }

@@ -921,10 +921,60 @@ object SinkOps {
             FROM events) t
       ORDER BY user_id, valid_from_us, event_id"""))
 
+  /** A14b — POINT-IN-TIME state reconstruction, the consumer side of
+    * A14's intervals and the question SCD2 histories exist to answer:
+    * "what was every key's state as of T?". T is the corpus midpoint
+    * ((min+max)/2 event micros — a 1-row broadcast, so the query is
+    * parameter-free and data-dependent at every SF), and the answer is
+    * each key's interval containing T: valid_from ≤ T < valid_to (open
+    * intervals absorb T at the top). Intervals tile gaplessly per key
+    * (the A14 spec), so each key with any version at or before T yields
+    * EXACTLY one row; later-starting keys yield none.
+    *
+    * Scale shape: A14's one keyed window + a predicate — no join
+    * against the history (the naive "max version ≤ T per key" re-sorts
+    * or re-aggregates the log; the interval form makes as-of lookup a
+    * filter). At 100 TB the same plan serves any T, and a persisted
+    * interval table (A15's stream output) turns it into a pure scan.
+    */
+  val sinkAsofState: Op = Op(
+    "sink_asof_state",
+    (s, d) => {
+      val tf = Tables.events(s, d)
+        .agg(expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2")
+          .as("t_us"))
+      scd2Intervals(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), unix_micros(col("ts")).as("us")))
+        .crossJoin(broadcast(tf))
+        .filter(col("valid_from_us") <= col("t_us") &&
+          (col("valid_to_us").isNull || col("t_us") < col("valid_to_us")))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("valid_from_us"), col("t_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH iv AS (
+        SELECT user_id, event_id, event_type, value,
+               us AS valid_from_us,
+               lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                 AS valid_to_us
+        FROM (SELECT user_id, event_id, event_type, value,
+                     epoch_us(ts) AS us
+              FROM events) t),
+      tf AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS t_us
+             FROM events)
+      SELECT user_id, event_id, event_type, value, valid_from_us, t_us
+      FROM iv CROSS JOIN tf
+      WHERE valid_from_us <= t_us
+        AND (valid_to_us IS NULL OR t_us < valid_to_us)
+      ORDER BY user_id"""))
+
   val all: Seq[Op] = Seq(
     sinkLatestState, sinkShouldDump, sinkRetireUsers, sinkPseudonymize,
     sinkPagination, sinkBackfillPlan, sinkSerializeOverview,
     sinkSerializeProfile, sinkXblockHierarchy, sinkXblockDedup,
     sinkExternalId, sinkCsvFormat, eventsWindowedAgg, sinkDumpRelated,
-    sinkCcxExpand, sinkCcxExpandOff, sinkGating, sinkScd2)
+    sinkCcxExpand, sinkCcxExpandOff, sinkGating, sinkScd2, sinkAsofState)
 }

@@ -299,4 +299,33 @@ class RelationalSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoop"),
       "correlated subqueries must decorrelate to equi-joins")
   }
+
+  test("q29_lateral: the lateral LIMIT decorrelates to a rank plan and " +
+      "matches the window-computed top-2 per nation") {
+    val got = run("q29_lateral").collect()
+      .map(r => (r.getAs[String]("nation"), r.getAs[Long]("custkey"),
+        r.getAs[Long]("bal_micros"))).toSeq
+    // independent truth: per-nation top-2 via plain collections
+    val nat = Tables.nation(spark, sf).collect()
+      .map(r => r.getAs[Long]("n_nationkey") -> r.getAs[String]("n_name"))
+      .toMap
+    val expect = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_custkey"),
+        round(col("c_acctbal") * 1000000).cast("long").as("p"))
+      .collect()
+      .map(r => (nat(r.getAs[Long]("c_nationkey")), r.getAs[Long]("c_custkey"),
+        r.getAs[Long]("p")))
+      .groupBy(_._1)
+      .flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(2).toSeq
+      }.toSeq.sortBy(t => (t._1, -t._3, t._2))
+    assert(got == expect, s"q29 diverges (${got.size} vs ${expect.size})")
+    assert(got.nonEmpty && got.size == nat.size * 2)
+    val df = run("q29_lateral")
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      "the lateral limit must decorrelate — never a per-outer-row loop")
+  }
 }

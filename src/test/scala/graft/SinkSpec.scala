@@ -363,4 +363,28 @@ class SinkSpec extends SparkSpec {
       assert(sorted.last._3.isEmpty, "open interval has NULL valid_to")
     }
   }
+
+  test("sink_asof_state: exactly one row per key with a version at or " +
+      "before T, and it is that key's LATEST version at or before T") {
+    val rows = run("sink_asof_state").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("valid_from_us"), r.getAs[Long]("t_us")))
+    assert(rows.nonEmpty)
+    val t = rows.head._4
+    assert(rows.map(_._1).distinct.length == rows.length,
+      "one state row per key")
+    // independent truth from the raw log: per user, the (us, event_id)-max
+    // version among those with us <= T
+    val log = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("us")))
+    val expect = log.filter(_._3 <= t).groupBy(_._1).map { case (u, g) =>
+      u -> g.maxBy(x => (x._3, x._2))._2
+    }
+    assert(rows.map(r => r._1 -> r._2).toMap == expect,
+      "as-of pick must be the latest version at or before T")
+  }
 }
