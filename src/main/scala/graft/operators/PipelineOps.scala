@@ -1118,6 +1118,90 @@ object PipelineOps {
         UNION ALL SELECT '4_domain_cap', n2, n3, t3 FROM a2, a3) t
       ORDER BY stage"""))
 
+  /** G19 — per-document FATE attribution through the curation funnel:
+    * G12 reports the stages' aggregate attrition; this answers the
+    * question an operator actually debugs with — "why did THIS document
+    * drop?": each doc labeled with the FIRST stage that removed it
+    * (2_quality, 3_exact_dedup, 4_domain_cap) or `kept`. Same stage
+    * definitions as G12 (shared [[curationBase]]; min-id fingerprint
+    * survivor; the G11 bounded-heap cap threshold, whose ≤-threshold
+    * verdict ≡ rank ≤ cap — the sample_domain_cap proof), so fates
+    * always reconcile with the funnel's counts.
+    *
+    * Scale shape: one persisted corpus projection; the dedup survivor
+    * flag is a |fp-groups| aggregate joined back; the cap verdict joins
+    * the |sources|-row threshold frame; fate is a codegen'd CASE — the
+    * corpus text never shuffles, and every join key is id-width.
+    */
+  val curationFate: Op = Op(
+    "curation_fate",
+    (s, d) => {
+      val base = Caches.persist(curationBase(s, d))
+      val q = base.filter(col("kept_q"))
+      val keepIds = q.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+      val dd = Caches.persist(q.join(keepIds, "fp")
+        .filter(col("doc_id") === col("keep_id"))
+        .select(col("doc_id"), col("source"), col("nt")))
+      val caps = Caches.persist(dd.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_source"))
+        .select(col("source"),
+          ceil(sqrt(col("n_source").cast("double"))).cast(LongType)
+            .as("cap")))
+      val maxCap = caps.agg(max(col("cap"))).collect()(0).getLong(0).toInt
+      def pri = struct(
+        hash60(concat(col("source"), lit("|"), col("doc_id"))).as("h"),
+        col("doc_id"))
+      val th = dd.select(col("source"), pri.as("p"))
+        .groupBy(col("source"))
+        .agg(topkMin(col("p"), maxCap).as("tops"))
+        .join(caps, "source")
+        .select(col("source"),
+          element_at(col("tops"), col("cap").cast("int")).as("th"))
+      base
+        .join(keepIds, Seq("fp"), "left")
+        .join(th, Seq("source"), "left")
+        .select(col("doc_id"), col("source"), col("nt"),
+          when(!col("kept_q"), lit("2_quality"))
+            .when(col("doc_id") =!= col("keep_id"), lit("3_exact_dedup"))
+            .when(pri > col("th"), lit("4_domain_cap"))
+            .otherwise(lit("kept")).as("fate"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH base AS MATERIALIZED (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(lower(text), ' '),
+                 '\\s+')) AS BIGINT) AS nt,
+               ${sqlG4Verdict("text")} = 'keep' AS kept_q,
+               ${graft.Op.xhash60(
+                 "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '))")}
+                 AS fp
+        FROM documents),
+      q AS (SELECT * FROM base WHERE kept_q),
+      keep AS (SELECT fp, min(doc_id) AS keep_id FROM q GROUP BY fp),
+      dd AS MATERIALIZED (
+        SELECT q.doc_id, q.source, q.nt
+        FROM q JOIN keep ON q.fp = keep.fp AND q.doc_id = keep.keep_id),
+      caps AS (SELECT source,
+                      CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+                        AS cap
+               FROM dd GROUP BY source),
+      rk AS (SELECT dd.doc_id, dd.source,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY ${graft.Op.xhash60(
+                        "concat(source, '|', doc_id)")}, doc_id) AS rn
+             FROM dd)
+      SELECT b.doc_id, b.source, b.nt,
+             CASE WHEN NOT b.kept_q THEN '2_quality'
+                  WHEN b.doc_id != k.keep_id THEN '3_exact_dedup'
+                  WHEN r.rn > c.cap THEN '4_domain_cap'
+                  ELSE 'kept' END AS fate
+      FROM base b
+      LEFT JOIN keep k ON b.fp = k.fp
+      LEFT JOIN rk r ON b.doc_id = r.doc_id
+      LEFT JOIN caps c ON b.source = c.source
+      ORDER BY b.doc_id"""))
+
   /** PageRank dials (G13): 4 synthesized outlinks per document, 6 power
     * iterations, damping 0.85 in exact integer micros (teleport
     * 150,000 = 0.15·1e6 per node). Six rounds reach ~0.85⁶ ≈ 0.38
@@ -1419,12 +1503,66 @@ object PipelineOps {
       FROM r GROUP BY event_type ORDER BY event_type"""))
   }
 
+  /** G18 — the event-type TRANSITION MATRIX (first-order Markov
+    * estimate): counts of consecutive (prev → cur) event-type pairs
+    * within each user's time-ordered stream, with the conditional
+    * probability in exact ppm (n(prev→cur)·1e6 div n(prev→·)) — the
+    * behavioral model behind funnel mining, next-action prediction
+    * features and bot detection (a scripted client's transition rows
+    * are near-deterministic where organic ones spread). The lm_bigram
+    * idea applied to the events stream.
+    *
+    * Scale shape: ONE shuffle on user_id for the lag window (the q16
+    * sessionize exchange — co-partitioned with every other per-user
+    * window in the engine), then the transition counts aggregate
+    * map-side into ≤ |types|² groups; the row-conditional divide is a
+    * broadcast of the |types|-row margin frame. Determinism: the lag
+    * order is (ts, event_id), the same total order every per-user
+    * window in the engine uses.
+    */
+  val eventsMarkov: Op = Op(
+    "events_markov",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("cur_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val margin = trans.groupBy(col("prev_type"))
+        .agg(sum(col("n_trans")).as("n_from"))
+      trans.join(broadcast(margin), "prev_type")
+        .select(col("prev_type"), col("cur_type"), col("n_trans"),
+          col("n_from"),
+          expr("n_trans * 1000000 div n_from").as("p_ppm"))
+        .orderBy(col("prev_type"), col("cur_type"))
+    },
+    Some("""
+      WITH tr AS (
+        SELECT prev_type, event_type AS cur_type, count(*) AS n_trans
+        FROM (SELECT user_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_type
+              FROM events) t
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type),
+      mg AS (SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+             FROM tr GROUP BY prev_type)
+      SELECT tr.prev_type, tr.cur_type,
+             CAST(tr.n_trans AS BIGINT) AS n_trans, mg.n_from,
+             tr.n_trans * 1000000 // mg.n_from AS p_ppm
+      FROM tr JOIN mg USING (prev_type)
+      ORDER BY prev_type, cur_type"""))
+
   val all: Seq[Op] = Seq(
     joinAsof, joinRange, sampleStratified, qualityFilter,
     qualityFilterExtracted, eventsRetention, eventsFunnel, sampleWeighted,
     eventsAnomaly, docPack, docPackBpe, mixturePlan, mixturePlanBpe,
     mixturePlanTemp, sampleMixture, sampleDomainCap, curationReport,
-    curationReportQuality,
+    curationReportQuality, curationFate,
     graphPagerank,
-    eventsHeavyHitters, domainsHeavyHitters, eventsQuantiles)
+    eventsHeavyHitters, domainsHeavyHitters, eventsQuantiles, eventsMarkov)
 }

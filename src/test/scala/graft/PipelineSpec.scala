@@ -594,6 +594,23 @@ class PipelineSpec extends SparkSpec {
     assert(r("c") == ((2L, 0.0009, 0.0009, 0.0009)), s"edge: ${r("c")}")
   }
 
+  test("curation_fate: per-doc fates reconcile exactly with " +
+      "curation_report's stage deltas") {
+    val report = run("curation_report").collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("docs_in"), r.getAs[Long]("docs_out"))).toMap
+    val fates = run("curation_fate").collect()
+      .groupBy(_.getAs[String]("fate")).view.mapValues(_.length.toLong).toMap
+    assert(fates.getOrElse("2_quality", 0L) ==
+      report("2_quality")._1 - report("2_quality")._2)
+    assert(fates.getOrElse("3_exact_dedup", 0L) ==
+      report("3_exact_dedup")._1 - report("3_exact_dedup")._2)
+    assert(fates.getOrElse("4_domain_cap", 0L) ==
+      report("4_domain_cap")._1 - report("4_domain_cap")._2)
+    assert(fates.getOrElse("kept", 0L) == report("4_domain_cap")._2)
+    assert(fates.values.sum == report("1_raw")._1, "every doc has one fate")
+  }
+
   test("doc_pack: distributed prefix sum equals the sequential concat scan") {
     val r = run("doc_pack").collect().sortBy(_.getAs[Long]("doc_id"))
     assert(r.length == 500)
