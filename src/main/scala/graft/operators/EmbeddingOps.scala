@@ -639,10 +639,13 @@ object EmbeddingOps {
     */
   private[graft] def sqlKnnAt(
       cells: Int, sub: Option[AnnOps.LshGeometry]): String = {
+    // pair enumeration is ID-WIDTH (prid), vectors re-attach once for
+    // the cosine — carrying the embedding lists through the candidate
+    // join made DuckDB spill ~75 GB at sf10's 22M-pair geometry; this
+    // formulation is result-identical and fits
     val pairCte = sub match {
       case None =>
-        s"""pr AS (SELECT a.vec_id AS i, b.vec_id AS j,
-                    ${AnnOps.sqlCos("a", "b")} AS cos
+        """prid AS (SELECT a.vec_id AS i, b.vec_id AS j
              FROM m a JOIN m b
                ON a.cell = b.cell AND a.vec_id < b.vec_id)"""
       case Some(g) =>
@@ -652,10 +655,9 @@ object EmbeddingOps {
         s"""bk AS (
         $bandSelects
       ),
-      mb AS (SELECT m.vec_id, m.embedding, m.nm, m.cell, bk.tbl, bk.bucket
+      mb AS (SELECT m.vec_id, m.cell, bk.tbl, bk.bucket
              FROM m JOIN bk USING (vec_id)),
-      pr AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j,
-                    ${AnnOps.sqlCos("a", "b")} AS cos
+      prid AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
              FROM mb a JOIN mb b
                ON a.cell = b.cell AND a.tbl = b.tbl AND a.bucket = b.bucket
                  AND a.vec_id < b.vec_id)"""
@@ -674,6 +676,10 @@ object EmbeddingOps {
       m AS (SELECT e.vec_id, e.embedding, e.nm, assign.cell
             FROM e JOIN assign USING (vec_id)),
       $pairCte,
+      pr AS (SELECT prid.i, prid.j, ${AnnOps.sqlCos("x", "y")} AS cos
+             FROM prid
+             JOIN e x ON prid.i = x.vec_id
+             JOIN e y ON prid.j = y.vec_id),
       dg AS (SELECT i AS src, j AS nbr, cos FROM pr
              UNION ALL SELECT j, i, cos FROM pr)
       SELECT src AS vec_id, rank, nbr AS nbr_id, cos FROM (
