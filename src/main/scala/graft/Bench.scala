@@ -124,6 +124,7 @@ object Bench {
       // forced-plan pass for pruning-prone queries: same min-of-REPS
       // discipline, its own cache scope so the count-path numbers stay
       // attributable
+      var forcedOk = true
       val forcedRuns = if (!ok || !ForcedKeys.contains(name)) Seq.empty[Double]
       else {
         val fr = (1 to REPS).iterator.map { _ =>
@@ -132,6 +133,7 @@ object Bench {
             case e: Throwable =>
               System.err.println(s"[bench] $name FORCED FAILED: ${e.getMessage}")
               anyFailed = true
+              forcedOk = false
               None
           }
         }.takeWhile(_.isDefined).flatten.toSeq
@@ -140,23 +142,26 @@ object Bench {
       }
       val first = runs.headOption.getOrElse(0.0)
       val best = if (runs.isEmpty) 0.0 else runs.min
-      (name, first, best, ok, forcedRuns)
+      (name, first, best, ok, forcedRuns, forcedOk)
     }
     val calibEnd = calibrate()
 
     def jmap(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val qs = jmap(results.map { case (k, _, mn, _, _) => k -> mn })
-    val firsts = jmap(results.map { case (k, f, _, _, _) => k -> f })
+    val qs = jmap(results.map { case (k, _, mn, _, _, _) => k -> mn })
+    val firsts = jmap(results.map { case (k, f, _, _, _, _) => k -> f })
     val forced = jmap(results.collect {
-      case (k, _, _, _, fr) if fr.nonEmpty => k -> fr.min })
-    val failed = results.collect { case (k, _, _, false, _) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+      case (k, _, _, _, fr, _) if fr.nonEmpty => k -> fr.min })
+    // A forced-pass failure lists as "name(forced)" so the record itself
+    // is self-describing (the count-path numbers still print for the op).
+    val failed = (results.collect { case (k, _, _, false, _, _) => k } ++
+      results.collect { case (k, _, _, _, _, false) => s"$k(forced)" })
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Total counts only successful queries; failures are listed separately.
-    val total = results.collect { case (_, _, mn, true, _) => mn }.sum
+    val total = results.collect { case (_, _, mn, true, _, _) => mn }.sum
     val matTotal = results
-      .collect { case (_, f, mn, true, _) => math.max(f - mn, 0.0) }.sum
+      .collect { case (_, f, mn, true, _, _) => math.max(f - mn, 0.0) }.sum
     val calib = f""""calibration":{"start":$calibStart%.3f,"mid":$calibMid%.3f,"end":$calibEnd%.3f,"drift":${
       Seq(calibStart, calibMid, calibEnd).max /
         math.max(Seq(calibStart, calibMid, calibEnd).min, 1e-9)}%.2f}"""

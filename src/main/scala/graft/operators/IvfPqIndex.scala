@@ -32,6 +32,10 @@ import graft.{Caches, Checkpoints}
   * append is repairable by replaying the batch (vectors land first —
   * an orphan vector row is inert — and each frame anti-joins its own
   * landed rows, so replay converges to the never-crashed state).
+  * Index-rewriting mutations ([[retire]]/[[compact]]) additionally
+  * write to a staged sibling and commit by atomic directory rename,
+  * so a crash mid-rewrite can never destroy the only durable copy —
+  * [[load]] repairs or rolls back any interrupted swap it finds.
   */
 object IvfPqIndex {
 
@@ -130,9 +134,66 @@ object IvfPqIndex {
   def load(spark: SparkSession, path: String): Index =
     loadImpl(spark, path, tolerateTornAppend = false)
 
+  private def hfs(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def stagedPath(path: String): String = path + ".staged"
+
+  private def markerComplete(spark: SparkSession, path: String): Boolean =
+    try spark.read.parquet(s"$path/complete").head().getAs[Boolean]("complete")
+    catch { case _: Exception => false }
+
+  /** Commit a fully-written sibling at `path`.staged over the live
+    * index: displace the live directory to `path`.old, rename the
+    * staged copy in, drop the displaced one. Directory renames are
+    * atomic per filesystem operation, so every crash window leaves a
+    * COMPLETE index recoverable by [[recoverSwap]] — unlike an
+    * overwrite-in-place, which destroys the only durable copy of the
+    * very frames it is still reading (the r13 advisory).
+    */
+  private def swapInto(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = hfs(spark, path)
+    val st = new org.apache.hadoop.fs.Path(stagedPath(path))
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.delete(old, true)
+    if (fs.exists(p) && !fs.rename(p, old))
+      throw new IllegalStateException(s"could not displace live index $path")
+    if (!fs.rename(st, p))
+      throw new IllegalStateException(
+        s"could not promote staged index ${stagedPath(path)}")
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Repair an interrupted [[swapInto]] — called by every load. If the
+    * live name is missing, promote the complete staged copy (crash
+    * between the two renames) or restore the displaced previous index
+    * (crash after displacing with a torn staged copy — cannot happen in
+    * swapInto's order, but cheap to cover). With the live name present,
+    * leftover `.staged`/`.old` siblings are an uncommitted mutation or
+    * an already-promoted swap's debris — delete them, which rolls the
+    * uncommitted retire/compact back to the intact previous index.
+    */
+  private def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = hfs(spark, path)
+    val st = new org.apache.hadoop.fs.Path(stagedPath(path))
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    if (!fs.exists(p)) {
+      if (fs.exists(st) && markerComplete(spark, stagedPath(path)))
+        fs.rename(st, p)
+      else if (fs.exists(old)) fs.rename(old, p)
+    }
+    if (fs.exists(p)) { fs.delete(st, true); fs.delete(old, true) }
+    ()
+  }
+
   private def loadImpl(
       spark: SparkSession, path: String,
       tolerateTornAppend: Boolean): Index = {
+    recoverSwap(spark, path)
     val m = spark.read.parquet(s"$path/complete").head()
     val op = m.getAs[String]("op")
     if (!m.getAs[Boolean]("complete") &&
@@ -201,33 +262,34 @@ object IvfPqIndex {
       vectors = index.vectors.join(r, Seq("vec_id"), "left_anti"))
   }
 
-  /** Retire ids on a saved path: checkpoint-materialized rewrite (the
-    * save overwrites the directories being read), models preserved,
-    * marker-bracketed via [[save]].
+  /** Retire ids on a saved path: the rewritten index is fully written
+    * to a staged SIBLING directory (reading the live one lazily — no
+    * checkpoint materialization needed, the read and write targets
+    * never collide) and then atomically renamed over it, so a crash at
+    * any point leaves a complete index on disk — either the previous
+    * one (uncommitted) or the rewritten one.
     */
   def retire(path: String, ids: DataFrame): Unit = {
     val spark = ids.sparkSession
     val idx = retire(load(spark, path), ids)
-    save(idx.copy(
-      codes = Checkpoints.checkpoint(idx.codes),
-      vectors = Checkpoints.checkpoint(idx.vectors),
-      centroids = Checkpoints.checkpoint(idx.centroids)), path)
+    save(idx, stagedPath(path))
+    swapInto(spark, path)
   }
 
   /** Small-file compaction of the accumulated append files: clustering
     * the codes by cell leaves each cell directory with one file per
     * holding task (a cell lives in exactly one task after the
-    * repartition), probe-identical before/after, marker-bracketed via
-    * [[save]].
+    * repartition), probe-identical before/after, staged-sibling +
+    * atomic rename like [[retire]] — a crash preserves the
+    * pre-compaction index intact.
     */
   def compact(path: String, partitions: Int = 8): Unit = {
     val spark = SparkSession.active
     val idx = load(spark, path)
     save(idx.copy(
-      codes = Checkpoints.checkpoint(
-        idx.codes.repartition(partitions, col("cell"))),
-      vectors = Checkpoints.checkpoint(
-        idx.vectors.repartition(partitions, col("vec_id"))),
-      centroids = Checkpoints.checkpoint(idx.centroids)), path)
+      codes = idx.codes.repartition(partitions, col("cell")),
+      vectors = idx.vectors.repartition(partitions, col("vec_id"))),
+      stagedPath(path))
+    swapInto(spark, path)
   }
 }

@@ -863,7 +863,11 @@ object PipelineOps {
       // the heap-width dial: one |domains|-row aggregate, collected
       // like the geometry dials (caps is persisted — this is its
       // materializing action, the threshold + verdict joins reuse it)
-      val maxCap = caps.agg(max(col("cap"))).collect()(0).getLong(0).toInt
+      // coalesce(1): an empty survivor set yields a null max — the heap
+      // width must still be a valid literal (every frame downstream is
+      // empty anyway, so the value is inert)
+      val maxCap = caps.agg(coalesce(max(col("cap")), lit(1L)))
+        .collect()(0).getLong(0).toInt
       val pri = docs.select(col("source"),
         struct(hash60(concat(col("source"), lit("|"), col("doc_id")))
           .as("h"), col("doc_id")).as("p"))
@@ -923,7 +927,11 @@ object PipelineOps {
         .select(col("source"),
           ceil(sqrt(col("n_source").cast("double"))).cast(LongType)
             .as("cap")))
-      val maxCap = caps.agg(max(col("cap"))).collect()(0).getLong(0).toInt
+      // coalesce(1): an empty survivor set yields a null max — the heap
+      // width must still be a valid literal (every frame downstream is
+      // empty anyway, so the value is inert)
+      val maxCap = caps.agg(coalesce(max(col("cap")), lit(1L)))
+        .collect()(0).getLong(0).toInt
       def pri = struct(
         hash60(concat(col("source"), lit("|"), col("doc_id"))).as("h"),
         col("doc_id"))
@@ -1147,7 +1155,11 @@ object PipelineOps {
         .select(col("source"),
           ceil(sqrt(col("n_source").cast("double"))).cast(LongType)
             .as("cap")))
-      val maxCap = caps.agg(max(col("cap"))).collect()(0).getLong(0).toInt
+      // coalesce(1): an empty survivor set yields a null max — the heap
+      // width must still be a valid literal (every frame downstream is
+      // empty anyway, so the value is inert)
+      val maxCap = caps.agg(coalesce(max(col("cap")), lit(1L)))
+        .collect()(0).getLong(0).toInt
       def pri = struct(
         hash60(concat(col("source"), lit("|"), col("doc_id"))).as("h"),
         col("doc_id"))

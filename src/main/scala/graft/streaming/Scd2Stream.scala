@@ -52,20 +52,39 @@ object Scd2Stream {
         val sink = ParquetSink(sinkDir)
         val b = batch.select(col("user_id"), col("event_id"),
           col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
-        val existing =
+        // persisted per-batch: the landed rows feed BOTH the anti-join
+        // (dedup) and the union (rebuild) below
+        val existing = (
           if (!sink.initialized(s)) b.limit(0)
           else currentIntervals(s, sinkDir)
             .join(broadcast(b.select(col("user_id")).distinct()),
               Seq("user_id"), "left_semi")
             .select(col("user_id"), col("event_id"), col("event_type"),
               col("value"), col("valid_from_us").as("us"))
-        val versions = existing.unionByName(b)
-          .dropDuplicates("user_id", "event_id")
+        ).persist()
+        // Deterministic duplicate resolution (not dropDuplicates, which
+        // keeps an ARBITRARY row): landed rows win outright — a
+        // redelivered event_id never rewrites an already-landed payload
+        // (payloads are assumed immutable per event_id; anti-join
+        // enforces the assumption instead of trusting it) — and a
+        // same-key collision WITHIN one batch resolves by max_by on the
+        // full payload struct, so any replay of the batch rebuilds the
+        // identical chain.
+        val fresh = b
+          .join(existing.select(col("user_id"), col("event_id")),
+            Seq("user_id", "event_id"), "left_anti")
+          .groupBy(col("user_id"), col("event_id"))
+          .agg(max(struct(col("us"), col("event_type"), col("value")))
+            .as("m"))
+          .select(col("user_id"), col("event_id"),
+            col("m.event_type"), col("m.value"), col("m.us"))
+        val versions = existing.unionByName(fresh)
         val rebuilt =
           graft.operators.SinkOps.scd2Intervals(versions)
         sink.appendIdempotent(s, Sinks.stamped(rebuilt,
           f"scd2-$tag-epoch-$epochId%09d",
           System.currentTimeMillis() * 1000L))
+        existing.unpersist(false)
         ()
       }
       .start()
