@@ -434,7 +434,8 @@ object DedupOps {
     *
     * Composition is by construction drift-free: the cluster side IS
     * [[clusterPairs]]∘[[minhashPairs]] (D6's body) and the score side IS
-    * [[TextOps.qualityScoreDf]] (C18's train-and-score pass), so the
+    * [[QualityIndex.score]] under the corpus' one trained model
+    * ([[QualityIndex.forCorpus]] — C18's artifact, not a retrain), so the
     * canonical rule can never disagree with the standalone ops.
     */
   val dedupCanonicalQuality: Op = Op(
@@ -442,7 +443,8 @@ object DedupOps {
     (s, d) => {
       val clusters = clusterPairs(Checkpoints.checkpoint(
         minhashPairs(s, d).select(col("i"), col("j"))))
-      val scores = TextOps.qualityScoreDf(Tables.documents(s, d))
+      val scores = QualityIndex
+        .score(Tables.documents(s, d), QualityIndex.forCorpus(s, d))
         .select(col("doc_id"), col("score_micros"))
       clusters.join(scores, "doc_id")
         .groupBy(col("cluster_id"))

@@ -1037,7 +1037,8 @@ object PipelineOps {
     * Composition is drift-free by construction: pairs + components are
     * [[DedupOps.minhashPairs]]∘[[DedupOps.clusterPairs]] (D6's bodies)
     * restricted to the stage input, the scores are
-    * [[TextOps.qualityScoreDf]] (C18), and the survivor rule is D16's
+    * [[QualityIndex.score]] under the corpus' one trained model
+    * ([[QualityIndex.forCorpus]] — C18's artifact), and the survivor rule is D16's
     * max_by struct. Scale shape: the cluster side inherits D3's banded
     * occupancy-capped candidates; the survivor selection is an
     * id-width max_by aggregate per cluster, never a window.
@@ -1045,7 +1046,8 @@ object PipelineOps {
   val curationReportQuality: Op = Op(
     "curation_report_quality",
     (s, d) => {
-      val scores = TextOps.qualityScoreDf(Tables.documents(s, d))
+      val scores = QualityIndex
+        .score(Tables.documents(s, d), QualityIndex.forCorpus(s, d))
         .select(col("doc_id"), col("score_micros"))
       curationFunnel(
         Caches.persist(curationBase(s, d).join(scores, "doc_id")),

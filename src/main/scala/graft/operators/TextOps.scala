@@ -992,7 +992,10 @@ object TextOps {
     * task folds its docs into a model-sized partial gradient — no
     * per-epoch planning, no join, no data shuffle) — the
     * parameter-server shape, model-sized driver traffic at any corpus
-    * size. The oracle
+    * size. Training runs AT MOST ONCE per corpus: the model is a
+    * [[QualityIndex]] artifact (train → save/memoize → score), so this
+    * op and its compositions (D16, G12b) all consume the same trained
+    * weights without re-running an epoch. The oracle
     * replays the full training loop as unrolled CTE rounds
     * ([[QualityClassifier.sqlCtes]]) and must match scores to the micro.
     */
@@ -1016,21 +1019,6 @@ object TextOps {
                      '\\s+')) AS DOUBLE) AS stopword_ratio
           FROM documents) t1"""
 
-  /** C18's full train-and-score pass over an arbitrary (doc_id, text,
-    * ...) frame: weak labels from the C2 gate, [[QualityClassifier]]
-    * training, engine-exact scoring. Factored out so compositions (D16's
-    * quality-aware canonicals) score with the IDENTICAL model the board
-    * op checks.
-    */
-  private[operators] def qualityScoreDf(docs: DataFrame): DataFrame = {
-    val labels = docs.select(col("doc_id"),
-      (qualityScoreCol > lit(0.5)).cast(LongType).as("y"))
-    val df = Caches.persist(
-      QualityClassifier.docFrame(docs).join(labels, "doc_id"))
-    val model = QualityClassifier.train(QualityClassifier.buildTrainData(df))
-    QualityClassifier.score(df, model)
-  }
-
   /** The C18 oracle's CTE chain + the name of its final per-doc score
     * table (columns doc_id, p = score micros), for composition.
     */
@@ -1042,7 +1030,18 @@ object TextOps {
 
   val qualityClassifier: Op = Op(
     "quality_classifier",
-    (s, d) => qualityScoreDf(Tables.documents(s, d)).orderBy(col("doc_id")),
+    (s, d) => {
+      // train-once / score-many: the corpus' model comes from the
+      // QualityIndex artifact registry ([[QualityIndex.forCorpus]]); the
+      // query itself is the artifact-consumer scoring scan plus the
+      // map-only label projection its report column needs
+      val docs = Tables.documents(s, d)
+      QualityIndex.score(docs, QualityIndex.forCorpus(s, d))
+        .join(docs.select(col("doc_id"), QualityIndex.labelCol), "doc_id")
+        .select(col("doc_id"), col("y"), col("score_micros"),
+          col("is_quality_pred"))
+        .orderBy(col("doc_id"))
+    },
     Some(s"""
       WITH $sqlQualityCtes
       SELECT p.doc_id, l.y, p.p AS score_micros,
