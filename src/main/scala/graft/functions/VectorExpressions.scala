@@ -1009,6 +1009,50 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** `drop_positions(tok: array<string>, rem: array<int>): string` —
+    * the D15 rewrite kernel: space-join the tokens whose 1-based
+    * position is NOT in `rem`, where `rem` is SORTED ascending with
+    * distinct in-range entries (the shape D15's `sort_array ∘
+    * collect_set` aggregate guarantees). One two-pointer merge pass —
+    * O(tokens + removals) per doc with no per-token membership scan,
+    * closing the r13 watch item: `array_contains(rem, i)` per token was
+    * O(L·|rem|), quadratic for a long fully-duplicated document.
+    * Equivalent by construction to
+    * `array_join(filter(tok, (x, i) -> NOT array_contains(rem, i+1)),
+    * ' ')` (pinned as a property in KernelProps).
+    */
+  case class DropPositionsExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def prettyName: String = "drop_positions"
+
+    override def nullSafeEval(tokAny: Any, remAny: Any): Any = {
+      val tok = tokAny.asInstanceOf[ArrayData]
+      val rem = remAny.asInstanceOf[ArrayData]
+      val len = tok.numElements()
+      val nRem = rem.numElements()
+      val parts =
+        new Array[org.apache.spark.unsafe.types.UTF8String](len)
+      var i = 0
+      var r = 0
+      var o = 0
+      while (i < len) {
+        // advance past any (contract-violating) stale/duplicate entries
+        while (r < nRem && rem.getInt(r) < i + 1) r += 1
+        if (r < nRem && rem.getInt(r) == i + 1) r += 1
+        else { parts(o) = tok.getUTF8String(i); o += 1 }
+        i += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.concatWs(
+        org.apache.spark.unsafe.types.UTF8String.fromString(" "),
+        java.util.Arrays.copyOf(parts, o): _*)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** `log2_q16(num: long, den: long): long` — fixed-point log2(num/den)
     * with 16 fractional bits, computed by an EXACT integer recipe so any
     * engine that replays the same shifts/divides produces the identical
@@ -1147,5 +1191,9 @@ object VectorExpressions {
       new FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgramsExpr].getName, "word_ngrams"),
       (args: Seq[Expression]) => WordNgramsExpr(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("drop_positions"),
+      new ExpressionInfo(classOf[DropPositionsExpr].getName, "drop_positions"),
+      (args: Seq[Expression]) => DropPositionsExpr(args(0), args(1))))
   }
 }

@@ -861,20 +861,27 @@ object DedupOps {
     // removed token positions per doc: every position covered by a span
     // that exists in ≥ 2 docs and whose first-occurrence doc (min
     // doc_id) is someone else — the keeper doc keeps ALL its copies
+    // SORTED removal positions (not a bag): the rewrite below walks
+    // them as segment boundaries, so membership never needs testing
     val remPos = pos.join(st, "gh")
       .filter(col("df") >= 2 && col("doc_id") > col("keeper"))
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + lit(SPAN_N - 1))).as("t"))
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("t")).as("rem"))
+      .agg(sort_array(collect_set(col("t"))).as("rem"))
+    // clean_text via the drop_positions kernel: ONE two-pointer pass
+    // over (tokens, sorted removal positions) — O(L + |rem|) per doc.
+    // The r13 watch item: the previous per-token `array_contains(rem,
+    // i)` membership filter was O(L·|rem|) — quadratic for a long
+    // fully-duplicated doc, the doc's hot loop at 100 TB with
+    // book-length duplicates.
     toks.join(remPos, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("tok")).cast(LongType).as("n_tokens"),
         coalesce(size(col("rem")), lit(0)).cast(LongType)
           .as("n_removed_tokens"),
-        array_join(filter(col("tok"), (x, i) =>
-          !array_contains(coalesce(col("rem"),
-            expr("CAST(array() AS ARRAY<INT>)")), i + lit(1))), " ")
+        call_function("drop_positions", col("tok"),
+          coalesce(col("rem"), expr("CAST(array() AS ARRAY<INT>)")))
           .as("clean_text"))
       .orderBy(col("doc_id"))
   }
@@ -896,9 +903,11 @@ object DedupOps {
     * aggregate (df + keeper, map-side combined), once back to the doc
     * for the removal set (positions only, id-width rows). The rewrite
     * itself is ONE projection over the persisted token frame: the
-    * removal set rides in as a per-doc array and the kept-token filter
-    * is a codegen'd index lambda — the corpus text never shuffles at
-    * all. Boilerplate spans with huge df skew the stats join; AQE
+    * removal set rides in as a SORTED per-doc position array and
+    * clean_text is rebuilt as the token slices between consecutive
+    * removals — O(tokens + removals) per doc, never a per-token
+    * membership scan (the r13 watch item's O(L·|rem|) hot loop) — and
+    * the corpus text never shuffles at all. Boilerplate spans with huge df skew the stats join; AQE
     * skew-split handles the head keys (and the D2-style df cap drops in
     * unchanged if a corpus needs it — capped spans would simply never
     * be removed).

@@ -50,6 +50,28 @@ object KernelProps extends Properties("kernels") {
       kernel.toSeq == viaSql
     }
 
+  property("drop_positions == the filter/array_contains membership " +
+      "formulation on arbitrary token arrays and removal sets") =
+    Prop.forAll(
+      Gen.listOfN(30, token),
+      Gen.listOf(Gen.chooseNum(1, 30))) { (toks, remRaw) =>
+      toks.nonEmpty ==> {
+        import spark.implicits._
+        // the D15 contract: sorted, distinct, in-range positions
+        val rem = remRaw.distinct.sorted.filter(_ <= toks.length)
+        val df = Seq((toks, rem)).toDF("tok", "rem")
+        df.createOrReplaceTempView("kp_dp")
+        val got = spark.sql(
+          "SELECT drop_positions(tok, rem) AS t FROM kp_dp")
+          .collect().head.getString(0)
+        val want = spark.sql(
+          "SELECT array_join(filter(tok, (x, i) -> " +
+            "NOT array_contains(rem, i + 1)), ' ') AS t FROM kp_dp")
+          .collect().head.getString(0)
+        got == want
+      }
+    }
+
   property("pairCombinations enumerates exactly the i<j pairs") =
     Prop.forAll(Gen.listOfN(12, Gen.chooseNum(0L, 100L)).map(_.distinct.sorted)) { ds =>
       ds.sizeIs >= 2 ==> {
