@@ -144,6 +144,29 @@ object TextOps {
     "es" -> Seq("el", "los", "y", "de", "que"),
     "zh" -> Seq("的", "是", "了", "我", "不"))
 
+  /** Per-language stopword-hit score columns (`s_<lang>`) — C3's scoring
+    * pass, shared with the learned op's heuristic-comparison column.
+    */
+  private def langScores(docs: DataFrame): DataFrame =
+    langStop.foldLeft(docs) { case (df, (lang, words)) =>
+      df.withColumn(s"s_$lang", nStop(col("text"), words).cast(LongType))
+    }
+
+  /** The deterministic argmax cascade over per-language score columns
+    * `<prefix><lang>`: a language wins if its score >= all LATER ones
+    * (list order breaks ties) — one definition for C3's heuristic and
+    * the learned model's prediction, so the two tie-break identically.
+    */
+  private def langArgmax(prefix: String): Column = {
+    val langs = langStop.map(_._1)
+    langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((lang, i), alt) =>
+        val rest = langs.drop(i + 1).map(l => col(s"$prefix$l"))
+        val best = if (rest.sizeIs == 1) rest.head else greatest(rest: _*)
+        when(col(s"$prefix$lang") >= best, lang).otherwise(alt)
+    }
+  }
+
   /** C3 — language ID: stopword-hit heuristic over per-language lists,
     * argmax with a deterministic tie-break cascade (list order wins ties —
     * the classic cheap n-gram/stopword lang-id at corpus scale).
@@ -151,22 +174,11 @@ object TextOps {
   val textLangid: Op = Op(
     "text_langid",
     (s, d) => {
-      val scored = langStop.foldLeft(Tables.documents(s, d)) {
-        case (df, (lang, words)) =>
-          df.withColumn(s"s_$lang",
-            nStop(col("text"), words).cast(LongType))
-      }
-      // argmax cascade: a language wins if its score >= all later ones.
       val langs = langStop.map(_._1)
-      val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
-        case ((lang, i), alt) =>
-          val rest = langs.drop(i + 1).map(l => col(s"s_$l"))
-          val best = if (rest.sizeIs == 1) rest.head else greatest(rest: _*)
-          when(col(s"s_$lang") >= best, lang).otherwise(alt)
-      }
-      scored
+      langScores(Tables.documents(s, d))
         .select(col("doc_id") +: col("lang").as("labeled_lang") +:
-          langs.map(l => col(s"s_$l")) :+ pred.as("pred_lang"): _*)
+          langs.map(l => col(s"s_$l")) :+
+          langArgmax("s_").as("pred_lang"): _*)
         .orderBy(col("doc_id"))
     },
     Some(s"""
@@ -182,6 +194,104 @@ object TextOps {
              END AS pred_lang
       FROM documents
       ORDER BY doc_id"""))
+
+  /** C23 — LEARNED language ID ([[LangClassifier]]): the fastText-style
+    * multiclass linear model over hashed char-trigram bags that real
+    * curation stacks run where C3 is only the stopword heuristic (the
+    * CCNet langid stage is fastText; langid.py is the same
+    * linear-over-char-ngram family). One-vs-all heads trained jointly —
+    * each epoch is ONE treeAggregate folding all languages' gradients
+    * into a (langs × buckets) model-sized array — supervised by
+    * DISTILLING C3's heuristic prediction, the same weak-label
+    * bootstrap C18 uses over the C2 gate (the gate corpora's `lang`
+    * column is uncorrelated with their synthetic text, so the honest
+    * learnable signal is the teacher heuristic; on a real multilingual
+    * corpus the identical machinery trains on true labels — the
+    * planted-corpus spec proves the model reads CHARACTER identity the
+    * stopword lists can't see). Every doc then scores under all heads
+    * and predicts via the SAME argmax cascade as C3 (shared
+    * [[langArgmax]], so ties break identically). Output reports both
+    * predictors per doc: student-teacher agreement (distillation
+    * fidelity) and correctness vs the labeled lang. Docs with < 3
+    * normalized code points carry no trigram and are excluded on both
+    * sides.
+    *
+    * The oracle replays the full multiclass training loop as unrolled
+    * CTE rounds with a lang key ([[LangClassifier.sqlCtes]]) and must
+    * match all five per-language scores to the micro.
+    */
+  val textLangidLearned: Op = Op(
+    "text_langid_learned",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val langs = langStop.map(_._1)
+      val heur = langScores(docs)
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          langArgmax("s_").as("heur_lang"))
+      val df = Caches.persist(
+        LangClassifier.docFrame(docs).join(heur, "doc_id"))
+      val model = LangClassifier.train(
+        LangClassifier.buildTrainData(df, langs, labelCol = "heur_lang"),
+        langs.length)
+      val scored = langs.zipWithIndex.foldLeft(df) { case (acc, (l, i)) =>
+        acc.withColumn(s"p_$l",
+          QualityClassifier.scoreCol(model.weights(i), model.bias(i)))
+      }
+      scored
+        .withColumn("learned_lang", langArgmax("p_"))
+        .select(col("doc_id") +: col("labeled_lang") +:
+          langs.map(l => col(s"p_$l")) :+
+          col("learned_lang") :+ col("heur_lang") :+
+          (col("learned_lang") === col("heur_lang")).as("agree_heur") :+
+          (col("learned_lang") === col("labeled_lang")).as("correct"): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val langs = langStop.map(_._1)
+      val pivot = langs.map(l =>
+        s"max(CASE WHEN lang = '$l' THEN p END) AS p_$l").mkString(",\n     ")
+      val heurLabelSql = s"""
+        SELECT doc_id,
+               CASE
+                 WHEN s_en >= greatest(s_fr, s_de, s_es, s_zh) THEN 'en'
+                 WHEN s_fr >= greatest(s_de, s_es, s_zh) THEN 'fr'
+                 WHEN s_de >= greatest(s_es, s_zh) THEN 'de'
+                 WHEN s_es >= s_zh THEN 'es'
+                 ELSE 'zh'
+               END AS y
+        FROM (SELECT doc_id,
+                     ${langStop.map { case (l, ws) =>
+                       s"CAST(${sqlNStop(ws)} AS BIGINT) AS s_$l" }
+                       .mkString(",\n                     ")}
+              FROM documents) hl"""
+      s"""
+      WITH ${LangClassifier.sqlCtes("documents", langs, heurLabelSql,
+        QualityClassifier.Epochs)},
+      lcq_scores AS (
+        SELECT doc_id, $pivot
+        FROM lc_p${QualityClassifier.Epochs} GROUP BY doc_id),
+      lcq_sel AS (
+        SELECT d.doc_id, d.lang AS labeled_lang,
+               s.p_en, s.p_fr, s.p_de, s.p_es, s.p_zh,
+               CASE
+                 WHEN s.p_en >= greatest(s.p_fr, s.p_de, s.p_es, s.p_zh)
+                   THEN 'en'
+                 WHEN s.p_fr >= greatest(s.p_de, s.p_es, s.p_zh) THEN 'fr'
+                 WHEN s.p_de >= greatest(s.p_es, s.p_zh) THEN 'de'
+                 WHEN s.p_es >= s.p_zh THEN 'es'
+                 ELSE 'zh'
+               END AS learned_lang,
+               h.y AS heur_lang
+        FROM lc_docs d
+        JOIN lcq_scores s USING (doc_id)
+        JOIN lc_lab h USING (doc_id))
+      SELECT doc_id, labeled_lang, p_en, p_fr, p_de, p_es, p_zh,
+             learned_lang, heur_lang,
+             learned_lang = heur_lang AS agree_heur,
+             learned_lang = labeled_lang AS correct
+      FROM lcq_sel
+      ORDER BY doc_id"""
+    })
 
   /** C4 — document fingerprinting: 32- and 60-bit hashes of
     * whitespace-normalized lowercased text — the join/dedup keys every
@@ -1389,5 +1499,5 @@ object TextOps {
     textDocFreq, textCharNgrams, textRepetition, textBm25, textVocabCoverage,
     textRarity, textBpeCount, textBpeVocab, textBpeTrain, textBpeCountLearned,
     textExtract, textPiiRedact, qualityClassifier, lmBigram, lmBigramRef,
-    qualityPplBuckets, textEntropy)
+    qualityPplBuckets, textEntropy, textLangidLearned)
 }

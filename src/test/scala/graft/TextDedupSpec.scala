@@ -30,6 +30,41 @@ class TextDedupSpec extends SparkSpec {
     dir
   }
 
+  test("text_langid_learned: distills the heuristic where it has signal " +
+      "and reads CHARACTER identity where it doesn't (planted " +
+      "ambiguous doc)") {
+    val dir = Files.createTempDirectory("graft_langid").toString
+    val enBody = "the quick brown fox jumps over the lazy dog and " +
+      "plenty of words to look at because the corpus is small"
+    val frBody = "bonjour château fromage poisson oiseau maison jardin " +
+      "voiture montagne rivière soleil nuage écureuil papillon"
+    // teacher-labeled training docs: stopword-bearing en and fr text
+    val docs = (0L until 6L).map(i =>
+      (i, s"$enBody extra$i", "en", s"s$i", 1L)) ++
+      (6L until 12L).map(i =>
+        (i, s"le $frBody et la $frBody les des autre$i", "fr", s"s$i", 1L)) :+
+      // the AMBIGUOUS doc: French characters, ZERO stopwords from any
+      // list — the heuristic ties (all scores 0) and falls back to 'en'
+      (12L, frBody, "fr", "s12", 1L)
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = run("text_langid_learned", dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[String]("heur_lang"), x.getAs[String]("learned_lang")))
+      .toMap
+    // where the teacher has signal, the student reproduces it
+    (0L until 6L).foreach(i => assert(r(i) == (("en", "en")), s"$i: ${r(i)}"))
+    (6L until 12L).foreach(i => assert(r(i) == (("fr", "fr")), s"$i: ${r(i)}"))
+    // the ambiguous doc: the teacher's stopword tie falls back to 'en',
+    // but the learned model has seen these CHARACTER trigrams under the
+    // fr label and sides with the character identity
+    assert(r(12L)._1 == "en", s"heuristic must tie-break to en: ${r(12L)}")
+    assert(r(12L)._2 == "fr",
+      s"learned model must read the character identity: ${r(12L)}")
+    Caches.releaseScope()
+  }
+
   test("dedup_substr: planted copied spans measured, unique docs score 0") {
     val dir = Files.createTempDirectory("graft_substr").toString
     val a = (1 to 20).map(i => s"a$i").mkString(" ") // 13 8-token spans
