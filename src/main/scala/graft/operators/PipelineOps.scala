@@ -502,7 +502,11 @@ object PipelineOps {
     * per corpus however many packing/mixture runs consume it
     * (TokenizerIndexSpec pins the manifest invariants on that path).
     */
-  private[graft] def packManifestFromCounts(counts: DataFrame): DataFrame = {
+  /** The two-level prefix sum both the manifest and the emit path build
+    * on: per doc its GLOBAL start offset in the concatenated token
+    * stream — (doc_id, nt, start).
+    */
+  private[graft] def packStarts(counts: DataFrame): DataFrame = {
     // persist(): the narrow (doc_id, blk, nt) frame feeds both the
     // block-sum aggregate and the join — one tokenizing scan, not two
     val docs = Caches.persist(counts
@@ -519,6 +523,11 @@ object PipelineOps {
     docs.join(broadcast(blockBases), "blk")
       .withColumn("start",
         col("block_base") + sum(col("nt")).over(wIntra) - col("nt"))
+      .select(col("doc_id"), col("nt"), col("start"))
+  }
+
+  private[graft] def packManifestFromCounts(counts: DataFrame): DataFrame =
+    packStarts(counts)
       .select(col("doc_id"), (col("nt") - 1).as("n_tokens"),
         expr(s"start div $SEQ_TOKENS").as("seq_idx"),
         (col("start") % SEQ_TOKENS).as("offset_in_seq"),
@@ -527,7 +536,6 @@ object PipelineOps {
         (expr(s"(start + nt - 1) div $SEQ_TOKENS")
           =!= expr(s"start div $SEQ_TOKENS")).as("is_split"))
       .orderBy(col("doc_id"))
-  }
 
   val docPack: Op = Op(
     "doc_pack",
@@ -582,6 +590,73 @@ object PipelineOps {
                  AS BIGINT) AS cum
         FROM bpe_doc) t
       ORDER BY doc_id"""))
+
+  /** The span stream behind [[docPackEmit]], over a precomputed
+    * (doc_id, nt) frame — one row per (sequence, contiguous doc span).
+    */
+  private[graft] def packEmitFromCounts(counts: DataFrame): DataFrame = {
+    val spanStart = greatest(col("start"), col("seq_idx") * SEQ_TOKENS)
+    packStarts(counts)
+      .select(col("doc_id"), col("nt"), col("start"),
+        explode(sequence(expr(s"start div $SEQ_TOKENS"),
+          expr(s"(start + nt - 1) div $SEQ_TOKENS"))).as("seq_idx"))
+      .select(col("seq_idx"),
+        (spanStart - col("seq_idx") * SEQ_TOKENS).as("offset_in_seq"),
+        col("doc_id"),
+        (spanStart - col("start")).as("tok_start"),
+        (least(col("start") + col("nt"), (col("seq_idx") + 1) * SEQ_TOKENS)
+          - spanStart).as("tok_len"))
+      .orderBy(col("seq_idx"), col("offset_in_seq"))
+  }
+
+  /** G9c — pack EXECUTION: materialize the packed sequences the G9b
+    * manifest describes, as SPAN REFERENCES — one row per (seq_idx,
+    * contiguous doc span): which doc, which slice of its BPE token
+    * stream ([tok_start, tok_start+tok_len) under the same
+    * [[graft.functions.Portable.bpeCount]] budget, EOS last), and where
+    * in the sequence it lands (offset_in_seq). A loader joins a span
+    * row to its document and cuts the slice — the reference layout
+    * every packed-corpus format uses (spans, not inlined token arrays:
+    * inlining would rewrite the whole corpus through a
+    * sequence-partitioned shuffle; spans are id-width rows and the
+    * corpus text never moves).
+    *
+    * Same two-level prefix sum as the manifest (shared [[packStarts]] —
+    * the G16-over-G10 move applied to G9: plan and execution derive
+    * from ONE start-offset computation, so they cannot drift; the spec
+    * pins the reconciliation identities), then each doc explodes into
+    * its n_seqs_spanned rows — no corpus sort, no per-sequence window.
+    * Every sequence's spans tile [0, SEQ_TOKENS) exactly (the last
+    * sequence ends at the corpus' total token count).
+    */
+  val docPackEmit: Op = Op(
+    "doc_pack_emit",
+    (s, d) => packEmitFromCounts(Tables.documents(s, d)
+      .select(col("doc_id"), (bpeCount(col("text")) + 1L).as("nt"))),
+    Some(s"""
+      WITH RECURSIVE
+      ${graft.functions.Bpe.sqlWordLenCte("documents", "lower(text)")},
+      ${graft.functions.Bpe.sqlDocCountCtes("documents", "lower(text)")},
+      pe_doc AS (
+        SELECT doc_id, n_bpe + 1 AS nt,
+               CAST(sum(n_bpe + 1) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) - (n_bpe + 1) AS start
+        FROM bpe_doc),
+      pe_span AS (
+        SELECT doc_id, nt, start,
+               unnest(generate_series(start // $SEQ_TOKENS,
+                 (start + nt - 1) // $SEQ_TOKENS)) AS seq_idx
+        FROM pe_doc)
+      SELECT seq_idx,
+             greatest(start, seq_idx * $SEQ_TOKENS) - seq_idx * $SEQ_TOKENS
+               AS offset_in_seq,
+             doc_id,
+             greatest(start, seq_idx * $SEQ_TOKENS) - start AS tok_start,
+             least(start + nt, (seq_idx + 1) * $SEQ_TOKENS)
+               - greatest(start, seq_idx * $SEQ_TOKENS) AS tok_len
+      FROM pe_span
+      ORDER BY seq_idx, offset_in_seq"""))
 
   /** G10 — dataset-mixture planning: given per-source token counts and
     * declared mixture weights, the per-source token budget and how many
@@ -1574,7 +1649,8 @@ object PipelineOps {
   val all: Seq[Op] = Seq(
     joinAsof, joinRange, sampleStratified, qualityFilter,
     qualityFilterExtracted, eventsRetention, eventsFunnel, sampleWeighted,
-    eventsAnomaly, docPack, docPackBpe, mixturePlan, mixturePlanBpe,
+    eventsAnomaly, docPack, docPackBpe, docPackEmit, mixturePlan,
+    mixturePlanBpe,
     mixturePlanTemp, sampleMixture, sampleDomainCap, curationReport,
     curationReportQuality, curationFate,
     graphPagerank,

@@ -633,6 +633,48 @@ class PipelineSpec extends SparkSpec {
     assert(maxSeq == lastEnd / 512, "last doc must land in the last sequence")
   }
 
+  test("doc_pack_emit: span stream reconciles exactly with the " +
+      "doc_pack_bpe manifest and tiles every sequence") {
+    val manifest = run("doc_pack_bpe").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("seq_idx"),
+          x.getAs[Long]("offset_in_seq"), x.getAs[Long]("n_seqs_spanned")))
+      .toMap
+    val spans = run("doc_pack_emit").collect()
+      .map(x => (x.getAs[Long]("seq_idx"), x.getAs[Long]("offset_in_seq"),
+        x.getAs[Long]("doc_id"), x.getAs[Long]("tok_start"),
+        x.getAs[Long]("tok_len")))
+    assert(spans.nonEmpty && spans.forall(_._5 > 0), "no empty spans")
+    // per doc: spans cover [0, nt) contiguously, count and first
+    // placement match the manifest row exactly
+    spans.groupBy(_._3).foreach { case (docId, ss) =>
+      val (nTok, seqIdx, off, nSpanned) = manifest(docId)
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.length == nSpanned, s"doc $docId: span count")
+      assert(sorted.head._1 == seqIdx && sorted.head._2 == off &&
+        sorted.head._4 == 0L, s"doc $docId: first span placement")
+      var cum = 0L
+      sorted.foreach { sp => assert(sp._4 == cum); cum += sp._5 }
+      assert(cum == nTok + 1, s"doc $docId: spans must cover nt incl EOS")
+      // consecutive spans land in consecutive sequences at offset 0
+      sorted.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(1)._1 == w(0)._1 + 1 && w(1)._2 == 0L)
+      }
+    }
+    // per sequence: spans tile [0, SEQ_TOKENS) exactly (last may stop
+    // short at the corpus' end)
+    val maxSeq = spans.map(_._1).max
+    spans.groupBy(_._1).foreach { case (seq, ss) =>
+      val sorted = ss.sortBy(_._2)
+      var pos = 0L
+      sorted.foreach { sp => assert(sp._2 == pos, s"seq $seq gap"); pos += sp._5 }
+      if (seq < maxSeq) assert(pos == 512L, s"seq $seq: filled $pos")
+      else assert(pos <= 512L)
+    }
+    // gapless: every sequence index up to the last exists
+    assert(spans.map(_._1).distinct.length == maxSeq + 1)
+  }
+
   test("graph_pagerank: teleport floor, mass bound, inlink monotonicity, " +
       "determinism") {
     val rows = run("graph_pagerank").collect()
