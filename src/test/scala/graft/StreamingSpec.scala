@@ -55,6 +55,74 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() > state.size)
   }
 
+  test("quantiles stream: histogram state equals the batch histogram " +
+      "over the same prefix, readout reconciles with the exact " +
+      "quantile, state is bucket-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.QuantilesStream
+
+    val dir = Files.createTempDirectory("graft_qstream").toString
+    val (sink, ckpt) = (s"$dir/sink", s"$dir/ckpt")
+    val src = MemoryStream[Ev]
+    val query = QuantilesStream.start(src.toDS().toDF(), sink, ckpt)
+
+    // 400 events, 2 windows × 2 types, values land in ≤ 20 buckets per
+    // group — repeated values are the histogram's whole point
+    def mkEv(i: Int): Ev = Ev(
+      t(if (i % 2 == 0) s"10:${10 + i % 40}" else s"11:${10 + i % 40}"),
+      if (i % 4 < 2) "click" else "view",
+      (i % 20) * 0.35 + 0.05)
+    val all = (0 until 400).map(mkEv)
+    val (e1, e2) = all.splitAt(250)
+    src.addData(e1: _*)
+    query.processAllAvailable()
+    // epoch 2 includes in-watermark late rows for the 10:00 window
+    src.addData(e2: _*)
+    query.processAllAvailable()
+    query.stop()
+
+    // 1) stream histogram ≡ batch histogram over the identical prefix
+    val streamHist = QuantilesStream.latestHistogram(spark, sink)
+    val got = streamHist.collect().map(r =>
+      (r.getAs[String]("hour_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("b"), r.getAs[Long]("c"))).toSet
+    val batchHist = QuantilesStream.bucketCounts(
+      all.toDF("ts", "event_type", "value"))
+    val want = batchHist.collect().map(r =>
+      (r.getAs[String]("hour_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("b"), r.getAs[Long]("c"))).toSet
+    assert(got == want, "stream histogram must equal the batch rebuild")
+
+    // 2) the shared readout agrees stream vs batch, and reconciles with
+    // the EXACT per-group quantile: monotone bucketing makes the picked
+    // bucket floor(exact·1000) — an identity, not an approximation
+    val sq = QuantilesStream.quantiles(streamHist).collect()
+    val bq = QuantilesStream.quantiles(batchHist).collect()
+    assert(sq.map(_.toSeq).toSeq == bq.map(_.toSeq).toSeq)
+    val byGroup = all.groupBy(e =>
+      (f"2026-01-01 ${if (e.ts.toString.contains(" 10:")) 10 else 11}%02d:00:00",
+        e.event_type))
+    sq.foreach { r =>
+      val vals = byGroup(
+        (r.getAs[String]("hour_start"), r.getAs[String]("event_type")))
+        .map(_.value).sorted
+      assert(r.getAs[Long]("n_events") == vals.length.toLong)
+      Seq(("p50", 50), ("p90", 90), ("p99", 99)).foreach { case (name, q) =>
+        val exact = vals(((vals.length - 1) * q / 100).toInt)
+        assert(r.getAs[Double](name) ==
+          math.floor(exact * 1000).toLong / 1000.0,
+          s"$name must be the exact quantile's bucket lower bound")
+      }
+    }
+
+    // 3) state bound: histogram rows scale with buckets × windows ×
+    // types, never events — 400 events collapse into ≤ 2·2·20 rows
+    assert(streamHist.count() <= 80L,
+      s"state must be bucket-bounded, got ${streamHist.count()} rows")
+    Caches.releaseScope()
+  }
+
   test("scd2 stream: incremental CDC merge equals the batch rebuild over " +
       "the same event prefix, including a late-arrival batch") {
     implicit val sqlCtx = spark.sqlContext
