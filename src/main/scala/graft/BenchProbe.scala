@@ -155,6 +155,83 @@ object BenchProbe {
     def jmap(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+
+    // ---- IVFPQ operational drill (SPARK_GRAFT_DRILL=1): the full
+    // index lifecycle at the bench SF — build on 90% of the corpus,
+    // append the remaining 10% under the pinned models, compact the
+    // accumulated small files, probe — recording each phase's cost,
+    // the codes file counts before/after compaction, and two parity
+    // facts: compaction is probe-invisible, and appended vectors are
+    // findable (each is its own exact top-1). Fresh dirs per run: the
+    // drill prices the cycle, not an amortized artifact.
+    val drillJson =
+      if (!sys.env.get("SPARK_GRAFT_DRILL").exists(_ == "1")) ""
+      else {
+        val drillPath = s"$idxDir/ivfpq_drill"
+        def rmTree(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmTree)
+          f.delete(); ()
+        }
+        Seq("", ".staged", ".old").foreach(sfx =>
+          rmTree(new java.io.File(drillPath + sfx)))
+        val emb = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val n = emb.count()
+        val cut = n * 9 / 10
+        val (k, rerank) = AnnOps.pqGeometryFor(n)
+        val tBuild = secs {
+          IvfPqIndex.save(IvfPqIndex.build(emb.filter(col("vec_id") < cut),
+            cells = AnnOps.ivfCellsFor(n), k = k, rerank = rerank), drillPath)
+        }
+        Caches.releaseScope()
+        val tAppend = secs {
+          IvfPqIndex.append(drillPath, emb.filter(col("vec_id") >= cut))
+        }
+        Caches.releaseScope()
+        def codeFiles: Long = {
+          def walk(f: java.io.File): Long =
+            if (f.isDirectory) f.listFiles().map(walk).sum
+            else if (f.getName.endsWith(".parquet")) 1L else 0L
+          walk(new java.io.File(s"$drillPath/codes"))
+        }
+        def rows(df: DataFrame): Seq[(Long, Long, Long, Long)] =
+          df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+            r.getAs[Long]("vec_id"), r.getAs[Long]("adc"))).toSeq
+        // appended-vector queries at SHIFTED ids (the dedup-probe trick:
+        // self-exclusion matches on vec_id, so the shifted query's
+        // indexed original must come back as its exact top-1, cos = 1)
+        val appendedQ = localize(spark,
+          emb.filter(col("vec_id") >= cut && col("vec_id") < cut + 8)
+            .select((col("vec_id") + 1000000000L).as("vec_id"),
+              col("embedding")))
+        val filesBefore = codeFiles
+        val idxA = IvfPqIndex.load(spark, drillPath)
+        val beforeCorpus = rows(IvfPqIndex.probe(idxA, annQ))
+        val beforeAppended = rows(IvfPqIndex.probe(idxA, appendedQ))
+        Caches.releaseScope()
+        val tCompact = secs { IvfPqIndex.compact(drillPath) }
+        val filesAfter = codeFiles
+        val idxC = IvfPqIndex.load(spark, drillPath)
+        val afterCorpus = rows(IvfPqIndex.probe(idxC, annQ))
+        val afterAppended = rows(IvfPqIndex.probe(idxC, appendedQ))
+        val parity = beforeCorpus == afterCorpus &&
+          beforeAppended == afterAppended
+        val appendedFound = afterAppended.nonEmpty &&
+          appendedQ.collect().forall { q =>
+            val id = q.getAs[Long]("vec_id")
+            afterAppended.exists(r =>
+              r._1 == id && r._2 == 1L && r._3 == id - 1000000000L)
+          }
+        val codesComplete = idxC.codes.count() == n
+        val probeRuns = (1 to REPS).map(_ =>
+          secs(IvfPqIndex.probe(idxC, annQ).count()))
+        Caches.releaseScope()
+        if (!parity || !appendedFound || !codesComplete) anyFailed = true
+        s""","drill":{"n":$n,"build":${f"$tBuild%.3f"},"append":${
+          f"$tAppend%.3f"},"compact":${f"$tCompact%.3f"},"probe":${
+          f"${probeRuns.min}%.3f"},"files_before":$filesBefore,"files_after":$filesAfter,"parity":$parity,"appended_found":$appendedFound,"codes_complete":$codesComplete}"""
+      }
+
     val total = results.collect { case (_, _, mn, true) => mn }.sum
     println(s"""{"metric":"probe_total","value":$total,"unit":"sec","build":${
       jmap(Seq("ann" -> annBuild, "dedup" -> dedupBuild, "pq" -> pqBuild,
@@ -166,7 +243,7 @@ object BenchProbe {
     },"embedding":${embB.count()}},"failed":${
       results.collect { case (k, _, _, false) => "\"" + k + "\"" }
         .mkString("[", ",", "]")
-    },"sf":"$sfDir"}""")
+    }$drillJson,"sf":"$sfDir"}""")
     spark.stop()
     if (anyFailed) sys.exit(1)
   }

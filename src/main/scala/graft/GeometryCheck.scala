@@ -112,7 +112,7 @@ object GeometryCheck {
       val n = Tables.embeddings(spark, sfDir).count()
       val cells = operators.AnnOps.ivfCellsFor(n)
       operators.EmbeddingOps.knnAt(spark, sfDir, cells,
-        operators.DedupOps.semSubGeometry(n, cells))
+        operators.EmbeddingOps.knnSubGeometry(n, cells))
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/emb_knn_graph")
       Caches.releaseScope()
@@ -156,7 +156,7 @@ object GeometryCheck {
         val n = Tables.embeddings(spark, sfDir).count()
         val cells = operators.AnnOps.ivfCellsFor(n)
         Map("emb_knn_graph" -> operators.EmbeddingOps.sqlKnnAt(cells,
-          operators.DedupOps.semSubGeometry(n, cells)))
+          operators.EmbeddingOps.knnSubGeometry(n, cells)))
       } else Map.empty) ++
       (if (dumped("mm_phash_dedup")) {
         val (bands, width) = operators.MultimodalOps.phashGeometryFor(

@@ -604,6 +604,27 @@ object EmbeddingOps {
   /** E14's neighbor count. */
   private val KNN_K = 3
 
+  /** E14's in-cell sub-bucketing dial — D11's shape
+    * ([[DedupOps.semSubGeometry]]: 4 LSH tables once mean cell
+    * occupancy passes ~512) with a TIGHTER occupancy target (~16 vs
+    * D11's 64). The k-NN pair stream is denser than dedup's — EVERY
+    * vector emits edges, not just the rare dup candidates — so the
+    * in-cell pair quadratic is this workload's entire cost (the r13
+    * verdict's watch item, confirmed: at 2M vectors the 64-target dial
+    * ran 13× sf10's time for 10× data). Quartering bucket occupancy
+    * quarters the pair work, while the 4-table OR keeps
+    * nearest-neighbor recall where it matters: top-k neighbors are the
+    * HIGHEST-cosine pairs, exactly the collisions extra hyperplanes
+    * retain best (the D3/D5 band argument).
+    */
+  private[graft] def knnSubGeometry(
+      n: Long, cells: Int): Option[AnnOps.LshGeometry] = {
+    val occ = n.toDouble / cells
+    if (occ <= 512) None
+    else Some(AnnOps.LshGeometry(4, math.max(1, math.min(24,
+      math.ceil(math.log(occ / 16.0) / math.log(2.0)).toInt))))
+  }
+
   /** E14's body at an explicit geometry (cells + optional in-cell LSH) —
     * the [[graft.GeometryCheck]] seam, sharing D11's candidate
     * semantics through [[AnnOps.cellBucketedPairs]].
@@ -667,12 +688,17 @@ object EmbeddingOps {
       cent AS (SELECT vec_id AS c_id, embedding, nm FROM e
                WHERE vec_id >= ${AnnOps.QUERY_MAX}
                  AND vec_id < ${AnnOps.QUERY_MAX + cells}),
-      scored AS (SELECT v.vec_id, cent.c_id,
-                   row_number() OVER (PARTITION BY v.vec_id
-                     ORDER BY ${AnnOps.sqlCos("v", "cent")} DESC, cent.c_id)
-                     AS rn
-                 FROM e v, cent),
-      assign AS (SELECT vec_id, c_id AS cell FROM scored WHERE rn = 1),
+      -- nearest-cell assignment as a STREAMING max-of-struct aggregate
+      -- (≡ the engine's max_by((cos, −c_id)) and ≡ the old row_number
+      -- rn=1 pick, highest cos then lowest c_id): the window
+      -- formulation materialized n·cells rows WITH their embedding
+      -- lists for the sort — the oracle-side spill that killed the
+      -- sf10 record; the aggregate keeps one struct per vector
+      assign AS (SELECT v.vec_id,
+                   max({'k': ${AnnOps.sqlCos("v", "cent")},
+                        'nc': -cent.c_id, 'id': cent.c_id}).id AS cell
+                 FROM e v, cent
+                 GROUP BY v.vec_id),
       m AS (SELECT e.vec_id, e.embedding, e.nm, assign.cell
             FROM e JOIN assign USING (vec_id)),
       $pairCte,
@@ -719,7 +745,7 @@ object EmbeddingOps {
       val cells = AnnOps.ivfCellsFor(n)
       AnnOps.logGeometryDivergence("emb_knn_graph", s"$cells cells",
         s"${AnnOps.CENTROIDS} cells")
-      knnAt(s, d, cells, DedupOps.semSubGeometry(n, cells))
+      knnAt(s, d, cells, knnSubGeometry(n, cells))
     },
     Some(sqlKnnAt(AnnOps.CENTROIDS, None)))
 
