@@ -664,9 +664,13 @@ object EmbeddingOps {
     // the cosine — carrying the embedding lists through the candidate
     // join made DuckDB spill ~75 GB at sf10's 22M-pair geometry; this
     // formulation is result-identical and fits
+    // every multi-consumer CTE is MATERIALIZED: DuckDB inlines CTEs by
+    // default, so the 2M×cells assignment would otherwise re-execute
+    // once per consumer (m feeds bk, mb, and both prid sides) — at
+    // sf100 that stacked pipelines until the OOM killer fired
     val pairCte = sub match {
       case None =>
-        """prid AS (SELECT a.vec_id AS i, b.vec_id AS j
+        """prid AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j
              FROM m a JOIN m b
                ON a.cell = b.cell AND a.vec_id < b.vec_id)"""
       case Some(g) =>
@@ -676,9 +680,9 @@ object EmbeddingOps {
         s"""bk AS (
         $bandSelects
       ),
-      mb AS (SELECT m.vec_id, m.cell, bk.tbl, bk.bucket
+      mb AS MATERIALIZED (SELECT m.vec_id, m.cell, bk.tbl, bk.bucket
              FROM m JOIN bk USING (vec_id)),
-      prid AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      prid AS MATERIALIZED (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
              FROM mb a JOIN mb b
                ON a.cell = b.cell AND a.tbl = b.tbl AND a.bucket = b.bucket
                  AND a.vec_id < b.vec_id)"""
@@ -694,15 +698,16 @@ object EmbeddingOps {
       -- formulation materialized n·cells rows WITH their embedding
       -- lists for the sort — the oracle-side spill that killed the
       -- sf10 record; the aggregate keeps one struct per vector
-      assign AS (SELECT v.vec_id,
+      assign AS MATERIALIZED (SELECT v.vec_id,
                    max({'k': ${AnnOps.sqlCos("v", "cent")},
                         'nc': -cent.c_id, 'id': cent.c_id}).id AS cell
                  FROM e v, cent
                  GROUP BY v.vec_id),
-      m AS (SELECT e.vec_id, e.embedding, e.nm, assign.cell
+      m AS MATERIALIZED (SELECT e.vec_id, e.embedding, e.nm, assign.cell
             FROM e JOIN assign USING (vec_id)),
       $pairCte,
-      pr AS (SELECT prid.i, prid.j, ${AnnOps.sqlCos("x", "y")} AS cos
+      pr AS MATERIALIZED (
+             SELECT prid.i, prid.j, ${AnnOps.sqlCos("x", "y")} AS cos
              FROM prid
              JOIN e x ON prid.i = x.vec_id
              JOIN e y ON prid.j = y.vec_id),
