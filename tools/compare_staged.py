@@ -112,7 +112,10 @@ def main(sfdir, outdir, keys):
         try:
             ctes, final = split_ctes(sql)
             made = []
+            verbose = os.environ.get("DUCK_VERBOSE") == "1"
+            import time
             for cname, decl, body in ctes:
+                t0 = time.time()
                 if decl:  # recursive CTE with declared columns: keep as-is
                     con.execute(
                         f"CREATE OR REPLACE TEMP TABLE {cname} AS "
@@ -122,6 +125,11 @@ def main(sfdir, outdir, keys):
                     con.execute(
                         f"CREATE OR REPLACE TEMP TABLE {cname} AS {body}")
                 made.append(cname)
+                if verbose:
+                    n = con.execute(
+                        f"SELECT count(*) FROM {cname}").fetchone()[0]
+                    print(f"[stage] {name}.{cname}: {n} rows "
+                          f"{time.time() - t0:.1f}s", flush=True)
             con.execute(f"CREATE OR REPLACE TEMP TABLE cs_exp AS {final}")
             con.execute(f"CREATE OR REPLACE VIEW cs_got AS "
                         f"SELECT * FROM read_parquet({files!r})")
