@@ -27,6 +27,21 @@ package graft
   * keeps each record cheap to (re)produce.
   */
 object GeometryCheck {
+  /** E14's check geometry — corpus-derived, or forced via
+    * SPARK_GRAFT_KNN_GEOM=cells,tables,planes (both the engine run and
+    * the dumped oracle honor it, so the record stays self-consistent).
+    */
+  private def knnGeom(
+      n: Long): (Int, Option[operators.AnnOps.LshGeometry]) =
+    sys.env.get("SPARK_GRAFT_KNN_GEOM") match {
+      case Some(s) =>
+        val Array(c, t, p) = s.split(",").map(_.trim.toInt)
+        (c, Some(operators.AnnOps.LshGeometry(t, p)))
+      case None =>
+        val c = operators.AnnOps.ivfCellsFor(n)
+        (c, operators.EmbeddingOps.knnSubGeometry(n, c))
+    }
+
   private val Known =
     Set("ann_lsh", "dedup_embedding", "ann_ivf", "dedup_semantic",
       "ann_pq", "mm_phash_dedup", "ann_ivfpq", "emb_knn_graph")
@@ -108,11 +123,12 @@ object GeometryCheck {
       // E14 checks at the CORPUS geometry like D11 (they share the
       // cell-blocked candidate generator): cells and sub-planes derive
       // from the row count, and sqlKnnAt regenerates the oracle at that
-      // exact geometry.
-      val n = Tables.embeddings(spark, sfDir).count()
-      val cells = operators.AnnOps.ivfCellsFor(n)
-      operators.EmbeddingOps.knnAt(spark, sfDir, cells,
-        operators.EmbeddingOps.knnSubGeometry(n, cells))
+      // exact geometry. SPARK_GRAFT_KNN_GEOM=cells,tables,planes forces
+      // an explicit geometry instead — the cheap way to exercise the
+      // sub-bucketed pair path (and its oracle text) at a small SF,
+      // where the corpus dial would never engage it.
+      val (cells, sub) = knnGeom(Tables.embeddings(spark, sfDir).count())
+      operators.EmbeddingOps.knnAt(spark, sfDir, cells, sub)
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/emb_knn_graph")
       Caches.releaseScope()
@@ -153,10 +169,8 @@ object GeometryCheck {
           operators.DedupOps.semSubGeometry(n, cells)))
       } else Map.empty) ++
       (if (dumped("emb_knn_graph")) {
-        val n = Tables.embeddings(spark, sfDir).count()
-        val cells = operators.AnnOps.ivfCellsFor(n)
-        Map("emb_knn_graph" -> operators.EmbeddingOps.sqlKnnAt(cells,
-          operators.EmbeddingOps.knnSubGeometry(n, cells)))
+        val (cells, sub) = knnGeom(Tables.embeddings(spark, sfDir).count())
+        Map("emb_knn_graph" -> operators.EmbeddingOps.sqlKnnAt(cells, sub))
       } else Map.empty) ++
       (if (dumped("mm_phash_dedup")) {
         val (bands, width) = operators.MultimodalOps.phashGeometryFor(

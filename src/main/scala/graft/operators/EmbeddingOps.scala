@@ -674,12 +674,27 @@ object EmbeddingOps {
              FROM m a JOIN m b
                ON a.cell = b.cell AND a.vec_id < b.vec_id)"""
       case Some(g) =>
-        val bandSelects = (0 until g.tables).map(t =>
-          s"SELECT vec_id, $t AS tbl, ${AnnOps.sqlBucket("m", t, g)} AS bucket FROM m")
-          .mkString("\n        UNION ALL ")
-        s"""bk AS (
-        $bandSelects
-      ),
+        // planes as a VALUES table the dot-product lambda reads as a
+        // COLUMN: inlining each 64-weight literal inside the lambda
+        // ((`[w..]`)[ix]) makes DuckDB rebuild the list per ELEMENT —
+        // measured 183× slower than the column form on identical sums;
+        // at sf100's 8M bucket rows the literal form priced ~10 h
+        // single-threaded. The (tbl, k, w) unpivot + sum-of-shifted-
+        // sign-bits packs the identical bucket id from the identical
+        // exact integer sign tests.
+        val pwRows = (for { t <- 0 until g.tables; k <- 0 until g.planes }
+          yield s"($t, $k, ${AnnOps.planeWeights(t * g.planes + k)
+            .mkString("[", ",", "]")}::BIGINT[])")
+          .mkString(",\n          ")
+        s"""pw AS (SELECT * FROM (VALUES
+          $pwRows) AS pw(tbl, k, w)),
+      bk AS MATERIALIZED (
+             SELECT m.vec_id, pw.tbl,
+               CAST(sum(CASE WHEN CAST(list_sum(list_transform(generate_series(1,64), ix ->
+                 CAST(floor(CAST(m.embedding[ix] AS DOUBLE)*1000000+0.5) AS BIGINT) *
+                 pw.w[ix])) AS BIGINT) > 0
+                 THEN (CAST(1 AS BIGINT) << pw.k) ELSE 0 END) AS BIGINT) AS bucket
+             FROM m, pw GROUP BY m.vec_id, pw.tbl),
       mb AS MATERIALIZED (SELECT m.vec_id, m.cell, bk.tbl, bk.bucket
              FROM m JOIN bk USING (vec_id)),
       prid AS MATERIALIZED (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
