@@ -21,8 +21,11 @@ import graft.functions.Portable._
   */
 object TextOps {
 
-  /** Whitespace tokens of lowercased text (shared by C1–C3). */
-  private def toks(c: Column): Column = tokens(lower(c))
+  /** Whitespace tokens of lowercased text (shared by C1–C3, and by
+    * [[LmIndex]]'s bigram counter so the artifact and the C19b/C20
+    * board path tokenize identically).
+    */
+  private[operators] def toks(c: Column): Column = tokens(lower(c))
 
   private def nStop(c: Column, words: Seq[String]): Column =
     size(filter(toks(c), t => t.isin(words.map(w => w: Any): _*)))
@@ -1272,33 +1275,16 @@ object TextOps {
     * its persisted frames within a scope).
     */
   private def lmRefDocScores(s: SparkSession, d: String): DataFrame = {
-    val tokd = Tables.documents(s, d)
-      .select(col("doc_id"), toks(col("text")).as("tok"))
-      .filter(size(col("tok")) >= 2)
-    val docbg = Caches.persist(tokd
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(tok)-1), i -> " +
-          "named_struct('w1', element_at(tok, i), 'w2', element_at(tok, i+1)))"))
-        .as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy("doc_id", "w1", "w2")
-      .agg(count(lit(1)).as("c")))
-    val bgRef = Caches.persist(docbg
-      .filter(col("doc_id") % 2 === 0)
-      .groupBy("w1", "w2").agg(sum(col("c")).as("cnt")))
-    val unRef = bgRef.groupBy("w1").agg(sum(col("cnt")).as("ucnt"))
-    val vocab = bgRef.select(countDistinct(col("w2")).as("v"))
-    docbg
-      .join(bgRef, Seq("w1", "w2"), "left")
-      .join(unRef, Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
-      .select(col("doc_id"), col("c"),
-        graft.functions.FixedLog.bitsQ16(
-          coalesce(col("ucnt"), lit(0L)) + col("v"),
-          coalesce(col("cnt"), lit(0L)) + lit(1L)).as("bits_q16"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bigrams"),
-        sum(col("c") * col("bits_q16")).as("sum_bits_q16"))
+    // Expressed through LmIndex's shared kernel (count → aggregate →
+    // score) so the board queries and the persisted-artifact cycle are
+    // definitionally one scoring definition; the reference model here
+    // is the in-session aggregate of the even-doc_id half, persisted
+    // within the query scope exactly as before the artifact existed.
+    val docbg = Caches.persist(
+      LmIndex.bigramCounts(Tables.documents(s, d)))
+    val ref = LmIndex.refFromCounts(
+      docbg.filter(col("doc_id") % 2 === 0), Caches.persist(_))
+    LmIndex.scoreCounts(docbg, ref)
   }
 
   /** DuckDB twin of [[lmRefDocScores]] as CTE text ending in
