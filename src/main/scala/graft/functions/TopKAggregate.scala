@@ -166,6 +166,52 @@ case class TopKMinAgg(
     copy(child = newChildren(0), kExpr = newChildren(1))
 }
 
+/** The Misra-Gries buffer transitions, factored out of [[MgSketchAgg]]
+  * so its streaming consumers ([[graft.streaming.HeavyHittersStream]]
+  * merges per-batch summaries into per-window state) and the
+  * entry-valued variant ([[MgEntriesAgg]]) run the IDENTICAL update and
+  * PODS'12 merge — one kernel, no drift between the batch aggregate
+  * and the ingest-edge monitor.
+  */
+object MgKernel {
+
+  def decrementAll(buf: mutable.LongMap[Long], by: Long): Unit = {
+    val dead = mutable.ArrayBuffer.empty[Long]
+    buf.foreach { case (k, v) =>
+      if (v <= by) dead += k else buf(k) = v - by
+    }
+    dead.foreach(buf.remove)
+  }
+
+  /** One arriving element: present → +1; room → insert at 1; full →
+    * decrement ALL by 1 dropping zeros.
+    */
+  def offer(buf: mutable.LongMap[Long], key: Long, cap: Int): Unit = {
+    val cur = buf.getOrElse(key, 0L)
+    if (cur > 0L) buf(key) = cur + 1L
+    else if (buf.size < cap) buf(key) = 1L
+    else decrementAll(buf, 1L)
+  }
+
+  /** Fold `other`'s (key, count) entries into `buf` and re-trim to
+    * `cap` by subtracting the (cap+1)-th largest count — the PODS'12
+    * mergeable form. `other` may be another summary OR exact per-key
+    * counts (a summary with zero error), so this is also the
+    * count-weighted update the streaming monitor feeds with its
+    * per-batch distributed summaries.
+    */
+  def merge(
+      buf: mutable.LongMap[Long],
+      other: Iterator[(Long, Long)], cap: Int): Unit = {
+    other.foreach { case (k, v) => buf(k) = buf.getOrElse(k, 0L) + v }
+    if (buf.size > cap) {
+      val counts = buf.valuesIterator.toArray
+      java.util.Arrays.sort(counts)
+      decrementAll(buf, counts(counts.length - cap - 1))
+    }
+  }
+}
+
 /** `mg_sketch(key: bigint, capacity)` — Misra-Gries frequent-items
   * summary over a long key, returning the retained candidate keys
   * (sorted, ≤ capacity of them).
@@ -233,24 +279,13 @@ case class MgSketchAgg(
   override def createAggregationBuffer(): mutable.LongMap[Long] =
     mutable.LongMap.empty[Long]
 
-  private def decrementAll(buf: mutable.LongMap[Long], by: Long): Unit = {
-    val dead = mutable.ArrayBuffer.empty[Long]
-    buf.foreach { case (k, v) =>
-      if (v <= by) dead += k else buf(k) = v - by
-    }
-    dead.foreach(buf.remove)
-  }
-
   override def update(
       buf: mutable.LongMap[Long], input: InternalRow): mutable.LongMap[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val key =
         if (widenInt) v.asInstanceOf[Int].toLong else v.asInstanceOf[Long]
-      val cur = buf.getOrElse(key, 0L)
-      if (cur > 0L) buf(key) = cur + 1L
-      else if (buf.size < cap) buf(key) = 1L
-      else decrementAll(buf, 1L)
+      MgKernel.offer(buf, key, cap)
     }
     buf
   }
@@ -258,19 +293,12 @@ case class MgSketchAgg(
   override def merge(
       buf: mutable.LongMap[Long],
       other: mutable.LongMap[Long]): mutable.LongMap[Long] = {
-    other.foreach { case (k, v) => buf(k) = buf.getOrElse(k, 0L) + v }
-    if (buf.size > cap) {
-      // subtract the (cap+1)-th largest count from every entry and drop
-      // the ones that reach ≤ 0 — the PODS'12 mergeable form. Entries
-      // TIED with the pivot hit exactly 0 and are removed too
-      // (decrementAll drops v <= by), so the summary can shrink below
-      // cap after a merge; the n/(cap+1) survival bound is unaffected
-      // because a true θ-heavy key's count always strictly exceeds the
-      // pivot's share of the mass it absorbed.
-      val counts = buf.valuesIterator.toArray
-      java.util.Arrays.sort(counts)
-      decrementAll(buf, counts(counts.length - cap - 1))
-    }
+    // PODS'12 mergeable form (MgKernel.merge): entries TIED with the
+    // pivot hit exactly 0 and are removed, so the summary can shrink
+    // below cap after a merge; the n/(cap+1) survival bound is
+    // unaffected because a true θ-heavy key's count always strictly
+    // exceeds the pivot's share of the mass it absorbed.
+    MgKernel.merge(buf, other.iterator, cap)
     buf
   }
 
@@ -299,6 +327,109 @@ case class MgSketchAgg(
   override def withNewMutableAggBufferOffset(newOffset: Int): MgSketchAgg =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): MgSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), capExpr = newChildren(1))
+}
+
+/** `mg_entries(key: bigint, capacity)` — [[MgSketchAgg]] with its
+  * retained (key, cnt) ENTRIES exposed, as a key-sorted
+  * array<struct<key:bigint, cnt:bigint>>.
+  *
+  * The entry counts are the part [[MgSketchAgg]] deliberately hides
+  * from the two-phase batch answer (they are under-estimates whose
+  * values depend on partitioning) — but they are exactly what an
+  * INCREMENTAL consumer must carry: a streaming monitor cannot run the
+  * exact second pass over events it already discarded, so its state IS
+  * the summary, counts included, merged batch-over-batch in the
+  * PODS'12 form ([[graft.streaming.HeavyHittersStream]]) and read out
+  * with the explicit error bracket est ≤ true ≤ est + (n−m)/(cap+1).
+  * Same [[MgKernel]] transitions as `mg_sketch`, so the candidate-set
+  * guarantee (every > n/(cap+1) key survives) transfers unchanged.
+  */
+case class MgEntriesAgg(
+    child: Expression,
+    capExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.LongMap[Long]] {
+
+  override def children: Seq[Expression] = Seq(child, capExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("key", LongType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "mg_entries"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => capExpr.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"mg_entries: capacity must be integral, got ${other.catalogString}")
+    }
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mg_entries: key must be BIGINT or INT, got ${other.catalogString}")
+  }
+
+  private lazy val widenInt = child.dataType == IntegerType
+
+  private lazy val cap: Int = {
+    require(capExpr.foldable, "mg_entries: capacity must be a literal")
+    val c = capExpr.eval().asInstanceOf[Number].intValue()
+    require(c > 0, "mg_entries: capacity must be positive")
+    c
+  }
+
+  override def createAggregationBuffer(): mutable.LongMap[Long] =
+    mutable.LongMap.empty[Long]
+
+  override def update(
+      buf: mutable.LongMap[Long], input: InternalRow): mutable.LongMap[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key =
+        if (widenInt) v.asInstanceOf[Int].toLong else v.asInstanceOf[Long]
+      MgKernel.offer(buf, key, cap)
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.LongMap[Long],
+      other: mutable.LongMap[Long]): mutable.LongMap[Long] = {
+    MgKernel.merge(buf, other.iterator, cap)
+    buf
+  }
+
+  override def eval(buf: mutable.LongMap[Long]): Any = {
+    val keys = buf.keysIterator.toArray
+    java.util.Arrays.sort(keys)
+    new GenericArrayData(
+      keys.map(k => InternalRow(k, buf(k)): Any))
+  }
+
+  override def serialize(buf: mutable.LongMap[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach { case (k, v) => bb.putLong(k); bb.putLong(v) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.LongMap[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf(bb.getLong()) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MgEntriesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MgEntriesAgg =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =

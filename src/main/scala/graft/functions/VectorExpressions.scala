@@ -1180,6 +1180,11 @@ object VectorExpressions {
       (args: Seq[Expression]) =>
         MgSketchAgg(args(0), args(1)).toAggregateExpression()))
     ext.injectFunction((
+      new FunctionIdentifier("mg_entries"),
+      new ExpressionInfo(classOf[MgEntriesAgg].getName, "mg_entries"),
+      (args: Seq[Expression]) =>
+        MgEntriesAgg(args(0), args(1)).toAggregateExpression()))
+    ext.injectFunction((
       new FunctionIdentifier("char_trigrams"),
       new ExpressionInfo(classOf[CharTrigramsExpr].getName, "char_trigrams"),
       (args: Seq[Expression]) => CharTrigramsExpr(args(0))))

@@ -123,6 +123,80 @@ class StreamingSpec extends SparkSpec {
     Caches.releaseScope()
   }
 
+  test("heavy-hitters stream: per-window summary stays capacity-bounded, " +
+      "no false negatives vs the exact batch answer, bounds bracket " +
+      "every true count") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.HeavyHittersStream
+
+    val dir = Files.createTempDirectory("graft_hhstream").toString
+    val (sink, ckpt) = (s"$dir/sink", s"$dir/ckpt")
+    val src = MemoryStream[UserEv]
+
+    // window 10:00 — hot user 7 (60 events, ~11%) over 500 singleton
+    // tail users (cardinality 501 > Cap=256, so the sketch MUST trim);
+    // window 11:00 — hot user 9 (30 events) over 300 singletons
+    def w10(i: Int) = t(f"10:${5 + i % 50}%02d")
+    def w11(i: Int) = t(f"11:${5 + i % 50}%02d")
+    val hot10 = (0 until 60).map(i => UserEv(7L, w10(i)))
+    val tail10 = (0 until 500).map(i => UserEv(1000L + i, w10(i)))
+    val hot11 = (0 until 30).map(i => UserEv(9L, w11(i)))
+    val tail11 = (0 until 300).map(i => UserEv(2000L + i, w11(i)))
+    val all = hot10 ++ tail10 ++ hot11 ++ tail11
+    // three epochs over a fixed shuffle: both windows' summaries merge
+    // across batches, and the cross-batch trims are what the bounds
+    // must survive
+    val (e1, rest) = new scala.util.Random(42).shuffle(all).splitAt(300)
+    val (e2, e3) = rest.splitAt(400)
+
+    val query = HeavyHittersStream.start(src.toDS().toDF(), sink, ckpt)
+    src.addData(e1: _*); query.processAllAvailable()
+    src.addData(e2: _*); query.processAllAvailable()
+    src.addData(e3: _*); query.processAllAvailable()
+    query.stop()
+
+    val summaries = HeavyHittersStream.currentSummaries(spark, sink)
+    // 1) bounded state: ≤ Cap retained entries per window, ever
+    val sizes = summaries.select(col("hour_start"),
+      size(col("entries")).as("sz")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(sizes.values.forall(_ <= HeavyHittersStream.Cap),
+      s"summary must stay capacity-bounded: $sizes")
+    assert(sizes("2026-01-01 10:00:00") <= HeavyHittersStream.Cap)
+
+    val rep = HeavyHittersStream.report(summaries).collect().map(r =>
+      (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+
+    // 2) exact truth from the same events
+    val truth = all.groupBy(e =>
+      (if (e.ts.toString.contains(" 10:")) "2026-01-01 10:00:00"
+       else "2026-01-01 11:00:00", e.user_id))
+      .map { case (k, evs) => k -> evs.size.toLong }
+    val nTot = truth.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val exactHH = truth.filter { case ((w, _), c) => c * 128 > nTot(w) }
+    // every exact heavy hitter is reported AND flagged — no false
+    // negatives, the monitor's contract
+    exactHH.foreach { case ((w, u), c) =>
+      val (lo, hi, n, heavy) = rep.getOrElse((w, u),
+        fail(s"exact heavy hitter $u in $w missing from the report"))
+      assert(heavy, s"user $u in $w must be flagged heavy")
+      assert(lo <= c && c <= hi,
+        s"bounds must bracket the true count: $lo <= $c <= $hi")
+      assert(n == nTot(w))
+    }
+    assert(exactHH.nonEmpty && exactHH.keySet ==
+      Set(("2026-01-01 10:00:00", 7L), ("2026-01-01 11:00:00", 9L)))
+    // 3) the bracket holds for EVERY reported key, not just the hot ones
+    rep.foreach { case ((w, u), (lo, hi, n, _)) =>
+      val c = truth.getOrElse((w, u), 0L)
+      assert(lo <= c && c <= hi,
+        s"user $u in $w: bracket $lo..$hi must contain true $c")
+      assert(n == nTot(w), s"window total must be exact: $n vs ${nTot(w)}")
+    }
+  }
+
   test("scd2 stream: incremental CDC merge equals the batch rebuild over " +
       "the same event prefix, including a late-arrival batch") {
     implicit val sqlCtx = spark.sqlContext
