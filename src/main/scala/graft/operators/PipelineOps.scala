@@ -903,6 +903,114 @@ object PipelineOps {
       FROM r JOIN tgt t USING (source)
       ORDER BY doc_id"""))
 
+  /** G9d's dials: epochs to materialize and shard fan-out. Two epochs
+    * demonstrate the property that matters (the orders differ yet each
+    * is independently reproducible); 8 shards keep the gate corpus'
+    * shards non-trivial. A deployment dials both up freely — the plan
+    * never materializes an epoch×corpus blowup beyond the (epoch,
+    * seq_idx) id-width rows themselves.
+    */
+  private val SHUF_EPOCHS = 2
+  private val SHUF_SHARDS = 8L
+
+  /** G9d — the data-loader SHUFFLE: a deterministic, epoch-seeded
+    * global order and shard assignment for the packed sequences
+    * G9/G9c define — (epoch, seq_idx) → (rank, shard, pos_in_shard).
+    * Every training run reshuffles its packed corpus per epoch; at
+    * 100 TB "shuffle the data" cannot mean a random-key global sort,
+    * and restartability means the order must be a pure function of
+    * (epoch, seq_idx) — the hash-rank shuffle (hash60('shuf' || epoch
+    * || '|' || seq_idx), ties by seq_idx), the same determinism
+    * discipline as G3/G11/G16.
+    *
+    * Scale shape: the global DENSE rank resolves without a corpus
+    * sort — G16's boundary-bucket argument applied to ranking: bucket
+    * = the hash's top 12 bits, a ≤ 4096-row per-epoch histogram's
+    * running sum gives each bucket's global base, and only WITHIN a
+    * bucket (~1/4096 of the sequences) does a row_number window sort;
+    * (bucket, h, seq_idx) order IS (h, seq_idx) order, so the composed
+    * rank is exactly the oracle's one-window row_number. The sequence
+    * universe derives from the corpus (the distinct seq_idx set of the
+    * shared [[packStarts]] span explode — sequences are contiguous by
+    * construction, so this is 0..S−1 without any driver-side count),
+    * and the shard arithmetic (seqs_per_shard = ceil(S / shards))
+    * rides a 1-row broadcast. Shards are balanced within one sequence
+    * (|shard| ∈ {⌊S/shards⌋, ⌈S/shards⌉}) and a loader resumes epoch e
+    * shard s by recomputing exactly this frame filtered to (e, s).
+    */
+  val packShuffle: Op = Op(
+    "pack_shuffle",
+    (s, d) => {
+      val seqs = Caches.persist(
+        packStarts(Tables.documents(s, d)
+          .select(col("doc_id"),
+            (size(split(trim(lower(col("text"))), "\\s+")) + 1)
+              .cast(LongType).as("nt")))
+          .select(explode(sequence(expr(s"start div $SEQ_TOKENS"),
+            expr(s"(start + nt - 1) div $SEQ_TOKENS"))).as("seq_idx"))
+          .distinct()
+          .select(explode(sequence(lit(0L),
+            lit(SHUF_EPOCHS - 1L))).as("epoch"), col("seq_idx"))
+          .withColumn("h", hash60(concat(lit("shuf"),
+            col("epoch").cast("string"), lit("|"),
+            col("seq_idx").cast("string"))))
+          .withColumn("bucket", shiftright(col("h"), 48)))
+      val sTot = seqs.filter(col("epoch") === 0L)
+        .agg(count(lit(1)).as("n_seqs"))
+        .select(col("n_seqs"),
+          expr(s"(n_seqs + $SHUF_SHARDS - 1) div $SHUF_SHARDS").as("sps"))
+      val wB = Window.partitionBy(col("epoch")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val hist = seqs.groupBy(col("epoch"), col("bucket"))
+        .agg(count(lit(1)).as("bc"))
+        .withColumn("cum_before", coalesce(sum(col("bc")).over(wB), lit(0L)))
+        .select(col("epoch"), col("bucket"), col("cum_before"))
+      val wIn = Window.partitionBy(col("epoch"), col("bucket"))
+        .orderBy(col("h"), col("seq_idx"))
+      seqs.join(hist, Seq("epoch", "bucket"))
+        .withColumn("rk",
+          col("cum_before") + row_number().over(wIn).cast(LongType) - 1L)
+        .crossJoin(broadcast(sTot))
+        .select(col("epoch"), col("seq_idx"), col("rk").as("rank"),
+          expr("rk div sps").as("shard"),
+          (col("rk") % col("sps")).as("pos_in_shard"))
+        .orderBy(col("epoch"), col("rank"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(lower(text), ' '), '\\s+')) + 1
+                 AS BIGINT) AS nt,
+               CAST(sum(len(regexp_split_to_array(trim(lower(text), ' '), '\\s+'))
+                 + 1) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM documents),
+      sq AS (
+        SELECT DISTINCT unnest(generate_series((cum - nt) // $SEQ_TOKENS,
+          (cum - 1) // $SEQ_TOKENS)) AS seq_idx
+        FROM d),
+      stot AS (SELECT CAST(count(*) AS BIGINT) AS n_seqs,
+                      (CAST(count(*) AS BIGINT) + $SHUF_SHARDS - 1)
+                        // $SHUF_SHARDS AS sps
+               FROM sq),
+      e AS (
+        SELECT ep.epoch, sq.seq_idx,
+               ${graft.Op.xhash60("'shuf' || CAST(ep.epoch AS VARCHAR) " +
+      "|| '|' || CAST(sq.seq_idx AS VARCHAR)")} AS h
+        FROM sq CROSS JOIN (VALUES (CAST(0 AS BIGINT)),
+          (CAST(1 AS BIGINT))) ep(epoch)),
+      r AS (
+        SELECT epoch, seq_idx,
+               CAST(row_number() OVER (PARTITION BY epoch
+                 ORDER BY h, seq_idx) AS BIGINT) - 1 AS rank
+        FROM e)
+      SELECT r.epoch, r.seq_idx, r.rank,
+             r.rank // s.sps AS shard,
+             r.rank % s.sps AS pos_in_shard
+      FROM r CROSS JOIN stot s
+      ORDER BY epoch, rank"""))
+
   /** G11 — per-domain frequency capping: keep at most ceil(√n_s)
     * documents from each source s, chosen by a deterministic hash
     * priority — the RefinedWeb/FineWeb-style guard against any single
@@ -1649,7 +1757,8 @@ object PipelineOps {
   val all: Seq[Op] = Seq(
     joinAsof, joinRange, sampleStratified, qualityFilter,
     qualityFilterExtracted, eventsRetention, eventsFunnel, sampleWeighted,
-    eventsAnomaly, docPack, docPackBpe, docPackEmit, mixturePlan,
+    eventsAnomaly, docPack, docPackBpe, docPackEmit, packShuffle,
+    mixturePlan,
     mixturePlanBpe,
     mixturePlanTemp, sampleMixture, sampleDomainCap, curationReport,
     curationReportQuality, curationFate,

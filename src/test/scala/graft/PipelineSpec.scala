@@ -795,4 +795,48 @@ class PipelineSpec extends SparkSpec {
       .collect()(0).getSeq[Long](0)
     assert(withNulls == Seq(9L), "nulls must be ignored like SQL aggregates")
   }
+  test("pack_shuffle: per-epoch ranks are a dense permutation, shards " +
+      "balance within one sequence, epochs genuinely differ, and the " +
+      "bucket-composed rank equals the one-window rank") {
+    val r = run("pack_shuffle").collect().map(x =>
+      (x.getAs[Long]("epoch"), x.getAs[Long]("seq_idx"),
+        x.getAs[Long]("rank"), x.getAs[Long]("shard"),
+        x.getAs[Long]("pos_in_shard")))
+    val byEpoch = r.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L))
+    val s0 = byEpoch(0L)
+    val nSeqs = s0.length.toLong
+    val sps = (nSeqs + 7) / 8
+    byEpoch.values.foreach { rows =>
+      // dense permutation: ranks are exactly 0..S-1, each seq once
+      assert(rows.map(_._3).sorted.toSeq == (0L until nSeqs).toSeq)
+      assert(rows.map(_._2).distinct.length == nSeqs.toInt)
+      // shard arithmetic rides the rank exactly
+      rows.foreach { case (_, _, rk, sh, pos) =>
+        assert(sh == rk / sps && pos == rk % sps)
+      }
+      // balance: shard sizes differ by at most one sequence
+      val sizes = rows.groupBy(_._4).values.map(_.length).toSeq
+      assert(sizes.max - sizes.min <= 1,
+        s"shards must balance within one sequence: $sizes")
+    }
+    // the two epochs order the same sequence set DIFFERENTLY — the
+    // point of an epoch-seeded shuffle
+    val ord0 = byEpoch(0L).sortBy(_._3).map(_._2).toSeq
+    val ord1 = byEpoch(1L).sortBy(_._3).map(_._2).toSeq
+    assert(ord0.toSet == ord1.toSet && ord0 != ord1)
+    // the bucket-composed rank must equal the oracle's single-window
+    // rank: replay order by (hash, seq_idx) locally
+    def md5hash60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    val h0 = byEpoch(0L).map { case (_, sq, rk, _, _) =>
+      (md5hash60(s"shuf0|$sq"), sq) -> rk
+    }
+    assert(h0.sortBy(_._1).map(_._2).toSeq == (0L until nSeqs).toSeq,
+      "composed rank must equal the (h, seq_idx) order rank")
+  }
 }
