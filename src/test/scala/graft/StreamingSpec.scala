@@ -676,6 +676,65 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_.source == "a.com") == 4)
   }
 
+  test("heavy-hitters stream over the sf1 corpus: 1M events, 15k users, " +
+      "every window's summary capacity-bounded, the planted hot user " +
+      "flagged in all 720 windows, brackets sound corpus-wide") {
+    val sf1 = new java.io.File("/root/repo/localdata/sf1/events.parquet")
+    assume(sf1.exists, "locally generated sf1 data not present")
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.HeavyHittersStream
+
+    val ev = spark.read.parquet(sf1.toString)
+      .select(col("user_id"), col("ts"))
+      .orderBy(col("ts")).collect()
+      .map(r => UserEv(r.getLong(0), r.getTimestamp(1)))
+    assert(ev.length == 1000000)
+
+    val dir = Files.createTempDirectory("graft_hh_sf1").toString
+    val (sink, ckpt) = (s"$dir/sink", s"$dir/ckpt")
+    val src = MemoryStream[UserEv]
+    val query = HeavyHittersStream.start(src.toDS().toDF(), sink, ckpt)
+    ev.grouped(200000).foreach { chunk =>
+      src.addData(chunk.toIndexedSeq); query.processAllAvailable()
+    }
+    query.stop()
+
+    // bounded state at EVERY epoch, not just the end: every dump row
+    // ever appended holds ≤ Cap entries (15k distinct users >> 256)
+    val maxEntries = spark.read.parquet(sink)
+      .select(max(size(col("entries")))).head().getInt(0)
+    assert(maxEntries <= HeavyHittersStream.Cap,
+      s"summary rows must stay capacity-bounded: $maxEntries")
+
+    val rep = HeavyHittersStream.report(
+      HeavyHittersStream.currentSummaries(spark, sink))
+    // exact truth, computed distributed; only violations collect
+    val truth = spark.read.parquet(sf1.toString)
+      .groupBy(date_format(window(col("ts"), "1 hour").getField("start"),
+        "yyyy-MM-dd HH:mm:ss").as("hour_start"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val nTot = truth.groupBy(col("hour_start"))
+      .agg(sum(col("c")).as("nt"))
+    val exactHH = truth.join(nTot, "hour_start")
+      .filter(col("c") * 128 > col("nt"))
+    // 1) no false negatives: every exact HH is reported AND flagged
+    val missed = exactHH.join(
+      rep.filter(col("is_heavy")).select(col("hour_start"), col("user_id")),
+      Seq("hour_start", "user_id"), "left_anti").count()
+    val nHH = exactHH.count()
+    assert(nHH == 720L, s"the planted hot user must be heavy hourly: $nHH")
+    assert(missed == 0L, s"$missed exact heavy hitters missed")
+    // 2) bracket soundness for EVERY reported key, and exact totals
+    val viol = rep.join(truth, Seq("hour_start", "user_id"), "left")
+      .join(nTot, "hour_start")
+      .filter(col("n_lower") > coalesce(col("c"), lit(0L)) ||
+        coalesce(col("c"), lit(0L)) > col("n_upper") ||
+        col("n_total") =!= col("nt"))
+      .count()
+    assert(viol == 0L, s"$viol bracket/total violations at sf1")
+  }
+
   test("near-dup stream over the sf1 corpus: peak state obeys the eviction-horizon bound") {
     // The 100 TB claim for the streaming path: state is bounded by
     // (arrival rate x eviction horizon), NEVER corpus size. Drive the
