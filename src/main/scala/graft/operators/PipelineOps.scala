@@ -1011,6 +1011,94 @@ object PipelineOps {
       FROM r CROSS JOIN stot s
       ORDER BY epoch, rank"""))
 
+  /** G20 — deterministic stratified holdout SPLIT: partition the corpus
+    * into train/val/test with EXACT per-source counts (test = n_s div
+    * 10, val = n_s div 10, train = the rest) by the hash-rank
+    * discipline — assignment is a pure function of (source, doc_id), so
+    * reruns, engines, and resumed pipelines agree on membership, and
+    * per-source stratification keeps every source represented in every
+    * split at its corpus share (the eval-set construction every
+    * training pipeline needs; a global 10% hash-mod split would let a
+    * small source's val set round to zero and would drift with corpus
+    * composition).
+    *
+    * Scale shape: the per-source dense rank behind the two cut points
+    * resolves with the boundary-bucket technique (G16/G9d): a (source,
+    * bucket = hash top 12 bits) count histogram, its small running sum,
+    * and wholesale bucket classification against the cuts — a bucket
+    * strictly inside one split assigns without ordering anything, and
+    * only the ≤ 2 straddling buckets per source (~2/4096 of the
+    * stratum) pay the in-bucket row_number sort. No per-source window
+    * over the corpus, Zipf-skewed sources included.
+    */
+  /** G20's assignment over any (doc_id, source) frame — factored so the
+    * spec can drive the boundary-bucket path with a dense synthetic
+    * stratum (at gate SFs the 4096-bucket histogram holds ≤ 1 doc per
+    * bucket, so no bucket can straddle a cut and the easy path assigns
+    * everything; the straddle logic first engages around 10k+ docs per
+    * source — sf10 exercises it for real, the spec pins it exactly).
+    */
+  private[graft] def holdoutAssign(input: DataFrame): DataFrame = {
+      val docs = Caches.persist(input
+        .select(col("doc_id"), col("source"),
+          hash60(concat(lit("split|"), col("source"), lit("|"),
+            col("doc_id").cast("string"))).as("h"))
+        .withColumn("bucket", shiftright(col("h"), 48)))
+      val cuts = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("source"), expr("n div 10").as("t1"),
+          expr("2 * (n div 10)").as("t2"))
+      val wB = Window.partitionBy(col("source")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val hist = docs.groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("bc"))
+        .withColumn("lo", coalesce(sum(col("bc")).over(wB), lit(0L)))
+        .join(broadcast(cuts), "source")
+      val marked = docs.join(hist, Seq("source", "bucket"))
+      def splitOf(rk: Column) =
+        when(rk < col("t1"), lit("test"))
+          .when(rk < col("t2"), lit("val"))
+          .otherwise(lit("train"))
+      val easy = marked
+        .filter(col("lo") + col("bc") <= col("t1") ||
+          (col("lo") >= col("t1") && col("lo") + col("bc") <= col("t2")) ||
+          col("lo") >= col("t2"))
+        .select(col("doc_id"), col("source"), splitOf(col("lo")).as("split"))
+      val wIn = Window.partitionBy(col("source"), col("bucket"))
+        .orderBy(col("h"), col("doc_id"))
+      val boundary = marked
+        .filter(!(col("lo") + col("bc") <= col("t1") ||
+          (col("lo") >= col("t1") && col("lo") + col("bc") <= col("t2")) ||
+          col("lo") >= col("t2")))
+        .withColumn("rk",
+          col("lo") + row_number().over(wIn).cast(LongType) - 1L)
+        .select(col("doc_id"), col("source"), splitOf(col("rk")).as("split"))
+      easy.unionAll(boundary).orderBy(col("doc_id"))
+  }
+
+  val sampleHoldout: Op = Op(
+    "sample_holdout",
+    (s, d) => holdoutAssign(
+      Tables.documents(s, d).select(col("doc_id"), col("source"))),
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, source,
+               ${graft.Op.xhash60(
+      "'split|' || source || '|' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents),
+      ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+             FROM d GROUP BY source),
+      r AS (SELECT d.*,
+                   CAST(row_number() OVER (PARTITION BY source
+                     ORDER BY h, doc_id) AS BIGINT) - 1 AS rk
+            FROM d)
+      SELECT r.doc_id, r.source,
+             CASE WHEN rk < n // 10 THEN 'test'
+                  WHEN rk < 2 * (n // 10) THEN 'val'
+                  ELSE 'train' END AS split
+      FROM r JOIN ns USING (source)
+      ORDER BY doc_id"""))
+
   /** G11 — per-domain frequency capping: keep at most ceil(√n_s)
     * documents from each source s, chosen by a deterministic hash
     * priority — the RefinedWeb/FineWeb-style guard against any single
@@ -1758,7 +1846,7 @@ object PipelineOps {
     joinAsof, joinRange, sampleStratified, qualityFilter,
     qualityFilterExtracted, eventsRetention, eventsFunnel, sampleWeighted,
     eventsAnomaly, docPack, docPackBpe, docPackEmit, packShuffle,
-    mixturePlan,
+    sampleHoldout, mixturePlan,
     mixturePlanBpe,
     mixturePlanTemp, sampleMixture, sampleDomainCap, curationReport,
     curationReportQuality, curationFate,
