@@ -83,15 +83,28 @@ object Bench {
       body
       (System.nanoTime() - t0) / 1e9
     }
+    var anyFailed = false
+
     // q1-shaped calibration probe: scan → filter → groupBy → multi-agg
     // over lineitem at the bench SF. Its ONLY job is to price the host's
     // load at three points in the run.
+    val lineitemPresent = new java.io.File(sfDir, "lineitem.parquet").exists
     def calibrate(): Double = {
       // an embeddings-only scale dir (localdata/sf100) has no lineitem:
-      // the probe degrades to 0.0 there rather than killing the run —
-      // drift reads 1.0 and the record says so via the zero values
-      val t = try secs(SparkEntry.queries("q1_agg")(spark, sfDir).count())
-      catch { case _: Throwable => 0.0 }
+      // the probe degrades to 0.0 there (drift then reports 1.0 — see
+      // the zero-reading guard below — and the record says so via the
+      // zero values). Any OTHER probe failure is a real failure: it
+      // flags the run and still zeroes the reading, so drift reads 1.0
+      // instead of a meaningless max/~0 ratio.
+      val t =
+        if (!lineitemPresent) 0.0
+        else try secs(SparkEntry.queries("q1_agg")(spark, sfDir).count())
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] calibration FAILED: ${e.getMessage}")
+            anyFailed = true
+            0.0
+        }
       Caches.releaseScope()
       t
     }
@@ -100,8 +113,6 @@ object Bench {
     // bill q1's one-time plan compilation to `calibration.start` and
     // fake a drift reading)
     calibrate()
-
-    var anyFailed = false
     // SPARK_GRAFT_ONLY=k1,k2 restricts the run (local iteration on one op).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -166,9 +177,14 @@ object Bench {
     val total = results.collect { case (_, _, mn, true, _, _) => mn }.sum
     val matTotal = results
       .collect { case (_, f, mn, true, _, _) => math.max(f - mn, 0.0) }.sum
-    val calib = f""""calibration":{"start":$calibStart%.3f,"mid":$calibMid%.3f,"end":$calibEnd%.3f,"drift":${
-      Seq(calibStart, calibMid, calibEnd).max /
-        math.max(Seq(calibStart, calibMid, calibEnd).min, 1e-9)}%.2f}"""
+    // drift = max/min of the three probe readings; any zero reading
+    // (absent lineitem, failed probe) means "no probe signal" → 1.0,
+    // never a max/~0 explosion
+    val calibReadings = Seq(calibStart, calibMid, calibEnd)
+    val calibDrift =
+      if (calibReadings.exists(_ <= 0.0)) 1.0
+      else calibReadings.max / calibReadings.min
+    val calib = f""""calibration":{"start":$calibStart%.3f,"mid":$calibMid%.3f,"end":$calibEnd%.3f,"drift":$calibDrift%.2f}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first":$firsts,"forced":$forced,"reps":$REPS,"cache_policy":"${
         if (Caches.artifactMode) "artifact" else "scoped-per-query"

@@ -1026,6 +1026,25 @@ object VectorExpressions {
     override def dataType: DataType = org.apache.spark.sql.types.StringType
     override def prettyName: String = "drop_positions"
 
+    // Registered as a public SQL function, so the types must be
+    // enforced at analysis: rem.getInt over an array<bigint> would
+    // silently misread 8-byte elements and return wrong text, not fail
+    // (ExpectsInputTypes is private[sql]; checkInputDataTypes is the
+    // public seam).
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(org.apache.spark.sql.types.StringType, _),
+              ArrayType(IntegerType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+            .TypeCheckSuccess
+        case (l, r) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+            .TypeCheckFailure(
+              s"drop_positions requires (array<string>, array<int>), " +
+                s"got (${l.catalogString}, ${r.catalogString})")
+      }
+
     override def nullSafeEval(tokAny: Any, remAny: Any): Any = {
       val tok = tokAny.asInstanceOf[ArrayData]
       val rem = remAny.asInstanceOf[ArrayData]

@@ -153,6 +153,13 @@ object IvfPqIndex {
     * COMPLETE index recoverable by [[recoverSwap]] — unlike an
     * overwrite-in-place, which destroys the only durable copy of the
     * very frames it is still reading (the r13 advisory).
+    *
+    * ASSUMES atomic directory rename — true on HDFS and local POSIX
+    * filesystems, NOT on object stores (S3A rename is copy+delete, so
+    * a crash mid-"rename" can leave neither a complete live nor staged
+    * copy). Deployments on an object store should front the index with
+    * an HDFS-semantics layer (e.g. a rename-atomic committer volume) or
+    * swap via the store's native atomic pointer instead.
     */
   private def swapInto(spark: SparkSession, path: String): Unit = {
     val (fs, p) = hfs(spark, path)

@@ -177,7 +177,9 @@ object LmIndex {
 
   /** Commit `path`.staged over the live model by displace + rename —
     * the [[IvfPqIndex]] swap discipline: every crash window leaves a
-    * COMPLETE model on disk for [[recoverSwap]].
+    * COMPLETE model on disk for [[recoverSwap]]. Assumes atomic
+    * directory rename (HDFS/local POSIX — NOT object stores, where
+    * rename is copy+delete; see the IvfPqIndex.swapInto scaladoc).
     */
   private def swapInto(spark: SparkSession, path: String): Unit = {
     val (fs, p) = hfs(spark, path)

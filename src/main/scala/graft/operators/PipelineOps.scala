@@ -998,8 +998,8 @@ object PipelineOps {
         SELECT ep.epoch, sq.seq_idx,
                ${graft.Op.xhash60("'shuf' || CAST(ep.epoch AS VARCHAR) " +
       "|| '|' || CAST(sq.seq_idx AS VARCHAR)")} AS h
-        FROM sq CROSS JOIN (VALUES (CAST(0 AS BIGINT)),
-          (CAST(1 AS BIGINT))) ep(epoch)),
+        FROM sq CROSS JOIN (VALUES ${(0 until SHUF_EPOCHS)
+      .map(e => s"(CAST($e AS BIGINT))").mkString(", ")}) ep(epoch)),
       r AS (
         SELECT epoch, seq_idx,
                CAST(row_number() OVER (PARTITION BY epoch

@@ -124,17 +124,37 @@ object QualityIndex {
 
   private val memo = new ConcurrentHashMap[String, Model]()
 
-  /** The corpus' trained model, derived at most once per directory per
-    * session — the board-harness stand-in for [[load]]ing a saved
-    * artifact (each gate query receives only (session, dir), so the
-    * deployment's train-once/save/load cycle memoizes here instead).
-    * Training is deterministic, so this returns the bit-identical model
-    * an inline retrain would.
+  /** Memo key for a corpus directory: canonical path + a fingerprint of
+    * documents.parquet (file names, sizes, mtimes). An in-session
+    * rewrite of the corpus changes the fingerprint and invalidates the
+    * memo, so no consumer ever scores under a stale model (shared by
+    * [[LangIndex.forCorpus]]). Local-FS metadata only — for remote
+    * stores the canonical-path fallback keeps the r14 behavior.
+    */
+  private[operators] def corpusKey(d: String): String = {
+    val canon =
+      try new java.io.File(d).getCanonicalPath catch { case _: Exception => d }
+    val docs = new java.io.File(canon, "documents.parquet")
+    val parts =
+      if (docs.isDirectory)
+        Option(docs.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      else if (docs.isFile) Seq(docs)
+      else Seq.empty
+    val fp = parts.sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|").hashCode
+    s"$canon#$fp"
+  }
+
+  /** The corpus' trained model, derived at most once per (directory,
+    * documents-fingerprint) per session — the board-harness stand-in
+    * for [[load]]ing a saved artifact (each gate query receives only
+    * (session, dir), so the deployment's train-once/save/load cycle
+    * memoizes here instead). Training is deterministic, so this returns
+    * the bit-identical model an inline retrain would.
     */
   def forCorpus(s: SparkSession, d: String): Model =
-    memo.computeIfAbsent(
-      try new java.io.File(d).getCanonicalPath catch { case _: Exception => d },
-      _ => train(Tables.documents(s, d)))
+    memo.computeIfAbsent(corpusKey(d), _ => train(Tables.documents(s, d)))
 
   /** Drop memoized models (tests). */
   def clearMemo(): Unit = memo.clear()

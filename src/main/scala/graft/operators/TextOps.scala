@@ -140,7 +140,7 @@ object TextOps {
           FROM documents) t1) t2
       ORDER BY doc_id"""))
 
-  private val langStop: Seq[(String, Seq[String])] = Seq(
+  private[operators] val langStop: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is"),
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
@@ -150,7 +150,7 @@ object TextOps {
   /** Per-language stopword-hit score columns (`s_<lang>`) — C3's scoring
     * pass, shared with the learned op's heuristic-comparison column.
     */
-  private def langScores(docs: DataFrame): DataFrame =
+  private[operators] def langScores(docs: DataFrame): DataFrame =
     langStop.foldLeft(docs) { case (df, (lang, words)) =>
       df.withColumn(s"s_$lang", nStop(col("text"), words).cast(LongType))
     }
@@ -160,7 +160,7 @@ object TextOps {
     * (list order breaks ties) — one definition for C3's heuristic and
     * the learned model's prediction, so the two tie-break identically.
     */
-  private def langArgmax(prefix: String): Column = {
+  private[operators] def langArgmax(prefix: String): Column = {
     val langs = langStop.map(_._1)
     langs.init.zipWithIndex.foldRight(lit(langs.last)) {
       case ((lang, i), alt) =>
@@ -168,6 +168,26 @@ object TextOps {
         val best = if (rest.sizeIs == 1) rest.head else greatest(rest: _*)
         when(col(s"$prefix$lang") >= best, lang).otherwise(alt)
     }
+  }
+
+  /** The SQL twin of [[langArgmax]], GENERATED from [[langStop]] order
+    * (one source of truth for engine and oracle — editing the language
+    * dial can no longer desync the two): a CASE cascade where a language
+    * wins if its `<prefix><lang>` score >= all later ones.
+    */
+  private[operators] def sqlLangCascade(prefix: String): String = {
+    val ls = langStop.map(_._1)
+    val whens = ls.init.zipWithIndex.map { case (l, i) =>
+      val rest = ls.drop(i + 1).map(r => s"$prefix$r")
+      val best =
+        if (rest.sizeIs == 1) rest.head
+        else s"greatest(${rest.mkString(", ")})"
+      s"WHEN $prefix$l >= $best THEN '$l'"
+    }
+    s"""CASE
+               ${whens.mkString("\n               ")}
+               ELSE '${ls.last}'
+             END"""
   }
 
   /** C3 — language ID: stopword-hit heuristic over per-language lists,
@@ -188,13 +208,7 @@ object TextOps {
       SELECT doc_id, lang AS labeled_lang,
              ${langStop.map { case (l, ws) =>
                s"CAST(${sqlNStop(ws)} AS BIGINT) AS s_$l" }.mkString(",\n             ")},
-             CASE
-               WHEN s_en >= greatest(s_fr, s_de, s_es, s_zh) THEN 'en'
-               WHEN s_fr >= greatest(s_de, s_es, s_zh) THEN 'fr'
-               WHEN s_de >= greatest(s_es, s_zh) THEN 'de'
-               WHEN s_es >= s_zh THEN 'es'
-               ELSE 'zh'
-             END AS pred_lang
+             ${sqlLangCascade("s_")} AS pred_lang
       FROM documents
       ORDER BY doc_id"""))
 
@@ -228,20 +242,16 @@ object TextOps {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val langs = langStop.map(_._1)
+      // Artifact consumer (r15): the model comes from LangIndex —
+      // trained at most once per corpus per session — so the per-query
+      // plan is two map-only scans (score + heuristic columns) and ZERO
+      // training frames. The loaded-artifact path scores bit-identically
+      // (LangIndexSpec pins it).
+      val model = LangIndex.forCorpus(s, d)
       val heur = langScores(docs)
         .select(col("doc_id"), col("lang").as("labeled_lang"),
           langArgmax("s_").as("heur_lang"))
-      val df = Caches.persist(
-        LangClassifier.docFrame(docs).join(heur, "doc_id"))
-      val model = LangClassifier.train(
-        LangClassifier.buildTrainData(df, langs, labelCol = "heur_lang"),
-        langs.length)
-      val scored = langs.zipWithIndex.foldLeft(df) { case (acc, (l, i)) =>
-        acc.withColumn(s"p_$l",
-          QualityClassifier.scoreCol(model.weights(i), model.bias(i)))
-      }
-      scored
-        .withColumn("learned_lang", langArgmax("p_"))
+      LangIndex.score(docs, model).join(heur, "doc_id")
         .select(col("doc_id") +: col("labeled_lang") +:
           langs.map(l => col(s"p_$l")) :+
           col("learned_lang") :+ col("heur_lang") :+
@@ -250,18 +260,17 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
     Some {
+      // All cascades, pivots and select lists below are GENERATED from
+      // langStop (via sqlLangCascade / langs), so the language dial has
+      // one source of truth across engine and oracle.
       val langs = langStop.map(_._1)
       val pivot = langs.map(l =>
         s"max(CASE WHEN lang = '$l' THEN p END) AS p_$l").mkString(",\n     ")
+      val pCols = langs.map(l => s"p_$l").mkString(", ")
+      val sPCols = langs.map(l => s"s.p_$l").mkString(", ")
       val heurLabelSql = s"""
         SELECT doc_id,
-               CASE
-                 WHEN s_en >= greatest(s_fr, s_de, s_es, s_zh) THEN 'en'
-                 WHEN s_fr >= greatest(s_de, s_es, s_zh) THEN 'fr'
-                 WHEN s_de >= greatest(s_es, s_zh) THEN 'de'
-                 WHEN s_es >= s_zh THEN 'es'
-                 ELSE 'zh'
-               END AS y
+               ${sqlLangCascade("s_")} AS y
         FROM (SELECT doc_id,
                      ${langStop.map { case (l, ws) =>
                        s"CAST(${sqlNStop(ws)} AS BIGINT) AS s_$l" }
@@ -275,20 +284,13 @@ object TextOps {
         FROM lc_p${QualityClassifier.Epochs} GROUP BY doc_id),
       lcq_sel AS (
         SELECT d.doc_id, d.lang AS labeled_lang,
-               s.p_en, s.p_fr, s.p_de, s.p_es, s.p_zh,
-               CASE
-                 WHEN s.p_en >= greatest(s.p_fr, s.p_de, s.p_es, s.p_zh)
-                   THEN 'en'
-                 WHEN s.p_fr >= greatest(s.p_de, s.p_es, s.p_zh) THEN 'fr'
-                 WHEN s.p_de >= greatest(s.p_es, s.p_zh) THEN 'de'
-                 WHEN s.p_es >= s.p_zh THEN 'es'
-                 ELSE 'zh'
-               END AS learned_lang,
+               $sPCols,
+               ${sqlLangCascade("s.p_")} AS learned_lang,
                h.y AS heur_lang
         FROM lc_docs d
         JOIN lcq_scores s USING (doc_id)
         JOIN lc_lab h USING (doc_id))
-      SELECT doc_id, labeled_lang, p_en, p_fr, p_de, p_es, p_zh,
+      SELECT doc_id, labeled_lang, $pCols,
              learned_lang, heur_lang,
              learned_lang = heur_lang AS agree_heur,
              learned_lang = labeled_lang AS correct
