@@ -92,6 +92,16 @@ object Bpe {
       syms += new String(Character.toChars(cp))
       ci += Character.charCount(cp)
     }
+    runMerges(syms, rank)
+  }
+
+  /** The lowest-rank-first one-merge-per-step loop over an initial
+    * symbol sequence — shared by the code-point and byte-level encoders
+    * (one merge contract, two base alphabets).
+    */
+  private def runMerges(
+      syms: scala.collection.mutable.ArrayBuffer[String],
+      rank: java.util.HashMap[String, Integer]): Vector[String] = {
     var continue = syms.length > 1
     while (continue) {
       var bestI = -1
@@ -128,6 +138,92 @@ object Bpe {
       m.put(word, n)
       n
     }
+  }
+
+  // ---- byte-level mode (r15): 256 base symbols, NO OOV ----
+  //
+  // Production tokenizers (the GPT-2 family) are byte-level BPE: a
+  // word's base symbols are its UTF-8 BYTES, so every string tokenizes
+  // by construction and there is no out-of-vocabulary pricing bias on
+  // vocab-miss-heavy corpora (code, rare scripts) — the r14 verdict's
+  // ask #2. Symbols are lowercase-hex byte pairs ("74", "68", merged →
+  // "7468"), which is also how the DuckDB oracle represents them:
+  // `lower(hex(encode(w)))` split into pairs replays the identical
+  // initial symbol string, and the same recursive merge CTE runs over
+  // it unchanged.
+
+  /** Lowercase-hex UTF-8 coding of a string — the byte-mode symbol
+    * alphabet (shared with the oracle's `lower(hex(encode(…)))`).
+    */
+  private[graft] def hexOf(s: String): String = {
+    val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bs.length * 2)
+    bs.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** Byte-level merge table: the SAME fixture merges re-coded over hex
+    * byte symbols (every fixture merge is ASCII, so the re-coding is
+    * 1:1 — "t"+"h" becomes "74"+"68"). A learned byte-level table drops
+    * in the same way; the loop is table-agnostic.
+    */
+  val bytesMerges: Vector[(String, String)] =
+    merges.map { case (a, b) => (hexOf(a), hexOf(b)) }
+
+  private val bytesRank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    bytesMerges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.put(a + " " + b, i)
+    }
+    m
+  }
+
+  /** Byte-level BPE-encode one lowercase word: initial symbols are the
+    * hex-coded UTF-8 bytes, then the identical lowest-rank-first
+    * one-merge-per-step loop as [[encode]]. Total coverage: any word
+    * encodes (worst case = its byte count), never an OOV.
+    */
+  def encodeBytes(word: String): Vector[String] = {
+    val bs = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val syms = new scala.collection.mutable.ArrayBuffer[String](bs.length)
+    bs.foreach(b => syms += f"${b & 0xff}%02x")
+    runMerges(syms, bytesRank)
+  }
+
+  private val byteLenMemo: ThreadLocal[java.util.HashMap[String, Integer]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, Integer]())
+  def encodeBytesLen(word: String): Int = {
+    val m = byteLenMemo.get()
+    val cached = m.get(word)
+    if (cached != null) cached.intValue()
+    else {
+      val n = encodeBytes(word).length
+      if (m.size() >= memoCap) m.clear()
+      m.put(word, n)
+      n
+    }
+  }
+
+  /** UTF-8 byte length of one code point — the byte-mode price of a
+    * residual (non-letter, non-whitespace) code point: residuals are
+    * their raw bytes, one token per byte (no merges — the residual
+    * class is punctuation/digit singletons where merges don't pay),
+    * ≡ the oracle's `octet_length(encode(residual_text))`.
+    */
+  private def utf8Len(cp: Int): Int =
+    if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
+
+  /** Full-document BYTE-LEVEL token count over RAW text:
+    * Σ encodeBytesLen(lowercased letter runs) + one token per UTF-8
+    * byte of every other non-whitespace code point. Same fold, same
+    * word/residual split as [[tokenCount]] — only the pricing of each
+    * unit changes, so the two counts are directly comparable per doc.
+    */
+  def tokenCountBytes(text: String): Long = {
+    var total = 0L
+    foldText(text, w => total += encodeBytesLen(w),
+      lc => total += utf8Len(lc))
+    total
   }
 
   /** Whitespace for tokenization purposes — EXACTLY the `[\p{L} \t\n\r]`
@@ -224,6 +320,15 @@ object Bpe {
   def residualCount(text: String): Long = {
     var n = 0L
     foldText(text, _ => (), _ => n += 1)
+    n
+  }
+
+  /** Residual UTF-8 BYTE count of RAW text — the byte-mode residual
+    * price, ≡ [[sqlOtherCountBytes]].
+    */
+  def residualCountBytes(text: String): Long = {
+    var n = 0L
+    foldText(text, _ => (), lc => n += utf8Len(lc))
     n
   }
 
@@ -326,6 +431,19 @@ object Bpe {
       copy(first = newFirst, second = newSecond, third = newThird)
   }
 
+  /** `bpe_count_bytes(text): long` over RAW text — the byte-level
+    * (no-OOV) twin of `bpe_count`.
+    */
+  case class BpeCountBytesExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "bpe_count_bytes"
+    override def nullSafeEval(input: Any): Any =
+      tokenCountBytes(input.toString)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `bpe_residual(text): long` — residual code-point token count. */
   case class BpeResidualExpr(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -333,6 +451,17 @@ object Bpe {
     override def prettyName: String = "bpe_residual"
     override def nullSafeEval(input: Any): Any =
       residualCount(input.toString)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `bpe_residual_bytes(text): long` — residual UTF-8 byte count. */
+  case class BpeResidualBytesExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "bpe_residual_bytes"
+    override def nullSafeEval(input: Any): Any =
+      residualCountBytes(input.toString)
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
@@ -354,6 +483,15 @@ object Bpe {
       new FunctionIdentifier("bpe_residual"),
       new ExpressionInfo(classOf[BpeResidualExpr].getName, "bpe_residual"),
       (args: Seq[Expression]) => BpeResidualExpr(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_residual_bytes"),
+      new ExpressionInfo(
+        classOf[BpeResidualBytesExpr].getName, "bpe_residual_bytes"),
+      (args: Seq[Expression]) => BpeResidualBytesExpr(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_count_bytes"),
+      new ExpressionInfo(classOf[BpeCountBytesExpr].getName, "bpe_count_bytes"),
+      (args: Seq[Expression]) => BpeCountBytesExpr(args(0))))
     ext.injectFunction((
       new FunctionIdentifier("bpe_merge_step"),
       new ExpressionInfo(classOf[BpeMergeStepExpr].getName, "bpe_merge_step"),
@@ -420,6 +558,69 @@ object Bpe {
                CAST(coalesce(w.n_word, 0) +
                  ${sqlOtherCount(textCol)} AS BIGINT) AS n_bpe
         FROM $docsRel d LEFT JOIN bpe_word_tot w ON d.doc_id = w.doc_id)"""
+
+  // ---- byte-level oracle twins (generated from bytesMerges) ----
+
+  private def bytesMergesValues: String = bytesMerges.zipWithIndex
+    .map { case ((a, b), i) => s"($i,'$a','$b')" }.mkString(",")
+
+  /** Byte-level twin of [[sqlWordLenCte]]: `bpeb_wlen(w, n)` — the only
+    * changes are the merge VALUES (hex-coded) and the initial symbol
+    * string (`lower(hex(encode(w)))` split into byte pairs instead of
+    * `(.)` code points); the recursive merge replay is identical.
+    */
+  def sqlWordLenCteBytes(docsRel: String, textCol: String): String = s"""
+      bpeb_merges(mrank, a, b) AS (VALUES $bytesMergesValues),
+      bpeb_w0(w) AS (
+        SELECT DISTINCT unnest(regexp_extract_all($textCol, '\\p{L}+'))
+        FROM $docsRel),
+      bpeb_enc(w, s) AS (
+        SELECT w, trim(regexp_replace(lower(hex(encode(w))), '(..)',
+          '\\1 ', 'g'))
+        FROM bpeb_w0
+        UNION ALL
+        SELECT t.w,
+          trim(substr(' '||t.s||' ', 1,
+                 strpos(' '||t.s||' ', ' '||m.a||' '||m.b||' ') - 1)
+            || ' ' || m.a || m.b || ' ' ||
+            substr(' '||t.s||' ',
+              strpos(' '||t.s||' ', ' '||m.a||' '||m.b||' ')
+                + length(' '||m.a||' '||m.b||' ')))
+        FROM (
+          SELECT w, s,
+            (SELECT min(m2.mrank) FROM bpeb_merges m2
+              WHERE strpos(' '||s||' ', ' '||m2.a||' '||m2.b||' ') > 0) AS r
+          FROM bpeb_enc) t
+        JOIN bpeb_merges m ON m.mrank = t.r),
+      bpeb_wlen AS (
+        SELECT w, CAST(min(len(string_split(s, ' '))) AS BIGINT) AS n
+        FROM bpeb_enc GROUP BY w)"""
+
+  /** Residual UTF-8 BYTE count of lowercased text — the byte-mode price
+    * of the single-token fallback class (same residual set as
+    * [[sqlOtherCount]], priced per byte instead of per code point).
+    */
+  def sqlOtherCountBytes(textCol: String): String =
+    s"octet_length(encode(regexp_replace($textCol, " +
+      s"'[\\p{L} \\t\\n\\r]', '', 'g')))"
+
+  /** Per-doc byte-level BPE token count as a CTE chain ending in
+    * `bpeb_doc(doc_id, n_bpe_bytes)`; append after
+    * [[sqlWordLenCteBytes]].
+    */
+  def sqlDocCountCtesBytes(docsRel: String, textCol: String): String = s"""
+      bpeb_wc AS (
+        SELECT doc_id, w, count(*) AS c FROM (
+          SELECT doc_id, unnest(regexp_extract_all($textCol, '\\p{L}+')) AS w
+          FROM $docsRel) GROUP BY doc_id, w),
+      bpeb_word_tot AS (
+        SELECT doc_id, sum(c * n) AS n_word
+        FROM bpeb_wc JOIN bpeb_wlen USING (w) GROUP BY doc_id),
+      bpeb_doc AS (
+        SELECT d.doc_id,
+               CAST(coalesce(w.n_word, 0) +
+                 ${sqlOtherCountBytes(textCol)} AS BIGINT) AS n_bpe_bytes
+        FROM $docsRel d LEFT JOIN bpeb_word_tot w ON d.doc_id = w.doc_id)"""
 
   // ---- BPE TRAINING oracle (C14): k unrolled greedy merge rounds ----
 

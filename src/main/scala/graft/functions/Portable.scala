@@ -175,6 +175,14 @@ object Portable {
   def bpeCount(text: Column): Column =
     call_function("bpe_count", text)
 
+  /** Byte-level (no-OOV) BPE token count of a RAW text column — the
+    * GPT-2-family pricing: word symbols are UTF-8 bytes, residual code
+    * points price per byte. DuckDB twin: [[Bpe.sqlWordLenCteBytes]] /
+    * [[Bpe.sqlDocCountCtesBytes]].
+    */
+  def bpeCountBytes(text: Column): Column =
+    call_function("bpe_count_bytes", text)
+
   /** Cosine similarity from exact micro dot products: one double division
     * over identical integers → identical doubles everywhere. `na`/`nb` are
     * the precomputed self-dots (dotMicros(v, v)).

@@ -728,6 +728,50 @@ object TextOps {
       FROM documents d JOIN bpe_doc b ON d.doc_id = b.doc_id
       ORDER BY d.doc_id"""))
 
+  /** C12b — BYTE-LEVEL BPE token counting (r15): the GPT-2-family
+    * pricing where a word's base symbols are its UTF-8 BYTES (256 base
+    * symbols, merges over hex-coded byte pairs), so every string
+    * tokenizes by construction — NO out-of-vocabulary fallback, which
+    * removes the code-point OOV pricing bias the code-point counter
+    * (C12) carries on vocab-miss-heavy corpora: a never-seen CJK word
+    * prices as its 3 bytes/char there-compressible budget, not a flat
+    * one-token-per-code-point guess. Reported next to the code-point
+    * count per doc, so the per-corpus bias is directly measurable
+    * (bytes_per_cp = n_bpe_bytes / n_bpe — ≈1 on merge-covered ASCII,
+    * ≫1 where code-point pricing was underestimating). Same scan-speed
+    * narrow projection as C12; the oracle replays the identical merge
+    * loop over `lower(hex(encode(w)))` byte-pair symbol strings.
+    */
+  val textBpeCountBytes: Op = Op(
+    "text_bpe_count_bytes",
+    (s, d) => {
+      val nB = bpeCountBytes(col("text"))
+      val nCp = bpeCount(col("text"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          nB.as("n_bpe_bytes"),
+          nCp.as("n_bpe_cp"),
+          octet_length(col("text")).cast(LongType).as("n_utf8_bytes"),
+          (nB.cast("double") / greatest(nCp, lit(1L)).cast("double"))
+            .as("bytes_per_cp"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      ${graft.functions.Bpe.sqlWordLenCteBytes("documents", "lower(text)")},
+      ${graft.functions.Bpe.sqlDocCountCtesBytes("documents", "lower(text)")},
+      ${graft.functions.Bpe.sqlWordLenCte("documents", "lower(text)")},
+      ${graft.functions.Bpe.sqlDocCountCtes("documents", "lower(text)")}
+      SELECT d.doc_id, bb.n_bpe_bytes, b.n_bpe AS n_bpe_cp,
+             CAST(octet_length(encode(d.text)) AS BIGINT) AS n_utf8_bytes,
+             CAST(bb.n_bpe_bytes AS DOUBLE) /
+               CAST(greatest(b.n_bpe, 1) AS DOUBLE) AS bytes_per_cp
+      FROM documents d
+      JOIN bpeb_doc bb ON d.doc_id = bb.doc_id
+      JOIN bpe_doc b ON d.doc_id = b.doc_id
+      ORDER BY d.doc_id"""))
+
   /** C13 — BPE vocabulary utilization: how often each merge-table piece
     * (and each residual single-char token) is actually used across the
     * corpus — the audit that tells a tokenizer owner which merges earn
@@ -1485,7 +1529,8 @@ object TextOps {
   val all: Seq[Op] = Seq(
     textTokenCount, textQuality, textLangid, textFingerprint, textNgramFreq,
     textDocFreq, textCharNgrams, textRepetition, textBm25, textVocabCoverage,
-    textRarity, textBpeCount, textBpeVocab, textBpeTrain, textBpeCountLearned,
+    textRarity, textBpeCount, textBpeCountBytes, textBpeVocab, textBpeTrain,
+    textBpeCountLearned,
     textExtract, textPiiRedact, qualityClassifier, lmBigram, lmBigramRef,
     qualityPplBuckets, textEntropy, textLangidLearned)
 }

@@ -67,12 +67,23 @@ object TokenizerIndex {
     */
   final case class Learned(
       merges: Vector[(Long, String, String, Long)],
-      vocab: DataFrame) {
+      vocab: DataFrame,
+      base: String = BaseCodePoints) {
     def mergesDf(spark: SparkSession): DataFrame = {
       import spark.implicits._
       merges.toDF("rank", "a", "b", "cnt")
     }
   }
+
+  /** Base alphabets. Code points (the r11 contract: OOV words price
+    * per code point) or UTF-8 BYTES as lowercase-hex pairs (r15, the
+    * GPT-2-family alphabet: 256 base symbols, NO OOV — any word prices
+    * by construction). Both bases run the identical trainers, merge
+    * contract, and oracle replay; only the initial symbolization and
+    * the fallback/residual pricing differ.
+    */
+  val BaseCodePoints = "cp"
+  val BaseBytes = "bytes"
 
   /** The corpus' (w, c) distinct-word counts — the ONE corpus touch
     * both training engines start from (`bpe_words` ≡ the oracle's
@@ -99,13 +110,14 @@ object TokenizerIndex {
       s: SparkSession,
       d: String,
       k: Int,
-      maxDriverWords: Long = MaxDriverWords): Learned = {
+      maxDriverWords: Long = MaxDriverWords,
+      base: String = BaseCodePoints): Learned = {
     val wc = Caches.persist(wordCounts(s, d))
     if (wc.count() <= maxDriverWords)
       trainLocal(s,
         wc.collect().toIndexedSeq
-          .map(r => r.getAs[String]("w") -> r.getAs[Long]("c")), k)
-    else trainDistributed(s, wc, k)
+          .map(r => r.getAs[String]("w") -> r.getAs[Long]("c")), k, base)
+    else trainDistributed(s, wc, k, base)
   }
 
   // ---- driver-local engine ----
@@ -204,7 +216,8 @@ object TokenizerIndex {
   def trainLocal(
       spark: SparkSession,
       wordCounts: Seq[(String, Long)],
-      k: Int): Learned = {
+      k: Int,
+      base: String = BaseCodePoints): Learned = {
     val words = wordCounts.map(_._1).toArray
     val counts = wordCounts.map(_._2).toArray
     // symbol intern table: pairs travel as packed long keys, words as
@@ -218,11 +231,18 @@ object TokenizerIndex {
     }
     val seqs: Array[Array[Int]] = words.map { w =>
       val b = scala.collection.mutable.ArrayBuffer[Int]()
-      var i = 0
-      while (i < w.length) {
-        val cp = w.codePointAt(i)
-        b += intern(new String(Character.toChars(cp)))
-        i += Character.charCount(cp)
+      if (base == BaseBytes) {
+        // hex byte-pair alphabet, ≡ the distributed loop's
+        // lower(hex(w)) pair split and the oracle's lower(hex(encode(w)))
+        val bs = w.getBytes(StandardCharsets.UTF_8)
+        bs.foreach(byte => b += intern(f"${byte & 0xff}%02x"))
+      } else {
+        var i = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          b += intern(new String(Character.toChars(cp)))
+          i += Character.charCount(cp)
+        }
       }
       b.toArray
     }
@@ -355,7 +375,7 @@ object TokenizerIndex {
     val vocab = words.indices
       .map(i => (words(i), seqs(i).map(symStr).mkString(" "), counts(i)))
       .toDF("w", "s", "c")
-    Learned(merges.result(), vocab)
+    Learned(merges.result(), vocab, base)
   }
 
   /** Comparing pair keys "$a $b" bytewise ≡ comparing (a, b) bytewise:
@@ -381,7 +401,9 @@ object TokenizerIndex {
     */
   private val WordsPerTask: Long = 1L << 19
 
-  def trainDistributed(s: SparkSession, words: DataFrame, k: Int): Learned = {
+  def trainDistributed(
+      s: SparkSession, words: DataFrame, k: Int,
+      base: String = BaseCodePoints): Learned = {
     // size the loop's parallelism to the VOCABULARY, not the session
     // (r12, closing the r11 watch advisory): the k rounds run over the
     // Zipf-small (w, c) frame, and their cost is round latency — task
@@ -394,7 +416,11 @@ object TokenizerIndex {
       s.sparkContext.defaultParallelism.toLong,
       words.count() / WordsPerTask + 1L)).toInt
     var vocab = words.repartition(parts).withColumn("s",
-      trim(regexp_replace(col("w"), "(.)", "$1 ")))
+      if (base == BaseBytes)
+        // Spark hex(str) is the UTF-8 byte coding, uppercased — lower()
+        // + pair split gives exactly trainLocal's hex alphabet
+        trim(regexp_replace(lower(hex(col("w"))), "(..)", "$1 "))
+      else trim(regexp_replace(col("w"), "(.)", "$1 ")))
     val merges = Vector.newBuilder[(Long, String, String, Long)]
     var r = 0
     var done = false
@@ -415,6 +441,8 @@ object TokenizerIndex {
         val pa = best(0).getAs[String]("pa")
         val pb = best(0).getAs[String]("pb")
         merges += ((r.toLong, pa, pb, best(0).getAs[Long]("cnt")))
+        // (merge application below is symbol-string-agnostic, so both
+        // bases share it verbatim)
         // greedy-scan semantics in ONE pass (r12, closing the r11 watch
         // advisory): bpe_merge_step is a native token scan — every
         // left-to-right non-overlapping (pa, pb) adjacency merges, the
@@ -431,7 +459,7 @@ object TokenizerIndex {
         r += 1
       }
     }
-    Learned(merges.result(), vocab)
+    Learned(merges.result(), vocab, base)
   }
 
   // ---- persistence (the artifact contract) ----
@@ -446,6 +474,8 @@ object TokenizerIndex {
     writeMarker(spark, path, complete = false)
     learned.mergesDf(spark).write.mode("overwrite").parquet(s"$path/merges")
     learned.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+    spark.range(1).select(lit(learned.base).as("base"))
+      .write.mode("overwrite").parquet(s"$path/config")
     writeMarker(spark, path, complete = true)
   }
 
@@ -472,7 +502,14 @@ object TokenizerIndex {
       .map(r => (r.getAs[Long]("rank"), r.getAs[String]("a"),
         r.getAs[String]("b"), r.getAs[Long]("cnt")))
       .toVector
-    Learned(merges, spark.read.parquet(s"$path/vocab"))
+    // pre-r15 artifacts carry no config — they are code-point-base by
+    // construction
+    val base =
+      try spark.read.parquet(s"$path/config").head().getAs[String]("base")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => BaseCodePoints
+      }
+    Learned(merges, spark.read.parquet(s"$path/vocab"), base)
   }
 
   // ---- consumers ----
@@ -493,20 +530,28 @@ object TokenizerIndex {
     * artifact.
     *
     * Out-of-vocabulary words (a corpus other than the training one)
-    * price as their CODE-POINT count — the exact token length standard
-    * BPE assigns a word none of the learned merges touch, and an upper
-    * bound otherwise. Without the fallback an unseen word would join to
-    * null and silently price as 0, violating the train-once/price-
-    * anywhere contract.
+    * price as their BASE-symbol count — code points under
+    * [[BaseCodePoints]] (the r11 contract), UTF-8 BYTES under
+    * [[BaseBytes]] (where it is not even a fallback: a byte-base word
+    * with no merges IS its bytes, so the no-OOV closure holds exactly).
+    * Residuals price in the same base. Without the fallback an unseen
+    * word would join to null and silently price as 0, violating the
+    * train-once/price-anywhere contract.
     */
-  def priceDocuments(docs: DataFrame, learned: Learned): DataFrame =
+  def priceDocuments(docs: DataFrame, learned: Learned): DataFrame = {
+    val bytes = learned.base == BaseBytes
+    val residFn = if (bytes) "bpe_residual_bytes" else "bpe_residual"
+    val oovLen =
+      if (bytes) octet_length(col("w")).cast(LongType)
+      else length(col("w")).cast(LongType)
     docs
       .select(col("doc_id"),
-        call_function("bpe_residual", col("text")).as("resid"),
+        call_function(residFn, col("text")).as("resid"),
         explode_outer(call_function("bpe_words", col("text"))).as("w"))
       .join(broadcast(vocabLengths(learned)), Seq("w"), "left")
       .groupBy(col("doc_id"))
-      .agg((coalesce(sum(coalesce(col("n"), length(col("w")))), lit(0L))
+      .agg((coalesce(sum(coalesce(col("n"), oovLen)), lit(0L))
         + max(col("resid"))).as("n_bpe_learned"))
       .orderBy(col("doc_id"))
+  }
 }

@@ -284,4 +284,76 @@ class TokenizerIndexSpec extends SparkSpec {
     assert(mix.collect().nonEmpty && mix.columns.contains("epochs_milli"))
     Caches.releaseScope()
   }
+
+  // ---- byte-level base (r15): 256 base symbols, no OOV ----
+
+  test("byte base: local and distributed training are byte-identical " +
+      "and every symbol is lowercase hex reconstructing the word") {
+    import spark.implicits._
+    val wc = Seq("the" -> 5L, "thethe" -> 2L, "中文" -> 3L, "banana" -> 4L)
+    val local = TokenizerIndex.trainLocal(spark, wc, 8,
+      TokenizerIndex.BaseBytes)
+    val dist = TokenizerIndex.trainDistributed(spark, wc.toDF("w", "c"), 8,
+      TokenizerIndex.BaseBytes)
+    assert(local.merges == dist.merges,
+      "the two engines must learn the same byte merge table")
+    assert(vocabOf(local) == vocabOf(dist))
+    assert(local.base == TokenizerIndex.BaseBytes &&
+      dist.base == TokenizerIndex.BaseBytes)
+    local.vocab.collect().foreach { r =>
+      val w = r.getAs[String]("w")
+      val syms = r.getAs[String]("s").split(' ')
+      assert(syms.forall(s => s.matches("[0-9a-f]+") && s.length % 2 == 0),
+        s"'$w': symbols must be even-length lowercase hex: ${syms.toSeq}")
+      val bytes = syms.flatMap(_.grouped(2))
+        .map(h => Integer.parseInt(h, 16).toByte)
+      assert(bytes.toSeq == w.getBytes("UTF-8").toSeq,
+        s"'$w': symbol bytes must reconstruct the word (no-OOV closure)")
+    }
+    Caches.releaseScope()
+  }
+
+  test("byte base: never-seen words and scripts price by UTF-8 bytes — " +
+      "no OOV, never 0") {
+    import spark.implicits._
+    // one merge over an ASCII-only corpus: (61,62) -> 6162
+    val learned = TokenizerIndex.trainLocal(spark,
+      Seq("ab" -> 2L, "abab" -> 1L), 1, TokenizerIndex.BaseBytes)
+    assert(learned.merges.map(m => (m._2, m._3)) == Vector(("61", "62")))
+    val docs = Seq(
+      (0L, "中文"),     // never-seen CJK: 2 letters × 3 bytes
+      (1L, "ab"),       // in-vocab, merged to 1 token
+      (2L, "δδδ"),      // never-seen Greek: 3 letters × 2 bytes
+      (3L, "ab, 中!")   // mixed: 1 + residual(',')1 + 3 + residual('!')1
+    ).toDF("doc_id", "text")
+    val got = TokenizerIndex.priceDocuments(docs, learned).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 6L, 1L -> 1L, 2L -> 6L, 3L -> 6L),
+      s"byte-base pricing must be exact byte counts for unseen words: $got")
+  }
+
+  test("byte base: save/load preserves the base and prices identically; " +
+      "a pre-r15 artifact (no config) loads as code-point base") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tok_b").toString + "/tok"
+    val learned = TokenizerIndex.trainLocal(spark,
+      Seq("the" -> 5L, "banana" -> 2L), 4, TokenizerIndex.BaseBytes)
+    TokenizerIndex.save(learned, dir)
+    val loaded = TokenizerIndex.load(spark, dir)
+    assert(loaded.base == TokenizerIndex.BaseBytes)
+    val docs = Seq((0L, "the banana 中文")).toDF("doc_id", "text")
+    val a = TokenizerIndex.priceDocuments(docs, learned).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = TokenizerIndex.priceDocuments(docs, loaded).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b, "loaded byte-base artifact must price identically")
+    // legacy artifact shape: remove the config dir → code-point base
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$dir/config"))
+    assert(TokenizerIndex.load(spark, dir).base ==
+      TokenizerIndex.BaseCodePoints)
+    Caches.releaseScope()
+  }
 }
