@@ -44,7 +44,8 @@ object Bench {
     "q27_time_range_agg", "q18_running_sum", "q23_moving_avg",
     "sink_pseudonymize", "sink_csv_format", "sink_serialize_overview",
     "sink_serialize_profile", "mm_binary_meta", "mm_chunk",
-    "mm_frame_sample", "dedup_substr_rewrite", "events_heavy_hitters")
+    "mm_frame_sample", "dedup_substr_rewrite", "dedup_lines",
+    "events_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1045,31 +1045,79 @@ object VectorExpressions {
                 s"got (${l.catalogString}, ${r.catalogString})")
       }
 
-    override def nullSafeEval(tokAny: Any, remAny: Any): Any = {
-      val tok = tokAny.asInstanceOf[ArrayData]
-      val rem = remAny.asInstanceOf[ArrayData]
-      val len = tok.numElements()
-      val nRem = rem.numElements()
-      val parts =
-        new Array[org.apache.spark.unsafe.types.UTF8String](len)
-      var i = 0
-      var r = 0
-      var o = 0
-      while (i < len) {
-        // advance past any (contract-violating) stale/duplicate entries
-        while (r < nRem && rem.getInt(r) < i + 1) r += 1
-        if (r < nRem && rem.getInt(r) == i + 1) r += 1
-        else { parts(o) = tok.getUTF8String(i); o += 1 }
-        i += 1
-      }
-      org.apache.spark.unsafe.types.UTF8String.concatWs(
-        org.apache.spark.unsafe.types.UTF8String.fromString(" "),
-        java.util.Arrays.copyOf(parts, o): _*)
-    }
+    override def nullSafeEval(tokAny: Any, remAny: Any): Any =
+      dropPositionsEval(tokAny.asInstanceOf[ArrayData],
+        remAny.asInstanceOf[ArrayData],
+        org.apache.spark.unsafe.types.UTF8String.fromString(" "))
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
+  }
+
+  /** The shared two-pointer merge pass behind `drop_positions` and
+    * `drop_positions_sep`: keep the tokens whose 1-based position is
+    * not in the sorted-distinct `rem`, joined with `sep` —
+    * O(tokens + removals), no per-token membership scan.
+    */
+  private def dropPositionsEval(
+      tok: ArrayData, rem: ArrayData,
+      sep: org.apache.spark.unsafe.types.UTF8String): Any = {
+    val len = tok.numElements()
+    val nRem = rem.numElements()
+    val parts =
+      new Array[org.apache.spark.unsafe.types.UTF8String](len)
+    var i = 0
+    var r = 0
+    var o = 0
+    while (i < len) {
+      // advance past any (contract-violating) stale/duplicate entries
+      while (r < nRem && rem.getInt(r) < i + 1) r += 1
+      if (r < nRem && rem.getInt(r) == i + 1) r += 1
+      else { parts(o) = tok.getUTF8String(i); o += 1 }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.concatWs(
+      sep, java.util.Arrays.copyOf(parts, o): _*)
+  }
+
+  /** `drop_positions_sep(tok: array<string>, rem: array<int>,
+    * sep: string): string` — [[DropPositionsExpr]] with an explicit
+    * join separator: the D17 line-rewrite kernel (lines re-join with
+    * '\n' where D15's tokens re-join with ' '). Same sorted-distinct
+    * `rem` contract, same one-pass merge.
+    */
+  case class DropPositionsSepExpr(
+      first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def prettyName: String = "drop_positions_sep"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (ArrayType(org.apache.spark.sql.types.StringType, _),
+              ArrayType(IntegerType, _),
+              org.apache.spark.sql.types.StringType) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+            .TypeCheckSuccess
+        case (a, b, c) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+            .TypeCheckFailure(
+              s"drop_positions_sep requires (array<string>, array<int>, " +
+                s"string), got (${a.catalogString}, ${b.catalogString}, " +
+                s"${c.catalogString})")
+      }
+
+    override def nullSafeEval(tokAny: Any, remAny: Any, sepAny: Any): Any =
+      dropPositionsEval(tokAny.asInstanceOf[ArrayData],
+        remAny.asInstanceOf[ArrayData],
+        sepAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression,
+        newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
   }
 
   /** `log2_q16(num: long, den: long): long` — fixed-point log2(num/den)
@@ -1219,5 +1267,11 @@ object VectorExpressions {
       new FunctionIdentifier("drop_positions"),
       new ExpressionInfo(classOf[DropPositionsExpr].getName, "drop_positions"),
       (args: Seq[Expression]) => DropPositionsExpr(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("drop_positions_sep"),
+      new ExpressionInfo(
+        classOf[DropPositionsSepExpr].getName, "drop_positions_sep"),
+      (args: Seq[Expression]) =>
+        DropPositionsSepExpr(args(0), args(1), args(2))))
   }
 }

@@ -954,6 +954,136 @@ object DedupOps {
       ORDER BY doc_id"""
     })
 
+  /** D17's dials. LINE_DF: the public C4/CCNet line-dedup recipe —
+    * a line occurring ≥ 3 times corpus-wide is boilerplate; every
+    * occurrence but the corpus-first is dropped. LINE_TOKENS: the gate
+    * corpus has no newlines, so the BOARD query derives a
+    * line-structured corpus by inserting a newline every LINE_TOKENS
+    * tokens (deterministic, replayed verbatim in the oracle — the
+    * operator itself consumes real newline-delimited text).
+    * LINE_POS_W packs (doc_id, line_idx) into one orderable key for
+    * the first-occurrence argmin; documents are bounded at 2^20 lines
+    * (a 100 TB corpus shard with longer docs raises the width — it is
+    * a dial, not a structural limit).
+    */
+  private val LINE_TOKENS = 8
+  private val LINE_DF = 3
+  private val LINE_POS_W = 1L << 20
+
+  /** D17's body over any (doc_id, text) frame with newline-delimited
+    * lines — the seam the planted-boilerplate spec drives directly.
+    *
+    * The D15 plan shape at line granularity: the positioned line
+    * stream (doc_id, li, line-hash) is id-width rows, shuffled twice —
+    * once to the per-hash (df, first-occurrence) aggregate (map-side
+    * combined), once back to the doc as removal positions; the corpus
+    * TEXT never shuffles (the rewrite is one projection over the
+    * doc-partitioned persisted line-array frame, rejoining kept lines
+    * with the one-pass drop_positions_sep kernel). Blank lines are
+    * structure, not boilerplate: they are exempt from counting and
+    * removal on both sides.
+    */
+  private[graft] def dedupLinesFor(docs: DataFrame): DataFrame = {
+    val lns = Caches.persist(docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), "\n").as("lines")))
+    val pos = Caches.persist(lns
+      .select(col("doc_id"), posexplode(col("lines")))
+      .filter(trim(col("col")) =!= "")
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("li"),
+        hash60(col("col")).as("lh")))
+    val pk = col("doc_id") * lit(LINE_POS_W) + col("li")
+    val st = pos.groupBy(col("lh"))
+      .agg(count(lit(1)).as("df"), min(pk).as("keeper"))
+    val remPos = pos.join(st, "lh")
+      .filter(col("df") >= LINE_DF && pk =!= col("keeper"))
+      .select(col("doc_id"), col("li").cast("int").as("t"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("t"))).as("rem"))
+    lns.join(remPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("lines")).cast(LongType).as("n_lines"),
+        coalesce(size(col("rem")), lit(0)).cast(LongType)
+          .as("n_removed_lines"),
+        call_function("drop_positions_sep", col("lines"),
+          coalesce(col("rem"), expr("CAST(array() AS ARRAY<INT>)")),
+          lit("\n")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** D17 — LINE-level exact dedup as a REWRITE: the cheapest and most
+    * common public dedup stage (the C4 recipe's boilerplate pass —
+    * drop any line occurring ≥ [[LINE_DF]] times in the corpus, except
+    * its corpus-first occurrence), sitting between D1's whole-document
+    * granularity and D15's overlapping 8-token spans: lines are
+    * NON-overlapping, newline-delimited units, so the removal stream
+    * is at most one entry per line (vs per token), and navigation
+    * boilerplate/cookie banners — which D15 only trims down to span
+    * fragments — disappear wholly.
+    *
+    * Output per doc: n_lines, n_removed_lines, clean_text (kept lines
+    * re-joined with newlines). The keeper (corpus-first occurrence by
+    * (doc_id, line-position)) keeps its copy, so no line's content
+    * ever vanishes from the corpus entirely — the same keep-one
+    * discipline as D1/D15.
+    */
+  val dedupLines: Op = Op(
+    "dedup_lines",
+    (s, d) => {
+      // derive the line-structured corpus: a newline every LINE_TOKENS
+      // tokens (see the dials doc) — the oracle replays this exactly
+      val tok = split(trim(lower(col("text"))), "\\s+")
+      val seg = transform(
+        sequence(lit(0),
+          ((size(tok) - 1) / lit(LINE_TOKENS)).cast("int")),
+        s0 => concat_ws(" ",
+          slice(tok, s0 * lit(LINE_TOKENS) + 1, lit(LINE_TOKENS))))
+      dedupLinesFor(Tables.documents(s, d)
+        .select(col("doc_id"), array_join(seg, "\n").as("text")))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS tok
+        FROM documents),
+      seg AS (
+        SELECT doc_id, unnest(generate_series(0, (len(tok) - 1) // $LINE_TOKENS))
+                 AS s, tok
+        FROM tok),
+      ln AS (
+        SELECT doc_id, CAST(s + 1 AS BIGINT) AS li,
+               array_to_string(tok[s*$LINE_TOKENS+1 : s*$LINE_TOKENS+$LINE_TOKENS],
+                 ' ') AS line
+        FROM seg),
+      lp AS (SELECT doc_id, li, ${xhash60("line")} AS lh
+             FROM ln WHERE trim(line, ' ') <> ''),
+      st AS (SELECT lh, count(*) AS df,
+                    min(doc_id * $LINE_POS_W + li) AS keeper
+             FROM lp GROUP BY lh),
+      rem AS (SELECT l.doc_id, l.li
+              FROM lp l JOIN st USING (lh)
+              WHERE st.df >= $LINE_DF
+                AND l.doc_id * $LINE_POS_W + l.li <> st.keeper),
+      kept AS (SELECT n.doc_id, n.li, n.line
+               FROM ln n LEFT JOIN rem r
+                 ON r.doc_id = n.doc_id AND r.li = n.li
+               WHERE r.doc_id IS NULL),
+      agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY li)
+                       AS clean_text
+              FROM kept GROUP BY doc_id),
+      nl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+             FROM ln GROUP BY doc_id),
+      nr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nrem
+             FROM rem GROUP BY doc_id)
+      SELECT d.doc_id, nl.n_lines,
+             coalesce(nr.nrem, 0) AS n_removed_lines,
+             coalesce(a.clean_text, '') AS clean_text
+      FROM documents d
+      JOIN nl USING (doc_id)
+      LEFT JOIN agg a ON a.doc_id = d.doc_id
+      LEFT JOIN nr ON nr.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
   /** D11's keep/drop threshold: in-cell pairs at or above this cosine
     * are semantic duplicates (the corpus plants its near-dup structure
     * around [0.3, 0.5) — 0.35 drops ~10% at the gate SFs, so the
@@ -1474,6 +1604,6 @@ object DedupOps {
   val all: Seq[Op] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbedding, dedupClusters, dedupReport, dedupDecontaminate,
-    dedupSubstr, dedupSubstrRewrite, dedupSemantic, dedupBloom, dedupUrl,
-    dedupContainment, dedupCanonicalQuality)
+    dedupSubstr, dedupSubstrRewrite, dedupLines, dedupSemantic, dedupBloom,
+    dedupUrl, dedupContainment, dedupCanonicalQuality)
 }

@@ -883,4 +883,58 @@ class TextDedupSpec extends SparkSpec {
     assert(!"HashAggregate".r.findFirstIn(p).isDefined,
       "entropy must not plan an aggregate")
   }
+
+  test("dedup_lines: planted boilerplate (df>=3) is dropped everywhere " +
+      "but its corpus-first occurrence; df=2 and blank lines survive") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val boiler = "subscribe to our newsletter"
+    val docs = Seq(
+      (0L, s"alpha beta\n$boiler\ngamma"),
+      (1L, s"$boiler\ndelta"),
+      (2L, s"epsilon\n$boiler"),
+      (3L, "twice line\nzeta"),   // df=2: below threshold, survives
+      (4L, "twice line\neta"),
+      (5L, ""),                   // empty doc: 1 blank line, untouched
+      (6L, "a\n\nb"),             // blank lines are exempt even at df>=3
+      (7L, "c\n\nd"),
+      (8L, "e\n\nf")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dedupLinesFor(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // boilerplate df=3: first occurrence is (doc 0, line 2) — kept
+    // there, removed from docs 1 and 2
+    assert(got(0L) == ((3L, 0L, s"alpha beta\n$boiler\ngamma")))
+    assert(got(1L) == ((2L, 1L, "delta")))
+    assert(got(2L) == ((2L, 1L, "epsilon")))
+    // mass reconciliation: removed occurrences = total (3) - 1 keeper
+    assert(got.values.map(_._2).sum == 2L)
+    // df=2 survives in both docs
+    assert(got(3L) == ((2L, 0L, "twice line\nzeta")))
+    assert(got(4L) == ((2L, 0L, "twice line\neta")))
+    // empty doc untouched
+    assert(got(5L) == ((1L, 0L, "")))
+    // blank lines occur 3 times corpus-wide but are structure, not
+    // boilerplate — exempt from counting and removal
+    assert(got(6L) == ((3L, 0L, "a\n\nb")))
+    assert(got(7L) == ((3L, 0L, "c\n\nd")))
+    assert(got(8L) == ((3L, 0L, "e\n\nf")))
+    Caches.releaseScope()
+  }
+
+  test("dedup_lines plan: corpus text never shuffles — no Exchange " +
+      "below the line-array persist's rewrite projection") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val docs = Seq((0L, "x\ny"), (1L, "x\nz"), (2L, "x\nw"))
+      .toDF("doc_id", "text")
+    val df = DedupOps.dedupLinesFor(docs)
+    df.count()
+    val p = plan(df)
+    // the rewrite kernel is present and the removal side joins by id
+    assert(p.contains("drop_positions_sep"), s"kernel missing:\n$p")
+    assert(!p.toLowerCase.contains("cartesian"), s"cartesian in plan:\n$p")
+    Caches.releaseScope()
+  }
 }
