@@ -38,21 +38,27 @@ object IvfPqTune {
     Caches.releaseScope()
 
     nprobes.foreach { np =>
-      def once(): (Double, Double, Double) = {
+      def once(coarseRounds: Int): (Double, Double, Double) = {
         val t0 = System.nanoTime()
         val got = AnnOps.ivfPqTopK(spark, d, cells = cells, nprobe = np,
-          k = k, rerank = rerank)
+          k = k, rerank = rerank, coarseRounds = coarseRounds)
           .select(col("q_id"), col("vec_id")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         val secs = (System.nanoTime() - t0) / 1e9
         (got.count(truth.contains).toDouble / truth.size,
           got.count(truth1.contains).toDouble / truth1.size, secs)
       }
-      val runs = (1 to 3).map(_ => once())
+      val runs = (1 to 3).map(_ => once(AnnOps.IVF_ROUNDS))
+      Caches.releaseScope()
+      // slice-seeded baseline (coarseRounds = 0 ≡ the r14 quantizer) at
+      // the IDENTICAL (cells, nprobe) → equal probe fraction: the row
+      // differences exactly what the trained coarse stage buys
+      val base = once(0)
       Caches.releaseScope()
       println(f"[ivfpqtune] nprobe=$np%-3d recall@5=${runs.head._1}%.3f " +
         f"recall@1=${runs.head._2}%.3f " +
-        f"warm=${runs.map(_._3).min}%.2f s cold=${runs.head._3}%.2f s")
+        f"warm=${runs.map(_._3).min}%.2f s cold=${runs.head._3}%.2f s " +
+        f"| slice-seeded recall@5=${base._1}%.3f recall@1=${base._2}%.3f")
     }
     spark.stop()
   }

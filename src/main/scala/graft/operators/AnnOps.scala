@@ -52,7 +52,7 @@ object AnnOps {
     * the "(vec_id, nm) artifact persisted beside the embeddings" the
     * scale notes describe (Caches.artifactMode keeps it across queries).
     */
-  private[operators] def withNorm(s: SparkSession, d: String): DataFrame =
+  private[graft] def withNorm(s: SparkSession, d: String): DataFrame =
     Caches.persist(withNormDf(Tables.embeddings(s, d)))
 
   private[operators] val sqlNormCte = """
@@ -506,20 +506,133 @@ object AnnOps {
     math.max(CENTROIDS, math.min(65536,
       math.round(math.sqrt(math.max(n, 1).toDouble / 16.0)).toInt))
 
-  /** E3's body at an arbitrary geometry (cells from a deterministic
-    * corpus slice; a production pipeline would k-means them) — exposed
-    * so AnnSpec pins recall/candidate-fraction at a second cell count.
+  /** Coarse-quantizer Lloyd rounds (r15, the r14 verdict's ask #4):
+    * the slice seeds are ROUND 0 — so `rounds = 0` reproduces the r14
+    * slice-seeded quantizer exactly, and the oracle replays the rounds
+    * as unrolled CTEs (the E10 precedent).
+    */
+  private[graft] val IVF_ROUNDS = 2
+
+  /** The embedding dimensionality (= PQ_M · PQ_SUBDIM — a literal, not
+    * the product, because the PQ dials are declared further down and
+    * object vals initialize in declaration order; the consistency
+    * require below runs after all three are set).
+    */
+  private[operators] val FULL_DIM = 64
+
+  /** Raw quantized micros of the embedding — [[QnormMicrosExpr]] with
+    * nm = 1e12: √1e12 is EXACTLY 1e6 (a perfect square, IEEE sqrt is
+    * exact), so the kernel's normalize collapses to the identity on
+    * floor(v·1e6+0.5) and no separate raw-quantize kernel is needed.
+    */
+  private def qrawCol: Column =
+    call_function("qnorm_micros", col("embedding"), lit(1000000000000L))
+
+  /** Train the coarse centroid set over a (vec_id, embedding, nm)
+    * frame: seed from the deterministic corpus slice, then `rounds`
+    * distributed full-vector Lloyd rounds — assign every vector to its
+    * max-cosine centroid (exact micros; ties → lowest c_id, the E3
+    * argmax discipline), replace each centroid with the per-dimension
+    * truncating integer mean of its members' RAW quantized micros
+    * (empty cells keep their previous value). Returns cells × dim
+    * micro vectors — model-sized driver traffic, the C14/C18/pqTrain
+    * loop shape: each round is one corpus pass whose shuffle carries
+    * ≤ cells groups × dim partial sums.
+    */
+  private[operators] def ivfTrainMicros(
+      e: DataFrame, cells: Int, rounds: Int): Array[Array[Long]] = {
+    val seed = e
+      .filter(col("vec_id") >= QUERY_MAX && col("vec_id") < QUERY_MAX + cells)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(f => math.floor(f.toDouble * 1e6 + 0.5).toLong).toArray)
+      .toMap
+    var cent: Array[Array[Long]] =
+      Array.tabulate(cells)(c => seed(QUERY_MAX.toLong + c))
+    for (_ <- 1 to rounds) {
+      val centF = microCentroidFrame(e.sparkSession, cent)
+      // assignment scores ride the proj_micros kernel directly on the
+      // trained micro vectors — Σ q(v_i)·cm_i, the same integer dot the
+      // float consumer frame reproduces after the exact micros→float
+      // round-trip (see ivfTrainedCentroids)
+      val assign = e.crossJoin(broadcast(centF))
+        .select(col("vec_id"), col("c_id"),
+          (call_function("proj_micros", col("embedding"), col("cqr"))
+            .cast("double") /
+            (sqrt(col("nm").cast("double")) *
+              sqrt(col("c_nm").cast("double")))).as("ccos"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("c_id"),
+          struct(col("ccos"), (-col("c_id")).as("nc"))).as("cell"))
+      val parts = e.join(assign, "vec_id")
+        .select(col("cell"), qrawCol.as("qr"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          (1 to FULL_DIM).map(j =>
+            sum(element_at(col("qr"), j)).as(s"d$j")): _*)
+        .collect()
+      val next = cent.map(_.clone())
+      parts.foreach { r =>
+        val c = (r.getAs[Long]("cell") - QUERY_MAX).toInt
+        val n = r.getAs[Long]("n")
+        for (j <- 1 to FULL_DIM)
+          next(c)(j - 1) = r.getAs[Long](s"d$j") / n
+      }
+      cent = next
+    }
+    cent
+  }
+
+  /** (c_id, cqr: array<long>, c_nm) — the micro-domain centroid frame
+    * the training loop scores against. c_id keeps the slice ids
+    * (QUERY_MAX + c) so tie-breaks order identically to the r14 slice
+    * frame.
+    */
+  private def microCentroidFrame(
+      s: SparkSession, cent: Array[Array[Long]]): DataFrame = {
+    import s.implicits._
+    cent.zipWithIndex.map { case (v, c) =>
+      (QUERY_MAX.toLong + c, v.toSeq, v.map(m => m * m).sum)
+    }.toSeq.toDF("c_id", "cqr", "c_nm")
+  }
+
+  /** The TRAINED coarse-centroid frame in the consumer contract
+    * (c_id, c_emb: array<float>, c_nm) every downstream stage already
+    * speaks (assignment, probe, residuals, [[IvfPqIndex]] persistence).
+    * c_emb_j = cm_j / 1e6 as the nearest float: |cm| ≤ ~2e6 sits far
+    * under the 0.5-quantum float bound (relative error 2⁻²⁴ → absolute
+    * ≤ 0.13 ≪ 0.5), so `floor(c_emb_j·1e6 + 0.5)` — what dot_micros
+    * and qnorm_micros compute — recovers EXACTLY the trained micros,
+    * and c_nm ≡ dot_micros(c_emb, c_emb). The round-trip is pinned in
+    * AnnSpec.
+    */
+  private[graft] def ivfTrainedCentroids(
+      e: DataFrame, cells: Int, rounds: Int = IVF_ROUNDS): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    ivfTrainMicros(e, cells, rounds).zipWithIndex.map { case (v, c) =>
+      (QUERY_MAX.toLong + c, v.map(m => (m / 1e6).toFloat).toSeq,
+        v.map(m => m * m).sum)
+    }.toSeq.toDF("c_id", "c_emb", "c_nm")
+  }
+
+  /** E3's body at an arbitrary geometry — cells seeded from the
+    * deterministic corpus slice and REFINED by `coarseRounds` Lloyd
+    * rounds ([[ivfTrainMicros]]; 0 rounds ≡ the r14 slice-seeded
+    * quantizer) — exposed so AnnSpec pins recall/candidate-fraction at
+    * a second cell count and IvfPqTune can difference trained vs
+    * slice-seeded at equal probe fraction.
     */
   private[graft] def ivfTopK(
       s: SparkSession,
       d: String,
       cells: Int = CENTROIDS,
-      nprobe: Int = NPROBE): DataFrame = {
+      nprobe: Int = NPROBE,
+      coarseRounds: Int = IVF_ROUNDS): DataFrame = {
       val e = withNorm(s, d)
-      val cent = e.filter(col("vec_id") >= QUERY_MAX &&
-          col("vec_id") < QUERY_MAX + cells)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          col("nm").as("c_nm"))
+      val cent = ivfTrainedCentroids(e, cells, coarseRounds)
       def cellRank = row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("ccos").desc, col("c_id")))
@@ -595,15 +708,9 @@ object AnnOps {
     },
     Some(s"""
       WITH $sqlNormCte,
-      cent AS (SELECT vec_id AS c_id, embedding, nm FROM e
-               WHERE vec_id >= $QUERY_MAX
-                 AND vec_id < ${QUERY_MAX + CENTROIDS}),
-      scored AS (SELECT v.vec_id, cent.c_id,
-                   row_number() OVER (PARTITION BY v.vec_id
-                     ORDER BY ${sqlCos("v", "cent")} DESC, cent.c_id) AS rn
-                 FROM e v, cent),
-      assign AS (SELECT vec_id, c_id AS cell FROM scored WHERE rn = 1),
-      probe AS (SELECT vec_id AS q_id, c_id AS cell FROM scored
+      ${sqlIvfCoarseCtes(CENTROIDS, IVF_ROUNDS)},
+      assign AS (SELECT vec_id, c_id AS cell FROM iscF WHERE rn = 1),
+      probe AS (SELECT vec_id AS q_id, c_id AS cell FROM iscF
                 WHERE rn <= $NPROBE AND vec_id < $QUERY_MAX),
       cand AS (SELECT DISTINCT p.q_id, a.vec_id
                FROM probe p JOIN assign a ON p.cell = a.cell
@@ -651,6 +758,9 @@ object AnnOps {
     */
   private[operators] val PQ_ROUNDS = 2
 
+  require(FULL_DIM == PQ_M * PQ_SUBDIM,
+    s"FULL_DIM ($FULL_DIM) must equal PQ_M*PQ_SUBDIM (${PQ_M * PQ_SUBDIM})")
+
   /** One unrolled Lloyd round of the oracle: distances to the round-i
     * codebook, argmin assignment, truncating integer means (empty cells
     * keep their previous centroid via coalesce — the engine's
@@ -674,6 +784,72 @@ object AnnOps {
           FROM a$i JOIN sv ON a$i.vec_id = sv.vec_id AND a$i.s = sv.s
           GROUP BY 1, 2, 3) r
           ON p.s = r.s AND p.c = r.c AND p.j = r.j)"""
+
+  /** Unrolled coarse-quantizer Lloyd rounds for the E3/E12 oracles
+    * ([[ivfTrainMicros]]'s relational twin, the sqlPqRound precedent):
+    * `qr` is every vector's raw quantized micros per dimension, `icm0`
+    * the slice-seed centroid micros (round 0 ≡ the r14 slice
+    * quantizer); each round computes per-centroid norms, exact-micros
+    * cosine scores, the (ccos DESC, c_id) argmax assignment, and
+    * truncating-integer-mean centroid updates with empty cells keeping
+    * their previous value. Ends at `icm$rounds`; `inmF`/`iscF` then
+    * score the corpus against the FINAL centroids with the same rn
+    * ranking the old slice oracle used (rn = 1 → assignment, rn ≤
+    * nprobe → probe).
+    */
+  private def sqlIvfCoarseCtes(cells: Int, rounds: Int): String = {
+    val head = s"""
+      qr AS MATERIALIZED (
+        SELECT vec_id, j,
+               CAST(floor(CAST(embedding[j] AS DOUBLE)*1000000+0.5) AS BIGINT)
+                 AS qv
+        FROM e, generate_series(1, $FULL_DIM) t(j)),
+      icm0 AS (
+        SELECT CAST(vec_id AS BIGINT) AS c_id, j, qv AS cm FROM qr
+        WHERE vec_id >= $QUERY_MAX AND vec_id < ${QUERY_MAX + cells})"""
+    val rnds = (0 until rounds).map { i => s"""
+      inm$i AS (SELECT c_id, CAST(sum(cm*cm) AS BIGINT) AS ncm
+                FROM icm$i GROUP BY c_id),
+      isc$i AS (
+        SELECT q.vec_id, c.c_id,
+               CAST(sum(q.qv * c.cm) AS DOUBLE) /
+                 (sqrt(CAST(e.nm AS DOUBLE)) * sqrt(CAST(n.ncm AS DOUBLE)))
+                 AS ccos
+        FROM qr q
+        JOIN icm$i c USING (j)
+        JOIN e ON e.vec_id = q.vec_id
+        JOIN inm$i n ON n.c_id = c.c_id
+        GROUP BY q.vec_id, c.c_id, e.nm, n.ncm),
+      ia$i AS (
+        SELECT vec_id, c_id AS cell FROM (
+          SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
+            ORDER BY ccos DESC, c_id) AS rn
+          FROM isc$i) t WHERE rn = 1),
+      icm${i + 1} AS MATERIALIZED (
+        SELECT p.c_id, p.j, coalesce(m.cm, p.cm) AS cm
+        FROM icm$i p LEFT JOIN (
+          SELECT ia$i.cell AS c_id, q.j,
+                 CAST(sum(q.qv) AS BIGINT) // count(*) AS cm
+          FROM ia$i JOIN qr q ON q.vec_id = ia$i.vec_id
+          GROUP BY 1, 2) m ON m.c_id = p.c_id AND m.j = p.j)"""
+    }.mkString(",")
+    s"""$head${if (rounds > 0) "," + rnds else ""},
+      inmF AS (SELECT c_id, CAST(sum(cm*cm) AS BIGINT) AS ncm
+               FROM icm$rounds GROUP BY c_id),
+      iscF AS (
+        SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
+          ORDER BY ccos DESC, c_id) AS rn
+        FROM (
+          SELECT q.vec_id, c.c_id,
+                 CAST(sum(q.qv * c.cm) AS DOUBLE) /
+                   (sqrt(CAST(e.nm AS DOUBLE)) * sqrt(CAST(n.ncm AS DOUBLE)))
+                   AS ccos
+          FROM qr q
+          JOIN icm$rounds c USING (j)
+          JOIN e ON e.vec_id = q.vec_id
+          JOIN inmF n ON n.c_id = c.c_id
+          GROUP BY q.vec_id, c.c_id, e.nm, n.ncm) t)"""
+  }
 
   /** JVM twin of the kernel's NORMALIZED quantizer (seed codebooks are
     * built driver-side in the same unit-sphere micro units the kernel
@@ -1201,9 +1377,10 @@ object AnnOps {
       nprobe: Int = NPROBE,
       k: Int = PQ_K,
       rounds: Int = PQ_ROUNDS,
-      rerank: Int = PQ_RERANK): DataFrame = {
+      rerank: Int = PQ_RERANK,
+      coarseRounds: Int = IVF_ROUNDS): DataFrame = {
     val e = withNorm(s, d)
-    val cent = ivfPqCentroids(e, cells)
+    val cent = ivfTrainedCentroids(e, cells, coarseRounds)
     // persist: the residual frame feeds `rounds` training passes, the
     // seed collect, and the encode — without it each re-derives the
     // assignment (a corpus×cells scoring pass)
@@ -1280,19 +1457,21 @@ object AnnOps {
         FROM e,
              generate_series(0, ${PQ_M - 1}) t1(s),
              generate_series(1, $PQ_SUBDIM) t2(j)),
-      cent AS (SELECT vec_id AS c_id, embedding, nm FROM e
-               WHERE vec_id >= $QUERY_MAX
-                 AND vec_id < ${QUERY_MAX + CENTROIDS}),
-      scored AS (SELECT v.vec_id, cent.c_id,
-                   row_number() OVER (PARTITION BY v.vec_id
-                     ORDER BY ${sqlCos("v", "cent")} DESC, cent.c_id) AS rn
-                 FROM e v, cent),
-      assign AS (SELECT vec_id, c_id AS cell FROM scored WHERE rn = 1),
+      ${sqlIvfCoarseCtes(CENTROIDS, IVF_ROUNDS)},
+      assign AS (SELECT vec_id, c_id AS cell FROM iscF WHERE rn = 1),
+      icqn AS (
+        SELECT c.c_id, CAST((c.j - 1) // $PQ_SUBDIM AS BIGINT) AS s,
+               ((c.j - 1) % $PQ_SUBDIM) + 1 AS j2,
+               CASE WHEN n.ncm = 0 THEN 0 ELSE CAST(floor(
+                 CAST(c.cm AS DOUBLE) / sqrt(CAST(n.ncm AS DOUBLE))
+                 * 1000000 + 0.5) AS BIGINT)
+               END AS qv
+        FROM icm$IVF_ROUNDS c JOIN inmF n USING (c_id)),
       rsv AS MATERIALIZED (
         SELECT v.vec_id, a.cell, v.s, v.j, v.qv - c.qv AS qv
         FROM sv v
         JOIN assign a ON v.vec_id = a.vec_id
-        JOIN sv c ON c.vec_id = a.cell AND c.s = v.s AND c.j = v.j),
+        JOIN icqn c ON c.c_id = a.cell AND c.s = v.s AND c.j2 = v.j),
       ref0 AS (
         SELECT s, CAST(vec_id - ${QUERY_MAX + CENTROIDS} AS INT) AS c, j,
                qv AS cm
@@ -1308,13 +1487,13 @@ object AnnOps {
         SELECT vec_id, s, c FROM (
           SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
             ORDER BY dist, c) AS rn FROM dF) t WHERE rn = 1),
-      probe AS (SELECT vec_id AS q_id, c_id AS cell FROM scored
+      probe AS (SELECT vec_id AS q_id, c_id AS cell FROM iscF
                 WHERE rn <= $NPROBE AND vec_id < $QUERY_MAX),
       qrsv AS (
         SELECT p.q_id, p.cell, v.s, v.j, v.qv - c.qv AS qv
         FROM probe p
         JOIN sv v ON v.vec_id = p.q_id
-        JOIN sv c ON c.vec_id = p.cell AND c.s = v.s AND c.j = v.j),
+        JOIN icqn c ON c.c_id = p.cell AND c.s = v.s AND c.j2 = v.j),
       qd AS (
         SELECT q.q_id, q.cell, q.s, f.c,
                CAST(sum((q.qv - f.cm)*(q.qv - f.cm)) AS BIGINT) AS dist

@@ -64,7 +64,9 @@ object IvfPqIndex {
       rounds: Int = AnnOps.PQ_ROUNDS,
       rerank: Int = AnnOps.PQ_RERANK): Index = {
     val e = Caches.persist(AnnOps.withNormDf(embeddings))
-    val cent = AnnOps.ivfPqCentroids(e, cells)
+    // trained coarse stage (r15): slice seeds + Lloyd rounds — the
+    // exact ann_ivfpq board definition, so probe ≡ board stays pinned
+    val cent = AnnOps.ivfTrainedCentroids(e, cells)
     val res = Caches.persist(AnnOps.ivfPqResiduals(e, cent))
     val cb = AnnOps.ivfPqTrain(res, k, rounds, AnnOps.ivfPqSeedBase(cells))
     val codes = res.select(col("vec_id"), col("cell"),

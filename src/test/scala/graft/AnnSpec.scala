@@ -82,6 +82,69 @@ class AnnSpec extends SparkSpec {
     dir
   }
 
+  /** The same 16 Gaussian clusters ORDERED BY CLUSTER — the data
+    * layout real corpora ship in (grouped by source/shard), and the
+    * slice-seeded coarse quantizer's failure mode: the seed slice
+    * [8, 24) lands ENTIRELY inside cluster 0, so all 16 slice cells
+    * tile one cluster and the other 15 clusters share whatever cell
+    * boundary cuts them. Queries 0-7 are planted in clusters 0-7.
+    */
+  lazy val sortedClusteredDir: String = {
+    val dir = Files.createTempDirectory("graft_ann_sorted").toString
+    val rnd = new scala.util.Random(43)
+    val centers = Array.fill(16, 64)(rnd.nextGaussian())
+    def unit(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val queries = (0 until 8).map { i =>
+      (i.toLong, unit(centers(i).map(_ + 0.35 * rnd.nextGaussian())), i)
+    }
+    val corpus = (0 until 492).map { i =>
+      val cl = i / 31 min 15 // ~31 per cluster, sorted
+      (8L + i, unit(centers(cl).map(_ + 0.35 * rnd.nextGaussian())), cl)
+    }
+    spark.createDataFrame(queries ++ corpus)
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("ann_ivf: trained coarse centroids recover recall on " +
+      "cluster-ORDERED data where slice seeds collapse") {
+    import operators.AnnOps
+    // coarseRounds = 0 ≡ the r14 slice-seeded quantizer — equal cells
+    // and nprobe, so the probe fraction is identical by construction
+    val rSlice = recallOf(setsOf(AnnOps.ivfTopK(spark, sortedClusteredDir,
+      coarseRounds = 0)), sortedClusteredDir)
+    val rTrained = recallOf(setsOf(AnnOps.ivfTopK(spark, sortedClusteredDir)),
+      sortedClusteredDir)
+    info(f"sorted-clustered: slice-seeded recall@5 $rSlice%.3f, " +
+      f"trained $rTrained%.3f")
+    assert(rTrained > rSlice,
+      f"Lloyd rounds must improve on collapsed slice seeds " +
+        f"($rTrained%.3f vs $rSlice%.3f)")
+    assert(rTrained >= 0.5,
+      f"trained coarse recall $rTrained%.2f below floor on sorted data")
+    Caches.releaseScope()
+  }
+
+  test("trained centroid micros round-trip exactly through the float " +
+      "consumer frame") {
+    import operators.AnnOps
+    val e = operators.AnnOps.withNorm(spark, sf)
+    val cent = AnnOps.ivfTrainedCentroids(e, 16).collect()
+    cent.foreach { r =>
+      val emb = r.getAs[scala.collection.Seq[Float]]("c_emb")
+      val nm = r.getAs[Long]("c_nm")
+      val micros = emb.map(f => math.floor(f.toDouble * 1e6 + 0.5).toLong)
+      assert(micros.map(m => m * m).sum == nm,
+        "float c_emb must quantize back to exactly the trained micros " +
+          "(c_nm is the micro norm)")
+    }
+    Caches.releaseScope()
+  }
+
   test("ann_lsh: multiprobe recall@5 >= 0.8 on clustered data, sublinear scan") {
     val r = recallVsExact("ann_lsh", clusteredDir)
     val frac = scanFraction(clusteredDir)
