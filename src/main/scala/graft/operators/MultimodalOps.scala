@@ -514,7 +514,120 @@ object MultimodalOps {
     },
     Some(sqlPhashAt(PH_BANDS, PH_BAND_BITS)))
 
+  /** F7's dials. PAIR_SHIFT pairs corpus vector v (the "image"
+    * embedding) with vector (v + 7) mod n (the "text" embedding) — the
+    * F-series fake-payload doctrine applied to pairing: a real
+    * image/text corpus ships its pairs; the gate corpus derives them
+    * deterministically, and everything downstream (scoring, histogram,
+    * threshold, verdict) is the real pipeline. PAIR_BIN buckets
+    * cosine-micros into ≤ ~2000 histogram bins (the C20 ≤ 4096-bucket
+    * discipline); PAIR_DROP_PCT drops the bottom 30% of pairs by
+    * cosine — the public LAION recipe's percentile gate (LAION filters
+    * CLIP image-text cosine at a fixed quantile of the distribution).
+    */
+  private val PAIR_SHIFT = 7L
+  private val PAIR_BIN = 1024L
+  private val PAIR_DROP_PCT = 30L
+
+  /** F7's body over any (pair_id, txt_id, a_emb, b_emb) frame — the
+    * seam the planted-pair spec drives. Exact-micros cosine per pair,
+    * then the C20 boundary-bucket percentile: histogram over
+    * cosine-micro bins (≤ ~2000 rows), one running sum over the
+    * broadcast-sized histogram, threshold = the bin where cumulative
+    * mass crosses [[PAIR_DROP_PCT]]%, verdict per pair by bin
+    * comparison. NO corpus sort anywhere: the only corpus-sized work
+    * is the map-side scoring pass and the bin aggregate. The
+    * threshold bucket is all-or-nothing (bin granularity ≈ 0.001
+    * cosine), the same deliberate coarseness as C20/G11.
+    */
+  private[graft] def pairFilterFor(pairs: DataFrame): DataFrame = {
+    import graft.functions.Portable.{cosineFromMicros, dotMicros}
+    import graft.Caches
+    val scored = Caches.persist(pairs
+      .select(col("pair_id"), col("txt_id"),
+        cosineFromMicros(dotMicros(col("a_emb"), col("b_emb")),
+          dotMicros(col("a_emb"), col("a_emb")),
+          dotMicros(col("b_emb"), col("b_emb"))).as("cos"))
+      .withColumn("bin",
+        expr(s"CAST(floor(cos * 1000000) AS BIGINT) div $PAIR_BIN")))
+    val hist = scored.groupBy(col("bin")).agg(count(lit(1)).as("mass"))
+    val wb = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cumh = hist.withColumn("cum", sum(col("mass")).over(wb))
+    val tot = hist.agg(sum(col("mass")).as("total"))
+    val th = cumh.crossJoin(broadcast(tot))
+      .agg(min(when(col("cum") * 100 >= col("total") * PAIR_DROP_PCT,
+        col("bin"))).as("t"))
+    scored.crossJoin(broadcast(th))
+      .select(col("pair_id"), col("txt_id"), col("cos"), col("bin"),
+        (col("bin") > col("t")).as("kept"))
+      .orderBy(col("pair_id"))
+  }
+
+  /** F7 — CROSS-MODAL pair curation (r15): the LAION-style gate every
+    * public image-text corpus went through — score each (image
+    * embedding, text embedding) pair's cosine and keep only pairs
+    * above a distribution-derived percentile threshold. Composes the
+    * engine's existing pieces: exact-micros cosine kernels (the E/D
+    * similarity currency) and the C20 boundary-bucket histogram
+    * threshold (no corpus sort — the percentile resolves from a ≤
+    * ~2000-bin broadcast histogram). At 100 TB: pairing is an id-width
+    * hash join, scoring is one map-side pass, and the gate is a
+    * broadcast threshold — scan-speed end to end.
+    */
+  val mmPairFilter: Op = Op(
+    "mm_pair_filter",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val n = e.count()
+      val a = e.select(col("vec_id").as("pair_id"),
+        col("embedding").as("a_emb"))
+      val b = e.select(col("vec_id").as("txt_id"),
+        col("embedding").as("b_emb"))
+      pairFilterFor(a
+        .withColumn("txt_id", (col("pair_id") + PAIR_SHIFT) % n)
+        .join(b, "txt_id")
+        .select(col("pair_id"), col("txt_id"), col("a_emb"), col("b_emb")))
+    },
+    Some {
+      val q = (side: String, ix: String) =>
+        s"CAST(floor(CAST($side[$ix] AS DOUBLE)*1000000+0.5) AS BIGINT)"
+      s"""
+      WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      p AS (
+        SELECT a.vec_id AS pair_id, b.vec_id AS txt_id,
+               a.embedding AS ae, b.embedding AS be
+        FROM embeddings a
+        CROSS JOIN nn
+        JOIN embeddings b ON b.vec_id = (a.vec_id + $PAIR_SHIFT) % nn.n),
+      sc AS (
+        SELECT pair_id, txt_id,
+               CAST(list_sum(list_transform(generate_series(1,64), ix ->
+                 ${q("ae", "ix")} * ${q("be", "ix")})) AS DOUBLE) /
+               (sqrt(CAST(list_sum(list_transform(generate_series(1,64), ix ->
+                 ${q("ae", "ix")} * ${q("ae", "ix")})) AS BIGINT)) *
+                sqrt(CAST(list_sum(list_transform(generate_series(1,64), ix ->
+                 ${q("be", "ix")} * ${q("be", "ix")})) AS BIGINT))) AS cos
+        FROM p),
+      sb AS (SELECT pair_id, txt_id, cos,
+                    CAST(floor(cos * 1000000) AS BIGINT) // $PAIR_BIN AS bin
+             FROM sc),
+      hist AS (SELECT bin, CAST(count(*) AS BIGINT) AS mass
+               FROM sb GROUP BY bin),
+      cumh AS (SELECT bin,
+                      CAST(sum(mass) OVER (ORDER BY bin) AS BIGINT) AS cum
+               FROM hist),
+      tot AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM hist),
+      th AS (SELECT min(CASE WHEN cum * 100 >= total * $PAIR_DROP_PCT
+                             THEN bin END) AS t
+             FROM cumh, tot)
+      SELECT s.pair_id, s.txt_id, s.cos, s.bin, s.bin > th.t AS kept
+      FROM sb s, th
+      ORDER BY s.pair_id"""
+    })
+
   val all: Seq[Op] =
     Seq(mmBinaryMeta, mmDecodeBatch, mmChunk, mmFrameSample,
-      mmShardManifest, mmPhashDedup)
+      mmShardManifest, mmPhashDedup, mmPairFilter)
 }

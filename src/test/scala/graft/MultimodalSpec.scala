@@ -213,4 +213,38 @@ class MultimodalSpec extends SparkSpec {
     // for any corpus the 63-bit hash can meaningfully serve
     assert(500000.0 / (1L << 21) < 1.0)
   }
+
+  test("mm_pair_filter: a planted aligned pair survives the percentile " +
+      "gate, a planted mismatched pair drops") {
+    import spark.implicits._
+    import graft.operators.MultimodalOps
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    // background: 200 independent random pairs — isotropic cosines ~ 0
+    val bg = (0 until 200).map { i =>
+      (i.toLong, 1000L + i, unit(Array.fill(64)(rnd.nextGaussian())),
+        unit(Array.fill(64)(rnd.nextGaussian())))
+    }
+    val av = unit(Array.fill(64)(rnd.nextGaussian()))
+    val aligned = (900L, 1900L, av, av)                  // cos = 1
+    val mismatch = (901L, 1901L, av, av.map(f => -f))    // cos = -1
+    val pairs = (bg :+ aligned :+ mismatch)
+      .toDF("pair_id", "txt_id", "a_emb", "b_emb")
+    val got = MultimodalOps.pairFilterFor(pairs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Double]("cos"), r.getAs[Boolean]("kept"))).toMap
+    assert(got(900L)._1 > 0.99 && got(900L)._2,
+      s"aligned pair must score ~1 and survive: ${got(900L)}")
+    assert(got(901L)._1 < -0.99 && !got(901L)._2,
+      s"mismatched pair must score ~-1 and drop: ${got(901L)}")
+    // the gate drops ~30% at bin granularity (boundary bucket is
+    // all-or-nothing, so allow slack around the exact percentile)
+    val dropped = got.values.count(!_._2)
+    assert(dropped >= 202 * 20 / 100 && dropped <= 202 * 45 / 100,
+      s"drop rate $dropped/202 far from the 30% dial")
+    Caches.releaseScope()
+  }
 }
