@@ -940,6 +940,86 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** `trigram_bag(nt: string, num_buckets: int): array<struct<b,c>>`
+    * — the per-document HASHED char-trigram bag in ONE code-point walk
+    * (r15, closing the text_langid_learned 24× scale watch item):
+    * for every length-3 character window of `nt`, md5 its string form
+    * and bucket by `hash32 % num_buckets` (bit-identical to the
+    * composed `pmod(hash32(trigram_string(char_trigrams(nt))), NB)`
+    * relational path — same md5 over the same UTF-8 bytes, pinned in
+    * KernelProps), counting into a num_buckets-sized local array and
+    * emitting the nonzero (b, c) pairs sorted by b. What the composed
+    * path computed with TWO corpus-sized shuffles (explode → (doc, b)
+    * count → per-doc collect_list ≈ 150M feature rows at sf10) this
+    * computes map-side per row — the feature-extraction plan for both
+    * [[graft.operators.LangClassifier]] training and LangIndex scoring
+    * becomes shuffle-free.
+    */
+  case class TrigramBagExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("b", LongType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("c", LongType,
+          nullable = false))), containsNull = false)
+    override def prettyName: String = "trigram_bag"
+
+    override def nullSafeEval(ntAny: Any, nbAny: Any): Any = {
+      val str = ntAny.toString
+      val nb = nbAny.asInstanceOf[Int]
+      val n = str.codePointCount(0, str.length)
+      if (n < 3) new GenericArrayData(Array.empty[AnyRef])
+      else {
+        val cps = new Array[Int](n)
+        var off = 0
+        var i = 0
+        while (i < n) {
+          val cp = str.codePointAt(off)
+          cps(i) = cp
+          off += Character.charCount(cp)
+          i += 1
+        }
+        val counts = new Array[Long](nb)
+        val md = MessageDigest.getInstance("MD5")
+        val sb = new java.lang.StringBuilder(6)
+        i = 0
+        while (i < n - 2) {
+          sb.setLength(0)
+          sb.appendCodePoint(cps(i))
+          sb.appendCodePoint(cps(i + 1))
+          sb.appendCodePoint(cps(i + 2))
+          md.reset()
+          val d = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+          // first 8 md5 hex chars as an unsigned int ≡ Portable.hash32
+          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          counts((h % nb).toInt) += 1L
+          i += 1
+        }
+        var nz = 0
+        var b = 0
+        while (b < nb) { if (counts(b) != 0L) nz += 1; b += 1 }
+        val rows = new Array[AnyRef](nz)
+        var o = 0
+        b = 0
+        while (b < nb) {
+          if (counts(b) != 0L) {
+            rows(o) = org.apache.spark.sql.catalyst.InternalRow(
+              b.toLong, counts(b))
+            o += 1
+          }
+          b += 1
+        }
+        new GenericArrayData(rows)
+      }
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** `trigram_string(packed: long): string` — decodes a
     * [[CharTrigramsExpr]] key back to its three characters (code-point
     * correct; applied to the ≤k rows that survive the top-k, never the
@@ -1255,6 +1335,10 @@ object VectorExpressions {
       new FunctionIdentifier("char_trigrams"),
       new ExpressionInfo(classOf[CharTrigramsExpr].getName, "char_trigrams"),
       (args: Seq[Expression]) => CharTrigramsExpr(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("trigram_bag"),
+      new ExpressionInfo(classOf[TrigramBagExpr].getName, "trigram_bag"),
+      (args: Seq[Expression]) => TrigramBagExpr(args(0), args(1))))
     ext.injectFunction((
       new FunctionIdentifier("trigram_string"),
       new ExpressionInfo(classOf[TrigramStringExpr].getName, "trigram_string"),

@@ -50,7 +50,10 @@ object LangClassifier {
   /** weights(langIdx)(bucket), bias(langIdx) — micros. */
   final case class Model(weights: Array[Array[Long]], bias: Array[Long])
 
-  /** (doc_id, b, c): hashed char-trigram counts — the one corpus scan.
+  /** (doc_id, b, c): hashed char-trigram counts — the COMPOSED
+    * relational derivation, kept as the independent reference the
+    * fused kernel is property-pinned against (KernelProps; the
+    * lsh_buckets precedent).
     */
   def features(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), Portable.normText(col("text")).as("nt"))
@@ -63,11 +66,23 @@ object LangClassifier {
       .groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("c"))
 
-  /** One row per doc: (doc_id, fs: array<struct<b,c>>, n). */
+  /** One row per doc: (doc_id, fs: array<struct<b,c>>, n) — since r15
+    * via the fused `trigram_bag` kernel: the per-doc hashed bag is
+    * computed MAP-SIDE in one code-point walk, so feature extraction
+    * (both the LangIndex scoring path and this trainer's input) plans
+    * zero shuffles where the composed [[features]] path exploded
+    * ~300 trigram rows per doc through two corpus-sized exchanges
+    * (the r15 §5 watch item: 24× for 10× data at sf10). Bucket ids
+    * ascend within each bag (the kernel emits sorted nonzero
+    * buckets); every consumer folds order-independently.
+    */
   def docFrame(docs: DataFrame): DataFrame =
-    features(docs).groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("b"), col("c"))).as("fs"),
-        sum(col("c")).as("n"))
+    docs.select(col("doc_id"), Portable.normText(col("text")).as("nt"))
+      .filter(length(col("nt")) >= 3)
+      .select(col("doc_id"),
+        call_function("trigram_bag", col("nt"), lit(NumBuckets)).as("fs"))
+      .withColumn("n",
+        aggregate(col("fs"), lit(0L), (acc, f) => acc + f("c")))
 
   /** Compact training set: per doc (langIdx, n, buckets, counts), doc
     * count, and the shared Jacobi curvature diagonal — the

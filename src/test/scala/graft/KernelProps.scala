@@ -251,4 +251,29 @@ object KernelProps extends Properties("kernels") {
         total(1) == total(7)
       }
     }
+
+  // well-formed unicode (no lone surrogates — their UTF-8 coding is
+  // engine-defined and the corpus contract excludes them)
+  private val bagText: Gen[String] = Gen.listOfN(30, Gen.frequency(
+    6 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf(' ', '.', ','),
+    2 -> Gen.oneOf('é', 'ß', 'Σ', '日', '語'))).map(_.mkString)
+
+  property("trigram_bag kernel == the composed " +
+      "explode/hash/count relational path") =
+    Prop.forAll(bagText) { s =>
+      import spark.implicits._
+      val df = Seq((1L, s)).toDF("doc_id", "nt")
+      val viaKernel = df
+        .selectExpr("explode(trigram_bag(nt, 256)) AS f")
+        .select(col("f.b"), col("f.c")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaComposed = df
+        .select(explode(call_function("char_trigrams", col("nt"))).as("g"))
+        .select(pmod(graft.functions.Portable.hash32(
+          call_function("trigram_string", col("g"))), lit(256L)).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      viaKernel == viaComposed
+    }
 }
