@@ -648,14 +648,23 @@ object Bpe {
     * no-op replace and contributes no merge row, exactly like the
     * engine loop's early stop.
     */
-  def sqlTrainCtes(docsRel: String, textCol: String, k: Int): String = {
+  def sqlTrainCtes(
+      docsRel: String, textCol: String, k: Int,
+      bytesInit: Boolean = false): String = {
+    // the ONLY byte-base difference is the initial symbolization —
+    // hex byte pairs instead of code points; every training round is
+    // symbol-string-agnostic (mirroring TokenizerIndex's engines)
+    val init =
+      if (bytesInit)
+        "trim(regexp_replace(lower(hex(encode(w))), '(..)', '\\1 ', 'g'))"
+      else "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
     val head = s"""
       bpe_tw0 AS MATERIALIZED (
         SELECT w, count(*) AS c FROM (
           SELECT unnest(regexp_extract_all($textCol, '\\p{L}+')) AS w
           FROM $docsRel) GROUP BY w),
       bpe_tv0 AS MATERIALIZED (
-        SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, c
+        SELECT w, $init AS s, c
         FROM bpe_tw0)"""
     val rounds = (0 until k).map { r => s"""
       bpe_tp$r AS (

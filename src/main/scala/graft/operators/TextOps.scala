@@ -876,6 +876,32 @@ object TextOps {
         TRAIN_K)}
       SELECT rank, a, b, cnt FROM bpe_learned ORDER BY rank"""))
 
+  /** C14c (r15) — BYTE-BASE BPE training through the oracle gate: the
+    * C14 distributed trainer run over the 256-symbol hex byte alphabet
+    * (C25's base — so the learned merges are hex byte pairs and the
+    * vocabulary has NO OOV by construction). The training rounds are
+    * symbol-string-agnostic; only the initial symbolization differs
+    * (`lower(hex(w))` split into byte pairs), which is exactly how the
+    * oracle's unrolled round CTEs differ too — one `bytesInit` seam on
+    * the shared generator, so the code-point and byte gates replay the
+    * SAME relational training loop. Complements TokenizerIndexSpec's
+    * local≡distributed byte-parity pin with a DuckDB-checked record of
+    * the learned table itself.
+    */
+  val textBpeTrainBytes: Op = Op(
+    "text_bpe_train_bytes",
+    (s, d) => {
+      val learned = TokenizerIndex.trainDistributed(s,
+        Caches.persist(TokenizerIndex.wordCounts(s, d)), TRAIN_K,
+        TokenizerIndex.BaseBytes)
+      import s.implicits._
+      learned.merges.toDF("rank", "a", "b", "cnt").orderBy(col("rank"))
+    },
+    Some(s"""
+      WITH ${graft.functions.Bpe.sqlTrainCtes("documents", "lower(text)",
+        TRAIN_K, bytesInit = true)}
+      SELECT rank, a, b, cnt FROM bpe_learned ORDER BY rank"""))
+
   /** C14b — per-doc token budgets under the LEARNED table: the C12
     * counter re-run with the C14-trained vocabulary, making the
     * BPE-budget family load-bearing on ANY corpus rather than one
@@ -1530,7 +1556,7 @@ object TextOps {
     textTokenCount, textQuality, textLangid, textFingerprint, textNgramFreq,
     textDocFreq, textCharNgrams, textRepetition, textBm25, textVocabCoverage,
     textRarity, textBpeCount, textBpeCountBytes, textBpeVocab, textBpeTrain,
-    textBpeCountLearned,
+    textBpeTrainBytes, textBpeCountLearned,
     textExtract, textPiiRedact, qualityClassifier, lmBigram, lmBigramRef,
     qualityPplBuckets, textEntropy, textLangidLearned)
 }
