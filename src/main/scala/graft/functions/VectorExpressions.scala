@@ -504,6 +504,131 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** `cell_argmax(emb: array<float>, nm: long,
+    * cents: array<struct<c_id: long, cqr: array<long>, c_nm: long>>):
+    * long` — the id of the max-cosine coarse centroid for one corpus
+    * row, computed entirely map-side. `cqr` holds each centroid's RAW
+    * quantized micros (floor(c_emb_i·1e6+0.5) — `qnorm_micros(c_emb,
+    * 1e12)`), so the per-cell score replays the composed
+    * `cosineFromMicros(dotMicros(emb, c_emb), nm, c_nm)` doubles
+    * bit-for-bit: Σ q(emb_i)·cqr_i as a long, then one
+    * dot/(√nm·√c_nm) double chain in the same IEEE op order. The
+    * winner replays `max_by(c_id, struct(ccos, -c_id))` exactly —
+    * Spark's SQL double ordering (x == y is a tie even for ±0.0;
+    * otherwise Double.compare, NaN above all) then lowest c_id — and
+    * is ARRAY-ORDER-INDEPENDENT, so the packed frame needs no sort.
+    * Empty `cents` returns Long.MinValue (call sites guarantee ≥ 1
+    * cell).
+    *
+    * Why native: this replaces the corpus×cells crossJoin +
+    * `groupBy(vec_id).agg(max_by(...))` assignment shape — same
+    * arithmetic, but the corpus-sized id-width SHUFFLE (and, at the
+    * means/residual consumers, the corpus-sided join back) disappears:
+    * assignment becomes a projection fused into the corpus scan, and
+    * the embedding quantizes ONCE per row instead of once per cell.
+    */
+  case class CellArgmaxExpr(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    // inputs are array<float> × long × array<struct<long, array<long>,
+    // long>> (see DotMicrosExpr note)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "cell_argmax"
+
+    override def nullSafeEval(a: Any, nmAny: Any, cAny: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val nm = nmAny.asInstanceOf[Long]
+      val cents = cAny.asInstanceOf[ArrayData]
+      // 64-dim cap mirrors the codegen path's fixed scratch buffer
+      // (the LshBucketsExpr convention — the engine's embedding width)
+      val dims = math.min(v.numElements(), 64)
+      val q = new Array[Long](dims)
+      var i = 0
+      while (i < dims) {
+        q(i) = math.floor(v.getFloat(i).toDouble * 1e6 + 0.5).toLong
+        i += 1
+      }
+      val sn = math.sqrt(nm.toDouble)
+      var bestId = Long.MinValue
+      var bestCos = 0.0
+      var first0 = true
+      var c = 0
+      val nc = cents.numElements()
+      while (c < nc) {
+        val row = cents.getStruct(c, 3)
+        val cid = row.getLong(0)
+        val cqr = row.getArray(1)
+        val cnm = row.getLong(2)
+        val n = math.min(dims, cqr.numElements())
+        var acc = 0L
+        i = 0
+        while (i < n) { acc += q(i) * cqr.getLong(i); i += 1 }
+        val ccos = acc.toDouble / (sn * math.sqrt(cnm.toDouble))
+        val cmp =
+          if (first0) 1
+          else if (ccos == bestCos) 0
+          else java.lang.Double.compare(ccos, bestCos)
+        if (cmp > 0 || (cmp == 0 && cid < bestId)) {
+          bestId = cid; bestCos = ccos; first0 = false
+        }
+        c += 1
+      }
+      bestId
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, nm, cents) => {
+        val qbuf = ctx.addMutableState("long[]", "caQbuf",
+          v => s"$v = new long[64];")
+        val dims = ctx.freshName("dims")
+        val sn = ctx.freshName("sn")
+        val bestId = ctx.freshName("bestId")
+        val bestCos = ctx.freshName("bestCos")
+        val first0 = ctx.freshName("first")
+        val i = ctx.freshName("i")
+        val c = ctx.freshName("c")
+        val nc = ctx.freshName("nc")
+        val row = ctx.freshName("row")
+        val cqr = ctx.freshName("cqr")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val ccos = ctx.freshName("ccos")
+        val cmp = ctx.freshName("cmp")
+        val cid = ctx.freshName("cid")
+        s"""
+        int $dims = java.lang.Math.min($a.numElements(), 64);
+        for (int $i = 0; $i < $dims; $i++) {
+          $qbuf[$i] = ${quantLoop(a, i)};
+        }
+        double $sn = java.lang.Math.sqrt((double) $nm);
+        long $bestId = java.lang.Long.MIN_VALUE;
+        double $bestCos = 0.0;
+        boolean $first0 = true;
+        int $nc = $cents.numElements();
+        for (int $c = 0; $c < $nc; $c++) {
+          org.apache.spark.sql.catalyst.InternalRow $row = $cents.getStruct($c, 3);
+          long $cid = $row.getLong(0);
+          org.apache.spark.sql.catalyst.util.ArrayData $cqr = $row.getArray(1);
+          long $acc = 0L;
+          int $n = java.lang.Math.min($dims, $cqr.numElements());
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += $qbuf[$i] * $cqr.getLong($i);
+          }
+          double $ccos = ((double) $acc) /
+            ($sn * java.lang.Math.sqrt((double) $row.getLong(2)));
+          int $cmp = $first0 ? 1 : ($ccos == $bestCos ? 0
+            : java.lang.Double.compare($ccos, $bestCos));
+          if ($cmp > 0 || ($cmp == 0 && $cid < $bestId)) {
+            $bestId = $cid; $bestCos = $ccos; $first0 = false;
+          }
+        }
+        ${ev.value} = $bestId;"""
+      })
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
   /** `lsub_micros(a: array<long>, b: array<long>): array<long>` —
     * element-wise long subtraction, the RESIDUAL step of IVFPQ encoding
     * (r = qnorm(v) − qnorm(centroid), both already in normalized
@@ -1292,6 +1417,10 @@ object VectorExpressions {
       new ExpressionInfo(classOf[PqDistsExpr].getName, "pq_dists"),
       (args: Seq[Expression]) =>
         PqDistsExpr(args(0), args(1), args(2), args(3))))
+    ext.injectFunction((
+      new FunctionIdentifier("cell_argmax"),
+      new ExpressionInfo(classOf[CellArgmaxExpr].getName, "cell_argmax"),
+      (args: Seq[Expression]) => CellArgmaxExpr(args(0), args(1), args(2))))
     ext.injectFunction((
       new FunctionIdentifier("lsub_micros"),
       new ExpressionInfo(classOf[LsubMicrosExpr].getName, "lsub_micros"),

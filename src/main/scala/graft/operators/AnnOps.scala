@@ -552,22 +552,16 @@ object AnnOps {
     var cent: Array[Array[Long]] =
       Array.tabulate(cells)(c => seed(QUERY_MAX.toLong + c))
     for (_ <- 1 to rounds) {
-      val centF = microCentroidFrame(e.sparkSession, cent)
-      // assignment scores ride the proj_micros kernel directly on the
-      // trained micro vectors — Σ q(v_i)·cm_i, the same integer dot the
-      // float consumer frame reproduces after the exact micros→float
-      // round-trip (see ivfTrainedCentroids)
-      val assign = e.crossJoin(broadcast(centF))
-        .select(col("vec_id"), col("c_id"),
-          (call_function("proj_micros", col("embedding"), col("cqr"))
-            .cast("double") /
-            (sqrt(col("nm").cast("double")) *
-              sqrt(col("c_nm").cast("double")))).as("ccos"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("c_id"),
-          struct(col("ccos"), (-col("c_id")).as("nc"))).as("cell"))
-      val parts = e.join(assign, "vec_id")
-        .select(col("cell"), qrawCol.as("qr"))
+      // assignment is the map-side cell_argmax kernel over the packed
+      // micro centroids — Σ q(v_i)·cm_i then the dot/(√nm·√c_nm)
+      // double chain, the same integer dot the float consumer frame
+      // reproduces after the exact micros→float round-trip (see
+      // ivfTrainedCentroids). One corpus pass per round; the only
+      // shuffle carries ≤ cells groups × (1+FULL_DIM) long partials
+      // per task (r15 — previously a corpus×cells crossJoin + an
+      // n-row argmax shuffle + a corpus join for the means).
+      val parts = e.crossJoin(broadcast(microCentroidArray(e.sparkSession, cent)))
+        .select(cellCol.as("cell"), qrawCol.as("qr"))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"),
           (1 to FULL_DIM).map(j =>
@@ -585,17 +579,17 @@ object AnnOps {
     cent
   }
 
-  /** (c_id, cqr: array<long>, c_nm) — the micro-domain centroid frame
-    * the training loop scores against. c_id keeps the slice ids
-    * (QUERY_MAX + c) so tie-breaks order identically to the r14 slice
-    * frame.
+  /** The one-row packed micro-domain centroid frame the training loop
+    * scores against ([[packedCents]] shape, built driver-side from the
+    * round's micro vectors). c_id keeps the slice ids (QUERY_MAX + c)
+    * so tie-breaks order identically to the r14 slice frame.
     */
-  private def microCentroidFrame(
+  private def microCentroidArray(
       s: SparkSession, cent: Array[Array[Long]]): DataFrame = {
     import s.implicits._
-    cent.zipWithIndex.map { case (v, c) =>
+    Seq(cent.zipWithIndex.toSeq.map { case (v, c) =>
       (QUERY_MAX.toLong + c, v.toSeq, v.map(m => m * m).sum)
-    }.toSeq.toDF("c_id", "cqr", "c_nm")
+    }).toDF("cents")
   }
 
   /** The TRAINED coarse-centroid frame in the consumer contract
@@ -636,30 +630,26 @@ object AnnOps {
       def cellRank = row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("ccos").desc, col("c_id")))
-      val scoredCent = e.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("embedding"), col("nm"), col("c_id"),
-          cosineFromMicros(dotMicros(col("embedding"), col("c_emb")),
-            col("nm"), col("c_nm")).as("ccos"))
       // cell assignment and probe lists are id-width: the candidate
       // distinct shuffles (q_id, vec_id) pairs only (see ann_lsh —
       // deduping embedding-carrying rows is ~30× the exchange volume),
       // then vectors re-attach from the vec_id-partitioned corpus and
       // the broadcast query set.
       //
-      // The corpus-side argmax is an AGGREGATE, not a window: a window
-      // over (corpus × cells) rows must exchange-and-sort all n·cells
-      // rows (22M at 200k vectors under the √n dial — measured 9× the
-      // r10 fixed-16-cell cost), while max_by partial-aggregates each
-      // vector's cells map-side, so only n one-row groups shuffle. The
-      // (ccos, -c_id) struct replays the window's ccos DESC, c_id ASC
-      // order exactly — ccos is exact-micros-derived, so the argmax is
-      // deterministic and oracle-identical.
-      val assign = scoredCent
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("c_id"),
-          struct(col("ccos"), (-col("c_id")).as("nc"))).as("cell"))
-        .select(col("vec_id"), col("cell"))
-      val probe = scoredCent.filter(col("vec_id") < QUERY_MAX)
+      // The corpus-side argmax is the MAP-SIDE cell_argmax kernel over
+      // the packed centroid array (r15): no corpus×cells row stream
+      // and no shuffle at all — the r14 max_by aggregate still moved n
+      // one-row groups (and a window over n·cells rows was measured 9×
+      // worse before that). The kernel replays max_by's (ccos, -c_id)
+      // struct order exactly — ccos is exact-micros-derived, so the
+      // argmax is deterministic and oracle-identical (KernelProps).
+      val assign = e.crossJoin(broadcast(packedCents(cent)))
+        .select(col("vec_id"), cellCol.as("cell"))
+      val probe = e.filter(col("vec_id") < QUERY_MAX)
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("c_id"),
+          cosineFromMicros(dotMicros(col("embedding"), col("c_emb")),
+            col("nm"), col("c_nm")).as("ccos"))
         .withColumn("rn", cellRank)
         .filter(col("rn") <= nprobe)
         .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
@@ -1154,14 +1144,19 @@ object AnnOps {
       cells: Int,
       sub: Option[LshGeometry]): (DataFrame, DataFrame) = {
     val cent = ivfPqCentroids(e, cells)
-    val assign = Caches.persist(e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("c_id"),
-        cosineFromMicros(dotMicros(col("embedding"), col("c_emb")),
-          col("nm"), col("c_nm")).as("ccos"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("c_id"),
-        struct(col("ccos"), (-col("c_id")).as("nc"))).as("cell")))
-    val withCell = assign.join(e, "vec_id")
+    // assignment is the map-side cell_argmax kernel (r15): the pair
+    // pipeline computes each vector's cell INLINE in the corpus scan —
+    // no n-row argmax shuffle and no corpus-sided join re-attaching
+    // the embeddings (the r14 shape shuffled the embedding-carrying
+    // corpus against the persisted assignment). The narrow (vec_id,
+    // cell) frame is still persisted for consumers that want it (D11's
+    // output join); E14 never materializes it.
+    val packed = packedCents(cent)
+    val assign = Caches.persist(e.crossJoin(broadcast(packed))
+      .select(col("vec_id"), cellCol.as("cell")))
+    val withCell = e.crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("embedding"), col("nm"),
+        cellCol.as("cell"))
     val bucketed = sub match {
       case None =>
         withCell.select(col("cell"), lit(0).as("tbl"), lit(0L).as("bucket"),
@@ -1258,21 +1253,46 @@ object AnnOps {
     */
   private[operators] def ivfPqResiduals(
       e: DataFrame, cent: DataFrame): DataFrame = {
-    val assign = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("c_id"),
-        cosineFromMicros(dotMicros(col("embedding"), col("c_emb")),
-          col("nm"), col("c_nm")).as("ccos"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("c_id"),
-        struct(col("ccos"), (-col("c_id")).as("nc"))).as("cell"))
+    // assignment fused map-side (cell_argmax, r15): the residual frame
+    // is ONE corpus pass — no n-row argmax shuffle and no vec_id join
+    // re-attaching the corpus; only the cells-sized normalized-centroid
+    // frame joins back (broadcast) to supply the subtrahend.
     val cqnF = cent.select(col("c_id").as("cell"),
       call_function("qnorm_micros", col("c_emb"), col("c_nm")).as("cqn"))
-    e.join(assign, "vec_id").join(broadcast(cqnF), "cell")
+    e.crossJoin(broadcast(packedCents(cent)))
+      .select(col("vec_id"), col("embedding"), col("nm"),
+        cellCol.as("cell"))
+      .join(broadcast(cqnF), "cell")
       .select(col("vec_id"), col("cell"),
         call_function("lsub_micros",
           call_function("qnorm_micros", col("embedding"), col("nm")),
           col("cqn")).as("rv"))
   }
+
+  /** One-row packed form of a (c_id, c_emb, c_nm) centroid frame:
+    * `cents` = array<struct<c_id, cqr, c_nm>> with cqr the raw
+    * quantized micros (qnorm at nm=1e12 ≡ floor(c_emb·1e6+0.5)) — what
+    * [[graft.functions.VectorExpressions.CellArgmaxExpr cell_argmax]]
+    * scores against. Broadcast-crossJoined onto the corpus it is a
+    * COLUMN ATTACH (one row), turning cell assignment into a map-side
+    * projection: no corpus×cells row stream, no n-row argmax shuffle,
+    * no join back for the consumers (r15 — each Lloyd round and every
+    * assignment-consuming stage drops to ONE corpus pass whose only
+    * shuffle is its own aggregate's partials). Array order is
+    * irrelevant: the kernel's winner rule is order-independent.
+    */
+  private[operators] def packedCents(cent: DataFrame): DataFrame =
+    cent.agg(collect_list(struct(col("c_id"),
+      call_function("qnorm_micros", col("c_emb"), lit(1000000000000L))
+        .as("cqr"),
+      col("c_nm"))).as("cents"))
+
+  /** Map-side cell assignment over a corpus frame carrying a packed
+    * `cents` column ([[packedCents]]) — replays the crossJoin +
+    * max_by(struct(ccos, -c_id)) assignment bit-for-bit (KernelProps).
+    */
+  private[operators] def cellCol: Column =
+    call_function("cell_argmax", col("embedding"), col("nm"), col("cents"))
 
   /** The (c_id, c_emb, c_nm) coarse-centroid frame (E3's deterministic
     * corpus slice).

@@ -276,4 +276,40 @@ object KernelProps extends Properties("kernels") {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       viaKernel == viaComposed
     }
+
+  // coarse floats drawn from a small grid so duplicate centroids (and
+  // therefore exact ccos TIES) occur regularly — the tie-break is the
+  // part of the contract a random-float generator would never exercise
+  private val gridVec: Gen[List[Float]] =
+    Gen.listOfN(8, Gen.oneOf(-1.0f, -0.5f, 0.0f, 0.25f, 0.5f, 1.0f))
+
+  property("cell_argmax kernel == the composed crossJoin + " +
+      "max_by(struct(ccos, -c_id)) assignment, ties included") =
+    Prop.forAll(gridVec, Gen.listOfN(6, gridVec)) { (embL, centsL) =>
+      // a zero query or zero centroid divides 0/0 → NaN ccos for that
+      // cell; keep those cases IN (the kernel must replay Spark's
+      // NaN-above-all double ordering too), but require ≥1 cell
+      centsL.nonEmpty ==> {
+        import spark.implicits._
+        val q = embL.map(f => math.floor(f.toDouble * 1e6 + 0.5).toLong)
+        val nm = q.map(x => x * x).sum
+        val cents = centsL.zipWithIndex.map { case (v, c) =>
+          val cq = v.map(f => math.floor(f.toDouble * 1e6 + 0.5).toLong)
+          (c.toLong + 100L, cq, cq.map(x => x * x).sum)
+        }
+        val df = Seq((embL, nm, cents)).toDF("embedding", "nm", "cents")
+        df.createOrReplaceTempView("kp_ca")
+        val got = spark.sql(
+          "SELECT cell_argmax(embedding, nm, cents) AS c FROM kp_ca")
+          .collect().head.getLong(0)
+        val want = spark.sql(
+          """SELECT max_by(c._1, struct(
+               CAST(proj_micros(embedding, c._2) AS DOUBLE) /
+                 (sqrt(CAST(nm AS DOUBLE)) * sqrt(CAST(c._3 AS DOUBLE))),
+               -c._1)) AS cell
+             FROM (SELECT embedding, nm, explode(cents) AS c FROM kp_ca)""")
+          .collect().head.getLong(0)
+        got == want
+      }
+    }
 }
