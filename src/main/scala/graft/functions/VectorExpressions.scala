@@ -3,11 +3,12 @@ package graft.functions
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native codegen'd vector kernels.
@@ -505,19 +506,23 @@ object VectorExpressions {
   }
 
   /** `cell_argmax(emb: array<float>, nm: long,
-    * cents: array<struct<c_id: long, cqr: array<long>, c_nm: long>>):
-    * long` — the id of the max-cosine coarse centroid for one corpus
-    * row, computed entirely map-side. `cqr` holds each centroid's RAW
-    * quantized micros (floor(c_emb_i·1e6+0.5) — `qnorm_micros(c_emb,
-    * 1e12)`), so the per-cell score replays the composed
+    * cents: struct<ids: array<long>, flat: array<long>,
+    * sn: array<double>>): long` — the id of the max-cosine coarse
+    * centroid for one corpus row, computed entirely map-side. `flat`
+    * holds every centroid's RAW quantized micros
+    * (floor(c_emb_i·1e6+0.5) — `qnorm_micros(c_emb, 1e12)`)
+    * zero-padded to a fixed stride of 64 (the engine's embedding
+    * width), and `sn` the PRE-COMPUTED `sqrt(cast(c_nm as double))`
+    * (IEEE sqrt is deterministic, so hoisting it to pack time is
+    * bit-free), so the per-cell score replays the composed
     * `cosineFromMicros(dotMicros(emb, c_emb), nm, c_nm)` doubles
-    * bit-for-bit: Σ q(emb_i)·cqr_i as a long, then one
+    * bit-for-bit: Σ q(emb_i)·flat[c·64+i] as a long, then one
     * dot/(√nm·√c_nm) double chain in the same IEEE op order. The
     * winner replays `max_by(c_id, struct(ccos, -c_id))` exactly —
     * Spark's SQL double ordering (x == y is a tie even for ±0.0;
     * otherwise Double.compare, NaN above all) then lowest c_id — and
     * is ARRAY-ORDER-INDEPENDENT, so the packed frame needs no sort.
-    * Empty `cents` returns Long.MinValue (call sites guarantee ≥ 1
+    * Empty `ids` returns Long.MinValue (call sites guarantee ≥ 1
     * cell).
     *
     * Why native: this replaces the corpus×cells crossJoin +
@@ -526,18 +531,47 @@ object VectorExpressions {
     * means/residual consumers, the corpus-sided join back) disappears:
     * assignment becomes a projection fused into the corpus scan, and
     * the embedding quantizes ONCE per row instead of once per cell.
+    *
+    * Why FLAT arrays and not array<struct<...>>: on UnsafeArrayData
+    * the three parallel primitive arrays read with direct getLong/
+    * getDouble — an array-of-structs layout allocates an UnsafeRow
+    * wrapper per getStruct and an UnsafeArrayData wrapper per
+    * getArray, i.e. 2·rows·cells garbage objects per pass (708M at
+    * 2M vectors × 354 cells — measured 1.5× warm-rep cost at sf100).
     */
   case class CellArgmaxExpr(first: Expression, second: Expression, third: Expression)
       extends TernaryExpression {
-    // inputs are array<float> × long × array<struct<long, array<long>,
-    // long>> (see DotMicrosExpr note)
+    // inputs are array<float> × long × struct<array<long>,
+    // array<long>, array<double>> (see DotMicrosExpr note)
     override def dataType: DataType = LongType
     override def prettyName: String = "cell_argmax"
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = (first.dataType, second.dataType, third.dataType) match {
+        case (ArrayType(FloatType, _), LongType, StructType(fs))
+            if fs.length == 3 =>
+          fs(0).dataType.isInstanceOf[ArrayType] &&
+          fs(0).dataType.asInstanceOf[ArrayType].elementType == LongType &&
+          fs(1).dataType.isInstanceOf[ArrayType] &&
+          fs(1).dataType.asInstanceOf[ArrayType].elementType == LongType &&
+          fs(2).dataType.isInstanceOf[ArrayType] &&
+          fs(2).dataType.asInstanceOf[ArrayType].elementType == DoubleType
+        case _ => false
+      }
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float>, bigint, struct<array<bigint>, " +
+          s"array<bigint>, array<double>>), got (${first.dataType.sql}, " +
+          s"${second.dataType.sql}, ${third.dataType.sql})")
+    }
 
     override def nullSafeEval(a: Any, nmAny: Any, cAny: Any): Any = {
       val v = a.asInstanceOf[ArrayData]
       val nm = nmAny.asInstanceOf[Long]
-      val cents = cAny.asInstanceOf[ArrayData]
+      val packed = cAny.asInstanceOf[InternalRow]
+      val ids = packed.getArray(0)
+      val flat = packed.getArray(1)
+      val snc = packed.getArray(2)
       // 64-dim cap mirrors the codegen path's fixed scratch buffer
       // (the LshBucketsExpr convention — the engine's embedding width)
       val dims = math.min(v.numElements(), 64)
@@ -552,21 +586,18 @@ object VectorExpressions {
       var bestCos = 0.0
       var first0 = true
       var c = 0
-      val nc = cents.numElements()
+      val nc = ids.numElements()
       while (c < nc) {
-        val row = cents.getStruct(c, 3)
-        val cid = row.getLong(0)
-        val cqr = row.getArray(1)
-        val cnm = row.getLong(2)
-        val n = math.min(dims, cqr.numElements())
+        val base = c * 64
         var acc = 0L
         i = 0
-        while (i < n) { acc += q(i) * cqr.getLong(i); i += 1 }
-        val ccos = acc.toDouble / (sn * math.sqrt(cnm.toDouble))
+        while (i < dims) { acc += q(i) * flat.getLong(base + i); i += 1 }
+        val ccos = acc.toDouble / (sn * snc.getDouble(c))
         val cmp =
           if (first0) 1
           else if (ccos == bestCos) 0
           else java.lang.Double.compare(ccos, bestCos)
+        val cid = ids.getLong(c)
         if (cmp > 0 || (cmp == 0 && cid < bestId)) {
           bestId = cid; bestCos = ccos; first0 = false
         }
@@ -576,7 +607,7 @@ object VectorExpressions {
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, nm, cents) => {
+      nullSafeCodeGen(ctx, ev, (a, nm, packed) => {
         val qbuf = ctx.addMutableState("long[]", "caQbuf",
           v => s"$v = new long[64];")
         val dims = ctx.freshName("dims")
@@ -587,36 +618,38 @@ object VectorExpressions {
         val i = ctx.freshName("i")
         val c = ctx.freshName("c")
         val nc = ctx.freshName("nc")
-        val row = ctx.freshName("row")
-        val cqr = ctx.freshName("cqr")
-        val n = ctx.freshName("n")
+        val ids = ctx.freshName("ids")
+        val flat = ctx.freshName("flat")
+        val snc = ctx.freshName("snc")
+        val base = ctx.freshName("base")
         val acc = ctx.freshName("acc")
         val ccos = ctx.freshName("ccos")
         val cmp = ctx.freshName("cmp")
         val cid = ctx.freshName("cid")
+        val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
         s"""
         int $dims = java.lang.Math.min($a.numElements(), 64);
         for (int $i = 0; $i < $dims; $i++) {
           $qbuf[$i] = ${quantLoop(a, i)};
         }
         double $sn = java.lang.Math.sqrt((double) $nm);
+        $ad $ids = $packed.getArray(0);
+        $ad $flat = $packed.getArray(1);
+        $ad $snc = $packed.getArray(2);
         long $bestId = java.lang.Long.MIN_VALUE;
         double $bestCos = 0.0;
         boolean $first0 = true;
-        int $nc = $cents.numElements();
+        int $nc = $ids.numElements();
         for (int $c = 0; $c < $nc; $c++) {
-          org.apache.spark.sql.catalyst.InternalRow $row = $cents.getStruct($c, 3);
-          long $cid = $row.getLong(0);
-          org.apache.spark.sql.catalyst.util.ArrayData $cqr = $row.getArray(1);
+          int $base = $c * 64;
           long $acc = 0L;
-          int $n = java.lang.Math.min($dims, $cqr.numElements());
-          for (int $i = 0; $i < $n; $i++) {
-            $acc += $qbuf[$i] * $cqr.getLong($i);
+          for (int $i = 0; $i < $dims; $i++) {
+            $acc += $qbuf[$i] * $flat.getLong($base + $i);
           }
-          double $ccos = ((double) $acc) /
-            ($sn * java.lang.Math.sqrt((double) $row.getLong(2)));
+          double $ccos = ((double) $acc) / ($sn * $snc.getDouble($c));
           int $cmp = $first0 ? 1 : ($ccos == $bestCos ? 0
             : java.lang.Double.compare($ccos, $bestCos));
+          long $cid = $ids.getLong($c);
           if ($cmp > 0 || ($cmp == 0 && $cid < $bestId)) {
             $bestId = $cid; $bestCos = $ccos; $first0 = false;
           }

@@ -587,9 +587,11 @@ object AnnOps {
   private def microCentroidArray(
       s: SparkSession, cent: Array[Array[Long]]): DataFrame = {
     import s.implicits._
-    Seq(cent.zipWithIndex.toSeq.map { case (v, c) =>
-      (QUERY_MAX.toLong + c, v.toSeq, v.map(m => m * m).sum)
-    }).toDF("cents")
+    val ids = cent.indices.map(c => QUERY_MAX.toLong + c)
+    val flat = cent.toSeq.flatMap(v => v.toSeq.padTo(CELL_STRIDE, 0L))
+    val sn = cent.toSeq.map(v => math.sqrt(v.map(m => m * m).sum.toDouble))
+    Seq((ids, flat, sn)).toDF("ids", "flat", "sn")
+      .select(struct(col("ids"), col("flat"), col("sn")).as("cents"))
   }
 
   /** The TRAINED coarse-centroid frame in the consumer contract
@@ -1144,19 +1146,23 @@ object AnnOps {
       cells: Int,
       sub: Option[LshGeometry]): (DataFrame, DataFrame) = {
     val cent = ivfPqCentroids(e, cells)
-    // assignment is the map-side cell_argmax kernel (r15): the pair
-    // pipeline computes each vector's cell INLINE in the corpus scan —
-    // no n-row argmax shuffle and no corpus-sided join re-attaching
-    // the embeddings (the r14 shape shuffled the embedding-carrying
-    // corpus against the persisted assignment). The narrow (vec_id,
-    // cell) frame is still persisted for consumers that want it (D11's
-    // output join); E14 never materializes it.
+    // assignment is PRODUCED by the map-side cell_argmax kernel (r15:
+    // one fused corpus pass, 3.6 s at 2M×353 cells vs 62 s for the r14
+    // crossJoin + max_by aggregate — KnnDecomp, records/) and
+    // MATERIALIZED once as the narrow id-width (vec_id, cell) frame;
+    // consumers re-attach it by joining the corpus cache. Both caches
+    // are hash-partitioned on vec_id (withNormDf repartitions; the
+    // projection under the one-row broadcast attach preserves it), so
+    // the join plans with ZERO exchange (measured 0.12 s warm at 2M).
+    // Fusing the kernel inline at every consumer instead would re-pay
+    // the 3.6 s per plan subtree — the pair pipeline's exchange
+    // subtrees re-evaluate their map side per consuming stage, which
+    // measured +19 s per warm sf100 rep.
     val packed = packedCents(cent)
     val assign = Caches.persist(e.crossJoin(broadcast(packed))
       .select(col("vec_id"), cellCol.as("cell")))
-    val withCell = e.crossJoin(broadcast(packed))
-      .select(col("vec_id"), col("embedding"), col("nm"),
-        cellCol.as("cell"))
+    val withCell = assign.join(e, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("nm"), col("cell"))
     val bucketed = sub match {
       case None =>
         withCell.select(col("cell"), lit(0).as("tbl"), lit(0L).as("bucket"),
@@ -1253,15 +1259,18 @@ object AnnOps {
     */
   private[operators] def ivfPqResiduals(
       e: DataFrame, cent: DataFrame): DataFrame = {
-    // assignment fused map-side (cell_argmax, r15): the residual frame
-    // is ONE corpus pass — no n-row argmax shuffle and no vec_id join
-    // re-attaching the corpus; only the cells-sized normalized-centroid
-    // frame joins back (broadcast) to supply the subtrahend.
+    // assignment produced by the map-side cell_argmax kernel and
+    // persisted narrow (r15 — see cellBucketedPairs for the measured
+    // produce-once/join-back reasoning: the residual frame is consumed
+    // by EVERY PQ Lloyd round, so an inline kernel would re-evaluate
+    // per round while the vec_id-copartitioned join back is
+    // exchange-free); the cells-sized normalized-centroid frame
+    // broadcasts back to supply the subtrahend.
     val cqnF = cent.select(col("c_id").as("cell"),
       call_function("qnorm_micros", col("c_emb"), col("c_nm")).as("cqn"))
-    e.crossJoin(broadcast(packedCents(cent)))
-      .select(col("vec_id"), col("embedding"), col("nm"),
-        cellCol.as("cell"))
+    val assign = Caches.persist(e.crossJoin(broadcast(packedCents(cent)))
+      .select(col("vec_id"), cellCol.as("cell")))
+    assign.join(e, "vec_id")
       .join(broadcast(cqnF), "cell")
       .select(col("vec_id"), col("cell"),
         call_function("lsub_micros",
@@ -1270,22 +1279,42 @@ object AnnOps {
   }
 
   /** One-row packed form of a (c_id, c_emb, c_nm) centroid frame:
-    * `cents` = array<struct<c_id, cqr, c_nm>> with cqr the raw
-    * quantized micros (qnorm at nm=1e12 ≡ floor(c_emb·1e6+0.5)) — what
+    * `cents` = struct<ids: array<long>, flat: array<long>,
+    * sn: array<double>> where flat holds every centroid's raw
+    * quantized micros (qnorm at nm=1e12 ≡ floor(c_emb·1e6+0.5))
+    * zero-padded to stride 64 and sn the precomputed
+    * sqrt(cast(c_nm as double)) — what
     * [[graft.functions.VectorExpressions.CellArgmaxExpr cell_argmax]]
-    * scores against. Broadcast-crossJoined onto the corpus it is a
-    * COLUMN ATTACH (one row), turning cell assignment into a map-side
-    * projection: no corpus×cells row stream, no n-row argmax shuffle,
-    * no join back for the consumers (r15 — each Lloyd round and every
+    * scores against (see its scaladoc for why the layout is three
+    * parallel primitive arrays, not array<struct>). Broadcast-
+    * crossJoined onto the corpus it is a COLUMN ATTACH (one row),
+    * turning cell assignment into a map-side projection: no
+    * corpus×cells row stream, no n-row argmax shuffle, no join back
+    * for the consumers (r15 — each Lloyd round and every
     * assignment-consuming stage drops to ONE corpus pass whose only
     * shuffle is its own aggregate's partials). Array order is
-    * irrelevant: the kernel's winner rule is order-independent.
+    * irrelevant: the kernel's winner rule is order-independent, so
+    * the single collect_list traversal (which keeps the three arrays
+    * aligned) needs no sort.
     */
   private[operators] def packedCents(cent: DataFrame): DataFrame =
     cent.agg(collect_list(struct(col("c_id"),
-      call_function("qnorm_micros", col("c_emb"), lit(1000000000000L))
-        .as("cqr"),
-      col("c_nm"))).as("cents"))
+        call_function("qnorm_micros", col("c_emb"), lit(1000000000000L))
+          .as("cqr"),
+        col("c_nm"))).as("cs"))
+      .select(struct(
+        transform(col("cs"), x => x("c_id")).as("ids"),
+        flatten(transform(col("cs"), x => concat(
+          slice(x("cqr"), 1, CELL_STRIDE),
+          array_repeat(lit(0L), lit(CELL_STRIDE) - size(x("cqr"))))))
+          .as("flat"),
+        transform(col("cs"), x => sqrt(x("c_nm").cast("double"))).as("sn")
+      ).as("cents"))
+
+  /** cell_argmax's fixed per-centroid stride (= the engine's embedding
+    * width — the same 64 the kernel's scratch buffer caps at).
+    */
+  private[operators] val CELL_STRIDE = 64
 
   /** Map-side cell assignment over a corpus frame carrying a packed
     * `cents` column ([[packedCents]]) — replays the crossJoin +

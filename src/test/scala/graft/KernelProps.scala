@@ -297,10 +297,17 @@ object KernelProps extends Properties("kernels") {
           val cq = v.map(f => math.floor(f.toDouble * 1e6 + 0.5).toLong)
           (c.toLong + 100L, cq, cq.map(x => x * x).sum)
         }
-        val df = Seq((embL, nm, cents)).toDF("embedding", "nm", "cents")
+        // the kernel reads the FLAT packed layout (stride-64 zero-pad +
+        // pack-time sqrt — the 8-dim vectors here exercise the padding);
+        // the composed reference scores the raw (c_id, cq, c_nm) rows
+        val ids = cents.map(_._1)
+        val flat = cents.flatMap(_._2.padTo(64, 0L))
+        val sn = cents.map(c => math.sqrt(c._3.toDouble))
+        val df = Seq((embL, nm, cents, (ids, flat, sn)))
+          .toDF("embedding", "nm", "cents", "packed")
         df.createOrReplaceTempView("kp_ca")
         val got = spark.sql(
-          "SELECT cell_argmax(embedding, nm, cents) AS c FROM kp_ca")
+          "SELECT cell_argmax(embedding, nm, packed) AS c FROM kp_ca")
           .collect().head.getLong(0)
         val want = spark.sql(
           """SELECT max_by(c._1, struct(
