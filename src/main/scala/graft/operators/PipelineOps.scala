@@ -1117,6 +1117,164 @@ object PipelineOps {
       FROM r JOIN ns USING (source)
       ORDER BY doc_id"""))
 
+  /** The DSIR dials: the target domain (the sources whose distribution
+    * the selected subset should match), the hashed-feature bucket
+    * count, and the kept corpus fraction.
+    */
+  private[graft] val DSIR_TARGET = Seq("src1", "src2")
+  private[graft] val DSIR_B = 1024
+  private[graft] val DSIR_KEEP_PCT = 25
+
+  /** G21 — DSIR-style importance resampling (the public Data Selection
+    * via Importance Resampling recipe, Xie et al. 2023): select the
+    * corpus subset that looks most like a TARGET domain by scoring
+    * every document's hashed-n-gram likelihood ratio between a target
+    * feature distribution and the corpus feature distribution, then
+    * keeping the top fraction. This is the standard way a pretraining
+    * pipeline tilts a web-scale corpus toward a curated domain
+    * (Wikipedia+books in the paper; here the [[DSIR_TARGET]] sources)
+    * without training a classifier.
+    *
+    * Engine recipe, exact end to end:
+    * - features: whitespace tokens ([[TextOps.toks]], the C1-C6
+    *   convention) hashed into [[DSIR_B]] buckets by the md5-substring
+    *   convention D12 uses (both engines compute the identical md5 hex,
+    *   so buckets agree by construction);
+    * - per-bucket weight: the add-one-smoothed log likelihood ratio
+    *   log2((cnt_t+1)/(ttot+B) / ((cnt_c+1)/(ctot+B))) in Q16 fixed
+    *   point via the [[graft.functions.FixedLog]] integer recipe —
+    *   signed by flipping num/den through GREATEST/LEAST (the kernel
+    *   contract needs num ≥ den; log2(a/b) = −log2(b/a) is DEFINED
+    *   into the score, deterministic on both sides). Counts ride as
+    *   64-bit products; the documented bound is tokens-per-side
+    *   < 2³¹ (pre-scale both counts by 2^k above that — same recipe,
+    *   same bits);
+    * - per-doc weight: Σ_buckets c_doc(b)·s(b) — a broadcast join
+    *   against the ≤ B-row score table, map-side;
+    * - selection: keep the top [[DSIR_KEEP_PCT]]% by weight through
+    *   the F7/C20 boundary-bucket histogram (bin = floor(w/2¹⁶), the
+    *   integer bits of the log-weight; all-or-nothing at bin
+    *   granularity ≈ 1 bit of log-ratio) — NO corpus sort.
+    *
+    * Scale shape: corpus text is tokenized ONCE; the only corpus-sized
+    * shuffles carry id-width (doc_id, bucket, count) rows; the bucket
+    * table (≤ B rows), totals (1 row), score table (≤ B rows),
+    * histogram (≤ a few thousand bins) and threshold (1 row) all
+    * broadcast. At 100 TB this is two scans' worth of work regardless
+    * of target size — the target distribution is O(B) state, not a
+    * model.
+    */
+  /** G21's body over an explicit (doc_id, source, text) frame — the
+    * holdoutAssign-style seam, so the spec can plant a corpus with a
+    * distinctive target vocabulary.
+    */
+  private[graft] def dsirSelect(input: DataFrame): DataFrame = {
+      val docs = input.repartition(col("doc_id"))
+      val tok = docs
+        .select(col("doc_id"),
+          col("source").isin(DSIR_TARGET.map(x => x: Any): _*).as("is_t"),
+          explode(TextOps.toks(col("text"))).as("tok"))
+        .select(col("doc_id"), col("is_t"),
+          pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType),
+            lit(DSIR_B.toLong)).as("bucket"))
+      // per-doc bucket counts: the one corpus-sized aggregate (id-width
+      // keys); feeds BOTH the corpus/target totals and the doc weights
+      val db = Caches.persist(tok
+        .groupBy(col("doc_id"), col("is_t"), col("bucket"))
+        .agg(count(lit(1)).as("c")))
+      val bt = db.groupBy(col("bucket"))
+        .agg(sum(col("c")).as("cnt_c"),
+          coalesce(sum(when(col("is_t"), col("c"))), lit(0L)).as("cnt_t"))
+      val tots = bt.agg(sum(col("cnt_c")).as("ctot"),
+        sum(col("cnt_t")).as("ttot"))
+      val sc = bt.crossJoin(broadcast(tots))
+        .select(col("bucket"),
+          ((col("cnt_t") + lit(1L)) * (col("ctot") + lit(DSIR_B.toLong)))
+            .as("num"),
+          ((col("cnt_c") + lit(1L)) * (col("ttot") + lit(DSIR_B.toLong)))
+            .as("den"))
+        .select(col("bucket"),
+          (when(col("num") >= col("den"), lit(1L)).otherwise(lit(-1L)) *
+            graft.functions.FixedLog.bitsQ16(
+              greatest(col("num"), col("den")),
+              least(col("num"), col("den")))).as("s"))
+      val wts = Caches.persist(db.join(broadcast(sc), "bucket")
+        .groupBy(col("doc_id"))
+        .agg(max(col("is_t")).as("is_target"),
+          sum(col("c") * col("s")).as("w_q16"))
+        .withColumn("bin",
+          expr("(w_q16 - pmod(w_q16, 65536)) div 65536")))
+      val hist = wts.groupBy(col("bin")).agg(count(lit(1)).as("mass"))
+      // bounded global window: ≤ a few thousand log-weight bins
+      val wb = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumh = hist.withColumn("cum", sum(col("mass")).over(wb))
+      val tot = hist.agg(sum(col("mass")).as("total"))
+      val th = cumh.crossJoin(broadcast(tot))
+        .agg(min(when(
+          col("cum") * 100 >= col("total") * (100 - DSIR_KEEP_PCT),
+          col("bin"))).as("t"))
+      wts.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("is_target"), col("w_q16"), col("bin"),
+          (col("bin") > col("t")).as("kept"))
+        .orderBy(col("doc_id"))
+  }
+
+  val sampleDsir: Op = Op(
+    "sample_dsir",
+    (s, d) => dsirSelect(
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+        col("text"))),
+    Some(s"""
+      WITH toksrc AS (
+        SELECT doc_id,
+               source IN (${DSIR_TARGET.map(t => s"'$t'").mkString(",")})
+                 AS is_t,
+               unnest(regexp_split_to_array(trim(lower(text), ' '), '\\s+'))
+                 AS tok
+        FROM documents),
+      db AS (
+        SELECT doc_id, is_t,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % $DSIR_B
+                 AS bucket,
+               CAST(count(*) AS BIGINT) AS c
+        FROM toksrc GROUP BY 1, 2, 3),
+      bt AS (
+        SELECT bucket, CAST(sum(c) AS BIGINT) AS cnt_c,
+               CAST(coalesce(sum(CASE WHEN is_t THEN c END), 0) AS BIGINT)
+                 AS cnt_t
+        FROM db GROUP BY bucket),
+      tots AS (SELECT CAST(sum(cnt_c) AS BIGINT) AS ctot,
+                      CAST(sum(cnt_t) AS BIGINT) AS ttot FROM bt),
+      btx AS (
+        SELECT bucket, CASE WHEN num >= den THEN 1 ELSE -1 END AS sgn,
+               GREATEST(num, den) AS gnum, LEAST(num, den) AS gden
+        FROM (SELECT bucket, (cnt_t + 1) * (ctot + $DSIR_B) AS num,
+                     (cnt_c + 1) * (ttot + $DSIR_B) AS den
+              FROM bt, tots) x),
+      ${graft.functions.FixedLog.sqlRounds(
+        "btx", Seq("bucket", "sgn"), "gnum", "gden", "bsc")},
+      sc AS (SELECT bucket, CAST(sgn * bits_q16 AS BIGINT) AS s FROM bsc),
+      wb AS (
+        SELECT doc_id, is_target, w_q16,
+               CAST((w_q16 - ((w_q16 % 65536 + 65536) % 65536)) // 65536
+                 AS BIGINT) AS bin
+        FROM (SELECT db.doc_id, max(db.is_t) AS is_target,
+                     CAST(sum(db.c * sc.s) AS BIGINT) AS w_q16
+              FROM db JOIN sc USING (bucket) GROUP BY db.doc_id) dw),
+      hist AS (SELECT bin, CAST(count(*) AS BIGINT) AS mass
+               FROM wb GROUP BY bin),
+      cumh AS (SELECT bin,
+                      CAST(sum(mass) OVER (ORDER BY bin) AS BIGINT) AS cum
+               FROM hist),
+      tot AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM hist),
+      th AS (SELECT min(CASE WHEN cum * 100 >= total * ${100 - DSIR_KEEP_PCT}
+                             THEN bin END) AS t
+             FROM cumh, tot)
+      SELECT w.doc_id, w.is_target, w.w_q16, w.bin, w.bin > th.t AS kept
+      FROM wb w, th
+      ORDER BY w.doc_id"""))
+
   /** G11 — per-domain frequency capping: keep at most ceil(√n_s)
     * documents from each source s, chosen by a deterministic hash
     * priority — the RefinedWeb/FineWeb-style guard against any single
@@ -1864,7 +2022,7 @@ object PipelineOps {
     joinAsof, joinRange, sampleStratified, qualityFilter,
     qualityFilterExtracted, eventsRetention, eventsFunnel, sampleWeighted,
     eventsAnomaly, docPack, docPackBpe, docPackEmit, packShuffle,
-    sampleHoldout, mixturePlan,
+    sampleHoldout, sampleDsir, mixturePlan,
     mixturePlanBpe,
     mixturePlanTemp, sampleMixture, sampleDomainCap, curationReport,
     curationReportQuality, curationFate,

@@ -869,4 +869,68 @@ class PipelineSpec extends SparkSpec {
     assert(windows >= 3, s"three-level form must plan 3 windows:\n$p")
     Caches.releaseScope()
   }
+
+  test("sample_dsir: target-vocabulary docs outscore and survive; " +
+      "keep rate brackets the dial at bin granularity") {
+    import spark.implicits._
+    import graft.operators.PipelineOps
+    // 40 background docs in a generic vocabulary; 4 docs from the
+    // DSIR_TARGET sources plus 4 non-target docs that SHARE the target
+    // vocabulary — DSIR must promote the look-alikes even though their
+    // source tag is not the target (that is the point of importance
+    // resampling vs a source filter). 8 target-vocab docs of 48 fit
+    // UNDER the 25% keep budget (12), so the whole group survives the
+    // all-or-nothing bin threshold.
+    val tgtVocab = "genome protein enzyme ribosome chromosome"
+    val bgVocab = Seq("alpha beta gamma delta", "epsilon zeta eta theta",
+      "iota kappa lambda mu", "nu xi omicron pi")
+    val docs = (
+      (0 until 40).map(i =>
+        (i.toLong, "web", bgVocab(i % 4) + s" filler$i")) ++
+      (40 until 44).map(i =>
+        (i.toLong, PipelineOps.DSIR_TARGET(i % 2), tgtVocab)) ++
+      (44 until 48).map(i => (i.toLong, "web", tgtVocab))
+    ).toDF("doc_id", "source", "text")
+    val out = PipelineOps.dsirSelect(docs).collect()
+    assert(out.length == 48)
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // every target-vocab doc (target-tagged or look-alike) must
+    // outscore every background doc
+    val wOf = (id: Long) => byId(id).getAs[Long]("w_q16")
+    val minTgt = (40L until 48L).map(wOf).min
+    val maxBg = (0L until 40L).map(wOf).max
+    assert(minTgt > maxBg,
+      s"target-vocab floor $minTgt must beat background ceiling $maxBg")
+    // the whole target-vocab group (tagged AND look-alike) is kept
+    assert((40L until 48L).forall(id => byId(id).getAs[Boolean]("kept")),
+      "target-vocab docs must be selected")
+    // is_target reflects the SOURCE tag, not the verdict
+    assert((40L until 44L).forall(id => byId(id).getAs[Boolean]("is_target")))
+    assert(!byId(44L).getAs[Boolean]("is_target"))
+    // selection is MONOTONE in the weight (the bin threshold can only
+    // cut between bins): every kept doc outweighs every dropped doc
+    val (keptRows, dropRows) = out.partition(_.getAs[Boolean]("kept"))
+    assert(keptRows.map(_.getAs[Long]("w_q16")).min >
+      dropRows.map(_.getAs[Long]("w_q16")).max,
+      "kept set must be a weight prefix")
+    // keep rate brackets the dial at bin granularity: at least the
+    // budget's bin-rounded floor, at most the budget (48 − cum(t) ≤ 12)
+    assert(keptRows.length >= 8 && keptRows.length <= 12,
+      s"kept ${keptRows.length} outside the dial bracket [8, 12]")
+    Caches.releaseScope()
+  }
+
+  test("sample_dsir plan: no corpus sort before the verdict; " +
+      "score and threshold attach as broadcasts") {
+    val df = run("sample_dsir")
+    df.count()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+    // the only Sort allowed below the final output ordering is none —
+    // TakeOrderedAndProject/Sort must appear exactly once (the
+    // deterministic output order every oracle query ends with)
+    val sorts = "\\bSort \\[doc_id".r.findAllIn(p).size
+    assert(sorts <= 1, s"corpus must not sort before the verdict:\n$p")
+    Caches.releaseScope()
+  }
 }
