@@ -1490,6 +1490,134 @@ object TextOps {
       FROM scored s, th
       ORDER BY doc_id"""))
 
+  /** G22's dials: kept corpus fraction and the excess-bits bin width
+    * (Q16 → 4096 = 1/16 bit of log-ratio per bin).
+    */
+  private[graft] val RHO_KEEP_PCT = 25
+  private[graft] val RHO_BIN = 256L
+
+  /** G22 — RHO-style excess-loss data selection (the public
+    * reducible-holdout-loss recipe — Mindermann et al. 2022, applied
+    * to LM pretraining as RHO-1, Lin et al. 2024 — at document
+    * granularity): keep the documents whose loss under the CURRENT
+    * model most exceeds their loss under a trusted REFERENCE model.
+    * High current-loss alone selects noise (unlearnable garbage is
+    * also high-loss); subtracting the reference loss keeps only what
+    * is both unlearned AND learnable — the reference model prices
+    * noise as high-loss too, cancelling it out of the excess.
+    *
+    * Engine casting with the board's two existing LMs: the
+    * "current model" stand-in is C19's corpus SELF-model (exact
+    * conditional MLE, bits = log2(c_prefix/c)); the reference is
+    * C19b's held-out even-doc_id smoothed LM (the [[LmIndex]] kernel).
+    * excess = floor((sum_self_q16 − sum_ref_q16) / n_bigrams) — the
+    * per-bigram mean excess in Q16, floor division via the pmod
+    * subtraction so both engines agree on negative values. Selection
+    * keeps the top [[RHO_KEEP_PCT]]% by excess through the F7/C20/G21
+    * boundary-bucket histogram — NO corpus sort. The CANDIDATE pool is
+    * the out-of-reference (odd-doc_id) half only: reference-member
+    * documents score systematically low under the model that trained
+    * on them, so letting them compete would select the reference
+    * instead of the corpus (measured: at the full-pool draft every
+    * kept doc but one was a reference member). Docs under 2 tokens
+    * have no bigram loss and are out of scope (the C19/C19b contract).
+    *
+    * Scale shape: the per-doc bigram count frame is built ONCE and
+    * persisted (it feeds the self model, the reference model, and both
+    * scoring fan-outs); everything else is model-sized or
+    * histogram-sized. Same Zipf-head caveat as C19 (AQE skew-split on
+    * the bigram joins).
+    */
+  /** G22's body over an explicit (doc_id, text) frame — the seam the
+    * spec plants a corpus through (even doc_ids form the reference,
+    * odd the candidate pool, as in C19b).
+    */
+  private[graft] def rhoSelect(input: DataFrame): DataFrame = {
+      val docbg = Caches.persist(LmIndex.bigramCounts(input))
+      // self model: full-corpus exact conditional MLE (the C19 score)
+      val bg = Caches.persist(
+        docbg.groupBy("w1", "w2").agg(sum(col("c")).as("cnt")))
+      val un = bg.groupBy("w1").agg(sum(col("cnt")).as("ucnt"))
+      val selfDoc = docbg
+        .join(bg.join(un, "w1").select(col("w1"), col("w2"),
+          graft.functions.FixedLog.bitsQ16(col("ucnt"), col("cnt"))
+            .as("bq")), Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          sum(col("c") * col("bq")).as("sum_self_q16"))
+      // reference model: the C19b held-out even-half smoothed LM
+      val ref = LmIndex.refFromCounts(
+        docbg.filter(col("doc_id") % 2 === 0), Caches.persist(_))
+      val refDoc = LmIndex.scoreCounts(docbg, ref)
+        .select(col("doc_id"), col("sum_bits_q16").as("sum_ref_q16"))
+      val wts = Caches.persist(selfDoc.join(refDoc, "doc_id")
+        .filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("((sum_self_q16 - sum_ref_q16) - " +
+            "pmod(sum_self_q16 - sum_ref_q16, n_bigrams)) div n_bigrams")
+            .as("excess_q16"))
+        .withColumn("bin",
+          expr(s"(excess_q16 - pmod(excess_q16, $RHO_BIN)) div $RHO_BIN")))
+      val hist = wts.groupBy(col("bin")).agg(count(lit(1)).as("mass"))
+      // bounded global window: ≤ a few thousand excess-bits bins
+      val wb = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumh = hist.withColumn("cum", sum(col("mass")).over(wb))
+      val tot = hist.agg(sum(col("mass")).as("total"))
+      val th = cumh.crossJoin(broadcast(tot))
+        .agg(min(when(
+          col("cum") * 100 >= col("total") * (100 - RHO_KEEP_PCT),
+          col("bin"))).as("t"))
+      wts.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("n_bigrams"), col("excess_q16"),
+          col("bin"), (col("bin") > col("t")).as("kept"))
+        .orderBy(col("doc_id"))
+  }
+
+  val sampleRho: Op = Op(
+    "sample_rho",
+    (s, d) => rhoSelect(Tables.documents(s, d)),
+    Some(s"""
+      WITH $sqlLmRefCtes,
+      bgs AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cnt
+              FROM docbg GROUP BY w1, w2),
+      uns AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ucnt
+              FROM bgs GROUP BY w1),
+      ssrc AS (SELECT d.doc_id, d.c, u.ucnt AS s_num, b.cnt AS s_den
+               FROM docbg d
+               JOIN bgs b ON d.w1 = b.w1 AND d.w2 = b.w2
+               JOIN uns u ON d.w1 = u.w1),
+      ${graft.functions.FixedLog.sqlRounds(
+        "ssrc", Seq("doc_id", "c"), "s_num", "s_den", "slg")},
+      selfsc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                        CAST(sum(c * bits_q16) AS BIGINT) AS sum_self_q16
+                 FROM slg GROUP BY doc_id),
+      xs AS (
+        SELECT s.doc_id, s.n_bigrams,
+               CAST(((s.sum_self_q16 - r.sum_bits_q16) -
+                     (((s.sum_self_q16 - r.sum_bits_q16) % s.n_bigrams
+                       + s.n_bigrams) % s.n_bigrams)) // s.n_bigrams
+                 AS BIGINT) AS excess_q16
+        FROM selfsc s JOIN docsc r USING (doc_id)
+        WHERE s.doc_id % 2 <> 0),
+      wb AS (SELECT doc_id, n_bigrams, excess_q16,
+                    CAST((excess_q16 - ((excess_q16 % $RHO_BIN + $RHO_BIN)
+                      % $RHO_BIN)) // $RHO_BIN AS BIGINT) AS bin
+             FROM xs),
+      hist AS (SELECT bin, CAST(count(*) AS BIGINT) AS mass
+               FROM wb GROUP BY bin),
+      cumh AS (SELECT bin,
+                      CAST(sum(mass) OVER (ORDER BY bin) AS BIGINT) AS cum
+               FROM hist),
+      tot AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM hist),
+      th AS (SELECT min(CASE WHEN cum * 100 >= total * ${100 - RHO_KEEP_PCT}
+                             THEN bin END) AS t
+             FROM cumh, tot)
+      SELECT w.doc_id, w.n_bigrams, w.excess_q16, w.bin,
+             w.bin > th.t AS kept
+      FROM wb w, th
+      ORDER BY w.doc_id"""))
+
   /** C21 — code-point unigram entropy (the Gopher/C4-family "compression
     * ratio" quality rule): a document whose character distribution is
     * near-degenerate (repeated padding, ASCII-art, base64 walls, one-char
@@ -1558,5 +1686,5 @@ object TextOps {
     textRarity, textBpeCount, textBpeCountBytes, textBpeVocab, textBpeTrain,
     textBpeTrainBytes, textBpeCountLearned,
     textExtract, textPiiRedact, qualityClassifier, lmBigram, lmBigramRef,
-    qualityPplBuckets, textEntropy, textLangidLearned)
+    qualityPplBuckets, sampleRho, textEntropy, textLangidLearned)
 }

@@ -920,6 +920,60 @@ class PipelineSpec extends SparkSpec {
     Caches.releaseScope()
   }
 
+  test("sample_rho: the learnable gem (rare in corpus, known to the " +
+      "reference) is selected; noise and background are not") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // all bigrams share the prefix "the", so the self-model MLE prices
+    // each continuation by its corpus share. Candidates (odd ids):
+    // 38 background docs ("the cat/dog" — common everywhere, excess≈0),
+    // one GEM ("the zyx" — rare corpus-wide, well-represented in the
+    // reference half → high self bits, low ref bits, max excess), one
+    // NOISE doc ("the qqq" — rare corpus-wide AND unknown to the
+    // reference → the smoothed ref model prices it high too, excess
+    // strongly negative). Reference half (even ids): 34 background +
+    // 6 gem-phrase docs.
+    val bg = "the cat the dog the cat the dog the cat"
+    val gemTxt = "the zyx the zyx the zyx the zyx the zyx"
+    val noiseTxt = "the qqq the qqq the qqq the qqq the qqq"
+    val gemId = 41L
+    val noiseId = 43L
+    val docs = (
+      (0 until 40).map(i => (i * 2L, bg)).take(34) ++
+      (34 until 40).map(i => (i * 2L, gemTxt)) ++
+      (0 until 40).map(i => (i * 2L + 1, bg))
+        .filterNot(p => p._1 == gemId || p._1 == noiseId) ++
+      Seq((gemId, gemTxt), (noiseId, noiseTxt))
+    ).toDF("doc_id", "text")
+    val out = TextOps.rhoSelect(docs).collect()
+    // only the odd (candidate) half is in scope
+    assert(out.length == 40)
+    assert(out.forall(_.getAs[Long]("doc_id") % 2 == 1),
+      "reference-member docs must not compete for selection")
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val xOf = (id: Long) => byId(id).getAs[Long]("excess_q16")
+    val bgIds = out.map(_.getAs[Long]("doc_id"))
+      .filterNot(id => id == gemId || id == noiseId)
+    // excess ordering: gem > every background > noise
+    assert(bgIds.forall(id => xOf(gemId) > xOf(id)),
+      "gem must have the highest excess")
+    assert(bgIds.forall(id => xOf(id) > xOf(noiseId)),
+      "noise must have the lowest excess")
+    // verdicts: the gem's bin is the only one above the 75% cut
+    // (background docs are identical → one fat bin at the threshold,
+    // dropped all-or-nothing)
+    assert(byId(gemId).getAs[Boolean]("kept"), "gem must be selected")
+    assert(!byId(noiseId).getAs[Boolean]("kept"), "noise must not be")
+    assert(bgIds.forall(id => !byId(id).getAs[Boolean]("kept")),
+      "the straddling background bin drops wholesale")
+    // monotone prefix: every kept doc outweighs every dropped doc
+    val (keptRows, dropRows) = out.partition(_.getAs[Boolean]("kept"))
+    assert(keptRows.nonEmpty &&
+      keptRows.map(_.getAs[Long]("excess_q16")).min >
+        dropRows.map(_.getAs[Long]("excess_q16")).max)
+    Caches.releaseScope()
+  }
+
   test("sample_dsir plan: no corpus sort before the verdict; " +
       "score and threshold attach as broadcasts") {
     val df = run("sample_dsir")
