@@ -1168,15 +1168,37 @@ object PipelineOps {
     * holdoutAssign-style seam, so the spec can plant a corpus with a
     * distinctive target vocabulary.
     */
+  /** A token's hashed DSIR feature bucket — the md5-substring
+    * convention (D12's), shared verbatim by the batch selector and the
+    * streaming gate ([[graft.streaming.DocIngest.dsirGate]]) so an
+    * edge-priced document lands in the same buckets the policy was
+    * trained on.
+    */
+  private[graft] def dsirBucket(t: Column): Column =
+    pmod(conv(substring(md5(t), 1, 8), 16, 10).cast(LongType),
+      lit(DSIR_B.toLong))
+
   private[graft] def dsirSelect(input: DataFrame): DataFrame = {
+      val (_, _, wts, th) = dsirFrames(input)
+      wts.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("is_target"), col("w_q16"), col("bin"),
+          (col("bin") > col("t")).as("kept"))
+        .orderBy(col("doc_id"))
+  }
+
+  /** G21's internal frames — (sc: per-bucket signed scores,
+    * tots: 1-row corpus/target token totals, wts: per-doc weights,
+    * th: 1-row bin threshold) — shared by the batch selector and
+    * [[dsirPolicy]].
+    */
+  private def dsirFrames(
+      input: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
       val docs = input.repartition(col("doc_id"))
       val tok = docs
         .select(col("doc_id"),
           col("source").isin(DSIR_TARGET.map(x => x: Any): _*).as("is_t"),
           explode(TextOps.toks(col("text"))).as("tok"))
-        .select(col("doc_id"), col("is_t"),
-          pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType),
-            lit(DSIR_B.toLong)).as("bucket"))
+        .select(col("doc_id"), col("is_t"), dsirBucket(col("tok")).as("bucket"))
       // per-doc bucket counts: the one corpus-sized aggregate (id-width
       // keys); feeds BOTH the corpus/target totals and the doc weights
       val db = Caches.persist(tok
@@ -1214,10 +1236,36 @@ object PipelineOps {
         .agg(min(when(
           col("cum") * 100 >= col("total") * (100 - DSIR_KEEP_PCT),
           col("bin"))).as("t"))
-      wts.crossJoin(broadcast(th))
-        .select(col("doc_id"), col("is_target"), col("w_q16"), col("bin"),
-          (col("bin") > col("t")).as("kept"))
-        .orderBy(col("doc_id"))
+      (sc, tots, wts, th)
+  }
+
+  /** Freeze a batch G21 run into the edge-deployable POLICY: the dense
+    * [[DSIR_B]]-long per-bucket score array (buckets no corpus token
+    * ever hashed to — which a NOVEL streaming token can still hit —
+    * fill with the smoothing PRIOR score, the same signed-Q16 recipe at
+    * cnt_t = cnt_c = 0, computed through the engine kernel so the fill
+    * is bit-identical to what the batch would have scored) and the bin
+    * threshold. O(B) state: this is what rides into
+    * [[graft.streaming.DocIngest.dsirGate]] as a literal — importance
+    * weights retrain offline, the edge only prices.
+    */
+  private[graft] def dsirPolicy(input: DataFrame): (Array[Long], Long) = {
+    val (sc, tots, _, th) = dsirFrames(input)
+    val prior = tots
+      .select(
+        ((lit(1L)) * (col("ctot") + lit(DSIR_B.toLong))).as("num"),
+        ((lit(1L)) * (col("ttot") + lit(DSIR_B.toLong))).as("den"))
+      .select(
+        (when(col("num") >= col("den"), lit(1L)).otherwise(lit(-1L)) *
+          graft.functions.FixedLog.bitsQ16(
+            greatest(col("num"), col("den")),
+            least(col("num"), col("den")))).as("s"))
+      .collect().head.getLong(0)
+    val arr = Array.fill(DSIR_B)(prior)
+    sc.collect().foreach { r =>
+      arr(r.getAs[Long]("bucket").toInt) = r.getAs[Long]("s")
+    }
+    (arr, th.collect().head.getAs[Long]("t"))
   }
 
   val sampleDsir: Op = Op(

@@ -83,4 +83,33 @@ object DocIngest {
       bloomSplit(qualityGate(docs.withWatermark("ts", watermark)), words)
     (dedup(clean), suspects)
   }
+
+  /** DSIR gate at the ingest edge — the streaming face of G21
+    * (`sample_dsir`): the frozen per-bucket importance scores and the
+    * bin threshold come from a batch run
+    * ([[graft.operators.PipelineOps.dsirPolicy]] — the deployment
+    * shape: the policy retrains OFFLINE against a curated target, the
+    * edge only prices), ride into the stream as a [[graft.operators
+    * .PipelineOps.DSIR_B]]-long literal, and each document's weight is
+    * a pure row-local expression — one md5 per token + an element_at
+    * against the literal, summed by an `aggregate` HOF. No state, no
+    * join, no shuffle: exactly the Bloom-split doctrine for importance
+    * weighting. A document passes iff its weight bin clears the frozen
+    * threshold — bit-identical to the batch verdict on the same text
+    * (the bucket hash is shared code, the sum is the same Σ c·s, and
+    * novel tokens price at the smoothing prior the policy array
+    * carries).
+    */
+  def dsirGate(docs: DataFrame, scores: Array[Long], tBin: Long): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val sLit = typedLit(scores.toSeq)
+    val w = aggregate(
+      transform(tokens(lower(col("text"))), t =>
+        element_at(sLit,
+          (graft.operators.PipelineOps.dsirBucket(t) + lit(1L))
+            .cast("int"))),
+      lit(0L), (acc, x) => acc + x)
+    docs.withColumn("w_q16", w.cast(LongType))
+      .filter(expr("(w_q16 - pmod(w_q16, 65536)) div 65536") > lit(tBin))
+  }
 }

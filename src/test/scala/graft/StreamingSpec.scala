@@ -449,6 +449,64 @@ class StreamingSpec extends SparkSpec {
       s"expected first-seen survivors 1 and 5, got $ids")
   }
 
+  test("doc ingest stream with DSIR gate: frozen-policy edge verdicts " +
+      "equal the batch sample_dsir verdicts; novel tokens price at the " +
+      "prior") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.PipelineOps
+    import graft.streaming.DocIngest
+
+    // the PipelineSpec plant: background vocabulary + a target
+    // vocabulary carried by DSIR_TARGET sources and look-alikes
+    val tgtVocab = "genome protein enzyme ribosome chromosome"
+    val bgVocab = Seq("alpha beta gamma delta", "epsilon zeta eta theta",
+      "iota kappa lambda mu", "nu xi omicron pi")
+    val corpus = (
+      (0 until 40).map(i =>
+        (i.toLong, "web", bgVocab(i % 4) + s" filler$i")) ++
+      (40 until 44).map(i =>
+        (i.toLong, PipelineOps.DSIR_TARGET(i % 2), tgtVocab)) ++
+      (44 until 48).map(i => (i.toLong, "web", tgtVocab))
+    )
+    val corpusDf = corpus.toDF("doc_id", "source", "text")
+    val (scores, tBin) = PipelineOps.dsirPolicy(corpusDf)
+    val batchKept = PipelineOps.dsirSelect(corpusDf).collect()
+      .filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("doc_id")).toSet
+    Caches.releaseScope()
+
+    val src = MemoryStream[Doc]
+    val query = DocIngest.dsirGate(src.toDS().toDF(), scores, tBin)
+      .writeStream.format("memory").queryName("dsir_gate")
+      .outputMode("append").start()
+    // replay the corpus through the edge, plus one doc of tokens the
+    // policy never saw — it prices at the PRIOR fill: under add-one
+    // smoothing a never-seen feature scores (ctot+B)/(ttot+B) > 1
+    // toward the SMALLER (target) distribution, so novel text is
+    // target-leaning by construction — the gate verdict follows from
+    // that arithmetic, it is not an error path
+    src.addData(corpus.map { case (id, _, txt) => Doc(id, t("10:00"), txt) }
+      :+ Doc(99L, t("10:01"), "qqzz wwyy vvxx uuww ttvv") : _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("dsir_gate").collect()
+    val streamed = out.map(_.getAs[Long]("doc_id")).toSet
+    assert((streamed - 99L) == batchKept,
+      s"edge verdicts $streamed must equal batch verdicts $batchKept")
+    // the novel doc's weight is EXACTLY 5 tokens × the prior fill (its
+    // gibberish tokens hash to policy-untouched buckets), and its
+    // verdict is the frozen threshold applied to that weight
+    val prior = scores.groupBy(identity).maxBy(_._2.length)._1
+    val w99 = out.find(_.getAs[Long]("doc_id") == 99L)
+      .map(_.getAs[Long]("w_q16"))
+    val bin99 = (5 * prior - Math.floorMod(5 * prior, 65536L)) / 65536L
+    if (bin99 > tBin)
+      assert(w99.contains(5 * prior),
+        s"novel doc must price at 5x the prior, got $w99")
+    else assert(w99.isEmpty, "novel doc below the frozen threshold")
+  }
+
   test("doc ingest stream with Bloom decon: contaminated docs quarantine " +
       "map-side, clean docs flow; nothing contaminated reaches the " +
       "clean side") {
