@@ -987,4 +987,18 @@ class PipelineSpec extends SparkSpec {
     assert(sorts <= 1, s"corpus must not sort before the verdict:\n$p")
     Caches.releaseScope()
   }
+
+  test("sample_rho plan: no cartesian, no GLOBAL corpus sort before " +
+      "the verdict") {
+    val df = run("sample_rho")
+    df.count()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+    // the doc_id-keyed SMJ sorts are partition-local (global=false);
+    // the ONLY global sort is the deterministic output ordering
+    val globalSorts = "Sort \\[[^\\]]*\\], true".r.findAllIn(p).size
+    assert(globalSorts <= 1,
+      s"corpus must not globally sort before the verdict:\n$p")
+    Caches.releaseScope()
+  }
 }
