@@ -102,6 +102,12 @@ object DocIngest {
     */
   def dsirGate(docs: DataFrame, scores: Array[Long], tBin: Long): DataFrame = {
     import org.apache.spark.sql.types.LongType
+    // the bucket hash mods by DSIR_B; a differently-sized policy array
+    // would make element_at return null and silently drop every doc
+    // whose tokens land past the end — refuse instead
+    require(scores.length == graft.operators.PipelineOps.DSIR_B,
+      s"policy array has ${scores.length} buckets, the gate hashes into " +
+        s"${graft.operators.PipelineOps.DSIR_B}")
     val sLit = typedLit(scores.toSeq)
     val w = aggregate(
       transform(tokens(lower(col("text"))), t =>
