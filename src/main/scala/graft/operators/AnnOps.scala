@@ -539,7 +539,7 @@ object AnnOps {
     * loop shape: each round is one corpus pass whose shuffle carries
     * ≤ cells groups × dim partial sums.
     */
-  private[operators] def ivfTrainMicros(
+  private[graft] def ivfTrainMicros(
       e: DataFrame, cells: Int, rounds: Int): Array[Array[Long]] = {
     val seed = e
       .filter(col("vec_id") >= QUERY_MAX && col("vec_id") < QUERY_MAX + cells)
@@ -549,6 +549,13 @@ object AnnOps {
         r.getAs[scala.collection.Seq[Float]]("embedding")
           .map(f => math.floor(f.toDouble * 1e6 + 0.5).toLong).toArray)
       .toMap
+    // an incomplete seed slice must fail HERE with the contract named,
+    // not as a bare key-not-found inside Array.tabulate (r15 advisory:
+    // arbitrary-embedding corpora without a contiguous [QUERY_MAX,
+    // QUERY_MAX+cells) vec_id slice hit an opaque NoSuchElementException)
+    require(seed.size == cells,
+      s"coarse seed slice [vec_id $QUERY_MAX, ${QUERY_MAX + cells}) " +
+        s"incomplete: ${seed.size} of $cells rows present")
     var cent: Array[Array[Long]] =
       Array.tabulate(cells)(c => seed(QUERY_MAX.toLong + c))
     for (_ <- 1 to rounds) {
@@ -605,10 +612,18 @@ object AnnOps {
     * AnnSpec.
     */
   private[graft] def ivfTrainedCentroids(
-      e: DataFrame, cells: Int, rounds: Int = IVF_ROUNDS): DataFrame = {
-    val s = e.sparkSession
+      e: DataFrame, cells: Int, rounds: Int = IVF_ROUNDS): DataFrame =
+    centroidFrame(e.sparkSession, ivfTrainMicros(e, cells, rounds))
+
+  /** The (c_id, c_emb, c_nm) consumer frame from trained micro vectors
+    * (the [[ivfTrainedCentroids]] float round-trip, factored r16 so
+    * [[CentroidIndex]]'s memoized/loaded micros rebuild the identical
+    * frame without retraining).
+    */
+  private[graft] def centroidFrame(
+      s: SparkSession, micros: Array[Array[Long]]): DataFrame = {
     import s.implicits._
-    ivfTrainMicros(e, cells, rounds).zipWithIndex.map { case (v, c) =>
+    micros.zipWithIndex.map { case (v, c) =>
       (QUERY_MAX.toLong + c, v.map(m => (m / 1e6).toFloat).toSeq,
         v.map(m => m * m).sum)
     }.toSeq.toDF("c_id", "c_emb", "c_nm")
@@ -628,7 +643,10 @@ object AnnOps {
       nprobe: Int = NPROBE,
       coarseRounds: Int = IVF_ROUNDS): DataFrame = {
       val e = withNorm(s, d)
-      val cent = ivfTrainedCentroids(e, cells, coarseRounds)
+      // the trained coarse quantizer is the memoized per-corpus ARTIFACT
+      // (r16 — the r15 board retrained 2 Lloyd corpus passes inside
+      // every invocation): a warm query is a score-only consumer
+      val cent = CentroidIndex.forCorpus(s, d, cells, coarseRounds)
       def cellRank = row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("ccos").desc, col("c_id")))
@@ -789,7 +807,7 @@ object AnnOps {
     * ranking the old slice oracle used (rn = 1 → assignment, rn ≤
     * nprobe → probe).
     */
-  private def sqlIvfCoarseCtes(cells: Int, rounds: Int): String = {
+  private[operators] def sqlIvfTrainCtes(cells: Int, rounds: Int): String = {
     val head = s"""
       qr AS MATERIALIZED (
         SELECT vec_id, j,
@@ -827,7 +845,11 @@ object AnnOps {
     }.mkString(",")
     s"""$head${if (rounds > 0) "," + rnds else ""},
       inmF AS (SELECT c_id, CAST(sum(cm*cm) AS BIGINT) AS ncm
-               FROM icm$rounds GROUP BY c_id),
+               FROM icm$rounds GROUP BY c_id)"""
+  }
+
+  private def sqlIvfCoarseCtes(cells: Int, rounds: Int): String =
+    s"""${sqlIvfTrainCtes(cells, rounds)},
       iscF AS (
         SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
           ORDER BY ccos DESC, c_id) AS rn
@@ -841,7 +863,29 @@ object AnnOps {
           JOIN e ON e.vec_id = q.vec_id
           JOIN inmF n ON n.c_id = c.c_id
           GROUP BY q.vec_id, c.c_id, e.nm, n.ncm) t)"""
-  }
+
+  /** The D11/E14 oracle assignment over the TRAINED centroids — the
+    * final-round scores reduced by the streaming max-of-struct
+    * aggregate (≡ the engine's cell_argmax (ccos, −c_id) winner rule
+    * and ≡ iscF's rn = 1 pick, but with one struct per vector instead
+    * of a window over n·cells rows — the sqlKnnAt sf10 spill lesson).
+    * Emits `..., assign(vec_id, cell)`; prepend [[sqlIvfTrainCtes]].
+    */
+  private[operators] def sqlIvfAssignAggCte(rounds: Int): String = s"""
+      iscoreF AS MATERIALIZED (
+        SELECT q.vec_id, c.c_id,
+               CAST(sum(q.qv * c.cm) AS DOUBLE) /
+                 (sqrt(CAST(e.nm AS DOUBLE)) * sqrt(CAST(n.ncm AS DOUBLE)))
+                 AS ccos
+        FROM qr q
+        JOIN icm$rounds c USING (j)
+        JOIN e ON e.vec_id = q.vec_id
+        JOIN inmF n ON n.c_id = c.c_id
+        GROUP BY q.vec_id, c.c_id, e.nm, n.ncm),
+      assign AS MATERIALIZED (
+        SELECT vec_id,
+               max({'k': ccos, 'nc': -c_id, 'id': c_id}).id AS cell
+        FROM iscoreF GROUP BY vec_id)"""
 
   /** JVM twin of the kernel's NORMALIZED quantizer (seed codebooks are
     * built driver-side in the same unit-sphere micro units the kernel
@@ -1131,8 +1175,14 @@ object AnnOps {
       ORDER BY q_id, rank"""))
 
   /** The cell-blocked pair generator shared by D11 (semantic dedup) and
-    * E14 (k-NN graph): assign every vector to its nearest coarse cell
-    * (the max_by aggregate — never a window over n·cells rows), then
+    * E14 (k-NN graph): assign every vector to its nearest cell of the
+    * caller-supplied coarse-centroid frame — r16: the TRAINED
+    * [[CentroidIndex]] artifact, not the raw corpus slice; the r15 tune
+    * table (records/IVFPQ_TUNE_coarse_r15.txt) proved slice seeds
+    * collapse into ~2 effective cells on cluster-ORDERED ingest, which
+    * skewed D11/E14's cell occupancy and neighborhood quality on the
+    * grouped-by-source layout real corpora ship in — (the max_by-
+    * equivalent cell_argmax kernel — never a window over n·cells rows), then
     * enumerate pairs BUCKET-LOCALLY with the vectors riding in the
     * bucket rows (one corpus-sized shuffle; no self-join recomputing
     * the assignment per side). `sub` optionally splits big cells with
@@ -1141,11 +1191,10 @@ object AnnOps {
     * Returns (assign: vec_id → cell, pairs: i < j with exact-micros
     * cos, deduped across sub-tables).
     */
-  private[operators] def cellBucketedPairs(
+  private[graft] def cellBucketedPairs(
       e: DataFrame,
-      cells: Int,
+      cent: DataFrame,
       sub: Option[LshGeometry]): (DataFrame, DataFrame) = {
-    val cent = ivfPqCentroids(e, cells)
     // assignment is PRODUCED by the map-side cell_argmax kernel (r15:
     // one fused corpus pass, 3.6 s at 2M×353 cells vs 62 s for the r14
     // crossJoin + max_by aggregate — KnnDecomp, records/) and
@@ -1429,7 +1478,8 @@ object AnnOps {
       rerank: Int = PQ_RERANK,
       coarseRounds: Int = IVF_ROUNDS): DataFrame = {
     val e = withNorm(s, d)
-    val cent = ivfTrainedCentroids(e, cells, coarseRounds)
+    // memoized per-corpus coarse artifact (r16) — see ivfTopK
+    val cent = CentroidIndex.forCorpus(s, d, cells, coarseRounds)
     // persist: the residual frame feeds `rounds` training passes, the
     // seed collect, and the encode — without it each re-derives the
     // assignment (a corpus×cells scoring pass)

@@ -992,7 +992,21 @@ object DedupOps {
       .filter(trim(col("col")) =!= "")
       .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("li"),
         hash60(col("col")).as("lh")))
-    val pk = col("doc_id") * lit(LINE_POS_W) + col("li")
+    // keep-one discipline guard (r16, the r15 advisory): a doc with
+    // ≥ LINE_POS_W non-blank lines — or a doc_id big enough that the
+    // multiply overflows Long — would silently ALIAS packed keys, so
+    // the keeper argmin could crown a wrong occurrence or drop every
+    // copy of a line. The width is a dial; exceeding it must fail
+    // loudly, not corrupt the rewrite.
+    val pk = when(
+      col("li") >= lit(LINE_POS_W) ||
+        col("doc_id") >= lit(Long.MaxValue / LINE_POS_W),
+      raise_error(concat(
+        lit("dedup_lines: (doc_id, line_idx) exceeds the LINE_POS_W="),
+        lit(LINE_POS_W),
+        lit(" packing width (doc_id="), col("doc_id"),
+        lit(", li="), col("li"), lit(") — raise the dial"))))
+      .otherwise(col("doc_id") * lit(LINE_POS_W) + col("li"))
     val st = pos.groupBy(col("lh"))
       .agg(count(lit(1)).as("df"), min(pk).as("keeper"))
     val remPos = pos.join(st, "lh")
@@ -1117,9 +1131,12 @@ object DedupOps {
     // the assign + bucket-local pair machinery is the SHARED
     // [[AnnOps.cellBucketedPairs]] generator (E14's k-NN graph runs the
     // identical candidate semantics — factored r13 so they cannot
-    // drift); D11 applies its τ threshold to the deduped pair stream
-    val (assign, allPairs) =
-      AnnOps.cellBucketedPairs(AnnOps.withNorm(s, d), cells, sub)
+    // drift); cells are the TRAINED per-corpus [[CentroidIndex]]
+    // artifact (r16 — slice seeds collapse on cluster-ordered ingest,
+    // the r15 tune table's 0.525→0.95 recall gap); D11 applies its τ
+    // threshold to the deduped pair stream
+    val (assign, allPairs) = AnnOps.cellBucketedPairs(
+      AnnOps.withNorm(s, d), CentroidIndex.forCorpus(s, d, cells), sub)
     val pairs = allPairs.filter(col("cos") >= SEM_TAU)
     val dup = pairs.groupBy(col("j"))
       .agg(count(lit(1)).as("n_dups"), max(col("cos")).as("max_dup_cos"))
@@ -1208,15 +1225,8 @@ object DedupOps {
     }
     s"""
       WITH ${AnnOps.sqlNormCte},
-      cent AS (SELECT vec_id AS c_id, embedding, nm FROM e
-               WHERE vec_id >= ${AnnOps.QUERY_MAX}
-                 AND vec_id < ${AnnOps.QUERY_MAX + cells}),
-      scored AS (SELECT v.vec_id, cent.c_id,
-                   row_number() OVER (PARTITION BY v.vec_id
-                     ORDER BY ${AnnOps.sqlCos("v", "cent")} DESC, cent.c_id)
-                     AS rn
-                 FROM e v, cent),
-      assign AS (SELECT vec_id, c_id AS cell FROM scored WHERE rn = 1),
+      ${AnnOps.sqlIvfTrainCtes(cells, AnnOps.IVF_ROUNDS)},
+      ${AnnOps.sqlIvfAssignAggCte(AnnOps.IVF_ROUNDS)},
       m AS (SELECT e.vec_id, e.embedding, e.nm, assign.cell
             FROM e JOIN assign USING (vec_id)),
       $pairCte,

@@ -634,8 +634,9 @@ object EmbeddingOps {
       d: String,
       cells: Int,
       sub: Option[AnnOps.LshGeometry]): DataFrame = {
-    val (_, pairs) =
-      AnnOps.cellBucketedPairs(AnnOps.withNorm(s, d), cells, sub)
+    // trained per-corpus coarse cells (r16) — see DedupOps.semanticAt
+    val (_, pairs) = AnnOps.cellBucketedPairs(
+      AnnOps.withNorm(s, d), CentroidIndex.forCorpus(s, d, cells), sub)
     // both directions of every pair, then a bounded-heap top-k per
     // source — the (−cos, nbr) struct makes "highest cosine first,
     // lowest id on ties" a MIN-heap order, and posexplode of the sorted
@@ -704,20 +705,14 @@ object EmbeddingOps {
     }
     s"""
       WITH ${AnnOps.sqlNormCte},
-      cent AS (SELECT vec_id AS c_id, embedding, nm FROM e
-               WHERE vec_id >= ${AnnOps.QUERY_MAX}
-                 AND vec_id < ${AnnOps.QUERY_MAX + cells}),
-      -- nearest-cell assignment as a STREAMING max-of-struct aggregate
-      -- (≡ the engine's max_by((cos, −c_id)) and ≡ the old row_number
-      -- rn=1 pick, highest cos then lowest c_id): the window
-      -- formulation materialized n·cells rows WITH their embedding
-      -- lists for the sort — the oracle-side spill that killed the
-      -- sf10 record; the aggregate keeps one struct per vector
-      assign AS MATERIALIZED (SELECT v.vec_id,
-                   max({'k': ${AnnOps.sqlCos("v", "cent")},
-                        'nc': -cent.c_id, 'id': cent.c_id}).id AS cell
-                 FROM e v, cent
-                 GROUP BY v.vec_id),
+      -- r16: the TRAINED coarse centroids (unrolled Lloyd-round CTEs),
+      -- then nearest-cell assignment as a STREAMING max-of-struct
+      -- aggregate (≡ the engine's cell_argmax (ccos, −c_id) winner):
+      -- the window formulation materialized n·cells rows WITH their
+      -- embedding lists for the sort — the oracle-side spill that
+      -- killed the sf10 record; the aggregate keeps one struct/vector
+      ${AnnOps.sqlIvfTrainCtes(cells, AnnOps.IVF_ROUNDS)},
+      ${AnnOps.sqlIvfAssignAggCte(AnnOps.IVF_ROUNDS)},
       m AS MATERIALIZED (SELECT e.vec_id, e.embedding, e.nm, assign.cell
             FROM e JOIN assign USING (vec_id)),
       $pairCte,

@@ -65,8 +65,12 @@ object IvfPqIndex {
       rerank: Int = AnnOps.PQ_RERANK): Index = {
     val e = Caches.persist(AnnOps.withNormDf(embeddings))
     // trained coarse stage (r15): slice seeds + Lloyd rounds — the
-    // exact ann_ivfpq board definition, so probe ≡ board stays pinned
-    val cent = AnnOps.ivfTrainedCentroids(e, cells)
+    // exact ann_ivfpq board definition, so probe ≡ board stays pinned.
+    // Routed through CentroidIndex.trainMicros (r16) so the session's
+    // train-run counter covers the index build too: building IS the
+    // train-once moment, and the centroids persist inside the index.
+    val cent = AnnOps.centroidFrame(e.sparkSession,
+      CentroidIndex.trainMicros(e, cells))
     val res = Caches.persist(AnnOps.ivfPqResiduals(e, cent))
     val cb = AnnOps.ivfPqTrain(res, k, rounds, AnnOps.ivfPqSeedBase(cells))
     val codes = res.select(col("vec_id"), col("cell"),

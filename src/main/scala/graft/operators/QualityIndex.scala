@@ -124,27 +124,14 @@ object QualityIndex {
 
   private val memo = new ConcurrentHashMap[String, Model]()
 
-  /** Memo key for a corpus directory: canonical path + a fingerprint of
-    * documents.parquet (file names, sizes, mtimes). An in-session
-    * rewrite of the corpus changes the fingerprint and invalidates the
-    * memo, so no consumer ever scores under a stale model (shared by
-    * [[LangIndex.forCorpus]]). Local-FS metadata only — for remote
-    * stores the canonical-path fallback keeps the r14 behavior.
+  /** Memo key for a corpus directory: [[CorpusKey.key]]'s canonical
+    * path + MD5 metadata fingerprint of documents.parquet (r16 — the
+    * 32-bit String.hashCode compression the r15 advisory flagged could
+    * silently serve a stale model on collision). Shared by
+    * [[LangIndex.forCorpus]].
     */
-  private[operators] def corpusKey(d: String): String = {
-    val canon =
-      try new java.io.File(d).getCanonicalPath catch { case _: Exception => d }
-    val docs = new java.io.File(canon, "documents.parquet")
-    val parts =
-      if (docs.isDirectory)
-        Option(docs.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      else if (docs.isFile) Seq(docs)
-      else Seq.empty
-    val fp = parts.sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|").hashCode
-    s"$canon#$fp"
-  }
+  private[operators] def corpusKey(d: String): String =
+    CorpusKey.key(d, "documents.parquet")
 
   /** The corpus' trained model, derived at most once per (directory,
     * documents-fingerprint) per session — the board-harness stand-in
