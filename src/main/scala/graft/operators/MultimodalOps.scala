@@ -548,8 +548,15 @@ object MultimodalOps {
         cosineFromMicros(dotMicros(col("a_emb"), col("b_emb")),
           dotMicros(col("a_emb"), col("a_emb")),
           dotMicros(col("b_emb"), col("b_emb"))).as("cos"))
-      .withColumn("bin",
-        expr(s"CAST(floor(cos * 1000000) AS BIGINT) div $PAIR_BIN")))
+      // FLOOR-division binning (r16, the r15 advisory): truncating div
+      // gave bin 0 a double width straddling cosine 0 — exactly where
+      // isotropic pairs concentrate — coarsening the percentile cut;
+      // the pmod floor form is the same convention sample_dsir/
+      // sample_rho's histogram gates use, uniform width on both signs
+      .withColumn("bin", expr(
+        s"""(CAST(floor(cos * 1000000) AS BIGINT)
+            - pmod(CAST(floor(cos * 1000000) AS BIGINT), $PAIR_BIN))
+           div $PAIR_BIN""")))
     val hist = scored.groupBy(col("bin")).agg(count(lit(1)).as("mass"))
     val wb = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -611,7 +618,9 @@ object MultimodalOps {
                  ${q("be", "ix")} * ${q("be", "ix")})) AS BIGINT))) AS cos
         FROM p),
       sb AS (SELECT pair_id, txt_id, cos,
-                    CAST(floor(cos * 1000000) AS BIGINT) // $PAIR_BIN AS bin
+                    (CAST(floor(cos * 1000000) AS BIGINT)
+                     - ((CAST(floor(cos * 1000000) AS BIGINT) % $PAIR_BIN
+                         + $PAIR_BIN) % $PAIR_BIN)) // $PAIR_BIN AS bin
              FROM sc),
       hist AS (SELECT bin, CAST(count(*) AS BIGINT) AS mass
                FROM sb GROUP BY bin),

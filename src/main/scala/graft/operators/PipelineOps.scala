@@ -1207,8 +1207,22 @@ object PipelineOps {
       val bt = db.groupBy(col("bucket"))
         .agg(sum(col("c")).as("cnt_c"),
           coalesce(sum(when(col("is_t"), col("c"))), lit(0L)).as("cnt_t"))
+      // exact-arithmetic bound made a RUNTIME check (r16, the r15
+      // advisory): (cnt+1)·(tot+B) must fit int64, i.e. tokens-per-side
+      // < 2³¹ — beyond it the products would silently overflow into
+      // wrong importance weights. ttot ≤ ctot by construction (the
+      // target is a corpus subset), so guarding ctot covers both; the
+      // documented escape is pre-scaling both counts by 2^k.
       val tots = bt.agg(sum(col("cnt_c")).as("ctot"),
         sum(col("cnt_t")).as("ttot"))
+        .select(
+          when(col("ctot") + lit(DSIR_B.toLong) >= lit(1L << 31),
+            raise_error(concat(
+              lit("sample_dsir: corpus token total "), col("ctot"),
+              lit(" exceeds the 2^31 exact-arithmetic bound - " +
+                "pre-scale bucket counts by 2^k (see scaladoc)"))))
+            .otherwise(col("ctot")).as("ctot"),
+          col("ttot"))
       val sc = bt.crossJoin(broadcast(tots))
         .select(col("bucket"),
           ((col("cnt_t") + lit(1L)) * (col("ctot") + lit(DSIR_B.toLong)))
