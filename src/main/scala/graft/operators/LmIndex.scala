@@ -115,6 +115,175 @@ object LmIndex {
   def score(docs: DataFrame, ref: Ref): DataFrame =
     scoreCounts(bigramCounts(docs), ref)
 
+  // ---- interpolated-backoff trigram model (r16) ----
+
+  /** A trigram reference model: `trigrams(w1, w2, w3, cnt)` +
+    * `bigrams(w1, w2, cnt)` + the 1-row `vocab(v)` frame. The bigram
+    * frame is the BACKOFF distribution (C19b's add-one model verbatim),
+    * kept beside the trigram counts because it cannot be derived from
+    * them (each document's final bigram has no covering trigram);
+    * [[load3]] refuses a pair whose marginals disagree.
+    */
+  final case class Ref3(trigrams: DataFrame, bigrams: DataFrame,
+      vocab: DataFrame)
+
+  /** Per-document trigram occurrence counts (doc_id, w1, w2, w3, c) —
+    * the [[bigramCounts]] tokenization one order up; documents with
+    * < 3 tokens contribute nothing.
+    */
+  def trigramCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextOps.toks(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tok)-2), i -> " +
+          "named_struct('w1', element_at(tok, i), " +
+          "'w2', element_at(tok, i+1), 'w3', element_at(tok, i+2)))"))
+        .as("tg"))
+      .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+      .groupBy("doc_id", "w1", "w2", "w3")
+      .agg(count(lit(1)).as("c"))
+
+  /** Aggregate per-doc trigram + bigram counts into a [[Ref3]]. */
+  def ref3FromCounts(
+      doctg: DataFrame,
+      docbg: DataFrame,
+      cache: DataFrame => DataFrame = identity): Ref3 = {
+    val tg = cache(doctg.groupBy("w1", "w2", "w3")
+      .agg(sum(col("c")).as("cnt")))
+    val bg = cache(docbg.groupBy("w1", "w2").agg(sum(col("c")).as("cnt")))
+    Ref3(tg, bg, bg.select(countDistinct(col("w2")).as("v")))
+  }
+
+  def train3(docs: DataFrame): Ref3 =
+    ref3FromCounts(trigramCounts(docs), bigramCounts(docs))
+
+  /** Score pre-counted documents under an INTERPOLATED-BACKOFF trigram
+    * model — the public-fidelity step the r15 verdict asked for (the
+    * CCNet scorer is a 5-gram KenLM; add-one bigrams underprice any
+    * text whose bigrams are common but whose trigram CONTEXTS are
+    * novel). Jelinek-Mercer interpolation with the integer-rational
+    * λ = 1/2 (λ must be rational for the Q16 log recipe to stay
+    * engine-exact — 1/2 is the textbook two-model default):
+    *
+    *   seen context (c12 ≥ 1):
+    *     p = 1/2 · c123/c12 + 1/2 · (c23+1)/(c2+V)
+    *       = (c123·(c2+V) + c12·(c23+1)) / (2·c12·(c2+V))
+    *   unseen context (c12 = 0) — Katz-style full backoff:
+    *     p = (c23+1)/(c2+V)     (≡ C19b's smoothed bigram; an unseen
+    *                             w2 prefix degrades to 1/V, the same
+    *                             uniform floor)
+    *
+    * p ≤ 1 always (c123 ≤ c12, c23+1 ≤ c2+V), so
+    * bits = log2(den/num) runs [[graft.functions.FixedLog.bitsQ16]]
+    * with its num ≥ den ≥ 1 contract intact, and every product stays
+    * int64-exact under the same tokens-per-side < 2³¹ bound G21
+    * documents (pre-scale counts by 2^k above it). Returns
+    * (doc_id, n_trigrams, sum_bits3_q16).
+    */
+  def scoreCounts3(doctg: DataFrame, ref: Ref3): DataFrame = {
+    val ctx = ref.trigrams.groupBy("w1", "w2").agg(sum(col("cnt")).as("c12"))
+    // the backoff bigram is (w2, w3) — rename the model frame's keys to
+    // the trigram's suffix position
+    val bgSuffix = ref.bigrams.select(col("w1").as("w2"),
+      col("w2").as("w3"), col("cnt").as("c23"))
+    val unSuffix = ref.bigrams.groupBy("w1").agg(sum(col("cnt")).as("ucnt"))
+      .select(col("w1").as("w2"), col("ucnt"))
+    val bgDen = coalesce(col("ucnt"), lit(0L)) + col("v")
+    val bgNum = coalesce(col("c23"), lit(0L)) + lit(1L)
+    val c12c = coalesce(col("c12"), lit(0L))
+    val c123c = coalesce(col("c123"), lit(0L))
+    val pNum = when(c12c > 0, c123c * bgDen + c12c * bgNum).otherwise(bgNum)
+    val pDen = when(c12c > 0, c12c * bgDen * lit(2L)).otherwise(bgDen)
+    doctg
+      .join(ref.trigrams.withColumnRenamed("cnt", "c123"),
+        Seq("w1", "w2", "w3"), "left")
+      .join(ctx, Seq("w1", "w2"), "left")
+      .join(bgSuffix, Seq("w2", "w3"), "left")
+      .join(unSuffix, Seq("w2"), "left")
+      .crossJoin(broadcast(ref.vocab))
+      .select(col("doc_id"), col("c"),
+        graft.functions.FixedLog.bitsQ16(pDen, pNum).as("bits_q16"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_trigrams"),
+        sum(col("c") * col("bits_q16")).as("sum_bits3_q16"))
+  }
+
+  def score3(docs: DataFrame, ref: Ref3): DataFrame =
+    scoreCounts3(trigramCounts(docs), ref)
+
+  /** Persist a trigram model marker-bracketed (the [[save]] contract,
+    * one more frame).
+    */
+  def save3(spark: SparkSession, ref: Ref3, path: String): Unit = {
+    writeMarker(spark, path, complete = false)
+    ref.trigrams.write.mode("overwrite").parquet(s"$path/trigrams")
+    ref.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    ref.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+    writeMarker(spark, path, complete = true)
+  }
+
+  /** Reopen a saved trigram model. Refuses partial saves, a vocab that
+    * disagrees with the bigram frame, and a trigram frame whose
+    * (w2, w3) marginal exceeds the backoff bigram counts — every
+    * trigram occurrence CONTAINS its suffix bigram occurrence, so a
+    * violated marginal means the two frames came from different
+    * corpora and the interpolation would mix incompatible models.
+    */
+  def load3(spark: SparkSession, path: String): Ref3 = {
+    recoverSwap(spark, path)
+    val marker = try spark.read.parquet(s"$path/complete").head()
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"no LmIndex(3) at $path (missing completion marker)")
+    }
+    if (!marker.getAs[Boolean]("complete"))
+      throw new IllegalStateException(
+        s"LmIndex(3) at $path is a partial save — retrain or re-save")
+    val tg = spark.read.parquet(s"$path/trigrams")
+    val bg = spark.read.parquet(s"$path/bigrams")
+    val vocab = spark.read.parquet(s"$path/vocab")
+    val v = vocab.head().getAs[Long]("v")
+    val actual =
+      bg.agg(countDistinct(col("w2")).as("v")).head().getAs[Long]("v")
+    if (v != actual)
+      throw new IllegalStateException(
+        s"LmIndex(3) at $path: stored vocabulary $v != the bigram " +
+          s"frame's $actual continuations")
+    val bad = tg.groupBy(col("w2"), col("w3")).agg(sum(col("cnt")).as("m"))
+      .join(bg.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("cnt").as("bcnt")), Seq("w2", "w3"), "left")
+      .filter(col("m") > coalesce(col("bcnt"), lit(0L)))
+      .count()
+    if (bad > 0)
+      throw new IllegalStateException(
+        s"LmIndex(3) at $path: $bad trigram (w2, w3) marginals exceed " +
+          "the backoff bigram counts — frames from different corpora")
+    Ref3(tg, bg, vocab)
+  }
+
+  /** Fold new reference documents into a saved trigram model — both
+    * count frames merge by summed union ([[append]]'s discipline,
+    * staged sibling + atomic rename; append ≡ retraining on the union,
+    * LmIndexSpec-pinned for the trigram frame too).
+    */
+  def append3(spark: SparkSession, path: String, newDocs: DataFrame): Unit = {
+    val live = load3(spark, path)
+    val add = train3(newDocs)
+    val mtg = Checkpoints.checkpoint(
+      live.trigrams.unionByName(add.trigrams)
+        .groupBy("w1", "w2", "w3").agg(sum(col("cnt")).as("cnt")))
+    val mbg = Checkpoints.checkpoint(
+      live.bigrams.unionByName(add.bigrams)
+        .groupBy("w1", "w2").agg(sum(col("cnt")).as("cnt")))
+    save3(spark,
+      Ref3(mtg, mbg, mbg.select(countDistinct(col("w2")).as("v"))),
+      stagedPath(path))
+    swapInto(spark, path)
+  }
+
   // ---- persistence (the artifact contract) ----
 
   private def writeMarker(

@@ -95,6 +95,99 @@ class LmIndexSpec extends SparkSpec {
     Caches.releaseScope()
   }
 
+  // ---- interpolated-backoff trigram model (r16) ----
+
+  private def rows3(df: DataFrame): Seq[(Long, Long, Long)] =
+    df.select(col("doc_id"), col("n_trigrams"), col("sum_bits3_q16"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("trigram save3/load3 roundtrip: loaded scores equal in-session " +
+      "scores and the oracle-checked board query") {
+    val dir = tmp("rt3")
+    val refDocs = docs.filter(col("doc_id") % 2 === 0)
+    LmIndex.save3(spark, LmIndex.train3(refDocs), dir)
+    val got = rows3(LmIndex.score3(docs, LmIndex.load3(spark, dir)))
+    assert(got.nonEmpty)
+    assert(got == rows3(LmIndex.score3(docs, LmIndex.train3(refDocs))),
+      "loaded trigram model must score identically to in-session")
+    val board = rows3(run("lm_trigram_ref"))
+    assert(got == board,
+      "artifact-cycle trigram scores must match the board query")
+    Caches.releaseScope()
+  }
+
+  test("bigram and trigram models ORDER documents differently when " +
+      "bigrams are common but the trigram context is novel") {
+    import spark.implicits._
+    // reference (even ids): "d b e" ×9, "a b c" ×3 — so bigram (b,e)
+    // is 3× more frequent than (b,c), but the only trigram containing
+    // (b,e) has context (d,b), never (a,b).
+    val ref = ((0 until 9).map(i => (2L * i, "d b e")) ++
+      (0 until 3).map(i => (18L + 2 * i, "a b c"))).toDF("doc_id", "text")
+    // X = "a b e": both bigrams frequent (scores WELL under bigrams)
+    // but trigram (a,b,e) unseen under a seen context (pays backoff).
+    // Y = "a b c": rarer bigram (b,c) (scores worse under bigrams) but
+    // the full trigram is in the reference (scores well).
+    val x = Seq((1L, "a b e")).toDF("doc_id", "text")
+    val y = Seq((3L, "a b c")).toDF("doc_id", "text")
+    def meanBits2(t: DataFrame, r: LmIndex.Ref): Double = {
+      val row = LmIndex.score(t, r).head()
+      row.getAs[Long]("sum_bits_q16").toDouble /
+        row.getAs[Long]("n_bigrams") / 65536.0
+    }
+    def meanBits3(t: DataFrame, r: LmIndex.Ref3): Double = {
+      val row = LmIndex.score3(t, r).head()
+      row.getAs[Long]("sum_bits3_q16").toDouble /
+        row.getAs[Long]("n_trigrams") / 65536.0
+    }
+    val r2 = LmIndex.train(ref)
+    val r3 = LmIndex.train3(ref)
+    val (x2, y2) = (meanBits2(x, r2), meanBits2(y, r2))
+    val (x3, y3) = (meanBits3(x, r3), meanBits3(y, r3))
+    info(f"bigram: X $x2%.3f vs Y $y2%.3f; trigram: X $x3%.3f vs Y $y3%.3f")
+    assert(x2 < y2, f"bigram model must prefer X ($x2%.3f !< $y2%.3f)")
+    assert(x3 > y3, f"trigram model must prefer Y ($x3%.3f !> $y3%.3f) — " +
+      "the context-sensitivity the bigram scorer cannot express")
+    Caches.releaseScope()
+  }
+
+  test("append3 equals retraining on the union, frame-exact for BOTH " +
+      "count frames") {
+    val dir = tmp("app3")
+    LmIndex.save3(spark,
+      LmIndex.train3(docs.filter(col("doc_id") % 4 === 0)), dir)
+    LmIndex.append3(spark, dir, docs.filter(col("doc_id") % 4 === 2))
+    val appended = LmIndex.load3(spark, dir)
+    val retrained = LmIndex.train3(docs.filter(col("doc_id") % 2 === 0))
+    def tg(r: LmIndex.Ref3) =
+      r.trigrams.orderBy(col("w1"), col("w2"), col("w3")).collect()
+        .map(x => (x.getString(0), x.getString(1), x.getString(2),
+          x.getLong(3))).toSeq
+    def bg3(r: LmIndex.Ref3) =
+      r.bigrams.orderBy(col("w1"), col("w2")).collect()
+        .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
+    assert(tg(appended) == tg(retrained),
+      "appended trigram frame must equal the union retrain")
+    assert(bg3(appended) == bg3(retrained),
+      "appended backoff bigram frame must equal the union retrain")
+    Caches.releaseScope()
+  }
+
+  test("load3 refuses a trigram frame whose (w2, w3) marginal exceeds " +
+      "the backoff bigram counts (frames from different corpora)") {
+    import spark.implicits._
+    val dir = tmp("marg3")
+    LmIndex.save3(spark, LmIndex.train3(
+      Seq((0L, "a b c d")).toDF("doc_id", "text")), dir)
+    // corrupt: a trigram count the bigram frame cannot cover
+    Seq(("a", "b", "c", 100L)).toDF("w1", "w2", "w3", "cnt")
+      .write.mode("overwrite").parquet(s"$dir/trigrams")
+    val ex = intercept[IllegalStateException] { LmIndex.load3(spark, dir) }
+    assert(ex.getMessage.contains("marginals exceed"))
+    Caches.releaseScope()
+  }
+
   test("torn save refuses to load; an inconsistent vocab refuses to " +
       "load; an interrupted append swap rolls back to the live model") {
     val dir = tmp("torn")
