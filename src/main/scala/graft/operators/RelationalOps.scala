@@ -1037,6 +1037,79 @@ object RelationalOps {
     },
     Some(q29Sql))
 
+  /** B30 — FULL OUTER JOIN (r16: the one ANSI join type with no board
+    * row — B19 covers left outer): the per-customer URGENT-order
+    * aggregate full-outer-joined with a high-balance customer COHORT,
+    * so BOTH sides dangle — cohort members with no urgent orders
+    * (order side null; every customer in the synthetic corpus has SOME
+    * order, so the priority slice is what makes this side genuinely
+    * dangle) and urgent buyers outside the cohort (cohort side null) —
+    * and the output aggregates null-aware per segment (both /
+    * cohort_only / orders_only), counting keys and summing each side's
+    * measure with the other side absent.
+    *
+    * Scale shape: the child side pre-aggregates to one row per custkey
+    * before the join (map-side combined — the B19 discipline), both
+    * sides shuffle ONCE on the join key into a sort-merge full outer
+    * (full outer cannot broadcast: both sides must observe all keys;
+    * a BNLJ fallback would be quadratic — spec-forbidden), and the
+    * 3-group segment aggregate is a trivial final exchange. Balances
+    * and revenue sum as exact round-micros longs (the q22/q28
+    * convention).
+    */
+  val q30FullOuter: Op = Op(
+    "q30_full_outer",
+    (s, d) => {
+      val orderAgg = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("revenue"))
+      val cohort = Tables.customer(s, d)
+        .filter(col("c_acctbal") >= 5000.0)
+        .select(col("c_custkey"),
+          expr("CAST(round(c_acctbal*1000000) AS BIGINT)").as("bal_micros"))
+      orderAgg
+        .join(cohort, col("o_custkey") === col("c_custkey"), "full_outer")
+        .select(
+          when(col("o_custkey").isNotNull && col("c_custkey").isNotNull,
+            lit("both"))
+            .when(col("o_custkey").isNull, lit("cohort_only"))
+            .otherwise(lit("orders_only")).as("segment"),
+          col("n_orders"), col("revenue"), col("bal_micros"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(coalesce(col("n_orders"), lit(0L))).as("n_orders"),
+          (sum(coalesce(
+            expr("CAST(round(revenue*1000000) AS BIGINT)"), lit(0L)))
+            / lit(1000000.0)).as("revenue"),
+          sum(coalesce(col("bal_micros"), lit(0L))).as("bal_micros_sum"))
+        .orderBy(col("segment"))
+    },
+    Some(s"""
+      SELECT segment, count(*) AS n_keys,
+             CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS n_orders,
+             CAST(sum(coalesce(CAST(round(revenue*1000000) AS BIGINT), 0))
+               AS BIGINT)/1000000.0 AS revenue,
+             CAST(sum(coalesce(bal_micros, 0)) AS BIGINT) AS bal_micros_sum
+      FROM (
+        SELECT CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NOT NULL
+                    THEN 'both'
+                    WHEN o.o_custkey IS NULL THEN 'cohort_only'
+                    ELSE 'orders_only' END AS segment,
+               o.n_orders, o.revenue, c.bal_micros
+        FROM (SELECT o_custkey, count(*) AS n_orders,
+                     ${xsum("o_totalprice")} AS revenue
+              FROM orders WHERE o_orderpriority = '1-URGENT'
+              GROUP BY o_custkey) o
+        FULL OUTER JOIN
+             (SELECT c_custkey,
+                     CAST(round(c_acctbal*1000000) AS BIGINT) AS bal_micros
+              FROM customer WHERE c_acctbal >= 5000.0) c
+          ON o.o_custkey = c.c_custkey) t
+      GROUP BY segment
+      ORDER BY segment"""))
+
   val all: Seq[Op] = Seq(
     q1Agg, q2Pushdown, q3JoinAgg, q4Semijoin, q5Antijoin, q6StarJoin,
     q7WindowTopk, q7bTopkAgg, q8Distinct, q8bApproxDistinct, q8cKmvDistinct,
@@ -1044,5 +1117,6 @@ object RelationalOps {
     q11CaseAgg, q12DateAgg, q13StringFuncs, q14Union, q15ScalarSubquery,
     q16Sessionize, q17JsonExtract, q18RunningSum, q19OuterJoin, q20Cube,
     q21Pivot, q22Percentile, q23MovingAvg, q24Profile, q25SetOps,
-    q26GroupingSets, q27TimeRangeAgg, q28Correlated, q29Lateral)
+    q26GroupingSets, q27TimeRangeAgg, q28Correlated, q29Lateral,
+    q30FullOuter)
 }

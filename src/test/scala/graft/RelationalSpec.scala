@@ -328,4 +328,32 @@ class RelationalSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoop"),
       "the lateral limit must decorrelate — never a per-outer-row loop")
   }
+
+  test("q30_full_outer: one SMJ full outer on the key — no BNLJ " +
+      "fallback — and the segments partition the key universe") {
+    val df = run("q30_full_outer")
+    val rows = df.collect()
+    val p = plan(df)
+    assert(p.contains("FullOuter"), s"expected a full outer join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      "full outer must plan as a key-shuffled join, never a nested loop")
+    // segment counts partition the union of both key sets exactly
+    val seg = rows.map(r =>
+      r.getAs[String]("segment") -> r.getAs[Long]("n_keys")).toMap
+    val buyers = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct().count()
+    val cohort = Tables.customer(spark, sf)
+      .filter(col("c_acctbal") >= 5000.0).count()
+    assert(seg.getOrElse("both", 0L) + seg.getOrElse("orders_only", 0L)
+      == buyers, "order-side keys must split across both/orders_only")
+    assert(seg.getOrElse("both", 0L) + seg.getOrElse("cohort_only", 0L)
+      == cohort, "cohort-side keys must split across both/cohort_only")
+    assert(seg.getOrElse("cohort_only", 0L) > 0 &&
+      seg.getOrElse("orders_only", 0L) > 0,
+      "both dangling sides must be non-empty — otherwise the full outer " +
+        "degenerates to a one-sided join and proves nothing")
+    Caches.releaseScope()
+  }
 }
