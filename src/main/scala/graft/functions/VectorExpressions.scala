@@ -1031,7 +1031,7 @@ object VectorExpressions {
     * per DISTINCT code point inside its per-row pass; the expression's
     * own eval delegates here). Contract num ≥ den ≥ 1.
     */
-  private[functions] def log2q16(num: Long, den: Long): Long = {
+  private[graft] def log2q16(num: Long, den: Long): Long = {
     val blenN = 64 - java.lang.Long.numberOfLeadingZeros(num)
     val blenD = 64 - java.lang.Long.numberOfLeadingZeros(den)
     val n2 = if (blenN <= 33) num << (33 - blenN) else num >> (blenN - 33)

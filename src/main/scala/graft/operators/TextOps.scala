@@ -1508,6 +1508,21 @@ object TextOps {
       FROM docsc
       ORDER BY doc_id"""))
 
+  /** C28 — unigram-LM (SentencePiece-family) tokenizer TRAINING (r16,
+    * the r15 verdict's ask #4): hard-EM piece selection over a
+    * candidate-substring vocabulary — the full recipe, dials and scale
+    * argument live in [[UnigramLm]]; this op surfaces the trained
+    * piece table (top pieces by final usage, with the Q16 cost), and
+    * the oracle replays the word cap, candidate generation, BOTH
+    * unrolled EM rounds (cost chains + positional Viterbi DP) and the
+    * final ranking CTE-for-CTE.
+    */
+  val textUnigramTrain: Op = Op(
+    "text_unigram_train",
+    (s, d) => UnigramLm.resultDf(s,
+      UnigramLm.train(Tables.documents(s, d))),
+    Some(UnigramLm.sqlTrain("documents", "lower(text)")))
+
   /** C20's histogram bin width in q16 bit units: 256 = 1/256 bit of
     * conditional information per bigram. The bin domain is bounded by
     * the VALUE RANGE of the score (realistic bigram LMs live under ~30
@@ -1782,6 +1797,6 @@ object TextOps {
     textRarity, textBpeCount, textBpeCountBytes, textBpeVocab, textBpeTrain,
     textBpeTrainBytes, textBpeCountLearned,
     textExtract, textPiiRedact, qualityClassifier, lmBigram, lmBigramRef,
-    lmTrigramRef,
+    lmTrigramRef, textUnigramTrain,
     qualityPplBuckets, sampleRho, textEntropy, textLangidLearned)
 }

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.UnigramLm
+
+/** The unigram-LM (SentencePiece-family) trainer: hard-EM piece
+  * selection must prefer whole pieces over their character spellings
+  * on planted multi-segmentation words, encode must be the exact
+  * consumer twin of the training E-step (no-OOV closure included),
+  * pricing must consume the artifact join-only, and the artifact must
+  * save/load/refuse under the standard marker discipline.
+  */
+class UnigramLmSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft_uglm_$tag").toString + "/model"
+
+  /** A corpus whose Zipf head is the word "xy" — the canonical
+    * multi-segmentation plant: "xy" can spell as [xy] or [x, y].
+    */
+  private lazy val planted: UnigramLm.Model =
+    UnigramLm.trainFromCounts(Seq("xy" -> 100L, "z" -> 50L))
+
+  test("planted multi-segmentation word: the whole piece beats its " +
+      "character spelling (equal usage, one cost vs two)") {
+    // candidates: x, y, z, xy — "xy" usage ties the singles' so the
+    // single-piece path [xy] strictly undercuts [x, y] (one smoothed
+    // cost vs two); EM must settle on it
+    assert(UnigramLm.encodeWith(planted, "xy") == Vector("xy"))
+    // the EM must also have starved the now-unused singles x, y
+    val u = planted.pieces.map(p => p._1 -> p._2).toMap
+    assert(u("xy") == 100L, s"piece usage drifted: $u")
+    assert(u("x") == 0L && u("y") == 0L,
+      s"hard-EM usage must move wholly to the chosen segmentation: $u")
+  }
+
+  test("encode is the E-step twin: every trained word's stored " +
+      "segmentation equals a fresh encode") {
+    val m = UnigramLm.train(Tables.documents(spark, sf))
+    assert(m.vocab.nonEmpty)
+    m.vocab.take(200).foreach { case (w, seg) =>
+      assert(UnigramLm.encodeWith(m, w) == seg,
+        s"stored segmentation of '$w' diverges from encode")
+    }
+    Caches.releaseScope()
+  }
+
+  test("no-OOV closure: unseen words segment (reversed pieces, unseen " +
+      "code points) and never price as zero") {
+    // "yx" reverses the trained piece — no "yx" candidate, so it must
+    // fall back to the single-cp spelling
+    assert(UnigramLm.encodeWith(planted, "yx") == Vector("y", "x"))
+    // "qx": q never appeared in training at all — the u=0 smoothed
+    // fallback prices it as its own piece
+    assert(UnigramLm.encodeWith(planted, "qx") == Vector("q", "x"))
+  }
+
+  test("priceDocuments: artifact-consumer pricing with the OOV " +
+      "code-point fallback, one scan + broadcast join") {
+    val docs = Seq(
+      (1L, "xy xy z"), // 1 + 1 + 1 pieces
+      (2L, "yx"), // OOV word -> 2 code points
+      (3L, "xy qqq") // 1 + 3 (OOV word 'qqq' prices as cp count)
+    ).toDF("doc_id", "text")
+    val got = UnigramLm.priceDocuments(docs, planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_unigram"))
+      .toMap
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 4L), s"got $got")
+    Caches.releaseScope()
+  }
+
+  test("board query shape: ranks dense from 1, usage non-increasing, " +
+      "costs consistent with usage order") {
+    val rows = run("text_unigram_train").collect()
+    assert(rows.nonEmpty && rows.length <= UnigramLm.OutK)
+    val ranks = rows.map(_.getAs[Long]("rank"))
+    assert(ranks.toSeq == (1L to rows.length).toSeq)
+    val us = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("usage"))
+    assert(us.zip(us.tail).forall { case (a, b) => a >= b },
+      "usage must be non-increasing in rank")
+    // higher usage => lower (or equal, on the Q16 grid) cost
+    val cs = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("cost_q16"))
+    us.zip(cs).toSeq.sliding(2).foreach {
+      case Seq((u1, c1), (u2, c2)) =>
+        if (u1 > u2) assert(c1 <= c2, s"cost not monotone: $u1/$c1 vs $u2/$c2")
+      case _ =>
+    }
+    Caches.releaseScope()
+  }
+
+  test("artifact save/load roundtrip, torn-save and wrong-dial refusal") {
+    val dir = tmp("rt")
+    UnigramLm.save(spark, planted, dir)
+    val loaded = UnigramLm.load(spark, dir)
+    assert(loaded.pieces.toSet == planted.pieces.toSet)
+    assert(loaded.tot == planted.tot && loaded.v == planted.v)
+    assert(loaded.vocab.toMap == planted.vocab.toMap)
+    assert(UnigramLm.encodeWith(loaded, "xy") == Vector("xy"))
+    spark.range(1).select(lit(false).as("complete"))
+      .write.mode("overwrite").parquet(s"$dir/complete")
+    assert(intercept[IllegalStateException] {
+      UnigramLm.load(spark, dir)
+    }.getMessage.contains("partial save"))
+    spark.range(1).select(lit(true).as("complete"))
+      .write.mode("overwrite").parquet(s"$dir/complete")
+    spark.range(1).select(lit(planted.tot).as("tot"), lit(planted.v).as("v"),
+      lit(99).as("max_piece"), lit(UnigramLm.Rounds).as("rounds"))
+      .write.mode("overwrite").parquet(s"$dir/config")
+    assert(intercept[IllegalStateException] {
+      UnigramLm.load(spark, dir)
+    }.getMessage.contains("max piece length"))
+    Caches.releaseScope()
+  }
+}
