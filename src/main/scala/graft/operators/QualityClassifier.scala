@@ -98,22 +98,37 @@ object QualityClassifier {
 
   final case class Model(weights: Array[Long], bias: Long)
 
+  /** The gram array (unigrams + word bigrams) of a token-array column —
+    * ONE definition shared by [[features]] (the batch training/scoring
+    * path) and the streaming quality gate
+    * ([[graft.streaming.DocIngest.qualityGateLearned]]), so edge and
+    * batch featurize identically by construction (the A18 shared-code
+    * doctrine).
+    */
+  private[graft] def gramsOf(tok: Column): Column = {
+    val bigrams = when(size(tok) >= 2,
+      transform(sequence(lit(1), size(tok) - 1),
+        i => concat_ws(" ", element_at(tok, i),
+          element_at(tok, i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    concat(tok, bigrams)
+  }
+
+  /** The standard tokenization the gram features ride on. */
+  private[graft] def tokCol: Column = split(trim(lower(col("text"))), "\\s+")
+
+  /** A gram's hashed feature bucket (shared with the edge gate). */
+  private[graft] def bucketOf(g: Column): Column =
+    pmod(Portable.hash32(g), lit(NumBuckets.toLong))
+
   /** (doc_id, b, c): hashed unigram+bigram counts — the one corpus scan.
     */
-  def features(docs: DataFrame): DataFrame = {
-    val tokCol = split(trim(lower(col("text"))), "\\s+")
-    val bigrams = when(size(col("tok")) >= 2,
-      transform(sequence(lit(1), size(col("tok")) - 1),
-        i => concat_ws(" ", element_at(col("tok"), i),
-          element_at(col("tok"), i + 1))))
-      .otherwise(array().cast(ArrayType(StringType)))
+  def features(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokCol.as("tok"))
-      .select(col("doc_id"), explode(concat(col("tok"), bigrams)).as("g"))
-      .select(col("doc_id"),
-        pmod(Portable.hash32(col("g")), lit(NumBuckets.toLong)).as("b"))
+      .select(col("doc_id"), explode(gramsOf(col("tok"))).as("g"))
+      .select(col("doc_id"), bucketOf(col("g")).as("b"))
       .groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("c"))
-  }
 
   /** One row per doc: (doc_id, n, fs: array<struct<b,c>>). The array
     * order is whatever collect_list produced — every consumer folds it

@@ -160,7 +160,7 @@ object TextOps {
     * (list order breaks ties) — one definition for C3's heuristic and
     * the learned model's prediction, so the two tie-break identically.
     */
-  private[operators] def langArgmax(prefix: String): Column = {
+  private[graft] def langArgmax(prefix: String): Column = {
     val langs = langStop.map(_._1)
     langs.init.zipWithIndex.foldRight(lit(langs.last)) {
       case ((lang, i), alt) =>

@@ -100,6 +100,71 @@ object DocIngest {
     * novel tokens price at the smoothing prior the policy array
     * carries).
     */
+  /** LEARNED quality gate at the ingest edge (r16, the r15 verdict's
+    * ask #5) — the A18 frozen-policy doctrine applied to the
+    * [[graft.operators.QualityIndex]] model: weights train OFFLINE
+    * (the C18 preconditioned GD loop), freeze into a literal array,
+    * and each document scores with a pure row-local expression — the
+    * SAME `scoreCol` fold the batch consumers run, fed per-occurrence
+    * (b, 1) structs from the SAME `gramsOf`/`bucketOf` featurization
+    * (Σ w_b·c_b over a bag ≡ Σ w_{bucket(g)} over occurrences, n is
+    * the occurrence count either way — so edge verdicts are
+    * bit-identical to `QualityIndex.score`'s is_quality_pred on the
+    * same text, StreamingSpec-pinned). No state, no join, no shuffle.
+    */
+  def qualityGateLearned(
+      docs: DataFrame, model: graft.operators.QualityClassifier.Model)
+      : DataFrame = {
+    import graft.operators.QualityClassifier
+    require(model.weights.length == QualityClassifier.NumBuckets,
+      s"model has ${model.weights.length} feature buckets, this engine " +
+        s"hashes into ${QualityClassifier.NumBuckets}")
+    val grams = QualityClassifier.gramsOf(QualityClassifier.tokCol)
+    val fs = transform(grams, g =>
+      struct(QualityClassifier.bucketOf(g).as("b"), lit(1L).as("c")))
+    docs.withColumn("fs", fs)
+      .withColumn("n", size(col("fs")).cast("long"))
+      .filter(QualityClassifier.scoreCol(model.weights, model.bias)
+        >= lit(QualityClassifier.PredThreshold))
+      .drop("fs", "n")
+  }
+
+  /** LEARNED language gate at the ingest edge — the same doctrine for
+    * [[graft.operators.LangIndex]]: the per-language weight arrays
+    * freeze into literals, features come from the fused `trigram_bag`
+    * kernel (row-local by construction — the same kernel the batch
+    * docFrame runs), per-class scores run the shared `scoreCol`, and
+    * the prediction is the SAME argmax cascade as C3/C23, so edge
+    * verdicts match `LangIndex.score`'s learned_lang exactly.
+    * Documents keep iff their predicted language is in `keep`; docs
+    * whose normalized text is shorter than a trigram carry no language
+    * evidence and are rejected (the batch docFrame's own filter).
+    */
+  def langGate(
+      docs: DataFrame, model: graft.operators.LangClassifier.Model,
+      keep: Seq[String]): DataFrame = {
+    import graft.operators.{LangIndex, QualityClassifier, TextOps}
+    val langs = LangIndex.langs
+    val unknown = keep.filterNot(langs.contains)
+    require(unknown.isEmpty,
+      s"langGate keep set names unknown languages: $unknown (cascade " +
+        s"order is $langs)")
+    val nt = normText(col("text"))
+    val withScores = langs.zipWithIndex.foldLeft(
+      docs.withColumn("fs", call_function("trigram_bag", nt,
+          lit(QualityClassifier.NumBuckets)))
+        .withColumn("n",
+          aggregate(col("fs"), lit(0L), (acc, f) => acc + f("c")))) {
+      case (acc, (l, i)) =>
+        acc.withColumn(s"p_$l",
+          QualityClassifier.scoreCol(model.weights(i), model.bias(i)))
+    }
+    withScores
+      .filter(length(nt) >= 3 &&
+        TextOps.langArgmax("p_").isin(keep.map(x => x: Any): _*))
+      .drop(Seq("fs", "n") ++ langs.map(l => s"p_$l"): _*)
+  }
+
   def dsirGate(docs: DataFrame, scores: Array[Long], tBin: Long): DataFrame = {
     import org.apache.spark.sql.types.LongType
     // the bucket hash mods by DSIR_B; a differently-sized policy array

@@ -507,6 +507,114 @@ class StreamingSpec extends SparkSpec {
     else assert(w99.isEmpty, "novel doc below the frozen threshold")
   }
 
+  test("learned gates at the edge: frozen QualityIndex/LangIndex weights " +
+      "give per-doc verdicts identical to the batch consumers") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{LangIndex, QualityIndex}
+    import graft.streaming.DocIngest
+
+    val docs = Tables.documents(spark, sf)
+    val qm = QualityIndex.forCorpus(spark, sf)
+    val lm = LangIndex.forCorpus(spark, sf)
+    // batch truths: the oracle-checked consumers' own verdict columns
+    val batchQuality = QualityIndex.score(docs, qm).collect()
+      .filter(_.getAs[Boolean]("is_quality_pred"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val langRows = LangIndex.score(docs, lm).collect()
+    val keepLangs = Seq("en", "fr")
+    val batchLang = langRows
+      .filter(r => keepLangs.contains(r.getAs[String]("learned_lang")))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val corpus = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => Doc(r.getAs[Long]("doc_id"), t("10:00"),
+        r.getAs[String]("text")))
+    Caches.releaseScope()
+
+    val srcQ = MemoryStream[Doc]
+    val q1 = DocIngest.qualityGateLearned(srcQ.toDS().toDF(), qm)
+      .writeStream.format("memory").queryName("edge_quality")
+      .outputMode("append").start()
+    srcQ.addData(corpus.toIndexedSeq: _*)
+    q1.processAllAvailable(); q1.stop()
+    val edgeQuality = spark.table("edge_quality").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(edgeQuality == batchQuality,
+      s"edge quality verdicts diverge from QualityIndex.score " +
+        s"(edge only: ${edgeQuality -- batchQuality}, batch only: " +
+        s"${batchQuality -- edgeQuality})")
+
+    val srcL = MemoryStream[Doc]
+    val q2 = DocIngest.langGate(srcL.toDS().toDF(), lm, keepLangs)
+      .writeStream.format("memory").queryName("edge_lang")
+      .outputMode("append").start()
+    srcL.addData(corpus.toIndexedSeq: _*)
+    q2.processAllAvailable(); q2.stop()
+    val edgeLang = spark.table("edge_lang").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(edgeLang == batchLang,
+      s"edge language verdicts diverge from LangIndex.score " +
+        s"(edge only: ${edgeLang -- batchLang}, batch only: " +
+        s"${batchLang -- edgeLang})")
+    // an unknown language in the keep set must refuse, not silently
+    // never match
+    intercept[IllegalArgumentException] {
+      DocIngest.langGate(srcL.toDS().toDF(), lm, Seq("xx"))
+    }
+  }
+
+  test("chained edge ingest with learned gates: quality → lang → exact " +
+      "dedup → near-dup still ONE streaming query") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{LangIndex, QualityIndex}
+    import graft.streaming.{DocIngest, NearDupStream}
+
+    val docs = Tables.documents(spark, sf)
+    val qm = QualityIndex.forCorpus(spark, sf)
+    val lm = LangIndex.forCorpus(spark, sf)
+    // the strongest quality-predicted doc — a one-token edit cannot
+    // flip a far-from-threshold score, so the near-dup variant passes
+    // the gate too
+    val best = QualityIndex.score(docs, qm)
+      .filter(col("is_quality_pred"))
+      .orderBy(col("score_micros").desc, col("doc_id")).limit(1)
+      .join(docs, "doc_id").select(col("doc_id"), col("text"))
+      .head()
+    val good = best.getAs[String]("text")
+    val lang = LangIndex.score(
+      Seq((best.getAs[Long]("doc_id"), good)).toDF("doc_id", "text"), lm)
+      .head().getAs[String]("learned_lang")
+    Caches.releaseScope()
+
+    val firstTok = good.split("\\s+").head
+    val src = MemoryStream[Doc]
+    val gated = DocIngest.dedup(
+      DocIngest.langGate(
+        DocIngest.qualityGateLearned(
+          src.toDS().toDF().withWatermark("ts", "1 hour"), qm),
+        lm, Seq(lang)))
+    val query = NearDupStream.candidatePairs(gated.drop("fp"))
+      .writeStream.format("memory").queryName("chained_learned")
+      .outputMode("append").start()
+    src.addData(
+      Doc(9001, t("10:00"), good),
+      Doc(9002, t("10:01"), "  " + good.replace(" ", "  ")), // exact dup
+      Doc(9003, t("10:02"), "tiny")) // no language evidence of its own
+    query.processAllAvailable()
+    src.addData(
+      Doc(9004, t("10:03"), good.replaceFirst(firstTok, "altered")))
+    query.processAllAvailable()
+    query.stop()
+
+    val pairs = spark.table("chained_learned").collect()
+      .map(r => (r.getAs[Long]("first_id"), r.getAs[Long]("dup_id")))
+      .distinct.toSeq
+    assert(pairs == Seq((9001L, 9004L)),
+      s"the learned-gated chain must surface exactly the near-dup pair: " +
+        s"$pairs")
+  }
+
   test("doc ingest stream with Bloom decon: contaminated docs quarantine " +
       "map-side, clean docs flow; nothing contaminated reaches the " +
       "clean side") {
