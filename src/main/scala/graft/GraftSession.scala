@@ -22,7 +22,11 @@ object GraftSession {
       // the topk_min bounded-heap aggregate, and the bpe_count tokenizer
       .withExtensions(graft.functions.VectorExpressions.registerAll)
       .withExtensions(graft.functions.Bpe.registerAll)
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // SPARK_GRAFT_SHUFFLE: scale experiments size shuffle partitions
+      // to the DATA (a cluster sizes this to executors × data; local
+      // boards keep cores so gate plans stay comparable)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cores.toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
