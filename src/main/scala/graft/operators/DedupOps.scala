@@ -778,11 +778,13 @@ object DedupOps {
     * templated spam before training.
     *
     * Scale shape: spans travel as 60-bit hashes (uniform keys — the
-    * span-df shuffle and the df join-back can never skew on hot words,
-    * unlike a raw-token key), the df aggregate is map-side combined, and
-    * the join back to per-doc spans reuses the gh partitioning from the
-    * df groupBy on one side. No all-pairs anything; cost is two shuffles
-    * of the span stream.
+    * span-df shuffle can never skew on hot words, unlike a raw-token
+    * key), the df aggregate is map-side combined, and the join back to
+    * per-doc spans is a LEFT SEMI against the df≥2 spans only — the
+    * dup set scales with actual duplication, not corpus size, so AQE
+    * broadcasts it and the span stream shuffles exactly once (both
+    * per-doc counts ride the persisted stream's doc_id partitioning).
+    * No all-pairs anything.
     */
   val dedupSubstr: Op = Op(
     "dedup_substr",
@@ -798,16 +800,29 @@ object DedupOps {
         .select(col("doc_id"),
           explode(ngramsFromTokens(col("tok"), SPAN_N)).as("g"))
         .select(col("doc_id"), hash60(col("g")).as("gh")))
-      val spanDf = grams.groupBy(col("gh"))
+      // dup-only semi-join instead of a full df join-back (the r16
+      // sf100 lesson from D15): the df aggregate's output is
+      // one-group-per-distinct-span (~the corpus token count), so
+      // joining it back wholesale re-shuffles the entire span stream
+      // against an equally-huge build side. Only the DUPLICATED spans
+      // matter — filter first (dup set scales with actual duplication,
+      // not corpus size; AQE broadcasts it when it fits), and both
+      // per-doc counts then aggregate on the persisted stream's
+      // existing doc_id partitioning with no further shuffle.
+      val dupGh = grams.groupBy(col("gh"))
         .agg(count(lit(1)).as("span_df"))
-      grams.join(spanDf, "gh")
+        .filter(col("span_df") >= 2)
+        .select(col("gh"))
+      val perDoc = grams.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"))
+      val dupPerDoc = grams.join(dupGh, Seq("gh"), "left_semi")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("span_df") >= 2, lit(1L)).otherwise(lit(0L)))
-            .as("n_dup_spans"))
-        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
-          (col("n_dup_spans").cast("double") / col("n_spans"))
-            .as("dup_frac"))
+        .agg(count(lit(1)).as("n_dup_spans"))
+      perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          (coalesce(col("n_dup_spans"), lit(0L)).cast("double")
+            / col("n_spans")).as("dup_frac"))
         .orderBy(col("doc_id"))
     },
     Some(s"""
@@ -854,17 +869,34 @@ object DedupOps {
         p => struct(p.as("p"), hash60(concat_ws(" ",
           (0 until SPAN_N).map(kk =>
             element_at(col("tok"), p + lit(kk))): _*)).as("gh")))).as("s"))
-      .select(col("doc_id"), col("s.p").as("p"), col("s.gh").as("gh")))
+      .select(col("doc_id"), col("s.p").as("p"), col("s.gh").as("gh"))
+      // persist gh-PARTITIONED: the keeper aggregate and the removal
+      // join-back both key on gh, so the one shuffle happens at
+      // materialization and neither warm pass exchanges the corpus-
+      // sized stream again (r16 sf100 decomp: the join-back leg
+      // halved, 108.9 → 54.6 s warm)
+      .repartition(col("gh")))
+    // df ≥ 2 over DOCS ⟺ min(doc_id) ≠ max(doc_id): min/max partials
+    // replace the countDistinct two-phase expand (the r16 sf100 decomp
+    // measured the expand + unfiltered join-back at 97-132 s of the
+    // 5M-doc forced pass), and filtering to dup-only spans BEFORE the
+    // join-back shrinks the st side from every-span (213M groups at
+    // sf100, ~one per corpus token) to just the duplicated spans — so
+    // AQE can broadcast it when small enough, and either way the
+    // join-back rides the persisted gh partitioning. At 100 TB the
+    // dup-span set scales with actual duplication, not corpus size.
     val st = pos.groupBy(col("gh"))
-      .agg(countDistinct(col("doc_id")).as("df"),
-        min(col("doc_id")).as("keeper"))
+      .agg(min(col("doc_id")).as("keeper"),
+        max(col("doc_id")).as("maxd"))
+      .filter(col("maxd") > col("keeper"))
+      .select(col("gh"), col("keeper"))
     // removed token positions per doc: every position covered by a span
     // that exists in ≥ 2 docs and whose first-occurrence doc (min
     // doc_id) is someone else — the keeper doc keeps ALL its copies
     // SORTED removal positions (not a bag): the rewrite below walks
     // them as segment boundaries, so membership never needs testing
     val remPos = pos.join(st, "gh")
-      .filter(col("df") >= 2 && col("doc_id") > col("keeper"))
+      .filter(col("doc_id") > col("keeper"))
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + lit(SPAN_N - 1))).as("t"))
       .groupBy(col("doc_id"))
@@ -899,9 +931,12 @@ object DedupOps {
     * D10's span-level audit.
     *
     * Scale shape: the positioned span stream is one row per token
-    * (~corpus token count), shuffled twice — once to the span-hash
-    * aggregate (df + keeper, map-side combined), once back to the doc
-    * for the removal set (positions only, id-width rows). The rewrite
+    * (~corpus token count), shuffled ONCE — to the span-hash keeper
+    * aggregate (min/max doc_id partials; df≥2 ⟺ min≠max, so no
+    * countDistinct expand). The join back to the doc for the removal
+    * set sees only the pre-filtered duplicated spans (AQE broadcasts
+    * the dup set when it fits; SMJ on the filtered side otherwise),
+    * and the removal rows it emits are positions only, id-width rows. The rewrite
     * itself is ONE projection over the persisted token frame: the
     * removal set rides in as a SORTED per-doc position array and
     * clean_text is rebuilt as the token slices between consecutive
@@ -953,6 +988,102 @@ object DedupOps {
       LEFT JOIN nr USING (doc_id)
       ORDER BY doc_id"""
     })
+
+  /** D18 — SoftDeDup-style duplication REWEIGHTING (He et al. 2024,
+    * "SoftDedup: an Efficient Data Reweighting Method for Speeding Up
+    * Language Model Pre-training"): instead of D15's hard span
+    * removal, down-WEIGHT common text — per document, commonness =
+    * mean log2(span df) over its distinct [[SPAN_N]]-token spans
+    * (unique spans contribute log2(1) = 0, so only the df ≥ 2 set is
+    * ever scored), and the sampling weight is 1/(1 + commonness_bits):
+    * a never-duplicated doc keeps weight 1.0, a doc whose every span
+    * appears in 4 docs keeps 1/3. The kept flag realizes the weight as
+    * a deterministic hash-Bernoulli draw (the G7/G16 priority hash, so
+    * reruns and engines agree doc-by-doc) — the soft alternative the
+    * paper measures against exact-dedup's all-or-nothing drop.
+    *
+    * All arithmetic is exact: commonness in Q16 via the [[graft.functions.FixedLog]]
+    * kernel, weight_milli = 1000·2^16 div (2^16 + commonness), draw =
+    * hash60 mod 1000 < weight_milli.
+    *
+    * Scale shape: D10's audit plan plus one broadcast-sized change —
+    * the df join-back is INNER against the df ≥ 2 spans only (the
+    * dup set scales with actual duplication, not corpus size), and
+    * both per-doc aggregates ride the persisted span stream's doc_id
+    * partitioning. No all-pairs, no corpus sort.
+    */
+  /** D18's body over an explicit (doc_id, text) frame — the seam the
+    * planted-duplication spec drives directly.
+    */
+  private[graft] def softdedupWeights(docs: DataFrame): DataFrame = {
+      val grams = Caches.persist(docs
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), "\\s+").as("tok"))
+        .filter(size(col("tok")) >= SPAN_N)
+        .select(col("doc_id"),
+          explode(ngramsFromTokens(col("tok"), SPAN_N)).as("g"))
+        .select(col("doc_id"), hash60(col("g")).as("gh")))
+      val dupDf = grams.groupBy(col("gh"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+      val perDoc = grams.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"))
+      val dupBits = grams.join(dupDf, "gh")
+        .select(col("doc_id"),
+          graft.functions.FixedLog.bitsQ16(col("df"), lit(1L)).as("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("b")).as("sum_bits"))
+      perDoc.join(dupBits, Seq("doc_id"), "left")
+        // sum_bits ≥ 0 (df ≥ 2 ⇒ log2 ≥ 1), so truncating div IS floor
+        .select(col("doc_id"), col("n_spans"),
+          expr("coalesce(sum_bits, 0L) div n_spans").as("common_q16"))
+        .select(col("doc_id"), col("n_spans"), col("common_q16"),
+          expr("(1000 * 65536) div (65536 + common_q16)")
+            .as("weight_milli"))
+        .withColumn("kept",
+          pmod(hash60(concat(lit("softdedup|"), col("doc_id"))),
+            lit(1000L)) < col("weight_milli"))
+        .orderBy(col("doc_id"))
+  }
+
+  val sampleSoftdedup: Op = Op(
+    "sample_softdedup",
+    (s, d) => softdedupWeights(Tables.documents(s, d)),
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS tok
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, len(tok) - ${SPAN_N - 1}), i ->
+                   concat_ws(' ', ${(0 until SPAN_N)
+                     .map(k => s"tok[i+$k]").mkString(", ")})))) AS g
+        FROM tok WHERE len(tok) >= $SPAN_N),
+      gh AS (SELECT doc_id, ${xhash60("g")} AS gh FROM g),
+      dup AS (SELECT gh, CAST(count(*) AS BIGINT) AS df
+              FROM gh GROUP BY gh HAVING count(*) >= 2),
+      per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+              FROM gh GROUP BY doc_id),
+      dsrc AS (SELECT c.doc_id, dup.df AS df
+               FROM gh c JOIN dup USING (gh)),
+      ${graft.functions.FixedLog.sqlRounds(
+        "dsrc", Seq("doc_id"), "df", "1", "sb")},
+      db AS (SELECT doc_id, CAST(sum(bits_q16) AS BIGINT) AS sum_bits
+             FROM sb GROUP BY doc_id),
+      soft AS (
+        SELECT p.doc_id, p.n_spans,
+               coalesce(db.sum_bits, 0) // p.n_spans AS common_q16
+        FROM per p LEFT JOIN db USING (doc_id))
+      SELECT doc_id, n_spans, CAST(common_q16 AS BIGINT) AS common_q16,
+             CAST((1000 * 65536) // (65536 + common_q16) AS BIGINT)
+               AS weight_milli,
+             ${xhash60("'softdedup|' || doc_id")} % 1000 <
+               (1000 * 65536) // (65536 + common_q16) AS kept
+      FROM soft
+      ORDER BY doc_id"""))
 
   /** D17's dials. LINE_DF: the public C4/CCNet line-dedup recipe —
     * a line occurring ≥ 3 times corpus-wide is boilerplate; every
@@ -1611,7 +1742,7 @@ object DedupOps {
       WHERE c * 1.0 / least(x.n, y.n) >= $CONT_TAU
       ORDER BY i, j"""))
 
-  val all: Seq[Op] = Seq(
+  val all: Seq[Op] = Seq(sampleSoftdedup,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbedding, dedupClusters, dedupReport, dedupDecontaminate,
     dedupSubstr, dedupSubstrRewrite, dedupLines, dedupSemantic, dedupBloom,

@@ -1729,6 +1729,169 @@ object TextOps {
       FROM wb w, th
       ORDER BY w.doc_id"""))
 
+  /** G23's dials. DOREMI_ROUNDS: unrolled multiplicative-weight
+    * rounds (with a STATIC per-domain loss the rounds compound
+    * geometrically, so K doubles as the update temperature — the
+    * oracle replays every round as a CTE). DOREMI_SMOOTH: the paper's
+    * uniform-smoothing mass in milli (ᾱ = (1−c)·α + c·u with
+    * c = 0.2). DOREMI_CAP bounds the per-bigram excess so
+    * α·(B+excess)·SCALE stays inside exact int64
+    * (10^6 · (2^16+2^20) · 10^6 < 2^63). */
+  private[graft] val DOREMI_ROUNDS = 4
+  private[graft] val DOREMI_SCALE = 1000000L
+  private[graft] val DOREMI_SMOOTH = 200L
+  private[graft] val DOREMI_CAP = 1L << 20
+
+  /** G23 — DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * compute per-DOMAIN excess loss (proxy minus reference) and run
+    * the Group-DRO multiplicative-weights update to produce the
+    * domain weights a full-size training run should mix with. The
+    * published recipe trains a proxy under the evolving weights; the
+    * engine casting is the one-shot static form — G22's two existing
+    * models price each domain ONCE (the corpus self-model as the
+    * proxy stand-in, the held-out even-doc_id [[LmIndex]] model as
+    * the reference; candidate pool = the odd-doc_id half, G22's
+    * pool discipline), and [[DOREMI_ROUNDS]] multiplicative rounds
+    * α ← normalize(α · (B + excess)) run on the per-domain frame with
+    * the linearized-exponential multiplier (1 + excess_bits in Q16 —
+    * exact integer arithmetic, no exp), followed by the paper's
+    * uniform smoothing. Domains whose text the proxy prices worse
+    * than the reference (high excess: unlearned-but-learnable, the
+    * DoReMi signal) gain weight; noise-priced-by-both cancels, the
+    * same argument as G22 at document granularity.
+    *
+    * Scale shape: everything corpus-sized is the ONE docbg build G22
+    * also pays (persisted; the self/ref fan-outs reuse it); the
+    * per-source aggregate collapses to |domains| rows and the MWU
+    * rounds fold DRIVER-LOCAL on that collected summary (the
+    * dsirPolicy/C18 model-traffic shape — a plan-expressed round
+    * ladder would replicate the LM subtree once per lineage branch),
+    * bit-identical to the oracle's unrolled round CTEs. At 100 TB:
+    * one tokenization pass, one Zipf-skewed bigram join (AQE
+    * skew-split, the C19 caveat), |domains|-row driver arithmetic.
+    */
+  /** G23's body over an explicit (doc_id, text, source) frame — the
+    * seam the planted-domain spec drives directly.
+    */
+  private[graft] def doremiWeights(docs: DataFrame): DataFrame = {
+      val docbg = Caches.persist(LmIndex.bigramCounts(docs))
+      // proxy stand-in: full-corpus exact conditional MLE (C19/G22)
+      val bg = Caches.persist(
+        docbg.groupBy("w1", "w2").agg(sum(col("c")).as("cnt")))
+      val un = bg.groupBy("w1").agg(sum(col("cnt")).as("ucnt"))
+      val selfDoc = docbg
+        .join(bg.join(un, "w1").select(col("w1"), col("w2"),
+          graft.functions.FixedLog.bitsQ16(col("ucnt"), col("cnt"))
+            .as("bq")), Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("nb"),
+          sum(col("c") * col("bq")).as("s_self"))
+      val ref = LmIndex.refFromCounts(
+        docbg.filter(col("doc_id") % 2 === 0), Caches.persist(_))
+      val refDoc = LmIndex.scoreCounts(docbg, ref)
+        .select(col("doc_id"), col("sum_bits_q16").as("s_ref"))
+      val perSrc = selfDoc.join(refDoc, "doc_id")
+        .filter(col("doc_id") % 2 =!= 0)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("n_bigrams"),
+          sum(col("s_self")).as("ts"), sum(col("s_ref")).as("tr"))
+        .select(col("source"), col("n_docs"), col("n_bigrams"),
+          least(greatest(expr("((ts - tr) - pmod(ts - tr, n_bigrams))" +
+            " div n_bigrams"), lit(0L)), lit(DOREMI_CAP))
+            .as("excess_q16"))
+      // the MWU rounds run DRIVER-LOCAL on the collected |domains|-row
+      // summary (the dsirPolicy/C18 model-traffic shape — expressing
+      // K normalize-and-reweight rounds as a plan would replicate the
+      // corpus-scale LM subtree once per lineage branch). Long
+      // division truncates exactly like Spark div / DuckDB // on the
+      // nonnegative operands here, so the fold is bit-identical to
+      // the oracle's unrolled round CTEs.
+      val summary = perSrc.collect()
+      val nd = summary.length.toLong max 1L
+      val exc = summary.map(_.getAs[Long]("excess_q16"))
+      var alpha = Array.fill(summary.length)(DOREMI_SCALE / nd)
+      (1 to DOREMI_ROUNDS).foreach { _ =>
+        val raw = exc.indices.map(i => alpha(i) * (65536L + exc(i)))
+        val tot = raw.sum max 1L
+        alpha = raw.map(r => r * DOREMI_SCALE / tot).toArray
+      }
+      val spark = docs.sparkSession
+      import spark.implicits._
+      summary.indices.map { i =>
+        val r = summary(i)
+        (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_bigrams"), exc(i), alpha(i),
+          ((1000L - DOREMI_SMOOTH) * alpha(i) +
+            DOREMI_SMOOTH * (DOREMI_SCALE / nd)) / DOREMI_SCALE)
+      }.toDF("source", "n_docs", "n_bigrams", "excess_q16",
+        "alpha_ppm", "weight_milli")
+        .orderBy(col("source"))
+  }
+
+  val mixtureDoremi: Op = Op(
+    "mixture_doremi",
+    (s, d) => doremiWeights(Tables.documents(s, d)),
+    Some {
+      val rounds = (1 to DOREMI_ROUNDS).map { t =>
+        val prev = if (t == 1) "a0" else s"a${t - 1}"
+        s"""a${t}raw AS (
+          SELECT source, n_docs, n_bigrams, excess_q16, nd,
+                 alpha * (65536 + excess_q16) AS raw
+          FROM $prev),
+        a$t AS (
+          SELECT source, n_docs, n_bigrams, excess_q16, nd,
+                 raw * $DOREMI_SCALE // (SELECT sum(raw) FROM a${t}raw)
+                   AS alpha
+          FROM a${t}raw)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH $sqlLmRefCtes,
+      bgs AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cnt
+              FROM docbg GROUP BY w1, w2),
+      uns AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ucnt
+              FROM bgs GROUP BY w1),
+      ssrc AS (SELECT d.doc_id, d.c, u.ucnt AS s_num, b.cnt AS s_den
+               FROM docbg d
+               JOIN bgs b ON d.w1 = b.w1 AND d.w2 = b.w2
+               JOIN uns u ON d.w1 = u.w1),
+      ${graft.functions.FixedLog.sqlRounds(
+        "ssrc", Seq("doc_id", "c"), "s_num", "s_den", "slg")},
+      selfsc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+                        CAST(sum(c * bits_q16) AS BIGINT) AS s_self
+                 FROM slg GROUP BY doc_id),
+      psrc AS (
+        SELECT dd.source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(s.nb) AS BIGINT) AS n_bigrams,
+               CAST(sum(s.s_self) AS BIGINT) AS ts,
+               CAST(sum(r.sum_bits_q16) AS BIGINT) AS tr
+        FROM selfsc s
+        JOIN docsc r USING (doc_id)
+        JOIN documents dd USING (doc_id)
+        WHERE s.doc_id % 2 <> 0
+        GROUP BY dd.source),
+      exc AS (
+        SELECT source, n_docs, n_bigrams,
+               least(greatest(
+                 ((ts - tr) - (((ts - tr) % n_bigrams + n_bigrams)
+                   % n_bigrams)) // n_bigrams, 0), $DOREMI_CAP)
+                 AS excess_q16
+        FROM psrc),
+      ndt AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM exc),
+      a0 AS (SELECT source, n_docs, n_bigrams, excess_q16, ndt.nd,
+                    $DOREMI_SCALE // ndt.nd AS alpha
+             FROM exc, ndt),
+      $rounds
+      SELECT source, n_docs, n_bigrams, excess_q16,
+             CAST(alpha AS BIGINT) AS alpha_ppm,
+             CAST(((${1000L - DOREMI_SMOOTH} * alpha) + $DOREMI_SMOOTH *
+               ($DOREMI_SCALE // nd)) // $DOREMI_SCALE AS BIGINT)
+               AS weight_milli
+      FROM a$DOREMI_ROUNDS
+      ORDER BY source"""
+    })
+
   /** C21 — code-point unigram entropy (the Gopher/C4-family "compression
     * ratio" quality rule): a document whose character distribution is
     * near-degenerate (repeated padding, ASCII-art, base64 walls, one-char
@@ -1798,5 +1961,6 @@ object TextOps {
     textBpeTrainBytes, textBpeCountLearned,
     textExtract, textPiiRedact, qualityClassifier, lmBigram, lmBigramRef,
     lmTrigramRef, textUnigramTrain,
-    qualityPplBuckets, sampleRho, textEntropy, textLangidLearned)
+    qualityPplBuckets, sampleRho, mixtureDoremi, textEntropy,
+    textLangidLearned)
 }

@@ -1001,4 +1001,75 @@ class PipelineSpec extends SparkSpec {
       s"corpus must not globally sort before the verdict:\n$p")
     Caches.releaseScope()
   }
+
+  test("mixture_doremi: the unlearned-but-learnable domain gains " +
+      "weight; noise clamps to zero excess; smoothing floors every " +
+      "domain") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // the rho corpus shape, domain-labelled: candidates (odd ids) are
+    // 38 background docs (domain 'bg', excess ≈ 0), one gem doc
+    // (domain 'gem': rare corpus-wide, well-represented in the even
+    // reference half → max excess), one noise doc (domain 'noise':
+    // rare AND unknown to the reference → negative excess, clamped)
+    val bg = "the cat the dog the cat the dog the cat"
+    val gemTxt = "the zyx the zyx the zyx the zyx the zyx"
+    val noiseTxt = "the qqq the qqq the qqq the qqq the qqq"
+    val gemId = 41L
+    val noiseId = 43L
+    val docs = (
+      (0 until 34).map(i => (i * 2L, bg, "bg")) ++
+      (34 until 40).map(i => (i * 2L, gemTxt, "gem")) ++
+      (0 until 40).map(i => (i * 2L + 1, bg, "bg"))
+        .filterNot(p => p._1 == gemId || p._1 == noiseId) ++
+      Seq((gemId, gemTxt, "gem"), (noiseId, noiseTxt, "noise"))
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.doremiWeights(docs).collect()
+    assert(out.length == 3, "one row per domain")
+    val byDom = out.map(r => r.getAs[String]("source") -> r).toMap
+    val xOf = (s: String) => byDom(s).getAs[Long]("excess_q16")
+    val wOf = (s: String) => byDom(s).getAs[Long]("weight_milli")
+    val aOf = (s: String) => byDom(s).getAs[Long]("alpha_ppm")
+    // excess ordering and the clamp
+    assert(xOf("gem") > xOf("bg"), "gem domain must out-excess bg")
+    assert(xOf("noise") == 0L, "noise excess must clamp to zero")
+    assert(out.forall(_.getAs[Long]("excess_q16") >= 0L))
+    // the MWU concentrates on the gem domain
+    assert(wOf("gem") > wOf("bg") && wOf("gem") > wOf("noise"),
+      s"gem must carry the top weight: gem=${wOf("gem")} " +
+        s"bg=${wOf("bg")} noise=${wOf("noise")}")
+    assert(aOf("gem") > TextOps.DOREMI_SCALE / 3,
+      "gem alpha must exceed its uniform share")
+    // normalization: alphas sum to SCALE within floor-division slack
+    val aSum = out.map(_.getAs[Long]("alpha_ppm")).sum
+    assert(aSum <= TextOps.DOREMI_SCALE && aSum > TextOps.DOREMI_SCALE - 10,
+      s"alpha sum $aSum outside the renormalization band")
+    // the paper's uniform smoothing floors every domain at c/nd
+    val floor = TextOps.DOREMI_SMOOTH * (TextOps.DOREMI_SCALE / 3) /
+      TextOps.DOREMI_SCALE
+    assert(out.forall(_.getAs[Long]("weight_milli") >= floor - 1),
+      s"every domain must keep the smoothing floor ~$floor")
+    // weights are a distribution (milli, floor-division slack)
+    val wSum = out.map(_.getAs[Long]("weight_milli")).sum
+    assert(wSum <= 1000 && wSum > 985, s"weight sum $wSum not ~1000")
+    // candidate-pool discipline: only odd docs counted
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 40L)
+    Caches.releaseScope()
+  }
+
+  test("mixture_doremi plan: the returned frame is the |domains|-row " +
+      "driver fold — no corpus subtree survives into it") {
+    val df = run("mixture_doremi")
+    df.count()
+    val p = plan(df)
+    // the MWU rounds fold driver-local on the collected summary; the
+    // result plan must be a local relation, not a re-derivation of
+    // the LM pipeline (which a plan-expressed round ladder would
+    // replicate once per lineage branch)
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
+      s"expected a local-relation result plan:\n$p")
+    assert(!p.contains("FileScan"),
+      s"corpus must not be re-scanned by the result frame:\n$p")
+    Caches.releaseScope()
+  }
 }

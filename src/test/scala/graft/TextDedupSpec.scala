@@ -937,4 +937,60 @@ class TextDedupSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesian"), s"cartesian in plan:\n$p")
     Caches.releaseScope()
   }
+
+  test("sample_softdedup: commonness orders fully-duplicated > " +
+      "partially-duplicated > unique; weights invert it; unique text " +
+      "keeps weight 1000") {
+    import spark.implicits._
+    // 10-token docs → 3 distinct 8-token spans each. Docs 1-3 are
+    // identical (their first span ALSO opens doc 5, df=4; spans 2-3
+    // df=3); doc 4 is unique (commonness 0); doc 5 shares only its
+    // opening span (df=4, then unique tail)
+    val dupTxt = "a b c d e f g h i j"
+    val uniqTxt = "p q r s t u v w x y"
+    val mixTxt = "a b c d e f g h zz1 zz2"
+    val docs = Seq(
+      (1L, dupTxt), (2L, dupTxt), (3L, dupTxt),
+      (4L, uniqTxt), (5L, mixTxt)).toDF("doc_id", "text")
+    val out = graft.operators.DedupOps.softdedupWeights(docs).collect()
+    assert(out.length == 5)
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val cOf = (id: Long) => byId(id).getAs[Long]("common_q16")
+    val wOf = (id: Long) => byId(id).getAs[Long]("weight_milli")
+    assert(out.forall(_.getAs[Long]("n_spans") == 3L))
+    // unique doc: zero commonness, full weight, deterministically kept
+    assert(cOf(4L) == 0L && wOf(4L) == 1000L)
+    assert(byId(4L).getAs[Boolean]("kept"),
+      "a weight-1000 doc must always be kept (hash mod 1000 < 1000)")
+    // identical copies score identically
+    assert(cOf(1L) == cOf(2L) && cOf(2L) == cOf(3L))
+    // commonness ordering: full-dup > one-shared-span > unique
+    assert(cOf(1L) > cOf(5L) && cOf(5L) > 0L,
+      s"commonness must order dup=${cOf(1L)} > mix=${cOf(5L)} > 0")
+    // weight inverts commonness
+    assert(wOf(1L) < wOf(5L) && wOf(5L) < 1000L)
+    // the exact Q16 weight law holds row by row
+    assert(out.forall { r =>
+      r.getAs[Long]("weight_milli") ==
+        (1000L * 65536L) / (65536L + r.getAs[Long]("common_q16"))
+    })
+    // full-dup commonness = mean(bits(4), bits(3), bits(3)): above
+    // log2(3), below log2(4) in Q16
+    assert(cOf(1L) > 65536L * 3 / 2 && cOf(1L) < 2L * 65536L,
+      s"dup commonness ${cOf(1L)} outside (1.5, 2.0) bits")
+    Caches.releaseScope()
+  }
+
+  test("sample_softdedup plan: dup-only inner join-back; no " +
+      "cartesian; one output sort") {
+    val df = run("sample_softdedup")
+    df.count()
+    val p = plan(df)
+    assert(!p.toLowerCase.contains("cartesian"), s"cartesian:\n$p")
+    val globalSorts = "Sort \\[[^\\]]*\\], true".r.findAllIn(p).size
+    assert(globalSorts <= 1,
+      s"only the deterministic output sort may be global:\n$p")
+    assert(p.contains("log2_q16"), s"Q16 log kernel missing:\n$p")
+    Caches.releaseScope()
+  }
 }
