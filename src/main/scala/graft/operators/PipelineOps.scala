@@ -856,17 +856,21 @@ object PipelineOps {
     * order and the two-phase split is exactly the oracle's one-window
     * semantics.
     */
-  val sampleMixture: Op = Op(
-    "sample_mixture",
-    (s, d) => {
+  /** G16's selection body over an explicit documents frame and a
+    * (source, target_tokens) budget frame — the seam G24 points the
+    * DoReMi-derived budgets through (and a deployment points any
+    * budget source through). The budget side joins as a broadcast;
+    * sources absent from it are out of the mixture and emit no rows
+    * (both engines drop them through the same inner join).
+    */
+  private[graft] def mixtureSelect(docsTbl: DataFrame, tgt: DataFrame)
+      : DataFrame = {
       val ntCol = size(split(trim(lower(col("text"))), "\\s+"))
         .cast(LongType)
-      val docs = Caches.persist(Tables.documents(s, d)
+      val docs = Caches.persist(docsTbl
         .select(col("doc_id"), col("source"), ntCol.as("nt"),
           hash60(concat(col("source"), lit("|"), col("doc_id"))).as("h"))
         .withColumn("bucket", shiftright(col("h"), 48)))
-      val tgt = mixturePlanFor(s, d, ntCol)
-        .select(col("source"), col("target_tokens"))
       val wB = Window.partitionBy(col("source")).orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val hist = docs.groupBy(col("source"), col("bucket"))
@@ -891,6 +895,16 @@ object PipelineOps {
           (col("cum_before") + col("cum_in") < col("target_tokens"))
             .as("kept"))
       easy.unionAll(boundary).orderBy(col("doc_id"))
+  }
+
+  val sampleMixture: Op = Op(
+    "sample_mixture",
+    (s, d) => {
+      val ntCol = size(split(trim(lower(col("text"))), "\\s+"))
+        .cast(LongType)
+      mixtureSelect(Tables.documents(s, d),
+        mixturePlanFor(s, d, ntCol)
+          .select(col("source"), col("target_tokens")))
     },
     Some(s"""
       WITH per_src AS (
@@ -919,6 +933,69 @@ object PipelineOps {
             FROM docs)
       SELECT r.doc_id, r.source, r.nt, r.cum < t.target_tokens AS kept
       FROM r JOIN tgt t USING (source)
+      ORDER BY doc_id"""))
+
+  /** G24 — DoReMi-weighted mixture EXECUTION: close the loop from
+    * G23's LEARNED domain weights to an actual per-document
+    * selection. G16 executes G10's hash-derived plan; this op derives
+    * each source's token budget from the DoReMi weights instead —
+    * target_tokens(source) = tot_tokens · weight_milli div
+    * Σ weight_milli — and runs the identical boundary-bucket
+    * hash-threshold selection ([[mixtureSelect]], the shared body),
+    * so the paper's intended deployment (reweight the big run's
+    * mixture by the proxy's DRO weights) is a two-frame composition.
+    * Sources the weight frame lacks (no scorable candidate docs) are
+    * out of the mixture — both engines drop them through the same
+    * inner budget join.
+    *
+    * Scale shape: G23's one corpus-sized docbg build + G16's one
+    * (source, bucket)-histogram shuffle; the budget frame is
+    * |domains| rows crossed with two 1-row broadcasts. Nothing new
+    * touches the corpus.
+    */
+  val sampleMixtureDoremi: Op = Op(
+    "sample_mixture_doremi",
+    (s, d) => {
+      val ntCol = size(split(trim(lower(col("text"))), "\\s+"))
+        .cast(LongType)
+      val dw = TextOps.doremiWeights(Tables.documents(s, d))
+        .select(col("source"), col("weight_milli"))
+      val tot = Tables.documents(s, d)
+        .agg(sum(ntCol).as("tot_tokens"))
+      val totM = dw.agg(sum(col("weight_milli")).as("tot_milli"))
+      val tgt = dw.crossJoin(broadcast(tot)).crossJoin(broadcast(totM))
+        .select(col("source"),
+          expr("tot_tokens * weight_milli div tot_milli")
+            .as("target_tokens"))
+      mixtureSelect(Tables.documents(s, d), tgt)
+    },
+    Some(s"""
+      WITH ${TextOps.sqlDoremiCtes},
+      totx AS (SELECT CAST(sum(len(regexp_split_to_array(
+                 trim(lower(text), ' '), '\\s+'))) AS BIGINT)
+                 AS tot_tokens
+               FROM documents),
+      totm AS (SELECT CAST(sum(weight_milli) AS BIGINT) AS tot_milli
+               FROM dw),
+      tgt AS (SELECT source,
+                     tot_tokens * weight_milli // tot_milli
+                       AS target_tokens
+              FROM dw, totx, totm),
+      mdocs AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(lower(text), ' '),
+                 '\\s+')) AS BIGINT) AS nt,
+               ${graft.Op.xhash60("concat(source, '|', doc_id)")} AS h
+        FROM documents),
+      mr AS (SELECT mdocs.*,
+                    coalesce(sum(nt) OVER (PARTITION BY source
+                      ORDER BY h, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum
+             FROM mdocs)
+      SELECT mr.doc_id, mr.source, mr.nt,
+             mr.cum < t.target_tokens AS kept
+      FROM mr JOIN tgt t USING (source)
       ORDER BY doc_id"""))
 
   /** G9d's dials: epochs to materialize and shard fan-out. Two epochs
@@ -2086,7 +2163,8 @@ object PipelineOps {
     eventsAnomaly, docPack, docPackBpe, docPackEmit, packShuffle,
     sampleHoldout, sampleDsir, mixturePlan,
     mixturePlanBpe,
-    mixturePlanTemp, sampleMixture, sampleDomainCap, curationReport,
+    mixturePlanTemp, sampleMixture, sampleMixtureDoremi, sampleDomainCap,
+    curationReport,
     curationReportQuality, curationFate,
     graphPagerank,
     eventsHeavyHitters, domainsHeavyHitters, eventsQuantiles, eventsMarkov)

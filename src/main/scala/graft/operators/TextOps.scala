@@ -1363,7 +1363,12 @@ object TextOps {
     * `docsc(doc_id, n_bigrams, sum_bits_q16)` — shared by the C19b and
     * C20 oracles so the two stay definitionally one scoring pass.
     */
-  private val sqlLmRefCtes: String = s"""
+  /** [[sqlLmRefCtes]] with the reference-membership predicate as a
+    * parameter — C19b/C20/G22 keep the documented doc_id-parity
+    * split; G23 substitutes the hash split that decorrelates
+    * reference membership from the DOMAIN structure.
+    */
+  private def sqlLmRefCtesFor(refWhere: String): String = s"""
       tokd AS (
         SELECT doc_id,
                regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS tok
@@ -1377,7 +1382,7 @@ object TextOps {
         GROUP BY doc_id, w1, w2),
       bgref AS MATERIALIZED (
         SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cnt
-        FROM docbg WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+        FROM docbg WHERE $refWhere GROUP BY w1, w2),
       unref AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ucnt
                 FROM bgref GROUP BY w1),
       voc AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bgref),
@@ -1395,6 +1400,8 @@ object TextOps {
                        CAST(sum(c) AS BIGINT) AS n_bigrams,
                        CAST(sum(c * bits_q16) AS BIGINT) AS sum_bits_q16
                 FROM lg GROUP BY doc_id)"""
+
+  private val sqlLmRefCtes: String = sqlLmRefCtesFor("doc_id % 2 = 0")
 
   val lmBigramRef: Op = Op(
     "lm_bigram_ref",
@@ -1748,11 +1755,13 @@ object TextOps {
     * the Group-DRO multiplicative-weights update to produce the
     * domain weights a full-size training run should mix with. The
     * published recipe trains a proxy under the evolving weights; the
-    * engine casting is the one-shot static form — G22's two existing
-    * models price each domain ONCE (the corpus self-model as the
-    * proxy stand-in, the held-out even-doc_id [[LmIndex]] model as
-    * the reference; candidate pool = the odd-doc_id half, G22's
-    * pool discipline), and [[DOREMI_ROUNDS]] multiplicative rounds
+    * engine casting is the one-shot static form — G22's two model
+    * ROLES price each domain ONCE (the corpus self-model as the
+    * proxy stand-in; the reference is the [[LmIndex]] model trained
+    * on the HASH-designated holdout half, [[doremiIsRef]] — G22's
+    * doc-parity split would starve whole domains on any corpus whose
+    * source assignment correlates with doc_id arithmetic; candidates
+    * are the non-reference half), and [[DOREMI_ROUNDS]] multiplicative rounds
     * α ← normalize(α · (B + excess)) run on the per-domain frame with
     * the linearized-exponential multiplier (1 + excess_bits in Q16 —
     * exact integer arithmetic, no exp), followed by the paper's
@@ -1771,6 +1780,23 @@ object TextOps {
     * one tokenization pass, one Zipf-skewed bigram join (AQE
     * skew-split, the C19 caveat), |domains|-row driver arithmetic.
     */
+  /** G23's reference-membership predicate: a HASH split, not G22's
+    * doc_id parity. The reference slice must decorrelate from the
+    * DOMAIN structure — on any corpus whose source assignment
+    * correlates with doc_id arithmetic (the board corpus literally
+    * sets source = f(doc_id mod k)), a parity split starves entire
+    * domains of both reference text and candidates, and the mixture
+    * degenerates. The G20 holdout discipline applied to the G22
+    * model pair: membership is a pure function of doc_id, engines
+    * agree via the shared md5 convention.
+    */
+  private[graft] def doremiIsRef(c: Column): Column =
+    pmod(hash60(concat(lit("doremi|"), c)), lit(2L)) === lit(0L)
+
+  /** [[doremiIsRef]]'s DuckDB twin over an expression string. */
+  private def sqlDoremiIsRef(expr: String): String =
+    s"${xhash60(s"'doremi|' || $expr")} % 2 = 0"
+
   /** G23's body over an explicit (doc_id, text, source) frame — the
     * seam the planted-domain spec drives directly.
     */
@@ -1788,11 +1814,11 @@ object TextOps {
         .agg(sum(col("c")).as("nb"),
           sum(col("c") * col("bq")).as("s_self"))
       val ref = LmIndex.refFromCounts(
-        docbg.filter(col("doc_id") % 2 === 0), Caches.persist(_))
+        docbg.filter(doremiIsRef(col("doc_id"))), Caches.persist(_))
       val refDoc = LmIndex.scoreCounts(docbg, ref)
         .select(col("doc_id"), col("sum_bits_q16").as("s_ref"))
       val perSrc = selfDoc.join(refDoc, "doc_id")
-        .filter(col("doc_id") % 2 =!= 0)
+        .filter(!doremiIsRef(col("doc_id")))
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("n_bigrams"),
@@ -1830,10 +1856,13 @@ object TextOps {
         .orderBy(col("source"))
   }
 
-  val mixtureDoremi: Op = Op(
-    "mixture_doremi",
-    (s, d) => doremiWeights(Tables.documents(s, d)),
-    Some {
+  /** DuckDB twin of [[doremiWeights]] as CTE text ending in
+    * `dw(source, n_docs, n_bigrams, excess_q16, alpha_ppm,
+    * weight_milli)` — shared by the G23 oracle and G24's
+    * selection-executing consumer so the weight derivation stays
+    * definitionally one chain.
+    */
+  private[graft] val sqlDoremiCtes: String = {
       val rounds = (1 to DOREMI_ROUNDS).map { t =>
         val prev = if (t == 1) "a0" else s"a${t - 1}"
         s"""a${t}raw AS (
@@ -1846,8 +1875,7 @@ object TextOps {
                    AS alpha
           FROM a${t}raw)"""
       }.mkString(",\n        ")
-      s"""
-      WITH $sqlLmRefCtes,
+      s"""${sqlLmRefCtesFor(sqlDoremiIsRef("doc_id"))},
       bgs AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cnt
               FROM docbg GROUP BY w1, w2),
       uns AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ucnt
@@ -1869,7 +1897,7 @@ object TextOps {
         FROM selfsc s
         JOIN docsc r USING (doc_id)
         JOIN documents dd USING (doc_id)
-        WHERE s.doc_id % 2 <> 0
+        WHERE NOT (${sqlDoremiIsRef("s.doc_id")})
         GROUP BY dd.source),
       exc AS (
         SELECT source, n_docs, n_bigrams,
@@ -1882,15 +1910,25 @@ object TextOps {
       a0 AS (SELECT source, n_docs, n_bigrams, excess_q16, ndt.nd,
                     $DOREMI_SCALE // ndt.nd AS alpha
              FROM exc, ndt),
-      $rounds
-      SELECT source, n_docs, n_bigrams, excess_q16,
-             CAST(alpha AS BIGINT) AS alpha_ppm,
-             CAST(((${1000L - DOREMI_SMOOTH} * alpha) + $DOREMI_SMOOTH *
-               ($DOREMI_SCALE // nd)) // $DOREMI_SCALE AS BIGINT)
-               AS weight_milli
-      FROM a$DOREMI_ROUNDS
-      ORDER BY source"""
-    })
+      $rounds,
+      dw AS (
+        SELECT source, n_docs, n_bigrams, excess_q16,
+               CAST(alpha AS BIGINT) AS alpha_ppm,
+               CAST(((${1000L - DOREMI_SMOOTH} * alpha) + $DOREMI_SMOOTH *
+                 ($DOREMI_SCALE // nd)) // $DOREMI_SCALE AS BIGINT)
+                 AS weight_milli
+        FROM a$DOREMI_ROUNDS)"""
+  }
+
+  val mixtureDoremi: Op = Op(
+    "mixture_doremi",
+    (s, d) => doremiWeights(Tables.documents(s, d)),
+    Some(s"""
+      WITH $sqlDoremiCtes
+      SELECT source, n_docs, n_bigrams, excess_q16, alpha_ppm,
+             weight_milli
+      FROM dw
+      ORDER BY source"""))
 
   /** C21 — code-point unigram entropy (the Gopher/C4-family "compression
     * ratio" quality rule): a document whose character distribution is

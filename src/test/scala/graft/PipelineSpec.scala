@@ -1002,28 +1002,43 @@ class PipelineSpec extends SparkSpec {
     Caches.releaseScope()
   }
 
-  test("mixture_doremi: the unlearned-but-learnable domain gains " +
-      "weight; noise clamps to zero excess; smoothing floors every " +
-      "domain") {
+  /** The planted-domain DoReMi corpus: reference membership is G23's
+    * HASH split, so the spec derives the role partition through the
+    * engine's own predicate, then plants: 6 reference-member gem docs
+    * (domain 'gem' is well-represented in the reference), 1 candidate
+    * gem (rare corpus-wide, known to the reference → max excess),
+    * 1 candidate noise doc (rare AND unknown → excess clamps to 0),
+    * background everywhere else. Returns (docs, nCandidates).
+    */
+  private def doremiCorpus(): (org.apache.spark.sql.DataFrame, Int) = {
     import spark.implicits._
-    import graft.operators.TextOps
-    // the rho corpus shape, domain-labelled: candidates (odd ids) are
-    // 38 background docs (domain 'bg', excess ≈ 0), one gem doc
-    // (domain 'gem': rare corpus-wide, well-represented in the even
-    // reference half → max excess), one noise doc (domain 'noise':
-    // rare AND unknown to the reference → negative excess, clamped)
     val bg = "the cat the dog the cat the dog the cat"
     val gemTxt = "the zyx the zyx the zyx the zyx the zyx"
     val noiseTxt = "the qqq the qqq the qqq the qqq the qqq"
-    val gemId = 41L
-    val noiseId = 43L
-    val docs = (
-      (0 until 34).map(i => (i * 2L, bg, "bg")) ++
-      (34 until 40).map(i => (i * 2L, gemTxt, "gem")) ++
-      (0 until 40).map(i => (i * 2L + 1, bg, "bg"))
-        .filterNot(p => p._1 == gemId || p._1 == noiseId) ++
-      Seq((gemId, gemTxt, "gem"), (noiseId, noiseTxt, "noise"))
-    ).toDF("doc_id", "text", "source")
+    val isRef = spark.range(80)
+      .select(col("id"),
+        graft.operators.TextOps.doremiIsRef(col("id")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val refIds = (0L until 80L).filter(isRef)
+    val candIds = (0L until 80L).filterNot(isRef)
+    assert(refIds.size >= 10 && candIds.size >= 10,
+      s"hash split degenerate: ${refIds.size}/${candIds.size}")
+    val gemRef = refIds.take(6).toSet
+    val gemId = candIds.head
+    val noiseId = candIds(1)
+    val docs = (0L until 80L).map { id =>
+      if (gemRef(id) || id == gemId) (id, gemTxt, "gem")
+      else if (id == noiseId) (id, noiseTxt, "noise")
+      else (id, bg, "bg")
+    }.toDF("doc_id", "text", "source")
+    (docs, candIds.size)
+  }
+
+  test("mixture_doremi: the unlearned-but-learnable domain gains " +
+      "weight; noise clamps to zero excess; smoothing floors every " +
+      "domain") {
+    import graft.operators.TextOps
+    val (docs, nCand) = doremiCorpus()
     val out = TextOps.doremiWeights(docs).collect()
     assert(out.length == 3, "one row per domain")
     val byDom = out.map(r => r.getAs[String]("source") -> r).toMap
@@ -1052,8 +1067,45 @@ class PipelineSpec extends SparkSpec {
     // weights are a distribution (milli, floor-division slack)
     val wSum = out.map(_.getAs[Long]("weight_milli")).sum
     assert(wSum <= 1000 && wSum > 985, s"weight sum $wSum not ~1000")
-    // candidate-pool discipline: only odd docs counted
-    assert(out.map(_.getAs[Long]("n_docs")).sum == 40L)
+    // candidate-pool discipline: only non-reference docs counted
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nCand.toLong)
+    Caches.releaseScope()
+  }
+
+  test("sample_mixture_doremi: the learned weights actually move " +
+      "token mass — the gem domain's kept share beats its corpus " +
+      "share; every budget lands within one doc") {
+    import spark.implicits._
+    import graft.operators.{PipelineOps, TextOps}
+    val (docs, _) = doremiCorpus()
+    val w = TextOps.doremiWeights(docs)
+      .select("source", "weight_milli").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totM = w.values.sum
+    val totTokens = 80L * 10L // every doc is 10 whitespace tokens
+    val tgtOf = (s: String) => totTokens * w(s) / totM
+    val tgt = w.toSeq.map { case (s, wm) => (s, totTokens * wm / totM) }
+      .toDF("source", "target_tokens")
+    val out = PipelineOps.mixtureSelect(docs, tgt).collect()
+    val keptMass = out.filter(_.getAs[Boolean]("kept"))
+      .groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("nt")).sum).toMap
+      .withDefaultValue(0L)
+    val srcMass = Map("gem" -> 70L, "bg" -> 720L, "noise" -> 10L)
+    // every budget lands within one document of its target (saturated
+    // sources select everything)
+    Seq("gem", "bg", "noise").foreach { s =>
+      val t = tgtOf(s) min srcMass(s)
+      assert(math.abs(keptMass(s) - t) <= 10L,
+        s"$s kept ${keptMass(s)} vs target ${tgtOf(s)} (mass ${srcMass(s)})")
+    }
+    // the DoReMi upweighting is visible in the realized mixture: the
+    // gem domain saturates (its learned budget exceeds its mass)
+    // while the dominant background is cut far below its corpus share
+    assert(keptMass("gem") == 70L,
+      s"gem must saturate under its learned budget ${tgtOf("gem")}")
+    assert(keptMass("bg") < 720L / 2,
+      s"background must be cut below half its mass, kept ${keptMass("bg")}")
     Caches.releaseScope()
   }
 
