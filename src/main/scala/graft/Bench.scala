@@ -45,7 +45,11 @@ object Bench {
     "sink_pseudonymize", "sink_csv_format", "sink_serialize_overview",
     "sink_serialize_profile", "mm_binary_meta", "mm_chunk",
     "mm_frame_sample", "dedup_substr_rewrite", "dedup_lines",
-    "events_heavy_hitters")
+    "events_heavy_hitters",
+    // r16: the dup-only LEFT-join re-plan made both per-doc frames
+    // unique-keyed, so count() now prunes the entire df/commonness
+    // computation — the forced pass prices the real kernel work
+    "dedup_substr", "sample_softdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
