@@ -1515,6 +1515,192 @@ object TextOps {
       FROM docsc
       ORDER BY doc_id"""))
 
+  /** C29 — trigram scoring under an interpolated KNESER-NEY reference
+    * model (r16; the remaining public-fidelity step past C27's
+    * Jelinek-Mercer: KenLM — the CCNet scorer — smooths with modified
+    * Kneser-Ney, and the r15 verdict's hint stands: the discount stays
+    * rational, so the recipe stays integer-exact). Absolute discount
+    * D = 3/4 at every level (Kneser & Ney 1995; Chen & Goodman's
+    * interpolated form), and the lower levels use CONTINUATION counts,
+    * not raw frequency — the published "San Francisco" argument: a
+    * word frequent only after one context gets a LOW continuation
+    * probability, which raw-frequency backoff (C19b/C27) cannot
+    * express.
+    *
+    * Exactness convention: probabilities are staged Q32 integers with
+    * floor division at each level — P1 (unigram continuation, add-one
+    * floored so unseen words never zero), P2 (middle level over
+    * trigram-type continuation counts), P3 (top level over raw
+    * trigram counts) — and the final bits = log2(2^32 / P3_q32)
+    * through the [[graft.functions.FixedLog]] kernel. Both engines
+    * floor identically, so the oracle replays the STAGES as plain
+    * integer CTEs and only the log pays the unrolled 16-round chain.
+    * Every intermediate fits int64: counts are guarded ≤ 2^29 (a
+    * 1-row reference-total check that raises loudly — the G21
+    * overflow-guard discipline), Q32 values ≤ 2^32, products ≤ 2^61.
+    * Unseen context at either level backs off to the level below
+    * (CASE, not a blend with zero mass).
+    *
+    * Scale shape: C27's economics unchanged — the model is sized by
+    * the reference's distinct trigram/bigram TYPES (all continuation
+    * frames are reaggregations of the two type sets, never corpus
+    * passes); scoring is id-width Zipf-joins (AQE skew-split) + one
+    * map-side log kernel; the staged arithmetic is per-row codegen.
+    */
+  /** C29's body over an explicit (doc_id, text) frame — the seam the
+    * San-Francisco continuation-count spec drives directly.
+    */
+  private[graft] def knScore(docs: DataFrame): DataFrame = {
+      val Q32 = 4294967296L
+      val CAP = 1L << 29
+      val doctg = Caches.persist(LmIndex.trigramCounts(docs))
+      val docbg = Caches.persist(LmIndex.bigramCounts(docs))
+      // reference-half type/count frames (even doc_id, the C19b split)
+      val tgref = Caches.persist(doctg.filter(col("doc_id") % 2 === 0)
+        .groupBy("w1", "w2", "w3").agg(sum(col("c")).as("cnt")))
+      val ctx = tgref.groupBy("w1", "w2")
+        .agg(sum(col("cnt")).as("c12"), count(lit(1)).as("n1p12"))
+      val mid = Caches.persist(tgref.groupBy(col("w2"), col("w3"))
+        .agg(count(lit(1)).as("n23")))
+      val midctx = tgref.groupBy(col("w2"))
+        .agg(count(lit(1)).as("n2mid"))
+        .join(mid.groupBy(col("w2")).agg(count(lit(1)).as("n2fol")), "w2")
+      val bt = Caches.persist(docbg.filter(col("doc_id") % 2 === 0)
+        .select(col("w1"), col("w2")).distinct())
+      val uni = bt.groupBy(col("w2")).agg(count(lit(1)).as("nuni"))
+      val tots = bt.agg(count(lit(1)).as("nbt"),
+        countDistinct(col("w2")).as("v"))
+        .crossJoin(tgref.agg(coalesce(sum(col("cnt")), lit(0L))
+          .as("ttot")))
+      val scored = doctg
+        .join(tgref.withColumnRenamed("cnt", "c3"),
+          Seq("w1", "w2", "w3"), "left")
+        .join(ctx, Seq("w1", "w2"), "left")
+        .join(mid, Seq("w2", "w3"), "left")
+        .join(midctx, Seq("w2"), "left")
+        .join(uni.withColumnRenamed("w2", "w3"), Seq("w3"), "left")
+        .crossJoin(broadcast(tots))
+        // the overflow guard: every count is bounded by the reference
+        // trigram-token total, so ONE loud check covers all levels
+        .withColumn("p1", when(col("ttot") >= lit(CAP), raise_error(
+          concat(lit("lm_trigram_kn: reference trigram total "),
+            col("ttot"),
+            lit(s" exceeds the 2^29 exact-arithmetic bound — shard " +
+              "or pre-scale the reference counts"))))
+          .otherwise(expr(
+            s"((coalesce(nuni, 0L) + 1L) * ${Q32}L) div (nbt + v + 1L)")))
+        .withColumn("p2", expr(s"""CASE
+          WHEN coalesce(n2mid, 0L) > 0L THEN greatest(
+            (greatest(4L * coalesce(n23, 0L) - 3L, 0L) * ${Q32}L)
+              div (4L * n2mid)
+            + (3L * n2fol * p1) div (4L * n2mid), 1L)
+          ELSE p1 END"""))
+        .withColumn("p3", expr(s"""CASE
+          WHEN coalesce(c12, 0L) > 0L THEN greatest(
+            (greatest(4L * coalesce(c3, 0L) - 3L, 0L) * ${Q32}L)
+              div (4L * c12)
+            + (3L * n1p12 * p2) div (4L * c12), 1L)
+          ELSE p2 END"""))
+        .select(col("doc_id"), col("c"),
+          graft.functions.FixedLog.bitsQ16(lit(Q32), col("p3"))
+            .as("bits_q16"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_trigrams"),
+          sum(col("c") * col("bits_q16")).as("sum_kn_q16"))
+      scored
+        .select(col("doc_id"), (col("doc_id") % 2 === 0).as("is_ref"),
+          col("n_trigrams"), col("sum_kn_q16"),
+          (col("sum_kn_q16").cast("double") / col("n_trigrams")
+            / lit(65536.0)).as("mean_bits"))
+        .orderBy(col("doc_id"))
+  }
+
+  val lmTrigramKn: Op = Op(
+    "lm_trigram_kn",
+    (s, d) => knScore(Tables.documents(s, d)),
+    Some(s"""
+      WITH tokd AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS tok
+        FROM documents),
+      doctg AS MATERIALIZED (
+        SELECT doc_id, w1, w2, w3, count(*) AS c
+        FROM (SELECT doc_id, tok[i] AS w1, tok[i+1] AS w2, tok[i+2] AS w3
+              FROM (SELECT doc_id, tok,
+                           unnest(generate_series(1, len(tok)-2)) AS i
+                    FROM tokd WHERE len(tok) >= 3) x) y
+        GROUP BY doc_id, w1, w2, w3),
+      docbg AS MATERIALIZED (
+        SELECT doc_id, w1, w2, count(*) AS c
+        FROM (SELECT doc_id, tok[i] AS w1, tok[i+1] AS w2
+              FROM (SELECT doc_id, tok,
+                           unnest(generate_series(1, len(tok)-1)) AS i
+                    FROM tokd WHERE len(tok) >= 2) x) y
+        GROUP BY doc_id, w1, w2),
+      tgref AS MATERIALIZED (
+        SELECT w1, w2, w3, CAST(sum(c) AS BIGINT) AS cnt
+        FROM doctg WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3),
+      ctx AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c12,
+                     CAST(count(*) AS BIGINT) AS n1p12
+              FROM tgref GROUP BY w1, w2),
+      mid AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS n23
+              FROM tgref GROUP BY w2, w3),
+      midctx AS (SELECT m1.w2, m1.n2mid, m2.n2fol
+                 FROM (SELECT w2, CAST(count(*) AS BIGINT) AS n2mid
+                       FROM tgref GROUP BY w2) m1
+                 JOIN (SELECT w2, CAST(count(*) AS BIGINT) AS n2fol
+                       FROM mid GROUP BY w2) m2 USING (w2)),
+      bt AS MATERIALIZED (
+        SELECT DISTINCT w1, w2 FROM docbg WHERE doc_id % 2 = 0),
+      uni AS (SELECT w2 AS w3, CAST(count(*) AS BIGINT) AS nuni
+              FROM bt GROUP BY w2),
+      tots AS (SELECT CAST(count(*) AS BIGINT) AS nbt,
+                      CAST(count(DISTINCT w2) AS BIGINT) AS v
+               FROM bt),
+      staged AS (
+        SELECT d.doc_id, d.c,
+               ((coalesce(u.nuni, 0) + 1) * 4294967296)
+                 // (tots.nbt + tots.v + 1) AS p1,
+               t.cnt AS c3, cx.c12, cx.n1p12,
+               m.n23, mc.n2mid, mc.n2fol
+        FROM doctg d
+        LEFT JOIN tgref t ON d.w1 = t.w1 AND d.w2 = t.w2 AND d.w3 = t.w3
+        LEFT JOIN ctx cx ON d.w1 = cx.w1 AND d.w2 = cx.w2
+        LEFT JOIN mid m ON d.w2 = m.w2 AND d.w3 = m.w3
+        LEFT JOIN midctx mc ON d.w2 = mc.w2
+        LEFT JOIN uni u ON d.w3 = u.w3
+        CROSS JOIN tots),
+      lvl2 AS (
+        SELECT doc_id, c, c3, c12, n1p12,
+               CASE WHEN coalesce(n2mid, 0) > 0 THEN greatest(
+                 (greatest(4 * coalesce(n23, 0) - 3, 0) * 4294967296)
+                   // (4 * n2mid)
+                 + (3 * n2fol * p1) // (4 * n2mid), 1)
+               ELSE p1 END AS p2
+        FROM staged),
+      lvl3 AS (
+        SELECT doc_id, c,
+               CASE WHEN coalesce(c12, 0) > 0 THEN greatest(
+                 (greatest(4 * coalesce(c3, 0) - 3, 0) * 4294967296)
+                   // (4 * c12)
+                 + (3 * n1p12 * p2) // (4 * c12), 1)
+               ELSE p2 END AS p3
+        FROM lvl2),
+      ksrc AS (SELECT doc_id, c, CAST(4294967296 AS BIGINT) AS knum,
+                      p3 AS kden
+               FROM lvl3),
+      ${graft.functions.FixedLog.sqlRounds(
+        "ksrc", Seq("doc_id", "c"), "knum", "kden", "klg")},
+      docsc2 AS (SELECT doc_id,
+                        CAST(sum(c) AS BIGINT) AS n_trigrams,
+                        CAST(sum(c * bits_q16) AS BIGINT) AS sum_kn_q16
+                 FROM klg GROUP BY doc_id)
+      SELECT doc_id, doc_id % 2 = 0 AS is_ref, n_trigrams, sum_kn_q16,
+             CAST(sum_kn_q16 AS DOUBLE) / n_trigrams / 65536.0
+               AS mean_bits
+      FROM docsc2
+      ORDER BY doc_id"""))
+
   /** C28 — unigram-LM (SentencePiece-family) tokenizer TRAINING (r16,
     * the r15 verdict's ask #4): hard-EM piece selection over a
     * candidate-substring vocabulary — the full recipe, dials and scale
@@ -2005,7 +2191,7 @@ object TextOps {
     textRarity, textBpeCount, textBpeCountBytes, textBpeVocab, textBpeTrain,
     textBpeTrainBytes, textBpeCountLearned,
     textExtract, textPiiRedact, qualityClassifier, lmBigram, lmBigramRef,
-    lmTrigramRef, textUnigramTrain,
+    lmTrigramRef, lmTrigramKn, textUnigramTrain,
     qualityPplBuckets, sampleRho, mixtureDoremi, textEntropy,
     textLangidLearned)
 }

@@ -222,4 +222,55 @@ class LmIndexSpec extends SparkSpec {
       "recovery must clear the uncommitted staged sibling")
     Caches.releaseScope()
   }
+
+  // ---- interpolated Kneser-Ney scoring (r16, C29) ----
+
+  test("lm_trigram_kn: the San-Francisco property — a word frequent " +
+      "in ONE context prices worse after a novel context than a " +
+      "rarer word with many contexts; raw frequency would invert it") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // reference half (even ids): 'francisco' occurs 12 times, ONLY
+    // after 'san' (continuation count 1); 'cat' occurs 6 times after
+    // 6 DISTINCT words (continuation count 6). Raw frequency says
+    // francisco (12) > cat (6) — a frequency-backoff model prices an
+    // unseen-context francisco BETTER; Kneser-Ney's continuation
+    // counts price it WORSE, the published motivation for the method.
+    val preceders = Seq("the", "a", "my", "his", "her", "our")
+    val docs = (
+      (0 until 12).map(i => (i * 2L, "san francisco bay")) ++
+      preceders.zipWithIndex.map { case (w, i) =>
+        ((12 + i) * 2L, s"$w cat ran") } ++
+      Seq((41L, "qq zz francisco"),  // unseen context, 1-context word
+          (43L, "qq zz cat"),        // unseen context, 6-context word
+          (45L, "san francisco bay")) // fully-seen trigram
+    ).toDF("doc_id", "text")
+    val out = TextOps.knScore(docs).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val mb = (id: Long) => byId(id).getAs[Double]("mean_bits")
+    assert(out.forall(_.getAs[Long]("n_trigrams") >= 1L))
+    // the KN ordering: novel-context francisco > novel-context cat
+    assert(mb(41L) > mb(43L),
+      s"KN must price 1-context francisco (${mb(41L)}) worse than " +
+        s"6-context cat (${mb(43L)}) after an unseen context")
+    // and the seen trigram is by far the cheapest
+    assert(mb(45L) < mb(43L),
+      "a reference-seen trigram must underprice every backoff path")
+    // all bits positive and finite (the Q32 floor guard: P ≥ 1)
+    assert(out.forall(r => r.getAs[Double]("mean_bits") > 0.0))
+    Caches.releaseScope()
+  }
+
+  test("lm_trigram_kn plan: model frames are type-set reaggregations; " +
+      "no cartesian; the log kernel rides the scoring join") {
+    val df = run("lm_trigram_kn")
+    df.count()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+    assert(p.contains("log2_q16"), s"Q16 log kernel missing:\n$p")
+    val globalSorts = "Sort \\[[^\\]]*\\], true".r.findAllIn(p).size
+    assert(globalSorts <= 1,
+      s"only the deterministic output sort may be global:\n$p")
+    Caches.releaseScope()
+  }
 }
