@@ -288,7 +288,13 @@ object DedupOps {
   /** DuckDB CTE chain ending in `mh_pairs(i, j, jaccard)` — the oracle
     * twin of [[minhashPairs]] (shared by the D3 and D6 oracles).
     */
-  private[operators] val sqlMinhashPairsCtes: String = {
+  /** DuckDB CTE chain ending in `bands(doc_id, band, bkey)` — the
+    * banded-signature half of [[sqlMinhashPairsCtes]], factored so the
+    * D19 decontamination oracle derives its band keys from the SAME
+    * definition (the engine-side [[bandedFromShingles]] sharing,
+    * mirrored).
+    */
+  private[operators] val sqlBandsCtes: String = {
     val minCols = (0 until K).map(i =>
       s"min(${sqlMinhashFn(i)}) AS m$i").mkString(",\n               ")
     val bandSelects = (0 until K / R).map(b =>
@@ -300,7 +306,11 @@ object DedupOps {
              FROM sh GROUP BY doc_id),
       bands AS (
         $bandSelects
-      ),
+      )"""
+  }
+
+  private[operators] val sqlMinhashPairsCtes: String = {
+    s"""$sqlBandsCtes,
       bok AS (SELECT band, bkey FROM bands GROUP BY band, bkey
               HAVING count(*) <= $MAX_BUCKET),
       cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
@@ -759,6 +769,85 @@ object DedupOps {
       WHERE c.doc_id >= $EVAL_MAX
       GROUP BY c.doc_id
       ORDER BY c.doc_id"""))
+
+  /** D19's fuzzy-decontamination Jaccard threshold. Decontamination is
+    * recall-oriented (a missed leak inflates benchmarks; an over-dropped
+    * doc costs one document), so τ sits at D3's near-dup threshold, not
+    * above it.
+    */
+  private val DECON_TAU = 0.5
+
+  /** D19 — FUZZY decontamination: flag corpus documents NEAR-duplicating
+    * any held-out eval document under the D3 MinHash-LSH scheme. D8's
+    * exact n-gram probe misses paraphrased or lightly-edited leaks (the
+    * common contamination mode — eval questions reformatted by a crawl
+    * pipeline); the published fix (GPT-3 appendix C / Llama 2's fuzzy
+    * decontamination) is the near-dup test against the eval set. Bands
+    * derive from the ONE [[bandedFromShingles]] definition, so a doc
+    * flagged here is exactly a doc the D3 pipeline would pair with an
+    * eval doc — one signature scheme across batch dedup, the persisted
+    * index, the stream, and decontamination.
+    *
+    * Scale shape: the eval side is bounded (a benchmark suite, not a
+    * corpus), so its 8-band signature frame BROADCASTS; the corpus'
+    * banded signatures are derived map-side (no shuffle — the bands
+    * never aggregate, unlike D3's bucket-local pair enumeration) and
+    * probe the broadcast eval buckets. Only the (rare) collisions
+    * shuffle: candidate (doc_id, eval_id) pairs are id-width, and the
+    * exact-Jaccard verification re-attaches the two shingle sets from
+    * the shared persisted [[shingleSets]] frame (corpus side rides its
+    * doc_id partitioning; eval side broadcasts). No occupancy cap: a
+    * band key shared by half the corpus AND an eval doc means mass
+    * contamination — the verification cost is the finding, not a skew
+    * accident (cf. [[MAX_BUCKET]], which D3 needs because BOTH pair
+    * sides are corpus-sized).
+    */
+  val dedupDeconFuzzy: Op = Op(
+    "dedup_decon_fuzzy",
+    (s, d) => {
+      val sh = shingleSets(s, d)
+      val bands = bandedFromShingles(sh)
+        .select(col("doc_id"), col("band"), col("bkey"))
+      val evalB = bands.filter(col("doc_id") < EVAL_MAX)
+        .select(col("doc_id").as("eval_id"), col("band"), col("bkey"))
+      val cand = bands.filter(col("doc_id") >= EVAL_MAX)
+        .join(broadcast(evalB), Seq("band", "bkey"))
+        .select(col("doc_id"), col("eval_id"))
+        .distinct()
+      val ev = sh.filter(col("doc_id") < EVAL_MAX)
+        .select(col("doc_id").as("eval_id"), col("shs").as("shs_e"))
+      val inter = size(array_intersect(col("shs"), col("shs_e")))
+      cand.join(sh, "doc_id")
+        .join(broadcast(ev), "eval_id")
+        .select(col("doc_id"), col("eval_id"),
+          (inter * lit(1.0) /
+            (size(col("shs")) + size(col("shs_e")) - inter)).as("jaccard"))
+        .filter(col("jaccard") >= DECON_TAU)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_eval_dups"),
+          max(col("jaccard")).as("max_jaccard"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $sqlBandsCtes,
+      evb AS (SELECT doc_id AS eval_id, band, bkey FROM bands
+              WHERE doc_id < $EVAL_MAX),
+      dcand AS (SELECT DISTINCT b.doc_id, e.eval_id
+                FROM bands b JOIN evb e
+                  ON b.band = e.band AND b.bkey = e.bkey
+                WHERE b.doc_id >= $EVAL_MAX),
+      dver AS (SELECT c.doc_id,
+                      len(list_intersect(x.shs, y.shs)) * 1.0 /
+                        (len(x.shs) + len(y.shs)
+                          - len(list_intersect(x.shs, y.shs))) AS jaccard
+               FROM dcand c
+               JOIN shl x ON c.doc_id = x.doc_id
+               JOIN shl y ON c.eval_id = y.doc_id)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_dups,
+             max(jaccard) AS max_jaccard
+      FROM dver WHERE jaccard >= $DECON_TAU
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
 
   /** Span width for the duplicated-substring audit — long enough that a
     * shared span means copied text, not phrase reuse (Lee et al. use
@@ -1745,6 +1834,7 @@ object DedupOps {
   val all: Seq[Op] = Seq(sampleSoftdedup,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbedding, dedupClusters, dedupReport, dedupDecontaminate,
+    dedupDeconFuzzy,
     dedupSubstr, dedupSubstrRewrite, dedupLines, dedupSemantic, dedupBloom,
     dedupUrl, dedupContainment, dedupCanonicalQuality)
 }

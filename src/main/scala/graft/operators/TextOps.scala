@@ -140,6 +140,108 @@ object TextOps {
           FROM documents) t1) t2
       ORDER BY doc_id"""))
 
+  /** Gopher's "required words" set (Rae et al. 2021, appendix A1.1) —
+    * a doc must contain at least [[GOPHER_MIN_STOP]] of these.
+    */
+  private val gopherStop =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private val GOPHER_MIN_STOP = 2
+
+  /** C30 — the published Gopher document-quality rule set (Rae et al.
+    * 2021, "Scaling Language Models: ... Gopher", appendix A1.1; the
+    * same rules RedPajama/Dolma ship as their `gopher_rules` pass),
+    * complementing C2's weighted score with the PUBLIC threshold
+    * cascade: word-count bounds, mean-word-length bounds, symbol-to-word
+    * ratio (hashes + ellipses), bullet-start / ellipsis-end line
+    * fractions, the fraction of words carrying at least one alphabetic
+    * character, and the required-stopword minimum. Verdict = first
+    * failing rule (the G4 cascade convention), plus the measured
+    * metrics so a curation report can histogram each rule's margin.
+    *
+    * Scale shape: one narrow codegen'd projection per document — no
+    * shuffle beyond the output ordering, no UDF; every rule is a
+    * regex/array expression over the tokenized text, so the filter
+    * composes map-side with any downstream gate (the G4/C2 pattern).
+    */
+  val qualityGopher: Op = Op(
+    "quality_gopher",
+    (s, d) => {
+      val tok = toks(col("text"))
+      val nW = size(tok).cast(LongType)
+      val meanLen =
+        length(array_join(tok, "")) / greatest(nW, lit(1L)).cast("double")
+      val nSym = regexp_count(lower(col("text")), lit("#|\\.\\.\\.|…"))
+      val symRatio = nSym / greatest(nW, lit(1L)).cast("double")
+      val lines = split(col("text"), "\n")
+      val nL = greatest(size(lines), lit(1)).cast("double")
+      val bulletFrac =
+        size(filter(lines, l => l.rlike("^\\s*[-*•]"))) / nL
+      val ellipsisFrac =
+        size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))) / nL
+      val alphaFrac =
+        size(filter(tok, t => t.rlike("\\p{L}"))) /
+          greatest(nW, lit(1L)).cast("double")
+      val nStopW = nStop(col("text"), gopherStop).cast(LongType)
+      val verdict =
+        when(nW < 50L, "too_few_words")
+          .when(nW > 100000L, "too_many_words")
+          .when(meanLen < 3.0 || meanLen > 10.0, "word_length")
+          .when(symRatio > 0.1, "symbol_ratio")
+          .when(bulletFrac > 0.9, "bullet_lines")
+          .when(ellipsisFrac > 0.3, "ellipsis_lines")
+          .when(alphaFrac < 0.8, "low_alpha")
+          .when(nStopW < GOPHER_MIN_STOP, "low_stopword")
+          .otherwise("keep")
+      Tables.documents(s, d)
+        .select(col("doc_id"), nW.as("n_words"),
+          meanLen.as("mean_word_len"), symRatio.as("symbol_ratio"),
+          alphaFrac.as("alpha_frac"), nStopW.as("n_required_stop"),
+          verdict.as("verdict"), (verdict === "keep").as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+             n_required_stop, verdict, verdict = 'keep' AS kept
+      FROM (
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+               n_required_stop,
+               CASE WHEN n_words < 50 THEN 'too_few_words'
+                    WHEN n_words > 100000 THEN 'too_many_words'
+                    WHEN mean_word_len < 3.0 OR mean_word_len > 10.0
+                      THEN 'word_length'
+                    WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+                    WHEN bullet_frac > 0.9 THEN 'bullet_lines'
+                    WHEN ellipsis_frac > 0.3 THEN 'ellipsis_lines'
+                    WHEN alpha_frac < 0.8 THEN 'low_alpha'
+                    WHEN n_required_stop < $GOPHER_MIN_STOP
+                      THEN 'low_stopword'
+                    ELSE 'keep' END AS verdict
+        FROM (
+          SELECT doc_id,
+                 CAST(len(tok) AS BIGINT) AS n_words,
+                 len(array_to_string(tok, '')) /
+                   CAST(greatest(len(tok), 1) AS DOUBLE) AS mean_word_len,
+                 len(regexp_extract_all(lower(text), '#|\\.\\.\\.|…')) /
+                   CAST(greatest(len(tok), 1) AS DOUBLE) AS symbol_ratio,
+                 len(list_filter(lines, l ->
+                     regexp_matches(l, '^\\s*[-*•]'))) /
+                   CAST(greatest(len(lines), 1) AS DOUBLE) AS bullet_frac,
+                 len(list_filter(lines, l ->
+                     regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) /
+                   CAST(greatest(len(lines), 1) AS DOUBLE) AS ellipsis_frac,
+                 len(list_filter(tok, t -> regexp_matches(t, '\\p{L}'))) /
+                   CAST(greatest(len(tok), 1) AS DOUBLE) AS alpha_frac,
+                 CAST(len(list_filter(tok, t ->
+                     t IN (${gopherStop.map(w => s"'$w'").mkString(",")})))
+                   AS BIGINT) AS n_required_stop
+          FROM (
+            SELECT doc_id, text,
+                   regexp_split_to_array(trim(lower(text), ' '), '\\s+')
+                     AS tok,
+                   regexp_split_to_array(text, '\\n') AS lines
+            FROM documents) t0) t1) t2
+      ORDER BY doc_id"""))
+
   private[operators] val langStop: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is"),
     "fr" -> Seq("le", "la", "et", "les", "des"),
@@ -2186,7 +2288,8 @@ object TextOps {
       ORDER BY d.doc_id"""))
 
   val all: Seq[Op] = Seq(
-    textTokenCount, textQuality, textLangid, textFingerprint, textNgramFreq,
+    textTokenCount, textQuality, qualityGopher, textLangid, textFingerprint,
+    textNgramFreq,
     textDocFreq, textCharNgrams, textRepetition, textBm25, textVocabCoverage,
     textRarity, textBpeCount, textBpeCountBytes, textBpeVocab, textBpeTrain,
     textBpeTrainBytes, textBpeCountLearned,

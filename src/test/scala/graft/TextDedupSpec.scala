@@ -288,6 +288,69 @@ class TextDedupSpec extends SparkSpec {
     assert(plan(df).contains("TakeOrderedAndProject"))
   }
 
+  test("dedup_decon_fuzzy: a paraphrased eval leak is flagged; a " +
+      "corpus-internal dup pair is not") {
+    val dir = Files.createTempDirectory("graft_decon").toString
+    val evalDoc =
+      "the quick brown fox jumps over the lazy dog again and again today"
+    val corpusOnly =
+      "completely different words about spark query engines and storage"
+    val docs = Seq(
+      (0L, evalDoc),                  // eval set (doc_id < 25)
+      (1L, "benchmark answers nothing shares these tokens with anything"),
+      (30L, evalDoc + " tomorrow"),   // near-dup LEAK of eval doc 0
+      (31L, corpusOnly),              // corpus-internal exact dup pair:
+      (32L, corpusOnly),              //   near-dup of each other, NOT of eval
+      (33L, "entirely unrelated musings on distributed shuffles and sorts"))
+      .map { case (i, t) => (i, t, "en", s"s$i", t.length.toLong) }
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = run("dedup_decon_fuzzy", dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_eval_dups"), x.getAs[Double]("max_jaccard")))
+      .toMap
+    assert(r.keySet == Set(30L), s"flagged: ${r.keySet}")
+    assert(r(30L)._1 == 1L)
+    assert(r(30L)._2 >= 0.5)
+  }
+
+  test("quality_gopher: each published rule fires on its planted doc " +
+      "and a clean doc keeps") {
+    val dir = Files.createTempDirectory("graft_gopher").toString
+    // 60 clean words incl. >=2 required stopwords, no symbols/bullets
+    val clean = (("the cat sat with the dog and that was fine " +
+      "because words flow nicely here today") + " extra filler") * 3
+    val few = "the cat sat with mat"                       // < 50 words
+    val shortWords = Array.fill(60)("ab").mkString(" ")    // mean len < 3
+    val symbols = (Array.fill(60)("word") :+
+      Array.fill(12)("#").mkString(" ")).mkString(" ")     // > 0.1 sym/word
+    val bullets = (0 until 10).map(i => s"- bullet item $i with the " +
+      "needed and tom word count padding padding").mkString("\n")
+    val ellipsis = (0 until 10).map(i => s"a trailing line $i with the " +
+      "and of words that keeps going on...").mkString("\n")
+    val lowAlpha = (Array.fill(30)("9999") ++ Array.fill(30)("the"))
+      .mkString(" ")                                       // alpha < 0.8
+    val noStop = Array.fill(60)("zebra").mkString(" ")     // 0 required stop
+    val docs = Seq(
+      (0L, clean), (1L, few), (2L, shortWords), (3L, symbols),
+      (4L, bullets), (5L, ellipsis), (6L, lowAlpha), (7L, noStop))
+      .map { case (i, t) => (i, t, "en", s"s$i", t.length.toLong) }
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = run("quality_gopher", dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("verdict")).toMap
+    assert(r(0L) == "keep", s"clean: ${r(0L)}")
+    assert(r(1L) == "too_few_words")
+    assert(r(2L) == "word_length")
+    assert(r(3L) == "symbol_ratio")
+    assert(r(4L) == "bullet_lines")
+    assert(r(5L) == "ellipsis_lines")
+    assert(r(6L) == "low_alpha")
+    assert(r(7L) == "low_stopword")
+  }
+
   test("text_quality: ratios in range, score composition") {
     run("text_quality").collect().foreach { r =>
       val p = r.getAs[Double]("punct_ratio")
