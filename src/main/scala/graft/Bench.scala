@@ -49,7 +49,11 @@ object Bench {
     // r16: the dup-only LEFT-join re-plan made both per-doc frames
     // unique-keyed, so count() now prunes the entire df/commonness
     // computation — the forced pass prices the real kernel work
-    "dedup_substr", "sample_softdedup")
+    "dedup_substr", "sample_softdedup",
+    // r16 session 2: both are row-preserving manifests over the
+    // embedded corpus — count() prunes the prefix-sum windows /
+    // threshold join, the forced pass prices them
+    "doc_pack_semantic", "sample_prototypes", "quality_gopher")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

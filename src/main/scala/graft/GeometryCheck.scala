@@ -44,7 +44,8 @@ object GeometryCheck {
 
   private val Known =
     Set("ann_lsh", "dedup_embedding", "ann_ivf", "dedup_semantic",
-      "ann_pq", "mm_phash_dedup", "ann_ivfpq", "emb_knn_graph")
+      "ann_pq", "mm_phash_dedup", "ann_ivfpq", "emb_knn_graph",
+      "sample_prototypes", "doc_pack_semantic")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -133,6 +134,25 @@ object GeometryCheck {
         .parquet(s"$outDir/emb_knn_graph")
       Caches.releaseScope()
     }
+    if (keys("sample_prototypes")) {
+      // G25 checks at the CORPUS cell count; sqlPrototypesAt regenerates
+      // the matching oracle (pure function of sfDir's row count).
+      val cells = operators.AnnOps.ivfCellsFor(
+        Tables.embeddings(spark, sfDir).count())
+      operators.PipelineOps.prototypesAt(spark, sfDir, cells)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/sample_prototypes")
+      Caches.releaseScope()
+    }
+    if (keys("doc_pack_semantic")) {
+      // G26 checks at the CORPUS cell count, same pattern.
+      val cells = operators.AnnOps.ivfCellsFor(
+        Tables.embeddings(spark, sfDir).count())
+      operators.PipelineOps.packSemanticAt(spark, sfDir, cells)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/doc_pack_semantic")
+      Caches.releaseScope()
+    }
     if (keys("dedup_semantic")) {
       // D11 checks at the CORPUS geometry like D5: cells AND sub-planes
       // derive from the row count, and sqlSemanticAt regenerates the
@@ -171,6 +191,18 @@ object GeometryCheck {
       (if (dumped("emb_knn_graph")) {
         val (cells, sub) = knnGeom(Tables.embeddings(spark, sfDir).count())
         Map("emb_knn_graph" -> operators.EmbeddingOps.sqlKnnAt(cells, sub))
+      } else Map.empty) ++
+      (if (dumped("sample_prototypes")) {
+        val cells = operators.AnnOps.ivfCellsFor(
+          Tables.embeddings(spark, sfDir).count())
+        Map("sample_prototypes" ->
+          operators.PipelineOps.sqlPrototypesAt(cells))
+      } else Map.empty) ++
+      (if (dumped("doc_pack_semantic")) {
+        val cells = operators.AnnOps.ivfCellsFor(
+          Tables.embeddings(spark, sfDir).count())
+        Map("doc_pack_semantic" ->
+          operators.PipelineOps.sqlPackSemanticAt(cells))
       } else Map.empty) ++
       (if (dumped("mm_phash_dedup")) {
         val (bands, width) = operators.MultimodalOps.phashGeometryFor(

@@ -1414,6 +1414,208 @@ object PipelineOps {
       FROM wb w, th
       ORDER BY w.doc_id"""))
 
+  /** G26 — SEMANTIC packing: the G9 manifest arithmetic laid out
+    * per-CLUSTER instead of in global doc_id order — related documents
+    * (same trained-[[CentroidIndex]] cell, the D11/E14/G25 notion of
+    * "related") land in the same training sequences, the In-Context
+    * Pretraining recipe (Shi et al. 2023: packing semantically related
+    * docs into one context window instead of random concatenation).
+    * Each cell packs its own independent sequence stream in
+    * deterministic doc_id order; a sequence is addressed (cell,
+    * seq_idx). Only documents WITH an embedding pack (inner join on
+    * doc_id = vec_id — the embedded-corpus contract D11 documents).
+    *
+    * Scale shape: the G9 prefix-sum discipline with the cluster as a
+    * free extra partition key — per-(cell, block) token sums, block
+    * bases from a window over ≤ cellsize/block rows PER CELL (the
+    * global stream's superblock level is unnecessary: the cell key
+    * already partitions the base window, so no unpartitioned window
+    * anywhere), intra-block running totals over ≤ block rows. Cell
+    * assignment is the map-side cell_argmax kernel over the broadcast
+    * packed centroids; corpus text never shuffles (token counts ride
+    * id-width rows).
+    */
+  /** G26's body at an explicit cell count — the GeometryCheck seam. */
+  private[graft] def packSemanticAt(
+      s: SparkSession, d: String, cells: Int): DataFrame = {
+      val cent = CentroidIndex.forCorpus(s, d, cells)
+      val assign = AnnOps.withNorm(s, d)
+        .crossJoin(broadcast(AnnOps.packedCents(cent)))
+        .select(col("vec_id"), AnnOps.cellCol.as("cell"))
+      val counts = Tables.documents(s, d)
+        .select(col("doc_id"),
+          // +1 = EOS, the G9 convention
+          (size(split(trim(lower(col("text"))), "\\s+")) + 1)
+            .cast(LongType).as("nt"))
+      val docs = Caches.persist(counts
+        .join(assign, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("cell"), col("nt"),
+          expr(s"doc_id div $PACK_BLOCK").as("blk")))
+      val blockSums = docs.groupBy(col("cell"), col("blk"))
+        .agg(sum(col("nt")).as("bsum"))
+      val wBlocks = Window.partitionBy(col("cell")).orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blockBases = blockSums
+        .withColumn("block_base",
+          sum(col("bsum")).over(wBlocks) - col("bsum"))
+        .select(col("cell"), col("blk"), col("block_base"))
+      val wIntra = Window.partitionBy(col("cell"), col("blk"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(broadcast(blockBases), Seq("cell", "blk"))
+        .withColumn("start",
+          col("block_base") + sum(col("nt")).over(wIntra) - col("nt"))
+        .select(col("doc_id"), col("cell"), (col("nt") - 1).as("n_tokens"),
+          expr(s"start div $SEQ_TOKENS").as("seq_idx"),
+          (col("start") % SEQ_TOKENS).as("offset_in_seq"),
+          (expr(s"(start + nt - 1) div $SEQ_TOKENS")
+            - expr(s"start div $SEQ_TOKENS") + 1L).as("n_seqs_spanned"),
+          (expr(s"(start + nt - 1) div $SEQ_TOKENS")
+            =!= expr(s"start div $SEQ_TOKENS")).as("is_split"))
+        .orderBy(col("doc_id"))
+  }
+
+  /** G26's DuckDB twin at an arbitrary cell count (board oracle at the
+    * pinned 16 cells; GeometryCheck replays at the corpus-derived
+    * count).
+    */
+  private[graft] def sqlPackSemanticAt(cells: Int): String = s"""
+      WITH ${AnnOps.sqlNormCte},
+      ${AnnOps.sqlIvfTrainCtes(cells, AnnOps.IVF_ROUNDS)},
+      ${AnnOps.sqlIvfAssignAggCte(AnnOps.IVF_ROUNDS)},
+      dn AS (
+        SELECT d.doc_id, a.cell,
+               CAST(len(regexp_split_to_array(trim(lower(d.text), ' '),
+                 '\\s+')) + 1 AS BIGINT) AS nt
+        FROM documents d JOIN assign a ON a.vec_id = d.doc_id),
+      cc AS (
+        SELECT doc_id, cell, nt,
+               CAST(sum(nt) OVER (PARTITION BY cell ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM dn)
+      SELECT doc_id, cell, nt - 1 AS n_tokens,
+             (cum - nt) // $SEQ_TOKENS AS seq_idx,
+             (cum - nt) % $SEQ_TOKENS AS offset_in_seq,
+             (cum - 1) // $SEQ_TOKENS - (cum - nt) // $SEQ_TOKENS + 1
+               AS n_seqs_spanned,
+             (cum - 1) // $SEQ_TOKENS != (cum - nt) // $SEQ_TOKENS
+               AS is_split
+      FROM cc
+      ORDER BY doc_id"""
+
+  val docPackSemantic: Op = Op(
+    "doc_pack_semantic",
+    (s, d) => {
+      val cells = AnnOps.ivfCellsFor(Tables.embeddings(s, d).count())
+      AnnOps.logGeometryDivergence("doc_pack_semantic",
+        s"$cells cells", s"${AnnOps.CENTROIDS} cells")
+      packSemanticAt(s, d, cells)
+    },
+    Some(sqlPackSemanticAt(AnnOps.CENTROIDS)))
+
+  /** G25's dials: the kept corpus fraction and the histogram bin width
+    * in cosine micros (~0.008 cosine per bin — the all-or-nothing
+    * selection granularity, the G21 convention).
+    */
+  private[graft] val PROTO_KEEP_PCT = 25
+  private val PROTO_BIN = 8192L
+
+  /** G25 — prototype-based data pruning (the SSL-prototypes metric of
+    * Sorscher et al. 2022, "Beyond neural scaling laws": example
+    * difficulty = cosine to the nearest k-means prototype; with
+    * abundant data, PRUNE the easy examples — those closest to their
+    * cluster centroid — and keep the hard ones). D11 (SemDeDup) drops
+    * pairwise near-duplicates within a cell; this op ranks EVERY vector
+    * by prototypicality and keeps the [[PROTO_KEEP_PCT]]% hardest, the
+    * companion pass the paper composes after dedup. Centroids are the
+    * per-corpus trained [[CentroidIndex]] artifact — the same cells
+    * ann_ivf/D11/E14 score against, so "prototype" means one thing
+    * across the whole engine.
+    *
+    * Scale shape: assignment is the map-side cell_argmax kernel over
+    * the broadcast packed centroids (no corpus×cells stream, no
+    * shuffle); the winning cell's cosine re-attaches with ONE broadcast
+    * join against the cells-row centroid frame; selection is the
+    * G21/F7 boundary-free bin histogram (threshold = first bin whose
+    * ascending cumulative mass clears the keep target; all-or-nothing
+    * at [[PROTO_BIN]]-micro granularity) — no corpus sort, and the only
+    * corpus-sized exchange is the id-width histogram aggregate's
+    * partials.
+    */
+  /** G25's body at an explicit cell count — the GeometryCheck seam. */
+  private[graft] def prototypesAt(
+      s: SparkSession, d: String, cells: Int): DataFrame = {
+    val e = AnnOps.withNorm(s, d)
+    val cent = CentroidIndex.forCorpus(s, d, cells)
+    val assign = e.crossJoin(broadcast(AnnOps.packedCents(cent)))
+      .select(col("vec_id"), col("embedding"), col("nm"),
+        AnnOps.cellCol.as("cell"))
+    // wts persists: it feeds the bin histogram AND the verdict join
+    val wts = Caches.persist(assign
+      .join(broadcast(cent), col("cell") === col("c_id"))
+      .select(col("vec_id"), col("cell"),
+        cosineFromMicros(dotMicros(col("embedding"), col("c_emb")),
+          col("nm"), col("c_nm")).as("pcos"))
+      .withColumn("wv", -floor(col("pcos") * lit(1e6)))
+      .withColumn("bin",
+        expr(s"(wv - pmod(wv, $PROTO_BIN)) div $PROTO_BIN")))
+    val hist = wts.groupBy(col("bin")).agg(count(lit(1)).as("mass"))
+    // bounded global window: ≤ 2e6/PROTO_BIN ≈ 245 cosine bins
+    val wb = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumh = hist.withColumn("cum", sum(col("mass")).over(wb))
+    val tot = hist.agg(sum(col("mass")).as("total"))
+    val th = cumh.crossJoin(broadcast(tot))
+      .agg(min(when(
+        col("cum") * 100 >= col("total") * (100 - PROTO_KEEP_PCT),
+        col("bin"))).as("t"))
+    wts.crossJoin(broadcast(th))
+      .select(col("vec_id"), col("cell"), col("pcos"), col("bin"),
+        (col("bin") > col("t")).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** G25's DuckDB twin at an arbitrary cell count (the board oracle is
+    * this at the pinned 16-cell geometry; GeometryCheck replays it at
+    * the corpus-derived cells above gate scale).
+    */
+  private[graft] def sqlPrototypesAt(cells: Int): String = s"""
+      WITH ${AnnOps.sqlNormCte},
+      ${AnnOps.sqlIvfTrainCtes(cells, AnnOps.IVF_ROUNDS)},
+      ${AnnOps.sqlIvfAssignAggCte(AnnOps.IVF_ROUNDS)},
+      pw AS (
+        SELECT a.vec_id, a.cell, s.ccos AS pcos,
+               -CAST(floor(s.ccos * 1000000) AS BIGINT) AS wv
+        FROM assign a
+        JOIN iscoreF s ON s.vec_id = a.vec_id AND s.c_id = a.cell),
+      pb AS (SELECT vec_id, cell, pcos,
+                    CAST((wv - ((wv % $PROTO_BIN + $PROTO_BIN) % $PROTO_BIN))
+                      // $PROTO_BIN AS BIGINT) AS bin
+             FROM pw),
+      phist AS (SELECT bin, CAST(count(*) AS BIGINT) AS mass
+                FROM pb GROUP BY bin),
+      pcum AS (SELECT bin,
+                      CAST(sum(mass) OVER (ORDER BY bin) AS BIGINT) AS cum
+               FROM phist),
+      ptot AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM phist),
+      pth AS (SELECT min(CASE WHEN cum * 100 >= total * ${100 - PROTO_KEEP_PCT}
+                              THEN bin END) AS t
+              FROM pcum, ptot)
+      SELECT b.vec_id, b.cell, b.pcos, b.bin, b.bin > pth.t AS kept
+      FROM pb b, pth
+      ORDER BY b.vec_id"""
+
+  val samplePrototypes: Op = Op(
+    "sample_prototypes",
+    (s, d) => {
+      val cells = AnnOps.ivfCellsFor(Tables.embeddings(s, d).count())
+      AnnOps.logGeometryDivergence("sample_prototypes",
+        s"$cells cells", s"${AnnOps.CENTROIDS} cells")
+      prototypesAt(s, d, cells)
+    },
+    Some(sqlPrototypesAt(AnnOps.CENTROIDS)))
+
   /** G11 — per-domain frequency capping: keep at most ceil(√n_s)
     * documents from each source s, chosen by a deterministic hash
     * priority — the RefinedWeb/FineWeb-style guard against any single
@@ -2160,8 +2362,9 @@ object PipelineOps {
   val all: Seq[Op] = Seq(
     joinAsof, joinRange, sampleStratified, qualityFilter,
     qualityFilterExtracted, eventsRetention, eventsFunnel, sampleWeighted,
-    eventsAnomaly, docPack, docPackBpe, docPackEmit, packShuffle,
-    sampleHoldout, sampleDsir, mixturePlan,
+    eventsAnomaly, docPack, docPackBpe, docPackEmit, docPackSemantic,
+    packShuffle,
+    sampleHoldout, sampleDsir, samplePrototypes, mixturePlan,
     mixturePlanBpe,
     mixturePlanTemp, sampleMixture, sampleMixtureDoremi, sampleDomainCap,
     curationReport,

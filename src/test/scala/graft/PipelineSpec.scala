@@ -9,6 +9,105 @@ import org.apache.spark.sql.functions._
   */
 class PipelineSpec extends SparkSpec {
 
+  test("sample_prototypes: planted far-from-prototype outliers are kept, " +
+      "tight cluster cores are pruned, and a warm run retrains nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_proto").toString
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val centers = Array.fill(2, 64)(rnd.nextGaussian())
+    // 480 EASY vectors: two tight clusters (tiny noise -> pcos ~ 1)
+    val easy = (0 until 480).map { i =>
+      (i.toLong, unit(centers(i % 2).map(_ + 0.05 * rnd.nextGaussian())),
+        i % 2)
+    }
+    // 32 HARD vectors: random directions, far from every prototype
+    val hard = (0 until 32).map { i =>
+      (480L + i, unit(Array.fill(64)(rnd.nextGaussian())), 99)
+    }
+    spark.createDataFrame(easy ++ hard)
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val r = run("sample_prototypes", dir).collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        (x.getAs[Boolean]("kept"), x.getAs[Double]("pcos"))).toMap
+    assert(r.size == 512)
+    // the planted outliers survive the prune — all but the few k-means
+    // ADAPTS to (a lone outlier captured as a cell's only member
+    // becomes its own prototype at pcos = 1, the known k-means outlier
+    // behavior; the metric is still "distance to the LEARNED
+    // prototypes", so those self-prototypes score easy by definition)
+    val keptOutliers = (480L until 512L).count(i => r(i)._1)
+    assert(keptOutliers >= 24, s"only $keptOutliers/32 outliers kept")
+    // the keep budget holds (all-or-nothing at bin granularity only
+    // ever UNDER-fills)
+    val kept = r.values.count(_._1)
+    assert(kept <= 512 * operators.PipelineOps.PROTO_KEEP_PCT / 100 + 1,
+      s"kept $kept")
+    // selection is by prototypicality: every kept pcos <= every
+    // dropped pcos (+ one bin of slack)
+    val maxKept = r.values.filter(_._1).map(_._2).max
+    val minDrop = r.values.filterNot(_._1).map(_._2).min
+    assert(maxKept <= minDrop + 8192 / 1e6, s"$maxKept vs $minDrop")
+    // warm re-invocation consumes the memoized CentroidIndex artifact
+    val before = operators.CentroidIndex.trainRuns.get()
+    assert(run("sample_prototypes", dir).count() == 512)
+    assert(operators.CentroidIndex.trainRuns.get() == before,
+      "warm sample_prototypes retrained the coarse quantizer")
+  }
+
+  test("doc_pack_semantic: per-cell manifests replay the sequential " +
+      "per-cluster concat exactly (multi-block corpus)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_psem").toString
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val centers = Array.fill(4, 64)(rnd.nextGaussian())
+    val n = 2500 // doc_id reaches blk = 2: the per-(cell, blk) path runs
+    val emb = (0 until n).map(i =>
+      (i.toLong, unit(centers(i % 4).map(_ + 0.2 * rnd.nextGaussian())),
+        i % 4))
+    spark.createDataFrame(emb).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val docs = (0 until n).map { i =>
+      val words = Array.fill(5 + rnd.nextInt(120))("w").mkString(" ")
+      (i.toLong, words, "en", s"s${i % 3}", words.length.toLong)
+    }
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = run("doc_pack_semantic", dir).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("cell"),
+        r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("seq_idx") * operators.PipelineOps.SEQ_TOKENS
+          + r.getAs[Long]("offset_in_seq"),
+        r.getAs[Long]("n_seqs_spanned"), r.getAs[Boolean]("is_split")))
+    assert(out.length == n)
+    val S = operators.PipelineOps.SEQ_TOKENS
+    out.groupBy(_._2).foreach { case (cell, rows) =>
+      // per-cell sequential replay: starts are the running (nt = tokens
+      // + EOS) sum in doc_id order, from zero
+      var cum = 0L
+      rows.sortBy(_._1).foreach {
+        case (id, _, nTok, start, spanned, split) =>
+          assert(start == cum, s"cell $cell doc $id: start $start != $cum")
+          val nt = nTok + 1
+          assert(spanned == (cum + nt - 1) / S - cum / S + 1)
+          assert(split == ((cum + nt - 1) / S != cum / S))
+          cum += nt
+      }
+    }
+    // the multi-block path actually engaged
+    assert(out.map(_._1).max / operators.PipelineOps.PACK_BLOCK >= 2)
+  }
+
   test("join_asof: every purchase attributed to the latest prior click") {
     val e = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
