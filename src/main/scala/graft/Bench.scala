@@ -53,7 +53,10 @@ object Bench {
     // r16 session 2: both are row-preserving manifests over the
     // embedded corpus — count() prunes the prefix-sum windows /
     // threshold join, the forced pass prices them
-    "doc_pack_semantic", "sample_prototypes", "quality_gopher")
+    "doc_pack_semantic", "sample_prototypes", "quality_gopher",
+    // r16 session 3: another row-preserving verdict manifest (the G25
+    // histogram-threshold-join shape at token-weighted mass)
+    "sample_budget")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -45,7 +45,7 @@ object GeometryCheck {
   private val Known =
     Set("ann_lsh", "dedup_embedding", "ann_ivf", "dedup_semantic",
       "ann_pq", "mm_phash_dedup", "ann_ivfpq", "emb_knn_graph",
-      "sample_prototypes", "doc_pack_semantic")
+      "sample_prototypes", "doc_pack_semantic", "ann_filtered")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -153,6 +153,21 @@ object GeometryCheck {
         .parquet(s"$outDir/doc_pack_semantic")
       Caches.releaseScope()
     }
+    if (keys("ann_filtered")) {
+      // E17 checks at the CORPUS geometry (cells AND the
+      // selectivity-widened nprobe — both pure functions of sfDir);
+      // sqlAnnFilteredAt regenerates the matching oracle below.
+      val n = Tables.embeddings(spark, sfDir).count()
+      val cells = operators.AnnOps.ivfCellsFor(n)
+      val nKept = Tables.embeddings(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("label") <
+          operators.AnnOps.FILTER_LABEL_LT).count()
+      val np = operators.AnnOps.filteredNprobeFor(n, nKept, cells)
+      operators.AnnOps.annFilteredAt(spark, sfDir, cells, np)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/ann_filtered")
+      Caches.releaseScope()
+    }
     if (keys("dedup_semantic")) {
       // D11 checks at the CORPUS geometry like D5: cells AND sub-planes
       // derive from the row count, and sqlSemanticAt regenerates the
@@ -203,6 +218,15 @@ object GeometryCheck {
           Tables.embeddings(spark, sfDir).count())
         Map("doc_pack_semantic" ->
           operators.PipelineOps.sqlPackSemanticAt(cells))
+      } else Map.empty) ++
+      (if (dumped("ann_filtered")) {
+        val n = Tables.embeddings(spark, sfDir).count()
+        val cells = operators.AnnOps.ivfCellsFor(n)
+        val nKept = Tables.embeddings(spark, sfDir)
+          .filter(org.apache.spark.sql.functions.col("label") <
+            operators.AnnOps.FILTER_LABEL_LT).count()
+        Map("ann_filtered" -> operators.AnnOps.sqlAnnFilteredAt(cells,
+          operators.AnnOps.filteredNprobeFor(n, nKept, cells)))
       } else Map.empty) ++
       (if (dumped("mm_phash_dedup")) {
         val (bands, width) = operators.MultimodalOps.phashGeometryFor(

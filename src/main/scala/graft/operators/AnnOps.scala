@@ -1624,5 +1624,137 @@ object AnnOps {
       WHERE rank <= $TOP_K
       ORDER BY q_id, rank"""))
 
-  val all: Seq[Op] = Seq(annBruteforce, annLsh, annIvf, annPq, annIvfPq)
+  /** E16's corpus predicate: the label stripe the filtered search is
+    * restricted to. A RANGE predicate so it reaches the parquet scan as
+    * a PushedFilter (labels are uniform over 0..9 in the synthetic
+    * corpus, so the stripe keeps ~40% at every SF — selective enough
+    * that an unwidened probe visibly starves, not so selective that the
+    * gate corpora empty).
+    */
+  private[graft] val FILTER_LABEL_LT = 4
+
+  /** E16's board nprobe: [[NPROBE]] widened by the inverse of the ~40%
+    * stripe selectivity (⌈4/0.4⌉ — [[filteredNprobeFor]] resolves to
+    * exactly this at every gate SF, where the label stripe is 200/500,
+    * 202/500 and 800/2000).
+    */
+  private[graft] val FILTERED_NPROBE = 10
+
+  /** The filtered probe width: nprobe scaled by inverse selectivity,
+    * capped at the cell count (a filter selective past cells/NPROBE
+    * degrades to scanning every inverted list — at that point the
+    * filtered brute force over the stripe is the better plan, which the
+    * cap expresses: nprobe = cells IS that scan, restricted to stripe
+    * rows). The public filtered-ANN recipe (FAISS `IDSelector`, and the
+    * published filtered-search guidance of the Qdrant/Milvus engines):
+    * keep the corpus-wide index, prune candidates by the predicate at
+    * probe time, and widen the probe so the EXPECTED surviving
+    * candidate count matches the unfiltered search's.
+    */
+  private[graft] def filteredNprobeFor(n: Long, nKept: Long, cells: Int): Int =
+    math.min(cells,
+      math.ceil(NPROBE.toDouble * n / math.max(nKept, 1L).toDouble).toInt)
+
+  /** E16's body at an explicit geometry — the GeometryCheck seam. */
+  private[graft] def annFilteredAt(
+      s: SparkSession, d: String, cells: Int, nprobe: Int): DataFrame = {
+    val e = withNorm(s, d)
+    val cent = CentroidIndex.forCorpus(s, d, cells)
+    // The corpus side: predicate FIRST (it rides the scan as a pushed
+    // filter — at 100 TB the stripe never leaves the parquet reader),
+    // then the map-side cell_argmax assignment. The assignment per
+    // vector is identical to the unfiltered one (same centroids), so
+    // the filter is exactly an inverted-list pruning.
+    val f = withNormDf(Tables.embeddings(s, d)
+        .filter(col("label") < FILTER_LABEL_LT))
+      .crossJoin(broadcast(packedCents(cent)))
+      .select(col("vec_id"), col("embedding"), col("nm"),
+        cellCol.as("cell"))
+    val queries = e.filter(col("vec_id") < QUERY_MAX)
+    val probe = ivfPqProbe(queries, cent, nprobe)
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("nm").as("q_nm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    // No DISTINCT anywhere: every corpus vector lives in exactly ONE
+    // cell (the argmax), and a query's probe list is distinct cells, so
+    // (q_id, vec_id) pairs are unique by construction. The stripe rows
+    // carry their vectors, so scoring needs no join back to the corpus
+    // — one broadcast probe join, one broadcast query join, top-k.
+    f.join(broadcast(probe), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineFromMicros(dotMicros(col("q_emb"), col("embedding")),
+          col("q_nm"), col("nm")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= TOP_K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** E16's DuckDB twin at an arbitrary geometry (board oracle at the
+    * pinned 16 cells / nprobe 10; GeometryCheck replays at the
+    * corpus-derived values).
+    */
+  private[graft] def sqlAnnFilteredAt(cells: Int, nprobe: Int): String = s"""
+      WITH $sqlNormCte,
+      ${sqlIvfCoarseCtes(cells, IVF_ROUNDS)},
+      lab AS (SELECT vec_id, label FROM embeddings),
+      assign AS (SELECT i.vec_id, i.c_id AS cell FROM iscF i
+                 JOIN lab l ON l.vec_id = i.vec_id
+                 WHERE i.rn = 1 AND l.label < $FILTER_LABEL_LT),
+      probe AS (SELECT vec_id AS q_id, c_id AS cell FROM iscF
+                WHERE rn <= $nprobe AND vec_id < $QUERY_MAX),
+      cand AS (SELECT p.q_id, a.vec_id
+               FROM probe p JOIN assign a ON p.cell = a.cell
+               WHERE a.vec_id != p.q_id)
+      SELECT q_id, rank, vec_id, cos FROM (
+        SELECT cand.q_id, cand.vec_id,
+               ${sqlCos("q", "c")} AS cos,
+               CAST(row_number() OVER (PARTITION BY cand.q_id
+                 ORDER BY ${sqlCos("q", "c")} DESC, cand.vec_id) AS BIGINT)
+                 AS rank
+        FROM cand
+        JOIN e q ON cand.q_id = q.vec_id
+        JOIN e c ON cand.vec_id = c.vec_id) t
+      WHERE rank <= $TOP_K
+      ORDER BY q_id, rank"""
+
+  /** E16 — METADATA-FILTERED ANN: top-k cosine neighbors restricted to
+    * corpus vectors satisfying a relational predicate (here the
+    * `label < 4` stripe), the "filtered vector search" every public
+    * vector store documents as a first-class mode (FAISS selectors,
+    * Qdrant/Milvus/Vespa filtered search, pgvector's WHERE + index
+    * scan). Three composition decisions, each the published recipe:
+    * the index (trained [[CentroidIndex]] cells) is built CORPUS-WIDE
+    * and shared with every other consumer — per-predicate indices don't
+    * exist at 100 TB; the predicate prunes candidates at PROBE time, on
+    * the scan side of every join (pushed filter → assignment → probed
+    * cells), never post-ranking (post-filtering the unfiltered top-k
+    * returns < k rows exactly when the filter matters); and the probe
+    * WIDENS by inverse selectivity ([[filteredNprobeFor]] — ~40% stripe
+    * → nprobe 10) so the expected candidate yield matches the
+    * unfiltered search's recall geometry, degrading gracefully to the
+    * in-stripe exhaustive scan at nprobe = cells for hyper-selective
+    * predicates.
+    */
+  val annFiltered: Op = Op(
+    "ann_filtered",
+    (s, d) => {
+      val n = Tables.embeddings(s, d).count()
+      val cells = ivfCellsFor(n)
+      // the selectivity dial: one pushed-filter count of the stripe
+      // (count-then-plan, the ivfCellsFor/LshGeometry discipline)
+      val nKept = Tables.embeddings(s, d)
+        .filter(col("label") < FILTER_LABEL_LT).count()
+      val np = filteredNprobeFor(n, nKept, cells)
+      logGeometryDivergence("ann_filtered", s"$cells cells, nprobe $np",
+        s"$CENTROIDS cells, nprobe $FILTERED_NPROBE")
+      annFilteredAt(s, d, cells, np)
+    },
+    Some(sqlAnnFilteredAt(CENTROIDS, FILTERED_NPROBE)))
+
+  val all: Seq[Op] =
+    Seq(annBruteforce, annLsh, annIvf, annPq, annIvfPq, annFiltered)
 }

@@ -1616,6 +1616,91 @@ object PipelineOps {
     },
     Some(sqlPrototypesAt(AnnOps.CENTROIDS)))
 
+  /** G27's dials: the assembled dataset's token budget as a percentage
+    * of the corpus token mass, and the score-micros histogram bin width
+    * (~0.004 score per bin — the all-or-nothing selection granularity,
+    * the G21/G25 convention).
+    */
+  private[graft] val BUDGET_PCT = 40
+  private val BUDGET_BIN = 4096L
+
+  /** G27 — TOKEN-BUDGET dataset assembly: keep the highest-quality
+    * documents whose cumulative token mass first clears a target budget
+    * (here [[BUDGET_PCT]]% of the corpus token mass) — the "assemble
+    * the best B tokens" selection every budgeted pretraining run ends
+    * with (the FineWeb-Edu deployment shape: score with the learned
+    * quality classifier, then take the top of the score distribution
+    * until the token target is met). Scores are the per-corpus trained
+    * [[QualityIndex]] artifact — the same model C18/D16/G12b consume,
+    * never retrained here.
+    *
+    * Scale shape: the G25 histogram gate with TOKEN-WEIGHTED mass — the
+    * row-count histograms answer "keep k documents", a budget is a
+    * token constraint, so each score bin aggregates Σ n_tokens instead
+    * of a row count. Still no corpus sort anywhere: one map-side score
+    * + token-count projection, one ≤ ~245-bin histogram aggregate, a
+    * broadcast 1-row threshold, and the verdict join. kept is
+    * all-or-nothing at [[BUDGET_BIN]]-micro granularity — the kept mass
+    * overshoots the budget by less than one bin's mass (the first bin
+    * CLEARING the target is included, so the budget is a floor, never
+    * silently under-filled).
+    */
+  val sampleBudget: Op = Op(
+    "sample_budget",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scores = QualityIndex.score(docs, QualityIndex.forCorpus(s, d))
+        .select(col("doc_id"), col("score_micros"))
+      // base persists: it feeds the bin histogram AND the verdict join
+      val base = Caches.persist(docs
+        .select(col("doc_id"),
+          size(TextOps.toks(col("text"))).cast(LongType).as("n_tokens"))
+        .join(scores, "doc_id")
+        .withColumn("wv", -col("score_micros"))
+        .withColumn("bin",
+          expr(s"(wv - pmod(wv, $BUDGET_BIN)) div $BUDGET_BIN")))
+      val hist = base.groupBy(col("bin"))
+        .agg(sum(col("n_tokens")).as("mass"))
+      // bounded global window: ≤ 2e6/BUDGET_BIN ≈ 489 score bins
+      val wb = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumh = hist.withColumn("cum", sum(col("mass")).over(wb))
+      val tot = hist.agg(sum(col("mass")).as("total"))
+      val th = cumh.crossJoin(broadcast(tot))
+        .agg(min(when(
+          col("cum") * 100 >= col("total") * BUDGET_PCT,
+          col("bin"))).as("t"))
+      base.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("n_tokens"), col("score_micros"),
+          col("bin"), (col("bin") <= col("t")).as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ${TextOps.sqlQualityCtes},
+      bq AS (
+        SELECT d.doc_id,
+               CAST(len(regexp_split_to_array(trim(lower(d.text), ' '),
+                 '\\s+')) AS BIGINT) AS n_tokens,
+               p.p AS score_micros
+        FROM documents d
+        JOIN ${TextOps.sqlQualityScoreTable} p ON d.doc_id = p.doc_id),
+      bb AS (SELECT doc_id, n_tokens, score_micros,
+                    CAST((wv - ((wv % $BUDGET_BIN + $BUDGET_BIN)
+                      % $BUDGET_BIN)) // $BUDGET_BIN AS BIGINT) AS bin
+             FROM (SELECT bq.*, -score_micros AS wv FROM bq) t),
+      bh AS (SELECT bin, CAST(sum(n_tokens) AS BIGINT) AS mass
+             FROM bb GROUP BY bin),
+      bc AS (SELECT bin, CAST(sum(mass) OVER (ORDER BY bin) AS BIGINT) AS cum
+             FROM bh),
+      bt AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM bh),
+      bth AS (SELECT min(CASE WHEN cum * 100 >= total * $BUDGET_PCT
+                              THEN bin END) AS t
+              FROM bc, bt)
+      SELECT b.doc_id, b.n_tokens, b.score_micros, b.bin,
+             b.bin <= bth.t AS kept
+      FROM bb b, bth
+      ORDER BY b.doc_id"""))
+
   /** G11 — per-domain frequency capping: keep at most ceil(√n_s)
     * documents from each source s, chosen by a deterministic hash
     * priority — the RefinedWeb/FineWeb-style guard against any single
@@ -2364,7 +2449,7 @@ object PipelineOps {
     qualityFilterExtracted, eventsRetention, eventsFunnel, sampleWeighted,
     eventsAnomaly, docPack, docPackBpe, docPackEmit, docPackSemantic,
     packShuffle,
-    sampleHoldout, sampleDsir, samplePrototypes, mixturePlan,
+    sampleHoldout, sampleDsir, samplePrototypes, sampleBudget, mixturePlan,
     mixturePlanBpe,
     mixturePlanTemp, sampleMixture, sampleMixtureDoremi, sampleDomainCap,
     curationReport,

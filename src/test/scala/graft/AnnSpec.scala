@@ -110,6 +110,68 @@ class AnnSpec extends SparkSpec {
     dir
   }
 
+  test("ann_filtered: every neighbor satisfies the predicate, recall vs " +
+      "the FILTERED exact baseline holds, post-filtering provably " +
+      "starves, probe widens by inverse selectivity") {
+    import operators.AnnOps
+    // the dial arithmetic: the ~40% stripe resolves to nprobe 10 at
+    // every gate corpus; a hyper-selective predicate caps at the
+    // in-stripe exhaustive scan (nprobe = cells)
+    assert(AnnOps.filteredNprobeFor(500, 200, 16) == 10)
+    assert(AnnOps.filteredNprobeFor(500, 202, 16) == 10)
+    assert(AnnOps.filteredNprobeFor(2000, 800, 16) == 10)
+    assert(AnnOps.filteredNprobeFor(1000, 10, 16) == 16)
+
+    val rows = run("ann_filtered", clusteredDir).collect()
+    val emb = Tables.embeddings(spark, clusteredDir).collect().map { r =>
+      val q = r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(f => math.floor(f.toDouble * 1e6 + 0.5).toLong).toArray
+      (r.getAs[Long]("vec_id"), q, r.getAs[Int]("label"))
+    }
+    val lab = emb.map(e => e._1 -> e._3).toMap
+    // the predicate holds on every returned row, 5 rows per query
+    assert(rows.length == 8 * 5, s"${rows.length} rows")
+    rows.foreach(r => assert(
+      lab(r.getAs[Long]("vec_id")) < AnnOps.FILTER_LABEL_LT,
+      s"out-of-stripe neighbor ${r.getAs[Long]("vec_id")}"))
+    // exact FILTERED top-5 per query (the engine's own micros cosine,
+    // replayed driver-side over the 500-vector mini)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val stripe = emb.filter(_._3 < AnnOps.FILTER_LABEL_LT)
+    val exactF = emb.filter(_._1 < 8).map { case (q, qv, _) =>
+      q -> stripe.filter(_._1 != q)
+        .map { case (v, cv, _) => (v, cos(qv, cv)) }
+        .sortBy { case (v, c) => (-c, v) }.take(5).map(_._1).toSet
+    }.toMap
+    val approx = rows.groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val recall = exactF.keysIterator
+      .map(q => (approx(q) & exactF(q)).size / 5.0).sum / exactF.size
+    // queries 0-3 live inside the stripe's clusters (near-1 recall);
+    // 4-7's true in-stripe neighbors are isotropic strays — the widened
+    // 10/16-cell probe still recovers most of them
+    assert(recall >= 0.7, s"filtered recall@5 $recall")
+    // POST-filtering starves exactly when the filter matters: for a
+    // query in an out-of-stripe cluster the unfiltered exact top-5 is
+    // all out-of-stripe (0 rows survive a post-filter) — the filtered
+    // search still returns 5 predicate-true rows
+    val unfiltered = sets("ann_bruteforce", clusteredDir)
+    val starved = (4L to 7L).filter(q =>
+      unfiltered(q).forall(v => lab(v) >= AnnOps.FILTER_LABEL_LT))
+    assert(starved.nonEmpty,
+      "planted out-of-stripe clusters lost their shape")
+    starved.foreach(q => assert(approx(q).size == 5))
+    // a warm re-invocation consumes the memoized CentroidIndex artifact
+    val before = operators.CentroidIndex.trainRuns.get()
+    assert(run("ann_filtered", clusteredDir).count() == 40)
+    assert(operators.CentroidIndex.trainRuns.get() == before,
+      "warm ann_filtered retrained the coarse quantizer")
+  }
+
   test("ann_ivf: trained coarse centroids recover recall on " +
       "cluster-ORDERED data where slice seeds collapse") {
     import operators.AnnOps

@@ -59,6 +59,33 @@ class PipelineSpec extends SparkSpec {
       "warm sample_prototypes retrained the coarse quantizer")
   }
 
+  test("sample_budget: kept token mass clears the 40% budget by less " +
+      "than one bin, selection is score-monotone, every doc verdicted") {
+    val rows = run("sample_budget").collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("score_micros"), r.getAs[Long]("bin"),
+        r.getAs[Boolean]("kept")))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "every doc must carry a verdict")
+    val total = rows.map(_._2).sum
+    val kept = rows.filter(_._5)
+    val keptMass = kept.map(_._2).sum
+    // the budget is a floor: kept mass clears 40% of the corpus tokens
+    assert(keptMass * 100 >= total * operators.PipelineOps.BUDGET_PCT,
+      s"$keptMass of $total")
+    // ... by less than one bin: dropping the threshold bin (the largest
+    // kept bin — bins ascend as scores descend) goes under budget
+    val tBin = kept.map(_._4).max
+    val underMass = kept.filter(_._4 < tBin).map(_._2).sum
+    assert(underMass * 100 < total * operators.PipelineOps.BUDGET_PCT,
+      "threshold bin is not the marginal one")
+    // monotone in the learned score: every kept doc scores at least as
+    // high as every dropped doc, up to the 4096-micro bin granularity
+    val minKept = kept.map(_._3).min
+    val maxDrop = rows.filterNot(_._5).map(_._3).max
+    assert(minKept >= maxDrop - 4096, s"$minKept vs $maxDrop")
+  }
+
   test("doc_pack_semantic: per-cell manifests replay the sequential " +
       "per-cluster concat exactly (multi-block corpus)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_psem").toString

@@ -55,6 +55,69 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() > state.size)
   }
 
+  test("attribution stream-stream join: cross-batch pairs match, " +
+      "out-of-horizon purchases don't, late rows beyond the watermark " +
+      "drop, and the landed set equals the batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.AttributionStream
+
+    val dir = Files.createTempDirectory("graft_attr").toString
+    val (sink, ckpt) = (s"$dir/sink", s"$dir/ckpt")
+    val src = MemoryStream[VEv]
+    val query = AttributionStream.start(src.toDS().toDF(), sink, ckpt)
+
+    // batch 1: u1 clicks at 10:00 (101); u1 purchases at 10:20 (201,
+    // in-horizon) and 10:45 (202, outside the 30-min horizon); u2
+    // purchases at 10:15 with no click at all
+    src.addData(
+      VEv(t("10:00"), 1, 101, "click", 0.0),
+      VEv(t("10:20"), 1, 201, "purchase", 9.0),
+      VEv(t("10:45"), 1, 202, "purchase", 7.0),
+      VEv(t("10:15"), 2, 203, "purchase", 5.0))
+    query.processAllAvailable()
+    // batch 2: a purchase arriving a batch LATER still joins the
+    // batch-1 click — the two-sided state the foreachBatch ops can't
+    // express is exactly what the join operator holds
+    src.addData(VEv(t("10:25"), 1, 204, "purchase", 3.0))
+    query.processAllAvailable()
+    // batch 3: both sides' event time advances to 12:00 (u8/u9 carry no
+    // counterpart, so no new pair) → watermark 11:50 on both streams
+    src.addData(VEv(t("12:00"), 9, 900, "click", 0.0),
+      VEv(t("12:00"), 8, 901, "purchase", 1.0))
+    query.processAllAvailable()
+    // batch 4: a purchase at 10:26 is in-horizon for click 101 but LATE
+    // beyond the watermark — dropped, and 101's buffered state is
+    // already evicted (10:00 + horizon + lateness < 11:50): the
+    // watermark bounds state, so this must NOT produce a pair
+    src.addData(VEv(t("10:26"), 1, 205, "purchase", 2.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = AttributionStream.landed(spark, sink).collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id")))
+      .toSet
+    assert(got == Set((101L, 201L), (101L, 204L)), s"got $got")
+
+    // batch ≡ stream: the same in-watermark rows through the same join
+    // body ([[AttributionStream.pairs]]) as static frames
+    val evs = Seq(
+      (t("10:00"), 1L, 101L, "click", 0.0),
+      (t("10:20"), 1L, 201L, "purchase", 9.0),
+      (t("10:45"), 1L, 202L, "purchase", 7.0),
+      (t("10:15"), 2L, 203L, "purchase", 5.0),
+      (t("10:25"), 1L, 204L, "purchase", 3.0),
+      (t("12:00"), 9L, 900L, "click", 0.0),
+      (t("12:00"), 8L, 901L, "purchase", 1.0))
+      .toDF("ts", "user_id", "event_id", "event_type", "value")
+    val batch = AttributionStream.pairs(
+      evs.filter(col("event_type") === "click"),
+      evs.filter(col("event_type") === "purchase")).collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id")))
+      .toSet
+    assert(batch == got, s"stream $got vs batch $batch")
+  }
+
   test("quantiles stream: histogram state equals the batch histogram " +
       "over the same prefix, readout reconciles with the exact " +
       "quantile, state is bucket-bounded") {
