@@ -849,6 +849,142 @@ object DedupOps {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** D20 — the per-EVAL-document CONTAMINATION REPORT: for every doc in
+    * the held-out suite, how many corpus documents leak it through the
+    * EXACT n-gram channel (D8's probe) and through the FUZZY near-dup
+    * channel (D19's probe), with a verdict column — the per-benchmark
+    * contamination table every model card publishes (the GPT-3 appendix
+    * C / Llama-2 style "n-gram overlap + near-dup" audit, reported from
+    * the eval set's point of view so a benchmark item that leaked is
+    * visible even when no single corpus doc is flagged twice). Both
+    * channels are the SAME probes the standalone ops run — the gram
+    * pipeline and the [[bandedFromShingles]] signature scheme — so this
+    * report can never drift from the gates it audits (the G12 funnel
+    * doctrine).
+    *
+    * Scale shape: identical to D8/D19 — the eval side broadcasts, the
+    * corpus never shuffles, only the (rare) hits aggregate; the report
+    * aggregates key on eval_id, so every frame after the probes is
+    * BENCHMARK-sized, and the final outer joins against the eval
+    * universe are broadcast joins over suite-sized rows. Eval docs too
+    * short to carry a single n-gram still report (zero-filled via the
+    * eval-universe left joins).
+    */
+  val deconReport: Op = Op(
+    "decon_report",
+    (s, d) => {
+      // exact channel: D8's gram probe, aggregated per EVAL doc
+      val base = Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), "\\s+").as("tok"))
+        .filter(size(col("tok")) >= DECON_N)
+      val grams = base
+        .select(col("doc_id"),
+          explode(ngramsFromTokens(col("tok"), DECON_N)).as("g"))
+      val evalG = grams.filter(col("doc_id") < EVAL_MAX)
+        .select(col("doc_id").as("eval_id"), col("g")).distinct()
+      val exact = grams.filter(col("doc_id") >= EVAL_MAX)
+        .join(broadcast(evalG), "g")
+        .groupBy(col("eval_id"))
+        .agg(countDistinct(col("doc_id")).as("n_exact_docs"),
+          countDistinct(col("g")).as("n_shared_ngrams"))
+      // fuzzy channel: D19's banded probe + exact-Jaccard verification,
+      // aggregated per EVAL doc
+      val sh = shingleSets(s, d)
+      val bands = bandedFromShingles(sh)
+        .select(col("doc_id"), col("band"), col("bkey"))
+      val evalB = bands.filter(col("doc_id") < EVAL_MAX)
+        .select(col("doc_id").as("eval_id"), col("band"), col("bkey"))
+      val cand = bands.filter(col("doc_id") >= EVAL_MAX)
+        .join(broadcast(evalB), Seq("band", "bkey"))
+        .select(col("doc_id"), col("eval_id"))
+        .distinct()
+      val ev = sh.filter(col("doc_id") < EVAL_MAX)
+        .select(col("doc_id").as("eval_id"), col("shs").as("shs_e"))
+      val inter = size(array_intersect(col("shs"), col("shs_e")))
+      val fuzzy = cand.join(sh, "doc_id")
+        .join(broadcast(ev), "eval_id")
+        .select(col("doc_id"), col("eval_id"),
+          (inter * lit(1.0) /
+            (size(col("shs")) + size(col("shs_e")) - inter)).as("jaccard"))
+        .filter(col("jaccard") >= DECON_TAU)
+        .groupBy(col("eval_id"))
+        .agg(count(lit(1)).as("n_fuzzy_docs"),
+          max(col("jaccard")).as("max_jaccard"))
+      // the eval universe: every suite doc reports, leaked or not
+      val evals = Tables.documents(s, d)
+        .filter(col("doc_id") < EVAL_MAX)
+        .select(col("doc_id").as("eval_id"))
+      val nEx = coalesce(col("n_exact_docs"), lit(0L))
+      val nFz = coalesce(col("n_fuzzy_docs"), lit(0L))
+      evals.join(broadcast(exact), Seq("eval_id"), "left")
+        .join(broadcast(fuzzy), Seq("eval_id"), "left")
+        .select(col("eval_id"),
+          nEx.as("n_exact_docs"),
+          coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"),
+          nFz.as("n_fuzzy_docs"),
+          coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+          when(nEx > 0 && nFz > 0, "both")
+            .when(nEx > 0, "exact")
+            .when(nFz > 0, "fuzzy")
+            .otherwise("clean").as("verdict"))
+        .orderBy(col("eval_id"))
+    },
+    Some(s"""
+      WITH $sqlBandsCtes,
+      xtok AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS tok
+        FROM documents),
+      xg AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, len(tok) - ${DECON_N - 1}), i ->
+                   concat_ws(' ', ${(0 until DECON_N)
+                     .map(k => s"tok[i+$k]").mkString(", ")})))) AS g
+        FROM xtok WHERE len(tok) >= $DECON_N),
+      xev AS (SELECT DISTINCT doc_id AS eval_id, g FROM xg
+              WHERE doc_id < $EVAL_MAX),
+      xagg AS (SELECT xev.eval_id,
+                      CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_exact_docs,
+                      CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared_ngrams
+               FROM xg c JOIN xev ON c.g = xev.g
+               WHERE c.doc_id >= $EVAL_MAX
+               GROUP BY xev.eval_id),
+      fevb AS (SELECT doc_id AS eval_id, band, bkey FROM bands
+               WHERE doc_id < $EVAL_MAX),
+      fcand AS (SELECT DISTINCT b.doc_id, e.eval_id
+                FROM bands b JOIN fevb e
+                  ON b.band = e.band AND b.bkey = e.bkey
+                WHERE b.doc_id >= $EVAL_MAX),
+      fver AS (SELECT c.doc_id, c.eval_id,
+                      len(list_intersect(x.shs, y.shs)) * 1.0 /
+                        (len(x.shs) + len(y.shs)
+                          - len(list_intersect(x.shs, y.shs))) AS jaccard
+               FROM fcand c
+               JOIN shl x ON c.doc_id = x.doc_id
+               JOIN shl y ON c.eval_id = y.doc_id),
+      fagg AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_fuzzy_docs,
+                      max(jaccard) AS max_jaccard
+               FROM fver WHERE jaccard >= $DECON_TAU
+               GROUP BY eval_id),
+      evu AS (SELECT doc_id AS eval_id FROM documents
+              WHERE doc_id < $EVAL_MAX)
+      SELECT evu.eval_id,
+             coalesce(x.n_exact_docs, 0) AS n_exact_docs,
+             coalesce(x.n_shared_ngrams, 0) AS n_shared_ngrams,
+             coalesce(f.n_fuzzy_docs, 0) AS n_fuzzy_docs,
+             coalesce(f.max_jaccard, 0.0) AS max_jaccard,
+             CASE WHEN coalesce(x.n_exact_docs, 0) > 0
+                    AND coalesce(f.n_fuzzy_docs, 0) > 0 THEN 'both'
+                  WHEN coalesce(x.n_exact_docs, 0) > 0 THEN 'exact'
+                  WHEN coalesce(f.n_fuzzy_docs, 0) > 0 THEN 'fuzzy'
+                  ELSE 'clean' END AS verdict
+      FROM evu
+      LEFT JOIN xagg x ON evu.eval_id = x.eval_id
+      LEFT JOIN fagg f ON evu.eval_id = f.eval_id
+      ORDER BY evu.eval_id"""))
+
   /** Span width for the duplicated-substring audit — long enough that a
     * shared span means copied text, not phrase reuse (Lee et al. use
     * 50 BPE tokens on web corpora; 8 words fits the ~60-word test docs).
@@ -1834,7 +1970,7 @@ object DedupOps {
   val all: Seq[Op] = Seq(sampleSoftdedup,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbedding, dedupClusters, dedupReport, dedupDecontaminate,
-    dedupDeconFuzzy,
+    dedupDeconFuzzy, deconReport,
     dedupSubstr, dedupSubstrRewrite, dedupLines, dedupSemantic, dedupBloom,
     dedupUrl, dedupContainment, dedupCanonicalQuality)
 }

@@ -1336,6 +1336,61 @@ object TextOps {
       FROM $sqlQualityScoreTable p JOIN qc_lab l USING (doc_id)
       ORDER BY p.doc_id"""))
 
+  /** C31 — the CALIBRATION (reliability) table of the learned quality
+    * classifier: dock every document into a score-micros decile and
+    * report the bucket's empirical positive rate against its mean
+    * predicted score — the reliability diagram run before trusting a
+    * learned filter's threshold on a new corpus (the standard audit
+    * behind every published classifier-filtered corpus: a filter can
+    * rank perfectly yet be MIS-CALIBRATED, and thresholding on raw
+    * scores then keeps the wrong mass). Labels are the same C2 weak
+    * supervision the model trained on ([[QualityIndex.labelCol]] — one
+    * definition, so the audit measures the model, not label drift);
+    * scores come from the per-corpus [[QualityIndex]] artifact, never
+    * retrained here.
+    *
+    * Scale shape: one map-only scoring scan (the C22 artifact-consumer
+    * shape) + one ≤ 10-group aggregate — the report is bucket-sized,
+    * nothing after the scan exceeds 10 rows. All columns are exact
+    * integer arithmetic (ppm rates via truncating division, the G18
+    * convention), so the table replays bit-identically in the oracle.
+    */
+  val qualityCalibration: Op = Op(
+    "quality_calibration",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      QualityIndex.score(docs, QualityIndex.forCorpus(s, d))
+        .join(docs.select(col("doc_id"), QualityIndex.labelCol), "doc_id")
+        // scores are MARGINS in probability micros (PredThreshold 0.5e6
+        // sits mid-scale, but the linear fold is unbounded both ways):
+        // deciles cover the decision interval [0, 1e6) and the 0/9 edge
+        // buckets absorb the tails. The clamp also makes the bucket
+        // arithmetic engine-exact: Spark `div` truncates while DuckDB
+        // `//` floors — they differ only on negatives, which both
+        // engines clamp to bucket 0 before the difference can surface.
+        .select(expr(
+          "least(9L, greatest(0L, (score_micros * 10) div 1000000))")
+          .as("bucket"), col("y"), col("score_micros"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("y")).as("n_pos"))
+        .select(col("bucket"), col("n_docs"), col("n_pos"),
+          expr("(n_pos * 1000000) div n_docs").as("pos_rate_ppm"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""
+      WITH $sqlQualityCtes,
+      cj AS (SELECT p.doc_id, l.y, p.p
+             FROM $sqlQualityScoreTable p JOIN qc_lab l USING (doc_id)),
+      cb AS (SELECT least(9, greatest(0, p * 10 // 1000000)) AS bucket, y
+             FROM cj)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(y) AS BIGINT) * 1000000 // count(*) AS pos_rate_ppm
+      FROM cb
+      GROUP BY bucket
+      ORDER BY bucket"""))
+
   /** C19 — bigram language-model scoring in the REAL log domain: each
     * document's mean conditional information content, mean over its
     * bigram occurrences of -log2 p(w2|w1) with p estimated from corpus
@@ -2293,7 +2348,8 @@ object TextOps {
     textDocFreq, textCharNgrams, textRepetition, textBm25, textVocabCoverage,
     textRarity, textBpeCount, textBpeCountBytes, textBpeVocab, textBpeTrain,
     textBpeTrainBytes, textBpeCountLearned,
-    textExtract, textPiiRedact, qualityClassifier, lmBigram, lmBigramRef,
+    textExtract, textPiiRedact, qualityClassifier, qualityCalibration,
+    lmBigram, lmBigramRef,
     lmTrigramRef, lmTrigramKn, textUnigramTrain,
     qualityPplBuckets, sampleRho, mixtureDoremi, textEntropy,
     textLangidLearned)

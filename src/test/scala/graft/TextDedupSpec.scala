@@ -1056,4 +1056,65 @@ class TextDedupSpec extends SparkSpec {
     assert(p.contains("log2_q16"), s"Q16 log kernel missing:\n$p")
     Caches.releaseScope()
   }
+
+  test("decon_report: planted verbatim leak reports 'both', a single " +
+      "shared n-gram reports 'exact', untouched eval docs report " +
+      "'clean' with zero fills") {
+    val dir = Files.createTempDirectory("graft_decon_rep").toString
+    def words(tag: String, n: Int = 40): String =
+      (0 until n).map(j => s"${tag}w$j").mkString(" ")
+    // eval suite: ids 0..24, disjoint vocabularies
+    val evals = (0L until 25L).map(i =>
+      (i, words(s"e$i"), "en", "eval", 40L))
+    val e3 = words("e3")
+    val e7head = (0 until 8).map(j => s"e7w$j").mkString(" ")
+    val corpus = Seq(
+      // verbatim copy of eval 3 → exact AND fuzzy channels fire
+      (100L, e3, "en", "web", 40L),
+      // exactly ONE 8-gram of eval 7 embedded in filler → exact only
+      // (6 shared trigrams of ~72 → jaccard ≈ 0.09, far under τ)
+      (101L, words("f101", 16) + " " + e7head + " " + words("g101", 16),
+        "en", "web", 40L)) ++
+      (102L until 111L).map(i => (i, words(s"f$i"), "en", "web", 40L))
+    spark.createDataFrame(evals ++ corpus)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = run("decon_report", dir).collect().map(r =>
+      r.getAs[Long]("eval_id") ->
+        ((r.getAs[Long]("n_exact_docs"), r.getAs[Long]("n_shared_ngrams"),
+          r.getAs[Long]("n_fuzzy_docs"), r.getAs[Double]("max_jaccard"),
+          r.getAs[String]("verdict")))).toMap
+    assert(rows.size == 25, "every eval doc must report")
+    // eval 3: leaked verbatim — 33 shared 8-grams, jaccard 1.0
+    assert(rows(3L) == ((1L, 33L, 1L, 1.0, "both")), s"${rows(3L)}")
+    // eval 7: one shared 8-gram, no near-dup
+    assert(rows(7L) == ((1L, 1L, 0L, 0.0, "exact")), s"${rows(7L)}")
+    // everything else is clean with zero fills
+    (0L until 25L).filterNot(i => i == 3L || i == 7L).foreach { i =>
+      assert(rows(i) == ((0L, 0L, 0L, 0.0, "clean")), s"$i: ${rows(i)}")
+    }
+    Caches.releaseScope()
+  }
+
+  test("quality_calibration: buckets partition the corpus, ppm rates " +
+      "replay the integer arithmetic, high-score buckets are more " +
+      "positive than low-score buckets") {
+    val rows = run("quality_calibration").collect().map(r =>
+      (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_pos"), r.getAs[Long]("pos_rate_ppm")))
+    assert(rows.map(_._2).sum == 500, "every doc lands in one bucket")
+    rows.foreach { case (b, n, p, ppm) =>
+      assert(b >= 0 && b <= 9, s"bucket $b out of range")
+      assert(p >= 0 && p <= n, s"bucket $b: $p of $n")
+      assert(ppm == p * 1000000L / n, s"bucket $b ppm mismatch")
+    }
+    // the trained classifier's scores must separate its supervision:
+    // pooled positive rate above the score midpoint > pooled rate below
+    val (hi, lo) = rows.partition(_._1 >= 5)
+    assert(hi.nonEmpty && lo.nonEmpty, "degenerate score distribution")
+    val hiRate = hi.map(_._3).sum.toDouble / hi.map(_._2).sum
+    val loRate = lo.map(_._3).sum.toDouble / lo.map(_._2).sum
+    assert(hiRate > loRate, s"calibration inverted: $hiRate <= $loRate")
+    Caches.releaseScope()
+  }
 }
