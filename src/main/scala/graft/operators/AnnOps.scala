@@ -647,15 +647,6 @@ object AnnOps {
       // (r16 — the r15 board retrained 2 Lloyd corpus passes inside
       // every invocation): a warm query is a score-only consumer
       val cent = CentroidIndex.forCorpus(s, d, cells, coarseRounds)
-      def cellRank = row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("ccos").desc, col("c_id")))
-      // cell assignment and probe lists are id-width: the candidate
-      // distinct shuffles (q_id, vec_id) pairs only (see ann_lsh —
-      // deduping embedding-carrying rows is ~30× the exchange volume),
-      // then vectors re-attach from the vec_id-partitioned corpus and
-      // the broadcast query set.
-      //
       // The corpus-side argmax is the MAP-SIDE cell_argmax kernel over
       // the packed centroid array (r15): no corpus×cells row stream
       // and no shuffle at all — the r14 max_by aggregate still moved n
@@ -663,34 +654,53 @@ object AnnOps {
       // worse before that). The kernel replays max_by's (ccos, -c_id)
       // struct order exactly — ccos is exact-micros-derived, so the
       // argmax is deterministic and oracle-identical (KernelProps).
-      val assign = e.crossJoin(broadcast(packedCents(cent)))
-        .select(col("vec_id"), cellCol.as("cell"))
-      val probe = e.filter(col("vec_id") < QUERY_MAX)
-        .crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("c_id"),
-          cosineFromMicros(dotMicros(col("embedding"), col("c_emb")),
-            col("nm"), col("c_nm")).as("ccos"))
-        .withColumn("rn", cellRank)
-        .filter(col("rn") <= nprobe)
-        .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
-      val cand = assign.join(broadcast(probe), "cell")
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"))
-        .distinct()
-      val q = e.filter(col("vec_id") < QUERY_MAX)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nm").as("q_nm"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      cand.join(e, "vec_id")
-        .join(broadcast(q), "q_id")
-        .select(col("q_id"), col("vec_id"),
-          cosineFromMicros(dotMicros(col("q_emb"), col("embedding")),
-            col("q_nm"), col("nm")).as("cos"))
-        .withColumn("rank", row_number().over(w).cast(LongType))
-        .filter(col("rank") <= TOP_K)
-        .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
-        .orderBy(col("q_id"), col("rank"))
+      //
+      // r16 session 3: the assignment frame CARRIES its vectors and the
+      // scoring happens directly on the probe join's output — no
+      // candidate DISTINCT (one cell per vector ⇒ (q, v) pairs are
+      // unique by construction, so the historical DISTINCT was a no-op
+      // shuffle) and no join back to the corpus by vec_id. The E16
+      // sf100 measurement isolated the two shapes at an identical
+      // expected candidate count: carry-the-vectors 5.97 s vs
+      // id-width-then-reattach 9.59 s at 2M vectors (records/
+      // BENCH_sf100_filtered_r16.json). The ann_lsh caution about
+      // embedding-carrying rows applies to DEDUPING such rows through
+      // an exchange — here the fanned rows never hit an exchange: they
+      // are born in the broadcast-hash-join's task and reduced to
+      // (q_id, vec_id, cos) before the rank window's narrow shuffle.
+      val assigned = e.crossJoin(broadcast(packedCents(cent)))
+        .select(col("vec_id"), col("embedding"), col("nm"),
+          cellCol.as("cell"))
+      cellProbeTopK(assigned, e.filter(col("vec_id") < QUERY_MAX),
+        cent, nprobe)
+  }
+
+  /** Probe-and-score over a cell-ASSIGNED corpus frame (vec_id,
+    * embedding, nm, cell) — the shared E3/E16 search tail: rank each
+    * query's nprobe nearest cells, score exactly the probed cells'
+    * rows (vectors ride the frame; pairs are unique because a vector
+    * lives in one cell), keep the exact-cosine top-k.
+    */
+  private def cellProbeTopK(
+      assigned: DataFrame,
+      queries: DataFrame,
+      cent: DataFrame,
+      nprobe: Int): DataFrame = {
+    val probe = ivfPqProbe(queries, cent, nprobe)
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("nm").as("q_nm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probe), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineFromMicros(dotMicros(col("q_emb"), col("embedding")),
+          col("q_nm"), col("nm")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= TOP_K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** E3 — IVF (inverted-file) ANN, the coarse-quantizer scale path
@@ -1665,32 +1675,19 @@ object AnnOps {
     // then the map-side cell_argmax assignment. The assignment per
     // vector is identical to the unfiltered one (same centroids), so
     // the filter is exactly an inverted-list pruning.
+    // No DISTINCT anywhere: every corpus vector lives in exactly ONE
+    // cell (the argmax), and a query's probe list is distinct cells, so
+    // (q_id, vec_id) pairs are unique by construction. The stripe rows
+    // carry their vectors, so scoring needs no join back to the corpus
+    // — one broadcast probe join, one broadcast query join, top-k
+    // ([[cellProbeTopK]], shared with E3 since the r16 session-3
+    // measurement proved this shape 1.6× faster at 2M vectors).
     val f = withNormDf(Tables.embeddings(s, d)
         .filter(col("label") < FILTER_LABEL_LT))
       .crossJoin(broadcast(packedCents(cent)))
       .select(col("vec_id"), col("embedding"), col("nm"),
         cellCol.as("cell"))
-    val queries = e.filter(col("vec_id") < QUERY_MAX)
-    val probe = ivfPqProbe(queries, cent, nprobe)
-    val q = queries.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"), col("nm").as("q_nm"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    // No DISTINCT anywhere: every corpus vector lives in exactly ONE
-    // cell (the argmax), and a query's probe list is distinct cells, so
-    // (q_id, vec_id) pairs are unique by construction. The stripe rows
-    // carry their vectors, so scoring needs no join back to the corpus
-    // — one broadcast probe join, one broadcast query join, top-k.
-    f.join(broadcast(probe), "cell")
-      .filter(col("vec_id") =!= col("q_id"))
-      .join(broadcast(q), "q_id")
-      .select(col("q_id"), col("vec_id"),
-        cosineFromMicros(dotMicros(col("q_emb"), col("embedding")),
-          col("q_nm"), col("nm")).as("cos"))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= TOP_K)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
+    cellProbeTopK(f, e.filter(col("vec_id") < QUERY_MAX), cent, nprobe)
   }
 
   /** E16's DuckDB twin at an arbitrary geometry (board oracle at the
