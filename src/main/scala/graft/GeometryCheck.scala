@@ -45,7 +45,8 @@ object GeometryCheck {
   private val Known =
     Set("ann_lsh", "dedup_embedding", "ann_ivf", "dedup_semantic",
       "ann_pq", "mm_phash_dedup", "ann_ivfpq", "emb_knn_graph",
-      "sample_prototypes", "doc_pack_semantic", "ann_filtered")
+      "sample_prototypes", "doc_pack_semantic", "ann_filtered",
+      "emb_bitext_mine")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -168,6 +169,16 @@ object GeometryCheck {
         .parquet(s"$outDir/ann_filtered")
       Caches.releaseScope()
     }
+    if (keys("emb_bitext_mine")) {
+      // E18 checks at the CORPUS geometry (E14's cells + occupancy
+      // dial — the shared knnGeom seam, forceable via
+      // SPARK_GRAFT_KNN_GEOM); sqlMineAt regenerates the oracle below.
+      val (cells, sub) = knnGeom(Tables.embeddings(spark, sfDir).count())
+      operators.BitextOps.mineAt(spark, sfDir, cells, sub)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/emb_bitext_mine")
+      Caches.releaseScope()
+    }
     if (keys("dedup_semantic")) {
       // D11 checks at the CORPUS geometry like D5: cells AND sub-planes
       // derive from the row count, and sqlSemanticAt regenerates the
@@ -227,6 +238,10 @@ object GeometryCheck {
             operators.AnnOps.FILTER_LABEL_LT).count()
         Map("ann_filtered" -> operators.AnnOps.sqlAnnFilteredAt(cells,
           operators.AnnOps.filteredNprobeFor(n, nKept, cells)))
+      } else Map.empty) ++
+      (if (dumped("emb_bitext_mine")) {
+        val (cells, sub) = knnGeom(Tables.embeddings(spark, sfDir).count())
+        Map("emb_bitext_mine" -> operators.BitextOps.sqlMineAt(cells, sub))
       } else Map.empty) ++
       (if (dumped("mm_phash_dedup")) {
         val (bands, width) = operators.MultimodalOps.phashGeometryFor(

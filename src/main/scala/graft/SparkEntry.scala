@@ -10,7 +10,8 @@ object SparkEntry {
   /** Full operator inventory (SURVEY.md §2). */
   def allOps: Seq[Op] =
     RelationalOps.all ++ SinkOps.all ++ TextOps.all ++ DedupOps.all ++
-      AnnOps.all ++ MultimodalOps.all ++ PipelineOps.all ++ EmbeddingOps.all
+      AnnOps.all ++ MultimodalOps.all ++ PipelineOps.all ++
+      EmbeddingOps.all ++ BitextOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

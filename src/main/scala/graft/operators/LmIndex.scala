@@ -93,7 +93,20 @@ object LmIndex {
     * vocabulary broadcast is one row; only the doc-side fan-out is
     * corpus-scaled.
     */
-  def scoreCounts(docbg: DataFrame, ref: Ref): DataFrame = {
+  def scoreCounts(docbg: DataFrame, ref: Ref): DataFrame =
+    scoreBits(docbg, ref)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("bits_q16")).as("sum_bits_q16"))
+
+  /** The pre-aggregation scored frame behind [[scoreCounts]]:
+    * (doc_id, c, bits_q16) — one row per DISTINCT document bigram with
+    * its occurrence count and its exact add-one bits under the model.
+    * Exposed for consumers that need the per-token score DISTRIBUTION
+    * rather than the document sum (C28's min-k% tail reads the highest
+    * bits per document; the sum collapses exactly that signal).
+    */
+  def scoreBits(docbg: DataFrame, ref: Ref): DataFrame = {
     val unRef = ref.bigrams.groupBy("w1").agg(sum(col("cnt")).as("ucnt"))
     docbg
       .join(ref.bigrams, Seq("w1", "w2"), "left")
@@ -103,9 +116,6 @@ object LmIndex {
         graft.functions.FixedLog.bitsQ16(
           coalesce(col("ucnt"), lit(0L)) + col("v"),
           coalesce(col("cnt"), lit(0L)) + lit(1L)).as("bits_q16"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bigrams"),
-        sum(col("c") * col("bits_q16")).as("sum_bits_q16"))
   }
 
   /** Score a document corpus under a (loaded or trained) model — the

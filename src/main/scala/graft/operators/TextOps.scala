@@ -2342,6 +2342,191 @@ object TextOps {
       FROM lgn d JOIN sums s ON d.doc_id = s.doc_id
       ORDER BY d.doc_id"""))
 
+  /** C28's fixed tail size: the k LEAST-PROBABLE (highest-bits) bigram
+    * occurrences per document. The published method takes the bottom
+    * k% of tokens; the fixed-k variant keeps the per-document state
+    * bounded (a k-slot heap) instead of proportional to document
+    * length, which is what survives a 100 TB scan — and the two agree
+    * on the detection signal (the extreme tail).
+    */
+  private val MINK_K = 8
+
+  /** C28's flag rate: the lowest-[[MINK_PCT]]% of documents by min-k
+    * mean are flagged (boundary bin included — the G21 threshold
+    * convention).
+    */
+  private val MINK_PCT = 10
+
+  /** C28 — min-k% membership scan (the "Detecting Pretraining Data from
+    * Large Language Models" signal, Shi et al. 2023, arXiv:2310.16789):
+    * a document the model has SEEN prices even its worst tokens cheaply,
+    * so the mean of the k least-probable token scores — not the overall
+    * mean, which fluent unseen text also keeps low — separates members
+    * from non-members. Here the "model" is C19b's held-out add-one
+    * bigram reference (trained on the even-doc_id half), so the
+    * even/odd split is a built-in ground truth: reference docs ARE
+    * members, odd docs are not, and the spec pins that the flagged
+    * rate is higher on the member half. Complements the D8/D12/D19
+    * decontamination family from the model side: those find eval text
+    * in the corpus; this finds corpus text the model already knows.
+    *
+    * Mechanics: per-doc DISTINCT bigrams score once under the model
+    * (the C19b Zipf-join shape); the k-tail is a bounded topk_min heap
+    * over (−bits, c) structs — multiset semantics recovered by greedy
+    * consumption of the sorted retained array (a row's c copies all
+    * share its bits, so consuming min(c, remaining) is exact); the
+    * flag threshold is one boundary-bucket histogram over integer-bit
+    * bins, never a corpus sort. The oracle replays the same greedy
+    * consumption as a cum-window CASE — tie order inside equal bits is
+    * sum-invariant (equal contributions commute).
+    *
+    * Scale shape: one per-doc-bigram shuffle (shared with C19b's cached
+    * frame in a board pass), model-frame joins, then id-width
+    * aggregates; the histogram is ≤ a few hundred integer-bit bins.
+    */
+  val lmMinkScan: Op = Op(
+    "lm_mink_scan",
+    (s, d) => {
+      val docbg = Caches.persist(
+        LmIndex.bigramCounts(Tables.documents(s, d)))
+      val ref = LmIndex.refFromCounts(
+        docbg.filter(col("doc_id") % 2 === 0), Caches.persist(_))
+      val per = LmIndex.scoreBits(docbg, ref)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          topkMin(struct((-col("bits_q16")).as("nb"), col("c")), MINK_K)
+            .as("ks"))
+        .select(col("doc_id"), col("n_bigrams"),
+          aggregate(col("ks"),
+            struct(lit(MINK_K.toLong).as("rem"), lit(0L).as("s")),
+            (acc, x) => struct(
+              (acc("rem") - least(x("c"), acc("rem"))).as("rem"),
+              (acc("s") - least(x("c"), acc("rem")) * x("nb")).as("s")),
+            acc => acc("s")).as("mink_sum_q16"))
+        .withColumn("mink_den", least(lit(MINK_K.toLong), col("n_bigrams")))
+        .withColumn("mink_mean_q16", expr("mink_sum_q16 div mink_den"))
+        .withColumn("bin", expr("mink_mean_q16 div 65536"))
+      val scored = Caches.persist(per)
+      val hist = scored.groupBy(col("bin")).agg(count(lit(1)).as("mass"))
+      // bounded global window: ≤ a few hundred integer-bit bins
+      val wb = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = hist.agg(sum(col("mass")).as("total"))
+      val th = hist.withColumn("cum", sum(col("mass")).over(wb))
+        .crossJoin(broadcast(tot))
+        .agg(min(when(col("cum") * 100 >= col("total") * MINK_PCT,
+          col("bin"))).as("t"))
+      scored.crossJoin(broadcast(th))
+        .select(col("doc_id"), (col("doc_id") % 2 === 0).as("is_ref"),
+          col("n_bigrams"), col("mink_sum_q16"), col("mink_mean_q16"),
+          (col("mink_mean_q16").cast("double") / 65536.0).as("mink_bits"),
+          (col("bin") <= col("t")).as("suspect"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $sqlLmRefCtes,
+      mk AS (
+        SELECT doc_id, c, bits_q16,
+               CAST(sum(c) OVER (PARTITION BY doc_id
+                 ORDER BY bits_q16 DESC, c
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM lg),
+      mks AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN cum - c < $MINK_K
+                 THEN least(c, $MINK_K - (cum - c)) * bits_q16
+                 ELSE 0 END) AS BIGINT) AS mink_sum_q16
+        FROM mk GROUP BY doc_id),
+      pb AS (
+        SELECT s.doc_id, s.n_bigrams, m.mink_sum_q16,
+               m.mink_sum_q16 // least($MINK_K, s.n_bigrams)
+                 AS mink_mean_q16,
+               (m.mink_sum_q16 // least($MINK_K, s.n_bigrams)) // 65536
+                 AS bin
+        FROM docsc s JOIN mks m ON s.doc_id = m.doc_id),
+      hist AS (SELECT bin, CAST(count(*) AS BIGINT) AS mass
+               FROM pb GROUP BY bin),
+      tot AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM hist),
+      th AS (SELECT min(CASE WHEN cum * 100 >= total * $MINK_PCT
+                        THEN bin END) AS t
+             FROM (SELECT bin, CAST(sum(mass) OVER (ORDER BY bin
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                   FROM hist) h, tot)
+      SELECT doc_id, doc_id % 2 = 0 AS is_ref, n_bigrams, mink_sum_q16,
+             mink_mean_q16,
+             CAST(mink_mean_q16 AS DOUBLE) / 65536.0 AS mink_bits,
+             bin <= t AS suspect
+      FROM pb, th
+      ORDER BY doc_id"""))
+
+  /** C29 — tokenizer fertility by predicted language (the tokenizer-
+    * fairness audit of Petrov et al. 2023, arXiv:2305.15425: a
+    * tokenizer trained on one language mix prices other languages at
+    * multiples of the tokens per word, which multiplies their training
+    * and inference cost): per C3-predicted language, corpus totals of
+    * whitespace words, merge-table BPE tokens (C12's counter) and UTF-8
+    * bytes, with fertility = tokens/word and bytes/token as exact
+    * double ratios of exact integer sums. The per-language table is the
+    * dial a multilingual curation run reads before fixing a tokenizer
+    * or a mixture (a language at fertility ≫ the corpus mode is being
+    * over-charged per word).
+    *
+    * Scale shape: pure scan work — one narrow per-doc projection
+    * (language scores, word count, BPE count, byte length are all
+    * row-local), then a ≤|langs|-group aggregate with map-side
+    * combine. No join, no window; at 100 TB the cost is the one
+    * codegen'd corpus pass.
+    */
+  val tokenizerFertility: Op = Op(
+    "tokenizer_fertility",
+    (s, d) => {
+      val per = langScores(
+        Tables.documents(s, d).repartition(col("doc_id")))
+        .select(langArgmax("s_").as("pred_lang"),
+          size(toks(col("text"))).cast(LongType).as("w"),
+          bpeCount(col("text")).as("t"),
+          expr("octet_length(text)").cast(LongType).as("b"))
+      per.groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).as("n_words"),
+          sum(col("t")).as("n_bpe"),
+          sum(col("b")).as("n_bytes"))
+        .select(col("pred_lang"), col("n_docs"), col("n_words"),
+          col("n_bpe"), col("n_bytes"),
+          (col("n_bpe").cast("double") / greatest(col("n_words"), lit(1L)))
+            .as("fertility"),
+          (col("n_bytes").cast("double") / greatest(col("n_bpe"), lit(1L)))
+            .as("bytes_per_token"))
+        .orderBy(col("pred_lang"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      ${graft.functions.Bpe.sqlWordLenCte("documents", "lower(text)")},
+      ${graft.functions.Bpe.sqlDocCountCtes("documents", "lower(text)")},
+      per AS (
+        SELECT ${sqlLangCascade("s_")} AS pred_lang, n_words, n_bpe, n_bytes
+        FROM (
+          SELECT d.doc_id,
+                 ${langStop.map { case (l, ws) =>
+                   s"CAST(${sqlNStop(ws)} AS BIGINT) AS s_$l" }
+                  .mkString(",\n                 ")},
+                 CAST(len(regexp_split_to_array(trim(lower(d.text), ' '),
+                   '\\s+')) AS BIGINT) AS n_words,
+                 b.n_bpe AS n_bpe,
+                 CAST(strlen(d.text) AS BIGINT) AS n_bytes
+          FROM documents d JOIN bpe_doc b ON d.doc_id = b.doc_id) t)
+      SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_words) AS BIGINT) AS n_words,
+             CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+             CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+             CAST(sum(n_bpe) AS DOUBLE) / greatest(sum(n_words), 1)
+               AS fertility,
+             CAST(sum(n_bytes) AS DOUBLE) / greatest(sum(n_bpe), 1)
+               AS bytes_per_token
+      FROM per
+      GROUP BY pred_lang
+      ORDER BY pred_lang"""))
+
   val all: Seq[Op] = Seq(
     textTokenCount, textQuality, qualityGopher, textLangid, textFingerprint,
     textNgramFreq,
@@ -2352,5 +2537,5 @@ object TextOps {
     lmBigram, lmBigramRef,
     lmTrigramRef, lmTrigramKn, textUnigramTrain,
     qualityPplBuckets, sampleRho, mixtureDoremi, textEntropy,
-    textLangidLearned)
+    textLangidLearned, lmMinkScan, tokenizerFertility)
 }
