@@ -2527,6 +2527,96 @@ object TextOps {
       GROUP BY pred_lang
       ORDER BY pred_lang"""))
 
+  /** C30's line-keep rules: a line survives if it has ≥ 3 words, ≥ 1
+    * stopword hit (any board language — jusText's stopword-density
+    * cue), and ≥ 50% alphabetic words. Short, stopword-free, or
+    * symbol-heavy lines are navigation chrome / separators / code
+    * droppings, not prose.
+    */
+  private val BL_MIN_WORDS = 3
+
+  /** C30 — line-level boilerplate removal (the jusText/trafilatura
+    * stage, Pomikálek 2011 "Removing boilerplate and duplicate content
+    * from web corpora": prose paragraphs have stopword density and
+    * length that navigation chrome, button labels, cookie banners and
+    * separator lines don't). Every line classifies independently by
+    * the published cues — word count, stopword presence (all board
+    * languages' lists), alphabetic-word fraction — and the document
+    * reassembles from its kept lines, emitting the retention stats a
+    * curation report tracks. Complements the board's document-level
+    * gates (C2 heuristics, C18 learned, Gopher rules) and D17's
+    * duplicate-line removal at the granularity where web boilerplate
+    * actually lives: D17 drops a line because it repeats ACROSS
+    * documents, C30 drops it because it doesn't read as prose at all.
+    *
+    * Exactness: the verdict is integer comparisons over per-line word
+    * lists (the quality_gopher regex/split conventions, already
+    * engine-portable), so kept text is byte-identical in both engines.
+    *
+    * Scale shape: pure row-local lambda work over the line array —
+    * no shuffle except the output ordering; at 100 TB this runs at
+    * scan speed inside one codegen'd projection, and the rebuilt
+    * clean_text column is strictly smaller than its input.
+    */
+  val textBoilerplate: Op = Op(
+    "text_boilerplate",
+    (s, d) => {
+      val stopAll = langStop.flatMap(_._2).distinct
+      def words(l: Column): Column =
+        filter(split(lower(l), "\\s+"), w => w =!= lit(""))
+      def keep(l: Column): Column = {
+        val ws = words(l)
+        size(ws) >= BL_MIN_WORDS &&
+          size(filter(ws, w => w.isin(stopAll.map(x => x: Any): _*))) >= 1 &&
+          size(filter(ws, w => w.rlike("\\p{L}"))) * 2 >= size(ws)
+      }
+      Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), split(col("text"), "\n").as("lines"))
+        .select(col("doc_id"),
+          size(col("lines")).cast(LongType).as("n_lines"),
+          filter(col("lines"), keep _).as("kept"))
+        .select(col("doc_id"), col("n_lines"),
+          size(col("kept")).cast(LongType).as("n_kept"),
+          array_join(col("kept"), "\n").as("clean_text"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          (col("n_kept").cast("double") / greatest(col("n_lines"), lit(1L)))
+            .as("kept_frac"),
+          col("clean_text"),
+          length(col("clean_text")).cast(LongType).as("n_chars_clean"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val stopAll = langStop.flatMap(_._2).distinct
+        .map(w => s"'$w'").mkString(",")
+      val ws = "list_filter(regexp_split_to_array(lower(l), '\\s+'), " +
+        "w -> w <> '')"
+      s"""
+      SELECT doc_id, n_lines, n_kept,
+             CAST(n_kept AS DOUBLE) / greatest(n_lines, 1) AS kept_frac,
+             clean_text,
+             CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+      FROM (
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               -- empty kept list: DuckDB's array_to_string yields NULL
+               -- where Spark's array_join yields '' — state '' explicitly
+               coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+        FROM (
+          SELECT doc_id, lines,
+                 list_filter(lines, l ->
+                   len($ws) >= $BL_MIN_WORDS
+                   AND len(list_filter($ws,
+                     t -> t IN ($stopAll))) >= 1
+                   AND 2 * len(list_filter($ws,
+                     t -> regexp_matches(t, '\\p{L}'))) >= len($ws))
+                   AS kept
+          FROM (SELECT doc_id, regexp_split_to_array(text, '\\n') AS lines
+                FROM documents) t0) t1) t2
+      ORDER BY doc_id"""
+    })
+
   val all: Seq[Op] = Seq(
     textTokenCount, textQuality, qualityGopher, textLangid, textFingerprint,
     textNgramFreq,
@@ -2537,5 +2627,5 @@ object TextOps {
     lmBigram, lmBigramRef,
     lmTrigramRef, lmTrigramKn, textUnigramTrain,
     qualityPplBuckets, sampleRho, mixtureDoremi, textEntropy,
-    textLangidLearned, lmMinkScan, tokenizerFertility)
+    textLangidLearned, lmMinkScan, tokenizerFertility, textBoilerplate)
 }

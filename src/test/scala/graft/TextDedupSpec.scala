@@ -1117,4 +1117,40 @@ class TextDedupSpec extends SparkSpec {
     assert(hiRate > loRate, s"calibration inverted: $hiRate <= $loRate")
     Caches.releaseScope()
   }
+
+  test("text_boilerplate: each line-keep cue fires on its planted line, " +
+      "prose survives, and the document reassembles from kept lines " +
+      "only") {
+    val dir = Files.createTempDirectory("graft_boiler").toString
+    val prose1 = "the quick brown fox jumps over the lazy dog"
+    val prose2 = "storage engines and the planner share one catalog"
+    val docs = Seq(
+      // prose + every drop cue, one per line
+      (0L, Seq(
+        prose1,
+        "Home | About | Contact",  // stopword-free nav chrome
+        "ok",                      // < 3 words
+        "$$ 42 --- 17 %% ##",      // < 50% alphabetic words
+        prose2,
+        "").mkString("\n"), "en", "s0", 1L),
+      // all boilerplate: everything drops, clean_text is ''
+      (1L, "Menu | Login\n42 37 99\nclick", "en", "s1", 1L),
+      // single prose line, no newline at all
+      (2L, prose1, "en", "s2", 1L))
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val r = run("text_boilerplate", dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Long]("n_lines") == 6L)
+    assert(r(0L).getAs[Long]("n_kept") == 2L)
+    assert(r(0L).getAs[String]("clean_text") == s"$prose1\n$prose2")
+    assert(r(1L).getAs[Long]("n_kept") == 0L)
+    assert(r(1L).getAs[String]("clean_text") == "")
+    assert(r(1L).getAs[Long]("n_chars_clean") == 0L)
+    assert(r(2L).getAs[Long]("n_lines") == 1L)
+    assert(r(2L).getAs[String]("clean_text") == prose1)
+    assert(r(2L).getAs[Double]("kept_frac") == 1.0)
+  }
 }
