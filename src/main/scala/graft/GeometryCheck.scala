@@ -170,7 +170,7 @@ object GeometryCheck {
       Caches.releaseScope()
     }
     if (keys("emb_bitext_mine")) {
-      // E18 checks at the CORPUS geometry (E14's cells + occupancy
+      // E17 checks at the CORPUS geometry (E14's cells + occupancy
       // dial — the shared knnGeom seam, forceable via
       // SPARK_GRAFT_KNN_GEOM); sqlMineAt regenerates the oracle below.
       val (cells, sub) = knnGeom(Tables.embeddings(spark, sfDir).count())

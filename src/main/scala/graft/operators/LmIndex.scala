@@ -103,7 +103,7 @@ object LmIndex {
     * (doc_id, c, bits_q16) — one row per DISTINCT document bigram with
     * its occurrence count and its exact add-one bits under the model.
     * Exposed for consumers that need the per-token score DISTRIBUTION
-    * rather than the document sum (C28's min-k% tail reads the highest
+    * rather than the document sum (C32's min-k% tail reads the highest
     * bits per document; the sum collapses exactly that signal).
     */
   def scoreBits(docbg: DataFrame, ref: Ref): DataFrame = {

@@ -2342,7 +2342,7 @@ object TextOps {
       FROM lgn d JOIN sums s ON d.doc_id = s.doc_id
       ORDER BY d.doc_id"""))
 
-  /** C28's fixed tail size: the k LEAST-PROBABLE (highest-bits) bigram
+  /** C32's fixed tail size: the k LEAST-PROBABLE (highest-bits) bigram
     * occurrences per document. The published method takes the bottom
     * k% of tokens; the fixed-k variant keeps the per-document state
     * bounded (a k-slot heap) instead of proportional to document
@@ -2351,13 +2351,13 @@ object TextOps {
     */
   private val MINK_K = 8
 
-  /** C28's flag rate: the lowest-[[MINK_PCT]]% of documents by min-k
+  /** C32's flag rate: the lowest-[[MINK_PCT]]% of documents by min-k
     * mean are flagged (boundary bin included — the G21 threshold
     * convention).
     */
   private val MINK_PCT = 10
 
-  /** C28 — min-k% membership scan (the "Detecting Pretraining Data from
+  /** C32 — min-k% membership scan (the "Detecting Pretraining Data from
     * Large Language Models" signal, Shi et al. 2023, arXiv:2310.16789):
     * a document the model has SEEN prices even its worst tokens cheaply,
     * so the mean of the k least-probable token scores — not the overall
@@ -2459,7 +2459,7 @@ object TextOps {
       FROM pb, th
       ORDER BY doc_id"""))
 
-  /** C29 — tokenizer fertility by predicted language (the tokenizer-
+  /** C33 — tokenizer fertility by predicted language (the tokenizer-
     * fairness audit of Petrov et al. 2023, arXiv:2305.15425: a
     * tokenizer trained on one language mix prices other languages at
     * multiples of the tokens per word, which multiplies their training
@@ -2527,7 +2527,7 @@ object TextOps {
       GROUP BY pred_lang
       ORDER BY pred_lang"""))
 
-  /** C30's line-keep rules: a line survives if it has ≥ 3 words, ≥ 1
+  /** C34's line-keep rules: a line survives if it has ≥ 3 words, ≥ 1
     * stopword hit (any board language — jusText's stopword-density
     * cue), and ≥ 50% alphabetic words. Short, stopword-free, or
     * symbol-heavy lines are navigation chrome / separators / code
@@ -2535,7 +2535,7 @@ object TextOps {
     */
   private val BL_MIN_WORDS = 3
 
-  /** C30 — line-level boilerplate removal (the jusText/trafilatura
+  /** C34 — line-level boilerplate removal (the jusText/trafilatura
     * stage, Pomikálek 2011 "Removing boilerplate and duplicate content
     * from web corpora": prose paragraphs have stopword density and
     * length that navigation chrome, button labels, cookie banners and
@@ -2547,7 +2547,7 @@ object TextOps {
     * gates (C2 heuristics, C18 learned, Gopher rules) and D17's
     * duplicate-line removal at the granularity where web boilerplate
     * actually lives: D17 drops a line because it repeats ACROSS
-    * documents, C30 drops it because it doesn't read as prose at all.
+    * documents, C34 drops it because it doesn't read as prose at all.
     *
     * Exactness: the verdict is integer comparisons over per-line word
     * lists (the quality_gopher regex/split conventions, already
@@ -2558,24 +2558,35 @@ object TextOps {
     * scan speed inside one codegen'd projection, and the rebuilt
     * clean_text column is strictly smaller than its input.
     */
+  /** C34's kept-lines array of a text column — ONE definition shared by
+    * the board op and the streaming edge stage
+    * ([[graft.streaming.DocIngest.boilerplateClean]]), so edge-cleaned
+    * text is byte-identical to the batch clean_text (StreamingSpec pins
+    * it). Pure row-local lambda work, no state — the A18 frozen-policy
+    * doctrine trivially satisfied (the "policy" is the published rule
+    * constants).
+    */
+  private[graft] def boilerplateKept(text: Column): Column = {
+    val stopAll = langStop.flatMap(_._2).distinct
+    def words(l: Column): Column =
+      filter(split(lower(l), "\\s+"), w => w =!= lit(""))
+    def keep(l: Column): Column = {
+      val ws = words(l)
+      size(ws) >= BL_MIN_WORDS &&
+        size(filter(ws, w => w.isin(stopAll.map(x => x: Any): _*))) >= 1 &&
+        size(filter(ws, w => w.rlike("\\p{L}"))) * 2 >= size(ws)
+    }
+    filter(split(text, "\n"), keep _)
+  }
+
   val textBoilerplate: Op = Op(
     "text_boilerplate",
     (s, d) => {
-      val stopAll = langStop.flatMap(_._2).distinct
-      def words(l: Column): Column =
-        filter(split(lower(l), "\\s+"), w => w =!= lit(""))
-      def keep(l: Column): Column = {
-        val ws = words(l)
-        size(ws) >= BL_MIN_WORDS &&
-          size(filter(ws, w => w.isin(stopAll.map(x => x: Any): _*))) >= 1 &&
-          size(filter(ws, w => w.rlike("\\p{L}"))) * 2 >= size(ws)
-      }
       Tables.documents(s, d)
         .repartition(col("doc_id"))
-        .select(col("doc_id"), split(col("text"), "\n").as("lines"))
         .select(col("doc_id"),
-          size(col("lines")).cast(LongType).as("n_lines"),
-          filter(col("lines"), keep _).as("kept"))
+          size(split(col("text"), "\n")).cast(LongType).as("n_lines"),
+          boilerplateKept(col("text")).as("kept"))
         .select(col("doc_id"), col("n_lines"),
           size(col("kept")).cast(LongType).as("n_kept"),
           array_join(col("kept"), "\n").as("clean_text"))

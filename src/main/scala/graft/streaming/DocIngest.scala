@@ -183,4 +183,23 @@ object DocIngest {
     docs.withColumn("w_q16", w.cast(LongType))
       .filter(expr("(w_q16 - pmod(w_q16, 65536)) div 65536") > lit(tBin))
   }
+
+  /** Boilerplate removal at the ingest edge — the streaming face of C34
+    * (`text_boilerplate`): each document's text REWRITES to its kept
+    * prose lines through the one shared kept-lines definition
+    * ([[graft.operators.TextOps.boilerplateKept]] — the board op and
+    * this stage cannot drift), and documents with no prose line at all
+    * drop. Pure row-local lambda work over the line array: no state,
+    * no join, no shuffle — the line-level twin of the doc-level gates
+    * above, and the natural FIRST stage of the edge chain (downstream
+    * quality scoring, dedup fingerprints and n-gram tests then see the
+    * prose, not the chrome).
+    */
+  def boilerplateClean(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bl_kept",
+        graft.operators.TextOps.boilerplateKept(col("text")))
+      .filter(size(col("bl_kept")) >= 1)
+      .withColumn("text", array_join(col("bl_kept"), "\n"))
+      .drop("bl_kept")
 }

@@ -1049,4 +1049,59 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("near_dups_sat").count() == 0,
       "saturated buckets must emit no pairs")
   }
+
+  test("boilerplateClean at the edge: text rewrites to the batch op's " +
+      "clean_text, all-boilerplate docs drop, and dedup-after-clean " +
+      "collapses docs differing only in chrome") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.DocIngest
+
+    val prose = "the quick brown fox jumps over the lazy dog"
+    val t0 = t("10:00")
+    val docs = Seq(
+      Doc(0L, t0, s"$prose\nHome | About | Contact"),
+      Doc(1L, t0, s"Menu | Login\n$prose"), // same prose, other chrome
+      Doc(2L, t0, "Menu | Login\n42 37"),   // no prose line at all
+      Doc(3L, t0, "storage engines and the planner share one catalog"))
+
+    // the batch twin over the same texts
+    val dir = Files.createTempDirectory("graft_blstream").toString
+    docs.map(d => (d.doc_id, d.text, "en", s"s${d.doc_id}", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val batch = run("text_boilerplate", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text"))
+      .toMap
+
+    val src = MemoryStream[Doc]
+    val q = DocIngest.boilerplateClean(src.toDS().toDF())
+      .writeStream.format("memory").queryName("edge_bl")
+      .outputMode("append").start()
+    src.addData(docs: _*)
+    q.processAllAvailable(); q.stop()
+    val edge = spark.table("edge_bl").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(edge.keySet == Set(0L, 1L, 3L), s"kept ${edge.keySet}")
+    edge.foreach { case (id, txt) =>
+      assert(txt == batch(id), s"doc $id: edge [$txt] != batch [${batch(id)}]")
+    }
+
+    // clean BEFORE the exact-dedup fingerprint: docs 0 and 1 share all
+    // their prose and differ only in dropped chrome, so they collapse —
+    // the ordering argument for running this stage first in the chain
+    val src2 = MemoryStream[Doc]
+    val q2 = DocIngest.dedup(DocIngest.boilerplateClean(
+      src2.toDS().toDF().withWatermark("ts", "1 hour")))
+      .writeStream.format("memory").queryName("edge_bl_dedup")
+      .outputMode("append").start()
+    src2.addData(docs: _*)
+    q2.processAllAvailable(); q2.stop()
+    val ids = spark.table("edge_bl_dedup").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.size == 2 && ids.contains(3L) &&
+      (ids.contains(0L) ^ ids.contains(1L)),
+      s"dedup-after-clean kept $ids")
+  }
 }
