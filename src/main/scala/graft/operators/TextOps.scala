@@ -1873,6 +1873,41 @@ object TextOps {
       UnigramLm.train(Tables.documents(s, d))),
     Some(UnigramLm.sqlTrain("documents", "lower(text)")))
 
+  /** C35 — unigram-LM token counting (r16 session 4: the count side of
+    * the C28 SentencePiece-family trainer, completing the tokenizer
+    * parity the BPE family has had since r8 — C12 counts under C14's
+    * trained merges; this counts under C28's trained piece vocabulary):
+    * every document prices as the sum of its words' FINAL-cost Viterbi
+    * segmentation lengths ([[UnigramLm.priceDocuments]] — one corpus
+    * scan, one broadcast vocab join), out-of-cap words price as their
+    * code-point count and residual non-letter code points price in the
+    * code-point base (the C12 OOV contract), with whitespace tokens
+    * alongside for the fertility-style ratio. The model comes from the
+    * per-corpus [[UnigramLm.forCorpus]] memo — the EM loop never runs
+    * in a consumer's plan (the C18/C23/E15 train-once doctrine).
+    *
+    * Scale shape: the C14b plan — scan + broadcast join + id-width
+    * aggregate; the model is driver-sized by the vocabulary cap at any
+    * corpus size. The oracle replays the full EM chain PLUS one more
+    * Viterbi DP under the final costs (the segmentation the engine's
+    * Model.vocab stores) and the same pricing joins.
+    */
+  val textUnigramCount: Op = Op(
+    "text_unigram_count",
+    (s, d) => {
+      val model = UnigramLm.forCorpus(s, d)
+      val docs = Tables.documents(s, d).repartition(col("doc_id"))
+      val ws = docs.select(col("doc_id"),
+        size(toks(col("text"))).cast(LongType).as("n_ws_tokens"))
+      UnigramLm.priceDocuments(docs, model)
+        .join(ws, "doc_id")
+        .select(col("doc_id"), col("n_unigram"), col("n_ws_tokens"),
+          (col("n_unigram").cast("double") /
+            greatest(col("n_ws_tokens"), lit(1L))).as("unigram_per_word"))
+        .orderBy(col("doc_id"))
+    },
+    Some(UnigramLm.sqlCount("documents", "lower(text)")))
+
   /** C20's histogram bin width in q16 bit units: 256 = 1/256 bit of
     * conditional information per bigram. The bin domain is bounded by
     * the VALUE RANGE of the score (realistic bigram LMs live under ~30
@@ -2636,7 +2671,7 @@ object TextOps {
     textBpeTrainBytes, textBpeCountLearned,
     textExtract, textPiiRedact, qualityClassifier, qualityCalibration,
     lmBigram, lmBigramRef,
-    lmTrigramRef, lmTrigramKn, textUnigramTrain,
+    lmTrigramRef, lmTrigramKn, textUnigramTrain, textUnigramCount,
     qualityPplBuckets, sampleRho, mixtureDoremi, textEntropy,
     textLangidLearned, lmMinkScan, tokenizerFertility, textBoilerplate)
 }

@@ -145,7 +145,15 @@ object UnigramLm {
     * over the bounded vocabulary (see the object scaladoc for why).
     * Deterministic: every ordering is (key desc, UTF-8 bytes asc).
     */
+  /** EM runs this session — the C35 spec's observable for "a warm
+    * consumer trains zero times" (the [[CentroidIndex.trainRuns]]
+    * convention).
+    */
+  private[graft] val trainRuns =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   def trainFromCounts(wcap: Seq[(String, Long)]): Model = {
+    trainRuns.incrementAndGet()
     // candidate generation (occurrence-weighted substring counts)
     val multi = new java.util.HashMap[String, Long]()
     val single = new java.util.HashMap[String, Long]()
@@ -219,6 +227,22 @@ object UnigramLm {
       .map(r => r.getAs[String]("w") -> r.getAs[Long]("c"))
 
   def train(docs: DataFrame): Model = trainFromCounts(cappedWordCounts(docs))
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+
+  /** Train-once-per-corpus memo (the [[CorpusKey]] doctrine — C35's
+    * consumer path must not re-run the EM loop per query). Training is
+    * driver-local over the capped vocabulary, so the memo holds only
+    * model-sized state; an in-session corpus rewrite invalidates the
+    * fingerprint and retrains.
+    */
+  def forCorpus(s: SparkSession, d: String): Model =
+    memo.computeIfAbsent(CorpusKey.key(d, "documents.parquet"),
+      _ => train(graft.Tables.documents(s, d)))
+
+  /** Drop memoized models (tests). */
+  def clearMemo(): Unit = memo.clear()
 
   /** The board output frame: top-[[OutK]] pieces by (final usage desc,
     * piece) with usage + final cost.
@@ -322,37 +346,83 @@ object UnigramLm {
     * usage recount) → final costs → top-[[OutK]]. Every CTE mirrors
     * one step of [[trainFromCounts]] operand-for-operand.
     */
-  def sqlTrain(docsRel: String, textCol: String): String = {
-    def branch(r: Int, j: Int, i: Int): String = s"""
+  def sqlTrain(docsRel: String, textCol: String): String = s"""
+      WITH ${sqlModelCtes(docsRel, textCol)}
+      SELECT rank, piece, usage, cost_q16 FROM (
+        SELECT u.piece, u.u AS usage, f.bits_q16 AS cost_q16,
+               CAST(row_number() OVER (ORDER BY u.u DESC, u.piece)
+                 AS BIGINT) AS rank
+        FROM ug_u$Rounds u JOIN ug_pc$Rounds f USING (piece)) z
+      WHERE rank <= $OutK
+      ORDER BY rank"""
+
+  /** C35's oracle: the shared model CTEs + ONE more Viterbi DP under
+    * the FINAL piece costs — the segmentation [[trainFromCounts]]
+    * stores as Model.vocab — then per-document occurrence pricing with
+    * the code-point OOV fallback (words outside the capped vocabulary
+    * price as their code-point count, [[priceDocuments]]'s contract)
+    * and the residual non-letter count.
+    */
+  def sqlCount(docsRel: String, textCol: String): String = s"""
+      WITH ${sqlModelCtes(docsRel, textCol)},
+      ${dp(Rounds, withUsage = false)},
+      uq_np AS (
+        SELECT w, CAST(len(string_split(substr(path, 2), chr(1)))
+          AS BIGINT) AS np
+        FROM ug_seg$Rounds),
+      uq_dwc AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM (
+          SELECT doc_id, unnest(regexp_extract_all($textCol, '\\p{L}+'))
+            AS w
+          FROM $docsRel) t GROUP BY doc_id, w),
+      uq_word AS (
+        SELECT doc_id,
+               CAST(sum(c * coalesce(np, length(w))) AS BIGINT) AS nw
+        FROM uq_dwc LEFT JOIN uq_np USING (w) GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(w.nw, 0) +
+               ${graft.functions.Bpe.sqlOtherCount(textCol)} AS BIGINT)
+               AS n_unigram,
+             CAST(len(regexp_split_to_array(trim($textCol, ' '), '\\s+'))
+               AS BIGINT) AS n_ws_tokens,
+             CAST(coalesce(w.nw, 0) +
+               ${graft.functions.Bpe.sqlOtherCount(textCol)} AS DOUBLE)
+               / greatest(len(regexp_split_to_array(trim($textCol, ' '),
+                   '\\s+')), 1) AS unigram_per_word
+      FROM $docsRel d LEFT JOIN uq_word w ON d.doc_id = w.doc_id
+      ORDER BY d.doc_id"""
+
+  private def branch(r: Int, j: Int, i: Int): String = s"""
         SELECT s.w, s.c, s.cost + p.bits_q16 AS cost,
                s.path || chr(1) || substr(s.w, ${j + 1}, ${i - j}) AS path
         FROM ug_st${r}_$j s
         JOIN ug_pcm$r p ON p.piece = substr(s.w, ${j + 1}, ${i - j})
         WHERE length(s.w) >= $i"""
-    def dp(r: Int): String = {
-      val steps = (1 to MaxWordLen).map { i =>
-        val branches = (math.max(0, i - MaxPiece) until i)
-          .map(j => branch(r, j, i)).mkString("\n        UNION ALL")
-        // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
-        // st_i references its MaxPiece predecessors — inlined, st_16
-        // would expand into ~6^16 plan subtrees (the E14 sf100 lesson)
-        s"""
+
+  /** One Viterbi-DP round's CTEs under the `ug_pcm<r>` cost table:
+    * positional states, the per-word winning segmentation `ug_seg<r>`,
+    * and (when `withUsage`) the usage recount feeding round r+1. The
+    * count oracle runs a final usage-free round under the FINAL costs.
+    */
+  private def dp(r: Int, withUsage: Boolean): String = {
+    val steps = (1 to MaxWordLen).map { i =>
+      val branches = (math.max(0, i - MaxPiece) until i)
+        .map(j => branch(r, j, i)).mkString("\n        UNION ALL")
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+      // st_i references its MaxPiece predecessors — inlined, st_16
+      // would expand into ~6^16 plan subtrees (the E14 sf100 lesson)
+      s"""
       ug_st${r}_$i AS MATERIALIZED (
         SELECT w, c, ms.k AS cost, ms.p AS path FROM (
           SELECT w, c, min({'k': cost, 'p': path}) AS ms FROM ($branches
           ) b GROUP BY w, c) t)"""
-      }.mkString(",")
-      val segUnion = (1 to MaxWordLen)
-        .map(i => s"SELECT w, c, path, $i AS len FROM ug_st${r}_$i")
-        .mkString("\n        UNION ALL ")
-      s"""
-      ug_st${r}_0 AS MATERIALIZED (
-        SELECT w, c, CAST(0 AS BIGINT) AS cost, '' AS path
-        FROM ug_wcap),$steps,
-      ug_seg$r AS MATERIALIZED (
-        SELECT w, c, path FROM (
-        $segUnion
-        ) q WHERE len = length(w)),
+    }.mkString(",")
+    val segUnion = (1 to MaxWordLen)
+      .map(i => s"SELECT w, c, path, $i AS len FROM ug_st${r}_$i")
+      .mkString("\n        UNION ALL ")
+    val usage =
+      if (!withUsage) ""
+      else s""",
       ug_use$r AS (
         SELECT piece, CAST(sum(c) AS BIGINT) AS u FROM (
           SELECT c, unnest(string_split(substr(path, 2), chr(1))) AS piece
@@ -360,21 +430,37 @@ object UnigramLm {
       ug_u${r + 1} AS MATERIALIZED (
         SELECT p.piece, CAST(coalesce(u.u, 0) AS BIGINT) AS u
         FROM ug_p0 p LEFT JOIN ug_use$r u USING (piece))"""
-    }
-    // ug_pcm$r: the cost table is referenced by every DP branch
-    // (~MaxWordLen × MaxPiece joins) — materialized so the FixedLog
-    // chain runs once per round, not once per reference
-    def costChain(r: Int): String = s"""
+    s"""
+      ug_st${r}_0 AS MATERIALIZED (
+        SELECT w, c, CAST(0 AS BIGINT) AS cost, '' AS path
+        FROM ug_wcap),$steps,
+      ug_seg$r AS MATERIALIZED (
+        SELECT w, c, path FROM (
+        $segUnion
+        ) q WHERE len = length(w))$usage"""
+  }
+
+  // ug_pcm$r: the cost table is referenced by every DP branch
+  // (~MaxWordLen x MaxPiece joins) — materialized so the FixedLog
+  // chain runs once per round, not once per reference
+  private def costChain(r: Int): String = s"""
       ug_tot$r AS (SELECT CAST(sum(u) AS BIGINT) AS tot FROM ug_u$r),
       ug_pcs$r AS (SELECT piece, tot + v AS num, u + 1 AS den
                    FROM ug_u$r, ug_tot$r, ug_v),
       ${graft.functions.FixedLog.sqlRounds(
         s"ug_pcs$r", Seq("piece"), "num", "den", s"ug_pc$r")},
       ug_pcm$r AS MATERIALIZED (SELECT piece, bits_q16 FROM ug_pc$r)"""
+
+  /** The shared oracle CTE body: word cap → candidates → [[Rounds]]
+    * unrolled EM rounds → the FINAL cost tables (`ug_u<Rounds>` usages,
+    * `ug_pc<Rounds>` bits, `ug_pcm<Rounds>` cost map) — the model state
+    * [[trainFromCounts]] holds after its EM loop, consumed by both the
+    * training oracle's ranking and the count oracle's final DP.
+    */
+  private def sqlModelCtes(docsRel: String, textCol: String): String = {
     val rounds = (0 until Rounds)
-      .map(r => s"${costChain(r)},${dp(r)}").mkString(",")
-    s"""
-      WITH ug_wc AS MATERIALIZED (
+      .map(r => s"${costChain(r)},${dp(r, withUsage = true)}").mkString(",")
+    s"""ug_wc AS MATERIALIZED (
         SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
           SELECT unnest(regexp_extract_all($textCol, '\\p{L}+')) AS w
           FROM $docsRel) GROUP BY w),
@@ -405,17 +491,6 @@ object UnigramLm {
       ug_u0 AS (SELECT piece, u0 AS u FROM ug_p0),
       ug_v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ug_p0),
       $rounds,
-      ug_totF AS (SELECT CAST(sum(u) AS BIGINT) AS tot FROM ug_u$Rounds),
-      ug_pcsF AS (SELECT piece, tot + v AS num, u + 1 AS den
-                  FROM ug_u$Rounds, ug_totF, ug_v),
-      ${graft.functions.FixedLog.sqlRounds(
-        "ug_pcsF", Seq("piece"), "num", "den", "ug_pcF")}
-      SELECT rank, piece, usage, cost_q16 FROM (
-        SELECT u.piece, u.u AS usage, f.bits_q16 AS cost_q16,
-               CAST(row_number() OVER (ORDER BY u.u DESC, u.piece)
-                 AS BIGINT) AS rank
-        FROM ug_u$Rounds u JOIN ug_pcF f USING (piece)) z
-      WHERE rank <= $OutK
-      ORDER BY rank"""
+      ${costChain(Rounds)}"""
   }
 }

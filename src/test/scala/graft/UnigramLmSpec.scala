@@ -93,6 +93,45 @@ class UnigramLmSpec extends SparkSpec {
     Caches.releaseScope()
   }
 
+  test("text_unigram_count: per-doc price equals the model's own " +
+      "segmentation lengths (OOV + residual included) and a warm " +
+      "re-run trains zero times") {
+    UnigramLm.clearMemo()
+    val rows = run("text_unigram_count").collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    // internal consistency: recompute each doc's price from the
+    // memoized model driver-side (vocab segmentation lengths, cpLen
+    // fallback for out-of-cap words, residual non-letters)
+    val model = UnigramLm.forCorpus(spark, sf)
+    val segLen = model.vocab.map { case (w, seg) => w -> seg.length }.toMap
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val got = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_unigram")).toMap
+    got.foreach { case (id, n) =>
+      val t = texts(id)
+      val m = java.util.regex.Pattern.compile("\\p{L}+")
+        .matcher(t.toLowerCase)
+      var words = 0L
+      val sb = new StringBuilder(t.toLowerCase)
+      while (m.find()) {
+        val w = m.group()
+        words += segLen.getOrElse(w, w.codePointCount(0, w.length)).toLong
+        (m.start() until m.end()).foreach(i => sb.setCharAt(i, ' '))
+      }
+      val resid = sb.toString.codePoints().toArray
+        .count(c => !Character.isWhitespace(c)).toLong
+      assert(n == words + resid, s"doc $id: engine $n != $words + $resid")
+    }
+    // warm re-run: the memo serves the model, the EM loop never re-runs
+    val before = UnigramLm.trainRuns.get()
+    run("text_unigram_count").collect()
+    assert(UnigramLm.trainRuns.get() == before,
+      "a warm text_unigram_count re-ran the EM trainer")
+    Caches.releaseScope()
+  }
+
   test("artifact save/load roundtrip, torn-save and wrong-dial refusal") {
     val dir = tmp("rt")
     UnigramLm.save(spark, planted, dir)
