@@ -875,11 +875,16 @@ object AnnOps {
           GROUP BY q.vec_id, c.c_id, e.nm, n.ncm) t)"""
 
   /** The D11/E14 oracle assignment over the TRAINED centroids — the
-    * final-round scores reduced by the streaming max-of-struct
-    * aggregate (≡ the engine's cell_argmax (ccos, −c_id) winner rule
-    * and ≡ iscF's rn = 1 pick, but with one struct per vector instead
-    * of a window over n·cells rows — the sqlKnnAt sf10 spill lesson).
-    * Emits `..., assign(vec_id, cell)`; prepend [[sqlIvfTrainCtes]].
+    * final-round scores reduced to each vector's (max ccos, tie → min
+    * c_id) winner (≡ the engine's cell_argmax rule and ≡ iscF's rn = 1
+    * pick) by TWO SCALAR aggregates: the per-vector max cosine, then
+    * min(c_id) over the rows attaining it. The r14 window formulation
+    * spilled >74 GB at sf10; its r15 replacement — one max-of-struct
+    * aggregate — was measured this round (r16 s4) allocating >100 GB
+    * UNTRACKED on the same 22.4M-row input (DuckDB's struct-max state
+    * blows past memory_limit; the identical scalar two-pass runs in
+    * 0.5 s at 0.5 GB). Emits `..., assign(vec_id, cell)`; prepend
+    * [[sqlIvfTrainCtes]].
     */
   private[operators] def sqlIvfAssignAggCte(rounds: Int): String = s"""
       iscoreF AS MATERIALIZED (
@@ -892,10 +897,13 @@ object AnnOps {
         JOIN e ON e.vec_id = q.vec_id
         JOIN inmF n ON n.c_id = c.c_id
         GROUP BY q.vec_id, c.c_id, e.nm, n.ncm),
+      iamx AS MATERIALIZED (
+        SELECT vec_id, max(ccos) AS mc FROM iscoreF GROUP BY vec_id),
       assign AS MATERIALIZED (
-        SELECT vec_id,
-               max({'k': ccos, 'nc': -c_id, 'id': c_id}).id AS cell
-        FROM iscoreF GROUP BY vec_id)"""
+        SELECT i.vec_id, min(i.c_id) AS cell
+        FROM iscoreF i JOIN iamx ON i.vec_id = iamx.vec_id
+          AND i.ccos = iamx.mc
+        GROUP BY i.vec_id)"""
 
   /** JVM twin of the kernel's NORMALIZED quantizer (seed codebooks are
     * built driver-side in the same unit-sphere micro units the kernel
