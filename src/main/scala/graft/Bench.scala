@@ -56,7 +56,10 @@ object Bench {
     "doc_pack_semantic", "sample_prototypes", "quality_gopher",
     // r16 session 3: another row-preserving verdict manifest (the G25
     // histogram-threshold-join shape at token-weighted mass)
-    "sample_budget")
+    "sample_budget",
+    // r16 session 4: map-only line rewrite — count() prunes the whole
+    // kept-lines lambda and the clean_text reassembly
+    "text_boilerplate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
