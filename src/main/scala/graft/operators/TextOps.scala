@@ -143,9 +143,86 @@ object TextOps {
   /** Gopher's "required words" set (Rae et al. 2021, appendix A1.1) —
     * a doc must contain at least [[GOPHER_MIN_STOP]] of these.
     */
-  private val gopherStop =
+  private[operators] val gopherStop =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
-  private val GOPHER_MIN_STOP = 2
+  private[operators] val GOPHER_MIN_STOP = 2
+
+  /** C30's first-failing-rule verdict as a single Column over raw text —
+    * the ONE definition of the Gopher document-level cascade, consumed
+    * by C30 itself and by C36's composed `full_verdict`
+    * ([[GopherRep.qualityGopherRep]]), so the two ops can never
+    * disagree on what the document half of the published gate says.
+    */
+  private[operators] def gopherDocVerdict(text: Column): Column = {
+    val tok = toks(text)
+    val nW = size(tok).cast(LongType)
+    val meanLen =
+      length(array_join(tok, "")) / greatest(nW, lit(1L)).cast("double")
+    val nSym = regexp_count(lower(text), lit("#|\\.\\.\\.|…"))
+    val symRatio = nSym / greatest(nW, lit(1L)).cast("double")
+    val lines = split(text, "\n")
+    val nL = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac =
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))) / nL
+    val ellipsisFrac =
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))) / nL
+    val alphaFrac =
+      size(filter(tok, t => t.rlike("\\p{L}"))) /
+        greatest(nW, lit(1L)).cast("double")
+    val nStopW = nStop(text, gopherStop).cast(LongType)
+    when(nW < 50L, "too_few_words")
+      .when(nW > 100000L, "too_many_words")
+      .when(meanLen < 3.0 || meanLen > 10.0, "word_length")
+      .when(symRatio > 0.1, "symbol_ratio")
+      .when(bulletFrac > 0.9, "bullet_lines")
+      .when(ellipsisFrac > 0.3, "ellipsis_lines")
+      .when(alphaFrac < 0.8, "low_alpha")
+      .when(nStopW < GOPHER_MIN_STOP, "low_stopword")
+      .otherwise("keep")
+  }
+
+  /** DuckDB twin of [[gopherDocVerdict]] as a named CTE
+    * `<alias>(doc_id, doc_verdict)` — the C30 oracle's cascade factored
+    * for reuse by the C36 oracle's composed verdict.
+    */
+  private[operators] def sqlGopherDocCte(alias: String): String = s"""
+      $alias AS (
+        SELECT doc_id,
+               CASE WHEN n_words < 50 THEN 'too_few_words'
+                    WHEN n_words > 100000 THEN 'too_many_words'
+                    WHEN mean_word_len < 3.0 OR mean_word_len > 10.0
+                      THEN 'word_length'
+                    WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+                    WHEN bullet_frac > 0.9 THEN 'bullet_lines'
+                    WHEN ellipsis_frac > 0.3 THEN 'ellipsis_lines'
+                    WHEN alpha_frac < 0.8 THEN 'low_alpha'
+                    WHEN n_required_stop < $GOPHER_MIN_STOP
+                      THEN 'low_stopword'
+                    ELSE 'keep' END AS doc_verdict
+        FROM (
+          SELECT doc_id,
+                 CAST(len(tok) AS BIGINT) AS n_words,
+                 len(array_to_string(tok, '')) /
+                   CAST(greatest(len(tok), 1) AS DOUBLE) AS mean_word_len,
+                 len(regexp_extract_all(lower(text), '#|\\.\\.\\.|…')) /
+                   CAST(greatest(len(tok), 1) AS DOUBLE) AS symbol_ratio,
+                 len(list_filter(glines, l ->
+                     regexp_matches(l, '^\\s*[-*•]'))) /
+                   CAST(greatest(len(glines), 1) AS DOUBLE) AS bullet_frac,
+                 len(list_filter(glines, l ->
+                     regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) /
+                   CAST(greatest(len(glines), 1) AS DOUBLE) AS ellipsis_frac,
+                 len(list_filter(tok, t -> regexp_matches(t, '\\p{L}'))) /
+                   CAST(greatest(len(tok), 1) AS DOUBLE) AS alpha_frac,
+                 CAST(len(list_filter(tok, t ->
+                     t IN (${gopherStop.map(w => s"'$w'").mkString(",")})))
+                   AS BIGINT) AS n_required_stop
+          FROM (
+            SELECT doc_id, text,
+                   regexp_split_to_array(trim(lower(text), ' '), '\\s+')
+                     AS tok,
+                   regexp_split_to_array(text, '\\n') AS glines
+            FROM documents) g0) g1)"""
 
   /** C30 — the published Gopher document-quality rule set (Rae et al.
     * 2021, "Scaling Language Models: ... Gopher", appendix A1.1; the
@@ -172,26 +249,11 @@ object TextOps {
         length(array_join(tok, "")) / greatest(nW, lit(1L)).cast("double")
       val nSym = regexp_count(lower(col("text")), lit("#|\\.\\.\\.|…"))
       val symRatio = nSym / greatest(nW, lit(1L)).cast("double")
-      val lines = split(col("text"), "\n")
-      val nL = greatest(size(lines), lit(1)).cast("double")
-      val bulletFrac =
-        size(filter(lines, l => l.rlike("^\\s*[-*•]"))) / nL
-      val ellipsisFrac =
-        size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))) / nL
       val alphaFrac =
         size(filter(tok, t => t.rlike("\\p{L}"))) /
           greatest(nW, lit(1L)).cast("double")
       val nStopW = nStop(col("text"), gopherStop).cast(LongType)
-      val verdict =
-        when(nW < 50L, "too_few_words")
-          .when(nW > 100000L, "too_many_words")
-          .when(meanLen < 3.0 || meanLen > 10.0, "word_length")
-          .when(symRatio > 0.1, "symbol_ratio")
-          .when(bulletFrac > 0.9, "bullet_lines")
-          .when(ellipsisFrac > 0.3, "ellipsis_lines")
-          .when(alphaFrac < 0.8, "low_alpha")
-          .when(nStopW < GOPHER_MIN_STOP, "low_stopword")
-          .otherwise("keep")
+      val verdict = gopherDocVerdict(col("text"))
       Tables.documents(s, d)
         .select(col("doc_id"), nW.as("n_words"),
           meanLen.as("mean_word_len"), symRatio.as("symbol_ratio"),
