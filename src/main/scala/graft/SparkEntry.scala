@@ -11,7 +11,8 @@ object SparkEntry {
   def allOps: Seq[Op] =
     RelationalOps.all ++ SinkOps.all ++ TextOps.all ++ DedupOps.all ++
       AnnOps.all ++ MultimodalOps.all ++ PipelineOps.all ++
-      EmbeddingOps.all ++ BitextOps.all ++ GopherRep.all
+      EmbeddingOps.all ++ BitextOps.all ++ GopherRep.all ++
+      RetrievalOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

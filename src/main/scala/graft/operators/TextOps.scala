@@ -646,7 +646,7 @@ object TextOps {
               FROM documents) t1) t2
       ORDER BY doc_id"""))
 
-  private val BM25_TERMS = Seq("fast", "stream", "merge", "query")
+  private[graft] val BM25_TERMS = Seq("fast", "stream", "merge", "query")
 
   /** C9 — BM25-style lexical relevance against a fixed query: the
     * retrieval/curation scoring pass (rank corpus docs for a topic, pick
