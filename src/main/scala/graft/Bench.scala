@@ -59,7 +59,11 @@ object Bench {
     "sample_budget",
     // r16 session 4: map-only line rewrite — count() prunes the whole
     // kept-lines lambda and the clean_text reassembly
-    "text_boilerplate")
+    "text_boilerplate",
+    // r17: row-preserving verdict manifest — the metric left-joins have
+    // unique-keyed right sides, so count() can eliminate them and the
+    // whole n-gram coverage pipeline with them
+    "quality_gopher_rep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -46,7 +46,7 @@ object GeometryCheck {
     Set("ann_lsh", "dedup_embedding", "ann_ivf", "dedup_semantic",
       "ann_pq", "mm_phash_dedup", "ann_ivfpq", "emb_knn_graph",
       "sample_prototypes", "doc_pack_semantic", "ann_filtered",
-      "emb_bitext_mine")
+      "emb_bitext_mine", "ann_graph")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -133,6 +133,19 @@ object GeometryCheck {
       operators.EmbeddingOps.knnAt(spark, sfDir, cells, sub)
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/emb_knn_graph")
+      Caches.releaseScope()
+    }
+    if (keys("ann_graph")) {
+      // E18 checks at the CORPUS geometry like E14 (beam search walks
+      // E14's cell-blocked graph at GRAPH_DEGREE); sqlGraphSearch
+      // regenerates the matching oracle below.
+      val (cells, sub) = knnGeom(Tables.embeddings(spark, sfDir).count())
+      val idx = operators.KnnIndex.forCorpus(spark, sfDir, cells, sub,
+        k = operators.GraphAnnOps.GRAPH_DEGREE)
+      operators.GraphAnnOps
+        .graphSearch(operators.AnnOps.withNorm(spark, sfDir), idx)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/ann_graph")
       Caches.releaseScope()
     }
     if (keys("sample_prototypes")) {
@@ -238,6 +251,10 @@ object GeometryCheck {
             operators.AnnOps.FILTER_LABEL_LT).count()
         Map("ann_filtered" -> operators.AnnOps.sqlAnnFilteredAt(cells,
           operators.AnnOps.filteredNprobeFor(n, nKept, cells)))
+      } else Map.empty) ++
+      (if (dumped("ann_graph")) {
+        val (cells, sub) = knnGeom(Tables.embeddings(spark, sfDir).count())
+        Map("ann_graph" -> operators.GraphAnnOps.sqlGraphSearch(cells, sub))
       } else Map.empty) ++
       (if (dumped("emb_bitext_mine")) {
         val (cells, sub) = knnGeom(Tables.embeddings(spark, sfDir).count())

@@ -37,7 +37,7 @@ object AnnOps {
     * shared by the E-series ops and [[AnnIndex]], so every cosine in
     * the engine derives nm the same way.
     */
-  private[operators] def withNormDf(embeddings: DataFrame): DataFrame =
+  private[graft] def withNormDf(embeddings: DataFrame): DataFrame =
     embeddings
       .repartition(col("vec_id"))
       .select(col("vec_id"), col("embedding"),
@@ -485,8 +485,8 @@ object AnnOps {
       ORDER BY q_id, rank"""
     })
 
-  private[operators] val CENTROIDS = 16
-  private[operators] val NPROBE = 4
+  private[graft] val CENTROIDS = 16
+  private[graft] val NPROBE = 4
 
   /** IVF cell count for a corpus of `n` vectors: √n-family growth
     * (candidate fraction nprobe/cells shrinks as the corpus grows, cell
@@ -1225,11 +1225,30 @@ object AnnOps {
     // the 3.6 s per plan subtree — the pair pipeline's exchange
     // subtrees re-evaluate their map side per consuming stage, which
     // measured +19 s per warm sf100 rep.
-    val packed = packedCents(cent)
-    val assign = Caches.persist(e.crossJoin(broadcast(packed))
-      .select(col("vec_id"), cellCol.as("cell")))
+    val assign = Caches.persist(assignCells(e, cent))
     val withCell = assign.join(e, "vec_id")
       .select(col("vec_id"), col("embedding"), col("nm"), col("cell"))
+    (assign, bucketedPairsFromAssigned(withCell, sub))
+  }
+
+  /** Map-side nearest-cell assignment of a (vec_id, embedding, nm)
+    * frame under a (c_id, c_emb, c_nm) centroid frame — the
+    * [[packedCents]] + cell_argmax kernel pass factored (r17) so
+    * [[KnnIndex.append]] assigns an append batch under the PINNED
+    * quantizer through the exact board definition.
+    */
+  private[graft] def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(packedCents(cent)))
+      .select(col("vec_id"), cellCol.as("cell"))
+
+  /** The in-cell (optionally sub-LSH-bucketed) pair generator over an
+    * ALREADY-ASSIGNED member frame (vec_id, embedding, nm, cell) —
+    * [[cellBucketedPairs]]' candidate half factored (r17) so
+    * [[KnnIndex.append]] can re-pair ONLY the affected cells' members.
+    */
+  private[graft] def bucketedPairsFromAssigned(
+      withCell: DataFrame,
+      sub: Option[LshGeometry]): DataFrame = {
     val bucketed = sub match {
       case None =>
         withCell.select(col("cell"), lit(0).as("tbl"), lit(0L).as("bucket"),
@@ -1257,7 +1276,7 @@ object AnnOps {
           col("p.x.nm"), col("p.y.nm")).as("cos"))
       .groupBy(col("i"), col("j"))
       .agg(max(col("cos")).as("cos"))
-    (assign, pairs)
+    pairs
   }
 
   /** PQ seed ids for the IVFPQ codebook: the deterministic slice STARTS
@@ -1403,7 +1422,7 @@ object AnnOps {
     * by exact-micros cosine — a queries×cells-sized job, never
     * corpus-sized.
     */
-  private[operators] def ivfPqProbe(
+  private[graft] def ivfPqProbe(
       queries: DataFrame, cent: DataFrame, nprobe: Int): DataFrame =
     queries.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("c_id"),

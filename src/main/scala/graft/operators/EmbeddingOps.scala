@@ -602,7 +602,7 @@ object EmbeddingOps {
   }
 
   /** E14's neighbor count. */
-  private val KNN_K = 3
+  private[operators] val KNN_K = 3
 
   /** E14's in-cell sub-bucketing dial — D11's shape
     * ([[DedupOps.semSubGeometry]]: 4 LSH tables once mean cell
@@ -637,30 +637,42 @@ object EmbeddingOps {
     // trained per-corpus coarse cells (r16) — see DedupOps.semanticAt
     val (_, pairs) = AnnOps.cellBucketedPairs(
       AnnOps.withNorm(s, d), CentroidIndex.forCorpus(s, d, cells), sub)
-    // both directions of every pair, then a bounded-heap top-k per
-    // source — the (−cos, nbr) struct makes "highest cosine first,
-    // lowest id on ties" a MIN-heap order, and posexplode of the sorted
-    // retained array IS the rank
+    knnEdges(pairs, KNN_K).orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** The edge ranking over an undirected pair stream — both directions
+    * of every pair, then a bounded-heap top-k per source: the (−cos,
+    * nbr) struct makes "highest cosine first, lowest id on ties" a
+    * MIN-heap order, and posexplode of the sorted retained array IS
+    * the rank. Factored (r17) so [[KnnIndex.buildFrom]] and the E14
+    * board path rank edges through literally one definition.
+    */
+  private[graft] def knnEdges(pairs: DataFrame, k: Int): DataFrame = {
     val directed = pairs
       .select(col("i").as("src"), col("j").as("nbr"), col("cos"))
       .unionAll(pairs
         .select(col("j").as("src"), col("i").as("nbr"), col("cos")))
     directed
       .groupBy(col("src"))
-      .agg(topkMin(struct((-col("cos")).as("negcos"), col("nbr")), KNN_K)
+      .agg(topkMin(struct((-col("cos")).as("negcos"), col("nbr")), k)
         .as("ks"))
       .select(col("src").as("vec_id"), posexplode(col("ks")).as(Seq("p", "k")))
       .select(col("vec_id"), (col("p") + 1).cast(LongType).as("rank"),
         col("k.nbr").as("nbr_id"), (-col("k.negcos")).as("cos"))
-      .orderBy(col("vec_id"), col("rank"))
   }
 
-  /** E14's oracle at an explicit geometry (the D11 sqlSemanticAt
-    * pattern: pairs share the cell AND, under sub-bucketing, ≥1
-    * (tbl, bucket); DISTINCT replays the engine's pair dedup).
+  /** The pair-enumeration + edge-ranking CTE chain over an assigned
+    * member frame `m(vec_id, embedding, nm, cell)` (norm CTE `e` must
+    * also be in scope) — the D11 sqlSemanticAt pattern: pairs share
+    * the cell AND, under sub-bucketing, ≥1 (tbl, bucket); DISTINCT
+    * replays the engine's pair dedup. Ends with
+    * `kedge(src, nbr, cos, rank)`, rank ≤ [[KNN_K]]. Factored (r17) so
+    * the E14 oracle and the `ann_graph` oracle replay the identical
+    * graph.
     */
-  private[graft] def sqlKnnAt(
-      cells: Int, sub: Option[AnnOps.LshGeometry]): String = {
+  private[graft] def sqlKnnEdgeCtes(
+      sub: Option[AnnOps.LshGeometry],
+      k: Int = KNN_K): String = {
     // pair enumeration is ID-WIDTH (prid), vectors re-attach once for
     // the cosine — carrying the embedding lists through the candidate
     // join made DuckDB spill ~75 GB at sf10's 22M-pair geometry; this
@@ -703,6 +715,28 @@ object EmbeddingOps {
                ON a.cell = b.cell AND a.tbl = b.tbl AND a.bucket = b.bucket
                  AND a.vec_id < b.vec_id)"""
     }
+    s"""$pairCte,
+      pr AS MATERIALIZED (
+             SELECT prid.i, prid.j, ${AnnOps.sqlCos("x", "y")} AS cos
+             FROM prid
+             JOIN e x ON prid.i = x.vec_id
+             JOIN e y ON prid.j = y.vec_id),
+      dg AS (SELECT i AS src, j AS nbr, cos FROM pr
+             UNION ALL SELECT j, i, cos FROM pr),
+      kedge AS (
+        SELECT src, nbr, cos, rank FROM (
+          SELECT src, nbr, cos,
+                 CAST(row_number() OVER (PARTITION BY src
+                   ORDER BY cos DESC, nbr) AS BIGINT) AS rank
+          FROM dg) t
+        WHERE rank <= $k)"""
+  }
+
+  /** E14's oracle at an explicit geometry — the full statement over
+    * [[sqlKnnEdgeCtes]].
+    */
+  private[graft] def sqlKnnAt(
+      cells: Int, sub: Option[AnnOps.LshGeometry]): String =
     s"""
       WITH ${AnnOps.sqlNormCte},
       -- r16: the TRAINED coarse centroids (unrolled Lloyd-round CTEs),
@@ -715,22 +749,9 @@ object EmbeddingOps {
       ${AnnOps.sqlIvfAssignAggCte(AnnOps.IVF_ROUNDS)},
       m AS MATERIALIZED (SELECT e.vec_id, e.embedding, e.nm, assign.cell
             FROM e JOIN assign USING (vec_id)),
-      $pairCte,
-      pr AS MATERIALIZED (
-             SELECT prid.i, prid.j, ${AnnOps.sqlCos("x", "y")} AS cos
-             FROM prid
-             JOIN e x ON prid.i = x.vec_id
-             JOIN e y ON prid.j = y.vec_id),
-      dg AS (SELECT i AS src, j AS nbr, cos FROM pr
-             UNION ALL SELECT j, i, cos FROM pr)
-      SELECT src AS vec_id, rank, nbr AS nbr_id, cos FROM (
-        SELECT src, nbr, cos,
-               CAST(row_number() OVER (PARTITION BY src
-                 ORDER BY cos DESC, nbr) AS BIGINT) AS rank
-        FROM dg) t
-      WHERE rank <= $KNN_K
+      ${sqlKnnEdgeCtes(sub)}
+      SELECT src AS vec_id, rank, nbr AS nbr_id, cos FROM kedge
       ORDER BY vec_id, rank"""
-  }
 
   /** E14 — the k-NN GRAPH over the embedding corpus: every vector's
     * top-[[KNN_K]] in-cell neighbors by exact-micros cosine — the
@@ -760,7 +781,13 @@ object EmbeddingOps {
       val cells = AnnOps.ivfCellsFor(n)
       AnnOps.logGeometryDivergence("emb_knn_graph", s"$cells cells",
         s"${AnnOps.CENTROIDS} cells")
-      knnAt(s, d, cells, knnSubGeometry(n, cells))
+      // r17: the graph is a PERSISTED per-corpus artifact (the r16
+      // verdict's warm-rebuild gap) — the first invocation builds and
+      // saves (identical arithmetic to the inline knnAt path:
+      // KnnIndexSpec pins loaded ≡ built ≡ knnAt), every later one
+      // reads the edge parquet
+      KnnIndex.neighbors(
+        KnnIndex.forCorpus(s, d, cells, knnSubGeometry(n, cells)))
     },
     Some(sqlKnnAt(AnnOps.CENTROIDS, None)))
 

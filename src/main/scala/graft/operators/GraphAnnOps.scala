@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{Caches, Op, Tables}
+import graft.functions.Portable._
+
+/** E18 — graph-based ANN (r17, the r16 verdict's ask #7): beam search
+  * over the persisted k-NN graph ([[KnnIndex]]) — the search side of
+  * the HNSW/NSW family, the OTHER default index of every public vector
+  * store beside the IVF/PQ line the board already carries. Queries
+  * seed from the trained centroid probe (nprobe nearest cells, entry
+  * points = the index's precomputed per-cell seeds), then expand
+  * [[GRAPH_HOPS]] synchronous beam rounds: score the frontier's graph
+  * neighbors, merge, keep the top-[[GRAPH_BEAM]] per query. The graph
+  * is cell-blocked (E14's stated semantics), so the search REFINES
+  * within the probed cells: against `ann_ivf` at the same nprobe it
+  * scores only the vectors the graph walk actually visits instead of
+  * every member of every probed cell — the recall-vs-scan-fraction
+  * dial [[graft.GraphTune]] measures.
+  *
+  * Spark shape: every hop is a bounded relational round (the G13
+  * iteration discipline) — frontier ⋈ edges is ≤ queries × beam × k
+  * rows, scoring joins the PROBED CELLS' member frame (partition-
+  * pruned on the stored artifact — the corpus is never scanned), and
+  * the per-query beam/top-k cuts are bounded-heap aggregates, never a
+  * corpus sort. Exact-micros cosines end to end: every beam cut and
+  * tie-break is deterministic, so the oracle replays the hops as
+  * unrolled CTEs over the identical edge CTE chain
+  * ([[EmbeddingOps.sqlKnnEdgeCtes]]).
+  */
+object GraphAnnOps {
+
+  private[graft] val GRAPH_BEAM = 8
+  private[graft] val GRAPH_HOPS = 3
+  private val GRAPH_TOP_K = 5
+
+  /** Graph DEGREE for the search index: E14's k = 3 is the analysis
+    * graph (mutual-similarity structure); navigable search needs a
+    * denser graph (HNSW's M defaults to 16–64 neighbors) or beam walks
+    * strand in small components — measured at sf0.01: recall@5
+    * plateaued at 0.15 under k = 3 vs ivf's 0.575 at the same nprobe.
+    * The k = 8 index is a second [[KnnIndex]] artifact over the same
+    * machinery (same pair stream, only the heap width differs).
+    */
+  private[graft] val GRAPH_DEGREE = 8
+
+  /** Beam search over a built index for the standard query subset —
+    * the seam [[graft.GraphTune]] drives at explicit dials.
+    */
+  private[graft] def graphSearch(
+      e: DataFrame,
+      idx: KnnIndex.Index,
+      beam: Int = GRAPH_BEAM,
+      hops: Int = GRAPH_HOPS,
+      topK: Int = GRAPH_TOP_K,
+      nprobe: Int = AnnOps.NPROBE): DataFrame =
+    graphSearchImpl(e, idx, beam, hops, topK, nprobe)._1
+
+  /** [[graphSearch]] plus the distinct (q_id, vec_id) pairs the walk
+    * actually SCORED — the scan-fraction numerator [[graft.GraphTune]]
+    * prices against ann_ivf's full probed-cell scan. The op path never
+    * materializes the second frame (laziness: unconsumed = unpaid).
+    */
+  private[graft] def graphSearchImpl(
+      e: DataFrame,
+      idx: KnnIndex.Index,
+      beam: Int,
+      hops: Int,
+      topK: Int,
+      nprobe: Int): (DataFrame, DataFrame) = {
+    val s = e.sparkSession
+    val queries = e.filter(col("vec_id") < AnnOps.QUERY_MAX)
+    val cent = AnnOps.centroidFrame(s, idx.micros)
+    val probe = Caches.persist(AnnOps.ivfPqProbe(queries, cent, nprobe))
+    val probed = probe.select(col("cell")).distinct()
+      .collect().map(_.getAs[Long]("cell")).toSeq
+    // the search's whole world: the probed cells' members and edges —
+    // partition-pruned reads of the artifact, never the corpus
+    val members = Caches.persist(idx.vectors
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"), col("embedding"), col("nm")))
+    val edges = Caches.persist(idx.edges
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"), col("nbr_id")))
+    val qF = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("nm").as("q_nm"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(members, "vec_id")
+        .join(broadcast(qF), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          cosineFromMicros(dotMicros(col("q_emb"), col("embedding")),
+            col("q_nm"), col("nm")).as("cos"))
+    def topBeam(scored: DataFrame): DataFrame =
+      scored.groupBy(col("q_id"))
+        .agg(topkMin(struct((-col("cos")).as("negc"), col("vec_id")), beam)
+          .as("ks"))
+        .select(col("q_id"), posexplode(col("ks")).as(Seq("p", "kv")))
+        .select(col("q_id"), col("kv.vec_id").as("vec_id"),
+          (-col("kv.negc")).as("cos"))
+    // hop 0: the probed cells' stored entry points
+    val cand0 = probe
+      .join(idx.seeds.select(col("cell"), col("vec_id")), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    var scanned = cand0
+    var cand = Caches.persist(topBeam(score(cand0)))
+    (1 to hops).foreach { _ =>
+      val nbrs = cand
+        .join(edges, "vec_id")
+        .filter(col("nbr_id") =!= col("q_id"))
+        .select(col("q_id"), col("nbr_id").as("vec_id"))
+        .distinct()
+      scanned = scanned.unionByName(nbrs)
+      val merged = cand.unionByName(score(nbrs))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(max(col("cos")).as("cos"))
+      cand = Caches.persist(topBeam(merged))
+    }
+    val result = cand.groupBy(col("q_id"))
+      .agg(topkMin(struct((-col("cos")).as("negc"), col("vec_id")), topK)
+        .as("ks"))
+      .select(col("q_id"), posexplode(col("ks")).as(Seq("p", "kv")))
+      .select(col("q_id"), (col("p") + 1).cast(LongType).as("rank"),
+        col("kv.vec_id").as("vec_id"), (-col("kv.negc")).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+    (result, scanned.distinct())
+  }
+
+  /** The unrolled oracle: trained cells, window-ranked assignment (≡
+    * the engine's argmax — the ann_ivf equivalence), the shared edge
+    * CTE chain, then hop CTEs. Geometry-parameterized (cells + sub)
+    * so [[graft.GeometryCheck]] regenerates it at the corpus-derived
+    * dials above gate scale.
+    */
+  private[graft] def sqlGraphSearch(
+      cells: Int,
+      sub: Option[AnnOps.LshGeometry],
+      beam: Int = GRAPH_BEAM,
+      hops: Int = GRAPH_HOPS,
+      topK: Int = GRAPH_TOP_K,
+      nprobe: Int = AnnOps.NPROBE,
+      seeds: Int = KnnIndex.SEEDS): String = {
+    val cos = AnnOps.sqlCos("q", "v")
+    val hopCtes = (1 to hops).map { i =>
+      s"""nb$i AS (SELECT DISTINCT h.q_id, k.nbr AS vec_id
+             FROM h${i - 1} h JOIN kedge k ON k.src = h.vec_id
+             WHERE k.nbr != h.q_id),
+      sc$i AS (SELECT n.q_id, n.vec_id, $cos AS cos
+             FROM nb$i n
+             JOIN e v ON v.vec_id = n.vec_id
+             JOIN e q ON q.vec_id = n.q_id),
+      mg$i AS (SELECT q_id, vec_id, max(cos) AS cos
+             FROM (SELECT q_id, vec_id, cos FROM h${i - 1}
+                   UNION ALL SELECT q_id, vec_id, cos FROM sc$i) u
+             GROUP BY q_id, vec_id),
+      h$i AS (SELECT q_id, vec_id, cos FROM (
+               SELECT q_id, vec_id, cos,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, vec_id) AS rn
+               FROM mg$i) t WHERE rn <= $beam)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH ${AnnOps.sqlNormCte},
+      ${AnnOps.sqlIvfTrainCtes(cells, AnnOps.IVF_ROUNDS)},
+      iscg AS MATERIALIZED (
+        SELECT q.vec_id, c.c_id,
+               CAST(sum(q.qv * c.cm) AS DOUBLE) /
+                 (sqrt(CAST(e.nm AS DOUBLE)) * sqrt(CAST(n.ncm AS DOUBLE)))
+                 AS ccos
+        FROM qr q
+        JOIN icm${AnnOps.IVF_ROUNDS} c USING (j)
+        JOIN e ON e.vec_id = q.vec_id
+        JOIN inmF n ON n.c_id = c.c_id
+        GROUP BY q.vec_id, c.c_id, e.nm, n.ncm),
+      irk AS MATERIALIZED (
+        SELECT vec_id, c_id, ccos,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, c_id) AS rn
+        FROM iscg),
+      m AS MATERIALIZED (
+        SELECT e.vec_id, e.embedding, e.nm, irk.c_id AS cell
+        FROM e JOIN irk ON irk.vec_id = e.vec_id AND irk.rn = 1),
+      ${EmbeddingOps.sqlKnnEdgeCtes(sub, GRAPH_DEGREE)},
+      gseeds AS (SELECT cell, vec_id FROM (
+               SELECT c_id AS cell, vec_id,
+                      row_number() OVER (PARTITION BY c_id
+                        ORDER BY ccos DESC, vec_id) AS srk
+               FROM irk WHERE rn = 1) s
+             WHERE srk <= $seeds),
+      gprobe AS (SELECT vec_id AS q_id, c_id AS cell FROM irk
+             WHERE rn <= $nprobe AND vec_id < ${AnnOps.QUERY_MAX}),
+      c0 AS (SELECT p.q_id, s.vec_id, $cos AS cos
+             FROM gprobe p
+             JOIN gseeds s USING (cell)
+             JOIN e v ON v.vec_id = s.vec_id
+             JOIN e q ON q.vec_id = p.q_id
+             WHERE s.vec_id != p.q_id),
+      h0 AS (SELECT q_id, vec_id, cos FROM (
+               SELECT q_id, vec_id, cos,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, vec_id) AS rn
+               FROM c0) t WHERE rn <= $beam),
+      $hopCtes
+      SELECT q_id, rank, vec_id, cos FROM (
+        SELECT q_id, vec_id, cos,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+        FROM h$hops) f
+      WHERE rank <= $topK
+      ORDER BY q_id, rank"""
+  }
+
+  val annGraph: Op = Op(
+    "ann_graph",
+    (s, d) => {
+      val n = Tables.embeddings(s, d).count()
+      val cells = AnnOps.ivfCellsFor(n)
+      AnnOps.logGeometryDivergence("ann_graph", s"$cells cells",
+        s"${AnnOps.CENTROIDS} cells")
+      val idx = KnnIndex.forCorpus(s, d, cells,
+        EmbeddingOps.knnSubGeometry(n, cells), k = GRAPH_DEGREE)
+      graphSearch(AnnOps.withNorm(s, d), idx)
+    },
+    Some(sqlGraphSearch(AnnOps.CENTROIDS, None)))
+
+  val all: Seq[Op] = Seq(annGraph)
+}

@@ -140,68 +140,15 @@ object IvfPqIndex {
   def load(spark: SparkSession, path: String): Index =
     loadImpl(spark, path, tolerateTornAppend = false)
 
-  private def hfs(spark: SparkSession, path: String)
-      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
+  private def stagedPath(path: String): String = IndexFs.stagedPath(path)
 
-  private def stagedPath(path: String): String = path + ".staged"
+  // staged-sibling swap + crash repair live in [[IndexFs]] (r17 —
+  // shared with KnnIndex)
+  private def swapInto(spark: SparkSession, path: String): Unit =
+    IndexFs.swapInto(spark, path)
 
-  private def markerComplete(spark: SparkSession, path: String): Boolean =
-    try spark.read.parquet(s"$path/complete").head().getAs[Boolean]("complete")
-    catch { case _: Exception => false }
-
-  /** Commit a fully-written sibling at `path`.staged over the live
-    * index: displace the live directory to `path`.old, rename the
-    * staged copy in, drop the displaced one. Directory renames are
-    * atomic per filesystem operation, so every crash window leaves a
-    * COMPLETE index recoverable by [[recoverSwap]] — unlike an
-    * overwrite-in-place, which destroys the only durable copy of the
-    * very frames it is still reading (the r13 advisory).
-    *
-    * ASSUMES atomic directory rename — true on HDFS and local POSIX
-    * filesystems, NOT on object stores (S3A rename is copy+delete, so
-    * a crash mid-"rename" can leave neither a complete live nor staged
-    * copy). Deployments on an object store should front the index with
-    * an HDFS-semantics layer (e.g. a rename-atomic committer volume) or
-    * swap via the store's native atomic pointer instead.
-    */
-  private def swapInto(spark: SparkSession, path: String): Unit = {
-    val (fs, p) = hfs(spark, path)
-    val st = new org.apache.hadoop.fs.Path(stagedPath(path))
-    val old = new org.apache.hadoop.fs.Path(path + ".old")
-    fs.delete(old, true)
-    if (fs.exists(p) && !fs.rename(p, old))
-      throw new IllegalStateException(s"could not displace live index $path")
-    if (!fs.rename(st, p))
-      throw new IllegalStateException(
-        s"could not promote staged index ${stagedPath(path)}")
-    fs.delete(old, true)
-    ()
-  }
-
-  /** Repair an interrupted [[swapInto]] — called by every load. If the
-    * live name is missing, promote the complete staged copy (crash
-    * between the two renames) or restore the displaced previous index
-    * (crash after displacing with a torn staged copy — cannot happen in
-    * swapInto's order, but cheap to cover). With the live name present,
-    * leftover `.staged`/`.old` siblings are an uncommitted mutation or
-    * an already-promoted swap's debris — delete them, which rolls the
-    * uncommitted retire/compact back to the intact previous index.
-    */
-  private def recoverSwap(spark: SparkSession, path: String): Unit = {
-    val (fs, p) = hfs(spark, path)
-    val st = new org.apache.hadoop.fs.Path(stagedPath(path))
-    val old = new org.apache.hadoop.fs.Path(path + ".old")
-    if (!fs.exists(p)) {
-      if (fs.exists(st) && markerComplete(spark, stagedPath(path)))
-        fs.rename(st, p)
-      else if (fs.exists(old)) fs.rename(old, p)
-    }
-    if (fs.exists(p)) { fs.delete(st, true); fs.delete(old, true) }
-    ()
-  }
+  private def recoverSwap(spark: SparkSession, path: String): Unit =
+    IndexFs.recoverSwap(spark, path)
 
   private def loadImpl(
       spark: SparkSession, path: String,

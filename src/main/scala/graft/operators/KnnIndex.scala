@@ -1,0 +1,302 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{Caches, Checkpoints, Tables}
+import graft.functions.Portable._
+
+/** Persistent k-NN GRAPH artifact (r17, the r16 verdict's ask #4): E14
+  * (`emb_knn_graph`) is an ARTIFACT consumers reuse — SemDeDup
+  * clustering, dataset cartography, kNN-LM datastores, and the
+  * graph-ANN probe (`ann_graph`) all read the same edge frame — yet
+  * until r17 every warm invocation re-paid the full build (60 s at 2M
+  * vectors, BASELINE.md s4). This gives the graph the E13 persisted-
+  * index treatment: edges and the member store persist DIRECTORY-
+  * PARTITIONED BY COARSE CELL (the graph is cell-blocked, so a cell is
+  * the complete, closed unit of recomputation), the coarse quantizer
+  * that makes cell ids meaningful is pinned inside the index, and
+  * per-cell SEED members (nearest the centroid — beam-search entry
+  * points) are precomputed at build so a graph probe never scans a
+  * cell to find its way in.
+  *
+  * Mutations follow the family contract:
+  *  - [[append]] assigns the batch under the PINNED quantizer and
+  *    re-knns ONLY the affected cells (edges never cross cells, so the
+  *    rewrite is exactly the closure of the change); dynamic partition
+  *    overwrite touches only those cell directories, the whole append
+  *    is marker-bracketed, and a torn append repairs by replaying the
+  *    batch (members recompute from current state — idempotent).
+  *  - [[retire]] drops members and every edge TOUCHING a retired id
+  *    (the stored graph keeps k edges, so the (k+1)-th neighbor a true
+  *    re-knn would promote is not reconstructible — stated contract,
+  *    same as DedupIndex retire); on disk it rewrites to a staged
+  *    sibling committed by atomic rename ([[IndexFs]]).
+  * A crash mid-save refuses to load instead of probing a half-written
+  * graph (KnnIndexSpec pins all three).
+  *
+  * Scale shape: the build is E14's (one bucket shuffle, occupancy-
+  * bounded in-task pairs, bounded-heap top-k); a warm consumer reads
+  * model-sized meta + the edge parquet (at sf100: a ~6M-row columnar
+  * read vs the 60 s rebuild — records/); an append prices as the
+  * affected cells' occupancy, not the corpus.
+  */
+object KnnIndex {
+
+  /** Beam-search entry points stored per cell. */
+  private[operators] val SEEDS = 4
+
+  /** One logical index: ranked edges (vec_id, rank, nbr_id, cos,
+    * cell), the member store, per-cell seed ranks, and the pinned
+    * coarse quantizer + dials that make them meaningful.
+    */
+  final case class Index(
+      edges: DataFrame,
+      vectors: DataFrame,
+      seeds: DataFrame,
+      micros: Array[Array[Long]],
+      cells: Int,
+      rounds: Int,
+      k: Int,
+      sub: Option[AnnOps.LshGeometry])
+
+  /** The E14 edge contract (vec_id, rank, nbr_id, cos), ordered. */
+  def neighbors(index: Index): DataFrame =
+    index.edges
+      .select(col("vec_id"), col("rank"), col("nbr_id"), col("cos"))
+      .orderBy(col("vec_id"), col("rank"))
+
+  /** Assemble an index over a normed corpus frame under an ALREADY
+    * TRAINED quantizer — the seam [[append]] (pinned micros) and the
+    * frozen-quantizer spec drive; [[build]] trains then delegates.
+    * Edge semantics are EXACTLY E14's ([[AnnOps.cellBucketedPairs]]
+    * candidates + [[EmbeddingOps.knnEdges]] ranking).
+    */
+  private[graft] def buildFrom(
+      e: DataFrame,
+      micros: Array[Array[Long]],
+      cells: Int,
+      rounds: Int,
+      sub: Option[AnnOps.LshGeometry],
+      k: Int = EmbeddingOps.KNN_K): Index = {
+    val s = e.sparkSession
+    val cent = AnnOps.centroidFrame(s, micros)
+    val assign = Caches.persist(AnnOps.assignCells(e, cent))
+    val vectors = Caches.persist(assign.join(e, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("nm"), col("cell")))
+    val pairs = AnnOps.bucketedPairsFromAssigned(vectors, sub)
+    val edges = EmbeddingOps.knnEdges(pairs, k)
+      .join(assign, "vec_id")
+    Index(edges, vectors, seedRanks(vectors, cent), micros, cells,
+      rounds, k, sub)
+  }
+
+  /** Per-cell seed ranks: the [[SEEDS]] members nearest their OWN
+    * centroid (exact-micros cosine desc, vec_id on ties) — bounded-heap
+    * per cell, so the pass is one map-side dot product per member plus
+    * a cells-sized aggregate.
+    */
+  private def seedRanks(vectors: DataFrame, cent: DataFrame): DataFrame =
+    vectors.join(broadcast(cent), col("cell") === col("c_id"))
+      .select(col("cell"), col("vec_id"),
+        cosineFromMicros(dotMicros(col("embedding"), col("c_emb")),
+          col("nm"), col("c_nm")).as("ccos"))
+      .groupBy(col("cell"))
+      .agg(topkMin(struct((-col("ccos")).as("negc"), col("vec_id")), SEEDS)
+        .as("ks"))
+      .select(col("cell"), posexplode(col("ks")).as(Seq("p", "kv")))
+      .select(col("cell"), (col("p") + 1).cast(LongType).as("s_rank"),
+        col("kv.vec_id").as("vec_id"))
+
+  /** Train + index an initial corpus of (vec_id, embedding). */
+  def build(
+      embeddings: DataFrame,
+      cells: Int = AnnOps.CENTROIDS,
+      rounds: Int = AnnOps.IVF_ROUNDS,
+      sub: Option[AnnOps.LshGeometry] = None,
+      k: Int = EmbeddingOps.KNN_K): Index = {
+    val e = Caches.persist(AnnOps.withNormDf(embeddings))
+    buildFrom(e, CentroidIndex.trainMicros(e, cells, rounds), cells,
+      rounds, sub, k)
+  }
+
+  private def writeMarker(
+      spark: SparkSession, path: String, complete: Boolean,
+      op: String): Unit =
+    spark.range(1)
+      .select(lit(complete).as("complete"), lit(op).as("op"))
+      .write.mode("overwrite").parquet(s"$path/complete")
+
+  /** Persist: marker bracket around meta (pinned quantizer + dials),
+    * the cell-partitioned member and edge frames, and the seed table.
+    */
+  def save(index: Index, path: String): Unit = {
+    val spark = index.edges.sparkSession
+    writeMarker(spark, path, complete = false, op = "save")
+    spark.range(1).select(
+      lit(index.cells).as("cells"), lit(index.rounds).as("rounds"),
+      lit(index.k).as("k"), lit(SEEDS).as("seeds_per_cell"),
+      lit(index.sub.map(_.tables).getOrElse(0)).as("sub_tables"),
+      lit(index.sub.map(_.planes).getOrElse(0)).as("sub_planes"),
+      lit(index.micros.headOption.map(_.length).getOrElse(0)).as("dim"),
+      typedLit(index.micros.map(_.toSeq).toSeq).as("micros"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+    index.vectors.withColumn("cell", col("cell").cast("int"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    index.edges.withColumn("cell", col("cell").cast("int"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/edges")
+    index.seeds.write.mode("overwrite").parquet(s"$path/seeds")
+    writeMarker(spark, path, complete = true, op = "save")
+  }
+
+  def load(spark: SparkSession, path: String): Index =
+    loadImpl(spark, path, tolerateTornAppend = false)
+
+  private def loadImpl(
+      spark: SparkSession, path: String,
+      tolerateTornAppend: Boolean): Index = {
+    IndexFs.recoverSwap(spark, path)
+    val m = try spark.read.parquet(s"$path/complete").head()
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"no KnnIndex at $path (missing completion marker)")
+    }
+    val op = m.getAs[String]("op")
+    if (!m.getAs[Boolean]("complete") &&
+        !(tolerateTornAppend && op == "append"))
+      throw new IllegalStateException(
+        s"KnnIndex at $path is a partial $op — " +
+          (if (op == "append")
+             "replay the interrupted append batch to repair it"
+           else "rebuild or re-save it"))
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val dim = meta.getAs[Int]("dim")
+    if (dim != AnnOps.FULL_DIM)
+      throw new IllegalStateException(
+        s"KnnIndex at $path holds $dim-dim centroids; " +
+          s"this engine embeds at ${AnnOps.FULL_DIM}")
+    val micros = meta
+      .getAs[scala.collection.Seq[scala.collection.Seq[Long]]]("micros")
+      .map(_.toArray).toArray
+    val cells = meta.getAs[Int]("cells")
+    require(micros.length == cells,
+      s"centroid rows ${micros.length} != $cells")
+    val st = meta.getAs[Int]("sub_tables")
+    Index(
+      spark.read.parquet(s"$path/edges")
+        .withColumn("cell", col("cell").cast(LongType)),
+      spark.read.parquet(s"$path/vectors")
+        .withColumn("cell", col("cell").cast(LongType)),
+      spark.read.parquet(s"$path/seeds"),
+      micros, cells, meta.getAs[Int]("rounds"), meta.getAs[Int]("k"),
+      if (st == 0) None
+      else Some(AnnOps.LshGeometry(st, meta.getAs[Int]("sub_planes"))))
+  }
+
+  /** Append a batch under the PINNED quantizer: re-knn ONLY the cells
+    * the batch lands in. Members of those cells recompute from current
+    * state (anti-join folds a replayed batch in as a no-op), edges and
+    * seeds of untouched cells are never read or written — dynamic
+    * partition overwrite rewrites exactly the affected directories.
+    */
+  def append(path: String, newVecs: DataFrame): Unit = {
+    val spark = newVecs.sparkSession
+    val idx = loadImpl(spark, path, tolerateTornAppend = true)
+    val cent = AnnOps.centroidFrame(spark, idx.micros)
+    val newE = AnnOps.withNormDf(newVecs)
+    val newAssigned = Checkpoints.checkpoint(
+      AnnOps.assignCells(newE, cent).join(newE, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("nm"), col("cell")))
+    val affected = newAssigned.select(col("cell")).distinct()
+      .collect().map(_.getAs[Long]("cell")).toSeq
+    // current members of the affected cells (partition-pruned read),
+    // batch ids anti-joined out so replay converges, batch unioned in —
+    // checkpointed because the write below overwrites what it reads
+    val members = Checkpoints.checkpoint(
+      idx.vectors.filter(col("cell").isin(affected: _*))
+        .join(broadcast(newAssigned.select(col("vec_id")).distinct()),
+          Seq("vec_id"), "left_anti")
+        .unionByName(newAssigned))
+    val edges2 = EmbeddingOps
+      .knnEdges(AnnOps.bucketedPairsFromAssigned(members, idx.sub), idx.k)
+      .join(members.select(col("vec_id"), col("cell")), "vec_id")
+    val seedsAll = Checkpoints.checkpoint(
+      idx.seeds.filter(!col("cell").isin(affected: _*))
+        .unionByName(seedRanks(members, cent)))
+    writeMarker(spark, path, complete = false, op = "append")
+    val dyn = Map("partitionOverwriteMode" -> "dynamic")
+    members.withColumn("cell", col("cell").cast("int"))
+      .write.mode("overwrite").options(dyn).partitionBy("cell")
+      .parquet(s"$path/vectors")
+    edges2.withColumn("cell", col("cell").cast("int"))
+      .write.mode("overwrite").options(dyn).partitionBy("cell")
+      .parquet(s"$path/edges")
+    seedsAll.write.mode("overwrite").parquet(s"$path/seeds")
+    writeMarker(spark, path, complete = true, op = "append")
+  }
+
+  /** Drop retired ids in-session: members, seeds, and every edge
+    * touching a retired id (either endpoint). The quantizer is model,
+    * not corpus: it stays.
+    */
+  def retire(index: Index, ids: DataFrame): Index = {
+    val r = ids.select(col("vec_id")).distinct()
+    index.copy(
+      edges = index.edges
+        .join(broadcast(r), Seq("vec_id"), "left_anti")
+        .join(broadcast(r.withColumnRenamed("vec_id", "nbr_id")),
+          Seq("nbr_id"), "left_anti"),
+      vectors = index.vectors.join(broadcast(r), Seq("vec_id"), "left_anti"),
+      seeds = index.seeds.join(broadcast(r), Seq("vec_id"), "left_anti"))
+  }
+
+  /** Retire ids on a saved path: staged sibling + atomic rename — a
+    * crash leaves a complete index (previous or rewritten) on disk.
+    */
+  def retire(path: String, ids: DataFrame): Unit = {
+    val spark = ids.sparkSession
+    save(retire(load(spark, path), ids), IndexFs.stagedPath(path))
+    IndexFs.swapInto(spark, path)
+  }
+
+  // ---- board consumption (build-once per corpus) ----
+
+  private val memo = new ConcurrentHashMap[String, String]()
+
+  /** The corpus' saved index at a geometry, built and persisted AT MOST
+    * ONCE per (corpus fingerprint, geometry) per session; every later
+    * call — emb_knn_graph re-runs, ann_graph probes — is a LOADED
+    * parquet read, zero training and zero pair enumeration (the r16
+    * verdict's warm-rebuild gap closed). The quantizer comes from the
+    * [[CentroidIndex]] memo, so the coarse training is also shared
+    * with the IVF family's consumers.
+    */
+  def forCorpus(
+      s: SparkSession,
+      d: String,
+      cells: Int,
+      sub: Option[AnnOps.LshGeometry],
+      rounds: Int = AnnOps.IVF_ROUNDS,
+      k: Int = EmbeddingOps.KNN_K): Index = {
+    val subKey = sub.map(g => s"${g.tables}x${g.planes}").getOrElse("none")
+    val key = s"${CorpusKey.key(d, "embeddings.parquet")}#c$cells" +
+      s"#r$rounds#k$k#s$subKey#p$SEEDS"
+    val path = memo.computeIfAbsent(key, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_knn_idx").toString + "/knn"
+      val e = Caches.persist(AnnOps.withNormDf(Tables.embeddings(s, d)))
+      save(buildFrom(e,
+        CentroidIndex.microsForCorpus(s, d, cells, rounds),
+        cells, rounds, sub, k), p)
+      p
+    })
+    load(s, path)
+  }
+
+  /** Drop memoized index paths (tests). */
+  def clearMemo(): Unit = memo.clear()
+}
