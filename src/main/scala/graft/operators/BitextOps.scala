@@ -63,6 +63,14 @@ object BitextOps {
   /** Margin histogram bin width in cosine micros (~0.001 cosine). */
   private val MINE_BIN = 1000L
 
+  /** Loudest acceptable (cell, tbl, bucket) membership before the
+    * in-row cross product is refused (r17 advisory): 2^16 members ×
+    * ~260 B/vector ≈ 17 MB in one aggregate row — already far past
+    * what a sane occupancy dial produces (targets ~16), so tripping
+    * this means the geometry degenerated, not that data grew.
+    */
+  private val CROSS_BUCKET_CAP = 1 << 16
+
   /** Cross-side candidate pairs at a geometry — the
     * [[AnnOps.cellBucketedPairs]] bucket discipline with the pair
     * enumeration split BY SIDE: each (cell, tbl, bucket) group
@@ -95,15 +103,36 @@ object BitextOps {
             col("embedding"), col("nm"))
     }
     // collect_list skips the nulls the unmatched side's `when` leaves,
-    // so each group holds exactly its two sides, sorted for determinism
+    // so each group holds exactly its two sides, sorted for determinism.
+    // Side split by pmod (r17 advisory): plain % returns NEGATIVE
+    // remainders for negative ids in both engines, silently emptying
+    // one side — pmod here and ((x % 2 + 2) % 2) in the oracle agree
+    // on any id sign.
     bucketed
       .groupBy(col("cell"), col("tbl"), col("bucket"))
       .agg(
-        sort_array(collect_list(when(col("vec_id") % 2 === 0,
+        sort_array(collect_list(when(pmod(col("vec_id"), lit(2)) === 0,
           struct(col("vec_id"), col("embedding"), col("nm"))))).as("xs"),
-        sort_array(collect_list(when(col("vec_id") % 2 =!= 0,
+        sort_array(collect_list(when(pmod(col("vec_id"), lit(2)) === 1,
           struct(col("vec_id"), col("embedding"), col("nm"))))).as("ys"))
       .filter(size(col("xs")) >= 1 && size(col("ys")) >= 1)
+      // loud skew guard (r17 advisory): the A×B cross product
+      // materializes a bucket's whole membership in one row — bounded
+      // by the occupancy dial in a sane geometry, so a bucket past the
+      // cap means a degenerate centroid/sub-LSH layout and should fail
+      // with a name, not OOM an executor
+      .withColumn("xs",
+        when(size(col("xs")) + size(col("ys")) > CROSS_BUCKET_CAP,
+          raise_error(concat(
+            lit("emb_bitext_mine: bucket occupancy "),
+            (size(col("xs")) + size(col("ys"))).cast("string"),
+            lit(s" exceeds $CROSS_BUCKET_CAP in (cell, tbl, bucket) = ("),
+            col("cell").cast("string"), lit(", "),
+            col("tbl").cast("string"), lit(", "),
+            col("bucket").cast("string"),
+            lit(") — re-dial the sub-LSH geometry before the cross " +
+              "product materializes it in one row"))))
+          .otherwise(col("xs")))
       .select(explode(flatten(transform(col("xs"), x =>
         transform(col("ys"), y => struct(x.as("x"), y.as("y")))))).as("p"))
       .select(col("p.x.vec_id").as("a"), col("p.y.vec_id").as("b"),
@@ -186,7 +215,8 @@ object BitextOps {
         """prid AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j
              FROM m a JOIN m b
                ON a.cell = b.cell
-                 AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1)"""
+                 AND ((a.vec_id % 2 + 2) % 2) = 0
+                 AND ((b.vec_id % 2 + 2) % 2) = 1)"""
       case Some(g) =>
         val pwRows = (for { t <- 0 until g.tables; k <- 0 until g.planes }
           yield s"($t, $k, ${AnnOps.planeWeights(t * g.planes + k)
@@ -206,7 +236,8 @@ object BitextOps {
       prid AS MATERIALIZED (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
              FROM mb a JOIN mb b
                ON a.cell = b.cell AND a.tbl = b.tbl AND a.bucket = b.bucket
-                 AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1)"""
+                 AND ((a.vec_id % 2 + 2) % 2) = 0
+                 AND ((b.vec_id % 2 + 2) % 2) = 1)"""
     }
     s"""
       WITH ${AnnOps.sqlNormCte},

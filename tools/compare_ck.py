@@ -10,9 +10,11 @@ CTE order, same sorted-columns + row-count + two-sided EXCEPT ALL
 verdict.
 
 Usage: python3 tools/compare_ck.py <sfdir> <verify_out_dir> <key> <ckdir>
-CAUTION: ckdir is keyed by CTE NAME only — clear it when the oracle
-text of an already-checkpointed CTE changes."""
-import json, sys, glob, os, time
+Checkpoint files are keyed by name PLUS a cumulative md5 of the CTE's
+own body and every upstream body (r17 advisory): editing any CTE
+invalidates it and everything downstream automatically — a resumed run
+can never silently reuse stale parquet for changed oracle text."""
+import hashlib, json, sys, glob, os, time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from compare_staged import split_ctes
 import duckdb
@@ -31,8 +33,10 @@ for t in ["region","nation","customer","supplier","part","orders",
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 sql = json.load(open(f"{outdir}/oracle_sql.json"))[key]
 ctes, final = split_ctes(sql)
+chain = hashlib.md5()
 for name, decl, body in ctes:
-    pq = f"{ck}/{name}.parquet"
+    chain.update(f"{name}|{decl}|{body}".encode())
+    pq = f"{ck}/{name}.{chain.hexdigest()[:8]}.parquet"
     t0 = time.time()
     if os.path.exists(pq):
         con.execute(f"CREATE OR REPLACE TEMP VIEW {name} AS "
