@@ -152,7 +152,27 @@ object UnigramLm {
   private[graft] val trainRuns =
     new java.util.concurrent.atomic.AtomicLong(0)
 
-  def trainFromCounts(wcap: Seq[(String, Long)]): Model = {
+  def trainFromCounts(wcap: Seq[(String, Long)]): Model =
+    trainFromCountsAt(wcap, CandCap, Rounds)
+
+  /** The EM at EXPLICIT dials — the scale seam (r17, the r16 verdict's
+    * ask #6, the C15 trainer-scaling precedent): the gate path
+    * ([[trainFromCounts]]) IS this function at the board dials, so
+    * scaled runs and the oracle-pinned path cannot diverge
+    * (UnigramLmSpec pins byte parity). Unlike the BPE trainer there is
+    * no incremental argmax to maintain — every EM round reprices EVERY
+    * candidate (tot changes ⇒ all costs change) and re-segments every
+    * word — so the scale discipline is bounding the work per round
+    * (|words| · MaxWordLen · MaxPiece map probes + |candidates| cost
+    * derivations, both driver-local) and MEASURING the ladder
+    * ([[graft.BenchUnigram]] → records/): a 32k-piece vocabulary over
+    * a 256k-word head prices in driver minutes at any corpus size,
+    * because the corpus only ever pays the one word-count shuffle.
+    */
+  def trainFromCountsAt(
+      wcap: Seq[(String, Long)],
+      candCap: Int,
+      rounds: Int): Model = {
     trainRuns.incrementAndGet()
     // candidate generation (occurrence-weighted substring counts)
     val multi = new java.util.HashMap[String, Long]()
@@ -176,14 +196,16 @@ object UnigramLm {
         val r1 = u1 * (cpLen(p1) - 1); val r2 = u2 * (cpLen(p2) - 1)
         if (r1 != r2) r1 > r2 else utf8Less(p1, p2)
       }
-      .take(CandCap)
+      .take(candCap)
     val pieces0: Vector[(String, Long)] =
       single.asScala.toVector ++ multiCapped
     val v = pieces0.size.toLong
-    // EM rounds
+    // EM rounds: usage/cost live in hash maps sized by the candidate
+    // cap — at 64k candidates each repricing pass is milliseconds; the
+    // E-step dominates and is linear in Σ word DPs
     var usage: Map[String, Long] = pieces0.toMap
     val pieceSet = pieces0.map(_._1)
-    for (_ <- 0 until Rounds) {
+    for (_ <- 0 until rounds) {
       val tot = usage.valuesIterator.sum
       val cost = usage.map { case (p, u) => p -> costOf(u, tot, v) }
       val nextU = new java.util.HashMap[String, Long]()
@@ -219,10 +241,18 @@ object UnigramLm {
     * points, matching DuckDB), order by (count desc, word UTF-8), cap.
     */
   def cappedWordCounts(docs: DataFrame): Seq[(String, Long)] =
+    cappedWordCountsAt(docs, WordsCap)
+
+  /** The word head at an explicit cap — the scale seam's distributed
+    * half (one count shuffle + a bounded TakeOrdered, whatever the
+    * cap).
+    */
+  def cappedWordCountsAt(
+      docs: DataFrame, wordsCap: Int): Seq[(String, Long)] =
     TokenizerIndex.wordCountsOf(docs)
       .filter(length(col("w")) <= MaxWordLen)
       .orderBy(col("c").desc, col("w"))
-      .limit(WordsCap)
+      .limit(wordsCap)
       .collect().toIndexedSeq
       .map(r => r.getAs[String]("w") -> r.getAs[Long]("c"))
 

@@ -155,4 +155,38 @@ class UnigramLmSpec extends SparkSpec {
     }.getMessage.contains("max piece length"))
     Caches.releaseScope()
   }
+
+  test("scaled dials: the gate path IS trainFromCountsAt at the board " +
+      "dials; raised caps keep the closure and widen the vocabulary") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val wcapBoard = UnigramLm.cappedWordCounts(docs)
+    val wcapWide = UnigramLm.cappedWordCountsAt(docs, 1 << 20)
+    // parity: the board model and the explicit-dial call are one path
+    val a = UnigramLm.trainFromCounts(wcapBoard)
+    val b = UnigramLm.trainFromCountsAt(wcapBoard, UnigramLm.CandCap,
+      UnigramLm.Rounds)
+    assert(a.pieces == b.pieces && a.tot == b.tot && a.v == b.v &&
+      a.vocab == b.vocab, "explicit dials must reproduce the gate path")
+    // raised caps: full head, 4x candidates - still every single code
+    // point present (the no-OOV closure) and every word segments under
+    // the trained costs
+    val wide = UnigramLm.trainFromCountsAt(wcapWide, 2048, 2)
+    val singles = wcapWide.flatMap(_._1.codePoints().toArray.toSeq)
+      .map(cp => new String(Character.toChars(cp))).toSet
+    val pieceSet = wide.pieces.map(_._1).toSet
+    assert(singles.subsetOf(pieceSet), "single-cp closure lost at scale")
+    // the gate corpus SATURATES below the board cap (every distinct
+    // substring is already a candidate), so the dial proves itself in
+    // the binding direction: a tightened cap must narrow the vocabulary
+    // while the closure keeps every word segmentable
+    val narrow = UnigramLm.trainFromCountsAt(wcapWide, 64, 2)
+    assert(narrow.pieces.size < wide.pieces.size,
+      s"candidate cap must bind (${narrow.pieces.size} vs " +
+        s"${wide.pieces.size})")
+    assert(wide.pieces.size >= a.pieces.size)
+    assert(wide.vocab.forall(_._2.nonEmpty) &&
+      narrow.vocab.forall(_._2.nonEmpty),
+      "every capped word must still segment")
+    Caches.releaseScope()
+  }
 }
