@@ -187,7 +187,7 @@ object GraphAnnOps {
       gseeds AS (SELECT cell, vec_id FROM (
                SELECT c_id AS cell, vec_id,
                       row_number() OVER (PARTITION BY c_id
-                        ORDER BY ccos DESC, vec_id) AS srk
+                        ORDER BY vec_id) AS srk
                FROM irk WHERE rn = 1) s
              WHERE srk <= $seeds),
       gprobe AS (SELECT vec_id AS q_id, c_id AS cell FROM irk

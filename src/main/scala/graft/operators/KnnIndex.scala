@@ -19,9 +19,9 @@ import graft.functions.Portable._
   * PARTITIONED BY COARSE CELL (the graph is cell-blocked, so a cell is
   * the complete, closed unit of recomputation), the coarse quantizer
   * that makes cell ids meaningful is pinned inside the index, and
-  * per-cell SEED members (nearest the centroid — beam-search entry
-  * points) are precomputed at build so a graph probe never scans a
-  * cell to find its way in.
+  * per-cell SEED members (coverage-ranked beam-search entry points —
+  * see [[seedRanks]]) are precomputed at build so a graph probe never
+  * scans a cell to find its way in.
   *
   * Mutations follow the family contract:
   *  - [[append]] assigns the batch under the PINNED quantizer and
@@ -90,23 +90,24 @@ object KnnIndex {
     val pairs = AnnOps.bucketedPairsFromAssigned(vectors, sub)
     val edges = EmbeddingOps.knnEdges(pairs, k)
       .join(assign, "vec_id")
-    Index(edges, vectors, seedRanks(vectors, cent), micros, cells,
+    Index(edges, vectors, seedRanks(vectors), micros, cells,
       rounds, k, sub)
   }
 
-  /** Per-cell seed ranks: the [[SEEDS]] members nearest their OWN
-    * centroid (exact-micros cosine desc, vec_id on ties) — bounded-heap
-    * per cell, so the pass is one map-side dot product per member plus
-    * a cells-sized aggregate.
+  /** Per-cell seed ranks: the [[SEEDS]] lowest-id members of each cell
+    * — entry points chosen for COVERAGE, not proximity (the HNSW
+    * upper-layer argument: a cell can hold several tight clusters, and
+    * the degree-k edges connect cluster-mates almost exclusively, so
+    * centroid-NEAREST seeds all land in one cluster and the walk
+    * strands there — measured on the 112-cluster corpus: recall@5
+    * 0.225 under proximity seeds; id-order seeds sample the cell's
+    * ingest mix instead). Bounded-heap per cell; deterministic and
+    * oracle-replayable with no scoring pass at all.
     */
-  private def seedRanks(vectors: DataFrame, cent: DataFrame): DataFrame =
-    vectors.join(broadcast(cent), col("cell") === col("c_id"))
-      .select(col("cell"), col("vec_id"),
-        cosineFromMicros(dotMicros(col("embedding"), col("c_emb")),
-          col("nm"), col("c_nm")).as("ccos"))
+  private def seedRanks(vectors: DataFrame): DataFrame =
+    vectors
       .groupBy(col("cell"))
-      .agg(topkMin(struct((-col("ccos")).as("negc"), col("vec_id")), SEEDS)
-        .as("ks"))
+      .agg(topkMin(struct(col("vec_id")), SEEDS).as("ks"))
       .select(col("cell"), posexplode(col("ks")).as(Seq("p", "kv")))
       .select(col("cell"), (col("p") + 1).cast(LongType).as("s_rank"),
         col("kv.vec_id").as("vec_id"))
@@ -226,7 +227,7 @@ object KnnIndex {
       .join(members.select(col("vec_id"), col("cell")), "vec_id")
     val seedsAll = Checkpoints.checkpoint(
       idx.seeds.filter(!col("cell").isin(affected: _*))
-        .unionByName(seedRanks(members, cent)))
+        .unionByName(seedRanks(members)))
     writeMarker(spark, path, complete = false, op = "append")
     val dyn = Map("partitionOverwriteMode" -> "dynamic")
     members.withColumn("cell", col("cell").cast("int"))

@@ -26,6 +26,9 @@ con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '40GB')}'")
 con.execute(f"SET threads={os.environ.get('DUCK_THREADS', '8')}")
 os.makedirs('/tmp/duck_tmp', exist_ok=True)
 con.execute("SET temp_directory='/tmp/duck_tmp'")
+# large hash aggregates: dropping insertion-order preservation lets the
+# pipeline stream/spill instead of buffering whole result sets
+con.execute("SET preserve_insertion_order=false")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     p = f"{sfdir}/{t}.parquet"
