@@ -34,10 +34,39 @@ object BenchUnigram {
       val t1 = System.nanoTime()
       val m = UnigramLm.trainFromCountsAt(wcap, cc, r)
       val tEm = (System.nanoTime() - t1) / 1e9
-      println(f"[unigram] words=${wcap.size}%-7d cand_cap=$cc%-6d " +
+      println(f"[unigram] corpus words=${wcap.size}%-7d cand_cap=$cc%-6d " +
         f"rounds=$r pieces=${m.pieces.size}%-6d tot=${m.tot} " +
         f"wordcount=$tWords%.1f s em=$tEm%.1f s")
     }
+    // vocab-scale run over the deterministic synthetic Zipf vocabulary
+    // (the BenchTokenizer shape — the synthetic corpora have only a few
+    // thousand distinct words, so the corpus ladder saturates early;
+    // web-scale corpora present ~1M distinct words and THIS run prices
+    // that regime)
+    val rnd = new scala.util.Random(42)
+    val letters = "etaoinshrdlucmfwypvbgkjqxz"
+    def word(): String = {
+      val n = 3 + rnd.nextInt(9)
+      val sb = new StringBuilder
+      (0 until n).foreach { _ =>
+        sb += letters(math.min((math.abs(rnd.nextGaussian()) * 6).toInt, 25))
+      }
+      sb.toString
+    }
+    val synthAll = (0 until 1000000).map { i =>
+      (word() + java.lang.Integer.toString(i, 26).map(c =>
+        ('a' + Character.digit(c, 26)).toChar),
+        math.max(1L, 10000000L / (i + 1)))
+    }.filter(w => w._1.length <= UnigramLm.MaxWordLen)
+    Seq((65536, 8192, 2), (262144, 32768, 2), (synthAll.size, 32768, 2))
+      .foreach { case (wc, cc, r) =>
+        val head = synthAll.sortBy { case (w, c) => (-c, w) }.take(wc)
+        val t = System.nanoTime()
+        val m = UnigramLm.trainFromCountsAt(head, cc, r)
+        val tEm = (System.nanoTime() - t) / 1e9
+        println(f"[unigram] synth  words=${head.size}%-7d cand_cap=$cc%-6d " +
+          f"rounds=$r pieces=${m.pieces.size}%-6d em=$tEm%.1f s")
+      }
     spark.stop()
   }
 }
