@@ -79,18 +79,41 @@ object GopherRep {
   private def segs(text: Column, sep: String): Column =
     filter(split(text, sep), x => x =!= "")
 
+  /** Per-position duplicate flags over a SORTED copy of the segments:
+    * position i is duplicated iff it equals a neighbor — O(L log L)
+    * per row vs the r17 nested rescans' O(L²) (r18 advisory: a
+    * ~100k-line log document cost ~10¹⁰ comparisons in one task).
+    * Duplicate-occurrence semantics are unchanged — a value with
+    * multiplicity m ≥ 2 contributes all m occurrences, sorting only
+    * re-orders them, and both consuming metrics are order-insensitive
+    * sums. Index guards clamp instead of touching index 0 / size+1
+    * (element_at errors at 0); the clamped compare is masked by the
+    * boundary conjunct, and an EMPTY segment array falls through to
+    * all-false flags (sequence(1,0) descends — both its probes fail
+    * their bound guards).
+    */
+  private def dupFlags(s: Column): Column =
+    transform(sequence(lit(1), size(s)), i =>
+      (i > lit(1) &&
+        element_at(s, greatest(i - lit(1), lit(1))) === element_at(s, i)) ||
+      (i < size(s) &&
+        element_at(s, least(i + lit(1), size(s))) === element_at(s, i)))
+
   /** Fraction of segments whose value occurs more than once. */
   private def dupFrac(a: Column): Column =
-    size(filter(a, x => size(filter(a, y => y === x)) > 1)).cast("double") /
+    aggregate(dupFlags(sort_array(a)), lit(0L), (acc, f) =>
+      acc + when(f, lit(1L)).otherwise(lit(0L))).cast("double") /
       greatest(size(a), lit(1)).cast("double")
 
   /** Fraction of segment CHARACTERS in segments occurring > once. */
-  private def dupCharFrac(a: Column): Column =
-    aggregate(a, lit(0L), (acc, x) =>
-      acc + when(size(filter(a, y => y === x)) > 1,
-        length(x).cast(LongType)).otherwise(lit(0L))).cast("double") /
+  private def dupCharFrac(a: Column): Column = {
+    val s = sort_array(a)
+    aggregate(zip_with(dupFlags(s), s, (f, x) =>
+      when(f, length(x).cast(LongType)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v).cast("double") /
       greatest(aggregate(a, lit(0L),
         (acc, x) => acc + length(x).cast(LongType)), lit(1L)).cast("double")
+  }
 
   val qualityGopherRep: Op = Op(
     "quality_gopher_rep",

@@ -61,7 +61,8 @@ object KnnIndex {
       cells: Int,
       rounds: Int,
       k: Int,
-      sub: Option[AnnOps.LshGeometry])
+      sub: Option[AnnOps.LshGeometry],
+      div: Boolean = false)
 
   /** The E14 edge contract (vec_id, rank, nbr_id, cos), ordered. */
   def neighbors(index: Index): DataFrame =
@@ -81,17 +82,26 @@ object KnnIndex {
       cells: Int,
       rounds: Int,
       sub: Option[AnnOps.LshGeometry],
-      k: Int = EmbeddingOps.KNN_K): Index = {
+      k: Int = EmbeddingOps.KNN_K,
+      div: Boolean = false): Index = {
     val s = e.sparkSession
     val cent = AnnOps.centroidFrame(s, micros)
     val assign = Caches.persist(AnnOps.assignCells(e, cent))
     val vectors = Caches.persist(assign.join(e, "vec_id")
       .select(col("vec_id"), col("embedding"), col("nm"), col("cell")))
     val pairs = AnnOps.bucketedPairsFromAssigned(vectors, sub)
-    val edges = EmbeddingOps.knnEdges(pairs, k)
-      .join(assign, "vec_id")
+    // div = true swaps the plain top-k ranking for the HNSW
+    // select-neighbors heuristic (E18b) — same degree budget, same
+    // pair stream, diversified edge CHOICE (see
+    // [[EmbeddingOps.divKnnEdges]]); the dial is pinned in the index
+    // meta so append/load re-knn with the selection they were built
+    // under
+    val ranked =
+      if (div) EmbeddingOps.divKnnEdges(pairs, vectors, k)
+      else EmbeddingOps.knnEdges(pairs, k)
+    val edges = ranked.join(assign, "vec_id")
     Index(edges, vectors, seedRanks(vectors), micros, cells,
-      rounds, k, sub)
+      rounds, k, sub, div)
   }
 
   /** Per-cell seed ranks: the [[SEEDS]] lowest-id members of each cell
@@ -118,17 +128,30 @@ object KnnIndex {
       cells: Int = AnnOps.CENTROIDS,
       rounds: Int = AnnOps.IVF_ROUNDS,
       sub: Option[AnnOps.LshGeometry] = None,
-      k: Int = EmbeddingOps.KNN_K): Index = {
+      k: Int = EmbeddingOps.KNN_K,
+      div: Boolean = false): Index = {
     val e = Caches.persist(AnnOps.withNormDf(embeddings))
     buildFrom(e, CentroidIndex.trainMicros(e, cells, rounds), cells,
-      rounds, sub, k)
+      rounds, sub, k, div)
   }
+
+  /** A batch fingerprint (count, min vec_id, max vec_id) — persisted in
+    * an append's incomplete marker so a torn append can only be
+    * repaired by replaying the SAME batch (r18 advisory: replaying a
+    * DIFFERENT batch under tolerateTornAppend would flip the marker to
+    * complete while the first batch's cells hold vectors whose
+    * edges/seeds were never rebuilt).
+    */
+  private type BatchFp = (Long, Long, Long)
 
   private def writeMarker(
       spark: SparkSession, path: String, complete: Boolean,
-      op: String): Unit =
+      op: String, fp: Option[BatchFp] = None): Unit =
     spark.range(1)
-      .select(lit(complete).as("complete"), lit(op).as("op"))
+      .select(lit(complete).as("complete"), lit(op).as("op"),
+        lit(fp.map(_._1).getOrElse(-1L)).as("batch_n"),
+        lit(fp.map(_._2).getOrElse(-1L)).as("batch_min"),
+        lit(fp.map(_._3).getOrElse(-1L)).as("batch_max"))
       .write.mode("overwrite").parquet(s"$path/complete")
 
   /** Persist: marker bracket around meta (pinned quantizer + dials),
@@ -142,6 +165,7 @@ object KnnIndex {
       lit(index.k).as("k"), lit(SEEDS).as("seeds_per_cell"),
       lit(index.sub.map(_.tables).getOrElse(0)).as("sub_tables"),
       lit(index.sub.map(_.planes).getOrElse(0)).as("sub_planes"),
+      lit(index.div).as("div"),
       lit(index.micros.headOption.map(_.length).getOrElse(0)).as("dim"),
       typedLit(index.micros.map(_.toSeq).toSeq).as("micros"))
       .write.mode("overwrite").parquet(s"$path/meta")
@@ -154,11 +178,15 @@ object KnnIndex {
   }
 
   def load(spark: SparkSession, path: String): Index =
-    loadImpl(spark, path, tolerateTornAppend = false)
+    loadImpl(spark, path, tolerateTornAppend = false)._1
 
+  /** Loads the index; when a torn append was tolerated, also returns
+    * the interrupted batch's fingerprint so [[append]] can refuse a
+    * repair attempt with a DIFFERENT batch.
+    */
   private def loadImpl(
       spark: SparkSession, path: String,
-      tolerateTornAppend: Boolean): Index = {
+      tolerateTornAppend: Boolean): (Index, Option[BatchFp]) = {
     IndexFs.recoverSwap(spark, path)
     val m = try spark.read.parquet(s"$path/complete").head()
     catch {
@@ -167,13 +195,18 @@ object KnnIndex {
           s"no KnnIndex at $path (missing completion marker)")
     }
     val op = m.getAs[String]("op")
-    if (!m.getAs[Boolean]("complete") &&
-        !(tolerateTornAppend && op == "append"))
+    val torn = !m.getAs[Boolean]("complete")
+    if (torn && !(tolerateTornAppend && op == "append"))
       throw new IllegalStateException(
         s"KnnIndex at $path is a partial $op — " +
           (if (op == "append")
              "replay the interrupted append batch to repair it"
            else "rebuild or re-save it"))
+    val tornFp: Option[BatchFp] =
+      if (torn && op == "append")
+        Some((m.getAs[Long]("batch_n"), m.getAs[Long]("batch_min"),
+          m.getAs[Long]("batch_max")))
+      else None
     val meta = spark.read.parquet(s"$path/meta").head()
     val dim = meta.getAs[Int]("dim")
     if (dim != AnnOps.FULL_DIM)
@@ -187,7 +220,7 @@ object KnnIndex {
     require(micros.length == cells,
       s"centroid rows ${micros.length} != $cells")
     val st = meta.getAs[Int]("sub_tables")
-    Index(
+    (Index(
       spark.read.parquet(s"$path/edges")
         .withColumn("cell", col("cell").cast(LongType)),
       spark.read.parquet(s"$path/vectors")
@@ -195,7 +228,9 @@ object KnnIndex {
       spark.read.parquet(s"$path/seeds"),
       micros, cells, meta.getAs[Int]("rounds"), meta.getAs[Int]("k"),
       if (st == 0) None
-      else Some(AnnOps.LshGeometry(st, meta.getAs[Int]("sub_planes"))))
+      else Some(AnnOps.LshGeometry(st, meta.getAs[Int]("sub_planes"))),
+      meta.getAs[Boolean]("div")),
+      tornFp)
   }
 
   /** Append a batch under the PINNED quantizer: re-knn ONLY the cells
@@ -206,12 +241,30 @@ object KnnIndex {
     */
   def append(path: String, newVecs: DataFrame): Unit = {
     val spark = newVecs.sparkSession
-    val idx = loadImpl(spark, path, tolerateTornAppend = true)
+    val (idx, tornFp) = loadImpl(spark, path, tolerateTornAppend = true)
     val cent = AnnOps.centroidFrame(spark, idx.micros)
     val newE = AnnOps.withNormDf(newVecs)
     val newAssigned = Checkpoints.checkpoint(
       AnnOps.assignCells(newE, cent).join(newE, "vec_id")
         .select(col("vec_id"), col("embedding"), col("nm"), col("cell")))
+    val fpRow = newAssigned
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("mn"),
+        max(col("vec_id")).as("mx")).head()
+    val fp: BatchFp = (fpRow.getAs[Long]("n"),
+      Option(fpRow.get(1)).map(_ => fpRow.getAs[Long]("mn")).getOrElse(-1L),
+      Option(fpRow.get(2)).map(_ => fpRow.getAs[Long]("mx")).getOrElse(-1L))
+    // a torn append repairs ONLY by replaying the same batch: the
+    // incomplete marker carries the in-flight batch's fingerprint, and
+    // appending anything else would mark the index complete while the
+    // first batch's cells still hold un-knn'd vectors (r18 advisory)
+    tornFp.foreach { t =>
+      if (t != fp)
+        throw new IllegalStateException(
+          s"KnnIndex at $path has a torn append of batch " +
+            s"(n=${t._1}, min=${t._2}, max=${t._3}); the batch being " +
+            s"appended fingerprints as (n=${fp._1}, min=${fp._2}, " +
+            s"max=${fp._3}) — replay the interrupted batch first")
+    }
     val affected = newAssigned.select(col("cell")).distinct()
       .collect().map(_.getAs[Long]("cell")).toSeq
     // current members of the affected cells (partition-pruned read),
@@ -222,13 +275,16 @@ object KnnIndex {
         .join(broadcast(newAssigned.select(col("vec_id")).distinct()),
           Seq("vec_id"), "left_anti")
         .unionByName(newAssigned))
-    val edges2 = EmbeddingOps
-      .knnEdges(AnnOps.bucketedPairsFromAssigned(members, idx.sub), idx.k)
+    val pairs2 = AnnOps.bucketedPairsFromAssigned(members, idx.sub)
+    val edges2 = (if (idx.div)
+        EmbeddingOps.divKnnEdges(pairs2, members, idx.k)
+      else EmbeddingOps.knnEdges(pairs2, idx.k))
       .join(members.select(col("vec_id"), col("cell")), "vec_id")
     val seedsAll = Checkpoints.checkpoint(
       idx.seeds.filter(!col("cell").isin(affected: _*))
         .unionByName(seedRanks(members)))
-    writeMarker(spark, path, complete = false, op = "append")
+    writeMarker(spark, path, complete = false, op = "append",
+      fp = Some(fp))
     val dyn = Map("partitionOverwriteMode" -> "dynamic")
     members.withColumn("cell", col("cell").cast("int"))
       .write.mode("overwrite").options(dyn).partitionBy("cell")
@@ -242,17 +298,34 @@ object KnnIndex {
 
   /** Drop retired ids in-session: members, seeds, and every edge
     * touching a retired id (either endpoint). The quantizer is model,
-    * not corpus: it stays.
+    * not corpus: it stays. Any cell that LOST a seed member replenishes
+    * its full seed rank list from surviving members (r18 advisory: a
+    * populated cell whose [[SEEDS]] lowest-id members were all retired
+    * would otherwise keep members and edges but zero beam-search entry
+    * points — silent recall loss); the lost-cell list is model-sized
+    * (≤ cells), so the replenish scan is partition-prunable on a loaded
+    * index. The (k+1)-neighbor edge caveat stands: retired EDGES are
+    * dropped, not re-ranked (stated contract, as DedupIndex).
     */
   def retire(index: Index, ids: DataFrame): Index = {
     val r = ids.select(col("vec_id")).distinct()
+    val vectors2 = index.vectors.join(broadcast(r), Seq("vec_id"), "left_anti")
+    val lostCells = index.seeds
+      .join(broadcast(r), Seq("vec_id"), "left_semi")
+      .select(col("cell")).distinct()
+      .collect().map(_.getAs[Long]("cell")).toSeq
+    val seeds2 =
+      if (lostCells.isEmpty) index.seeds
+      else index.seeds.filter(!col("cell").isin(lostCells: _*))
+        .unionByName(seedRanks(
+          vectors2.filter(col("cell").isin(lostCells: _*))))
     index.copy(
       edges = index.edges
         .join(broadcast(r), Seq("vec_id"), "left_anti")
         .join(broadcast(r.withColumnRenamed("vec_id", "nbr_id")),
           Seq("nbr_id"), "left_anti"),
-      vectors = index.vectors.join(broadcast(r), Seq("vec_id"), "left_anti"),
-      seeds = index.seeds.join(broadcast(r), Seq("vec_id"), "left_anti"))
+      vectors = vectors2,
+      seeds = seeds2)
   }
 
   /** Retire ids on a saved path: staged sibling + atomic rename — a
@@ -282,17 +355,18 @@ object KnnIndex {
       cells: Int,
       sub: Option[AnnOps.LshGeometry],
       rounds: Int = AnnOps.IVF_ROUNDS,
-      k: Int = EmbeddingOps.KNN_K): Index = {
+      k: Int = EmbeddingOps.KNN_K,
+      div: Boolean = false): Index = {
     val subKey = sub.map(g => s"${g.tables}x${g.planes}").getOrElse("none")
     val key = s"${CorpusKey.key(d, "embeddings.parquet")}#c$cells" +
-      s"#r$rounds#k$k#s$subKey#p$SEEDS"
+      s"#r$rounds#k$k#s$subKey#p$SEEDS#d$div"
     val path = memo.computeIfAbsent(key, _ => {
       val p = java.nio.file.Files
         .createTempDirectory("graft_knn_idx").toString + "/knn"
       val e = Caches.persist(AnnOps.withNormDf(Tables.embeddings(s, d)))
       save(buildFrom(e,
         CentroidIndex.microsForCorpus(s, d, cells, rounds),
-        cells, rounds, sub, k), p)
+        cells, rounds, sub, k, div), p)
       p
     })
     load(s, path)

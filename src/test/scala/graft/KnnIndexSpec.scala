@@ -104,4 +104,75 @@ class KnnIndexSpec extends SparkSpec {
       before.filterNot(r => r._1 == victim || r._3 == victim).toSet,
       "untouched edges must survive the rewrite unchanged")
   }
+
+  test("retiring ALL of a populated cell's seed members replenishes " +
+      "its entry points from survivors (r18 advisory)") {
+    import spark.implicits._
+    val index = KnnIndex.build(
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")))
+    val seedsByCell = index.seeds.collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val memberCount = index.vectors.groupBy(col("cell")).count().collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("count")).toMap
+    // a cell that keeps members even after every seed is retired
+    val cell = memberCount.filter { case (c, n) =>
+      n > seedsByCell(c).size + 2 }.keys.min
+    val victims = seedsByCell(cell).toSeq.sorted
+    val after = KnnIndex.retire(index, victims.toDF("vec_id"))
+    val survivors = after.vectors.filter(col("cell") === cell)
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted
+    val newSeeds = after.seeds.filter(col("cell") === cell)
+      .orderBy(col("s_rank")).collect().map(_.getAs[Long]("vec_id"))
+    assert(newSeeds.nonEmpty,
+      "a populated cell must never be left without beam entry points")
+    assert(newSeeds.toSeq ==
+      survivors.take(seedsByCell(cell).size).toSeq,
+      "replenished seeds must be the lowest-id SURVIVING members")
+    // untouched cells keep their stored ranks bit-identically
+    val otherBefore = index.seeds.filter(col("cell") =!= cell).collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("s_rank"),
+        r.getAs[Long]("vec_id"))).toSet
+    val otherAfter = after.seeds.filter(col("cell") =!= cell).collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("s_rank"),
+        r.getAs[Long]("vec_id"))).toSet
+    assert(otherAfter == otherBefore)
+    Caches.releaseScope()
+  }
+
+  test("a torn append repairs ONLY with the same batch — a different " +
+      "batch is refused by fingerprint (r18 advisory)") {
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val a = all.filter(col("vec_id") < 150)
+    val b = all.filter(col("vec_id") >= 150 && col("vec_id") < 200)
+    val c = all.filter(col("vec_id") >= 200)
+    val eA = Caches.persist(AnnOps.withNormDf(a))
+    val micros = CentroidIndex.trainMicros(eA, AnnOps.CENTROIDS)
+    val dir = Files.createTempDirectory("graft_knn_fp").toString + "/knn"
+    KnnIndex.save(KnnIndex.buildFrom(eA, micros, AnnOps.CENTROIDS,
+      AnnOps.IVF_ROUNDS, None), dir)
+    // simulate a crash mid-append of batch b: incomplete marker
+    // carrying b's fingerprint
+    val fp = b.agg(count(lit(1)), min(col("vec_id")), max(col("vec_id")))
+      .head()
+    spark.range(1)
+      .select(lit(false).as("complete"), lit("append").as("op"),
+        lit(fp.getLong(0)).as("batch_n"),
+        lit(fp.getLong(1)).as("batch_min"),
+        lit(fp.getLong(2)).as("batch_max"))
+      .write.mode("overwrite").parquet(s"$dir/complete")
+    val err = intercept[IllegalStateException](KnnIndex.append(dir, c))
+    assert(err.getMessage.contains("torn append"),
+      s"a different batch must be refused, got: ${err.getMessage}")
+    // replaying the SAME batch repairs to the frozen-quantizer rebuild
+    KnnIndex.append(dir, b)
+    val want = KnnIndex.buildFrom(
+      Caches.persist(AnnOps.withNormDf(a.unionAll(b))), micros,
+      AnnOps.CENTROIDS, AnnOps.IVF_ROUNDS, None)
+    assert(edgeRows(KnnIndex.neighbors(KnnIndex.load(spark, dir))) ==
+      edgeRows(KnnIndex.neighbors(want)),
+      "the same-batch replay must complete the torn append")
+    Caches.releaseScope()
+  }
 }

@@ -52,8 +52,15 @@ for name, decl, body in ctes:
                     f"SELECT * FROM {name}")
     else:
         con.execute(f"CREATE OR REPLACE TEMP TABLE {name} AS {body}")
-    con.execute(f"COPY {name} TO '{pq}.tmp.parquet' (FORMAT PARQUET)")
-    os.replace(f"{pq}.tmp.parquet", pq)
+    # pid-unique temp + atomic rename (r18 advisory): two RACING resume
+    # processes previously shared one tmp name, so a concurrent COPY
+    # could clobber/interleave the other's in-flight bytes and publish
+    # a torn checkpoint under the final name (the r17 TProtocolException
+    # record). Each racer now writes its own tmp; whichever os.replace
+    # lands last wins with a COMPLETE file of identical content.
+    tmp = f"{pq}.tmp.{os.getpid()}.parquet"
+    con.execute(f"COPY {name} TO '{tmp}' (FORMAT PARQUET)")
+    os.replace(tmp, pq)
     # free the in-memory copy; downstream reads the parquet view
     con.execute(f"DROP TABLE {name}")
     con.execute(f"CREATE OR REPLACE TEMP VIEW {name} AS "
