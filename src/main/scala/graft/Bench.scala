@@ -204,10 +204,23 @@ object Bench {
       if (calibReadings.exists(_ <= 0.0)) 1.0
       else calibReadings.max / calibReadings.min
     val calib = f""""calibration":{"start":$calibStart%.3f,"mid":$calibMid%.3f,"end":$calibEnd%.3f,"drift":$calibDrift%.2f}"""
-    println(
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first":$firsts,"forced":$forced,"reps":$REPS,"cache_policy":"${
         if (Caches.artifactMode) "artifact" else "scoped-per-query"
-      }","materialization_total":${f"$matTotal%.3f"},$calib,"failed":$failed,"sf":"$sfDir"}""")
+      }","materialization_total":${f"$matTotal%.3f"},$calib,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's stdout tail-capture truncates long boards mid-JSON
+    // (BENCH_rN.json "parsed": null) — when SPARK_GRAFT_BENCH_OUT is set
+    // the full board is ALSO written to that path so a parseable copy
+    // always exists (records/ convention). Write-to-temp + rename so a
+    // killed run never leaves a torn file under the final name.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+      val tmp = java.nio.file.Paths.get(out + ".tmp")
+      java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(out),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     spark.stop()
     if (anyFailed) sys.exit(1)
   }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnOps, EmbeddingOps, GraphAnnOps, KnnIndex}
+
+/** KnnIndex scale probe (r18, verdict asks #1 and #3):
+  *
+  *  - **build vs warm**: times the first `forCorpus` call (train +
+  *    pair stream + k-NN ranking + save — the amortized artifact cost)
+  *    against the second (a loaded parquet read), the measured claim
+  *    behind KnnIndex's "warm consumers never rebuild" contract.
+  *  - **occupancy profile**: the refined (cell, tbl, bucket) occupancy
+  *    distribution ([[AnnOps.refinedOccupancy]]) — on a cluster-SORTED
+  *    corpus this is the adaptive-split proof: the r17 build OOM'd a
+  *    24 GB driver here because the sub-LSH buckets never split tight
+  *    clusters; the r18 splitter re-blocks them under the trigger on a
+  *    DEFAULT-memory driver.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> [SPARK_GRAFT_DIV=1]
+  *   [SPARK_GRAFT_K=8] runMain graft.KnnScale
+  */
+object KnnScale {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/repo/localdata/clustered_sorted")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val k = sys.env.getOrElse("SPARK_GRAFT_K",
+      GraphAnnOps.GRAPH_DEGREE.toString).toInt
+    val div = sys.env.get("SPARK_GRAFT_DIV").exists(_ == "1")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val n = Tables.embeddings(spark, d).count()
+    val cells = AnnOps.ivfCellsFor(n)
+    val sub = EmbeddingOps.knnSubGeometry(n, cells)
+    println(s"[knnscale] dir=$d n=$n cells=$cells sub=$sub k=$k " +
+      s"div=$div driver_max_heap=" +
+      f"${Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)}%.1f GiB")
+
+    def secs(body: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = body
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    val (buildS, edgeRows) = secs {
+      KnnIndex.forCorpus(spark, d, cells, sub, k = k, div = div)
+        .edges.count()
+    }
+    Caches.releaseScope()
+    println(f"[knnscale] build+save (first forCorpus): $buildS%.1f s, " +
+      s"$edgeRows edge rows")
+
+    val (warmS, _) = secs {
+      KnnIndex.forCorpus(spark, d, cells, sub, k = k, div = div)
+        .edges.count()
+    }
+    Caches.releaseScope()
+    println(f"[knnscale] warm (loaded read):           $warmS%.1f s " +
+      f"(${buildS / math.max(warmS, 1e-9)}%.0fx)")
+
+    // occupancy profile of the refined pair blocks
+    val e = AnnOps.withNorm(spark, d)
+    val idx = KnnIndex.forCorpus(spark, d, cells, sub, k = k, div = div)
+    val assigned = AnnOps
+      .assignCells(e, AnnOps.centroidFrame(spark, idx.micros))
+      .join(e, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("nm"), col("cell"))
+    val occ = AnnOps.refinedOccupancy(assigned, sub)
+      .agg(max(col("n")).as("mx"), avg(col("n")).as("mean"),
+        count(lit(1)).as("groups"),
+        sum(when(col("cell") < 0, col("n")).otherwise(lit(0L)))
+          .as("split_members"),
+        count_distinct(when(col("cell") < 0, col("cell"))).as("split_cells"))
+      .head()
+    println(f"[knnscale] refined occupancy: max=${occ.getAs[Long]("mx")} " +
+      f"mean=${occ.getAs[Double]("mean")}%.1f " +
+      s"groups=${occ.getAs[Long]("groups")} " +
+      s"split_cells=${occ.getAs[Long]("split_cells")} " +
+      s"split_members=${occ.getAs[Long]("split_members")} " +
+      s"(trigger=${AnnOps.SPLIT_OCC})")
+    Caches.releaseScope()
+    spark.stop()
+  }
+}

@@ -3,7 +3,7 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -1245,27 +1245,51 @@ object AnnOps {
     * ALREADY-ASSIGNED member frame (vec_id, embedding, nm, cell) —
     * [[cellBucketedPairs]]' candidate half factored (r17) so
     * [[KnnIndex.append]] can re-pair ONLY the affected cells' members.
+    *
+    * r18 (the r17 verdict's one `weak`): the in-row cross product's
+    * occupancy bound now holds on ANY data layout. The sub-LSH dial
+    * alone cannot bound it — on cluster-SORTED tight clusters every
+    * cluster member shares every hyperplane sign, the buckets never
+    * split, and the quadratic reverted to full-cell occupancy inside
+    * single aggregate rows (OOM'd a 24 GB driver at 200k clustered
+    * vectors, records/GRAPH_TUNE_r17.txt "scale note"). Two fixes,
+    * layered: [[occupancyRefined]] makes the bound REAL by splitting
+    * any cell whose measured (cell, tbl, bucket) occupancy exceeds
+    * [[SPLIT_OCC]] with a secondary in-cell Lloyd round (cells are
+    * data-adaptive where hyperplanes are not), and [[PAIR_OCC_CAP]] is
+    * the loud backstop (the emb_bitext_mine CROSS_BUCKET_CAP
+    * discipline): a group still over the cap after refinement —
+    * possible only for unsplittable mass like an exact-duplicate flood,
+    * where every Voronoi tie breaks to one seed — fails by name before
+    * the cross product materializes it in one row, never by executor
+    * OOM. Under the trigger (every gate SF) the refinement is a no-op
+    * and the pair set is byte-identical to r17's (OccupancySpec).
     */
   private[graft] def bucketedPairsFromAssigned(
       withCell: DataFrame,
       sub: Option[LshGeometry]): DataFrame = {
-    val bucketed = sub match {
-      case None =>
-        withCell.select(col("cell"), lit(0).as("tbl"), lit(0L).as("bucket"),
-          col("vec_id"), col("embedding"), col("nm"))
-      case Some(g) =>
-        withCell.select(col("cell"), col("vec_id"), col("embedding"),
-          col("nm"),
-          posexplode(lshBucketsCol(col("embedding"), g))
-            .as(Seq("tbl", "bucket")))
-          .select(col("cell"), col("tbl"), col("bucket"), col("vec_id"),
-            col("embedding"), col("nm"))
-    }
+    val bucketed = subBucketed(occupancyRefined(withCell, sub), sub)
     val pairs = bucketed
       .groupBy(col("cell"), col("tbl"), col("bucket"))
       .agg(sort_array(collect_list(
         struct(col("vec_id"), col("embedding"), col("nm")))).as("ds"))
       .filter(size(col("ds")) >= 2)
+      // loud occupancy backstop — see the scaladoc; checked on the
+      // collected group BEFORE the pair transform allocates anything
+      .withColumn("ds",
+        when(size(col("ds")) > PAIR_OCC_CAP,
+          raise_error(concat(
+            lit("cell-blocked pairs: occupancy "),
+            size(col("ds")).cast("string"),
+            lit(s" exceeds $PAIR_OCC_CAP after adaptive refinement in " +
+              "(cell, tbl, bucket) = ("),
+            col("cell").cast("string"), lit(", "),
+            col("tbl").cast("string"), lit(", "),
+            col("bucket").cast("string"),
+            lit(") — unsplittable mass (duplicate-heavy?); dedup " +
+              "exact-duplicate vectors upstream or raise the cell " +
+              "count before the in-row cross product materializes it"))))
+          .otherwise(col("ds")))
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(
           slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
@@ -1277,6 +1301,194 @@ object AnnOps {
       .groupBy(col("i"), col("j"))
       .agg(max(col("cos")).as("cos"))
     pairs
+  }
+
+  /** The (cell, tbl, bucket)-keyed member stream the pair cross
+    * product groups by — factored so [[occupancyRefined]] measures
+    * EXACTLY the occupancy the quadratic will pay.
+    */
+  private def subBucketed(
+      withCell: DataFrame, sub: Option[LshGeometry]): DataFrame =
+    sub match {
+      case None =>
+        withCell.select(col("cell"), lit(0).as("tbl"), lit(0L).as("bucket"),
+          col("vec_id"), col("embedding"), col("nm"))
+      case Some(g) =>
+        withCell.select(col("cell"), col("vec_id"), col("embedding"),
+          col("nm"),
+          posexplode(lshBucketsCol(col("embedding"), g))
+            .as(Seq("tbl", "bucket")))
+          .select(col("cell"), col("tbl"), col("bucket"), col("vec_id"),
+            col("embedding"), col("nm"))
+    }
+
+  /** Occupancy trigger for the adaptive cell split: a (cell, tbl,
+    * bucket) group past this re-blocks its CELL. 2× the ~512 in-task
+    * pair target ([[graft.operators.DedupOps.semSubGeometry]]'s dial)
+    * so a healthy geometry — every gate SF, and isotropic corpora at
+    * any SF measured so far — never triggers and stays byte-identical
+    * to the r17 pair set.
+    */
+  private[graft] val SPLIT_OCC = 1024L
+
+  /** Post-split per-group occupancy target (the documented in-task
+    * pair bound: 512² ≈ 260k in-row pair structs).
+    */
+  private[operators] val SPLIT_TARGET = 512
+
+  /** Sub-cells per split round per cell (cap), refinement Lloyd
+    * rounds, and split iterations before giving up to the loud cap.
+    */
+  private[operators] val SPLIT_MAX_K = 64
+  private[operators] val SPLIT_LLOYD_ROUNDS = 2
+  private[operators] val SPLIT_MAX_ITERS = 4
+
+  /** Loud refusal bound on a single group's in-row cross product
+    * (8192² / 2 ≈ 33M pair structs ≈ the OOM regime the r17 scale
+    * note measured) — reachable only when [[occupancyRefined]] gave
+    * up, i.e. genuinely unsplittable (near-duplicate-flood) mass.
+    */
+  private[graft] val PAIR_OCC_CAP = 1 << 13
+
+  /** Data-adaptive occupancy refinement (r18): re-blocks any cell
+    * whose measured (cell, tbl, bucket) occupancy exceeds
+    * [[SPLIT_OCC]] by splitting THAT CELL with a secondary in-cell
+    * Lloyd round — seeds are the cell's ⌈maxOcc/[[SPLIT_TARGET]]⌉
+    * lowest-id members (the KnnIndex coverage-seed argument:
+    * deterministic, samples the ingest mix), refined by
+    * [[SPLIT_LLOYD_ROUNDS]] distributed rounds of the exact
+    * [[ivfTrainMicros]] arithmetic (truncating integer means, empty
+    * sub-cells keep their seed), scoped PER PARENT by broadcasting a
+    * (cell → packed sub-centroids) frame and running the same
+    * cell_argmax kernel — a member of cell c chooses only among c's
+    * sub-seeds, so untouched cells are provably unaffected. Iterates
+    * up to [[SPLIT_MAX_ITERS]] times (a split sub-cell can itself
+    * exceed the trigger on very skewed mass). Every driver-side
+    * decision derives from deterministic aggregates (counts, lowest
+    * ids, integer means) — the refinement is reproducible run-to-run.
+    * Sub-cell ids are fresh NEGATIVE longs (production cell ids are
+    * ≥ 0), allocated in sorted-parent order.
+    *
+    * Cost when nothing triggers (the common path): ONE extra
+    * count-aggregate pass over the bucketed stream — id-width groups,
+    * map-side combined, no embeddings shuffled.
+    */
+  /** Measured (cell, tbl, bucket, n) occupancy AFTER refinement — the
+    * evidence seam [[graft.KnnScale]] records and OccupancySpec pins
+    * (every n ≤ the trigger on any layout the splitter can separate).
+    */
+  private[graft] def refinedOccupancy(
+      withCell: DataFrame, sub: Option[LshGeometry]): DataFrame =
+    subBucketed(occupancyRefined(withCell, sub), sub)
+      .groupBy(col("cell"), col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  private[graft] def occupancyRefined(
+      withCell: DataFrame, sub: Option[LshGeometry]): DataFrame = {
+    val s = withCell.sparkSession
+    var members = withCell
+    var nextId = -1L
+    var iter = 0
+    var done = false
+    while (!done && iter < SPLIT_MAX_ITERS) {
+      iter += 1
+      // max group occupancy per cell, oversized cells only — the
+      // collect is bounded by the cell count, never the corpus
+      val overs = subBucketed(members, sub)
+        .groupBy(col("cell"), col("tbl"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("cell")).agg(max(col("n")).as("mx"))
+        .filter(col("mx") > SPLIT_OCC)
+        .collect()
+        .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("mx"))
+        .sortBy(_._1)
+      if (overs.isEmpty) done = true
+      else {
+        val kFor = overs.map { case (c, mx) =>
+          c -> math.min(SPLIT_MAX_K.toLong,
+            math.max(2L, (mx + SPLIT_TARGET - 1) / SPLIT_TARGET)).toInt
+        }.toMap
+        val overIds = overs.map(_._1)
+        val maxK = kFor.values.max
+        // seed micros: each oversized cell's k lowest-id members — ids
+        // via the bounded heap (topkMin sorts scalars only), vectors
+        // via a second model-sized fetch
+        val seedIds = members
+          .filter(col("cell").isin(overIds: _*))
+          .groupBy(col("cell"))
+          .agg(topkMin(struct(col("vec_id")), maxK).as("ks"))
+          .select(col("cell"),
+            transform(col("ks"), x => x("vec_id")).as("ids"))
+          .collect()
+          .map(r => r.getAs[Long]("cell") ->
+            r.getAs[scala.collection.Seq[Long]]("ids").toSeq)
+          .toMap
+        val wanted = overIds.flatMap(c => seedIds(c).take(kFor(c)))
+        val seedVecs = members
+          .filter(col("vec_id").isin(wanted: _*))
+          .select(col("vec_id"), qrawCol.as("qr"))
+          .collect()
+          .map(r => r.getAs[Long]("vec_id") ->
+            r.getAs[scala.collection.Seq[Long]]("qr").toArray)
+          .toMap
+        val seedRows: Map[Long, Array[Array[Long]]] = overIds.map { c =>
+          c -> seedIds(c).take(kFor(c)).map(seedVecs).toArray
+        }.toMap
+        // allocate fresh sub-cell ids in sorted-parent order
+        var cents: Map[Long, Array[(Long, Array[Long])]] =
+          overIds.map { c =>
+            c -> seedRows(c).map { v =>
+              val id = nextId; nextId -= 1L; (id, v)
+            }
+          }.toMap
+        val dim = cents.valuesIterator.next().head._2.length
+        def perParent(): DataFrame = {
+          import s.implicits._
+          cents.toSeq.sortBy(_._1).map { case (parent, subs) =>
+            (parent,
+              subs.map(_._1).toSeq,
+              subs.flatMap(_._2.padTo(CELL_STRIDE, 0L)).toSeq,
+              subs.map(v =>
+                math.sqrt(v._2.map(m => m.toDouble * m).sum)).toSeq)
+          }.toDF("cell", "ids", "flat", "sn")
+            .select(col("cell"),
+              struct(col("ids"), col("flat"), col("sn")).as("cents"))
+        }
+        val overMembers = Caches.persist(
+          members.filter(col("cell").isin(overIds: _*)))
+        for (_ <- 1 to SPLIT_LLOYD_ROUNDS) {
+          val parts = overMembers
+            .join(broadcast(perParent()), "cell")
+            .select(cellCol.as("sc"), qrawCol.as("qr"))
+            .groupBy(col("sc"))
+            .agg(count(lit(1)).as("n"),
+              (1 to dim).map(j =>
+                sum(element_at(col("qr"), j)).as(s"d$j")): _*)
+            .collect()
+            .map(r => r.getAs[Long]("sc") ->
+              (r.getAs[Long]("n"),
+                (1 to dim).map(j => r.getAs[Long](s"d$j")).toArray))
+            .toMap
+          cents = cents.map { case (parent, subs) =>
+            parent -> subs.map { case (id, prev) =>
+              parts.get(id) match {
+                case Some((n, sums)) => (id, sums.map(_ / n))
+                case None => (id, prev) // empty sub-cell keeps its seed
+              }
+            }
+          }
+        }
+        val kept = members.filter(!col("cell").isin(overIds: _*))
+        val split = overMembers
+          .join(broadcast(perParent()), "cell")
+          .select(col("vec_id"), col("embedding"), col("nm"),
+            cellCol.as("cell"))
+          .select(col("vec_id"), col("embedding"), col("nm"), col("cell"))
+        members = Caches.persist(kept.select(col("vec_id"),
+          col("embedding"), col("nm"), col("cell")).unionAll(split))
+      }
+    }
+    members
   }
 
   /** PQ seed ids for the IVFPQ codebook: the deterministic slice STARTS
