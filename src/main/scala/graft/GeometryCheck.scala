@@ -141,7 +141,7 @@ object GeometryCheck {
       // regenerates the matching oracle below.
       val (cells, sub) = knnGeom(Tables.embeddings(spark, sfDir).count())
       val idx = operators.KnnIndex.forCorpus(spark, sfDir, cells, sub,
-        k = operators.GraphAnnOps.GRAPH_DEGREE)
+        k = operators.GraphAnnOps.GRAPH_DEGREE, div = true)
       operators.GraphAnnOps
         .graphSearch(operators.AnnOps.withNorm(spark, sfDir), idx)
         .coalesce(1).write.mode("overwrite")

@@ -48,13 +48,23 @@ object GraphTune {
     Caches.releaseScope()
 
     // index build priced once (the artifact first-run cost); hops then
-    // probe the LOADED graph
+    // probe the LOADED graph. r18: both edge selections build —
+    // div=false (plain k-NN, the r17 rows) and div=true (E18b's
+    // select-neighbors heuristic, the op's selection) — so the table
+    // shows what diversification buys AT EQUAL DEGREE AND SCAN dials.
     val tb = System.nanoTime()
     val idx = KnnIndex.forCorpus(spark, d, cells, sub,
       k = GraphAnnOps.GRAPH_DEGREE)
     idx.edges.count()
     val buildSec = (System.nanoTime() - tb) / 1e9
     Caches.releaseScope()
+    val tbd = System.nanoTime()
+    KnnIndex.forCorpus(spark, d, cells, sub,
+      k = GraphAnnOps.GRAPH_DEGREE, div = true).edges.count()
+    val buildDivSec = (System.nanoTime() - tbd) / 1e9
+    Caches.releaseScope()
+    println(f"[graphtune] index build/load: plain $buildSec%.2f s, " +
+      f"diversified $buildDivSec%.2f s")
 
     // ivf scan fraction: members of the 8 queries' probed cells
     val e = AnnOps.withNorm(spark, d)
@@ -71,24 +81,28 @@ object GraphTune {
       f"scanned=$ivfScanned warm=$ivfSec%.2f s | index build/load " +
       f"$buildSec%.2f s")
 
-    hopsList.foreach { h =>
-      def once(): (Double, Long, Double) = {
-        val idx2 = KnnIndex.forCorpus(spark, d, cells, sub,
-          k = GraphAnnOps.GRAPH_DEGREE)
-        val t = System.nanoTime()
-        val (res, scanned) = GraphAnnOps.graphSearchImpl(
-          AnnOps.withNorm(spark, d), idx2, beam, h,
-          5, AnnOps.NPROBE)
-        val got = res.select(col("q_id"), col("vec_id")).collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
-        val secs = (System.nanoTime() - t) / 1e9
-        (got.count(truth.contains).toDouble / truth.size,
-          scanned.count(), secs)
+    Seq(false, true).foreach { div =>
+      hopsList.foreach { h =>
+        def once(): (Double, Long, Double) = {
+          val idx2 = KnnIndex.forCorpus(spark, d, cells, sub,
+            k = GraphAnnOps.GRAPH_DEGREE, div = div)
+          val t = System.nanoTime()
+          val (res, scanned) = GraphAnnOps.graphSearchImpl(
+            AnnOps.withNorm(spark, d), idx2, beam, h,
+            5, AnnOps.NPROBE)
+          val got = res.select(col("q_id"), col("vec_id")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val secs = (System.nanoTime() - t) / 1e9
+          (got.count(truth.contains).toDouble / truth.size,
+            scanned.count(), secs)
+        }
+        val runs = (1 to 3).map(_ => once())
+        Caches.releaseScope()
+        val tag = if (div) "div " else "plain"
+        println(f"[graphtune] $tag hops=$h%-2d " +
+          f"recall@5=${runs.head._1}%.3f " +
+          f"scanned=${runs.head._2} warm=${runs.map(_._3).min}%.2f s")
       }
-      val runs = (1 to 3).map(_ => once())
-      Caches.releaseScope()
-      println(f"[graphtune] hops=$h%-2d recall@5=${runs.head._1}%.3f " +
-        f"scanned=${runs.head._2} warm=${runs.map(_._3).min}%.2f s")
     }
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -661,6 +661,90 @@ object EmbeddingOps {
         col("k.nbr").as("nbr_id"), (-col("k.negcos")).as("cos"))
   }
 
+  /** Candidate-pool multiplier for [[divKnnEdges]]: each vector's
+    * shortlist is m = 2k nearest in-cell candidates (HNSW's
+    * efConstruction idea at the smallest pool that still offers the
+    * heuristic genuine alternatives — the candidate-pair cosine table
+    * the oracle replays is m²-per-vector, so the pool is a sized dial,
+    * not "the whole cell").
+    */
+  private[graft] val DIV_CAND_MULT = 2
+
+  /** Diversified edge ranking (r18, E18b — the r17 verdict's ask #5):
+    * Malkov & Yashunin 2018's SELECT-NEIGHBORS-HEURISTIC at build
+    * time. Per vector v, walk the 2k-candidate shortlist in (cos desc,
+    * id) order and KEEP a candidate c only if it is closer to v than
+    * to every already-kept neighbor — cos(v,c) > cos(c,s) ∀ s kept —
+    * then backfill remaining slots from the pruned candidates in
+    * shortlist order (keepPrunedConnections), so the degree budget is
+    * EXACTLY [[knnEdges]]' k. This diversifies edges at equal degree:
+    * inside a cell holding several tight clusters the plain k-NN graph
+    * connects cluster-mates almost exclusively (the measured 0.775
+    * recall plateau, records/GRAPH_TUNE_r17.txt — beam=16 bought
+    * +0.025 for 1.6× scan), while the heuristic trades redundant
+    * cluster-mate edges for long-range links the beam walk can cross.
+    *
+    * Spark shape: one bounded-heap shortlist aggregate, ONE
+    * candidate-sized join to re-attach neighbor vectors (n×2k rows),
+    * then the greedy selection is a row-local HOF fold over the sorted
+    * candidate array — O(k·2k) exact-micros dots per vector, no
+    * shuffle beyond the shortlist's own. Deterministic end to end
+    * (exact-micros cosines, id tie-breaks, strict > so ties prune), so
+    * the oracle replays it as [[sqlDivEdgeCtes]]' unrolled
+    * rank-and-filter steps.
+    */
+  private[graft] def divKnnEdges(
+      pairs: DataFrame, members: DataFrame, k: Int): DataFrame = {
+    val m = DIV_CAND_MULT * k
+    val directed = pairs
+      .select(col("i").as("src"), col("j").as("nbr"), col("cos"))
+      .unionAll(pairs
+        .select(col("j").as("src"), col("i").as("nbr"), col("cos")))
+    // 2k-shortlist per src (bounded heap), then ONE id-width join
+    // re-attaches each candidate's vector for the in-row dot products
+    val shortlist = directed
+      .groupBy(col("src"))
+      .agg(topkMin(struct((-col("cos")).as("negcos"), col("nbr")), m)
+        .as("ks"))
+      .select(col("src"), explode(col("ks")).as("c"))
+      .select(col("src"), col("c.negcos").as("negcos"),
+        col("c.nbr").as("nbr"))
+      .join(members.select(col("vec_id").as("nbr"),
+        col("embedding").as("n_emb"), col("nm").as("n_nm")), "nbr")
+    val carr = shortlist
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(struct(col("negcos"), col("nbr"),
+        col("n_emb"), col("n_nm")))).as("carr"))
+    def candCos(c: Column, s: Column): Column =
+      cosineFromMicros(dotMicros(c("n_emb"), s("n_emb")),
+        c("n_nm"), s("n_nm"))
+    // greedy fold: slice(carr,1,0) is the empty accumulator OF THE
+    // ELEMENT TYPE (no hand-written struct cast to drift out of sync)
+    val kept = aggregate(col("carr"), slice(col("carr"), 1, 0),
+      (acc, c) => when(size(acc) >= k, acc)
+        .otherwise(when(forall(acc, s => candCos(c, s) < -c("negcos")),
+          concat(acc, array(c))).otherwise(acc)))
+    val selected = carr
+      .withColumn("kept", kept)
+      .withColumn("fill",
+        slice(filter(col("carr"), c =>
+          !array_contains(transform(col("kept"), s => s("nbr")),
+            c("nbr"))),
+          lit(1), greatest(lit(k) - size(col("kept")), lit(0))))
+      .select(col("src"),
+        explode(concat(col("kept"), col("fill"))).as("c"))
+      .select(col("src"), col("c.negcos").as("negcos"),
+        col("c.nbr").as("nbr"))
+    // final ranks re-sort the SELECTED SET by (cos desc, id) — the
+    // kedge contract consumers already speak
+    selected
+      .groupBy(col("src"))
+      .agg(topkMin(struct(col("negcos"), col("nbr")), k).as("ks"))
+      .select(col("src").as("vec_id"), posexplode(col("ks")).as(Seq("p", "k")))
+      .select(col("vec_id"), (col("p") + 1).cast(LongType).as("rank"),
+        col("k.nbr").as("nbr_id"), (-col("k.negcos")).as("cos"))
+  }
+
   /** The pair-enumeration + edge-ranking CTE chain over an assigned
     * member frame `m(vec_id, embedding, nm, cell)` (norm CTE `e` must
     * also be in scope) — the D11 sqlSemanticAt pattern: pairs share
@@ -729,6 +813,81 @@ object EmbeddingOps {
                  CAST(row_number() OVER (PARTITION BY src
                    ORDER BY cos DESC, nbr) AS BIGINT) AS rank
           FROM dg) t
+        WHERE rank <= $k)"""
+  }
+
+  /** [[divKnnEdges]]' oracle twin (r18, E18b): the same pair chain as
+    * [[sqlKnnEdgeCtes]] through `dg`, then the select-neighbors
+    * heuristic UNROLLED — one rank-and-filter CTE per of the k greedy
+    * steps. `cand` is the 2k shortlist per src; `ccos` materializes
+    * every co-candidate pair's cosine ONCE (m² per src, id-width +
+    * one vector re-attach) so the k steps are pure joins; step t keeps
+    * the lowest-ranked candidate not yet kept that beats every kept
+    * neighbor (NOT EXISTS s: ccos(c,s) >= cos(v,c) — ties prune, the
+    * engine's strict >); `bf` backfills pruned candidates in shortlist
+    * order up to degree k; final `kedge` re-ranks the selected set by
+    * (cos DESC, nbr) — all identical to the engine fold, step for
+    * step.
+    */
+  private[graft] def sqlDivEdgeCtes(
+      sub: Option[AnnOps.LshGeometry],
+      k: Int): String = {
+    val m = DIV_CAND_MULT * k
+    val base = sqlKnnEdgeCtes(sub, k)
+    // reuse the shared chain verbatim, minus its plain-kNN kedge tail
+    val chain = base.substring(0, base.lastIndexOf(",\n      kedge AS ("))
+    val steps = (2 to k).map { t =>
+      s"""sel$t AS MATERIALIZED (
+        SELECT src, nbr, cos, crn FROM (
+          SELECT c.src, c.nbr, c.cos, c.crn,
+                 row_number() OVER (PARTITION BY c.src ORDER BY c.crn)
+                   AS srn
+          FROM cand c
+          WHERE NOT EXISTS (SELECT 1 FROM kept${t - 1} s
+                  WHERE s.src = c.src AND s.nbr = c.nbr)
+            AND NOT EXISTS (SELECT 1 FROM kept${t - 1} s
+                  JOIN ccos p ON p.src = s.src AND p.x = c.nbr
+                    AND p.y = s.nbr
+                  WHERE s.src = c.src AND p.cos >= c.cos)) u
+        WHERE srn = 1),
+      kept$t AS MATERIALIZED (
+        SELECT src, nbr, cos, crn FROM kept${t - 1}
+        UNION ALL SELECT src, nbr, cos, crn FROM sel$t)"""
+    }.mkString(",\n      ")
+    s"""$chain,
+      cand AS MATERIALIZED (
+        SELECT src, nbr, cos, crn FROM (
+          SELECT src, nbr, cos,
+                 row_number() OVER (PARTITION BY src
+                   ORDER BY cos DESC, nbr) AS crn
+          FROM dg) t
+        WHERE crn <= $m),
+      ccos AS MATERIALIZED (
+        SELECT a.src, a.nbr AS x, b.nbr AS y,
+               ${AnnOps.sqlCos("ex", "ey")} AS cos
+        FROM cand a
+        JOIN cand b ON a.src = b.src AND a.nbr != b.nbr
+        JOIN e ex ON ex.vec_id = a.nbr
+        JOIN e ey ON ey.vec_id = b.nbr),
+      kept1 AS MATERIALIZED (
+        SELECT src, nbr, cos, crn FROM cand WHERE crn = 1),
+      $steps,
+      bf AS (SELECT c.src, c.nbr, c.cos,
+               row_number() OVER (PARTITION BY c.src ORDER BY c.crn)
+                 AS brn
+             FROM cand c
+             WHERE NOT EXISTS (SELECT 1 FROM kept$k s
+                     WHERE s.src = c.src AND s.nbr = c.nbr)),
+      nsel AS (SELECT src, count(*) AS nk FROM kept$k GROUP BY src),
+      kedge AS (
+        SELECT src, nbr, cos, rank FROM (
+          SELECT src, nbr, cos,
+                 CAST(row_number() OVER (PARTITION BY src
+                   ORDER BY cos DESC, nbr) AS BIGINT) AS rank
+          FROM (SELECT src, nbr, cos FROM kept$k
+                UNION ALL
+                SELECT b.src, b.nbr, b.cos FROM bf b
+                JOIN nsel USING (src) WHERE b.brn <= $k - nsel.nk) f) t
         WHERE rank <= $k)"""
   }
 

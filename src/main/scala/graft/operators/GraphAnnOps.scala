@@ -28,8 +28,9 @@ import graft.functions.Portable._
   * the per-query beam/top-k cuts are bounded-heap aggregates, never a
   * corpus sort. Exact-micros cosines end to end: every beam cut and
   * tie-break is deterministic, so the oracle replays the hops as
-  * unrolled CTEs over the identical edge CTE chain
-  * ([[EmbeddingOps.sqlKnnEdgeCtes]]).
+  * unrolled CTEs over the identical edge CTE chain — r18: the
+  * DIVERSIFIED chain ([[EmbeddingOps.sqlDivEdgeCtes]], E18b's
+  * select-neighbors heuristic at build).
   */
 object GraphAnnOps {
 
@@ -183,7 +184,7 @@ object GraphAnnOps {
       m AS MATERIALIZED (
         SELECT e.vec_id, e.embedding, e.nm, irk.c_id AS cell
         FROM e JOIN irk ON irk.vec_id = e.vec_id AND irk.rn = 1),
-      ${EmbeddingOps.sqlKnnEdgeCtes(sub, GRAPH_DEGREE)},
+      ${EmbeddingOps.sqlDivEdgeCtes(sub, GRAPH_DEGREE)},
       gseeds AS (SELECT cell, vec_id FROM (
                SELECT c_id AS cell, vec_id,
                       row_number() OVER (PARTITION BY c_id
@@ -220,8 +221,14 @@ object GraphAnnOps {
       val cells = AnnOps.ivfCellsFor(n)
       AnnOps.logGeometryDivergence("ann_graph", s"$cells cells",
         s"${AnnOps.CENTROIDS} cells")
+      // r18 (E18b): the search index is built with the HNSW
+      // select-neighbors heuristic — same degree-8 budget, edges
+      // diversified at build so the walk can cross between a cell's
+      // tight clusters instead of cycling cluster-mates (the measured
+      // 0.775 plateau, records/GRAPH_TUNE_r17.txt)
       val idx = KnnIndex.forCorpus(s, d, cells,
-        EmbeddingOps.knnSubGeometry(n, cells), k = GRAPH_DEGREE)
+        EmbeddingOps.knnSubGeometry(n, cells), k = GRAPH_DEGREE,
+        div = true)
       graphSearch(AnnOps.withNorm(s, d), idx)
     },
     Some(sqlGraphSearch(AnnOps.CENTROIDS, None)))

@@ -189,4 +189,41 @@ class UnigramLmSpec extends SparkSpec {
       "every capped word must still segment")
     Caches.releaseScope()
   }
+
+  test("production dials (r18 ask #8): the 262k-word / 32k-candidate " +
+      "model keeps the no-OOV closure and prices the gate corpus " +
+      "identically to a driver-side recomputation") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val wcap = UnigramLm.cappedWordCountsAt(docs, 262144)
+    val prod = UnigramLm.trainFromCountsAt(wcap, 32768, 2)
+    val singles = wcap.flatMap(_._1.codePoints().toArray.toSeq)
+      .map(cp => new String(Character.toChars(cp))).toSet
+    assert(singles.subsetOf(prod.pieces.map(_._1).toSet),
+      "single-cp closure lost at the production dials")
+    assert(prod.vocab.forall(_._2.nonEmpty),
+      "every capped word must segment under the production model")
+    // engine pricing (join-only consumer plan) ≡ pricing the same
+    // words driver-side through the trained vocab
+    val got = UnigramLm.priceDocuments(docs, prod).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_unigram"))
+      .toMap
+    val vl = prod.vocab.map { case (w, seg) => w -> seg.length.toLong }
+      .toMap
+    val want = docs
+      .select(col("doc_id"),
+        call_function("bpe_residual", col("text")).as("resid"),
+        call_function("bpe_words", col("text")).as("ws"))
+      .collect()
+      .map { r =>
+        val ws = r.getAs[scala.collection.Seq[String]]("ws")
+        r.getAs[Long]("doc_id") ->
+          (ws.map(w => vl.getOrElse(w,
+            w.codePointCount(0, w.length).toLong)).sum +
+            r.getAs[Long]("resid"))
+      }.toMap
+    assert(got == want,
+      "engine pricing must equal the driver-side recomputation at " +
+        "the production dials")
+    Caches.releaseScope()
+  }
 }
