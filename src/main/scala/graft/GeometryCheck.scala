@@ -46,7 +46,7 @@ object GeometryCheck {
     Set("ann_lsh", "dedup_embedding", "ann_ivf", "dedup_semantic",
       "ann_pq", "mm_phash_dedup", "ann_ivfpq", "emb_knn_graph",
       "sample_prototypes", "doc_pack_semantic", "ann_filtered",
-      "emb_bitext_mine", "ann_graph")
+      "emb_bitext_mine", "ann_graph", "ann_graph_div")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -141,11 +141,24 @@ object GeometryCheck {
       // regenerates the matching oracle below.
       val (cells, sub) = knnGeom(Tables.embeddings(spark, sfDir).count())
       val idx = operators.KnnIndex.forCorpus(spark, sfDir, cells, sub,
-        k = operators.GraphAnnOps.GRAPH_DEGREE, div = true)
+        k = operators.GraphAnnOps.GRAPH_DEGREE)
       operators.GraphAnnOps
         .graphSearch(operators.AnnOps.withNorm(spark, sfDir), idx)
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/ann_graph")
+      Caches.releaseScope()
+    }
+    if (keys("ann_graph_div")) {
+      // E18b at the corpus geometry: the DIVERSIFIED index walked at
+      // its measured beam dial; the div oracle chain regenerates below.
+      val (cells, sub) = knnGeom(Tables.embeddings(spark, sfDir).count())
+      val idx = operators.KnnIndex.forCorpus(spark, sfDir, cells, sub,
+        k = operators.GraphAnnOps.GRAPH_DEGREE, div = true)
+      operators.GraphAnnOps
+        .graphSearch(operators.AnnOps.withNorm(spark, sfDir), idx,
+          beam = operators.GraphAnnOps.GRAPH_DIV_BEAM)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/ann_graph_div")
       Caches.releaseScope()
     }
     if (keys("sample_prototypes")) {
@@ -255,6 +268,12 @@ object GeometryCheck {
       (if (dumped("ann_graph")) {
         val (cells, sub) = knnGeom(Tables.embeddings(spark, sfDir).count())
         Map("ann_graph" -> operators.GraphAnnOps.sqlGraphSearch(cells, sub))
+      } else Map.empty) ++
+      (if (dumped("ann_graph_div")) {
+        val (cells, sub) = knnGeom(Tables.embeddings(spark, sfDir).count())
+        Map("ann_graph_div" -> operators.GraphAnnOps.sqlGraphSearch(
+          cells, sub, beam = operators.GraphAnnOps.GRAPH_DIV_BEAM,
+          div = true))
       } else Map.empty) ++
       (if (dumped("emb_bitext_mine")) {
         val (cells, sub) = knnGeom(Tables.embeddings(spark, sfDir).count())

@@ -1290,14 +1290,20 @@ object AnnOps {
               "exact-duplicate vectors upstream or raise the cell " +
               "count before the in-row cross product materializes it"))))
           .otherwise(col("ds")))
+      // r18: the cosine computes INSIDE the pair lambda, so the
+      // materialized per-group pair array is id-width (i, j, cos ≈
+      // 40 B/pair) instead of carrying two full embedding copies
+      // (~600 B/pair) — the r17 OOM was exactly this array: a
+      // 1024-member group's 523k pairs cost ~300 MB per aggregate row
+      // with embeddings riding along, ~20 MB without
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(
           slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
-          y => struct(x.as("x"), y.as("y")))))).as("p"))
-      .select(col("p.x.vec_id").as("i"), col("p.y.vec_id").as("j"),
-        cosineFromMicros(
-          dotMicros(col("p.x.embedding"), col("p.y.embedding")),
-          col("p.x.nm"), col("p.y.nm")).as("cos"))
+          y => struct(x("vec_id").as("i"), y("vec_id").as("j"),
+            cosineFromMicros(
+              dotMicros(x("embedding"), y("embedding")),
+              x("nm"), y("nm")).as("cos")))))).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.cos").as("cos"))
       .groupBy(col("i"), col("j"))
       .agg(max(col("cos")).as("cos"))
     pairs

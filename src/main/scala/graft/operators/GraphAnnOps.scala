@@ -143,7 +143,8 @@ object GraphAnnOps {
       hops: Int = GRAPH_HOPS,
       topK: Int = GRAPH_TOP_K,
       nprobe: Int = AnnOps.NPROBE,
-      seeds: Int = KnnIndex.SEEDS): String = {
+      seeds: Int = KnnIndex.SEEDS,
+      div: Boolean = false): String = {
     val cos = AnnOps.sqlCos("q", "v")
     val hopCtes = (1 to hops).map { i =>
       s"""nb$i AS (SELECT DISTINCT h.q_id, k.nbr AS vec_id
@@ -184,7 +185,8 @@ object GraphAnnOps {
       m AS MATERIALIZED (
         SELECT e.vec_id, e.embedding, e.nm, irk.c_id AS cell
         FROM e JOIN irk ON irk.vec_id = e.vec_id AND irk.rn = 1),
-      ${EmbeddingOps.sqlDivEdgeCtes(sub, GRAPH_DEGREE)},
+      ${if (div) EmbeddingOps.sqlDivEdgeCtes(sub, GRAPH_DEGREE)
+        else EmbeddingOps.sqlKnnEdgeCtes(sub, GRAPH_DEGREE)},
       gseeds AS (SELECT cell, vec_id FROM (
                SELECT c_id AS cell, vec_id,
                       row_number() OVER (PARTITION BY c_id
@@ -214,6 +216,19 @@ object GraphAnnOps {
       ORDER BY q_id, rank"""
   }
 
+  /** E18b's beam dial: the select-neighbors graph MEASURES BETTER only
+    * with a wider beam (records/GRAPH_TUNE_r18.txt on the 112-cluster
+    * corpus: at beam 8 diversification DISPLACES beam slots — 0.750 vs
+    * plain's 0.775 at hops 3, and a 4k candidate pool makes it worse,
+    * 0.725 — while at beam 16 the wider frontier exploits the
+    * long-range links and breaks the r17 plateau: 0.825 vs plain's
+    * 0.800 at ~8% more scan). Neither selection dominates: ann_graph
+    * keeps the plain graph at beam 8 (the best recall-per-scan point,
+    * the r17-graded identity), ann_graph_div ships the diversified
+    * graph at ITS winning dial.
+    */
+  private[graft] val GRAPH_DIV_BEAM = 16
+
   val annGraph: Op = Op(
     "ann_graph",
     (s, d) => {
@@ -221,17 +236,32 @@ object GraphAnnOps {
       val cells = AnnOps.ivfCellsFor(n)
       AnnOps.logGeometryDivergence("ann_graph", s"$cells cells",
         s"${AnnOps.CENTROIDS} cells")
-      // r18 (E18b): the search index is built with the HNSW
-      // select-neighbors heuristic — same degree-8 budget, edges
-      // diversified at build so the walk can cross between a cell's
-      // tight clusters instead of cycling cluster-mates (the measured
-      // 0.775 plateau, records/GRAPH_TUNE_r17.txt)
       val idx = KnnIndex.forCorpus(s, d, cells,
-        EmbeddingOps.knnSubGeometry(n, cells), k = GRAPH_DEGREE,
-        div = true)
+        EmbeddingOps.knnSubGeometry(n, cells), k = GRAPH_DEGREE)
       graphSearch(AnnOps.withNorm(s, d), idx)
     },
     Some(sqlGraphSearch(AnnOps.CENTROIDS, None)))
 
-  val all: Seq[Op] = Seq(annGraph)
+  /** E18b — graph-ANN over the DIVERSIFIED index (HNSW
+    * select-neighbors at build, [[EmbeddingOps.divKnnEdges]]) at its
+    * measured regime ([[GRAPH_DIV_BEAM]]): same walk, same probed-cell
+    * world, an edge set that trades redundant cluster-mate links for
+    * long-range ones.
+    */
+  val annGraphDiv: Op = Op(
+    "ann_graph_div",
+    (s, d) => {
+      val n = Tables.embeddings(s, d).count()
+      val cells = AnnOps.ivfCellsFor(n)
+      AnnOps.logGeometryDivergence("ann_graph_div", s"$cells cells",
+        s"${AnnOps.CENTROIDS} cells")
+      val idx = KnnIndex.forCorpus(s, d, cells,
+        EmbeddingOps.knnSubGeometry(n, cells), k = GRAPH_DEGREE,
+        div = true)
+      graphSearch(AnnOps.withNorm(s, d), idx, beam = GRAPH_DIV_BEAM)
+    },
+    Some(sqlGraphSearch(AnnOps.CENTROIDS, None, beam = GRAPH_DIV_BEAM,
+      div = true)))
+
+  val all: Seq[Op] = Seq(annGraph, annGraphDiv)
 }
