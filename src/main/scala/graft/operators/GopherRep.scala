@@ -39,15 +39,23 @@ import graft.{Caches, Op, Tables}
   *    marked positions' token lengths once — overlapping duplicated
   *    windows never double-count a character.
   *
-  * Scale shape: line/paragraph metrics are pure per-row array
-  * expressions (lines per document are bounded — no shuffle). The
-  * n-gram half explodes one (doc_id, n, position, gram) stream
-  * (9 windows/token), groupBy-counts it (map-side combined, key is
-  * doc-dominated so uniform), and — like D10's re-plan — joins BACK
-  * only the DUPLICATED grams (scales with repetition, not corpus) to
-  * mark covered positions. Every aggregate is keyed by doc_id(+n), so
-  * partitions stay balanced at any corpus size; nothing ever sorts or
-  * collects the corpus.
+  * Scale shape (r18 — the sf100 decade's finding made structural):
+  * every metric is PER-DOCUMENT, so the whole gate is row-local — a
+  * map-only plan with no shuffle, no join and no cached intermediate.
+  * The r17 shape exploded one corpus-sized (doc_id, n, position, gram)
+  * stream (9 windows/token) through a groupBy + a dup-only join-back;
+  * at 5M docs that stream was ~4.6B rows whose string-keyed cache +
+  * shuffle overflowed 52 GB of scratch — for statistics that never
+  * cross a document boundary. Now each document's row computes its own
+  * channels: n-gram occurrence counts are a run-length fold over the
+  * hash-sorted in-row gram array (the same sorted-neighbors trick as
+  * [[dupFlags]]), and duplicated-gram character coverage is an
+  * interval-union sweep over the sorted duplicate positions — O(9·nw·
+  * (log nw + n)) per document, embarrassingly parallel, cost bounded
+  * by the largest DOCUMENT, never the corpus. Grams compare by
+  * xxhash64 in-row (P[in-doc 64-bit collision] ≈ grams²·2⁻⁶⁴ ≈ 10⁻¹⁴
+  * per doc; the oracle keeps comparing the strings themselves, so the
+  * gate would surface a collision as a hash mismatch).
   */
 object GopherRep {
 
@@ -115,90 +123,104 @@ object GopherRep {
         (acc, x) => acc + length(x).cast(LongType)), lit(1L)).cast("double")
   }
 
+  /** Character fraction of the most frequent n-gram — row-local:
+    * run-length fold over the hash-sorted gram array; ties on count
+    * take the longer gram ((cnt, gl) lexicographic, the oracle's
+    * max-of-tied-lengths convention).
+    */
+  private def topGramFrac(
+      tok: Column, nw: Column, cc: Column, n: Int): Column = {
+    val ghs = sort_array(
+      when(nw >= lit(n),
+        transform(sequence(lit(1), nw - lit(n - 1)), p => {
+          val g = concat_ws(SEP, slice(tok, p, lit(n)))
+          struct(xxhash64(g).as("gh"),
+            (length(g) - lit(n - 1)).cast(LongType).as("gl"))
+        }))
+        .otherwise(array().cast("array<struct<gh:bigint,gl:bigint>>")))
+    val best = aggregate(ghs,
+      struct(lit(0L).as("cur"), lit(0L).as("cnt"),
+        lit(0L).as("bc"), lit(0L).as("bgl")),
+      (acc, x) => {
+        val same = acc("cnt") > 0 && x("gh") === acc("cur")
+        val ncnt = when(same, acc("cnt") + 1).otherwise(lit(1L))
+        val better = ncnt > acc("bc") ||
+          (ncnt === acc("bc") && x("gl") > acc("bgl"))
+        struct(x("gh").as("cur"), ncnt.as("cnt"),
+          when(better, ncnt).otherwise(acc("bc")).as("bc"),
+          when(better, x("gl")).otherwise(acc("bgl")).as("bgl"))
+      })
+    (best("bc") * best("bgl")).cast("double") / cc
+  }
+
+  /** Character fraction covered by duplicated n-grams — row-local:
+    * flag duplicate positions over the hash-sorted (gram, position)
+    * array (equal-neighbor test, the [[dupFlags]] discipline), then an
+    * interval-union sweep over the position-sorted duplicates prices
+    * every covered token once (overlaps never double-count — the
+    * stated DISTINCT-positions semantics).
+    */
+  private def dupGramFrac(
+      tok: Column, nw: Column, cc: Column, wl: Column, n: Int): Column = {
+    val sorted = sort_array(
+      when(nw >= lit(n),
+        transform(sequence(lit(1), nw - lit(n - 1)), p =>
+          struct(
+            xxhash64(concat_ws(SEP, slice(tok, p, lit(n)))).as("gh"),
+            p.cast(LongType).as("p"))))
+        .otherwise(array().cast("array<struct<gh:bigint,p:bigint>>")))
+    val flags = transform(sequence(lit(1), size(sorted)), i =>
+      (i > lit(1) &&
+        element_at(sorted, greatest(i - lit(1), lit(1)))("gh") ===
+          element_at(sorted, i)("gh")) ||
+      (i < size(sorted) &&
+        element_at(sorted, least(i + lit(1), size(sorted)))("gh") ===
+          element_at(sorted, i)("gh")))
+    val ps = sort_array(filter(
+      zip_with(flags, sorted, (f, x) => when(f, x("p"))),
+      v => v.isNotNull))
+    val dc = aggregate(ps, struct(lit(0L).as("le"), lit(0L).as("tot")),
+      (acc, p) => {
+        val start = greatest(p, acc("le") + 1)
+        val end = p + lit(n - 1)
+        val contrib = when(start > end, lit(0L)).otherwise(
+          aggregate(sequence(start, end), lit(0L),
+            (a, t) => a + element_at(wl, t.cast("int"))))
+        struct(greatest(end, acc("le")).as("le"),
+          (acc("tot") + contrib).as("tot"))
+      })("tot")
+    dc.cast("double") / cc
+  }
+
   val qualityGopherRep: Op = Op(
     "quality_gopher_rep",
     (s, d) => {
-      val docs = Tables.documents(s, d).repartition(col("doc_id"))
-      // (doc_id, tok, nw, cc) — the shared basis for all n-gram metrics
-      val base = Caches.persist(docs
-        .select(col("doc_id"), TextOps.toks(col("text")).as("tok"))
-        .select(col("doc_id"), col("tok"), size(col("tok")).as("nw"),
+      val docs = Tables.documents(s, d)
+      // (doc_id, text, tok, nw, cc, wl) — one row per document, every
+      // channel below is a pure expression over it: map-only plan
+      val base = docs
+        .select(col("doc_id"), col("text"),
+          TextOps.toks(col("text")).as("tok"))
+        .select(col("doc_id"), col("text"), col("tok"),
+          size(col("tok")).as("nw"),
           greatest(length(array_join(col("tok"), "")), lit(1))
-            .cast(LongType).as("cc")))
-      // one (doc_id, n, p, gram) stream for every window size — each
-      // union branch reads the CACHED base, so the corpus tokenizes once
-      val grams = Caches.persist((TOP_NS ++ DUP_NS).map { n =>
-        base.filter(col("nw") >= n)
-          .select(col("doc_id"), col("cc"), lit(n).as("n"),
-            explode(transform(sequence(lit(1), col("nw") - lit(n - 1)),
-              p => struct(p.as("p"),
-                concat_ws(SEP, slice(col("tok"), p, lit(n))).as("g"))))
-              .as("s"))
-          .select(col("doc_id"), col("cc"), col("n"),
-            col("s.p").as("p"), col("s.g").as("g"))
-      }.reduce(_ unionAll _))
-      // per-(doc, n, gram) occurrence counts — map-side combined
-      val gstats = Caches.persist(grams
-        .groupBy(col("doc_id"), col("n"), col("g"))
-        .agg(count(lit(1)).as("cnt"), max(col("cc")).as("cc")))
-      // top 2/3/4-gram: max (cnt, charlen) struct = max count, longer
-      // gram on ties — deterministic in both engines
-      val topf = gstats.filter(col("n") <= TOP_NS.max)
-        .withColumn("gl",
-          (length(col("g")) - (col("n") - lit(1))).cast(LongType))
-        .groupBy(col("doc_id"), col("n"))
-        .agg(max(struct(col("cnt"), col("gl"))).as("m"),
-          max(col("cc")).as("cc"))
-        .select(col("doc_id"), col("n"),
-          ((col("m.cnt") * col("m.gl")).cast("double") / col("cc"))
-            .as("frac"))
-      val topP = topf.groupBy(col("doc_id")).agg(
-        max(when(col("n") === TOP_NS.head, col("frac")))
-          .as(s"top_${TOP_NS.head}gram_frac"),
-        TOP_NS.tail.map(n => max(when(col("n") === n, col("frac")))
-          .as(s"top_${n}gram_frac")): _*)
-      // duplicated 5..10-grams: join back ONLY grams with cnt > 1 (the
-      // dup-only D10 discipline), mark covered positions, price each
-      // position's token once
-      val dupg = gstats
-        .filter(col("n") >= DUP_NS.head && col("cnt") > 1)
-        .select(col("doc_id"), col("n"), col("g"))
-      val covered = grams.filter(col("n") >= DUP_NS.head)
-        .join(dupg, Seq("doc_id", "n", "g"))
-        .select(col("doc_id"), col("n"),
-          explode(sequence(col("p"), col("p") + col("n") - lit(1))).as("t"))
-        .distinct()
-      val ptok = base
-        .select(col("doc_id"), col("cc"),
-          posexplode(col("tok")).as(Seq("p0", "w")))
-        .select(col("doc_id"), (col("p0") + lit(1)).as("t"),
-          length(col("w")).cast(LongType).as("wl"), col("cc"))
-      val dupf = covered.join(ptok, Seq("doc_id", "t"))
-        .groupBy(col("doc_id"), col("n"))
-        .agg(sum(col("wl")).as("dc"), max(col("cc")).as("cc"))
-        .select(col("doc_id"), col("n"),
-          (col("dc").cast("double") / col("cc")).as("frac"))
-      val dupP = dupf.groupBy(col("doc_id")).agg(
-        max(when(col("n") === DUP_NS.head, col("frac")))
-          .as(s"dup_${DUP_NS.head}gram_frac"),
-        DUP_NS.tail.map(n => max(when(col("n") === n, col("frac")))
-          .as(s"dup_${n}gram_frac")): _*)
-      // line/paragraph metrics + the shared document verdict: map-side
+            .cast(LongType).as("cc"),
+          transform(col("tok"), w => length(w).cast(LongType)).as("wl"))
       val lines = segs(col("text"), "\n")
       val paras = segs(col("text"), "\n\n")
-      val lineM = docs.select(col("doc_id"),
-        dupFrac(lines).as("dup_line_frac"),
-        dupFrac(paras).as("dup_para_frac"),
-        dupCharFrac(lines).as("dup_line_char_frac"),
-        dupCharFrac(paras).as("dup_para_char_frac"),
-        TextOps.gopherDocVerdict(col("text")).as("doc_verdict"))
       val fracCols =
         TOP_NS.map(n => s"top_${n}gram_frac") ++
           DUP_NS.map(n => s"dup_${n}gram_frac")
-      val joined = lineM
-        .join(topP, Seq("doc_id"), "left")
-        .join(dupP, Seq("doc_id"), "left")
-        .na.fill(0.0, fracCols)
+      val joined = base.select(Seq(col("doc_id"),
+        dupFrac(lines).as("dup_line_frac"),
+        dupFrac(paras).as("dup_para_frac"),
+        dupCharFrac(lines).as("dup_line_char_frac"),
+        dupCharFrac(paras).as("dup_para_char_frac")) ++
+        TOP_NS.map(n => topGramFrac(col("tok"), col("nw"), col("cc"), n)
+          .as(s"top_${n}gram_frac")) ++
+        DUP_NS.map(n => dupGramFrac(col("tok"), col("nw"), col("cc"),
+          col("wl"), n).as(s"dup_${n}gram_frac")) ++
+        Seq(TextOps.gopherDocVerdict(col("text")).as("doc_verdict")): _*)
       val verdict = RULES.foldRight(lit("keep")) {
         case ((c, t, name), alt) => when(col(c) > t, name).otherwise(alt)
       }
