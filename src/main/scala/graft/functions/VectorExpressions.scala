@@ -8,7 +8,9 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructType}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native codegen'd vector kernels.
@@ -1418,6 +1420,117 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** `gram_rep(tok: array<string>, n: int): struct<top_cnt: bigint,
+    * top_gl: bigint, dup_chars: bigint>` — the C36 per-document n-gram
+    * repetition statistics in ONE hand-written pass: the count and
+    * char-length of the most frequent n-gram ((cnt, gl) lexicographic
+    * max, the oracle's longer-gram tie-break) and the character total
+    * of token positions covered by any n-gram occurring ≥ 2 times
+    * (interval union — overlaps never double-count).
+    *
+    * Why fused (r18, the C36 sf100 decade): the row-local HOF
+    * formulation this replaces evaluated per-gram string concat +
+    * hash + struct allocation through the INTERPRETED lambda
+    * machinery — measured ~130 docs/s/core at 5M docs, i.e. the
+    * forced pass ran tens of minutes per rep. This kernel is the
+    * same per-document algorithm as primitive loops: per-token
+    * xxhash64 once, gram hashes chained via hashLong over the token
+    * window, counts in an open-addressed primitive table, coverage as
+    * a single sweep — O(nw·n) per document, zero boxing, zero
+    * allocation beyond four flat arrays. Grams compare by 64-bit hash
+    * (P[in-doc collision] ≈ grams²·2⁻⁶⁴; the DuckDB oracle compares
+    * the strings themselves, so the correctness gate would surface a
+    * collision as a mismatch — none has).
+    */
+  case class GramRepExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("top_chars", LongType, nullable = false),
+      StructField("dup_chars", LongType, nullable = false)))
+    override def prettyName: String = "gram_rep"
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+
+    override def nullSafeEval(tokAny: Any, nAny: Any): Any = {
+      val tok = tokAny.asInstanceOf[ArrayData]
+      val n = nAny.asInstanceOf[Int]
+      val nw = tok.numElements()
+      val m = nw - n + 1
+      if (m <= 0)
+        return new GenericInternalRow(Array[Any](0L, 0L))
+      val wl = new Array[Int](nw)
+      val th = new Array[Long](nw)
+      var i = 0
+      while (i < nw) {
+        val u = tok.getUTF8String(i)
+        wl(i) = u.numChars()
+        th(i) = XXH64.hashUnsafeBytes(
+          u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        i += 1
+      }
+      val gh = new Array[Long](m)
+      val gl = new Array[Int](m)
+      var p = 0
+      while (p < m) {
+        var h = 42L
+        var c = 0
+        var j = p
+        while (j < p + n) {
+          h = XXH64.hashLong(th(j), h); c += wl(j); j += 1
+        }
+        gh(p) = h; gl(p) = c; p += 1
+      }
+      // open-addressed primitive count table (power-of-2, linear probe)
+      var cap = 4
+      while (cap < m * 2) cap <<= 1
+      val keys = new Array[Long](cap)
+      val used = new Array[Boolean](cap)
+      val cnts = new Array[Int](cap)
+      val gls = new Array[Int](cap)
+      val mask = cap - 1
+      def slot(h: Long): Int = {
+        var sl = (h ^ (h >>> 32)).toInt & mask
+        while (used(sl) && keys(sl) != h) sl = (sl + 1) & mask
+        sl
+      }
+      p = 0
+      while (p < m) {
+        val sl = slot(gh(p))
+        if (!used(sl)) {
+          used(sl) = true; keys(sl) = gh(p); cnts(sl) = 1; gls(sl) = gl(p)
+        } else {
+          cnts(sl) += 1
+          if (gl(p) > gls(sl)) gls(sl) = gl(p)
+        }
+        p += 1
+      }
+      var bc = 0L
+      var bgl = 0L
+      var sl = 0
+      while (sl < cap) {
+        if (used(sl)) {
+          val c = cnts(sl).toLong; val g = gls(sl).toLong
+          if (c > bc || (c == bc && g > bgl)) { bc = c; bgl = g }
+        }
+        sl += 1
+      }
+      var dup = 0L
+      var lastEnd = -1
+      p = 0
+      while (p < m) {
+        if (cnts(slot(gh(p))) >= 2) {
+          var t = math.max(p, lastEnd + 1)
+          val e = p + n - 1
+          while (t <= e) { dup += wl(t); t += 1 }
+          if (e > lastEnd) lastEnd = e
+        }
+        p += 1
+      }
+      new GenericInternalRow(Array[Any](bc * bgl, dup))
+    }
+  }
+
   /** Injects both kernels into a session's function registry. */
   def registerAll(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -1458,6 +1571,10 @@ object VectorExpressions {
       new FunctionIdentifier("lsub_micros"),
       new ExpressionInfo(classOf[LsubMicrosExpr].getName, "lsub_micros"),
       (args: Seq[Expression]) => LsubMicrosExpr(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("gram_rep"),
+      new ExpressionInfo(classOf[GramRepExpr].getName, "gram_rep"),
+      (args: Seq[Expression]) => GramRepExpr(args(0), args(1))))
     ext.injectFunction((
       new FunctionIdentifier("pql_dists"),
       new ExpressionInfo(classOf[PqlDistsExpr].getName, "pql_dists"),

@@ -47,15 +47,17 @@ import graft.{Caches, Op, Tables}
   * at 5M docs that stream was ~4.6B rows whose string-keyed cache +
   * shuffle overflowed 52 GB of scratch — for statistics that never
   * cross a document boundary. Now each document's row computes its own
-  * channels: n-gram occurrence counts are a run-length fold over the
-  * hash-sorted in-row gram array (the same sorted-neighbors trick as
-  * [[dupFlags]]), and duplicated-gram character coverage is an
-  * interval-union sweep over the sorted duplicate positions — O(9·nw·
-  * (log nw + n)) per document, embarrassingly parallel, cost bounded
-  * by the largest DOCUMENT, never the corpus. Grams compare by
-  * xxhash64 in-row (P[in-doc 64-bit collision] ≈ grams²·2⁻⁶⁴ ≈ 10⁻¹⁴
-  * per doc; the oracle keeps comparing the strings themselves, so the
-  * gate would surface a collision as a hash mismatch).
+  * channels through the ONE fused native kernel
+  * ([[graft.functions.VectorExpressions.GramRepExpr gram_rep]] — the
+  * lsh_buckets precedent: the interpreted-HOF formulation of the same
+  * per-doc algorithm measured ~130 docs/s/core): per-token xxhash64
+  * once, gram hashes chained over the window, counts in a primitive
+  * open-addressed table, coverage as one interval sweep — O(9·nw·n)
+  * per document, embarrassingly parallel, cost bounded by the largest
+  * DOCUMENT, never the corpus. Grams compare by 64-bit hash in-row
+  * (P[in-doc collision] ≈ grams²·2⁻⁶⁴ ≈ 10⁻¹⁴ per doc; the oracle
+  * keeps comparing the strings themselves, so the gate would surface
+  * a collision as a hash mismatch).
   */
 object GopherRep {
 
@@ -123,75 +125,6 @@ object GopherRep {
         (acc, x) => acc + length(x).cast(LongType)), lit(1L)).cast("double")
   }
 
-  /** Character fraction of the most frequent n-gram — row-local:
-    * run-length fold over the hash-sorted gram array; ties on count
-    * take the longer gram ((cnt, gl) lexicographic, the oracle's
-    * max-of-tied-lengths convention).
-    */
-  private def topGramFrac(
-      tok: Column, nw: Column, cc: Column, n: Int): Column = {
-    val ghs = sort_array(
-      when(nw >= lit(n),
-        transform(sequence(lit(1), nw - lit(n - 1)), p => {
-          val g = concat_ws(SEP, slice(tok, p, lit(n)))
-          struct(xxhash64(g).as("gh"),
-            (length(g) - lit(n - 1)).cast(LongType).as("gl"))
-        }))
-        .otherwise(array().cast("array<struct<gh:bigint,gl:bigint>>")))
-    val best = aggregate(ghs,
-      struct(lit(0L).as("cur"), lit(0L).as("cnt"),
-        lit(0L).as("bc"), lit(0L).as("bgl")),
-      (acc, x) => {
-        val same = acc("cnt") > 0 && x("gh") === acc("cur")
-        val ncnt = when(same, acc("cnt") + 1).otherwise(lit(1L))
-        val better = ncnt > acc("bc") ||
-          (ncnt === acc("bc") && x("gl") > acc("bgl"))
-        struct(x("gh").as("cur"), ncnt.as("cnt"),
-          when(better, ncnt).otherwise(acc("bc")).as("bc"),
-          when(better, x("gl")).otherwise(acc("bgl")).as("bgl"))
-      })
-    (best("bc") * best("bgl")).cast("double") / cc
-  }
-
-  /** Character fraction covered by duplicated n-grams — row-local:
-    * flag duplicate positions over the hash-sorted (gram, position)
-    * array (equal-neighbor test, the [[dupFlags]] discipline), then an
-    * interval-union sweep over the position-sorted duplicates prices
-    * every covered token once (overlaps never double-count — the
-    * stated DISTINCT-positions semantics).
-    */
-  private def dupGramFrac(
-      tok: Column, nw: Column, cc: Column, wl: Column, n: Int): Column = {
-    val sorted = sort_array(
-      when(nw >= lit(n),
-        transform(sequence(lit(1), nw - lit(n - 1)), p =>
-          struct(
-            xxhash64(concat_ws(SEP, slice(tok, p, lit(n)))).as("gh"),
-            p.cast(LongType).as("p"))))
-        .otherwise(array().cast("array<struct<gh:bigint,p:bigint>>")))
-    val flags = transform(sequence(lit(1), size(sorted)), i =>
-      (i > lit(1) &&
-        element_at(sorted, greatest(i - lit(1), lit(1)))("gh") ===
-          element_at(sorted, i)("gh")) ||
-      (i < size(sorted) &&
-        element_at(sorted, least(i + lit(1), size(sorted)))("gh") ===
-          element_at(sorted, i)("gh")))
-    val ps = sort_array(filter(
-      zip_with(flags, sorted, (f, x) => when(f, x("p"))),
-      v => v.isNotNull))
-    val dc = aggregate(ps, struct(lit(0L).as("le"), lit(0L).as("tot")),
-      (acc, p) => {
-        val start = greatest(p, acc("le") + 1)
-        val end = p + lit(n - 1)
-        val contrib = when(start > end, lit(0L)).otherwise(
-          aggregate(sequence(start, end), lit(0L),
-            (a, t) => a + element_at(wl, t.cast("int"))))
-        struct(greatest(end, acc("le")).as("le"),
-          (acc("tot") + contrib).as("tot"))
-      })("tot")
-    dc.cast("double") / cc
-  }
-
   val qualityGopherRep: Op = Op(
     "quality_gopher_rep",
     (s, d) => {
@@ -202,10 +135,8 @@ object GopherRep {
         .select(col("doc_id"), col("text"),
           TextOps.toks(col("text")).as("tok"))
         .select(col("doc_id"), col("text"), col("tok"),
-          size(col("tok")).as("nw"),
           greatest(length(array_join(col("tok"), "")), lit(1))
-            .cast(LongType).as("cc"),
-          transform(col("tok"), w => length(w).cast(LongType)).as("wl"))
+            .cast(LongType).as("cc"))
       val lines = segs(col("text"), "\n")
       val paras = segs(col("text"), "\n\n")
       val fracCols =
@@ -216,10 +147,12 @@ object GopherRep {
         dupFrac(paras).as("dup_para_frac"),
         dupCharFrac(lines).as("dup_line_char_frac"),
         dupCharFrac(paras).as("dup_para_char_frac")) ++
-        TOP_NS.map(n => topGramFrac(col("tok"), col("nw"), col("cc"), n)
-          .as(s"top_${n}gram_frac")) ++
-        DUP_NS.map(n => dupGramFrac(col("tok"), col("nw"), col("cc"),
-          col("wl"), n).as(s"dup_${n}gram_frac")) ++
+        TOP_NS.map(n =>
+          (call_function("gram_rep", col("tok"), lit(n))("top_chars")
+            .cast("double") / col("cc")).as(s"top_${n}gram_frac")) ++
+        DUP_NS.map(n =>
+          (call_function("gram_rep", col("tok"), lit(n))("dup_chars")
+            .cast("double") / col("cc")).as(s"dup_${n}gram_frac")) ++
         Seq(TextOps.gopherDocVerdict(col("text")).as("doc_verdict")): _*)
       val verdict = RULES.foldRight(lit("keep")) {
         case ((c, t, name), alt) => when(col(c) > t, name).otherwise(alt)

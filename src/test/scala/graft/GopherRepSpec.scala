@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
+
 /** C36 — the Gopher/RedPajama REPETITION cascade: one planted document
   * per published rule (each constructed so ITS rule is the first to
   * fail), the boundary semantics (fraction == threshold passes), and
@@ -112,4 +114,48 @@ class GopherRepSpec extends SparkSpec {
       fv(1L) == "dup_lines")
     assert(fv(0L) == "keep" && m(0L).getAs[Boolean]("kept_full"))
   }
+
+  test("gram_rep kernel == the string-level reference on " +
+      "repetition-heavy token arrays (all n, boundary shapes)") {
+    import spark.implicits._
+    def ref(tok: IndexedSeq[String], n: Int): (Long, Long) = {
+      val m = tok.length - n + 1
+      if (m <= 0) return (0L, 0L)
+      val key = (0 until m).map(p =>
+        tok.slice(p, p + n).mkString(""))
+      val cnt = key.groupBy(identity).view.mapValues(_.size).toMap
+      def cps(s: String): Long = s.codePointCount(0, s.length).toLong
+      val gl = (0 until m).map(p =>
+        tok.slice(p, p + n).map(cps).sum)
+      val top = (0 until m).map(p => (cnt(key(p)).toLong, gl(p))).max
+      val covered = Array.fill(tok.length)(false)
+      for (p <- 0 until m; if cnt(key(p)) >= 2; t <- p until p + n)
+        covered(t) = true
+      val dup = tok.indices.filter(covered).map(i => cps(tok(i))).sum
+      (top._1 * top._2, dup)
+    }
+    val vocab = Vector("a", "bb", "ccc", "the", "xyzzy", "dd")
+    def words(seed: Int, len: Int): IndexedSeq[String] =
+      (0 until len).map(i => vocab((seed * 31 + i * i * 7 + i / 3) % vocab.size))
+    val cases: Seq[IndexedSeq[String]] =
+      Seq(Vector.empty[String], Vector("solo"),
+        Vector.fill(40)("dup"),
+        ("a b a b a b a b c".split(" ")).toIndexedSeq) ++
+        (1 to 8).map(s => words(s, 5 + s * 6))
+    val df = cases.zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws) }.toDF("id", "tok")
+    (2 to 10).foreach { n =>
+      val got = df.select(col("id"),
+        call_function("gram_rep", col("tok"), lit(n)).as("g"))
+        .select(col("id"), col("g.top_chars"), col("g.dup_chars"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      cases.zipWithIndex.foreach { case (ws, i) =>
+        assert(got(i.toLong) == ref(ws, n),
+          s"kernel != reference for case $i at n=$n: " +
+            s"${got(i.toLong)} vs ${ref(ws, n)}")
+      }
+    }
+  }
+
 }
