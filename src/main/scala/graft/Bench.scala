@@ -210,16 +210,27 @@ object Bench {
       }","materialization_total":${f"$matTotal%.3f"},$calib,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // The driver's stdout tail-capture truncates long boards mid-JSON
-    // (BENCH_rN.json "parsed": null) — when SPARK_GRAFT_BENCH_OUT is set
-    // the full board is ALSO written to that path so a parseable copy
-    // always exists (records/ convention). Write-to-temp + rename so a
-    // killed run never leaves a torn file under the final name.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+    // (BENCH_rN.json "parsed": null) — the full board is ALSO written
+    // to a file so a parseable copy always exists: SPARK_GRAFT_BENCH_OUT
+    // when set, else records/BENCH_last.json (r18 verdict: the opt-in
+    // write left the judged end-of-round artifact truncated for two
+    // rounds). Write-to-temp + rename so a killed run never leaves a
+    // torn file under the final name; the default write is best-effort
+    // (an unwritable cwd must not fail the bench itself).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "records/BENCH_last.json")
+    try {
+      val outPath = java.nio.file.Paths.get(out)
+      Option(outPath.getParent)
+        .foreach(java.nio.file.Files.createDirectories(_))
       val tmp = java.nio.file.Paths.get(out + ".tmp")
       java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(out),
+      java.nio.file.Files.move(tmp, outPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] board file write to $out failed: $e")
     }
     spark.stop()
     if (anyFailed) sys.exit(1)

@@ -75,11 +75,17 @@ object KnnScale {
           .as("split_members"),
         count_distinct(when(col("cell") < 0, col("cell"))).as("split_cells"))
       .head()
+    // refinedOccupancy groups by (cell, tbl, bucket): with sub-LSH a
+    // member lands in one bucket PER TABLE, so the raw group-row sum
+    // counts each split-cell member `tables` times (r18 advisory)
+    val splitMembers =
+      occ.getAs[Long]("split_members") / sub.map(_.tables.toLong)
+        .getOrElse(1L)
     println(f"[knnscale] refined occupancy: max=${occ.getAs[Long]("mx")} " +
       f"mean=${occ.getAs[Double]("mean")}%.1f " +
       s"groups=${occ.getAs[Long]("groups")} " +
       s"split_cells=${occ.getAs[Long]("split_cells")} " +
-      s"split_members=${occ.getAs[Long]("split_members")} " +
+      s"split_members=$splitMembers " +
       s"(trigger=${AnnOps.SPLIT_OCC})")
     Caches.releaseScope()
     spark.stop()

@@ -1420,12 +1420,14 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
-  /** `gram_rep(tok: array<string>, n: int): struct<top_cnt: bigint,
-    * top_gl: bigint, dup_chars: bigint>` — the C36 per-document n-gram
-    * repetition statistics in ONE hand-written pass: the count and
-    * char-length of the most frequent n-gram ((cnt, gl) lexicographic
-    * max, the oracle's longer-gram tie-break) and the character total
-    * of token positions covered by any n-gram occurring ≥ 2 times
+  /** `gram_rep(tok: array<string>, n: int): struct<top_chars: bigint,
+    * dup_chars: bigint>` — the C36 per-document n-gram repetition
+    * statistics in ONE hand-written pass: `top_chars` is the
+    * pre-multiplied count × char-length product of the most frequent
+    * n-gram (the (cnt, gl) LEXICOGRAPHIC max — the oracle's
+    * longer-gram tie-break — then cnt·gl, which is what the Gopher
+    * fraction consumes), and `dup_chars` is the character total of
+    * token positions covered by any n-gram occurring ≥ 2 times
     * (interval union — overlaps never double-count).
     *
     * Why fused (r18, the C36 sf100 decade): the row-local HOF

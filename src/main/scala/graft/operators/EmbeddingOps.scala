@@ -832,10 +832,17 @@ object EmbeddingOps {
   private[graft] def sqlDivEdgeCtes(
       sub: Option[AnnOps.LshGeometry],
       k: Int): String = {
+    require(k >= 2,
+      s"sqlDivEdgeCtes needs k >= 2 (got $k): with one greedy step the" +
+        " select-neighbors unroll degenerates (kept1 == kedge)")
     val m = DIV_CAND_MULT * k
     val base = sqlKnnEdgeCtes(sub, k)
     // reuse the shared chain verbatim, minus its plain-kNN kedge tail
-    val chain = base.substring(0, base.lastIndexOf(",\n      kedge AS ("))
+    val tailIdx = base.lastIndexOf(",\n      kedge AS (")
+    require(tailIdx >= 0,
+      "sqlKnnEdgeCtes' kedge tail not found — the shared chain's " +
+        "indentation drifted; re-align sqlDivEdgeCtes' splice marker")
+    val chain = base.substring(0, tailIdx)
     val steps = (2 to k).map { t =>
       s"""sel$t AS MATERIALIZED (
         SELECT src, nbr, cos, crn FROM (

@@ -142,16 +142,30 @@ object KnnIndex {
     * complete while the first batch's cells hold vectors whose
     * edges/seeds were never rebuilt).
     */
-  private type BatchFp = (Long, Long, Long)
+  private[graft] case class BatchFp(
+      n: Long, mn: Long, mx: Long, dig: Option[Long]) {
+    /** Endpoint fields must agree; the content digest (order-insensitive
+      * xor of xxhash64(vec_id), r18 advisory: endpoints alone would
+      * accept a different batch sharing count/min/max) is compared only
+      * when BOTH sides carry one — a pre-digest marker falls back to
+      * the endpoint check rather than refusing every repair.
+      */
+    def matches(o: BatchFp): Boolean =
+      n == o.n && mn == o.mn && mx == o.mx &&
+        (for (a <- dig; b <- o.dig) yield a == b).getOrElse(true)
+    override def toString: String =
+      s"(n=$n, min=$mn, max=$mx, digest=${dig.getOrElse("-")})"
+  }
 
   private def writeMarker(
       spark: SparkSession, path: String, complete: Boolean,
       op: String, fp: Option[BatchFp] = None): Unit =
     spark.range(1)
       .select(lit(complete).as("complete"), lit(op).as("op"),
-        lit(fp.map(_._1).getOrElse(-1L)).as("batch_n"),
-        lit(fp.map(_._2).getOrElse(-1L)).as("batch_min"),
-        lit(fp.map(_._3).getOrElse(-1L)).as("batch_max"))
+        lit(fp.map(_.n).getOrElse(-1L)).as("batch_n"),
+        lit(fp.map(_.mn).getOrElse(-1L)).as("batch_min"),
+        lit(fp.map(_.mx).getOrElse(-1L)).as("batch_max"),
+        lit(fp.flatMap(_.dig).getOrElse(0L)).as("batch_dig"))
       .write.mode("overwrite").parquet(s"$path/complete")
 
   /** Persist: marker bracket around meta (pinned quantizer + dials),
@@ -188,12 +202,14 @@ object KnnIndex {
       spark: SparkSession, path: String,
       tolerateTornAppend: Boolean): (Index, Option[BatchFp]) = {
     IndexFs.recoverSwap(spark, path)
-    val m = try spark.read.parquet(s"$path/complete").head()
+    val mDf = try spark.read.parquet(s"$path/complete")
     catch {
       case _: org.apache.spark.sql.AnalysisException =>
         throw new IllegalStateException(
           s"no KnnIndex at $path (missing completion marker)")
     }
+    val m = mDf.head()
+    val mHas = mDf.schema.fieldNames.toSet
     val op = m.getAs[String]("op")
     val torn = !m.getAs[Boolean]("complete")
     if (torn && !(tolerateTornAppend && op == "append"))
@@ -202,12 +218,18 @@ object KnnIndex {
           (if (op == "append")
              "replay the interrupted append batch to repair it"
            else "rebuild or re-save it"))
+    // pre-r18 markers carry no fingerprint fields (r18 advisory: don't
+    // refuse to load an old artifact) — a torn pre-r18 append falls
+    // back to the original "replay the batch" contract, unchecked
     val tornFp: Option[BatchFp] =
-      if (torn && op == "append")
-        Some((m.getAs[Long]("batch_n"), m.getAs[Long]("batch_min"),
-          m.getAs[Long]("batch_max")))
+      if (torn && op == "append" && mHas("batch_n"))
+        Some(BatchFp(m.getAs[Long]("batch_n"),
+          m.getAs[Long]("batch_min"), m.getAs[Long]("batch_max"),
+          if (mHas("batch_dig")) Some(m.getAs[Long]("batch_dig"))
+          else None))
       else None
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val metaDf = spark.read.parquet(s"$path/meta")
+    val meta = metaDf.head()
     val dim = meta.getAs[Int]("dim")
     if (dim != AnnOps.FULL_DIM)
       throw new IllegalStateException(
@@ -229,7 +251,11 @@ object KnnIndex {
       micros, cells, meta.getAs[Int]("rounds"), meta.getAs[Int]("k"),
       if (st == 0) None
       else Some(AnnOps.LshGeometry(st, meta.getAs[Int]("sub_planes"))),
-      meta.getAs[Boolean]("div")),
+      // pre-r18 meta has no `div` column (r18 advisory: a breaking
+      // read of the persisted artifact) — default to plain edges
+      if (metaDf.schema.fieldNames.contains("div"))
+        meta.getAs[Boolean]("div")
+      else false),
       tornFp)
   }
 
@@ -249,21 +275,24 @@ object KnnIndex {
         .select(col("vec_id"), col("embedding"), col("nm"), col("cell")))
     val fpRow = newAssigned
       .agg(count(lit(1)).as("n"), min(col("vec_id")).as("mn"),
-        max(col("vec_id")).as("mx")).head()
-    val fp: BatchFp = (fpRow.getAs[Long]("n"),
+        max(col("vec_id")).as("mx"),
+        bit_xor(xxhash64(col("vec_id"))).as("dig")).head()
+    val fp: BatchFp = BatchFp(fpRow.getAs[Long]("n"),
       Option(fpRow.get(1)).map(_ => fpRow.getAs[Long]("mn")).getOrElse(-1L),
-      Option(fpRow.get(2)).map(_ => fpRow.getAs[Long]("mx")).getOrElse(-1L))
+      Option(fpRow.get(2)).map(_ => fpRow.getAs[Long]("mx")).getOrElse(-1L),
+      Some(Option(fpRow.get(3)).map(_ => fpRow.getAs[Long]("dig"))
+        .getOrElse(0L)))
     // a torn append repairs ONLY by replaying the same batch: the
-    // incomplete marker carries the in-flight batch's fingerprint, and
-    // appending anything else would mark the index complete while the
-    // first batch's cells still hold un-knn'd vectors (r18 advisory)
+    // incomplete marker carries the in-flight batch's fingerprint
+    // (endpoints + order-insensitive id digest), and appending anything
+    // else would mark the index complete while the first batch's cells
+    // still hold un-knn'd vectors (r18 advisories)
     tornFp.foreach { t =>
-      if (t != fp)
+      if (!t.matches(fp))
         throw new IllegalStateException(
-          s"KnnIndex at $path has a torn append of batch " +
-            s"(n=${t._1}, min=${t._2}, max=${t._3}); the batch being " +
-            s"appended fingerprints as (n=${fp._1}, min=${fp._2}, " +
-            s"max=${fp._3}) — replay the interrupted batch first")
+          s"KnnIndex at $path has a torn append of batch $t; the " +
+            s"batch being appended fingerprints as $fp — replay the " +
+            "interrupted batch first")
     }
     val affected = newAssigned.select(col("cell")).distinct()
       .collect().map(_.getAs[Long]("cell")).toSeq
