@@ -1258,55 +1258,111 @@ object AnnOps {
     * [[SPLIT_OCC]] with a secondary in-cell Lloyd round (cells are
     * data-adaptive where hyperplanes are not), and [[PAIR_OCC_CAP]] is
     * the loud backstop (the emb_bitext_mine CROSS_BUCKET_CAP
-    * discipline): a group still over the cap after refinement —
-    * possible only for unsplittable mass like an exact-duplicate flood,
-    * where every Voronoi tie breaks to one seed — fails by name before
-    * the cross product materializes it in one row, never by executor
-    * OOM. Under the trigger (every gate SF) the refinement is a no-op
-    * and the pair set is byte-identical to r17's (OccupancySpec).
+    * discipline): a group still over the cap after refinement fails by
+    * name before the cross product materializes it in one row, never
+    * by executor OOM. Under the trigger (every gate SF) the refinement
+    * is a no-op and the pair set is byte-identical to r17's
+    * (OccupancySpec).
+    *
+    * r19 (the r18 verdict's ask #4): the one mass the split provably
+    * CANNOT separate — an exact-duplicate flood, where every Voronoi
+    * tie breaks to one seed — no longer reaches the cap as a refusal:
+    * duplicates collapse to one representative + member-id list before
+    * refinement, their pairs are emitted as well-defined rows (self
+    * pairs once at the vector's exact self-cosine; cross pairs by
+    * generator expansion of the member lists), and the cap drops to
+    * 4096 as a true invariant (OccupancySpec's flood test asserts
+    * RESULTS, not an error).
     */
   private[graft] def bucketedPairsFromAssigned(
       withCell: DataFrame,
       sub: Option[LshGeometry]): DataFrame = {
-    val bucketed = subBucketed(occupancyRefined(withCell, sub), sub)
-    val pairs = bucketed
+    // r19 (the r18 verdict's ask #4): EXACT-duplicate vectors — same
+    // quantized micros, so identical cosine against EVERY other vector
+    // — collapse to one representative (lowest id) carrying the
+    // member-id list BEFORE refinement and pairing. A duplicate flood
+    // (the one mass the adaptive Lloyd split provably cannot separate;
+    // it reached the loud cap as a refusal in r18) now collapses to a
+    // single member and its pairs are emitted as well-defined rows
+    // instead of refused; occupancy everywhere downstream counts
+    // UNIQUE vectors, so [[PAIR_OCC_CAP]] drops to a never-hit
+    // invariant. The collapse costs one id+embedding-width shuffle
+    // keyed by (cell, qraw) with full map-side partial aggregation —
+    // on a duplicate-free corpus the group count equals the corpus
+    // and the pair stream is value-identical to r18's.
+    val collapsed = Caches.persist(withCell
+      .withColumn("qr", qrawCol)
+      .groupBy(col("cell"), col("qr"))
+      .agg(
+        min_by(struct(col("vec_id"), col("embedding"), col("nm")),
+          col("vec_id")).as("rep"),
+        sort_array(collect_list(col("vec_id"))).as("mids"))
+      .select(col("rep.vec_id").as("vec_id"),
+        col("rep.embedding").as("embedding"), col("rep.nm").as("nm"),
+        col("cell"), col("mids")))
+    // within-group pairs: every id couple sharing one quantized vector,
+    // at that vector's exact self-cosine — emitted ONCE from the
+    // collapsed frame (never through the sub-table replication), and
+    // expanded by a streaming generator, never an in-row pair array
+    val selfPairs = collapsed
+      .filter(size(col("mids")) >= 2)
+      .select(col("mids"),
+        cosineFromMicros(dotMicros(col("embedding"), col("embedding")),
+          col("nm"), col("nm")).as("cos"),
+        posexplode(col("mids")).as(Seq("pi", "i")))
+      .select(col("i"),
+        explode(slice(col("mids"), col("pi") + lit(2),
+          size(col("mids")) - col("pi") - lit(1))).as("j"),
+        col("cos"))
+    val bucketed = subBucketed(occupancyRefined(collapsed, sub), sub)
+    val crossPairs = bucketed
       .groupBy(col("cell"), col("tbl"), col("bucket"))
       .agg(sort_array(collect_list(
-        struct(col("vec_id"), col("embedding"), col("nm")))).as("ds"))
+        struct(col("vec_id"), col("mids"), col("embedding"), col("nm"))))
+        .as("ds"))
       .filter(size(col("ds")) >= 2)
       // loud occupancy backstop — see the scaladoc; checked on the
-      // collected group BEFORE the pair transform allocates anything
+      // collected group (UNIQUE vectors after collapse) BEFORE the
+      // pair transform allocates anything
       .withColumn("ds",
         when(size(col("ds")) > PAIR_OCC_CAP,
           raise_error(concat(
             lit("cell-blocked pairs: occupancy "),
             size(col("ds")).cast("string"),
-            lit(s" exceeds $PAIR_OCC_CAP after adaptive refinement in " +
-              "(cell, tbl, bucket) = ("),
+            lit(s" exceeds $PAIR_OCC_CAP after duplicate collapse and " +
+              "adaptive refinement in (cell, tbl, bucket) = ("),
             col("cell").cast("string"), lit(", "),
             col("tbl").cast("string"), lit(", "),
             col("bucket").cast("string"),
-            lit(") — unsplittable mass (duplicate-heavy?); dedup " +
-              "exact-duplicate vectors upstream or raise the cell " +
-              "count before the in-row cross product materializes it"))))
+            lit(") — genuinely distinct unsplittable mass; raise the " +
+              "cell count before the in-row cross product " +
+              "materializes it"))))
           .otherwise(col("ds")))
       // r18: the cosine computes INSIDE the pair lambda, so the
-      // materialized per-group pair array is id-width (i, j, cos ≈
-      // 40 B/pair) instead of carrying two full embedding copies
-      // (~600 B/pair) — the r17 OOM was exactly this array: a
-      // 1024-member group's 523k pairs cost ~300 MB per aggregate row
-      // with embeddings riding along, ~20 MB without
+      // materialized per-group pair array stays near id-width — each
+      // side is the member-id LIST (length 1 on a duplicate-free
+      // corpus, ~56 B/pair) instead of two full embedding copies
+      // (~600 B/pair); the duplicate expansion below happens on
+      // exploded ROWS through streaming generators, so a pair of
+      // duplicate groups never materializes its id cross product in
+      // one array
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(
           slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
-          y => struct(x("vec_id").as("i"), y("vec_id").as("j"),
+          y => struct(x("mids").as("im"), y("mids").as("jm"),
             cosineFromMicros(
               dotMicros(x("embedding"), y("embedding")),
               x("nm"), y("nm")).as("cos")))))).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.cos").as("cos"))
+      .select(explode(col("p.im")).as("ie"), col("p.jm").as("jm"),
+        col("p.cos").as("cos"))
+      .select(col("ie"), explode(col("jm")).as("je"), col("cos"))
+      // representatives sort by rep id, but MEMBER ids of two groups
+      // interleave freely — canonicalize to i < j
+      .select(least(col("ie"), col("je")).as("i"),
+        greatest(col("ie"), col("je")).as("j"), col("cos"))
+    crossPairs.unionByName(selfPairs)
       .groupBy(col("i"), col("j"))
       .agg(max(col("cos")).as("cos"))
-    pairs
   }
 
   /** The (cell, tbl, bucket)-keyed member stream the pair cross
@@ -1314,19 +1370,22 @@ object AnnOps {
     * EXACTLY the occupancy the quadratic will pay.
     */
   private def subBucketed(
-      withCell: DataFrame, sub: Option[LshGeometry]): DataFrame =
+      withCell: DataFrame, sub: Option[LshGeometry]): DataFrame = {
+    // pass through whatever payload columns ride along (r19: the
+    // duplicate-collapse `mids` list joins the classic
+    // vec_id/embedding/nm triple)
+    val rest = withCell.columns.filter(_ != "cell").map(col).toSeq
     sub match {
       case None =>
-        withCell.select(col("cell"), lit(0).as("tbl"), lit(0L).as("bucket"),
-          col("vec_id"), col("embedding"), col("nm"))
+        withCell.select(col("cell") +: lit(0).as("tbl") +:
+          lit(0L).as("bucket") +: rest: _*)
       case Some(g) =>
-        withCell.select(col("cell"), col("vec_id"), col("embedding"),
-          col("nm"),
-          posexplode(lshBucketsCol(col("embedding"), g))
-            .as(Seq("tbl", "bucket")))
-          .select(col("cell"), col("tbl"), col("bucket"), col("vec_id"),
-            col("embedding"), col("nm"))
+        withCell.select((col("cell") +: rest) :+
+            posexplode(lshBucketsCol(col("embedding"), g))
+              .as(Seq("tbl", "bucket")): _*)
+          .select(col("cell") +: col("tbl") +: col("bucket") +: rest: _*)
     }
+  }
 
   /** Occupancy trigger for the adaptive cell split: a (cell, tbl,
     * bucket) group past this re-blocks its CELL. 2× the ~512 in-task
@@ -1350,11 +1409,15 @@ object AnnOps {
   private[operators] val SPLIT_MAX_ITERS = 4
 
   /** Loud refusal bound on a single group's in-row cross product
-    * (8192² / 2 ≈ 33M pair structs ≈ the OOM regime the r17 scale
-    * note measured) — reachable only when [[occupancyRefined]] gave
-    * up, i.e. genuinely unsplittable (near-duplicate-flood) mass.
+    * (4096² / 2 ≈ 8.4M pair structs ≈ 470 MB in one aggregate row —
+    * survivable, unlike the r18 8192 bound which sat AT the measured
+    * OOM regime). r19: with exact duplicates collapsed before pairing
+    * the only mass that can reach this is > 4096 DISTINCT quantized
+    * vectors that [[SPLIT_MAX_ITERS]] rounds of in-cell Lloyd cannot
+    * separate — distinct points give Lloyd real geometry to split, so
+    * this is a never-hit invariant, kept as defense in depth.
     */
-  private[graft] val PAIR_OCC_CAP = 1 << 13
+  private[graft] val PAIR_OCC_CAP = 1 << 12
 
   /** Data-adaptive occupancy refinement (r18): re-blocks any cell
     * whose measured (cell, tbl, bucket) occupancy exceeds
@@ -1485,13 +1548,16 @@ object AnnOps {
           }
         }
         val kept = members.filter(!col("cell").isin(overIds: _*))
+        // preserve every input column (r19: `mids` rides along) —
+        // only `cell` is rewritten to the refined sub-cell id
+        val restCols = members.columns.filter(_ != "cell").map(col).toSeq
+        val allCols = members.columns.map(col).toSeq
         val split = overMembers
           .join(broadcast(perParent()), "cell")
-          .select(col("vec_id"), col("embedding"), col("nm"),
-            cellCol.as("cell"))
-          .select(col("vec_id"), col("embedding"), col("nm"), col("cell"))
-        members = Caches.persist(kept.select(col("vec_id"),
-          col("embedding"), col("nm"), col("cell")).unionAll(split))
+          .select(restCols :+ cellCol.as("cell"): _*)
+          .select(allCols: _*)
+        members = Caches.persist(
+          kept.select(allCols: _*).unionAll(split))
       }
     }
     members

@@ -16,9 +16,11 @@ import graft.operators.{AnnOps, CentroidIndex, DedupOps}
   * a strict NO-OP under the trigger (gate corpora byte-identical to
   * r17), the split bounds occupancy on a tight cluster the hyperplanes
   * cannot separate, pair semantics stay exact within the refined
-  * blocks, and genuinely unsplittable mass (an exact-duplicate flood)
-  * fails BY NAME before the cross product materializes, never by
-  * executor OOM.
+  * blocks, and (r19) an exact-duplicate flood — the one mass the split
+  * provably cannot separate — collapses to one representative per
+  * quantized vector and yields its complete well-defined pair set
+  * instead of the r18 loud refusal; the cap survives only as a
+  * never-hit defense-in-depth invariant.
   */
 class OccupancySpec extends SparkSpec {
 
@@ -35,14 +37,20 @@ class OccupancySpec extends SparkSpec {
         dotMicros(col("embedding"), col("embedding")).as("nm"), col("cell"))
   }
 
-  /** Deterministic tight cluster around `base`: distinct points whose
-    * pairwise cosines stay ≈ 1 (the layout that defeats hyperplane
-    * sub-bucketing) but which k-means Voronoi cells CAN separate.
+  /** Deterministic tight cluster around `base`: GENUINELY distinct
+    * points (component 0 encodes i at ~3.5 quantized micros/step, so
+    * no two collapse as exact duplicates) whose pairwise cosines stay
+    * ≈ 1 (the layout that defeats hyperplane sub-bucketing) but which
+    * k-means Voronoi cells CAN separate. r19: the old generator's
+    * `% 101` jitter period silently made 15 exact copies of each of
+    * 101 vectors — a duplicate flood, not a tight cluster — which the
+    * duplicate collapse now (correctly) absorbs before refinement.
     */
   private def tight(n: Int, base: Float, cell: Long, id0: Long) =
     (0 until n).map { i =>
       val v = Array.tabulate(8)(j =>
-        base + ((i * (j + 3) + j) % 101) * 1e-4f)
+        if (j == 0) base + i * 1e-5f
+        else base + ((i * (j + 3) + j) % 101) * 1e-4f)
       (id0 + i, v, cell)
     }
 
@@ -108,19 +116,80 @@ class OccupancySpec extends SparkSpec {
     Caches.releaseScope()
   }
 
-  test("unsplittable mass (exact-duplicate flood) fails by name at the " +
-      "loud cap, never by executor OOM") {
+  test("an exact-duplicate flood collapses to one representative and " +
+      "yields its full well-defined pair set (r19: the r18 refusal " +
+      "window closed) — never an error, never an in-row quadratic") {
     val dup = Array.tabulate(8)(j => 0.5f + j * 0.01f)
     val n = (AnnOps.PAIR_OCC_CAP + 1).toInt
-    val m = memberFrame((0 until n).map(i => (20000L + i, dup, 42L)))
-    val e = intercept[Exception] {
-      AnnOps.bucketedPairsFromAssigned(m, None).count()
-    }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty
-      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("exceeds")),
-      s"expected the loud occupancy refusal, got: ${e.getMessage}")
+    val m = memberFrame((0 until n).map(i => (20000L + i, dup, 42L)) ++
+      spread(5, 42L, 100L))
+    val pairs = AnnOps.bucketedPairsFromAssigned(m, None)
+    // all n(n-1)/2 couples of the flood, plus every flood member
+    // against each of the 5 distinct cell mates, plus the 10 pairs
+    // among those mates — exactly the uncollapsed generator's contract
+    // (the ~8.4M-row check stays distributed; nothing collects)
+    val expect = n.toLong * (n - 1) / 2 + n.toLong * 5 + 10
+    assert(pairs.count() == expect)
+    assert(pairs.filter(col("i") >= col("j")).count() == 0)
+    // duplicate couples carry ONE exact self-cosine, and all
+    // flood-vs-mate couples of one mate share one cosine (identical
+    // vectors are indistinguishable to every consumer)
+    val self = pairs.filter(col("i") >= 20000L && col("j") >= 20000L)
+    assert(self.count() == n.toLong * (n - 1) / 2)
+    assert(self.select(countDistinct(col("cos"))).head.getLong(0) == 1L)
+    val vsMate = pairs
+      .filter(col("i") < 20000L && col("j") >= 20000L)
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("cos")).as("dc"))
+      .collect()
+    assert(vsMate.length == 5 && vsMate.forall(r =>
+      r.getAs[Long]("cnt") == n.toLong && r.getAs[Long]("dc") == 1L))
+    Caches.releaseScope()
+  }
+
+  test("duplicate collapse is exact on a MIXED layout: pair stream " +
+      "value-identical to brute-force within-cell pairs") {
+    // 3 duplicate groups (sizes 4, 3, 2) + distinct vectors, two cells
+    val d1 = Array.tabulate(8)(j => 0.3f + j * 0.02f)
+    val d2 = Array.tabulate(8)(j => 0.9f - j * 0.03f)
+    val d3 = Array.tabulate(8)(j => (j % 3) * 0.25f + 0.1f)
+    val rows = (0 until 4).map(i => (300L + i, d1, 1L)) ++
+      (0 until 3).map(i => (400L + i, d2, 1L)) ++
+      (0 until 2).map(i => (500L + i, d3, 2L)) ++
+      spread(6, 1L, 600L) ++ spread(4, 2L, 700L)
+    val m = memberFrame(rows)
+    val got = AnnOps.bucketedPairsFromAssigned(m, None)
+      .collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+        r.getAs[Double]("cos"))).toSet
+    // brute force: every within-cell couple through the same exact-
+    // micros cosine arithmetic
+    val ref = m.select(col("vec_id"), col("embedding"), col("nm"),
+        col("cell"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding"),
+        r.getAs[Long]("nm"), r.getAs[Long]("cell")))
+    val want = (for {
+      a <- ref; b <- ref
+      if a._4 == b._4 && a._1 < b._1
+    } yield (a._1, b._1)).toSet
+    assert(got.map(p => (p._1, p._2)) == want,
+      "the collapsed generator must emit exactly the within-cell couples")
+    // cosine exactness: replay each pair through the engine columns
+    val byKey = got.map(p => (p._1, p._2) -> p._3).toMap
+    val refPairs = m.as("a").join(m.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        graft.functions.Portable.cosineFromMicros(
+          dotMicros(col("a.embedding"), col("b.embedding")),
+          col("a.nm"), col("b.nm")).as("cos"))
+      .collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) ->
+        r.getAs[Double]("cos")).toMap
+    assert(byKey == refPairs, "pair cosines must be bit-identical to " +
+      "the direct exact-micros arithmetic")
     Caches.releaseScope()
   }
 }
