@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnOps, EmbeddingOps, GraphAnnOps, KnnIndex}
+import graft.operators.{AnnOps, EmbeddingOps, GraphAnnOps, HnswOps, KnnIndex}
 
 /** Recall-vs-hops dial measurement for E18 (`ann_graph`): at the
   * corpus-derived geometry, beam search over the persisted k-NN graph
@@ -103,6 +103,40 @@ object GraphTune {
           f"recall@5=${runs.head._1}%.3f " +
           f"scanned=${runs.head._2} warm=${runs.map(_._3).min}%.2f s")
       }
+    }
+
+    // E18c: the hierarchy-seeded walk — entry no longer depends on the
+    // centroid probe, so this is the row the r18 verdict's recall
+    // ceiling argument is graded on (target: recall ≥ 0.9 at ≤ 2× the
+    // diversified walk's scan)
+    val th = System.nanoTime()
+    val idxP = KnnIndex.forCorpus(spark, d, cells, sub,
+      k = GraphAnnOps.GRAPH_DEGREE)
+    val hier = HnswOps.hierFor(spark, d, idxP)
+    hier.count()
+    val hierSec = (System.nanoTime() - th) / 1e9
+    Caches.releaseScope()
+    println(f"[graphtune] hnsw hierarchy build/load: $hierSec%.2f s " +
+      f"(levels=${HnswOps.levelsFor(n)})")
+    hopsList.foreach { h =>
+      def once(): (Double, Long, Double) = {
+        val idx2 = KnnIndex.forCorpus(spark, d, cells, sub,
+          k = GraphAnnOps.GRAPH_DEGREE)
+        val hier2 = HnswOps.hierFor(spark, d, idx2)
+        val t = System.nanoTime()
+        val (res, scanned) = HnswOps.hnswSearch(
+          AnnOps.withNorm(spark, d), idx2, hier2, hops = h, topK = 5)
+        val got = res.select(col("q_id"), col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val secs = (System.nanoTime() - t) / 1e9
+        (got.count(truth.contains).toDouble / truth.size,
+          scanned.count(), secs)
+      }
+      val runs = (1 to 3).map(_ => once())
+      Caches.releaseScope()
+      println(f"[graphtune] hnsw  hops=$h%-2d " +
+        f"recall@5=${runs.head._1}%.3f " +
+        f"scanned=${runs.head._2} warm=${runs.map(_._3).min}%.2f s")
     }
     spark.stop()
   }

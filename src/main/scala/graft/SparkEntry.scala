@@ -12,7 +12,7 @@ object SparkEntry {
     RelationalOps.all ++ SinkOps.all ++ TextOps.all ++ DedupOps.all ++
       AnnOps.all ++ MultimodalOps.all ++ PipelineOps.all ++
       EmbeddingOps.all ++ BitextOps.all ++ GopherRep.all ++
-      RetrievalOps.all ++ GraphAnnOps.all
+      RetrievalOps.all ++ GraphAnnOps.all ++ HnswOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -36,7 +36,7 @@ object GraphAnnOps {
 
   private[graft] val GRAPH_BEAM = 8
   private[graft] val GRAPH_HOPS = 3
-  private val GRAPH_TOP_K = 5
+  private[graft] val GRAPH_TOP_K = 5
 
   /** Graph DEGREE for the search index: E14's k = 3 is the analysis
     * graph (mutual-similarity structure); navigable search needs a
@@ -88,6 +88,28 @@ object GraphAnnOps {
       .select(col("vec_id"), col("nbr_id")))
     val qF = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"), col("nm").as("q_nm"))
+    // hop 0: the probed cells' stored entry points
+    val cand0 = probe
+      .join(idx.seeds.select(col("cell"), col("vec_id")), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    beamWalk(members, edges, qF, cand0, beam, hops, topK)
+  }
+
+  /** The synchronous beam-walk core over an (already cell-pruned)
+    * member/edge world from explicit per-query entry candidates —
+    * factored (r19) so E18c's hierarchy descent ([[HnswOps]]) seeds
+    * the IDENTICAL walk the probe-seeded ops run. Returns the ranked
+    * top-k frame and the distinct (q_id, vec_id) set the walk scored.
+    */
+  private[graft] def beamWalk(
+      members: DataFrame,
+      edges: DataFrame,
+      qF: DataFrame,
+      cand0: DataFrame,
+      beam: Int,
+      hops: Int,
+      topK: Int): (DataFrame, DataFrame) = {
     def score(cand: DataFrame): DataFrame =
       cand.join(members, "vec_id")
         .join(broadcast(qF), "q_id")
@@ -101,11 +123,6 @@ object GraphAnnOps {
         .select(col("q_id"), posexplode(col("ks")).as(Seq("p", "kv")))
         .select(col("q_id"), col("kv.vec_id").as("vec_id"),
           (-col("kv.negc")).as("cos"))
-    // hop 0: the probed cells' stored entry points
-    val cand0 = probe
-      .join(idx.seeds.select(col("cell"), col("vec_id")), "cell")
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"))
     var scanned = cand0
     var cand = Caches.persist(topBeam(score(cand0)))
     (1 to hops).foreach { _ =>
