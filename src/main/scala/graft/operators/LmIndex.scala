@@ -274,6 +274,39 @@ object LmIndex {
     Ref3(tg, bg, vocab)
   }
 
+  // ---- board consumption (train-once per corpus, the E19 pattern) ----
+
+  private val memo3 =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The corpus' even-doc_id-half [[Ref3]] as a persisted artifact,
+    * trained and saved AT MOST ONCE per corpus fingerprint per session
+    * (r19, the r18 verdict's ask #5): at sf100 the board trigram
+    * scorers' first run paid ~415 s of one-time training-frame
+    * materialization on top of the ~84 s scoring cost
+    * (records/BENCH_sf100_text_r18.json) — the model frames are
+    * Zipf-bounded parquet, so every later consumer (C27/C29/C37, any
+    * session) pays a model-sized load instead of re-aggregating the
+    * reference half. The deployment analogy is [[TokenizerIndex]]'s
+    * forCorpus: the artifact is keyed by corpus content, and append
+    * (new reference documents) goes through [[append3]]'s summed-union
+    * merge on the saved path.
+    */
+  def forCorpusRefHalf(s: SparkSession, d: String): Ref3 = {
+    val key = s"${CorpusKey.key(d, "documents.parquet")}#ref3half"
+    val path = memo3.computeIfAbsent(key, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_lm3").toString + "/lm3"
+      save3(s, train3(graft.Tables.documents(s, d)
+        .filter(col("doc_id") % 2 === 0)), p)
+      p
+    })
+    load3(s, path)
+  }
+
+  /** Drop memoized model paths (tests). */
+  def clearMemo3(): Unit = memo3.clear()
+
   /** Fold new reference documents into a saved trigram model — both
     * count frames merge by summed union ([[append]]'s discipline,
     * staged sibling + atomic rename; append ≡ retraining on the union,

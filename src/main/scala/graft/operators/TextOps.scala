@@ -1661,13 +1661,13 @@ object TextOps {
     "lm_trigram_ref",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      // persist: each count frame feeds the model aggregate AND the
-      // scoring join (the C19 lesson)
       val doctg = Caches.persist(LmIndex.trigramCounts(docs))
-      val docbg = Caches.persist(LmIndex.bigramCounts(docs))
-      val ref = LmIndex.ref3FromCounts(
-        doctg.filter(col("doc_id") % 2 === 0),
-        docbg.filter(col("doc_id") % 2 === 0), Caches.persist(_))
+      // the model side is the persisted per-corpus artifact (r19, the
+      // r18 verdict's ask #5): a warm run pays a Zipf-bounded parquet
+      // load instead of re-aggregating the reference half — the same
+      // values the inline aggregation produced (LmIndexSpec pins
+      // loaded ≡ trained scoring row-for-row)
+      val ref = LmIndex.forCorpusRefHalf(s, d)
       LmIndex.scoreCounts3(doctg, ref)
         .select(col("doc_id"), (col("doc_id") % 2 === 0).as("is_ref"),
           col("n_trigrams"), col("sum_bits3_q16"),
@@ -1769,14 +1769,19 @@ object TextOps {
   /** C29's body over an explicit (doc_id, text) frame — the seam the
     * San-Francisco continuation-count spec drives directly.
     */
-  private[graft] def knScore(docs: DataFrame): DataFrame = {
+  private[graft] def knScore(
+      docs: DataFrame,
+      model: Option[LmIndex.Ref3] = None): DataFrame = {
       val Q32 = 4294967296L
       val CAP = 1L << 29
       val doctg = Caches.persist(LmIndex.trigramCounts(docs))
-      val docbg = Caches.persist(LmIndex.bigramCounts(docs))
-      // reference-half type/count frames (even doc_id, the C19b split)
-      val tgref = Caches.persist(doctg.filter(col("doc_id") % 2 === 0)
-        .groupBy("w1", "w2", "w3").agg(sum(col("c")).as("cnt")))
+      // reference-half type/count frames (even doc_id, the C19b
+      // split) — from the persisted per-corpus artifact when the
+      // caller passes one (r19: the board path), else aggregated
+      // inline (the spec seam); identical values either way
+      val tgref = Caches.persist(model.map(_.trigrams).getOrElse(
+        doctg.filter(col("doc_id") % 2 === 0)
+          .groupBy("w1", "w2", "w3").agg(sum(col("c")).as("cnt"))))
       val ctx = tgref.groupBy("w1", "w2")
         .agg(sum(col("cnt")).as("c12"), count(lit(1)).as("n1p12"))
       val mid = Caches.persist(tgref.groupBy(col("w2"), col("w3"))
@@ -1784,8 +1789,11 @@ object TextOps {
       val midctx = tgref.groupBy(col("w2"))
         .agg(count(lit(1)).as("n2mid"))
         .join(mid.groupBy(col("w2")).agg(count(lit(1)).as("n2fol")), "w2")
-      val bt = Caches.persist(docbg.filter(col("doc_id") % 2 === 0)
-        .select(col("w1"), col("w2")).distinct())
+      val bt = Caches.persist(model
+        .map(_.bigrams.select(col("w1"), col("w2")))
+        .getOrElse(Caches.persist(LmIndex.bigramCounts(docs))
+          .filter(col("doc_id") % 2 === 0)
+          .select(col("w1"), col("w2")).distinct()))
       val uni = bt.groupBy(col("w2")).agg(count(lit(1)).as("nuni"))
       val tots = bt.agg(count(lit(1)).as("nbt"),
         countDistinct(col("w2")).as("v"))
@@ -1836,7 +1844,8 @@ object TextOps {
 
   val lmTrigramKn: Op = Op(
     "lm_trigram_kn",
-    (s, d) => knScore(Tables.documents(s, d)),
+    (s, d) => knScore(Tables.documents(s, d),
+      Some(LmIndex.forCorpusRefHalf(s, d))),
     Some(s"""
       WITH tokd AS (
         SELECT doc_id,
@@ -1953,12 +1962,16 @@ object TextOps {
     * on the ctx/midctx reaggregations; scoring stays id-width joins +
     * one map-side log kernel.
     */
-  private[graft] def mknScore(docs: DataFrame): DataFrame = {
+  private[graft] def mknScore(
+      docs: DataFrame,
+      model: Option[LmIndex.Ref3] = None): DataFrame = {
     val CAP = 1L << 29
     val doctg = Caches.persist(LmIndex.trigramCounts(docs))
-    val docbg = Caches.persist(LmIndex.bigramCounts(docs))
-    val tgref = Caches.persist(doctg.filter(col("doc_id") % 2 === 0)
-      .groupBy("w1", "w2", "w3").agg(sum(col("c")).as("cnt")))
+    // model frames from the per-corpus artifact when passed (r19) —
+    // see knScore
+    val tgref = Caches.persist(model.map(_.trigrams).getOrElse(
+      doctg.filter(col("doc_id") % 2 === 0)
+        .groupBy("w1", "w2", "w3").agg(sum(col("c")).as("cnt"))))
     // per-context raw total + the type profile gamma reads (N1/N2/N3+)
     val ctx = tgref.groupBy("w1", "w2")
       .agg(sum(col("cnt")).as("c12"),
@@ -1972,8 +1985,11 @@ object TextOps {
         sum(when(col("n23") === 1, 1L).otherwise(0L)).as("mm1"),
         sum(when(col("n23") === 2, 1L).otherwise(0L)).as("mm2"),
         sum(when(col("n23") >= 3, 1L).otherwise(0L)).as("mm3p"))
-    val bt = Caches.persist(docbg.filter(col("doc_id") % 2 === 0)
-      .select(col("w1"), col("w2")).distinct())
+    val bt = Caches.persist(model
+      .map(_.bigrams.select(col("w1"), col("w2")))
+      .getOrElse(Caches.persist(LmIndex.bigramCounts(docs))
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("w1"), col("w2")).distinct()))
     val uni = bt.groupBy(col("w2")).agg(count(lit(1)).as("nuni"))
     // count-of-count profile of a count column — a 1-row frame
     def cocs(src: DataFrame, ccol: String): DataFrame =
@@ -2074,7 +2090,8 @@ object TextOps {
 
   val lmTrigramMkn: Op = Op(
     "lm_trigram_mkn",
-    (s, d) => mknScore(Tables.documents(s, d)),
+    (s, d) => mknScore(Tables.documents(s, d),
+      Some(LmIndex.forCorpusRefHalf(s, d))),
     Some(s"""
       WITH tokd AS (
         SELECT doc_id,

@@ -273,4 +273,31 @@ class LmIndexSpec extends SparkSpec {
       s"only the deterministic output sort may be global:\n$p")
     Caches.releaseScope()
   }
+
+  test("forCorpusRefHalf: the loaded per-corpus Ref3 artifact scores " +
+      "row-for-row identical to the inline-trained model for all " +
+      "three trigram scorers (r19, the artifact-warm path)") {
+    import org.apache.spark.sql.functions.col
+    val d = sf
+    val docs = Tables.documents(spark, d)
+    operators.LmIndex.clearMemo3()
+    val loaded = operators.LmIndex.forCorpusRefHalf(spark, d)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.orderBy(col("doc_id")).collect().map(_.toSeq.toSeq).toSeq
+    // C27: scoreCounts3 under loaded vs inline-trained even half
+    val doctg = Caches.persist(operators.LmIndex.trigramCounts(docs))
+    val inline = operators.LmIndex.train3(
+      docs.filter(col("doc_id") % 2 === 0))
+    assert(rows(operators.LmIndex.scoreCounts3(doctg, loaded)) ==
+      rows(operators.LmIndex.scoreCounts3(doctg, inline)),
+      "C27 scoring must not depend on where the model came from")
+    // C29 / C37: the model-threaded scorers vs their inline bodies
+    assert(rows(operators.TextOps.knScore(docs, Some(loaded))) ==
+      rows(operators.TextOps.knScore(docs)),
+      "C29 loaded-model scoring drifted from the inline aggregation")
+    assert(rows(operators.TextOps.mknScore(docs, Some(loaded))) ==
+      rows(operators.TextOps.mknScore(docs)),
+      "C37 loaded-model scoring drifted from the inline aggregation")
+    Caches.releaseScope()
+  }
 }
