@@ -125,38 +125,70 @@ object GopherRep {
         (acc, x) => acc + length(x).cast(LongType)), lit(1L)).cast("double")
   }
 
+  /** Every A1.1 repetition metric as a pure expression over
+    * (text, tok, cc) — the ONE definition set the board op's named
+    * columns and the streaming edge gate
+    * ([[graft.streaming.DocIngest.gopherRepGate]]) both evaluate, so
+    * edge verdicts are bit-identical to batch verdicts on the same
+    * text by construction. Callers precompute `tok`/`cc` as projected
+    * columns so the 9 gram_rep kernel calls share one tokenization.
+    */
+  private[graft] def metricCols(
+      text: Column, tok: Column, cc: Column): Seq[(String, Column)] = {
+    val lines = segs(text, "\n")
+    val paras = segs(text, "\n\n")
+    Seq(
+      "dup_line_frac" -> dupFrac(lines),
+      "dup_para_frac" -> dupFrac(paras),
+      "dup_line_char_frac" -> dupCharFrac(lines),
+      "dup_para_char_frac" -> dupCharFrac(paras)) ++
+      TOP_NS.map(n => s"top_${n}gram_frac" ->
+        (call_function("gram_rep", tok, lit(n))("top_chars")
+          .cast("double") / cc)) ++
+      DUP_NS.map(n => s"dup_${n}gram_frac" ->
+        (call_function("gram_rep", tok, lit(n))("dup_chars")
+          .cast("double") / cc))
+  }
+
+  /** The repetition cascade over resolved metric expressions — first
+    * failing rule in the paper's listing order.
+    */
+  private[graft] def repVerdict(m: String => Column): Column =
+    RULES.foldRight(lit("keep")) {
+      case ((c, t, name), alt) => when(m(c) > t, name).otherwise(alt)
+    }
+
+  /** The COMPOSED published-gate verdict (document cascade first, then
+    * repetition) over (text, tok, cc) — the board op's `full_verdict`
+    * and the edge gate's keep test.
+    */
+  private[graft] def fullVerdict(
+      text: Column, tok: Column, cc: Column): Column = {
+    val m = metricCols(text, tok, cc).toMap
+    val doc = TextOps.gopherDocVerdict(text)
+    when(doc =!= "keep", doc).otherwise(repVerdict(m))
+  }
+
   val qualityGopherRep: Op = Op(
     "quality_gopher_rep",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      // (doc_id, text, tok, nw, cc, wl) — one row per document, every
-      // channel below is a pure expression over it: map-only plan
+      // (doc_id, text, tok, cc) — one row per document, every channel
+      // below is a pure expression over it: map-only plan
       val base = docs
         .select(col("doc_id"), col("text"),
           TextOps.toks(col("text")).as("tok"))
         .select(col("doc_id"), col("text"), col("tok"),
           greatest(length(array_join(col("tok"), "")), lit(1))
             .cast(LongType).as("cc"))
-      val lines = segs(col("text"), "\n")
-      val paras = segs(col("text"), "\n\n")
       val fracCols =
         TOP_NS.map(n => s"top_${n}gram_frac") ++
           DUP_NS.map(n => s"dup_${n}gram_frac")
-      val joined = base.select(Seq(col("doc_id"),
-        dupFrac(lines).as("dup_line_frac"),
-        dupFrac(paras).as("dup_para_frac"),
-        dupCharFrac(lines).as("dup_line_char_frac"),
-        dupCharFrac(paras).as("dup_para_char_frac")) ++
-        TOP_NS.map(n =>
-          (call_function("gram_rep", col("tok"), lit(n))("top_chars")
-            .cast("double") / col("cc")).as(s"top_${n}gram_frac")) ++
-        DUP_NS.map(n =>
-          (call_function("gram_rep", col("tok"), lit(n))("dup_chars")
-            .cast("double") / col("cc")).as(s"dup_${n}gram_frac")) ++
-        Seq(TextOps.gopherDocVerdict(col("text")).as("doc_verdict")): _*)
-      val verdict = RULES.foldRight(lit("keep")) {
-        case ((c, t, name), alt) => when(col(c) > t, name).otherwise(alt)
-      }
+      val joined = base.select(col("doc_id") +:
+        metricCols(col("text"), col("tok"), col("cc"))
+          .map { case (name, c) => c.as(name) } :+
+        TextOps.gopherDocVerdict(col("text")).as("doc_verdict"): _*)
+      val verdict = repVerdict(col)
       joined
         .withColumn("verdict", verdict)
         .withColumn("kept", col("verdict") === "keep")

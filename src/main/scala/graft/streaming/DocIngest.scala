@@ -195,6 +195,33 @@ object DocIngest {
     * quality scoring, dedup fingerprints and n-gram tests then see the
     * prose, not the chrome).
     */
+  /** Gopher-repetition gate at the ingest edge (r19, the r18 verdict's
+    * ask #7) — the streaming face of C36 (`quality_gopher_rep`): since
+    * the r18 rework every repetition metric is a pure row-local
+    * expression (the fused `gram_rep` kernel), so the A18 frozen-policy
+    * doctrine applies with NO policy at all — the gate evaluates the
+    * literally-shared composed verdict
+    * ([[graft.operators.GopherRep.fullVerdict]]: document cascade
+    * first, then the A1.1 repetition cascade) and keeps survivors. No
+    * state, no join, no shuffle; edge verdicts are bit-identical to
+    * the batch op's `kept_full` on the same text (StreamingSpec-
+    * pinned). Chain position: after [[boilerplateClean]] (the gate
+    * should price prose, not chrome) and before the dedup fingerprint
+    * (repetition-heavy spam never enters dedup state).
+    */
+  def gopherRepGate(docs: DataFrame): DataFrame = {
+    import graft.operators.GopherRep
+    import org.apache.spark.sql.types.LongType
+    docs
+      .withColumn("gr_tok", tokens(lower(col("text"))))
+      .withColumn("gr_cc",
+        greatest(length(array_join(col("gr_tok"), "")), lit(1))
+          .cast(LongType))
+      .filter(GopherRep.fullVerdict(col("text"), col("gr_tok"),
+        col("gr_cc")) === "keep")
+      .drop("gr_tok", "gr_cc")
+  }
+
   def boilerplateClean(docs: DataFrame): DataFrame =
     docs
       .withColumn("bl_kept",

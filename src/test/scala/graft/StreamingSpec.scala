@@ -1104,4 +1104,51 @@ class StreamingSpec extends SparkSpec {
       (ids.contains(0L) ^ ids.contains(1L)),
       s"dedup-after-clean kept $ids")
   }
+
+  test("gopherRepGate at the edge: verdicts bit-identical to the batch " +
+      "op's kept_full — repetition-heavy and short docs drop, prose " +
+      "survives (r19, the published gate completed at the edge)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.DocIngest
+
+    val prose = ("the quick brown fox jumps over the lazy dog and then " +
+      "wanders across a wide green field toward the quiet river where " +
+      "several small boats drift slowly past the old stone bridge " +
+      "while birds circle overhead in the warm afternoon light and " +
+      "fishermen wait patiently near the reeds watching their lines")
+    val t0 = t("10:00")
+    val docs = Seq(
+      Doc(0L, t0, prose),                                   // keeps
+      Doc(1L, t0, Seq.fill(40)("buy now limited offer")     // top-gram flood
+        .mkString(" ")),
+      Doc(2L, t0, (prose + "\n") * 6),                      // dup lines
+      Doc(3L, t0, "too short"),                             // doc cascade
+      Doc(4L, t0, prose + " " + prose.split(" ").reverse.mkString(" ")))
+
+    // the batch twin over the same texts
+    val dir = Files.createTempDirectory("graft_grstream").toString
+    docs.map(d => (d.doc_id, d.text, "en", s"s${d.doc_id}", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val batchKept = run("quality_gopher_rep", dir).collect()
+      .filter(_.getAs[Boolean]("kept_full"))
+      .map(_.getAs[Long]("doc_id")).toSet
+
+    val src = MemoryStream[Doc]
+    val q = DocIngest.gopherRepGate(src.toDS().toDF())
+      .writeStream.format("memory").queryName("edge_gr")
+      .outputMode("append").start()
+    src.addData(docs: _*)
+    q.processAllAvailable(); q.stop()
+    val edgeKept = spark.table("edge_gr").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(edgeKept == batchKept,
+      s"edge kept $edgeKept != batch kept_full $batchKept")
+    // the corpus exercises both halves: something survives, something
+    // fails each cascade
+    assert(batchKept.contains(0L) && !batchKept.contains(1L) &&
+      !batchKept.contains(3L), s"dial drift: batch kept $batchKept")
+  }
 }
