@@ -46,7 +46,7 @@ object GeometryCheck {
     Set("ann_lsh", "dedup_embedding", "ann_ivf", "dedup_semantic",
       "ann_pq", "mm_phash_dedup", "ann_ivfpq", "emb_knn_graph",
       "sample_prototypes", "doc_pack_semantic", "ann_filtered",
-      "emb_bitext_mine", "ann_graph", "ann_graph_div")
+      "emb_bitext_mine", "ann_graph", "ann_graph_div", "ann_hnsw")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -159,6 +159,22 @@ object GeometryCheck {
           beam = operators.GraphAnnOps.GRAPH_DIV_BEAM)
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/ann_graph_div")
+      Caches.releaseScope()
+    }
+    if (keys("ann_hnsw")) {
+      // E18c at the corpus geometry AND corpus level count: the
+      // hierarchy-seeded walk; sqlHnsw regenerates the full layered
+      // oracle (level hash, top-layer exact k-NN, bridges, descent)
+      // at the same dials below.
+      val n = Tables.embeddings(spark, sfDir).count()
+      val (cells, sub) = knnGeom(n)
+      val idx = operators.KnnIndex.forCorpus(spark, sfDir, cells, sub,
+        k = operators.GraphAnnOps.GRAPH_DEGREE)
+      operators.HnswOps.hnswSearch(
+        operators.AnnOps.withNorm(spark, sfDir), idx,
+        operators.HnswOps.hierFor(spark, sfDir, idx))._1
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/ann_hnsw")
       Caches.releaseScope()
     }
     if (keys("sample_prototypes")) {
@@ -274,6 +290,12 @@ object GeometryCheck {
         Map("ann_graph_div" -> operators.GraphAnnOps.sqlGraphSearch(
           cells, sub, beam = operators.GraphAnnOps.GRAPH_DIV_BEAM,
           div = true))
+      } else Map.empty) ++
+      (if (dumped("ann_hnsw")) {
+        val n = Tables.embeddings(spark, sfDir).count()
+        val (cells, sub) = knnGeom(n)
+        Map("ann_hnsw" -> operators.HnswOps.sqlHnsw(cells, sub,
+          operators.HnswOps.levelsFor(n)))
       } else Map.empty) ++
       (if (dumped("emb_bitext_mine")) {
         val (cells, sub) = knnGeom(Tables.embeddings(spark, sfDir).count())

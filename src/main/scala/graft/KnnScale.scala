@@ -88,6 +88,39 @@ object KnnScale {
       s"split_members=$splitMembers " +
       s"(trigger=${AnnOps.SPLIT_OCC})")
     Caches.releaseScope()
+
+    // E18c: the hierarchy artifact on top of the base index —
+    // build-vs-warm + layer profile + one search (SPARK_GRAFT_HNSW=1)
+    if (sys.env.get("SPARK_GRAFT_HNSW").exists(_ == "1")) {
+      import graft.operators.HnswOps
+      val levels = HnswOps.levelsFor(n)
+      val idx2 = KnnIndex.forCorpus(spark, d, cells, sub, k = k, div = div)
+      val (hb, hRows) = secs { HnswOps.hierFor(spark, d, idx2).count() }
+      Caches.releaseScope()
+      val (hw, _) = secs { HnswOps.hierFor(spark, d, idx2).count() }
+      Caches.releaseScope()
+      val sizes = idx2.vectors
+        .select(HnswOps.lvlCol(levels).as("lvl"))
+        .groupBy(col("lvl")).count().collect()
+        .map(r => r.getAs[Int]("lvl") -> r.getAs[Long]("count"))
+        .sortBy(_._1)
+      val cum = sizes.reverse
+        .scanLeft(0L) { case (acc, (_, c)) => acc + c }.drop(1)
+        .zip(sizes.reverse.map(_._1)).map { case (c, l) => l -> c }
+        .reverse
+      println(f"[knnscale] hnsw hierarchy build+save: $hb%.1f s, " +
+        f"$hRows edge rows; warm $hw%.1f s " +
+        f"(${hb / math.max(hw, 1e-9)}%.0fx); levels=$levels " +
+        s"layer_members=${cum.filter(_._1 >= 1).map { case (l, c) =>
+          s"l$l=$c" }.mkString(",")}")
+      val (srchS, _) = secs {
+        HnswOps.hnswSearch(AnnOps.withNorm(spark, d), idx2,
+          HnswOps.hierFor(spark, d, idx2))._1.count()
+      }
+      Caches.releaseScope()
+      println(f"[knnscale] hnsw search (8 queries, warm index): " +
+        f"$srchS%.1f s")
+    }
     spark.stop()
   }
 }

@@ -364,17 +364,17 @@ object HnswOps {
     val edgeCtes = (1 to levels).map { l =>
       val within =
         if (l == levels)
-          s"""wp$l AS (SELECT a.vec_id AS i, b.vec_id AS j, $pairCos AS cos
+          s"""wp$l AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j, $pairCos AS cos
              FROM lm$l a JOIN lm$l b ON a.vec_id < b.vec_id
-             JOIN e x ON x.vec_id = a.vec_id
-             JOIN e y ON y.vec_id = b.vec_id)"""
+             JOIN ee x ON x.vec_id = a.vec_id
+             JOIN ee y ON y.vec_id = b.vec_id)"""
         else
-          s"""wp$l AS (SELECT a.vec_id AS i, b.vec_id AS j, $pairCos AS cos
+          s"""wp$l AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j, $pairCos AS cos
              FROM lm$l a JOIN lm$l b
                ON a.cell = b.cell AND a.vec_id < b.vec_id
-             JOIN e x ON x.vec_id = a.vec_id
-             JOIN e y ON y.vec_id = b.vec_id)"""
-      val ranked = s"""we$l AS (
+             JOIN ee x ON x.vec_id = a.vec_id
+             JOIN ee y ON y.vec_id = b.vec_id)"""
+      val ranked = s"""we$l AS MATERIALIZED (
         SELECT src, nbr FROM (
           SELECT src, nbr,
                  row_number() OVER (PARTITION BY src
@@ -385,7 +385,7 @@ object HnswOps {
       val bridge =
         if (l == levels) ""
         else s""",
-      br$l AS (
+      br$l AS MATERIALIZED (
         SELECT src, nbr FROM (
           SELECT a.vec_id AS src, b.vec_id AS nbr, cnn.cb,
                  row_number() OVER (PARTITION BY a.vec_id, cnn.cb
@@ -393,12 +393,12 @@ object HnswOps {
           FROM lm$l a
           JOIN cnn ON cnn.ca = a.cell
           JOIN lm$l b ON b.cell = cnn.cb
-          JOIN e x ON x.vec_id = a.vec_id
-          JOIN e y ON y.vec_id = b.vec_id) t
+          JOIN ee x ON x.vec_id = a.vec_id
+          JOIN ee y ON y.vec_id = b.vec_id) t
         WHERE rn = 1)"""
       val union =
-        if (l == levels) s"lg$l AS (SELECT src, nbr FROM we$l)"
-        else s"""lg$l AS (SELECT src, nbr FROM we$l
+        if (l == levels) s"lg$l AS MATERIALIZED (SELECT src, nbr FROM we$l)"
+        else s"""lg$l AS MATERIALIZED (SELECT src, nbr FROM we$l
              UNION ALL SELECT src, nbr FROM br$l)"""
       s"$within,\n      $ranked$bridge,\n      $union"
     }.mkString(",\n      ")
@@ -406,33 +406,33 @@ object HnswOps {
     val descent = (levels to 1 by -1).map { l =>
       val f0 =
         if (l == levels)
-          s"""f${l}_0 AS (
+          s"""f${l}_0 AS MATERIALIZED (
         SELECT q_id, vec_id, cos FROM (
           SELECT u.q_id, t.vec_id, $cos AS cos,
                  row_number() OVER (PARTITION BY u.q_id
                    ORDER BY $cos DESC, t.vec_id) AS rn
-          FROM (SELECT vec_id AS q_id FROM e
+          FROM (SELECT vec_id AS q_id FROM ee
                 WHERE vec_id < ${AnnOps.QUERY_MAX}) u
           CROSS JOIN (SELECT vec_id FROM lm$levels
                       ORDER BY vec_id LIMIT $HNSW_ENTRIES) t
-          JOIN e v ON v.vec_id = t.vec_id
-          JOIN e q ON q.vec_id = u.q_id
+          JOIN ee v ON v.vec_id = t.vec_id
+          JOIN ee q ON q.vec_id = u.q_id
           WHERE t.vec_id != u.q_id) s
         WHERE rn <= $EF_UP)"""
-        else s"""f${l}_0 AS (SELECT q_id, vec_id, cos FROM f${l + 1}_$H_UP)"""
+        else s"""f${l}_0 AS MATERIALIZED (SELECT q_id, vec_id, cos FROM f${l + 1}_$H_UP)"""
       val hopsSql = (1 to H_UP).map { h =>
         s"""un${l}_$h AS (SELECT DISTINCT f.q_id, g.nbr AS vec_id
              FROM f${l}_${h - 1} f JOIN lg$l g ON g.src = f.vec_id
              WHERE g.nbr != f.q_id),
       us${l}_$h AS (SELECT n.q_id, n.vec_id, $cos AS cos
              FROM un${l}_$h n
-             JOIN e v ON v.vec_id = n.vec_id
-             JOIN e q ON q.vec_id = n.q_id),
+             JOIN ee v ON v.vec_id = n.vec_id
+             JOIN ee q ON q.vec_id = n.q_id),
       um${l}_$h AS (SELECT q_id, vec_id, max(cos) AS cos
              FROM (SELECT q_id, vec_id, cos FROM f${l}_${h - 1}
                    UNION ALL SELECT q_id, vec_id, cos FROM us${l}_$h) u
              GROUP BY q_id, vec_id),
-      f${l}_$h AS (SELECT q_id, vec_id, cos FROM (
+      f${l}_$h AS MATERIALIZED (SELECT q_id, vec_id, cos FROM (
                SELECT q_id, vec_id, cos,
                       row_number() OVER (PARTITION BY q_id
                         ORDER BY cos DESC, vec_id) AS rn
@@ -447,13 +447,13 @@ object HnswOps {
              WHERE k.nbr != h.q_id),
       sc$i AS (SELECT n.q_id, n.vec_id, $cos AS cos
              FROM nb$i n
-             JOIN e v ON v.vec_id = n.vec_id
-             JOIN e q ON q.vec_id = n.q_id),
+             JOIN ee v ON v.vec_id = n.vec_id
+             JOIN ee q ON q.vec_id = n.q_id),
       mg$i AS (SELECT q_id, vec_id, max(cos) AS cos
              FROM (SELECT q_id, vec_id, cos FROM h${i - 1}
                    UNION ALL SELECT q_id, vec_id, cos FROM sc$i) u
              GROUP BY q_id, vec_id),
-      h$i AS (SELECT q_id, vec_id, cos FROM (
+      h$i AS MATERIALIZED (SELECT q_id, vec_id, cos FROM (
                SELECT q_id, vec_id, cos,
                       row_number() OVER (PARTITION BY q_id
                         ORDER BY cos DESC, vec_id) AS rn
@@ -480,8 +480,9 @@ object HnswOps {
       m AS MATERIALIZED (
         SELECT e.vec_id, e.embedding, e.nm, irk.c_id AS cell
         FROM e JOIN irk ON irk.vec_id = e.vec_id AND irk.rn = 1),
+      ee AS MATERIALIZED (SELECT vec_id, embedding, nm FROM e),
       ${EmbeddingOps.sqlKnnEdgeCtes(sub, GraphAnnOps.GRAPH_DEGREE)},
-      cnn AS (
+      cnn AS MATERIALIZED (
         SELECT ca, cb FROM (
           SELECT a.c_id AS ca, b.c_id AS cb,
                  row_number() OVER (PARTITION BY a.c_id ORDER BY
@@ -497,7 +498,7 @@ object HnswOps {
       $layerCtes,
       $edgeCtes,
       $descent,
-      h0 AS (SELECT q_id, vec_id, cos FROM f1_$H_UP),
+      h0 AS MATERIALIZED (SELECT q_id, vec_id, cos FROM f1_$H_UP),
       $baseHops
       SELECT q_id, rank, vec_id, cos FROM (
         SELECT q_id, vec_id, cos,
