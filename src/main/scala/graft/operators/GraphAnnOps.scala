@@ -79,13 +79,20 @@ object GraphAnnOps {
     val probed = probe.select(col("cell")).distinct()
       .collect().map(_.getAs[Long]("cell")).toSeq
     // the search's whole world: the probed cells' members and edges —
-    // partition-pruned reads of the artifact, never the corpus
+    // partition-pruned reads of the artifact, never the corpus. Both
+    // are persisted PRE-PARTITIONED on vec_id (r19, guide §2.4: two
+    // operations keyed the same way share one exchange): every hop of
+    // the walk joins them on vec_id, so establishing the partitioning
+    // once in the cached frame removes a per-hop Exchange on the big
+    // side of each join.
     val members = Caches.persist(idx.vectors
       .filter(col("cell").isin(probed: _*))
-      .select(col("vec_id"), col("embedding"), col("nm")))
+      .select(col("vec_id"), col("embedding"), col("nm"))
+      .repartition(col("vec_id")))
     val edges = Caches.persist(idx.edges
       .filter(col("cell").isin(probed: _*))
-      .select(col("vec_id"), col("nbr_id")))
+      .select(col("vec_id"), col("nbr_id"))
+      .repartition(col("vec_id")))
     val qF = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"), col("nm").as("q_nm"))
     // hop 0: the probed cells' stored entry points
@@ -126,13 +133,25 @@ object GraphAnnOps {
     var scanned = cand0
     var cand = Caches.persist(topBeam(score(cand0)))
     (1 to hops).foreach { _ =>
+      // No per-hop distinct(): `merged`'s (q_id, vec_id) max-aggregate
+      // already collapses duplicate neighbors (cos is deterministic, so
+      // max over copies ≡ the value) — the distinct was a third
+      // per-hop Exchange for a dedup the next operator re-does anyway
+      // (r19; result bit-identical, `scanned` still distincts at the
+      // end). Scoring the ≤ beam × degree pre-dedup rows is map-side
+      // work on an id-width frame.
       val nbrs = cand
         .join(edges, "vec_id")
         .filter(col("nbr_id") =!= col("q_id"))
         .select(col("q_id"), col("nbr_id").as("vec_id"))
-        .distinct()
       scanned = scanned.unionByName(nbrs)
+      // One explicit repartition on q_id lets BOTH downstream
+      // aggregates (the (q_id, vec_id) merge and topBeam's per-q_id
+      // heap) reuse a single Exchange: HashPartitioning(q_id)
+      // satisfies the clustering requirement of each (guide §2.4's
+      // shared-exchange rule) — 2 Exchanges per hop instead of 4.
       val merged = cand.unionByName(score(nbrs))
+        .repartition(col("q_id"))
         .groupBy(col("q_id"), col("vec_id"))
         .agg(max(col("cos")).as("cos"))
       cand = Caches.persist(topBeam(merged))

@@ -269,11 +269,14 @@ object HnswOps {
     val queries = e.filter(col("vec_id") < AnnOps.QUERY_MAX)
     val qF = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"), col("nm").as("q_nm"))
-    // the upper world: layer-1+ members (n/8), cached once
+    // the upper world: layer-1+ members (n/8), cached once — both
+    // frames pre-partitioned on vec_id, their join key in every
+    // descent hop (r19, the beamWalk shared-exchange rule)
     val upper = Caches.persist(idx.vectors
       .filter(lvlCol(levels) >= 1)
-      .select(col("vec_id"), col("embedding"), col("nm"), col("cell")))
-    val hierE = Caches.persist(hier)
+      .select(col("vec_id"), col("embedding"), col("nm"), col("cell"))
+      .repartition(col("vec_id")))
+    val hierE = Caches.persist(hier.repartition(col("vec_id")))
     def score(cand: DataFrame): DataFrame =
       cand.join(upper.select(col("vec_id"), col("embedding"), col("nm")),
           "vec_id")
@@ -303,12 +306,15 @@ object HnswOps {
       val edgesL = hierE.filter(col("lvl") === l)
         .select(col("vec_id"), col("nbr_id"))
       (1 to H_UP).foreach { _ =>
+        // same per-hop Exchange diet as [[GraphAnnOps.beamWalk]] (r19):
+        // no distinct (the merge aggregate dedups identically), one
+        // q_id repartition shared by both downstream aggregates
         val nbrs = frontier.join(edgesL, "vec_id")
           .filter(col("nbr_id") =!= col("q_id"))
           .select(col("q_id"), col("nbr_id").as("vec_id"))
-          .distinct()
         scanned = scanned.unionByName(nbrs)
         val merged = frontier.unionByName(score(nbrs))
+          .repartition(col("q_id"))
           .groupBy(col("q_id"), col("vec_id"))
           .agg(max(col("cos")).as("cos"))
         frontier = Caches.persist(cut(merged))

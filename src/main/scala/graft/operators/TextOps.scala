@@ -1030,8 +1030,15 @@ object TextOps {
   val textBpeTrain: Op = Op(
     "text_bpe_train",
     (s, d) => {
-      val learned = TokenizerIndex.trainDistributed(s,
-        Caches.persist(TokenizerIndex.wordCounts(s, d)), TRAIN_K)
+      // r19 optimization: route through the scale-ADAPTIVE engine chooser
+      // ([[TokenizerIndex.train]]) instead of always paying TRAIN_K
+      // sequential distributed rounds — at board vocab sizes the rounds
+      // are pure driver/job latency (~45 stages of one-task work,
+      // measured 3.2 s at sf0.1), while the collected Zipf-small (w, c)
+      // frame trains in milliseconds. Byte-identical merges either way
+      // (TokenizerIndexSpec pins per-round parity); a >2^20-word vocab
+      // still takes the distributed loop, so the 100 TB shape is intact.
+      val learned = TokenizerIndex.train(s, d, TRAIN_K)
       import s.implicits._
       learned.merges.toDF("rank", "a", "b", "cnt").orderBy(col("rank"))
     },
@@ -1055,9 +1062,9 @@ object TextOps {
   val textBpeTrainBytes: Op = Op(
     "text_bpe_train_bytes",
     (s, d) => {
-      val learned = TokenizerIndex.trainDistributed(s,
-        Caches.persist(TokenizerIndex.wordCounts(s, d)), TRAIN_K,
-        TokenizerIndex.BaseBytes)
+      // same scale-adaptive engine routing as text_bpe_train (r19)
+      val learned = TokenizerIndex.train(s, d, TRAIN_K,
+        base = TokenizerIndex.BaseBytes)
       import s.implicits._
       learned.merges.toDF("rank", "a", "b", "cnt").orderBy(col("rank"))
     },
