@@ -48,6 +48,30 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Hash-spread a frame across the session's shuffle-partition count
+    * WITHOUT letting AQE's byte-based coalescing undo it (r19): the
+    * CPU-heavy text/vector kernels sit downstream of these exchanges,
+    * and a small corpus (one input split, a few MB shuffled) gets
+    * coalesced back to ONE task by
+    * spark.sql.adaptive.coalescePartitions — which prices partitions by
+    * BYTES and cannot see per-row kernel cost — serializing the whole
+    * pass (measured: the 0.9 s single-task featurize behind
+    * quality_calibration). An EXPLICIT partition count pins the
+    * exchange against coalescing; taking it from the session conf keeps
+    * it scale-adaptive (a deployment sizes spark.sql.shuffle.partitions
+    * to the cluster, and at real data volumes coalescing would not have
+    * triggered anyway). HashPartitioning(key) also pre-satisfies every
+    * downstream key-prefixed aggregation/window, so the kernel pass and
+    * its per-doc aggregate share this one exchange.
+    */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, key)
+
+  /** [[spread]] curried for `.transform(...)` chaining. */
+  def spreadBy(key: org.apache.spark.sql.Column): DataFrame => DataFrame =
+    df => spread(df, key)
+
   /** Register every table as a temp view so the full surface is also
     * reachable through `spark.sql(...)` ANSI SQL — `events` goes through
     * the nanos-normalizing loader above, everything else is the plain

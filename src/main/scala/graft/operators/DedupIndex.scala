@@ -60,7 +60,7 @@ object DedupIndex {
     */
   def signatures(docs: DataFrame): DataFrame =
     DedupOps.bandedSignatureRows(
-        docs.repartition(col("doc_id")).select(col("doc_id"), col("text")))
+        docs.transform(graft.Tables.spreadBy(col("doc_id"))).select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("band"), col("bkey"), col("mh"))
 
   /** Build the index for an initial corpus. */

@@ -70,8 +70,7 @@ object DedupOps {
     // cache manager dedupes the entry across every D-series op on the
     // same corpus — the CPU-bound shingling pass runs once per scope,
     // not once per reference
-    Caches.persist(Tables.documents(s, d)
-      .repartition(col("doc_id"))
+    Caches.persist(Tables.spread(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"),
         split(trim(lower(col("text"))), "\\s+").as("tok"))
       .select(col("doc_id"), shinglesFromTokens(col("tok")).as("shs")))
@@ -85,8 +84,10 @@ object DedupOps {
     * 0.7 s → 7.3 s at sf0.1.
     */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .repartition(col("doc_id"))
+    // spread, not bare repartition (r19): uncached, so AQE's byte-based
+    // coalescing would fold the sub-MB doc shuffle back to ONE task and
+    // serialize the shingle kernel (see [[graft.Tables.spread]])
+    Tables.spread(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"),
         split(trim(lower(col("text"))), "\\s+").as("tok"))
       .select(col("doc_id"), explode(shinglesFromTokens(col("tok"))).as("s"))
@@ -757,7 +758,7 @@ object DedupOps {
     "dedup_decontaminate",
     (s, d) => {
       val base = Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        .transform(graft.Tables.spreadBy(col("doc_id")))
         .select(col("doc_id"),
           split(trim(lower(col("text"))), "\\s+").as("tok"))
         .filter(size(col("tok")) >= DECON_N)
@@ -899,7 +900,7 @@ object DedupOps {
     (s, d) => {
       // exact channel: D8's gram probe, aggregated per EVAL doc
       val base = Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        .transform(graft.Tables.spreadBy(col("doc_id")))
         .select(col("doc_id"),
           split(trim(lower(col("text"))), "\\s+").as("tok"))
         .filter(size(col("tok")) >= DECON_N)
@@ -1042,7 +1043,7 @@ object DedupOps {
       // aggregate and the join-back; without it each consumer
       // re-shingles the corpus
       val grams = Caches.persist(Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        .transform(graft.Tables.spreadBy(col("doc_id")))
         .select(col("doc_id"),
           split(trim(lower(col("text"))), "\\s+").as("tok"))
         .filter(size(col("tok")) >= SPAN_N)
@@ -1108,7 +1109,7 @@ object DedupOps {
     // op keeps positions — the audit's distinct-gram stream can't say
     // WHICH occurrence to cut)
     val toks = Caches.persist(docs
-      .repartition(col("doc_id"))
+      .transform(graft.Tables.spreadBy(col("doc_id")))
       .select(col("doc_id"),
         split(trim(lower(col("text"))), "\\s+").as("tok")))
     val pos = Caches.persist(toks
@@ -1266,7 +1267,7 @@ object DedupOps {
     */
   private[graft] def softdedupWeights(docs: DataFrame): DataFrame = {
       val grams = Caches.persist(docs
-        .repartition(col("doc_id"))
+        .transform(graft.Tables.spreadBy(col("doc_id")))
         .select(col("doc_id"),
           split(trim(lower(col("text"))), "\\s+").as("tok"))
         .filter(size(col("tok")) >= SPAN_N)
@@ -1365,7 +1366,7 @@ object DedupOps {
     */
   private[graft] def dedupLinesFor(docs: DataFrame): DataFrame = {
     val lns = Caches.persist(docs
-      .repartition(col("doc_id"))
+      .transform(graft.Tables.spreadBy(col("doc_id")))
       .select(col("doc_id"), split(col("text"), "\n").as("lines")))
     val pos = Caches.persist(lns
       .select(col("doc_id"), posexplode(col("lines")))
@@ -1730,7 +1731,7 @@ object DedupOps {
         .select(col("g")).distinct())
       val grams = gramsOf(Tables.documents(s, d)
         .filter(col("doc_id") >= EVAL_MAX)
-        .repartition(col("doc_id")))
+        .transform(graft.Tables.spreadBy(col("doc_id"))))
       val words = new Array[Long](BLOOM_WORDS)
       evalG
         .select(md5(col("g")).as("h"))

@@ -55,7 +55,11 @@ object LmIndex {
     * text, documents with < 2 tokens contribute nothing.
     */
   def bigramCounts(docs: DataFrame): DataFrame =
-    docs
+    // repartition(doc_id): spread the tokenize+explode off the single
+    // input split AND pre-satisfy the (doc_id, w1, w2) grouping — the
+    // aggregate's exchange of exploded gram rows is replaced by one
+    // narrow shuffle of the raw doc rows (r19, the shingleSets pattern)
+    graft.Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"), TextOps.toks(col("text")).as("tok"))
       .filter(size(col("tok")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -142,7 +146,8 @@ object LmIndex {
     * < 3 tokens contribute nothing.
     */
   def trigramCounts(docs: DataFrame): DataFrame =
-    docs
+    // same repartition(doc_id) rationale as [[bigramCounts]] (r19)
+    graft.Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"), TextOps.toks(col("text")).as("tok"))
       .filter(size(col("tok")) >= 3)
       .select(col("doc_id"), explode(expr(

@@ -417,7 +417,7 @@ object MultimodalOps {
       // — 63 sub-aggregates per row — and dominated the sf10 hash
       // materialization at 26 s cold)
       val hashed = graft.Caches.persist(Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        .transform(graft.Tables.spreadBy(col("doc_id")))
         .select(col("doc_id"),
           call_function("phash63", col("text")).as("phash")))
       hashed

@@ -1270,7 +1270,7 @@ object PipelineOps {
     */
   private def dsirFrames(
       input: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-      val docs = input.repartition(col("doc_id"))
+      val docs = input.transform(graft.Tables.spreadBy(col("doc_id")))
       val tok = docs
         .select(col("doc_id"),
           col("source").isin(DSIR_TARGET.map(x => x: Any): _*).as("is_t"),
@@ -2130,7 +2130,7 @@ object PipelineOps {
         Tables.documents(s, d).select(col("doc_id")))
       val n = docs.count()
       val edges = Caches.persist(docs
-        .repartition(col("doc_id"))
+        .transform(graft.Tables.spreadBy(col("doc_id")))
         .select(col("doc_id").as("src"),
           explode(transform(sequence(lit(0), lit(PR_LINKS - 1)), j =>
             pmod(hash60(concat(lit("pr"), col("doc_id").cast("string"),

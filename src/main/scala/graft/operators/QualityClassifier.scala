@@ -137,7 +137,15 @@ object QualityClassifier {
     * floor-division normalizer never sees 0.
     */
   def docFrame(docs: DataFrame): DataFrame =
-    features(docs).groupBy(col("doc_id"))
+    // repartition(doc_id) before the gram/md5 featurize (r19, the
+    // shingleSets pattern): a small corpus arrives as ONE input split,
+    // which serializes the CPU-bound hashing on a single task (measured
+    // 0.9 s single-task at sf0.1); the same hash-spread protects
+    // against skewed splits at scale. The groupBy then needs NO new
+    // exchange — HashPartitioning(doc_id) already satisfies its
+    // clustering — so this REPLACES the aggregate's shuffle (of
+    // exploded gram rows) with a narrower shuffle of the raw doc rows.
+    features(graft.Tables.spread(docs, col("doc_id"))).groupBy(col("doc_id"))
       .agg(collect_list(struct(col("b"), col("c"))).as("fs"),
         sum(col("c")).as("n"))
 

@@ -53,7 +53,7 @@ object RetrievalOps {
       corpus: DataFrame, queryTerms: DataFrame, k: Int): DataFrame = {
     // posting lists: (doc_id, term, tf, dl) — tf collapsed per doc
     val tc = Caches.persist(corpus
-      .repartition(col("doc_id"))
+      .transform(graft.Tables.spreadBy(col("doc_id")))
       .select(col("doc_id"), TextOps.toks(col("text")).as("tok"))
       .select(col("doc_id"), size(col("tok")).cast(LongType).as("dl"),
         explode(col("tok")).as("t"))

@@ -496,7 +496,7 @@ object TextOps {
     "text_ngram_freq",
     (s, d) =>
       Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        .transform(graft.Tables.spreadBy(col("doc_id")))
         .select(split(trim(lower(col("text"))), "\\s+").as("tok"))
         .select(explode(transform(
           sequence(lit(1), greatest(size(col("tok")) - 1, lit(1))),
@@ -571,7 +571,7 @@ object TextOps {
     "text_char_ngrams",
     (s, d) =>
       Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        .transform(graft.Tables.spreadBy(col("doc_id")))
         .select(normText(col("text")).as("nt"))
         // native packed kernel (VectorExpressions.CharTrigramsExpr):
         // the corpus pass explodes/aggregates packed LONG keys — no
@@ -667,7 +667,7 @@ object TextOps {
     (s, d) => {
       val k1 = lit(1.2)
       val base = Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        .transform(graft.Tables.spreadBy(col("doc_id")))
         .select(col("doc_id"), toks(col("text")).as("tok"))
         .select(Seq(col("doc_id"),
           size(col("tok")).cast(LongType).as("dl")) ++
@@ -1490,7 +1490,9 @@ object TextOps {
   val lmBigram: Op = Op(
     "lm_bigram",
     (s, d) => {
-      val tokd = Tables.documents(s, d)
+      val tokd = Tables.spread(Tables.documents(s, d), col("doc_id"))
+        // spread: off the single input split, and the (doc_id, w1, w2)
+        // aggregate below needs no further exchange (r19)
         .select(col("doc_id"), toks(col("text")).as("tok"))
         .filter(size(col("tok")) >= 2)
       // persist: docbg feeds the model aggregate AND the scoring join —
@@ -2240,7 +2242,7 @@ object TextOps {
     "text_unigram_count",
     (s, d) => {
       val model = UnigramLm.forCorpus(s, d)
-      val docs = Tables.documents(s, d).repartition(col("doc_id"))
+      val docs = Tables.documents(s, d).transform(graft.Tables.spreadBy(col("doc_id")))
       val ws = docs.select(col("doc_id"),
         size(toks(col("text"))).cast(LongType).as("n_ws_tokens"))
       UnigramLm.priceDocuments(docs, model)
@@ -2684,7 +2686,7 @@ object TextOps {
     (s, d) =>
       Tables.documents(s, d)
         .filter(length(col("text")) > 0)
-        .repartition(col("doc_id"))
+        .transform(graft.Tables.spreadBy(col("doc_id")))
         .select(col("doc_id"),
           call_function("cp_entropy", col("text")).as("e"))
         .select(col("doc_id"),
@@ -2860,7 +2862,7 @@ object TextOps {
     "tokenizer_fertility",
     (s, d) => {
       val per = langScores(
-        Tables.documents(s, d).repartition(col("doc_id")))
+        Tables.documents(s, d).transform(graft.Tables.spreadBy(col("doc_id"))))
         .select(langArgmax("s_").as("pred_lang"),
           size(toks(col("text"))).cast(LongType).as("w"),
           bpeCount(col("text")).as("t"),
@@ -2962,7 +2964,7 @@ object TextOps {
     "text_boilerplate",
     (s, d) => {
       Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        .transform(graft.Tables.spreadBy(col("doc_id")))
         .select(col("doc_id"),
           size(split(col("text"), "\n")).cast(LongType).as("n_lines"),
           boilerplateKept(col("text")).as("kept"))
