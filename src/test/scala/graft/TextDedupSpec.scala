@@ -1153,4 +1153,23 @@ class TextDedupSpec extends SparkSpec {
     assert(r(2L).getAs[String]("clean_text") == prose1)
     assert(r(2L).getAs[Double]("kept_frac") == 1.0)
   }
+
+  test("clusterPairs: driver-local union-find == distributed loop (r19 engine parity)") {
+    import org.apache.spark.sql.functions._
+    // chain (1-2-3-4), clique (10,11,12 all pairs), disjoint pair
+    // (20,21), and a bridge merging two cliques late (30..33 + edge)
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L),
+      (30L, 31L), (32L, 33L), (31L, 32L))
+    val pairs = spark.createDataFrame(edges).toDF("i", "j")
+    val loc = operators.DedupOps.clusterPairsLocal(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = operators.DedupOps.clusterPairsDistributed(pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(loc == dist)
+    assert(loc(4L) == 1L && loc(12L) == 10L && loc(21L) == 20L && loc(33L) == 30L)
+    graft.Caches.releaseScope()
+  }
 }
