@@ -75,8 +75,24 @@ object ProfileQ {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // SPARK_GRAFT_PLAN_ONLY=1: skip the timed reps, only write the
+    // explain("formatted") artifacts (cheap before/after plan capture).
+    val planOnly = sys.env.get("SPARK_GRAFT_PLAN_ONLY").exists(_ == "1")
     keys.foreach { key =>
       val fn = SparkEntry.queries(key)
+      if (planOnly) {
+        planTag.foreach { tag =>
+          val dir = java.nio.file.Paths.get("plans/r19")
+          java.nio.file.Files.createDirectories(dir)
+          val df = fn(spark, sfDir)
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(dir.resolve(s"${key}_$tag.txt"),
+            txt.getBytes("UTF-8"))
+          println(s"    [plan] wrote plans/r19/${key}_$tag.txt")
+        }
+        Caches.releaseScope()
+      } else {
       val runs = (1 to REPS).map { i =>
         if (i == REPS) { stages.clear(); record = true }
         spark.sparkContext.setJobDescription(s"$key rep$i")
@@ -106,6 +122,7 @@ object ProfileQ {
         println(s"    [plan] wrote $p")
       }
       Caches.releaseScope()
+      }
     }
     spark.stop()
   }

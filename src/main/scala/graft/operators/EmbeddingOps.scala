@@ -129,7 +129,7 @@ object EmbeddingOps {
     "emb_outliers",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-        .transform(graft.Tables.spreadBy(col("vec_id")))
+        .repartition(col("vec_id"))
         .select(col("vec_id"), col("label").cast(LongType).as("label"),
           col("embedding"))
       val cent = e
@@ -379,7 +379,7 @@ object EmbeddingOps {
     "emb_pca",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-        .transform(graft.Tables.spreadBy(col("vec_id")))
+        .repartition(col("vec_id"))
         .select(col("vec_id"), col("embedding"))
       val (mS, sums, n) = pcaMoments(e)
       val v = pcaPowerLoop(mS, sums, n)
@@ -477,7 +477,7 @@ object EmbeddingOps {
     "emb_whiten",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-        .transform(graft.Tables.spreadBy(col("vec_id")))
+        .repartition(col("vec_id"))
         .select(col("vec_id"), col("embedding"))
       val (mS, sums, n) = pcaMoments(e)
       val m = sums.map(si => math.floor(si.toDouble / n + 0.5).toLong)
