@@ -232,6 +232,15 @@ object Bench {
       case e: java.io.IOException =>
         System.err.println(s"[bench] board file write to $out failed: $e")
     }
+    // r20 (the r19 verdict's visibility ask): the driver's stdout tail
+    // capture truncates the 165-query board line mid-JSON, so PERF has
+    // had no per-query data for two rounds. Print one SHORT summary
+    // line LAST — total, n, failed, drift, and where the full board
+    // lives — so a bounded tail always ends with a parseable record.
+    // The full board line above is unchanged (same keys, same schema);
+    // this is an addition, not a measurement change.
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","n":${
+      results.size},"failed":$failed,"drift":${f"$calibDrift%.2f"},"board_file":"$out"}""")
     spark.stop()
     if (anyFailed) sys.exit(1)
   }

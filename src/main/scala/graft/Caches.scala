@@ -34,6 +34,7 @@ import org.apache.spark.sql.Dataset
   */
 object Caches {
   private val live = new ConcurrentLinkedQueue[Either[RDD[_], Dataset[_]]]()
+  private val scopeHooks = new ConcurrentLinkedQueue[Runnable]()
 
   /** Opt-in cross-query artifact reuse (deployment model). Off by
     * default so each harness scope is self-contained.
@@ -55,10 +56,24 @@ object Caches {
     */
   def trackRdd(rdd: RDD[_]): Unit = live.add(Left(rdd))
 
+  /** Register a hook that runs on every scoped [[releaseScope]] (r20,
+    * the pqCookMemo hygiene flag): driver-side model memos keyed on a
+    * corpus fingerprint live OUTSIDE the cached-frame registry, but the
+    * bench's attribution contract says nothing outlives a query scope —
+    * a memo owner registers its clear here ONCE and the scope close
+    * empties it with the frames. Artifact mode exempts hooks exactly
+    * like frames (a deployment keeps its trained models beside the
+    * table).
+    */
+  def registerScopeHook(hook: Runnable): Unit = scopeHooks.add(hook)
+
   /** End the current scope: unpersist every registered entry unless
     * [[artifactMode]] keeps them as cross-query artifacts.
     */
-  def releaseScope(): Unit = if (!artifactMode) releaseAll()
+  def releaseScope(): Unit = if (!artifactMode) {
+    releaseAll()
+    scopeHooks.forEach(_.run())
+  }
 
   /** Unconditionally unpersist every registered entry (non-blocking).
     * Entries whose plan another registered frame shared unpersist as

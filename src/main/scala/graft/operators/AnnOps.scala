@@ -37,9 +37,20 @@ object AnnOps {
     * shared by the E-series ops and [[AnnIndex]], so every cosine in
     * the engine derives nm the same way.
     */
+  /** r20: back to the PLAIN keyed repartition (the r19 verdict's one
+    * real regression): the pinned-count spread only pays under a HEAVY
+    * kernel, and the norm projection is one 64-dim dot per row. Every
+    * persisted consumer keeps the full partition count anyway (cached
+    * plans are exempt from AQE coalescing —
+    * canChangeCachedPlanOutputPartitioning=false), so the pin only
+    * changed the UNPERSISTED call sites (the ann_filtered stripe, the
+    * index-maintenance probes), where 32 pinned tasks over a sub-MB
+    * frame cost more than they spread: ann_filtered +42%,
+    * emb_knn_graph +28% on every r19 post-opt board.
+    */
   private[graft] def withNormDf(embeddings: DataFrame): DataFrame =
     embeddings
-      .transform(graft.Tables.spreadBy(col("vec_id")))
+      .repartition(col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         dotMicros(col("embedding"), col("embedding")).as("nm"))
 
@@ -1107,9 +1118,20 @@ object AnnOps {
     */
   private val pqCookMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  // r20 (the r19 verdict's hygiene flag): the memo is registered with
+  // the harness scope, so in default (scoped) mode nothing outlives a
+  // query — the first rep of each query trains, the warm reps reuse,
+  // and releaseScope() empties the map with the cached frames. Artifact
+  // mode keeps it, like every other cross-query artifact. Registering
+  // the clear also bounds the map: entries never accumulate past one
+  // scope's working set in default mode.
+  Caches.registerScopeHook(() => pqCookMemo.clear())
 
   /** Drop memoized codebooks (tests). */
   private[graft] def clearPqCookMemo(): Unit = pqCookMemo.clear()
+
+  /** Registered-codebook count (tests — the scope-clear pin). */
+  private[graft] def pqCookMemoSize: Int = pqCookMemo.size
 
   /** E10's body at an arbitrary (k, rounds, rerank) geometry — train,
     * encode, search over one corpus frame.

@@ -31,6 +31,30 @@ class CacheLifecycleSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("pq codebook memo is scope-registered: cleared per query in " +
+      "default mode, kept in artifact mode") {
+    import graft.operators.AnnOps
+    // default (scoped) mode — the bench's attribution contract: nothing,
+    // including driver-side model memos, outlives a query scope
+    SparkEntry.queries("ann_pq")(spark, sf).count()
+    assert(AnnOps.pqCookMemoSize > 0, "the first rep trains the codebook")
+    Caches.releaseScope()
+    assert(AnnOps.pqCookMemoSize == 0,
+      "scoped release must clear the codebook memo with the frames")
+    // artifact mode — the deployment model keeps trained models
+    Caches.artifactMode = true
+    try {
+      SparkEntry.queries("ann_pq")(spark, sf).count()
+      Caches.releaseScope()
+      assert(AnnOps.pqCookMemoSize > 0,
+        "artifact mode keeps the codebook across scopes")
+    } finally {
+      Caches.artifactMode = false
+      Caches.releaseAll()
+      AnnOps.clearPqCookMemo()
+    }
+  }
+
   test("artifact mode keeps entries across scopes until releaseAll") {
     Caches.artifactMode = true
     try {
