@@ -12,7 +12,8 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   *  - prints a per-STAGE wall-time table for the final rep (stage name,
   *    task count, total task time, max task time) so the expensive
   *    stage of a multi-job query is attributable without the UI, and
-  *  - writes `explain("formatted")` to `plans/r19/<key>_<tag>.txt` when
+  *  - writes `explain("formatted")` to `$SPARK_GRAFT_PLAN_DIR/<key>_<tag>.txt`
+  *    (default plans/r20) when
   *    SPARK_GRAFT_PLAN_TAG is set (the judge-facing plan artifacts).
   *
   * Usage: sbt "runMain graft.ProfileQ key1,key2[,...]" with the usual
@@ -34,10 +35,26 @@ object ProfileQ {
     val forced = sys.env.get("SPARK_GRAFT_PROFILE_FORCED").exists(_ == "1")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v;k=v": session-conf overrides for paired
+    // engine-gate measurements (e.g. graft.walk.localMax=0 forces the
+    // distributed walk for a before-plan capture).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
 
     val stages = new ConcurrentLinkedQueue[StageRow]()
+    // per-stage max task duration from task-end events (r20, the r19
+    // advisory: the field was recorded as 0 and never printed) — the
+    // straggler signal guide §2.5 reads off the stage page
+    val maxTask = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     @volatile var record = false
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (record && te.taskInfo != null) {
+          maxTask.merge(te.stageId, te.taskInfo.duration, math.max(_, _))
+        }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
         if (record) {
           val si = sc.stageInfo
@@ -47,7 +64,8 @@ object ProfileQ {
           val m = si.taskMetrics
           stages.add(StageRow(
             si.name.takeWhile(_ != '\n').take(90), si.numTasks, wall,
-            m.executorRunTime, 0L,
+            m.executorRunTime,
+            Option(maxTask.get(si.stageId)).getOrElse(0L),
             m.shuffleReadMetrics.totalBytesRead / 1e6,
             m.shuffleWriteMetrics.bytesWritten / 1e6))
         }
@@ -82,19 +100,20 @@ object ProfileQ {
       val fn = SparkEntry.queries(key)
       if (planOnly) {
         planTag.foreach { tag =>
-          val dir = java.nio.file.Paths.get("plans/r19")
+          val dir = java.nio.file.Paths.get(
+            sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r20"))
           java.nio.file.Files.createDirectories(dir)
           val df = fn(spark, sfDir)
           val txt = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           java.nio.file.Files.write(dir.resolve(s"${key}_$tag.txt"),
             txt.getBytes("UTF-8"))
-          println(s"    [plan] wrote plans/r19/${key}_$tag.txt")
+          println(s"    [plan] wrote $dir/${key}_$tag.txt")
         }
         Caches.releaseScope()
       } else {
       val runs = (1 to REPS).map { i =>
-        if (i == REPS) { stages.clear(); record = true }
+        if (i == REPS) { stages.clear(); maxTask.clear(); record = true }
         spark.sparkContext.setJobDescription(s"$key rep$i")
         val t = secs {
           val df = fn(spark, sfDir)
@@ -108,11 +127,12 @@ object ProfileQ {
       import scala.jdk.CollectionConverters._
       val rows = stages.asScala.toSeq.sortBy(-_.wallMs).take(18)
       rows.foreach { r =>
-        println(f"    ${r.wallMs}%6d ms  tasks=${r.tasks}%3d taskSum=${r.taskMs}%6d ms shR=${r.shuffleReadMb}%8.2f MB shW=${r.shuffleWriteMb}%8.2f MB  ${r.name}")
+        println(f"    ${r.wallMs}%6d ms  tasks=${r.tasks}%3d taskSum=${r.taskMs}%6d ms maxTask=${r.maxTaskMs}%5d ms shR=${r.shuffleReadMb}%8.2f MB shW=${r.shuffleWriteMb}%8.2f MB  ${r.name}")
       }
       println(f"    [stages] n=${stages.size} wallSum=${stages.asScala.map(_.wallMs).sum} ms")
       planTag.foreach { tag =>
-        val dir = java.nio.file.Paths.get("plans/r19")
+        val dir = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r20"))
         java.nio.file.Files.createDirectories(dir)
         val p = dir.resolve(s"${key}_$tag.txt")
         val df = fn(spark, sfDir)

@@ -394,7 +394,10 @@ object DedupOps {
     */
   private[graft] def clusterPairsLocal(pairs: DataFrame): DataFrame = {
     val s = pairs.sparkSession
-    val edges = pairs.collect()
+    // explicit (i, j) LongType selection (r20, the r19 advisory): a
+    // caller passing a frame with a different leading-column order
+    // fails here at the seam instead of silently mis-clustering
+    val edges = pairs.select(col("i"), col("j")).collect()
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x
@@ -418,6 +421,13 @@ object DedupOps {
     rows.toDF("doc_id", "cluster_id")
   }
 
+  /** Connected components over an (i, j) LongType pair frame. Callers
+    * MUST pass a CHECKPOINTED frame (the r4 double-pipeline fix, stated
+    * here at the seam per the r19 advisory): the engine gate counts it
+    * and the chosen engine re-reads it — an un-checkpointed caller
+    * would recompute the whole LSH pipeline once for the count and
+    * again for the clustering.
+    */
   private[graft] def clusterPairs(pairs: DataFrame): DataFrame =
       // size-adaptive engine choice (r19): the caller's checkpointed
       // pair frame is already materialized, so the count is a cached
@@ -426,15 +436,23 @@ object DedupOps {
       // TextDedupSpec (local ≡ distributed on chain/clique/mixed
       // graphs).
       if (pairs.count() <= CC_DRIVER_MAX)
-        clusterPairsLocal(pairs.select(pairs.columns.head,
-          pairs.columns(1)))
+        clusterPairsLocal(pairs)
       else clusterPairsDistributed(pairs)
 
   /** The distributed min-label-propagation + pointer-jumping loop — the
     * above-threshold engine (and the parity-test seam).
     */
   private[graft] def clusterPairsDistributed(pairs: DataFrame): DataFrame = {
-      val und = pairs.union(pairs.select(col("j"), col("i"))).toDF("src", "dst")
+      // r20 exchange diet (the beamWalk recipe, guide §2.4): the
+      // undirected edge frame is persisted PRE-PARTITIONED on src — its
+      // join key in EVERY round — so each round's edges⋈labels join
+      // reuses the cached partitioning instead of re-exchanging (and
+      // re-deriving) the edge set per round. Cached plans keep their
+      // partition count (canChangeCachedPlanOutputPartitioning=false),
+      // so one up-front exchange serves the whole loop.
+      val und = Caches.persist(
+        pairs.union(pairs.select(col("j"), col("i"))).toDF("src", "dst")
+          .repartition(col("src")))
       // Seed with one neighborhood-min pass (label(v) = min(v, neighbors))
       // — equivalent to the first propagation round at the cost of a
       // single groupBy, no join. Near-clique dup clusters converge here,
@@ -471,10 +489,18 @@ object DedupOps {
       var prevSum = labelSum(labels)
       var changed = true
       while (changed) {
-        val prop = und.join(labels, col("src") === col("v"))
+        // r20: prop is persisted so the pointer-jumping self-join reads
+        // ONE cached round result instead of planning the whole
+        // edges⋈labels→groupBy subtree twice (its 3 exchanges were
+        // duplicated inside every round's job — ~9 exchanges/round
+        // measured; now ≤4: labels→v, the post-union groupBy, and the
+        // self-join's two label-keyed exchanges over a label-sized
+        // frame. The und side of the round join is exchange-free from
+        // the cache).
+        val prop = Caches.persist(und.join(labels, col("src") === col("v"))
           .select(col("dst").as("v"), col("label"))
           .union(labels)
-          .groupBy(col("v")).agg(min(col("label")).as("label"))
+          .groupBy(col("v")).agg(min(col("label")).as("label")))
         // Pointer jumping: follow the label's own label (L' = L∘L), so
         // label depth halves every round and convergence is
         // O(log diameter) instead of O(diameter) — the difference
@@ -482,8 +508,7 @@ object DedupOps {
         // duplicate CHAIN. Labels are always vertex ids (minima over
         // seen ids), so the self-join key always resolves; the rename
         // on the right side keeps the un-materialized self-join
-        // attribute-clean, and the tiny prop subtree computing twice
-        // inside the one job is cheaper than materializing it.
+        // attribute-clean.
         val jumped = Caches.persist(prop
           .join(prop.select(col("v").as("lv"), col("label").as("ll")),
             col("label") === col("lv"))
@@ -492,6 +517,7 @@ object DedupOps {
         changed = curSum.compareTo(prevSum) != 0
         prevSum = curSum
         labels.unpersist()
+        prop.unpersist()
         labels = jumped
       }
       labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))

@@ -117,6 +117,29 @@ object GraphAnnOps {
       beam: Int,
       hops: Int,
       topK: Int): (DataFrame, DataFrame) = {
+    // r20 — size-adaptive engine chooser (the TokenizerIndex.train /
+    // clusterPairs doctrine, guide §1.2): below the threshold the hop
+    // loop is pure round latency (2 Exchanges + stage scheduling per
+    // hop over a frontier of a few hundred rows), so the walk's whole
+    // world — already the partition-pruned probed-cell slice, never the
+    // corpus — collects once and the hops run driver-local with
+    // bit-identical kernels ([[LocalWalk]]; parity pinned in
+    // GraphAnnSpec). Above it, the distributed loop below runs
+    // unchanged (the sf100-scale probes take this path). The member
+    // count is a cached-frame action the first hop would materialize
+    // anyway.
+    val s = members.sparkSession
+    val lmax = LocalWalk.localMax(s)
+    if (lmax > 0 && members.count() <= lmax &&
+        edges.count() <= lmax * GRAPH_DEGREE) {
+      val m = LocalWalk.collectVectors(members)
+      val e = LocalWalk.collectEdges(edges)
+      val q = LocalWalk.collectQueries(qF)
+      val c0 = LocalWalk.collectPairs(cand0.select(col("q_id"), col("vec_id")))
+      val (frontier, scanned) = LocalWalk.walk(m, e, q, c0, beam, hops)
+      return (LocalWalk.resultDf(s, LocalWalk.ranked(frontier, topK)),
+        LocalWalk.scannedDf(s, scanned).distinct())
+    }
     def score(cand: DataFrame): DataFrame =
       cand.join(members, "vec_id")
         .join(broadcast(qF), "q_id")

@@ -269,6 +269,18 @@ object HnswOps {
     val queries = e.filter(col("vec_id") < AnnOps.QUERY_MAX)
     val qF = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"), col("nm").as("q_nm"))
+    // r20 — size-adaptive engine chooser (the beamWalk/LocalWalk
+    // doctrine): the descent is levels × H_UP synchronous hop rounds
+    // whose frontiers are ≤ queries × EF_UP rows — at gate scale the
+    // round latency IS the query (~2.4 s warm, the r19 board's most
+    // expensive). Below the threshold (n is already counted) the
+    // hierarchy, the upper world and the walk run driver-local with
+    // bit-identical kernels; parity is pinned local≡distributed in
+    // HnswSpec and the sf1 GeometryCheck replay. Above it, the
+    // distributed loop below is unchanged.
+    if (LocalWalk.localMax(s) > 0 && n <= LocalWalk.localMax(s)) {
+      return hnswSearchLocal(s, idx, hier, qF, n, levels, beam, hops, topK)
+    }
     // the upper world: layer-1+ members (n/8), cached once — both
     // frames pre-partitioned on vec_id, their join key in every
     // descent hop (r19, the beamWalk shared-exchange rule)
@@ -341,6 +353,100 @@ object HnswOps {
       members, edges, qF,
       frontier.select(col("q_id"), col("vec_id")), beam, hops, topK)
     (result, scanned.unionByName(walkScanned).distinct())
+  }
+
+  /** The layer of a vector id, driver-local — exactly [[lvlCol]]'s
+    * arithmetic (Long wrap-around multiply, pmod, highest matching
+    * level; membership is nested so ascending assignment lands on the
+    * same value the fold's outermost-when picks).
+    */
+  private[graft] def lvlLocal(id: Long, levels: Int): Int = {
+    val m = id * HNSW_MULT + HNSW_ADD
+    val hm = ((m % HNSW_P) + HNSW_P) % HNSW_P
+    var lvl = 0
+    var l = 1
+    while (l <= levels) {
+      if (hm * math.pow(8, l).toLong < HNSW_P) lvl = l
+      l += 1
+    }
+    lvl
+  }
+
+  /** [[hnswSearch]]'s driver-local twin (r20): same entries, same
+    * per-layer H_UP hop/cut rounds over the upper world, same
+    * probed-cell base walk — every cosine, beam cut and tie-break via
+    * [[LocalWalk]]'s bit-identical kernels. The base member/edge reads
+    * stay partition-pruned Spark scans (collected, they are the same
+    * rows the distributed walk caches).
+    */
+  private def hnswSearchLocal(
+      s: org.apache.spark.sql.SparkSession,
+      idx: KnnIndex.Index,
+      hier: DataFrame,
+      qF: DataFrame,
+      n: Long,
+      levels: Int,
+      beam: Int,
+      hops: Int,
+      topK: Int): (DataFrame, DataFrame) = {
+    import scala.collection.mutable
+    val (vecs, cells) = LocalWalk.collectVectorsWithCell(idx.vectors)
+    val queries = LocalWalk.collectQueries(qF)
+    // the upper world: layer-1+ members; entries: the top layer's
+    // HNSW_ENTRIES lowest-id members
+    val upper = mutable.LongMap.empty[LocalWalk.V]
+    vecs.foreach { case (id, v) =>
+      if (lvlLocal(id, levels) >= 1) upper(id) = v
+    }
+    val entries = upper.keys.toSeq
+      .filter(lvlLocal(_, levels) >= levels).sorted.take(HNSW_ENTRIES)
+    val cand0 = for {
+      q <- queries.keys.toSeq.sorted
+      v <- entries if v != q
+    } yield (q, v)
+    val scanned = mutable.LinkedHashSet.empty[(Long, Long)]
+    scanned ++= cand0
+    var frontier = mutable.LongMap.empty[Vector[(Long, Double)]]
+    LocalWalk.score(cand0, upper, queries).foreach { case (q, m) =>
+      frontier(q) = LocalWalk.cut(m, EF_UP)
+    }
+    // per-layer edge maps from the hierarchy artifact (≤ n/7 ×
+    // (M_UP + R_BRIDGE) rows — one small collect)
+    val hierRows = hier
+      .select(col("lvl"), col("vec_id"), col("nbr_id")).collect()
+    val perLvl = mutable.Map.empty[Int, mutable.LongMap[mutable.ArrayBuffer[Long]]]
+    hierRows.foreach { r =>
+      perLvl.getOrElseUpdate(r.getInt(0),
+          mutable.LongMap.empty[mutable.ArrayBuffer[Long]])
+        .getOrElseUpdate(r.getLong(1), mutable.ArrayBuffer.empty[Long]) +=
+        r.getLong(2)
+    }
+    (levels to 1 by -1).foreach { l =>
+      val edgesL = mutable.LongMap.empty[Array[Long]]
+      perLvl.get(l).foreach(_.foreach { case (k, v) => edgesL(k) = v.toArray })
+      (1 to H_UP).foreach { _ =>
+        frontier =
+          LocalWalk.hop(frontier, edgesL, upper, queries, EF_UP, scanned)
+      }
+    }
+    // base layer: the descent winners' cells ARE the probe —
+    // partition-pruned member/edge reads, then the beam walk
+    val probed = frontier.values.flatMap(_.map(_._1)).map(cells(_)).toSet
+    val membersB = mutable.LongMap.empty[LocalWalk.V]
+    vecs.foreach { case (id, v) =>
+      if (probed.contains(cells(id))) membersB(id) = v
+    }
+    val edgesB = LocalWalk.collectEdges(idx.edges
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .select(col("vec_id"), col("nbr_id")))
+    val frontierPairs = frontier.toSeq.sortBy(_._1).flatMap { case (q, vs) =>
+      vs.map { case (v, _) => (q, v) }
+    }
+    val (walked, walkScanned) = LocalWalk.walk(
+      membersB, edgesB, queries, frontierPairs, beam, hops)
+    scanned ++= walkScanned
+    (LocalWalk.resultDf(s, LocalWalk.ranked(walked, topK)),
+      LocalWalk.scannedDf(s, scanned).distinct())
   }
 
   /** The unrolled DuckDB oracle: shared quantizer/assignment CTEs, the

@@ -43,6 +43,30 @@ class GraphAnnSpec extends SparkSpec {
     Caches.releaseScope()
   }
 
+  test("r20: driver-local walk engine ≡ distributed walk, bit-exact " +
+      "(the size-adaptive engine-chooser parity pin)") {
+    import graft.operators.LocalWalk
+    def bits(key: String): Seq[(Long, Long, Long, Long)] =
+      run(key, dir).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), java.lang.Double.doubleToLongBits(r.getDouble(3))))
+        .toSeq
+    val keys = Seq("ann_graph", "ann_graph_div")
+    // default conf: the gate corpus is far below the threshold → local
+    val local = keys.map(bits)
+    Caches.releaseScope()
+    // force the distributed loop and compare every field bit for bit
+    spark.conf.set(LocalWalk.LocalMaxKey, "0")
+    try {
+      val dist = keys.map(bits)
+      keys.indices.foreach { i =>
+        assert(local(i) == dist(i), s"${keys(i)}: local != distributed")
+      }
+    } finally {
+      spark.conf.unset(LocalWalk.LocalMaxKey)
+      Caches.releaseScope()
+    }
+  }
+
   test("ann_graph: recall@5 against the exact baseline is " +
       "non-decreasing in hops") {
     val truth = run("ann_bruteforce", dir)

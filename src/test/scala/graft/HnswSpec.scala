@@ -140,4 +140,36 @@ class HnswSpec extends SparkSpec {
       s"hierarchy entry recall $rh fell below the probe walk's $rp")
     Caches.releaseScope()
   }
+
+  test("r20: driver-local descent ≡ distributed descent, bit-exact " +
+      "result AND scanned set (engine-chooser parity pin)") {
+    import graft.operators.LocalWalk
+    val dir = "/root/testdata/sf0.01"
+    def both(): (Seq[(Long, Long, Long, Long)], Set[(Long, Long)]) = {
+      val e = AnnOps.withNorm(spark, dir)
+      val n = Tables.embeddings(spark, dir).count()
+      val cells = AnnOps.ivfCellsFor(n)
+      val idx = KnnIndex.forCorpus(spark, dir, cells,
+        graft.operators.EmbeddingOps.knnSubGeometry(n, cells),
+        k = GraphAnnOps.GRAPH_DEGREE)
+      val (res, scanned) = HnswOps.hnswSearch(
+        e, idx, HnswOps.hierFor(spark, dir, idx))
+      val rows = res.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), java.lang.Double.doubleToLongBits(r.getDouble(3))))
+        .toSeq
+      val sc = scanned.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Caches.releaseScope()
+      (rows, sc)
+    }
+    val (localRows, localScanned) = both()
+    spark.conf.set(LocalWalk.LocalMaxKey, "0")
+    try {
+      val (distRows, distScanned) = both()
+      assert(localRows == distRows, "result: local != distributed")
+      assert(localScanned == distScanned, "scanned: local != distributed")
+    } finally {
+      spark.conf.unset(LocalWalk.LocalMaxKey)
+      Caches.releaseScope()
+    }
+  }
 }
