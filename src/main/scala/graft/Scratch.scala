@@ -25,6 +25,35 @@ object Scratch {
     // kernels, window frames) can prune its entire compute under the
     // bench action; this mode prices the un-pruned plan instead.
     val force = sys.env.get("SPARK_GRAFT_FORCE").exists(_ == "1")
+    // SPARK_GRAFT_KNN_PHASES=1: phase decomposition of the KnnIndex
+    // build (r20 materialization_total investigation)
+    if (sys.env.get("SPARK_GRAFT_KNN_PHASES").exists(_ == "1")) {
+      val e = Caches.persist(
+        operators.AnnOps.withNormDf(Tables.embeddings(spark, d)))
+      var n = 0L
+      t("withNorm persist")({ n = e.count(); n })
+      val cells = operators.AnnOps.ivfCellsFor(n)
+      val sub = operators.EmbeddingOps.knnSubGeometry(n, cells)
+      var micros: Array[Array[Long]] = null
+      t("centroid train")({
+        micros = operators.CentroidIndex.trainMicros(e, cells)
+        micros.length.toLong
+      })
+      var idx: operators.KnnIndex.Index = null
+      t("buildFrom+edges")({
+        idx = operators.KnnIndex.buildFrom(e, micros, cells,
+          operators.AnnOps.IVF_ROUNDS, sub, k = 3)
+        idx.edges.count()
+      })
+      t("edges warm")(idx.edges.count())
+      t("seeds")(idx.seeds.count())
+      t("save")({
+        operators.KnnIndex.save(idx, "/tmp/graft_knn_phases/knn"); 0L
+      })
+      t("load+neighbors")(operators.KnnIndex.neighbors(
+        operators.KnnIndex.load(spark, "/tmp/graft_knn_phases/knn")).count())
+      return
+    }
     // SPARK_GRAFT_DECOMP=1: sub-stage decomposition of the
     // dedup_substr_rewrite forced pass (sf100 ratio investigation)
     if (sys.env.get("SPARK_GRAFT_DECOMP").exists(_ == "1")) {
