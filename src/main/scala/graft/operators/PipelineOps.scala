@@ -1649,13 +1649,13 @@ object PipelineOps {
     "sample_budget",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val scores = QualityIndex.score(docs, QualityIndex.forCorpus(s, d))
-        .select(col("doc_id"), col("score_micros"))
-      // base persists: it feeds the bin histogram AND the verdict join
-      val base = Caches.persist(docs
-        .select(col("doc_id"),
-          size(TextOps.toks(col("text"))).cast(LongType).as("n_tokens"))
-        .join(scores, "doc_id")
+      // base persists: it feeds the bin histogram AND the verdict join.
+      // r20: n_tokens is a scoreWith pass-through — the former second
+      // documents scan + doc_id shuffle join is gone (guide §2.4)
+      val base = Caches.persist(QualityIndex
+        .scoreWith(docs, QualityIndex.forCorpus(s, d),
+          Seq("n_tokens" -> size(TextOps.toks(col("text"))).cast(LongType)))
+        .select(col("doc_id"), col("n_tokens"), col("score_micros"))
         .withColumn("wv", -col("score_micros"))
         .withColumn("bin",
           expr(s"(wv - pmod(wv, $BUDGET_BIN)) div $BUDGET_BIN")))
@@ -1814,24 +1814,36 @@ object PipelineOps {
         .join(caps, "source")
         .select(col("source"),
           element_at(col("tops"), col("cap").cast("int")).as("th"))
-      val kept = dd.join(th, "source").filter(pri <= col("th"))
-      def agg1(df: DataFrame, n: String, t: String) =
-        df.agg(count(lit(1)).as(n), sum(col("nt")).as(t))
-      val a0 = agg1(base, "n0", "t0")
-      val a1 = agg1(q, "n1", "t1")
-      val a2 = agg1(dd, "n2", "t2")
-      val a3 = agg1(kept, "n3", "t3")
-      a0.select(lit("1_raw").as("stage"), col("n0").as("docs_in"),
-          col("n0").as("docs_out"), col("t0").as("tokens_out"))
-        .unionAll(a0.crossJoin(broadcast(a1))
-          .select(lit("2_quality").as("stage"), col("n0").as("docs_in"),
-            col("n1").as("docs_out"), col("t1").as("tokens_out")))
-        .unionAll(a1.crossJoin(broadcast(a2))
-          .select(lit(stage3).as("stage"), col("n1").as("docs_in"),
-            col("n2").as("docs_out"), col("t2").as("tokens_out")))
-        .unionAll(a2.crossJoin(broadcast(a3))
-          .select(lit("4_domain_cap").as("stage"), col("n2").as("docs_in"),
-            col("n3").as("docs_out"), col("t3").as("tokens_out")))
+      // r20 (guide §1.2/§2.4): the four stage aggregates collapse to
+      // TWO single-pass aggregates — stages 1+2 are conditional
+      // aggregates over ONE base pass (q = base WHERE kept_q, so
+      // count/sum over q ≡ count/sum of the kept_q rows), and stages
+      // 3+4 over ONE dd⋈th pass (kept = dd rows with pri <= th; th is
+      // per-source and source-total on dd's sources, so the inner join
+      // preserves every dd row). The 4 one-row frames then stitch via
+      // one explode instead of a 4-branch union that re-planned each
+      // aggregate subtree.
+      val a01 = base.agg(
+        count(lit(1)).as("n0"), sum(col("nt")).as("t0"),
+        count(when(col("kept_q"), lit(1))).as("n1"),
+        sum(when(col("kept_q"), col("nt"))).as("t1"))
+      val a23 = dd.join(broadcast(th), "source").agg(
+        count(lit(1)).as("n2"), sum(col("nt")).as("t2"),
+        count(when(pri <= col("th"), lit(1))).as("n3"),
+        sum(when(pri <= col("th"), col("nt"))).as("t3"))
+      def stageRow(stage: Column, in: Column, out: Column, tok: Column) =
+        struct(stage.as("stage"), in.as("docs_in"), out.as("docs_out"),
+          tok.as("tokens_out"))
+      a01.crossJoin(broadcast(a23))
+        .select(explode(array(
+          stageRow(lit("1_raw"), col("n0"), col("n0"), col("t0")),
+          stageRow(lit("2_quality"), col("n0"), col("n1"), col("t1")),
+          stageRow(lit(stage3), col("n1"), col("n2"), col("t2")),
+          stageRow(lit("4_domain_cap"), col("n2"), col("n3"), col("t3"))))
+          .as("r"))
+        .select(col("r.stage").as("stage"), col("r.docs_in").as("docs_in"),
+          col("r.docs_out").as("docs_out"),
+          col("r.tokens_out").as("tokens_out"))
         .orderBy(col("stage"))
   }
 
@@ -1919,11 +1931,19 @@ object PipelineOps {
   val curationReportQuality: Op = Op(
     "curation_report_quality",
     (s, d) => {
-      val scores = QualityIndex
-        .score(Tables.documents(s, d), QualityIndex.forCorpus(s, d))
-        .select(col("doc_id"), col("score_micros"))
+      // r20: the funnel columns (source, nt, kept_q) are scoreWith
+      // pass-throughs computed in the SAME scan as the quality score —
+      // the former separate curationBase scan + doc_id shuffle join is
+      // gone (guide §2.4; fp was never consumed by the quality funnel)
+      val base = QualityIndex
+        .scoreWith(Tables.documents(s, d), QualityIndex.forCorpus(s, d),
+          Seq("source" -> col("source"),
+            "nt" -> size(tokens(lower(col("text")))).cast(LongType).as("nt"),
+            "kept_q" -> (g4Verdict(col("text")) === "keep")))
+        .select(col("doc_id"), col("source"), col("nt"), col("kept_q"),
+          col("score_micros"))
       curationFunnel(
-        Caches.persist(curationBase(s, d).join(scores, "doc_id")),
+        Caches.persist(base),
         q => {
           val qq = Caches.persist(q)
           val pairsQ = DedupOps.minhashPairs(s, d).select(col("i"), col("j"))

@@ -145,9 +145,33 @@ object QualityClassifier {
     // exchange — HashPartitioning(doc_id) already satisfies its
     // clustering — so this REPLACES the aggregate's shuffle (of
     // exploded gram rows) with a narrower shuffle of the raw doc rows.
-    features(graft.Tables.spread(docs, col("doc_id"))).groupBy(col("doc_id"))
+    docFrameWith(docs, Seq.empty)
+
+  /** [[docFrame]] with per-doc PASS-THROUGH columns computed in the
+    * same corpus scan (r20, guide §2.4): consumers that score AND need
+    * other per-doc projections (labels, token counts, verdicts)
+    * previously re-scanned `documents` and shuffle-joined the two
+    * frames back on doc_id. The extras are constant per doc_id, so
+    * carrying them through both aggregates with first() is exact, the
+    * carried bytes never cross an exchange (both groupBys reuse the
+    * spread's HashPartitioning(doc_id)), and the join disappears.
+    */
+  def docFrameWith(docs: DataFrame, extra: Seq[(String, Column)]): DataFrame = {
+    val names = extra.map(_._1)
+    val pre = graft.Tables.spread(docs, col("doc_id"))
+      .select(col("doc_id") +: extra.map { case (n, c) => c.as(n) } :+
+        tokCol.as("tok"): _*)
+    val perBucket = pre
+      .select(col("doc_id") +: names.map(col) :+
+        explode(gramsOf(col("tok"))).as("g"): _*)
+      .select(col("doc_id") +: names.map(col) :+
+        bucketOf(col("g")).as("b"): _*)
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"), names.map(n => first(col(n)).as(n)): _*)
+    perBucket.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("b"), col("c"))).as("fs"),
-        sum(col("c")).as("n"))
+        sum(col("c")).as("n") +: names.map(n => first(col(n)).as(n)): _*)
+  }
 
   /** Per-doc score in micros under (w, bias), as a column over the doc
     * frame: `p = floor(Σ w_b·c_b / n) + bias`. The fold accumulator is

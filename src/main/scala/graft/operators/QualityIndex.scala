@@ -61,11 +61,24 @@ object QualityIndex {
     * frames, no join — QualityIndexSpec asserts the plan reads exactly
     * one table.
     */
-  def score(docs: DataFrame, model: Model): DataFrame = {
+  def score(docs: DataFrame, model: Model): DataFrame =
+    scoreWith(docs, model, Seq.empty)
+
+  /** [[score]] plus per-doc pass-through columns computed in the SAME
+    * corpus scan ([[QualityClassifier.docFrameWith]], r20): the
+    * scoring consumers that used to join a second `documents`
+    * projection back on doc_id (labels, token counts, funnel columns)
+    * get one scan, one exchange, no join. Output:
+    * (doc_id, extras..., score_micros, is_quality_pred).
+    */
+  def scoreWith(
+      docs: DataFrame, model: Model,
+      extra: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     val p = QualityClassifier.scoreCol(model.weights, model.bias)
-    QualityClassifier.docFrame(docs)
-      .select(col("doc_id"), p.as("score_micros"),
-        (p >= lit(QualityClassifier.PredThreshold)).as("is_quality_pred"))
+    QualityClassifier.docFrameWith(docs, extra)
+      .select(col("doc_id") +: extra.map(e => col(e._1)) :+
+        p.as("score_micros") :+
+        (p >= lit(QualityClassifier.PredThreshold)).as("is_quality_pred"): _*)
   }
 
   // ---- persistence (the artifact contract) ----

@@ -1391,9 +1391,11 @@ object TextOps {
       // QualityIndex artifact registry ([[QualityIndex.forCorpus]]); the
       // query itself is the artifact-consumer scoring scan plus the
       // map-only label projection its report column needs
-      val docs = Tables.documents(s, d)
-      QualityIndex.score(docs, QualityIndex.forCorpus(s, d))
-        .join(docs.select(col("doc_id"), QualityIndex.labelCol), "doc_id")
+      // r20: the label is a per-doc pass-through computed in the SAME
+      // scoring scan (scoreWith) — the former second documents scan +
+      // doc_id shuffle join is gone (guide §2.4)
+      QualityIndex.scoreWith(Tables.documents(s, d),
+          QualityIndex.forCorpus(s, d), Seq("y" -> QualityIndex.labelCol))
         .select(col("doc_id"), col("y"), col("score_micros"),
           col("is_quality_pred"))
         .orderBy(col("doc_id"))
@@ -1427,9 +1429,10 @@ object TextOps {
   val qualityCalibration: Op = Op(
     "quality_calibration",
     (s, d) => {
-      val docs = Tables.documents(s, d)
-      QualityIndex.score(docs, QualityIndex.forCorpus(s, d))
-        .join(docs.select(col("doc_id"), QualityIndex.labelCol), "doc_id")
+      // r20: label as a scoreWith pass-through — one scan, no join
+      // (same rewrite as quality_classifier)
+      QualityIndex.scoreWith(Tables.documents(s, d),
+          QualityIndex.forCorpus(s, d), Seq("y" -> QualityIndex.labelCol))
         // scores are MARGINS in probability micros (PredThreshold 0.5e6
         // sits mid-scale, but the linear fold is unbounded both ways):
         // deciles cover the decision interval [0, 1e6) and the 0/9 edge
