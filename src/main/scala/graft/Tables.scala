@@ -64,9 +64,9 @@ object Tables {
     * downstream key-prefixed aggregation/window, so the kernel pass and
     * its per-doc aggregate share this one exchange.
     */
-  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column*): DataFrame =
     df.repartition(
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, key)
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, key: _*)
 
   /** [[spread]] curried for `.transform(...)` chaining. */
   def spreadBy(key: org.apache.spark.sql.Column): DataFrame => DataFrame =

@@ -138,7 +138,13 @@ object DedupOps {
     // explode() is planned AFTER Generate and recomputed per row).
     val sh = shingleRows(s, d).withColumn("n",
       count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    sh.groupBy(col("s"))
+    // spread on the shingle key (r20, guide §2.5): the bucket stage
+    // downstream of this exchange runs the O(bucket²) pairCombinations
+    // kernel, but its shuffle is only a few MB, so AQE's byte-based
+    // coalescing folded it to ~6 tasks with a ~0.6 s straggler
+    // (measured; max/median task ≫ 5). The pinned conf-derived width
+    // keeps the pair enumeration on all cores.
+    Tables.spread(sh, col("s")).groupBy(col("s"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
       .select(explode(pairCombinations(col("ds"))).as("p"))
@@ -2041,7 +2047,11 @@ object DedupOps {
     (s, d) => {
       val sh = shingleRows(s, d).withColumn("n",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      sh.groupBy(col("s"))
+      // spread on the shingle key (r20): same straggler fix as
+      // jaccardPairs — the pair-enumeration kernel downstream of this
+      // exchange must not run on the handful of tasks AQE's byte-based
+      // coalescing leaves
+      Tables.spread(sh, col("s")).groupBy(col("s"))
         .agg(sort_array(collect_list(
           struct(col("doc_id"), col("n")))).as("ds"))
         .filter(size(col("ds")).between(2, MAX_DF))

@@ -420,13 +420,20 @@ object MultimodalOps {
         .transform(graft.Tables.spreadBy(col("doc_id")))
         .select(col("doc_id"),
           call_function("phash63", col("text")).as("phash")))
-      hashed
+      val banded = hashed
         .select(col("doc_id"), col("phash"),
           explode(expr(s"""transform(sequence(0, ${bands - 1}), b ->
             named_struct('band', b, 'key',
               shiftright(phash, b * $width)
                 & ${(1L << width) - 1}))""")).as("bk"))
-        .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+        .select(col("doc_id"), col("phash"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      // spread on the band bucket (r20, guide §2.5): the bucket stage
+      // downstream runs the O(bucket²) pair explosion, but its shuffle
+      // is ~1 MB, so AQE coalesced it to ONE task (~0.37 s straggler,
+      // measured). The conf-derived pinned width keeps it on all cores.
+      graft.Tables.spread(banded, col("band"), col("key"))
+        .groupBy(col("band"), col("key"))
         .agg(sort_array(collect_list(
           struct(col("doc_id"), col("phash")))).as("ds"))
         .filter(size(col("ds")) >= 2 &&
