@@ -114,6 +114,25 @@ object Portable {
         sequence(i + 1, size(ds)),
         j => struct(element_at(ds, i).as("i"), element_at(ds, j).as("j")))))
 
+  /** All i<j pairs of the array column `ds` streamed as ROWS (x, y) —
+    * the generator-spelled twin of [[pairCombinations]] (r20, guide
+    * §1.2 per-task work): higher-order `transform` lambdas are
+    * CodegenFallback, so the array spelling pays one INTERPRETED
+    * dispatch per pair (measured 66 s of task time on a 2.3 s pair
+    * stage of the kNN build), while posexplode + explode(slice)
+    * whole-stage-codegen and never materialize a per-group pair array.
+    * Pair order and content are identical: x = ds[i] (0-based), y
+    * ranges over ds[i+1..]. Every other column of `df` is dropped —
+    * callers project what they need from x/y.
+    */
+  def pairRows(df: org.apache.spark.sql.DataFrame, ds: String)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col(ds).as("__pr_ds"),
+        posexplode(col(ds)).as(Seq("__pr_i", "x")))
+      .select(col("x"),
+        explode(slice(col("__pr_ds"), col("__pr_i") + lit(2),
+          size(col("__pr_ds")) - col("__pr_i") - lit(1))).as("y"))
+
   /** Quantize a float/double to exact integer micros. floor(x*1e6 + 0.5)
     * (not round()) because engines disagree on halfway rounding modes —
     * floor is identical everywhere. DuckDB twin:

@@ -552,6 +552,24 @@ object AnnOps {
     */
   private[graft] def ivfTrainMicros(
       e: DataFrame, cells: Int, rounds: Int): Array[Array[Long]] = {
+    // Size-adaptive engine (r20, the clusterPairs/LocalWalk doctrine):
+    // each distributed Lloyd round is one wide-plan job (a 65-column
+    // aggregate) whose cost at gate scale is ROUND LATENCY, not data —
+    // measured 3.3 s for 2 rounds over 2000 vectors at sf0.1. Below a
+    // WORK budget (rows × cells dot products per round, plus a row cap
+    // so the collect stays tens of MB) the loop runs driver-local over
+    // the collected (vec_id, embedding, nm) frame with kernels that
+    // replicate the distributed operators' arithmetic bit for bit
+    // (TrainLocalSpec pins local ≡ distributed micros). Above the
+    // budget the distributed loop below runs unchanged — the path real
+    // scale takes.
+    val lmax = e.sparkSession.conf.getOption(TrainLocalMaxKey)
+      .map(_.toLong).getOrElse(TRAIN_LOCAL_MAX_DEFAULT)
+    if (lmax > 0) {
+      val n = e.count()
+      if (n <= (1L << 20) && n * cells <= lmax)
+        return ivfTrainMicrosLocal(e, cells, rounds)
+    }
     val seed = e
       .filter(col("vec_id") >= QUERY_MAX && col("vec_id") < QUERY_MAX + cells)
       .select(col("vec_id"), col("embedding"))
@@ -591,6 +609,119 @@ object AnnOps {
         val n = r.getAs[Long]("n")
         for (j <- 1 to FULL_DIM)
           next(c)(j - 1) = r.getAs[Long](s"d$j") / n
+      }
+      cent = next
+    }
+    cent
+  }
+
+  /** Conf key gating the driver-local Lloyd engine: max rows × cells
+    * per round (the work unit is one integer dot). 0 disables it
+    * (tests and paired measurements force the distributed loop).
+    */
+  private[graft] val TrainLocalMaxKey = "graft.train.localMax"
+  private[graft] val TRAIN_LOCAL_MAX_DEFAULT: Long = 1L << 22
+
+  /** The driver-local Lloyd engine. Bit-identical to the distributed
+    * loop by construction:
+    *  - assignment replays [[graft.functions.VectorExpressions.CellArgmaxExpr]]'s
+    *    eval exactly — quantize q_i = floor(f_i·1e6+0.5) over
+    *    min(dims, [[CELL_STRIDE]]), integer dot against the round's RAW
+    *    centroid micros, ccos = acc / (√nm · √c_nm) in the same IEEE op
+    *    order, winner by (ccos == best ? 0 : Double.compare) then
+    *    lowest id — including the packed frame's √c_nm being computed
+    *    ONCE per round from the Long m·m sum ([[microCentroidArray]]).
+    *  - accumulation replays sum(element_at(qnorm_micros(emb, 1e12), j))
+    *    — an exact Long sum of floor(floor(f·1e6+0.5)/√1e12·1e6+0.5),
+    *    order-insensitive — and the truncating Long mean `sum / n`,
+    *    with empty cells keeping their previous value.
+    * Seed and require() are the distributed loop's own lines verbatim.
+    */
+  private def ivfTrainMicrosLocal(
+      e: DataFrame, cells: Int, rounds: Int): Array[Array[Long]] = {
+    val rows = e.select(col("vec_id"), col("embedding"), col("nm"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+        r.getAs[Long]("nm")))
+    val seed = rows.iterator
+      .filter(t => t._1 >= QUERY_MAX && t._1 < QUERY_MAX + cells)
+      .map(t => t._1 ->
+        t._2.map(f => math.floor(f.toDouble * 1e6 + 0.5).toLong))
+      .toMap
+    require(seed.size == cells,
+      s"coarse seed slice [vec_id $QUERY_MAX, ${QUERY_MAX + cells}) " +
+        s"incomplete: ${seed.size} of $cells rows present")
+    var cent: Array[Array[Long]] =
+      Array.tabulate(cells)(c => seed(QUERY_MAX.toLong + c))
+    val rt = math.sqrt(1000000000000L.toDouble) // qnorm_micros(·, 1e12)
+    for (_ <- 1 to rounds) {
+      // pack exactly like microCentroidArray: flat raw micros at the
+      // CELL_STRIDE, √c_nm from the exact Long Σ m·m
+      val flat = new Array[Long](cells * CELL_STRIDE)
+      val snc = new Array[Double](cells)
+      var c = 0
+      while (c < cells) {
+        val v = cent(c)
+        var i = 0
+        while (i < v.length && i < CELL_STRIDE) {
+          flat(c * CELL_STRIDE + i) = v(i); i += 1
+        }
+        snc(c) = math.sqrt(v.map(m => m * m).sum.toDouble)
+        c += 1
+      }
+      val sums = Array.ofDim[Long](cells, FULL_DIM)
+      val cnt = new Array[Long](cells)
+      rows.foreach { case (_, emb, nm) =>
+        // CellArgmaxExpr.nullSafeEval, verbatim semantics
+        val dims = math.min(emb.length, CELL_STRIDE)
+        val q = new Array[Long](dims)
+        var i = 0
+        while (i < dims) {
+          q(i) = math.floor(emb(i).toDouble * 1e6 + 0.5).toLong; i += 1
+        }
+        val sn = math.sqrt(nm.toDouble)
+        var bestId = Long.MinValue
+        var bestCos = 0.0
+        var first0 = true
+        c = 0
+        while (c < cells) {
+          val base = c * CELL_STRIDE
+          var acc = 0L
+          i = 0
+          while (i < dims) { acc += q(i) * flat(base + i); i += 1 }
+          val ccos = acc.toDouble / (sn * snc(c))
+          val cmp =
+            if (first0) 1
+            else if (ccos == bestCos) 0
+            else java.lang.Double.compare(ccos, bestCos)
+          val cid = QUERY_MAX.toLong + c
+          if (cmp > 0 || (cmp == 0 && cid < bestId)) {
+            bestId = cid; bestCos = ccos; first0 = false
+          }
+          c += 1
+        }
+        val cell = (bestId - QUERY_MAX).toInt
+        cnt(cell) += 1
+        // QnormMicrosExpr at nm = 1e12, verbatim double chain
+        var j = 0
+        val jmax = math.min(emb.length, FULL_DIM)
+        while (j < jmax) {
+          val qraw = math.floor(emb(j).toDouble * 1e6 + 0.5)
+          sums(cell)(j) += math.floor(qraw / rt * 1e6 + 0.5).toLong
+          j += 1
+        }
+      }
+      val next = cent.map(_.clone())
+      c = 0
+      while (c < cells) {
+        if (cnt(c) > 0) {
+          var j = 0
+          while (j < FULL_DIM) {
+            next(c)(j) = sums(c)(j) / cnt(c); j += 1
+          }
+        }
+        c += 1
       }
       cent = next
     }
@@ -1380,23 +1511,21 @@ object AnnOps {
               "cell count before the in-row cross product " +
               "materializes it"))))
           .otherwise(col("ds")))
-      // r18: the cosine computes INSIDE the pair lambda, so the
-      // materialized per-group pair array stays near id-width — each
-      // side is the member-id LIST (length 1 on a duplicate-free
-      // corpus, ~56 B/pair) instead of two full embedding copies
-      // (~600 B/pair); the duplicate expansion below happens on
-      // exploded ROWS through streaming generators, so a pair of
-      // duplicate groups never materializes its id cross product in
-      // one array
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(
-          slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
-          y => struct(x("mids").as("im"), y("mids").as("jm"),
-            cosineFromMicros(
-              dotMicros(x("embedding"), y("embedding")),
-              x("nm"), y("nm")).as("cos")))))).as("p"))
-      .select(explode(col("p.im")).as("ie"), col("p.jm").as("jm"),
-        col("p.cos").as("cos"))
+      // r20: pairs stream through the codegen'd generator pair
+      // ([[graft.functions.Portable.pairRows]]) with the cosine as a
+      // whole-stage-codegen projection — the r18 nested-transform
+      // spelling evaluated the per-pair cosine under INTERPRETED lambda
+      // dispatch (measured 66 s of task time on the 2.3 s pair stage at
+      // sf0.1). No per-group pair array materializes at all now, which
+      // also retires r18's id-width-array concern; duplicate expansion
+      // below stays on exploded rows.
+      .transform(df => graft.functions.Portable.pairRows(df, "ds"))
+      .select(col("x.mids").as("im"), col("y.mids").as("jm"),
+        cosineFromMicros(
+          dotMicros(col("x.embedding"), col("y.embedding")),
+          col("x.nm"), col("y.nm")).as("cos"))
+      .select(explode(col("im")).as("ie"), col("jm"),
+        col("cos"))
       .select(col("ie"), explode(col("jm")).as("je"), col("cos"))
       // representatives sort by rep id, but MEMBER ids of two groups
       // interleave freely — canonicalize to i < j

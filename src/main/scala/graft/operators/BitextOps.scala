@@ -133,12 +133,16 @@ object BitextOps {
             lit(") — re-dial the sub-LSH geometry before the cross " +
               "product materializes it in one row"))))
           .otherwise(col("xs")))
-      .select(explode(flatten(transform(col("xs"), x =>
-        transform(col("ys"), y => struct(x.as("x"), y.as("y")))))).as("p"))
-      .select(col("p.x.vec_id").as("a"), col("p.y.vec_id").as("b"),
+      // r20: the A×B cross product streams through two codegen'd
+      // explodes with the cosine as a whole-stage-codegen projection —
+      // the nested transform paid interpreted lambda dispatch per pair
+      // (the pairRows finding; this is its cross-sided twin)
+      .select(col("ys"), explode(col("xs")).as("x"))
+      .select(col("x"), explode(col("ys")).as("y"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         cosineFromMicros(
-          dotMicros(col("p.x.embedding"), col("p.y.embedding")),
-          col("p.x.nm"), col("p.y.nm")).as("cos"))
+          dotMicros(col("x.embedding"), col("y.embedding")),
+          col("x.nm"), col("y.nm")).as("cos"))
       .groupBy(col("a"), col("b"))
       .agg(max(col("cos")).as("cos"))
   }

@@ -144,12 +144,11 @@ object DedupOps {
     // coalescing folded it to ~6 tasks with a ~0.6 s straggler
     // (measured; max/median task ≫ 5). The pinned conf-derived width
     // keeps the pair enumeration on all cores.
-    Tables.spread(sh, col("s")).groupBy(col("s"))
+    pairRows(Tables.spread(sh, col("s")).groupBy(col("s"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
-      .filter(size(col("ds")).between(2, maxDf))
-      .select(explode(pairCombinations(col("ds"))).as("p"))
-      .groupBy(col("p.i.doc_id").as("i"), col("p.j.doc_id").as("j"),
-        col("p.i.n").as("n_i"), col("p.j.n").as("n_j"))
+      .filter(size(col("ds")).between(2, maxDf)), "ds")
+      .groupBy(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        col("x.n").as("n_i"), col("y.n").as("n_j"))
       .agg(count(lit(1)).as("c"))
       .select(col("i"), col("j"),
         (col("c") * lit(1.0) / (col("n_i") + col("n_j") - col("c")))
@@ -263,11 +262,10 @@ object DedupOps {
       // bucket-local pair enumeration (see dedup_ngram_jaccard): one pass
       // over the signature pipeline instead of a self-join recomputing it
       // per side; the occupancy cap bounds the per-bucket quadratic.
-      val cand = bands.groupBy(col("band"), col("bkey"))
+      val cand = pairRows(bands.groupBy(col("band"), col("bkey"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")).between(2, maxBucket))
-        .select(explode(pairCombinations(col("ds"))).as("p"))
-        .select(col("p.i").as("i"), col("p.j").as("j"))
+        .filter(size(col("ds")).between(2, maxBucket)), "ds")
+        .select(col("x").as("i"), col("y").as("j"))
         .distinct()
       // Verification fetches both documents' shingle sets with ONE join
       // against ONE pass of the doc pipeline: each candidate pair
@@ -706,7 +704,14 @@ object DedupOps {
           struct(col("vec_id"), col("embedding"), col("nm")))).as("ds"))
         .filter(size(col("ds")) >= 2)
         // all i<j pairs of the (vec_id-sorted) bucket: the nested
-        // transform is the struct-typed twin of pairCombinations
+        // transform is the struct-typed twin of pairCombinations.
+        // Deliberately NOT the r20 pairRows generator spelling: these
+        // buckets run at the ~512-pair occupancy dial, and pairRows'
+        // per-member slice copies of the embedding-carrying group array
+        // cost MORE than the interpreted lambda dispatch it saves
+        // (paired boards: 0.76 -> 1.44 s warm under pairRows — the
+        // inverse of the small-occupancy ANN cells, where the lambda
+        // dispatch dominated).
         .select(explode(flatten(transform(col("ds"), (x, i) =>
           transform(
             slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
@@ -2051,13 +2056,12 @@ object DedupOps {
       // jaccardPairs — the pair-enumeration kernel downstream of this
       // exchange must not run on the handful of tasks AQE's byte-based
       // coalescing leaves
-      Tables.spread(sh, col("s")).groupBy(col("s"))
+      pairRows(Tables.spread(sh, col("s")).groupBy(col("s"))
         .agg(sort_array(collect_list(
           struct(col("doc_id"), col("n")))).as("ds"))
-        .filter(size(col("ds")).between(2, MAX_DF))
-        .select(explode(pairCombinations(col("ds"))).as("p"))
-        .groupBy(col("p.i.doc_id").as("i"), col("p.j.doc_id").as("j"),
-          col("p.i.n").as("n_i"), col("p.j.n").as("n_j"))
+        .filter(size(col("ds")).between(2, MAX_DF)), "ds")
+        .groupBy(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+          col("x.n").as("n_i"), col("y.n").as("n_j"))
         .agg(count(lit(1)).as("c"))
         .select(col("i"), col("j"), col("n_i"), col("n_j"),
           col("c").as("n_shared"),

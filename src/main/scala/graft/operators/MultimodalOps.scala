@@ -438,12 +438,12 @@ object MultimodalOps {
           struct(col("doc_id"), col("phash")))).as("ds"))
         .filter(size(col("ds")) >= 2 &&
           size(col("ds")) <= PH_MAX_BUCKET)
-        .select(explode(flatten(transform(col("ds"), (x, i) =>
-          transform(
-            slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
-            y => struct(x.as("x"), y.as("y")))))).as("p"))
-        .select(col("p.x.doc_id").as("i"), col("p.y.doc_id").as("j"),
-          bit_count(col("p.x.phash").bitwiseXOR(col("p.y.phash")))
+        // r20: pairs stream through the codegen'd generator pair
+        // ([[graft.functions.Portable.pairRows]]) — the nested
+        // transform paid interpreted lambda dispatch per pair
+        .transform(df => graft.functions.Portable.pairRows(df, "ds"))
+        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+          bit_count(col("x.phash").bitwiseXOR(col("y.phash")))
             .cast(LongType).as("hamming"))
         .filter(col("hamming") <= PH_TAU)
         .groupBy(col("i"), col("j"))

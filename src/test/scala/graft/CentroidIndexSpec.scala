@@ -168,4 +168,23 @@ class CentroidIndexSpec extends SparkSpec {
       s"in-cell pair work ${pairWork(trained)} !< ${pairWork(slice)}")
     Caches.releaseScope()
   }
+
+  test("size-adaptive Lloyd engines: driver-local micros == " +
+      "distributed micros, to the micro (r20)") {
+    val e = AnnOps.withNorm(spark, sf)
+    // default gate: the gate corpus sits far below the work budget, so
+    // this takes the driver-local engine
+    val local = AnnOps.ivfTrainMicros(e, 16, AnnOps.IVF_ROUNDS)
+    // localMax = 0 disables the local engine (the LocalWalk convention)
+    spark.conf.set(AnnOps.TrainLocalMaxKey, "0")
+    val dist =
+      try AnnOps.ivfTrainMicros(e, 16, AnnOps.IVF_ROUNDS)
+      finally spark.conf.unset(AnnOps.TrainLocalMaxKey)
+    assert(local.length == dist.length)
+    local.zip(dist).zipWithIndex.foreach { case ((a, b), c) =>
+      assert(a.sameElements(b),
+        s"cell $c: local engine centroid differs from distributed")
+    }
+    Caches.releaseScope()
+  }
 }
