@@ -86,7 +86,11 @@ object AnnIndex {
       .select(lit(index.geometry.tables).as("tables"),
         lit(index.geometry.planes).as("planes"))
       .write.mode("overwrite").parquet(s"$path/geometry")
-    index.buckets.write.mode("overwrite").partitionBy("tbl")
+    // repartition on the partition column before the partitioned write
+    // (r20, guide §6 small files — the KnnIndex.save finding): without
+    // it every compute task writes a slice of every tbl directory
+    index.buckets.repartition(col("tbl"))
+      .write.mode("overwrite").partitionBy("tbl")
       .parquet(s"$path/buckets")
     index.vectors.write.mode("overwrite").parquet(s"$path/vectors")
     writeMarker(spark, path, complete = true, op = "save")

@@ -82,7 +82,10 @@ object DedupIndex {
     */
   def save(index: DataFrame, path: String): Unit = {
     writeMarker(index.sparkSession, path, complete = false, op = "save")
-    index.write.mode("overwrite").partitionBy("band").parquet(s"$path/sigs")
+    // repartition on the partition column before the partitioned write
+    // (r20, guide §6 small files — the KnnIndex.save finding)
+    index.repartition(org.apache.spark.sql.functions.col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/sigs")
     writeMarker(index.sparkSession, path, complete = true, op = "save")
   }
 

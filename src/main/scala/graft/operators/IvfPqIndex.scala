@@ -133,6 +133,9 @@ object IvfPqIndex {
     // at load
     index.codes
       .withColumn("cell", col("cell").cast("int"))
+      // repartition on the partition column before the partitioned
+      // write (r20, guide §6 small files — the KnnIndex.save finding)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     writeMarker(spark, path, complete = true, op = "save")
   }
