@@ -2375,22 +2375,33 @@ object PipelineOps {
           .withColumn("cum", coalesce(sum(col("c")).over(wB), lit(0L)))
           .withColumn("n", sum(col("c")).over(
             Window.partitionBy(col("event_type"))))
-        def idx(q: Int) = expr(s"(n - 1) * $q div 100")
-        val bounds = targets.map { case (name, q) =>
-          hist.filter(col("cum") <= idx(q) && idx(q) < col("cum") + col("c"))
-            .select(col("event_type"), col("b"), lit(name).as("q"),
-              (idx(q) - col("cum")).as("off"))
-        }.reduce(_.unionAll(_))
+        // r20 (guide §2.4): the three quantile targets resolve in ONE
+        // pass over the histogram via an exploded target list — the
+        // per-target filter+union spelling re-planned (and re-ran) the
+        // groupBy+window hist subtree once per quantile. The per-type
+        // total n rides along in bounds (every bounds row of a type
+        // carries the same window-total), so the separate ns count pass
+        // and its join are gone too.
+        val idxT = expr("(n - 1) * pct div 100")
+        val bounds = hist
+          .select(col("event_type"), col("b"), col("c"), col("cum"),
+            col("n"),
+            explode(array(targets.map { case (name, q) =>
+              struct(lit(name).as("q"), lit(q).as("pct")) }: _*)).as("t"))
+          .select(col("event_type"), col("b"), col("c"), col("cum"),
+            col("n"), col("t.q").as("q"), col("t.pct").as("pct"))
+          .filter(col("cum") <= idxT && idxT < col("cum") + col("c"))
+          .select(col("event_type"), col("b"), col("q"),
+            (idxT - col("cum")).as("off"), col("n").as("n_events"))
         val wIn = Window.partitionBy(col("event_type"), col("q"))
           .orderBy(col("value"), col("event_id"))
         val qvals = ev.join(broadcast(bounds), Seq("event_type", "b"))
           .withColumn("rn", row_number().over(wIn).cast(LongType) - 1)
           .filter(col("rn") === col("off"))
-        val ns = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
         val aggCols = targets.map { case (name, _) =>
           max(when(col("q") === name, col("value"))).as(name) }
-        ns.join(qvals.groupBy(col("event_type"))
-            .agg(aggCols.head, aggCols.tail: _*), "event_type")
+        qvals.groupBy(col("event_type"))
+          .agg(max(col("n_events")).as("n_events"), aggCols: _*)
           .select(col("event_type") +: col("n_events") +:
             targets.map(t => col(t._1)): _*)
           .orderBy(col("event_type"))
