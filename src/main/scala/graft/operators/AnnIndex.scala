@@ -82,7 +82,7 @@ object AnnIndex {
   def save(index: Index, path: String): Unit = {
     val spark = index.buckets.sparkSession
     writeMarker(spark, path, complete = false, op = "save")
-    spark.range(1)
+    spark.range(0L, 1L, 1L, 1)
       .select(lit(index.geometry.tables).as("tables"),
         lit(index.geometry.planes).as("planes"))
       .write.mode("overwrite").parquet(s"$path/geometry")
@@ -106,7 +106,7 @@ object AnnIndex {
   private def writeMarker(
       spark: SparkSession, path: String, complete: Boolean,
       op: String): Unit =
-    spark.range(1)
+    spark.range(0L, 1L, 1L, 1)
       .select(lit(complete).as("complete"), lit(op).as("op"))
       .write.mode("overwrite").parquet(s"$path/complete")
 

@@ -55,7 +55,7 @@ object CentroidIndex {
 
   private def writeMarker(
       spark: SparkSession, path: String, complete: Boolean): Unit =
-    spark.range(1).select(lit(complete).as("complete"))
+    spark.range(0L, 1L, 1L, 1).select(lit(complete).as("complete"))
       .write.mode("overwrite").parquet(s"$path/complete")
 
   /** Persist the trained micros + the geometry that makes them
@@ -68,7 +68,7 @@ object CentroidIndex {
       path: String): Unit = {
     val dim = micros.headOption.map(_.length).getOrElse(0)
     writeMarker(spark, path, complete = false)
-    spark.range(1).select(
+    spark.range(0L, 1L, 1L, 1).select(
       typedLit(micros.map(_.toSeq).toSeq).as("micros"),
       lit(micros.length).as("cells"),
       lit(rounds).as("rounds"),

@@ -98,7 +98,7 @@ object DedupIndex {
   private def writeMarker(
       spark: SparkSession, path: String, complete: Boolean,
       op: String): Unit =
-    spark.range(1)
+    spark.range(0L, 1L, 1L, 1)
       .select(lit(complete).as("complete"), lit(op).as("op"))
       .write.mode("overwrite").parquet(s"$path/complete")
 

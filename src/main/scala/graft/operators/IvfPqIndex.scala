@@ -108,7 +108,7 @@ object IvfPqIndex {
   private def writeMarker(
       spark: SparkSession, path: String, complete: Boolean,
       op: String): Unit =
-    spark.range(1)
+    spark.range(0L, 1L, 1L, 1)
       .select(lit(complete).as("complete"), lit(op).as("op"))
       .write.mode("overwrite").parquet(s"$path/complete")
 
@@ -120,7 +120,7 @@ object IvfPqIndex {
   def save(index: Index, path: String): Unit = {
     val spark = index.codes.sparkSession
     writeMarker(spark, path, complete = false, op = "save")
-    spark.range(1)
+    spark.range(0L, 1L, 1L, 1)
       .select(lit(index.cells).as("cells"), lit(index.nprobe).as("nprobe"),
         lit(index.k).as("k"), lit(index.rerank).as("rerank"),
         typedLit(index.codebook.toSeq).as("codebook"))

@@ -160,7 +160,7 @@ object KnnIndex {
   private def writeMarker(
       spark: SparkSession, path: String, complete: Boolean,
       op: String, fp: Option[BatchFp] = None): Unit =
-    spark.range(1)
+    spark.range(0L, 1L, 1L, 1)
       .select(lit(complete).as("complete"), lit(op).as("op"),
         lit(fp.map(_.n).getOrElse(-1L)).as("batch_n"),
         lit(fp.map(_.mn).getOrElse(-1L)).as("batch_min"),
@@ -174,7 +174,7 @@ object KnnIndex {
   def save(index: Index, path: String): Unit = {
     val spark = index.edges.sparkSession
     writeMarker(spark, path, complete = false, op = "save")
-    spark.range(1).select(
+    spark.range(0L, 1L, 1L, 1).select(
       lit(index.cells).as("cells"), lit(index.rounds).as("rounds"),
       lit(index.k).as("k"), lit(SEEDS).as("seeds_per_cell"),
       lit(index.sub.map(_.tables).getOrElse(0)).as("sub_tables"),

@@ -81,7 +81,7 @@ object LangIndex {
 
   private def writeMarker(
       spark: SparkSession, path: String, complete: Boolean): Unit =
-    spark.range(1).select(lit(complete).as("complete"))
+    spark.range(0L, 1L, 1L, 1).select(lit(complete).as("complete"))
       .write.mode("overwrite").parquet(s"$path/complete")
 
   /** Persist the per-language weight vectors + biases plus the
@@ -98,7 +98,7 @@ object LangIndex {
     }.toDF("lang_idx", "lang", "weights", "bias")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/model")
-    spark.range(1).select(
+    spark.range(0L, 1L, 1L, 1).select(
       lit(QualityClassifier.NumBuckets).as("num_buckets"),
       lit(QualityClassifier.Epochs).as("epochs"),
       lit(LangClassifier.EtaDen).as("eta_den"),

@@ -233,9 +233,17 @@ object LmIndex {
     */
   def save3(spark: SparkSession, ref: Ref3, path: String): Unit = {
     writeMarker(spark, path, complete = false)
-    ref.trigrams.write.mode("overwrite").parquet(s"$path/trigrams")
-    ref.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
-    ref.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+    // the three data writes are independent — overlap them from driver
+    // threads (r20, guide §2.6, the KnnIndex.save recipe); the marker
+    // bracket stays strictly sequential
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Seq(
+      Future(ref.trigrams.write.mode("overwrite").parquet(s"$path/trigrams")),
+      Future(ref.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")),
+      Future(ref.vocab.write.mode("overwrite").parquet(s"$path/vocab")))
+      .foreach(Await.result(_, Duration.Inf))
     writeMarker(spark, path, complete = true)
   }
 
@@ -336,7 +344,7 @@ object LmIndex {
 
   private def writeMarker(
       spark: SparkSession, path: String, complete: Boolean): Unit =
-    spark.range(1).select(lit(complete).as("complete"))
+    spark.range(0L, 1L, 1L, 1).select(lit(complete).as("complete"))
       .write.mode("overwrite").parquet(s"$path/complete")
 
   /** Persist the model marker-bracketed: `complete=false`, the bigram

@@ -72,7 +72,7 @@ object PqIndex {
   private def writeMarker(
       spark: SparkSession, path: String, complete: Boolean,
       op: String): Unit =
-    spark.range(1)
+    spark.range(0L, 1L, 1L, 1)
       .select(lit(complete).as("complete"), lit(op).as("op"))
       .write.mode("overwrite").parquet(s"$path/complete")
 
@@ -84,7 +84,7 @@ object PqIndex {
   def save(index: Index, path: String): Unit = {
     val spark = index.codes.sparkSession
     writeMarker(spark, path, complete = false, op = "save")
-    spark.range(1)
+    spark.range(0L, 1L, 1L, 1)
       .select(lit(index.k).as("k"), lit(index.rerank).as("rerank"),
         typedLit(index.codebook.toSeq).as("codebook"))
       .write.mode("overwrite").parquet(s"$path/meta")

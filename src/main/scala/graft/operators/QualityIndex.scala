@@ -85,7 +85,7 @@ object QualityIndex {
 
   private def writeMarker(
       spark: SparkSession, path: String, complete: Boolean): Unit =
-    spark.range(1).select(lit(complete).as("complete"))
+    spark.range(0L, 1L, 1L, 1).select(lit(complete).as("complete"))
       .write.mode("overwrite").parquet(s"$path/complete")
 
   /** Persist weights + bias + the feature/training config that makes
@@ -94,7 +94,7 @@ object QualityIndex {
     */
   def save(spark: SparkSession, model: Model, path: String): Unit = {
     writeMarker(spark, path, complete = false)
-    spark.range(1).select(
+    spark.range(0L, 1L, 1L, 1).select(
       typedLit(model.weights.toSeq).as("weights"),
       lit(model.bias).as("bias"),
       lit(QualityClassifier.NumBuckets).as("num_buckets"),

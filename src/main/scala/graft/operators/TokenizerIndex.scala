@@ -481,14 +481,14 @@ object TokenizerIndex {
     writeMarker(spark, path, complete = false)
     learned.mergesDf(spark).write.mode("overwrite").parquet(s"$path/merges")
     learned.vocab.write.mode("overwrite").parquet(s"$path/vocab")
-    spark.range(1).select(lit(learned.base).as("base"))
+    spark.range(0L, 1L, 1L, 1).select(lit(learned.base).as("base"))
       .write.mode("overwrite").parquet(s"$path/config")
     writeMarker(spark, path, complete = true)
   }
 
   private def writeMarker(
       spark: SparkSession, path: String, complete: Boolean): Unit =
-    spark.range(1).select(lit(complete).as("complete"))
+    spark.range(0L, 1L, 1L, 1).select(lit(complete).as("complete"))
       .write.mode("overwrite").parquet(s"$path/complete")
 
   /** Reopen a saved artifact: the merge table collects (k rows), the

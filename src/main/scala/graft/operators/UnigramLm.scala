@@ -320,7 +320,7 @@ object UnigramLm {
 
   private def writeMarker(
       spark: SparkSession, path: String, complete: Boolean): Unit =
-    spark.range(1).select(lit(complete).as("complete"))
+    spark.range(0L, 1L, 1L, 1).select(lit(complete).as("complete"))
       .write.mode("overwrite").parquet(s"$path/complete")
 
   /** Persist pieces + vocabulary segmentations + the config that makes
@@ -334,7 +334,7 @@ object UnigramLm {
     model.vocab.map { case (w, seg) => (w, seg.mkString(Sep.toString)) }
       .toDF("w", "seg")
       .write.mode("overwrite").parquet(s"$path/vocab")
-    spark.range(1).select(lit(model.tot).as("tot"), lit(model.v).as("v"),
+    spark.range(0L, 1L, 1L, 1).select(lit(model.tot).as("tot"), lit(model.v).as("v"),
       lit(MaxPiece).as("max_piece"), lit(Rounds).as("rounds"))
       .write.mode("overwrite").parquet(s"$path/config")
     writeMarker(spark, path, complete = true)
